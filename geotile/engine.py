@@ -1,0 +1,381 @@
+"""Core engine operators (DataFrame-first, shuffle-aware).
+
+Each operator documents (a) the reference behavior it generalizes
+(file:line into /root/reference) and (b) the physical plan shape it is
+designed to produce at 100 TB scale: which side broadcasts, what gets
+pushed down to the scan, where the (single) shuffle lands, and how skew
+is handled.  Distance/PIP refinement predicates are ALWAYS post-join
+filters, never join conditions — a UDF in the join condition forces a
+broadcast-nested-loop join.
+
+Plan-shape discipline (SURVEY.md §4):
+  * candidate cells are literals or a broadcast side -> partition/row
+    pruning on the cell column reaches the parquet scan;
+  * filter-refine = cheap cell equi-join, then exact predicate;
+  * hot cells (dense urban tiles) -> two-level salted aggregation and
+    AQE skew-join splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from . import udfs
+from .kernel import geohash_np as gh
+from .kernel import tiles_np
+
+DEFAULT_NCHARS = 5  # ~= the reference's 12-bit "500 m" grid (mapinfo.h:13)
+
+# meters per degree of latitude on the reference sphere
+_M_PER_DEG = math.pi * gh.EARTH_RADIUS_M / 180.0
+
+
+# ---------------------------------------------------------------------------
+# Cell assignment (the reference's implicit Encode-on-every-op, mapinfo.cpp:116)
+# ---------------------------------------------------------------------------
+
+
+def with_cell(df: DataFrame, lat: str = "lat", lon: str = "lon",
+              nchars: int = DEFAULT_NCHARS, out: str = "geohash") -> DataFrame:
+    """Materialize the canonical geohash cell column.  Narrow map — no
+    shuffle; at scale this column is also the table's partition key."""
+    return df.withColumn(out, udfs.geohash_udf(nchars)(F.col(lat), F.col(lon)))
+
+
+def with_cell_ref(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                  nbits: int = gh.GEO_PRECISION_BITS, out: str = "geohash") -> DataFrame:
+    """Reference-exact cell column (compat mode; geohash.cpp:148-215)."""
+    return df.withColumn(out, udfs.geohash_ref_udf(nbits)(F.col(lat), F.col(lon)))
+
+
+# ---------------------------------------------------------------------------
+# Keyed state: upsert / delete (AddPos / DelPos, mapinfo.cpp:97-382)
+# ---------------------------------------------------------------------------
+
+
+def upsert_positions(state: DataFrame, updates: DataFrame, key: str = "msisdn",
+                     ts: str = "ts") -> DataFrame:
+    """Last-write-wins upsert keyed by ``key`` (AddPos semantics,
+    mapinfo.cpp:151-215: newer row replaces older in place; the cell
+    column is derived so 'posting migration' is implicit).
+
+    Batch form: union + window dedup.  The one wide shuffle is the
+    ``partitionBy(key)`` exchange — at scale the stored table is
+    bucketed by ``key`` so MERGE INTO touches only matching buckets.
+    Ties on ``ts`` break toward the update (src=1) then arbitrary-but-
+    deterministic.
+    """
+    s = state.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    unioned = s.unionByName(u, allowMissingColumns=False)
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col("_src").desc())
+    return (unioned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src"))
+
+
+def delete_positions(state: DataFrame, keys: DataFrame, key: str = "msisdn") -> DataFrame:
+    """DelPos (mapinfo.cpp:308-382) as a left anti-join.  ``keys`` is
+    small in practice -> Catalyst broadcasts it; empty-cell GC is
+    implicit (cells are derived)."""
+    return state.join(F.broadcast(keys.select(key).distinct()), key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Radius search (FindPos, mapinfo.cpp:417-471): filter-refine spatial join
+# ---------------------------------------------------------------------------
+
+
+def radius_search_compat(positions: DataFrame, qlat: float, qlon: float,
+                         radius_m: float, cell_col: str = "geohash",
+                         lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Reference-exact radius query: candidate cells from the compat
+    grid scan (0 or 1 cells, mapinfo.cpp:384-415), probe the cell
+    'index' (here: a pushed-down ``IN`` literal filter on the cell
+    partition column), refine with the reference distance formula
+    (``dDistance >= dCurrDistance``, mapinfo.cpp:455).  Unordered,
+    unlimited results — exactly FindPos."""
+    cells = gh.candidate_cells_ref(qlat, qlon, radius_m)
+    if not cells:
+        return positions.where(F.lit(False))
+    dist = udfs.distance_ref_udf()(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
+    return (positions.where(F.col(cell_col).isin(cells))
+            .withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= radius_m))
+
+
+def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: float,
+                  nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Production radius query: TRUE covering cell set (literal IN ->
+    partition pruning at the scan) + haversine refine.  One narrow scan
+    of the pruned cell partitions, zero shuffles."""
+    cells = [str(c) for c in gh.cover_radius(qlat, qlon, radius_m, nchars)]
+    dist = udfs.haversine_udf()(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
+    return (positions.where(F.col(cell_col).isin(cells))
+            .withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= radius_m))
+
+
+def _covers_schema():
+    return StructType([
+        StructField("query_id", LongType()),
+        StructField("cell", StringType()),
+    ])
+
+
+def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_NCHARS,
+                cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+                qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
+                radius: str = "radius_m") -> DataFrame:
+    """Many-query radius join.  Queries (the small side) explode into
+    (query_id, cover cell) pairs via an Arrow-batched mapInPandas, get
+    broadcast, and equi-join the cell-partitioned positions; exact
+    haversine refine follows the join.  Positions are never shuffled.
+    """
+    q_schema = _covers_schema()
+
+    def _covers(batches):
+        for pdf in batches:
+            ids, cells = [], []
+            for r_qid, r_lat, r_lon, r_rad in zip(
+                    pdf[qid].to_numpy(), pdf[qlat].to_numpy(np.float64),
+                    pdf[qlon].to_numpy(np.float64), pdf[radius].to_numpy(np.float64)):
+                cs = gh.cover_radius(float(r_lat), float(r_lon), float(r_rad), nchars)
+                ids.extend([r_qid] * len(cs))
+                cells.extend(cs)
+            yield pd.DataFrame({"query_id": np.asarray(ids, dtype=np.int64),
+                                "cell": cells})
+
+    covers = queries.mapInPandas(_covers, schema=q_schema)
+    joined = positions.join(F.broadcast(covers), positions[cell_col] == covers["cell"], "inner")
+    joined = joined.join(
+        F.broadcast(queries.select(qid, qlat, qlon, radius)), "query_id", "inner")
+    dist = udfs.haversine_udf()(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
+    return (joined.withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= F.col(radius))
+            .drop("cell"))
+
+
+# ---------------------------------------------------------------------------
+# kNN join (north_rule extension; absent from the reference — SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def _min_cell_extent_m(nchars: int, abs_lat_deg: float) -> float:
+    """Conservative minimum extent (m) of a cell at this precision near
+    ``abs_lat_deg`` — the ring-expansion distance guarantee unit."""
+    lat_bits, lon_bits = gh._axis_bits(nchars)
+    h_m = 180.0 / (1 << lat_bits) * _M_PER_DEG
+    w_m = 360.0 / (1 << lon_bits) * _M_PER_DEG * max(math.cos(math.radians(min(abs_lat_deg, 89.9))), 1e-6)
+    return min(h_m, w_m)
+
+
+def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
+             nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
+             lat: str = "lat", lon: str = "lon", id_col: str | None = None,
+             start_ring: int = 1, max_ring: int = 512) -> DataFrame:
+    """k-nearest-neighbors of each query point via expanding cell rings.
+
+    ``queries``: sequence of (query_id, qlat, qlon).  Algorithm (the
+    scale path — candidates stay a cell equi-join against the
+    partition-pruned positions table):
+
+      1. per query, candidates = points in the Chebyshev disk of cells
+         of radius ``ring`` around the query cell;
+      2. a query is RESOLVED when it has >= k candidates AND its k-th
+         candidate distance <= ring * min_cell_extent (no closer point
+         can live outside the disk);
+      3. unresolved queries double ``ring`` and repeat (only the
+         unresolved subset re-joins);
+      4. final top-k per query by (distance, point id) — deterministic
+         under ties.
+
+    The reference has no top-k at all (FindPos returns unordered,
+    mapinfo.cpp:455-458); this is the north_rule's kNN operator.
+    """
+    spark = positions.sparkSession
+    hv = udfs.haversine_udf()
+    unresolved = list(queries)
+    ring = start_ring
+    resolved_parts: list[DataFrame] = []
+    order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+
+    while unresolved and ring <= max_ring:
+        rows = []
+        for q_id, q_lat, q_lon in unresolved:
+            i_lat, i_lon, _ = gh.decode_ij(gh.encode(q_lat, q_lon, nchars))
+            cells = gh.disk(int(i_lat[0]), int(i_lon[0]), nchars, ring)
+            rows.extend((int(q_id), float(q_lat), float(q_lon), str(c)) for c in cells)
+        cand_cells = spark.createDataFrame(rows, "query_id long, qlat double, qlon double, cell string")
+        cand = positions.join(F.broadcast(cand_cells),
+                              positions[cell_col] == cand_cells["cell"], "inner")
+        cand = (cand.withColumn("dist_m", hv(F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .persist())
+        # guarantee check per query: k-th distance within the disk's safe radius
+        stats = {r["query_id"]: (r["n"], r["kth"]) for r in
+                 cand.groupBy("query_id").agg(F.count("*").alias("n"),
+                                              F.max("dist_m").alias("kth")).collect()}
+        still = []
+        done_ids = []
+        for q_id, q_lat, q_lon in unresolved:
+            n, kth = stats.get(int(q_id), (0, None))
+            guarantee = ring * _min_cell_extent_m(nchars, abs(q_lat))
+            if n >= k and kth is not None and kth <= guarantee:
+                done_ids.append(int(q_id))
+            else:
+                still.append((q_id, q_lat, q_lon))
+        if done_ids:
+            resolved_parts.append(cand.where(F.col("query_id").isin(done_ids)))
+        if still and ring >= max_ring:
+            # out of rings: accept best-effort for the remainder
+            rest = [int(q[0]) for q in still]
+            resolved_parts.append(cand.where(F.col("query_id").isin(rest)))
+            still = []
+        unresolved = still
+        ring *= 2
+
+    if not resolved_parts:
+        return spark.createDataFrame([], positions.schema.add("query_id", LongType())
+                                     .add("dist_m", DoubleType()))
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("cell", "_rn")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (north_rule extension)
+# ---------------------------------------------------------------------------
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHARS,
+             cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+             poly_id: str = "poly_id", poly_lat: str = "poly_lat",
+             poly_lon: str = "poly_lon") -> DataFrame:
+    """Point-in-polygon as cover + equi-join + exact ray-cast refine.
+
+    ``polygons``: (poly_id, poly_lat: array<double>, poly_lon:
+    array<double>).  Covers are produced by mapInPandas on the polygon
+    side (small dim) and broadcast; points join on their existing cell
+    column (pruned scan, no shuffle of the big side); the exact test is
+    a vectorized pandas UDF grouped per polygon inside each Arrow batch.
+    """
+    cover_schema = StructType([StructField(poly_id, LongType()),
+                               StructField("cell", StringType())])
+
+    def _covers(batches):
+        for pdf in batches:
+            ids, cells = [], []
+            for pid, plat, plon in zip(pdf[poly_id], pdf[poly_lat], pdf[poly_lon]):
+                plat = np.asarray(plat, dtype=np.float64)
+                plon = np.asarray(plon, dtype=np.float64)
+                cs = gh.cover_bbox(plat.min(), plat.max(), plon.min(), plon.max(), nchars)
+                ids.extend([pid] * len(cs))
+                cells.extend(cs)
+            yield pd.DataFrame({poly_id: np.asarray(ids, dtype=np.int64), "cell": cells})
+
+    covers = polygons.mapInPandas(_covers, schema=cover_schema)
+    j = points.join(F.broadcast(covers), points[cell_col] == covers["cell"], "inner").drop("cell")
+    j = j.join(F.broadcast(polygons), poly_id, "inner")
+
+    @F.pandas_udf("boolean")
+    def _pip(plat: pd.Series, plon: pd.Series, vlat: pd.Series, vlon: pd.Series) -> pd.Series:
+        out = np.zeros(len(plat), dtype=bool)
+        lat_np = plat.to_numpy(np.float64)
+        lon_np = plon.to_numpy(np.float64)
+        # group rows by polygon value within the batch -> one
+        # vectorized ray-cast per polygon
+        first: dict = {}
+        for i in range(len(plat)):
+            kk = (tuple(np.asarray(vlat.iloc[i]).tolist()),
+                  tuple(np.asarray(vlon.iloc[i]).tolist()))
+            first.setdefault(kk, []).append(i)
+        for kk, idxs in first.items():
+            idxs = np.asarray(idxs)
+            v_la = np.asarray(vlat.iloc[idxs[0]], dtype=np.float64)
+            v_lo = np.asarray(vlon.iloc[idxs[0]], dtype=np.float64)
+            out[idxs] = gh.point_in_polygon(lat_np[idxs], lon_np[idxs], v_la, v_lo)
+        return pd.Series(out)
+
+    return (j.withColumn("_inside", _pip(F.col(lat), F.col(lon),
+                                         F.col(poly_lat), F.col(poly_lon)))
+            .where(F.col("_inside"))
+            .drop("_inside", poly_lat, poly_lon))
+
+
+# ---------------------------------------------------------------------------
+# Raster tile <-> vector cell mapping (north_rule extension)
+# ---------------------------------------------------------------------------
+
+
+def with_tile(df: DataFrame, lat: str = "lat", lon: str = "lon",
+              zoom: int = 12, out: str = "tile") -> DataFrame:
+    """Assign each point its Web-Mercator z/x/y raster tile key."""
+    return df.withColumn(out, udfs.tile_udf(zoom)(F.col(lat), F.col(lon)))
+
+
+def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
+                       nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash") -> DataFrame:
+    """Select the points falling in a set of raster tiles by mapping
+    each tile to its covering geohash cells (driver-side, tiny) and
+    equi-joining on the pruned cell column, then refining by the exact
+    tile bbox.  ``tiles``: iterable of (zoom, x, y)."""
+    spark = points.sparkSession
+    rows = []
+    for z, x, y in tiles:
+        mnla, mxla, mnlo, mxlo = tiles_np.tile_bounds(z, x, y)
+        for c in tiles_np.tile_cells(z, x, y, nchars):
+            rows.append((f"{z}/{x}/{y}", str(c), float(mnla), float(mxla),
+                         float(mnlo), float(mxlo)))
+    cover = spark.createDataFrame(
+        rows, "tile string, cell string, t_mnla double, t_mxla double, t_mnlo double, t_mxlo double")
+    j = points.join(F.broadcast(cover), points[cell_col] == cover["cell"], "inner")
+    return (j.where((F.col("lat") >= F.col("t_mnla")) & (F.col("lat") < F.col("t_mxla"))
+                    & (F.col("lon") >= F.col("t_mnlo")) & (F.col("lon") < F.col("t_mxlo")))
+            .drop("cell", "t_mnla", "t_mxla", "t_mnlo", "t_mxlo"))
+
+
+# ---------------------------------------------------------------------------
+# Metrics / skew helpers
+# ---------------------------------------------------------------------------
+
+
+def pool_state(positions: DataFrame, cell_col: str = "geohash") -> DataFrame:
+    """GetPoolState (mapinfo.cpp:473-497) generalized: occupancy metrics
+    as a tiny aggregate — total rows ('pos pool used'), distinct cells
+    ('area pool used'), and rows-with-cell ('poslink used')."""
+    return positions.agg(
+        F.count("*").alias("pos_used"),
+        F.count_distinct(F.col(cell_col)).alias("area_used"),
+        F.count(F.col(cell_col)).alias("link_used"))
+
+
+def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16) -> DataFrame:
+    """Per-cell counts with two-level salted aggregation: map-side
+    partial on (cell, salt) then final on cell — bounds any single
+    reducer's share of a hot cell to ~1/nsalt.  Equivalent result to a
+    plain groupBy(cell).count(); different (skew-safe) physical shape."""
+    salted = df.withColumn("_salt", F.pmod(F.crc32(F.coalesce(F.col(cell_col), F.lit(""))), F.lit(nsalt)))
+    level1 = salted.groupBy(cell_col, "_salt").agg(F.count("*").alias("_c"))
+    return level1.groupBy(cell_col).agg(F.sum("_c").alias("n"))
+
+
+def format_positions_json(df: DataFrame, key: str = "msisdn", lat: str = "lat",
+                          lon: str = "lon", ts: str = "ts") -> DataFrame:
+    """Compat JSON sink (main.cpp:29,345-382): rows formatted as
+    {"Msisdn":"...","Latitude":"%f",...} with %f = 6 decimal places."""
+    return df.select(F.format_string(
+        '{"Msisdn":"%s","Latitude":"%f","Longitude":"%f","CurrTime":"%d"}',
+        F.col(key), F.col(lat), F.col(lon), F.col(ts).cast("long")).alias("json"))

@@ -1,0 +1,124 @@
+"""Arrow-batched pandas UDFs wrapping the numpy kernels.
+
+All UDFs are Series-in/Series-out vectorized (no per-row Python), per
+the engine contract.  Factories close over scalar parameters (precision,
+radius) so the hot path stays a single numpy call per Arrow batch.
+
+SQL registration: :func:`register` exposes the core kernel under
+``gh_*`` names for ``spark.sql`` users — the engine's equivalent of the
+reference's ``IMapInfo`` plugin ABI (/root/reference/GeoHash/imapinfo.h:12-22).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+from .kernel import geohash_np as gh
+from .kernel import s2_np, tiles_np
+
+
+def geohash_udf(nchars: int = 5):
+    """Canonical geohash encode at ``nchars`` chars (production path)."""
+
+    @pandas_udf(StringType())
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(gh.encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), nchars))
+
+    return _enc
+
+
+def geohash_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
+    """Reference-exact encode (bits-per-axis precision, strict-> bisection);
+    cf. /root/reference/GeoHash/geohash.cpp:148-215."""
+
+    @pandas_udf(StringType())
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(gh.encode_ref(lat.to_numpy(np.float64), lon.to_numpy(np.float64), nbits))
+
+    return _enc
+
+
+def haversine_udf():
+    """Correct great-circle meters (production refine predicate)."""
+
+    @pandas_udf(DoubleType())
+    def _dist(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        return pd.Series(gh.haversine_m(
+            lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64)))
+
+    return _dist
+
+
+def distance_ref_udf():
+    """Reference-exact distance (geohash.cpp:293-321, incl. lat<=0 quirks)."""
+
+    @pandas_udf(DoubleType())
+    def _dist(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        return pd.Series(gh.distance_ref(
+            lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64)))
+
+    return _dist
+
+
+def neighbors_udf(include_self: bool = False):
+    """Correct 8-ring neighbors of a geohash cell -> array<string>."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _nbrs(cells: pd.Series) -> pd.Series:
+        out = gh.neighbors(cells.to_numpy(), include_self=include_self)
+        return pd.Series([list(a) for a in out])
+
+    return _nbrs
+
+
+def neighbors_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
+    """Reference 9-slot neighbor table (geohash.cpp:250-291, buggy slots
+    3-8 replicated) -> array<string> of length 9."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _nbrs(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = gh.neighbors_ref(lat.to_numpy(np.float64), lon.to_numpy(np.float64), nbits)
+        return pd.Series([list(r) for r in out])
+
+    return _nbrs
+
+
+def s2_cell_udf(level: int = 10):
+    """S2-style cell id (cube face + Hilbert curve) at ``level``."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(s2_np.cell_id(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), level).astype(np.int64))
+
+    return _cell
+
+
+def tile_udf(zoom: int = 12):
+    """Web-Mercator z/x/y raster tile key string at ``zoom``."""
+
+    @pandas_udf(StringType())
+    def _tile(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        x, y = tiles_np.tile_xy(lat.to_numpy(np.float64), lon.to_numpy(np.float64), zoom)
+        return pd.Series([f"{zoom}/{a}/{b}" for a, b in zip(x, y)])
+
+    return _tile
+
+
+def register(spark: SparkSession) -> None:
+    """Register the kernel for spark.sql use (UDF registry = the engine's
+    extension surface)."""
+    spark.udf.register("gh_encode5", geohash_udf(5))
+    spark.udf.register("gh_encode7", geohash_udf(7))
+    spark.udf.register("gh_encode_ref12", geohash_ref_udf(12))
+    spark.udf.register("gh_haversine_m", haversine_udf())
+    spark.udf.register("gh_distance_ref", distance_ref_udf())
+    spark.udf.register("gh_neighbors", neighbors_udf())
+    spark.udf.register("gh_neighbors_ref12", neighbors_ref_udf(12))

@@ -1,0 +1,174 @@
+"""End-to-end scenario tests mirroring the reference's de-facto
+verification flows (FIXTURES.md §3) plus the north_rule extension
+operators (kNN, PIP, raster join, salting)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotile import engine
+from geotile.kernel import geohash_np as gh
+from geotile.kernel import tiles_np
+
+SEEDS = [
+    ("13661201024", 39.928167, 116.389550, 1486447000),
+    ("13661201025", 39.928167, 116.389550, 1486447000),
+]
+README_ADD = ("13412345637", 39.928667, 116.389550, 1486447081)
+POS_SCHEMA = "msisdn string, lat double, lon double, ts long"
+
+
+def _positions(spark, rows):
+    return engine.with_cell_ref(spark.createDataFrame(rows, POS_SCHEMA))
+
+
+def test_readme_flow(spark):
+    """FIXTURES §3.1: seed -> Add -> Search -> Delete -> re-Search."""
+    state = _positions(spark, SEEDS)
+    add = _positions(spark, [README_ADD])
+    state = engine.upsert_positions(state, add)
+    assert state.count() == 3
+
+    found = engine.radius_search_compat(state, 39.928367, 116.389550, 100000.0)
+    got = {r["msisdn"] for r in found.collect()}
+    assert got == {"13661201024", "13661201025", "13412345637"}
+    # distances from the query point: ~22m (seeds) and ~33m (added row)
+    dists = {r["msisdn"]: r["dist_m"] for r in found.collect()}
+    assert dists["13661201024"] == pytest.approx(
+        float(gh.distance_ref(39.928367, 116.389550, 39.928167, 116.389550)[0]))
+
+    deletes = spark.createDataFrame([("13412345637",)], "msisdn string")
+    state2 = engine.delete_positions(state, deletes)
+    found2 = engine.radius_search_compat(state2, 39.928367, 116.389550, 100000.0)
+    assert {r["msisdn"] for r in found2.collect()} == {"13661201024", "13661201025"}
+
+
+def test_loadmodule_smoke(spark):
+    """FIXTURES §3.2: Search(39.928167, 116.389550, 10000) -> the two seeds."""
+    state = _positions(spark, SEEDS)
+    found = engine.radius_search_compat(state, 39.928167, 116.389550, 10000.0)
+    assert {r["msisdn"] for r in found.collect()} == {"13661201024", "13661201025"}
+
+
+def test_compat_zero_candidates_southern(spark):
+    """FIXTURES §2.7: Sydney query -> 0 candidate cells -> empty result."""
+    state = _positions(spark, [("s1", -33.856784, 151.215297, 1)])
+    found = engine.radius_search_compat(state, -33.856784, 151.215297, 5000.0)
+    assert found.count() == 0
+    # the production path finds it fine
+    ok = engine.radius_search(
+        engine.with_cell(spark.createDataFrame([("s1", -33.856784, 151.215297, 1)], POS_SCHEMA)),
+        -33.856784, 151.215297, 5000.0)
+    assert ok.count() == 1
+
+
+def test_upsert_migration(spark):
+    """FIXTURES §3.3: move a subscriber to Shanghai; cells follow."""
+    state = _positions(spark, SEEDS)
+    move = _positions(spark, [("13661201024", 31.230416, 121.473701, 1486448000)])
+    state2 = engine.upsert_positions(state, move)
+    assert state2.count() == 2
+    beijing = engine.radius_search_compat(state2, 39.928167, 116.389550, 10000.0)
+    assert {r["msisdn"] for r in beijing.collect()} == {"13661201025"}
+    shanghai = engine.radius_search_compat(state2, 31.230416, 121.473701, 10000.0)
+    assert {r["msisdn"] for r in shanghai.collect()} == {"13661201024"}
+    cells = {r["geohash"] for r in state2.collect()}
+    assert cells == {"wx4g0", "wtw3s"}
+    # pool conservation: 2 positions, 2 cells, 2 postings
+    st = engine.pool_state(state2).collect()[0]
+    assert (st["pos_used"], st["area_used"], st["link_used"]) == (2, 2, 2)
+
+
+def test_upsert_last_write_wins_ties(spark):
+    state = _positions(spark, [("a", 10.0, 10.0, 100)])
+    upd = _positions(spark, [("a", 20.0, 20.0, 100)])  # same ts: update wins
+    out = engine.upsert_positions(state, upd).collect()
+    assert len(out) == 1 and out[0]["lat"] == 20.0
+
+
+def _random_positions(spark, n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(39.0, 41.0, n)
+    lon = rng.uniform(115.0, 118.0, n)
+    rows = [(f"m{i}", float(lat[i]), float(lon[i]), i) for i in range(n)]
+    return engine.with_cell(spark.createDataFrame(rows, POS_SCHEMA)), lat, lon
+
+
+def test_radius_search_production_matches_brute_force(spark):
+    df, lat, lon = _random_positions(spark)
+    qlat, qlon, r = 39.9286, 116.3895, 30000.0
+    got = {row["msisdn"] for row in engine.radius_search(df, qlat, qlon, r).collect()}
+    d = gh.haversine_m(np.full(len(lat), qlat), np.full(len(lat), qlon), lat, lon)
+    expect = {f"m{i}" for i in np.nonzero(d <= r)[0]}
+    assert got == expect
+
+
+def test_radius_join_matches_brute_force(spark):
+    df, lat, lon = _random_positions(spark)
+    queries = [(0, 39.9286, 116.3895, 25000.0), (1, 40.5, 117.0, 10000.0),
+               (2, 39.1, 115.2, 40000.0)]
+    qdf = spark.createDataFrame(queries, "query_id long, qlat double, qlon double, radius_m double")
+    got = {(r["query_id"], r["msisdn"])
+           for r in engine.radius_join(df, qdf).collect()}
+    expect = set()
+    for qid, qla, qlo, rr in queries:
+        d = gh.haversine_m(np.full(len(lat), qla), np.full(len(lat), qlo), lat, lon)
+        expect |= {(qid, f"m{i}") for i in np.nonzero(d <= rr)[0]}
+    assert got == expect
+
+
+def test_knn_join_matches_brute_force(spark):
+    df, lat, lon = _random_positions(spark)
+    queries = [(0, 39.9286, 116.3895), (1, 40.9, 117.9), (2, 39.05, 115.05)]
+    k = 7
+    got = engine.knn_join(df, queries, k=k, id_col="msisdn").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((round(r["dist_m"], 6), r["msisdn"]))
+    for qid, qla, qlo in queries:
+        d = gh.haversine_m(np.full(len(lat), qla), np.full(len(lat), qlo), lat, lon)
+        order = np.argsort(d, kind="stable")[:k]
+        expect = sorted((round(float(d[i]), 6), f"m{i}") for i in order)
+        assert sorted(by_q[qid]) == expect, f"query {qid}"
+
+
+def test_pip_join_matches_brute_force(spark):
+    df, lat, lon = _random_positions(spark)
+    # a triangle and a quad around Beijing
+    polys = [
+        (0, [39.5, 40.5, 39.5], [115.8, 116.4, 117.0]),
+        (1, [39.0, 39.0, 41.0, 41.0], [115.0, 115.5, 115.5, 115.0]),
+    ]
+    pdf = spark.createDataFrame(polys, "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    got = {(r["poly_id"], r["msisdn"]) for r in engine.pip_join(df, pdf).collect()}
+    expect = set()
+    for pid, plat, plon in polys:
+        inside = gh.point_in_polygon(lat, lon, plat, plon)
+        expect |= {(pid, f"m{i}") for i in np.nonzero(inside)[0]}
+    assert got == expect
+
+
+def test_raster_vector_join(spark):
+    df, lat, lon = _random_positions(spark)
+    z = 10
+    x, y = tiles_np.tile_xy(39.9286, 116.3895, z)
+    tile = (z, int(x[0]), int(y[0]))
+    got = {r["msisdn"] for r in engine.raster_vector_join(df, [tile]).collect()}
+    tx, ty = tiles_np.tile_xy(lat, lon, z)
+    expect = {f"m{i}" for i in np.nonzero((tx == tile[1]) & (ty == tile[2]))[0]}
+    assert got == expect
+
+
+def test_salted_cell_counts_equals_plain(spark):
+    df, _, _ = _random_positions(spark, n=3000)
+    plain = {(r["geohash"], r["n"]) for r in
+             df.groupBy("geohash").agg(F.count("*").alias("n")).collect()}
+    salted = {(r["geohash"], r["n"]) for r in engine.salted_cell_counts(df).collect()}
+    assert plain == salted
+
+
+def test_format_positions_json(spark):
+    state = _positions(spark, [README_ADD])
+    js = engine.format_positions_json(state).collect()[0]["json"]
+    assert js == ('{"Msisdn":"13412345637","Latitude":"39.928667",'
+                  '"Longitude":"116.389550","CurrTime":"1486447081"}')

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_topk` — exact cosine top-k against a query vector using
+  only built-in functions (``zip_with`` + ``aggregate`` dot product,
+  JVM-side).  The correctness baseline; a full scan, but a NARROW full
+  scan (no shuffle; TakeOrdered collects k rows per partition).
+* :func:`lsh_bucket_topk` — random-hyperplane (SimHash) LSH: sign-bit
+  bucket per vector, query probes its own bucket plus all buckets at
+  Hamming distance <= ``multiprobe``; exact cosine refine inside the
+  probed buckets.  The scale path: the bucket column is a stored
+  partition key, so a probe is a pruned scan.
+* :func:`ivf_topk` — IVF-style coarse quantizer: k-means centroids from
+  a driver-side sample, nearest-centroid assignment (narrow pandas
+  UDF), query probes ``nprobe`` nearest centroid lists.
+
+Hyperplanes/centroids are deterministic (seeded splitmix), so results
+are reproducible across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
+
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_MASK)
+    return z ^ (z >> np.uint64(31))
+
+
+def _rand_unit(shape: tuple[int, ...], seed: int) -> np.ndarray:
+    """Deterministic pseudo-gaussian matrix via splitmix64 + Box-Muller."""
+    n = int(np.prod(shape))
+    u1 = (_splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed)) >> np.uint64(11)
+          ).astype(np.float64) / float(1 << 53)
+    u2 = (_splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed + 1_000_003)) >> np.uint64(11)
+          ).astype(np.float64) / float(1 << 53)
+    g = np.sqrt(-2.0 * np.log(np.clip(u1, 1e-300, None))) * np.cos(2 * np.pi * u2)
+    return g.reshape(shape)
+
+
+def cosine_col(vec_col: str, query: list[float]):
+    """Cosine similarity Column vs a literal query vector — pure
+    built-ins (whole-stage codegen, no Python)."""
+    q = [float(x) for x in query]
+    qnorm = float(np.sqrt(sum(x * x for x in q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+                              F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (norm * F.lit(qnorm))
+
+
+def brute_topk(df: DataFrame, query: list[float], k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: narrow scan + TakeOrdered (per-partition
+    top-k then driver merge — no shuffle).  Deterministic tie-break on
+    id."""
+    return (df.withColumn("cosine", cosine_col(vec_col, query))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, nbits: int = 12, seed: int = 42,
+                    vec_col: str = "embedding", out: str = "bucket") -> DataFrame:
+    """Sign-bit bucket id from ``nbits`` random hyperplanes (narrow
+    pandas UDF, one matmul per Arrow batch)."""
+    planes = _rand_unit((nbits, dim), seed)
+
+    @F.pandas_udf(LongType())
+    def _bucket(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())  # (batch, dim)
+        signs = (m @ planes.T) >= 0  # (batch, nbits)
+        return pd.Series((signs.astype(np.uint64)
+                          << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.int64))
+
+    return df.withColumn(out, _bucket(F.col(vec_col)))
+
+
+def _probe_buckets(qbucket: int, nbits: int, multiprobe: int) -> list[int]:
+    buckets = {qbucket}
+    if multiprobe >= 1:
+        for i in range(nbits):
+            buckets.add(qbucket ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(nbits):
+            for j in range(i + 1, nbits):
+                buckets.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(buckets)
+
+
+def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10, nbits: int = 12,
+                    multiprobe: int = 1, seed: int = 42, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Approximate cosine top-k: probe the query's hyperplane bucket
+    (+- ``multiprobe`` bit flips), exact refine inside.  With the bucket
+    stored as a partition column, this is a pruned scan of
+    ~(1 + nbits + C(nbits,2)) / 2^nbits of the data."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _rand_unit((nbits, q.shape[0]), seed)
+    qbucket = int(((q @ planes.T >= 0).astype(np.uint64)
+                   << np.arange(nbits, dtype=np.uint64)).sum())
+    probes = _probe_buckets(qbucket, nbits, multiprobe)
+    bucketed = with_lsh_bucket(df, q.shape[0], nbits, seed, vec_col)
+    return (bucketed.where(F.col("bucket").isin(probes))
+            .withColumn("cosine", cosine_col(vec_col, query))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,
+                    iters: int = 10, seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (the
+    standard IVF recipe — training is tiny, assignment is distributed)."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    idx = _splitmix64(np.arange(n_centroids, dtype=np.uint64) + np.uint64(seed)) % np.uint64(x.shape[0])
+    cents = x[idx.astype(np.int64)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if np.any(m):
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def with_ivf_cluster(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding", out: str = "ivf_cluster") -> DataFrame:
+    cents = centroids.copy()
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF probe: nearest ``nprobe`` centroid lists, exact refine."""
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:nprobe]
+    clustered = with_ivf_cluster(df, centroids, vec_col)
+    return (clustered.where(F.col("ivf_cluster").isin([int(c) for c in order]))
+            .withColumn("cosine", cosine_col(vec_col, query))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))

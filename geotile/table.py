@@ -1,0 +1,121 @@
+"""Iceberg-style table layer: partitioned Parquet + JSON manifest with
+per-partition lineage and row counts; resumable stages.
+
+Plays the role of the reference's SysV shared-memory persistence
+(/root/reference/GeoHash/ShareMemory.cpp:72-102: attach-if-same-size
+else recreate; /root/reference/GeoHash/mapinfo.cpp:55-95: Load rebuilds
+derived state).  Mapping:
+
+  * shm segment-size check  -> schema fingerprint in _manifest.json
+  * attach (resume)         -> stage with a valid manifest is skipped
+  * Load() index rebuild    -> derived columns (cells) recomputed cheaply
+  * pool counters           -> per-partition row counts in the manifest
+
+On a cluster with an Iceberg catalog this module is replaced by real
+Iceberg snapshots; the interface (write_stage/is_complete/read_stage)
+is the contract.  No Iceberg runtime jar ships in this sandbox
+(SURVEY.md §7), so the manifest layer implements the same semantics on
+plain Parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _schema_fingerprint(df: DataFrame) -> str:
+    return hashlib.sha256(df.schema.json().encode()).hexdigest()[:16]
+
+
+def _lineage_hash(parents: Sequence[str], params: dict) -> str:
+    payload = json.dumps({"parents": list(parents), "params": params}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
+                parents: Sequence[str] = (), params: dict | None = None) -> dict:
+    """Write a stage output + manifest.  The manifest records the schema
+    fingerprint, lineage hash (parent manifests + params), and row
+    counts per partition value — the resume/conservation contract."""
+    params = params or {}
+    parent_hashes = []
+    for p in parents:
+        m = read_manifest(p)
+        parent_hashes.append(m["lineage"] if m else "missing:" + p)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    if partition_by:
+        counts = {"|".join(str(r[c]) for c in partition_by): r["n"]
+                  for r in written.groupBy(*partition_by).agg(F.count("*").alias("n")).collect()}
+    else:
+        counts = {"": written.count()}
+    manifest = {
+        "format_version": 1,
+        "committed_at": time.time(),
+        "schema_fingerprint": _schema_fingerprint(written),
+        "lineage": _lineage_hash(parent_hashes, params),
+        "partition_by": list(partition_by),
+        "partitions": counts,
+        "total_rows": int(sum(counts.values())),
+        "params": params,
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
+    return manifest
+
+
+def read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def is_complete(path: str, parents: Sequence[str] = (), params: dict | None = None) -> bool:
+    """A stage is complete iff its manifest exists AND its lineage hash
+    matches the current parents+params (the 'attach-if-same-size' check:
+    a changed upstream or parameter invalidates the stage)."""
+    m = read_manifest(path)
+    if m is None:
+        return False
+    parent_hashes = []
+    for p in parents:
+        pm = read_manifest(p)
+        parent_hashes.append(pm["lineage"] if pm else "missing:" + p)
+    return m["lineage"] == _lineage_hash(parent_hashes, params or {})
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def verify_counts(spark: SparkSession, path: str) -> bool:
+    """Conservation invariant: manifest row counts match a live recount
+    (the reference's pool used+free=all check, mapinfo.cpp:473-497)."""
+    m = read_manifest(path)
+    if m is None:
+        return False
+    df = spark.read.parquet(path)
+    if m["partition_by"]:
+        counts = {"|".join(str(r[c]) for c in m["partition_by"]): r["n"]
+                  for r in df.groupBy(*m["partition_by"]).agg(F.count("*").alias("n")).collect()}
+    else:
+        counts = {"": df.count()}
+    return {k: int(v) for k, v in counts.items()} == {k: int(v) for k, v in m["partitions"].items()}

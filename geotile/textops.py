@@ -1,0 +1,317 @@
+"""Training-data text operators over the documents table: dedup
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), language ID, quality
+scoring, token counting, and winnowing fingerprints.
+
+Built-in ``pyspark.sql.functions`` wherever the semantics allow (JVM
+codegen, no Python); Arrow-batched pandas UDFs only for the signature
+computations (MinHash/SimHash/winnowing) that SQL cannot express.
+
+Scale notes per operator are in the docstrings — the common theme:
+signatures are computed in one narrow pass, candidate generation is an
+equi-join on (band, bucket) keys, and exact verification runs only on
+the candidate pairs (tiny vs n^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MASK = (1 << 64) - 1
+_MERSENNE = (1 << 61) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_MASK)
+    return z ^ (z >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text hash.  One shuffle on
+    the 128-bit content hash; group sizes are tiny (true dup clusters),
+    so no skew treatment needed."""
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (df.withColumn("_h", F.md5(F.col(text_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_h", "_rn"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Character k-shingle 64-bit hashes for one document (numpy)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.shape[0] < k:
+        return _splitmix64(b.astype(np.uint64)) if b.shape[0] else np.array([], dtype=np.uint64)
+    # rolling polynomial hash over a sliding window, fully vectorized
+    base = np.uint64(1099511628211)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_splitmix64(h))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = 64,
+                       shingle_k: int = 5, out: str = "minhash") -> DataFrame:
+    """MinHash signature per document: n_hashes permutations
+    (a_i * h + b_i mod Mersenne-61) over char-k-shingle hashes.
+    Narrow map (pandas UDF); signature size is n_hashes * 8 bytes."""
+    seeds = _splitmix64(np.arange(2 * n_hashes, dtype=np.uint64) + np.uint64(7))
+    a = (seeds[:n_hashes] % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
+    b = (seeds[n_hashes:] % np.uint64(_MERSENNE)).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        out_rows = []
+        for t in text:
+            sh = _shingle_hashes(t or "", shingle_k)
+            if sh.shape[0] == 0:
+                out_rows.append([0] * n_hashes)
+                continue
+            # (n_shingles, n_hashes) permuted values -> column mins.
+            # mod 2^64 arithmetic then mod M61 keeps numpy vectorized.
+            vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out_rows.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out_rows)
+
+    return df.withColumn(out, _sig(F.col(text_col)))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over MinHash
+    signatures, verified by estimated Jaccard (signature agreement).
+
+    Plan shape: signatures (narrow) -> explode to (band, bucket) keys
+    -> shuffle once on the bucket key -> self-join within buckets
+    (bucket sizes are tiny for honest thresholds) -> estimate Jaccard
+    from full signatures -> filter.  Returns (a, b, est_jaccard) with
+    a < b, deduplicated across bands."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(
+        F.col(id_col), F.col("minhash"))
+    banded = sigs.select(
+        id_col, "minhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.xxhash64(F.slice("minhash", i * rows + 1, rows)).alias("bucket"))
+            for i in range(bands)])).alias("bb"))
+    banded = banded.select(id_col, "minhash", "bb.band", "bb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                     F.col("l.minhash").alias("sig_a"), F.col("r.minhash").alias("sig_b"))
+             .dropDuplicates(["a", "b"]))
+    pairs = pairs.withColumn(
+        "est_jaccard",
+        F.aggregate(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(n_hashes)))
+    return pairs.where(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (sign of per-bit weighted
+    sums of token hashes).  Narrow map."""
+
+    def _word_hash(words: list[str]) -> np.ndarray:
+        # deterministic FNV-1a per word (Python's hash() is salted per
+        # process — NOT usable across executors)
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = 0xCBF29CE484222325
+            for byte in w.encode("utf-8"):
+                h = ((h ^ byte) * 0x100000001B3) & _MASK
+            out[i] = h
+        return out
+
+    @F.pandas_udf(LongType())
+    def _sh(text: pd.Series) -> pd.Series:
+        res = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = _splitmix64(_word_hash(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
+            res[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(res)
+
+    return df.withColumn(out, _sh(F.col(text_col)))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via the
+    pigeonhole band trick: split 64 bits into (max_hamming + 1) bands;
+    any qualifying pair collides exactly on >= 1 band -> candidate
+    equi-join on (band, band_bits), then exact popcount verify."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = simhash(df, text_col).select(id_col, "simhash")
+    bands = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+            for i in range(nbands)])).alias("bb"))
+    bands = bands.select(id_col, "simhash", "bb.band", "bb.key")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                     F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
+             .dropDuplicates(["a", "b"]))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.4) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing >= 1
+    n-gram.  Pure built-ins: explode n-grams -> self-join on the n-gram
+    -> |intersection| per pair -> Jaccard from per-doc distinct counts.
+    Quadratic in cluster size — intended for verify stages and small
+    corpora; at 100 TB run it only on LSH candidates."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w"))
+    grams = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))).alias("g")).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    l = grams.alias("l")
+    r = grams.alias("r")
+    inter = (l.join(r, (F.col("l.g") == F.col("r.g"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_grams").alias("nb"))
+    out = (inter.join(sa, "a").join(sb, "b")
+           .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
+    return out.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Language ID / quality / tokens / fingerprints
+# ---------------------------------------------------------------------------
+
+# marker words per language (n-gram heuristic, SQL-expressible)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "les", "des"],
+    "de": ["der", "und", "die"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word counts per language as columns ``score_<lang>`` plus
+    ``lang_pred`` = argmax.  Pure built-ins (regexp counts) — stays in
+    whole-stage codegen."""
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out = out.withColumn(f"score_{lang}",
+                             F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.coalesce(*[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs])
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword features + a composite
+    quality score — all built-ins, one narrow pass."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    stop = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\b(the|a|of|and|to|in)\b"), F.lit(0)))
+    return (df.withColumn("n_chars", n_chars)
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("mean_word_len", (n_chars - n_tokens + 1) / n_tokens)
+            .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
+            .withColumn("stopword_ratio", stop / F.greatest(n_tokens, F.lit(1)))
+            .withColumn("quality",
+                        F.when((n_tokens >= 10) & (F.col("stopword_ratio") > 0.05), 1.0)
+                        .otherwise(0.0)))
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace + BPE-ish subword estimate: whitespace tokens plus an
+    extra token per 6 chars of long words (a cheap, deterministic proxy
+    for BPE splits) — built-ins only."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    extra = F.aggregate(
+        F.transform(words, lambda w: F.floor(F.length(w) / F.lit(6))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return df.withColumn(out, F.size(words) + extra)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 7, window: int = 4, out: str = "fingerprints") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    k-gram rolling hashes, minimum per sliding window, deduplicated.
+    The standard local fingerprinting guarantee: any shared substring
+    of length >= k + window - 1 yields a shared fingerprint."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fp(text: pd.Series) -> pd.Series:
+        res = []
+        for t in text:
+            hs = _shingle_hashes(t or "", k)  # note: unique-sorted
+            # winnowing needs positional order; recompute without unique
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if b.shape[0] < k + window - 1:
+                res.append([])
+                continue
+            base = np.uint64(1099511628211)
+            powers = np.empty(k, dtype=np.uint64)
+            powers[0] = 1
+            for i in range(1, k):
+                powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
+            win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            h = _splitmix64((win * powers[::-1]).sum(axis=1, dtype=np.uint64))
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            res.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(res)
+
+    return df.withColumn(out, _fp(F.col(text_col)))

@@ -1,0 +1,90 @@
+"""Synth determinism, extraction invariants, manifest resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geotile import engine, extract, pipeline, synth, table
+
+
+def test_synth_deterministic_across_partitionings(spark):
+    a = synth.synth_pages(spark, 500, partitions=1).orderBy("url").collect()
+    b = synth.synth_pages(spark, 500, partitions=7).orderBy("url").collect()
+    assert len(a) == 500
+    for ra, rb in zip(a, b):
+        assert ra == rb  # byte-identical rows incl. html bytes and text
+
+
+def test_synth_text_matches_extraction(spark):
+    df = synth.synth_pages(spark, 300, partitions=3)
+    df = extract.with_text(df, out="text2")
+    assert df.where(F.col("text") != F.col("text2")).count() == 0
+
+
+def test_extract_text_canonical():
+    html = pd.Series([b"<html><head><title>T</title><style>p{}</style></head>"
+                      b"<body><h1>A&amp;B</h1> <p>x  y</p><script>s;</script></body></html>"])
+    assert extract.extract_text_pd(html)[0] == "T A&B x y"
+
+
+def test_parse_mentions():
+    t = pd.Series(["near beijing at 39.928167, 116.389550 and 91.5, 10.5 end",
+                   "no coords here", "at -33.856784,151.215297"])
+    m = extract.parse_mentions_pd(t)
+    got = list(zip(m["row_idx"], m["lat"], m["lon"]))
+    # 91.5 is out of latitude range -> rejected
+    assert got == [(0, 39.928167, 116.389550), (2, -33.856784, 151.215297)]
+
+
+def test_zipf_skew_produces_hot_cells(spark):
+    pts = extract.explode_mentions(extract.with_mentions(
+        synth.synth_pages(spark, 3000, partitions=4)))
+    cells = engine.with_cell(pts).groupBy("geohash").count().collect()
+    counts = sorted((r["count"] for r in cells), reverse=True)
+    assert counts[0] > 10 * counts[len(counts) // 2]  # heavy head
+
+
+def test_manifest_write_resume(spark, tmp_path):
+    wd = str(tmp_path)
+    df = synth.synth_pages(spark, 200, partitions=2)
+    p = os.path.join(wd, "pages")
+    m1 = table.write_stage(df, p, params={"n": 200})
+    assert m1["total_rows"] == 200
+    assert table.is_complete(p, params={"n": 200})
+    assert not table.is_complete(p, params={"n": 300})  # param change invalidates
+    assert table.verify_counts(spark, p)
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    wd = str(tmp_path)
+    m = pipeline.run_pipeline(spark, wd, n=2000, partitions=4)
+    assert m["pages"] == 2000
+    assert m["points"] > 1000  # ~70% of pages have >=1 mention
+    assert m["joined"] > 0
+    for stage in ("pages", "points", "joined", "rollup"):
+        assert table.verify_counts(spark, os.path.join(wd, stage))
+
+    # resume: delete the joined stage only; rerun redoes just that stage
+    mtime_points = os.path.getmtime(os.path.join(wd, "points", table.MANIFEST))
+    os.remove(os.path.join(wd, "joined", table.MANIFEST))
+    m2 = pipeline.run_pipeline(spark, wd, n=2000, partitions=4)
+    assert m2["pages"] == m["pages"] and m2["joined"] == m["joined"]
+    assert os.path.getmtime(os.path.join(wd, "points", table.MANIFEST)) == mtime_points
+    # completed stages were skipped (fast)
+    assert m2["t_pages"] < 1.0 and m2["t_points"] < 1.0
+
+
+def test_join_rows_identical_across_parallelism(spark, tmp_path):
+    """North-rule scaling-correctness: identical join output rows at
+    different parallelism (same session, different shuffle partitioning)."""
+    wd1, wd2 = str(tmp_path / "a"), str(tmp_path / "b")
+    pipeline.run_pipeline(spark, wd1, n=1500, partitions=2)
+    pipeline.run_pipeline(spark, wd2, n=1500, partitions=11)
+    j1 = table.read_stage(spark, os.path.join(wd1, "joined"))
+    j2 = table.read_stage(spark, os.path.join(wd2, "joined"))
+    a = sorted(tuple(r) for r in j1.collect())
+    b = sorted(tuple(r) for r in j2.collect())
+    assert a == b

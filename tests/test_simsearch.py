@@ -1,0 +1,95 @@
+"""Similarity search vs numpy brute force on the embeddings table."""
+
+import numpy as np
+import pytest
+
+from geotile import multimodal, simsearch
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, x
+
+
+def _brute_cosine_topk(ids, x, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    cos = (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+    return [(int(ids[i]), cos[i]) for i in order]
+
+
+def test_brute_topk_matches_numpy(emb, emb_np):
+    ids, x = emb_np
+    q = x[0].tolist()
+    got = simsearch.brute_topk(emb, q, k=10).collect()
+    expect = _brute_cosine_topk(ids, x, q, 10)
+    assert [r["vec_id"] for r in got] == [e[0] for e in expect]
+    for r, e in zip(got, expect):
+        assert r["cosine"] == pytest.approx(e[1], abs=1e-9)
+
+
+def test_lsh_topk_high_recall(emb, emb_np):
+    ids, x = emb_np
+    q = x[7].tolist()
+    exact = {e[0] for e in _brute_cosine_topk(ids, x, q, 10)}
+    got = {r["vec_id"] for r in simsearch.lsh_bucket_topk(
+        emb, q, k=10, nbits=8, multiprobe=2).collect()}
+    assert len(exact & got) >= 7  # >= 70% recall@10 with 2-probe
+
+
+def test_ivf_topk_high_recall(emb, emb_np):
+    ids, x = emb_np
+    q = x[3].tolist()
+    exact = {e[0] for e in _brute_cosine_topk(ids, x, q, 10)}
+    cents = simsearch.train_centroids(emb, n_centroids=8, sample=400)
+    got = {r["vec_id"] for r in simsearch.ivf_topk(emb, q, cents, k=10, nprobe=4).collect()}
+    assert len(exact & got) >= 7
+
+
+def test_lsh_bucket_deterministic(emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in
+          simsearch.with_lsh_bucket(emb, 64, 8).select("vec_id", "bucket").collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in
+          simsearch.with_lsh_bucket(emb.repartition(7), 64, 8).select("vec_id", "bucket").collect()}
+    assert b1 == b2
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = multimodal.attach_fake_media(docs)
+    assert media.columns == ["media_id", "kind", "payload", "meta"]
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # determinism across partitionings
+    f2 = multimodal.extract_features(media.repartition(5), fake=True).collect()
+    assert {r["media_id"]: tuple(r["feature"]) for r in feats} == \
+           {r["media_id"]: tuple(r["feature"]) for r in f2}
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes", fake=False)
+
+
+def test_frame_sampling(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = multimodal.attach_fake_media(docs)
+    frames = multimodal.sample_frames(media, every_ms=60000)
+    rows = frames.collect()
+    vids = media.where("kind = 'video'").select("media_id", "meta.duration_ms").collect()
+    expect = sum(r["duration_ms"] // 60000 + 1 for r in vids)
+    assert len(rows) == expect

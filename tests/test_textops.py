@@ -1,0 +1,130 @@
+"""Dedup / text-analysis operators vs brute-force ground truth on the
+driver's documents table + synthetic near-dups."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotile import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def _mutate(text: str, n: int = 2) -> str:
+    toks = text.split()
+    for i in range(n):
+        toks[(i * 13) % len(toks)] = "zzz"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    rows = docs.limit(40).collect()
+    extra = []
+    for r in rows[:10]:
+        extra.append((r["doc_id"] + 100000, r["text"], r["lang"], r["source"], r["n_chars"]))
+    for r in rows[10:20]:
+        extra.append((r["doc_id"] + 200000, _mutate(r["text"]), r["lang"], r["source"], r["n_chars"]))
+    return docs.unionByName(spark.createDataFrame(extra, docs.schema))
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    n_before = docs_with_dups.count()
+    out = textops.exact_dedup(docs_with_dups)
+    assert out.count() == n_before - 10
+    # survivors are the lowest ids
+    assert out.where(F.col("doc_id") >= 100000).where(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_dups(docs_with_dups):
+    pairs = textops.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    # all 10 exact copies must be found (jaccard 1.0)
+    exact = {(i, i + 100000) for i in range(10)}
+    assert exact <= found
+    for r in pairs:
+        if (r["a"], r["b"]) in exact:
+            assert r["est_jaccard"] == 1.0
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("fox", "cat").replace("dog", "pig")
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    pairs = textops.minhash_lsh_pairs(df, threshold=0.1, bands=32).collect()
+    assert len(pairs) == 1
+    est = pairs[0]["est_jaccard"]
+
+    def shingles(t):
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    true_j = len(shingles(a) & shingles(b)) / len(shingles(a) | shingles(b))
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_pairs_exact_copies(docs_with_dups):
+    pairs = textops.simhash_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 100000) for i in range(10)} <= found
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 zz w10"   # differs in 1 token
+    c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"   # disjoint
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in textops.ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()}
+    assert set(got) == {(0, 1)}
+    # trigrams: 8 each; shared = 6 (positions 0-5 minus those touching slot 8)
+    a_g = {tuple(a.split()[i:i + 3]) for i in range(8)}
+    b_g = {tuple(b.split()[i:i + 3]) for i in range(8)}
+    expect = len(a_g & b_g) / len(a_g | b_g)
+    assert got[(0, 1)] == pytest.approx(expect)
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house"),
+         (1, "el gato y la casa de el perro"),
+         (2, "der hund und die katze und der")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_scores(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "de"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on a mat and looked to the door in peace"),
+         (1, "x")],
+        "doc_id long, text string")
+    q = {r["doc_id"]: r for r in textops.quality_features(df).collect()}
+    assert q[0]["quality"] == 1.0 and q[1]["quality"] == 0.0
+    assert q[0]["n_tokens"] == 13
+    t = {r["doc_id"]: r["n_tokens"] for r in textops.token_count(df).collect()}
+    assert t[0] == 13  # no words >= 6 chars except 'looked' (6 chars -> +1)
+    assert t[1] == 1
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = spark.createDataFrame(
+        [(0, "XX" + base + "YY"), (1, "AA" + base + "BB"), (2, "totally different")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in textops.winnow_fingerprints(df).collect()}
+    # guarantee: shared substring of length >= k + window - 1 = 10
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+
+
+def test_minhash_deterministic_across_runs(docs):
+    s1 = textops.minhash_signatures(docs.limit(20)).select("doc_id", "minhash").collect()
+    s2 = textops.minhash_signatures(docs.limit(20).repartition(5)).select("doc_id", "minhash").collect()
+    assert {r["doc_id"]: tuple(r["minhash"]) for r in s1} == \
+           {r["doc_id"]: tuple(r["minhash"]) for r in s2}

@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pages pipeline at sf0.001 scale.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ north_rule extensions and training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.
+
+Determinism discipline (so value-hashes match across engines):
+  * money/count aggregates use exact integer arithmetic (cents), with
+    any division applied to the exact totals at the end;
+  * geospatial test points are derived from ``events`` via integer
+    arithmetic + one float division — identical doubles in both
+    engines; geohash cells are closed-form lattice expressions whose
+    FP rounding provably agrees with the kernel for these inputs
+    (3-decimal coordinates are >= 1e-6 degrees from any cell boundary);
+  * floating outputs are rounded; ordering keys use exact tie-breaks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geotile import engine, extract, synth, textops, simsearch
+from geotile.kernel import geohash_np as gh
+
+# ---------------------------------------------------------------------------
+# Shared derivations
+# ---------------------------------------------------------------------------
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# deterministic synthetic positions derived from the events table:
+# integer mixing + one float division -> identical doubles in Spark and
+# DuckDB.  lat in [-80, 80), lon in [-170, 170).
+_LAT_SQL = "((user_id * 7919 + event_id * 13) % 160000) / 1000.0 - 80.0"
+_LON_SQL = "((user_id * 104729 + event_id * 7) % 340000) / 1000.0 - 170.0"
+
+
+def _positions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000) / F.lit(1000.0) - 80.0
+         ).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000) / F.lit(1000.0) - 170.0
+         ).alias("lon"))
+
+
+def _gh_sql(lat_expr: str, lon_expr: str, strict_gt: bool = False) -> str:
+    """Closed-form 5-char geohash SQL (25 bits: 12 lat + 13 lon).
+
+    ``strict_gt=False`` -> canonical floor indexing (production kernel);
+    ``strict_gt=True``  -> the reference's strict-> bisection
+    (ceil - 1 indexing; geohash.cpp:39-61).
+    """
+    cl = "(4096.0 / 180.0)"
+    co = "(8192.0 / 360.0)"
+    if strict_gt:
+        la = (f"LEAST(GREATEST(CAST(ceil(({lat_expr} + 90.0) * {cl}) AS BIGINT) - 1, 0), 4095)")
+        lo = (f"LEAST(GREATEST(CAST(ceil(({lon_expr} + 180.0) * {co}) AS BIGINT) - 1, 0), 8191)")
+    else:
+        la = f"LEAST(GREATEST(CAST(floor(({lat_expr} + 90.0) * {cl}) AS BIGINT), 0), 4095)"
+        lo = f"LEAST(GREATEST(CAST(floor(({lon_expr} + 180.0) * {co}) AS BIGINT), 0), 8191)"
+    # interleave: combo bit k (MSB first, k=0..24): even k -> lon bit (12 - k/2),
+    # odd k -> lat bit (11 - (k-1)/2)
+    terms = []
+    for k in range(25):
+        shift = 24 - k
+        if k % 2 == 0:
+            terms.append(f"((({lo}) >> {12 - k // 2}) & 1) * {1 << shift}")
+        else:
+            terms.append(f"((({la}) >> {11 - (k - 1) // 2}) & 1) * {1 << shift}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [f"substr('{_BASE32}', CAST(({code} >> {20 - 5 * j}) & 31 AS INT) + 1, 1)"
+             for j in range(5)]
+    return "(" + " || ".join(chars) + ")"
+
+
+_HAVERSINE_SQL = (
+    "2.0 * 6372797.560856 * asin(sqrt(LEAST(1.0, "
+    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))")
+
+_POS_CTE = f"""pos AS (
+  SELECT event_id, user_id, ts,
+         {_LAT_SQL} AS lat,
+         {_LON_SQL} AS lon
+  FROM events
+)"""
+
+# fixed query points / polygons (vertices chosen off any 3-decimal lattice)
+_RADIUS_QUERIES = [(0, 39.9286, 116.3895, 500000.0),
+                   (1, -33.8568, 151.2153, 800000.0),
+                   (2, 40.6892, -74.0445, 650000.0)]
+_KNN_QUERIES = [(0, 39.9286, 116.3895), (1, -12.0464, -77.0428), (2, 55.7558, 37.6173)]
+_POLY_TRI = {"poly_id": 0,
+             "lat": [20.00037, 60.00071, 20.00049],
+             "lon": [90.00031, 120.00017, 150.00023]}
+_POLY_QUAD = {"poly_id": 1,
+              "lat": [-40.00033, -40.00019, 10.00027, 10.00041],
+              "lon": [-120.00029, -60.00013, -60.00037, -120.00021]}
+
+
+def _embedding_query(sf_dir: str) -> list[float]:
+    """Deterministic query vector: the embedding of the lowest vec_id
+    (read via pyarrow, no Spark needed)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    return [float(x) for x in df.iloc[0]["embedding"]]
+
+
+def _vec_literal_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "]"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the pages spatial pipeline at sf0.001 scale — synth ->
+    extract text -> parse coordinate mentions -> assign cells -> radius
+    join against the city POI set -> per-POI rollup."""
+    from geotile import pipeline as pl
+
+    pages = synth.synth_pages(spark, 4000)
+    pages = extract.with_text(pages, out="text2")
+    pts = extract.explode_mentions(
+        extract.with_mentions(pages.where(F.col("text") == F.col("text2")), text_col="text2"))
+    pts = engine.with_cell(pts)
+    joined = engine.radius_join(pts, pl.poi_queries(spark, 50000.0))
+    return (joined.groupBy("query_id")
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.avg("dist_m"), 1).alias("avg_dist_m"))
+            .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cutoff = F.lit("1998-09-01").cast("timestamp")
+    return (li.where(F.col("l_shipdate") <= cutoff)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+                 F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("sum_disc_pct"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q2_latest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 2).alias("value"))
+            .orderBy("user_id"))
+
+
+def _q3_delete(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # a deterministic, non-trivial victim set (every user has SOME
+    # 'error' event, so keying on type alone would delete everything)
+    victims = ev.where((F.col("event_type") == "error") & (F.col("event_id") % 11 == 0)) \
+        .select("user_id")
+    kept = engine.delete_positions(ev, victims, key="user_id")
+    return kept.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+def _q4_topk(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (ev.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+            .select("event_type", "rnk", "event_id", F.round("value", 2).alias("value"))
+            .orderBy("event_type", "rnk"))
+
+
+def _q5_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return (orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+            .orderBy("c_mktsegment"))
+
+
+def _q6_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    out = engine.salted_cell_counts(pos)  # same result as plain groupBy, skew-safe shape
+    return out.where(F.col("n") >= 2).orderBy("geohash")
+
+
+def _q7_radius(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    qlat, qlon, r = 39.9286, 116.3895, 500000.0
+    return (engine.radius_search(pos, qlat, qlon, r)
+            .select("event_id", "geohash").orderBy("event_id"))
+
+
+def _q8_knn(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    res = engine.knn_join(pos, _KNN_QUERIES, k=5, id_col="event_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("event_id").asc())
+    return (res.withColumn("rnk", F.row_number().over(w))
+            .select("query_id", "rnk", "event_id")
+            .orderBy("query_id", "rnk"))
+
+
+def _q9_pip(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"]) for p in (_POLY_TRI, _POLY_QUAD)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    return (engine.pip_join(pos, polys)
+            .select("poly_id", "event_id").orderBy("poly_id", "event_id"))
+
+
+def _q10_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_tile(_positions_df(spark, sf), zoom=6)
+    return (pos.groupBy("tile").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 3).orderBy("tile"))
+
+
+def _q11_s2(spark: SparkSession, sf: str) -> DataFrame:
+    from geotile import udfs
+
+    pos = _positions_df(spark, sf)
+    pos = pos.withColumn("s2_cell", udfs.s2_cell_udf(8)(F.col("lat"), F.col("lon")))
+    return pos.groupBy("s2_cell").agg(F.count("*").alias("n")).where(F.col("n") >= 3).orderBy("s2_cell")
+
+
+def _q12_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count_distinct(F.md5(F.col("text"))).alias("n_unique"))
+            .orderBy("lang"))
+
+
+def _q13_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q = textops.quality_features(docs)
+    return (q.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.col("quality").cast("long")).alias("n_quality"),
+                 F.round(F.sum("punct_ratio"), 6).alias("sum_punct_ratio"))
+            .orderBy("lang"))
+
+
+def _q14_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = textops.token_count(docs)
+    return (t.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"),
+                                    F.count("*").alias("n_docs"))
+            .orderBy("source"))
+
+
+def _q15_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.lang_scores(docs).groupBy("lang_pred")
+            .agg(F.count("*").alias("n")).orderBy("lang_pred"))
+
+
+def _q16_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = textops.minhash_lsh_pairs(docs, threshold=0.35)
+    return pairs.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy("a", "b")
+
+
+def _q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.simhash_pairs(docs, max_hamming=6).orderBy("a", "b")
+
+
+def _q18_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 300)
+    return (textops.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+def _q19_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _embedding_query(sf)
+    scored = emb.withColumn("cos4", F.round(simsearch.cosine_col("embedding", qv), 4))
+    return (scored.orderBy(F.col("cos4").desc(), F.col("vec_id").asc()).limit(10)
+            .select("vec_id", "label", "cos4"))
+
+
+def _q20_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _embedding_query(sf)
+    got = simsearch.lsh_bucket_topk(emb, qv, k=10, nbits=10, multiprobe=2)
+    return got.select("vec_id", F.round("cosine", 4).alias("cos4")).orderBy(F.col("cos4").desc(), "vec_id")
+
+
+def _q21_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    qdf = spark.createDataFrame(_RADIUS_QUERIES,
+                                "query_id long, qlat double, qlon double, radius_m double")
+    return (engine.radius_join(pos, qdf)
+            .select("query_id", "event_id").orderBy("query_id", "event_id"))
+
+
+def _q22_raster(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    from geotile.kernel import tiles_np
+
+    tiles = []
+    for _, qla, qlo, _r in _RADIUS_QUERIES:
+        x, y = tiles_np.tile_xy(qla, qlo, 6)
+        tiles.append((6, int(x[0]), int(y[0])))
+    return (engine.raster_vector_join(pos, tiles)
+            .select("tile", "event_id").orderBy("tile", "event_id"))
+
+
+def _q23_pool_state(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell(_positions_df(spark, sf))
+    return engine.pool_state(pos)
+
+
+def _q24_compat_cells(spark: SparkSession, sf: str) -> DataFrame:
+    pos = engine.with_cell_ref(_positions_df(spark, sf), nbits=12)
+    return (pos.groupBy("geohash").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2).orderBy("geohash"))
+
+
+def _q25_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsert semantics on events: state = first half, updates = second
+    half; last-write-wins per user_id."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "ts", "value")
+    state = ev.where(F.col("event_id") % 2 == 0)
+    updates = ev.where(F.col("event_id") % 2 == 1)
+    out = engine.upsert_positions(state, updates, key="user_id", ts="ts")
+    return out.select("user_id", "event_id", F.round("value", 2).alias("value")).orderBy("user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing,
+        "q2_latest_position_per_key": _q2_latest,
+        "q3_delete_antijoin": _q3_delete,
+        "q4_topk_per_group": _q4_topk,
+        "q5_broadcast_join_agg": _q5_join_agg,
+        "q6_cell_counts_salted": _q6_cell_counts,
+        "q7_radius_search": _q7_radius,
+        "q8_knn_join": _q8_knn,
+        "q9_pip_join": _q9_pip,
+        "q10_tile_assign": _q10_tiles,
+        "q11_s2_cells": _q11_s2,
+        "q12_dedup_exact": _q12_dedup_exact,
+        "q13_quality_features": _q13_quality,
+        "q14_token_count": _q14_tokens,
+        "q15_lang_id": _q15_langid,
+        "q16_minhash_lsh_pairs": _q16_minhash,
+        "q17_simhash_pairs": _q17_simhash,
+        "q18_ngram_jaccard": _q18_ngram_jaccard,
+        "q19_embed_topk": _q19_embed_topk,
+        "q20_lsh_ann_topk": _q20_lsh_ann,
+        "q21_radius_join": _q21_radius_join,
+        "q22_raster_vector_join": _q22_raster,
+        "q23_pool_state": _q23_pool_state,
+        "q24_compat_cell_counts": _q24_compat_cells,
+        "q25_upsert_lww": _q25_upsert,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gh5 = _gh_sql("lat", "lon", strict_gt=False)
+    gh5_ref = _gh_sql("lat", "lon", strict_gt=True)
+    hav = _HAVERSINE_SQL
+
+    def _pip_pred(poly: dict) -> str:
+        """Even-odd ray cast as SQL (same formula as the kernel)."""
+        nv = len(poly["lat"])
+        terms = []
+        for i in range(nv):
+            j = (i - 1) % nv
+            yi, yj = poly["lat"][i], poly["lat"][j]
+            xi, xj = poly["lon"][i], poly["lon"][j]
+            terms.append(
+                f"(CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
+                f"(lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "
+                f"THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    radius_values = ", ".join(f"({q}, {la!r}, {lo!r}, {r!r})" for q, la, lo, r in _RADIUS_QUERIES)
+    knn_values = ", ".join(f"({q}, {la!r}, {lo!r})" for q, la, lo in _KNN_QUERIES)
+
+    # mercator tile x/y at zoom 6 (same formulas as tiles_np)
+    tile_x = "CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT)"
+    tile_y = ("LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(LEAST(GREATEST(lat, -85.05112878), "
+              "85.05112878))) + 1.0 / cos(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))) "
+              "/ pi()) / 2.0 * 64) AS BIGINT), 0), 63)")
+    tile_expr = f"('6/' || {tile_x} || '/' || {tile_y})"
+
+    sqls: dict[str, str] = {}
+
+    sqls["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sqls["q2_latest_position_per_key"] = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+    sqls["q3_delete_antijoin"] = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'error' AND event_id % 11 = 0)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+    sqls["q4_topk_per_group"] = """
+SELECT event_type, rnk, event_id, round(value, 2) AS value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+    sqls["q5_broadcast_join_agg"] = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+    sqls["q6_cell_counts_salted"] = f"""
+WITH {_POS_CTE}
+SELECT {gh5} AS geohash, count(*) AS n
+FROM pos
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY geohash
+"""
+
+    q7 = _RADIUS_QUERIES[0]
+    sqls["q7_radius_search"] = f"""
+WITH {_POS_CTE}
+SELECT event_id, {gh5} AS geohash
+FROM pos
+WHERE {hav.format(lat1=repr(q7[1]), lon1=repr(q7[2]), lat2='lat', lon2='lon')} <= {q7[3]!r}
+ORDER BY event_id
+"""
+
+    sqls["q8_knn_join"] = f"""
+WITH {_POS_CTE},
+q(query_id, qlat, qlon) AS (VALUES {knn_values}),
+scored AS (
+  SELECT q.query_id, pos.event_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {hav.format(lat1='q.qlat', lon1='q.qlon', lat2='pos.lat', lon2='pos.lon')} ASC,
+                    pos.event_id ASC) AS rnk
+  FROM pos CROSS JOIN q
+)
+SELECT query_id, rnk, event_id FROM scored WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+    sqls["q9_pip_join"] = f"""
+WITH {_POS_CTE}
+SELECT poly_id, event_id FROM (
+  SELECT 0 AS poly_id, event_id FROM pos WHERE {_pip_pred(_POLY_TRI)}
+  UNION ALL
+  SELECT 1 AS poly_id, event_id FROM pos WHERE {_pip_pred(_POLY_QUAD)}
+)
+ORDER BY poly_id, event_id
+"""
+
+    sqls["q10_tile_assign"] = f"""
+WITH {_POS_CTE}
+SELECT {tile_expr} AS tile, count(*) AS n
+FROM pos
+GROUP BY 1
+HAVING count(*) >= 3
+ORDER BY tile
+"""
+
+    sqls["q12_dedup_exact"] = """
+SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+    sqls["q13_quality_features"] = r"""
+WITH feats AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stopword_ratio
+  FROM documents
+)
+SELECT lang,
+       sum(n_tokens) AS total_tokens,
+       sum(CASE WHEN n_tokens >= 10 AND stopword_ratio > 0.05 THEN 1 ELSE 0 END) AS n_quality,
+       round(sum(punct_ratio), 6) AS sum_punct_ratio
+FROM feats
+GROUP BY lang
+ORDER BY lang
+"""
+
+    sqls["q14_token_count"] = r"""
+SELECT source,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))
+           + list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     w -> CAST(floor(length(w) / 6) AS BIGINT)))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+    lang_score_cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '\\b({'|'.join(words)})\\b')) AS score_{lang}"
+        for lang, words in textops.LANG_MARKERS.items())
+    langs = list(textops.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    sqls["q15_lang_id"] = f"""
+WITH scored AS (
+  SELECT {lang_score_cols}
+  FROM documents
+)
+SELECT {pred} AS lang_pred, count(*) AS n
+FROM scored
+GROUP BY 1
+ORDER BY lang_pred
+"""
+
+    sqls["q18_ngram_jaccard"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 300
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) >= 0.12
+ORDER BY a, b
+"""
+
+    sqls["q21_radius_join"] = f"""
+WITH {_POS_CTE},
+q(query_id, qlat, qlon, radius_m) AS (VALUES {radius_values})
+SELECT q.query_id, pos.event_id
+FROM pos CROSS JOIN q
+WHERE {hav.format(lat1='q.qlat', lon1='q.qlon', lat2='pos.lat', lon2='pos.lon')} <= q.radius_m
+ORDER BY q.query_id, pos.event_id
+"""
+
+    tile_list = []
+    from geotile.kernel import tiles_np as _t
+
+    for _, qla, qlo, _r in _RADIUS_QUERIES:
+        x, y = _t.tile_xy(qla, qlo, 6)
+        tile_list.append((6, int(x[0]), int(y[0])))
+    tile_in = ", ".join(f"'{z}/{x}/{y}'" for z, x, y in tile_list)
+    sqls["q22_raster_vector_join"] = f"""
+WITH {_POS_CTE}
+SELECT {tile_expr} AS tile, event_id
+FROM pos
+WHERE {tile_expr} IN ({tile_in})
+ORDER BY tile, event_id
+"""
+
+    sqls["q23_pool_state"] = f"""
+WITH {_POS_CTE}
+SELECT count(*) AS pos_used,
+       count(DISTINCT {gh5}) AS area_used,
+       count({gh5}) AS link_used
+FROM pos
+"""
+
+    sqls["q24_compat_cell_counts"] = f"""
+WITH {_POS_CTE}
+SELECT {gh5_ref} AS geohash, count(*) AS n
+FROM pos
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY geohash
+"""
+
+    sqls["q25_upsert_lww"] = """
+SELECT user_id, event_id, round(value, 2) AS value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+    # q19: exact top-10 cosine vs a literal query vector
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+    try:
+        qv = _embedding_query(sf_dir)
+        vec = _vec_literal_sql(qv)
+        sqls["q19_embed_topk"] = f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         round(list_inner_product(CAST(embedding AS DOUBLE[]), {vec})
+               / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product({vec}, {vec}))), 4) AS cos4
+  FROM embeddings
+)
+SELECT vec_id, label, cos4
+FROM scored
+ORDER BY cos4 DESC, vec_id ASC
+LIMIT 10
+"""
+    except Exception:
+        pass  # no embeddings parquet available -> rows-only check
+
+    # q11 (S2 Hilbert ids), q16/q17 (MinHash/SimHash signatures), q20
+    # (LSH ANN): not ANSI-SQL-expressible -> driver rows-only checks.
+    return sqls

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the pages pipeline (synth -> extract -> mention parse ->
+cell/tile assignment -> POI radius join -> rollup), reported both as
+total seconds and pages/sec; individual operator timings follow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages scaled to the sf of the relational tables (sf0.1 ~ 600k lineitem)
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
+WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR", "/tmp/geotile_bench")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from geotile import pipeline
+    from geotile.session import get_spark
+
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("geotile-bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    # headline: full pages pipeline (fresh workdir each run)
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    t0 = time.time()
+    pm = pipeline.run_pipeline(spark, WORKDIR, n=N_PAGES, partitions=CPUS * 2)
+    t_pipeline = time.time() - t0
+    timings["pages_pipeline"] = round(t_pipeline, 3)
+
+    # operator suite on the driver's testdata at SF_DIR
+    bench_queries = [
+        "q1_pricing_summary", "q2_latest_position_per_key", "q5_broadcast_join_agg",
+        "q6_cell_counts_salted", "q7_radius_search", "q8_knn_join", "q9_pip_join",
+        "q10_tile_assign", "q12_dedup_exact", "q13_quality_features",
+        "q15_lang_id", "q16_minhash_lsh_pairs", "q17_simhash_pairs",
+        "q19_embed_topk", "q21_radius_join", "q22_raster_vector_join",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "pages": pm["pages"],
+        "points": pm["points"],
+        "joined_rows": pm["joined"],
+        "pages_per_sec": round(pm["pages"] / t_pipeline, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,57 +112,72 @@ def radius_search_compat(positions: DataFrame, qlat: float, qlon: float,
             .where(F.col("dist_m") <= radius_m))
 
 
+def _fit_cover_bbox(min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+                    nchars: int, max_cells: int = 1024) -> tuple[int, list[str]]:
+    """Cover the bbox at the finest precision <= nchars whose cover fits
+    in ``max_cells`` — bounds candidate-set size regardless of query
+    radius (big radii fall back to coarse cells + prefix join)."""
+    for n in range(nchars, 0, -1):
+        try:
+            cells = gh.cover_bbox(min_lat, max_lat, min_lon, max_lon, n, max_cells)
+            return n, [str(c) for c in cells]
+        except ValueError:
+            continue
+    raise AssertionError("1-char cover (32 cells) always fits")
+
+
+def _fit_cover_radius(qlat: float, qlon: float, radius_m: float,
+                      nchars: int, max_cells: int = 1024) -> tuple[int, list[str]]:
+    return _fit_cover_bbox(*gh.bbox_correct(qlat, qlon, radius_m), nchars, max_cells)
+
+
 def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: float,
                   nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
                   lat: str = "lat", lon: str = "lon") -> DataFrame:
     """Production radius query: TRUE covering cell set (literal IN ->
-    partition pruning at the scan) + haversine refine.  One narrow scan
-    of the pruned cell partitions, zero shuffles."""
-    cells = [str(c) for c in gh.cover_radius(qlat, qlon, radius_m, nchars)]
+    partition/row-group pruning at the scan) + haversine refine.  One
+    narrow scan of the pruned cell partitions, zero shuffles.  Large
+    radii automatically coarsen the cover precision (prefix IN on the
+    cell column) so the literal list stays small."""
+    n, cells = _fit_cover_radius(qlat, qlon, radius_m, nchars)
+    pred = (F.col(cell_col).isin(cells) if n == nchars
+            else F.substring(F.col(cell_col), 1, n).isin(cells))
     dist = udfs.haversine_udf()(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
-    return (positions.where(F.col(cell_col).isin(cells))
+    return (positions.where(pred)
             .withColumn("dist_m", dist)
             .where(F.col("dist_m") <= radius_m))
-
-
-def _covers_schema():
-    return StructType([
-        StructField("query_id", LongType()),
-        StructField("cell", StringType()),
-    ])
 
 
 def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_NCHARS,
                 cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
                 qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
                 radius: str = "radius_m") -> DataFrame:
-    """Many-query radius join.  Queries (the small side) explode into
-    (query_id, cover cell) pairs via an Arrow-batched mapInPandas, get
-    broadcast, and equi-join the cell-partitioned positions; exact
-    haversine refine follows the join.  Positions are never shuffled.
-    """
-    q_schema = _covers_schema()
-
-    def _covers(batches):
-        for pdf in batches:
-            ids, cells = [], []
-            for r_qid, r_lat, r_lon, r_rad in zip(
-                    pdf[qid].to_numpy(), pdf[qlat].to_numpy(np.float64),
-                    pdf[qlon].to_numpy(np.float64), pdf[radius].to_numpy(np.float64)):
-                cs = gh.cover_radius(float(r_lat), float(r_lon), float(r_rad), nchars)
-                ids.extend([r_qid] * len(cs))
-                cells.extend(cs)
-            yield pd.DataFrame({"query_id": np.asarray(ids, dtype=np.int64),
-                                "cell": cells})
-
-    covers = queries.mapInPandas(_covers, schema=q_schema)
-    joined = positions.join(F.broadcast(covers), positions[cell_col] == covers["cell"], "inner")
-    joined = joined.join(
-        F.broadcast(queries.select(qid, qlat, qlon, radius)), "query_id", "inner")
+    """Many-query radius join.  Queries are the SMALL side by contract
+    (POI sets, dims) — their covers are computed driver-side, grouped by
+    the (adaptive) cover precision, and broadcast; each precision group
+    equi-joins the big positions table on the cell prefix; exact
+    haversine refine follows the join.  Positions are never shuffled,
+    and covers stay <= ~1k cells per query regardless of radius."""
+    spark = positions.sparkSession
+    qrows = queries.select(qid, qlat, qlon, radius).collect()
+    by_n: dict[int, list[tuple[int, str]]] = {}
+    for r in qrows:
+        n, cells = _fit_cover_radius(float(r[qlat]), float(r[qlon]), float(r[radius]), nchars)
+        by_n.setdefault(n, []).extend((int(r[qid]), c) for c in cells)
+    parts = []
+    for n, rows in by_n.items():
+        cov = spark.createDataFrame(rows, f"{qid} long, cell string")
+        key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
+        parts.append(positions.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+    if not parts:
+        return positions.where(F.lit(False)).withColumn(qid, F.lit(None).cast("long"))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.unionByName(p)
+    joined = joined.join(F.broadcast(queries.select(qid, qlat, qlon, radius)), qid, "inner")
     dist = udfs.haversine_udf()(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
     return (joined.withColumn("dist_m", dist)
-            .where(F.col("dist_m") <= F.col(radius))
-            .drop("cell"))
+            .where(F.col("dist_m") <= F.col(radius)))
 
 
 # ---------------------------------------------------------------------------
@@ -180,23 +195,31 @@ def _min_cell_extent_m(nchars: int, abs_lat_deg: float) -> float:
 
 
 def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
-             nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
-             lat: str = "lat", lon: str = "lon", id_col: str | None = None,
-             start_ring: int = 1, max_ring: int = 512) -> DataFrame:
+             nchars: int | None = None, cell_nchars: int = DEFAULT_NCHARS,
+             cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+             id_col: str | None = None, start_ring: int = 1,
+             max_ring: int = 512, n_total: int | None = None) -> DataFrame:
     """k-nearest-neighbors of each query point via expanding cell rings.
 
     ``queries``: sequence of (query_id, qlat, qlon).  Algorithm (the
-    scale path — candidates stay a cell equi-join against the
-    partition-pruned positions table):
+    scale path — candidates stay a pruned cell equi-join against the
+    cell-partitioned positions table):
 
-      1. per query, candidates = points in the Chebyshev disk of cells
-         of radius ``ring`` around the query cell;
-      2. a query is RESOLVED when it has >= k candidates AND its k-th
+      1. pick the search precision from data density (unless ``nchars``
+         is forced): the finest cell size whose ring-1 disk is expected
+         to hold >= ~4k points under a uniform prior — dense tables
+         search fine cells, sparse tables immediately search coarse
+         ones instead of doubling through dozens of empty rings;
+      2. per query, candidates = points in the Chebyshev disk of cells
+         of radius ``ring`` around the query cell (a literal ``IN`` on
+         the cell prefix -> parquet pruning, then a broadcast join to
+         tag query ids);
+      3. a query is RESOLVED when it has >= k candidates AND its k-th
          candidate distance <= ring * min_cell_extent (no closer point
          can live outside the disk);
-      3. unresolved queries double ``ring`` and repeat (only the
+      4. unresolved queries double ``ring`` and repeat (only the
          unresolved subset re-joins);
-      4. final top-k per query by (distance, point id) — deterministic
+      5. final top-k per query by (distance, point id) — deterministic
          under ties.
 
     The reference has no top-k at all (FindPos returns unordered,
@@ -204,11 +227,19 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
     """
     spark = positions.sparkSession
     hv = udfs.haversine_udf()
+    if nchars is None:
+        if n_total is None:
+            n_total = positions.count()
+        # finest n with (2r+1)^2 * n_total / 2^(5n) >= 4k at ring=start
+        budget = max((2 * start_ring + 1) ** 2 * max(n_total, 1) / max(4 * k, 1), 2.0)
+        nchars = max(1, min(cell_nchars, int(math.log2(budget) // 5)))
     unresolved = list(queries)
     ring = start_ring
     resolved_parts: list[DataFrame] = []
     order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
     w = Window.partitionBy("query_id").orderBy(*order_cols)
+    key = (F.col(cell_col) if nchars == cell_nchars
+           else F.substring(F.col(cell_col), 1, nchars))
 
     while unresolved and ring <= max_ring:
         rows = []
@@ -217,8 +248,11 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
             cells = gh.disk(int(i_lat[0]), int(i_lon[0]), nchars, ring)
             rows.extend((int(q_id), float(q_lat), float(q_lon), str(c)) for c in cells)
         cand_cells = spark.createDataFrame(rows, "query_id long, qlat double, qlon double, cell string")
-        cand = positions.join(F.broadcast(cand_cells),
-                              positions[cell_col] == cand_cells["cell"], "inner")
+        all_cells = sorted({r[3] for r in rows})
+        # literal IN prefilter reaches the parquet scan; skip it when the
+        # list would bloat the plan (the broadcast join still filters)
+        pruned = positions.where(key.isin(all_cells)) if len(all_cells) <= 4096 else positions
+        cand = pruned.join(F.broadcast(cand_cells), key == cand_cells["cell"], "inner")
         cand = (cand.withColumn("dist_m", hv(F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
@@ -267,27 +301,31 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
     """Point-in-polygon as cover + equi-join + exact ray-cast refine.
 
     ``polygons``: (poly_id, poly_lat: array<double>, poly_lon:
-    array<double>).  Covers are produced by mapInPandas on the polygon
-    side (small dim) and broadcast; points join on their existing cell
-    column (pruned scan, no shuffle of the big side); the exact test is
-    a vectorized pandas UDF grouped per polygon inside each Arrow batch.
+    array<double>) — the small dim side by contract.  Bbox covers are
+    computed driver-side at adaptive precision (bounded cell count even
+    for continent-sized polygons), grouped by precision, broadcast, and
+    prefix-equi-joined against the points' cell column (pruned scan, no
+    shuffle of the big side); the exact ray-cast refine is a vectorized
+    pandas UDF grouped per polygon inside each Arrow batch.
     """
-    cover_schema = StructType([StructField(poly_id, LongType()),
-                               StructField("cell", StringType())])
-
-    def _covers(batches):
-        for pdf in batches:
-            ids, cells = [], []
-            for pid, plat, plon in zip(pdf[poly_id], pdf[poly_lat], pdf[poly_lon]):
-                plat = np.asarray(plat, dtype=np.float64)
-                plon = np.asarray(plon, dtype=np.float64)
-                cs = gh.cover_bbox(plat.min(), plat.max(), plon.min(), plon.max(), nchars)
-                ids.extend([pid] * len(cs))
-                cells.extend(cs)
-            yield pd.DataFrame({poly_id: np.asarray(ids, dtype=np.int64), "cell": cells})
-
-    covers = polygons.mapInPandas(_covers, schema=cover_schema)
-    j = points.join(F.broadcast(covers), points[cell_col] == covers["cell"], "inner").drop("cell")
+    spark = points.sparkSession
+    prows = polygons.select(poly_id, poly_lat, poly_lon).collect()
+    by_n: dict[int, list[tuple[int, str]]] = {}
+    for r in prows:
+        plat = np.asarray(r[poly_lat], dtype=np.float64)
+        plon = np.asarray(r[poly_lon], dtype=np.float64)
+        n, cells = _fit_cover_bbox(plat.min(), plat.max(), plon.min(), plon.max(), nchars)
+        by_n.setdefault(n, []).extend((int(r[poly_id]), c) for c in cells)
+    parts = []
+    for n, rows in by_n.items():
+        cov = spark.createDataFrame(rows, f"{poly_id} long, cell string")
+        key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
+        parts.append(points.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+    if not parts:
+        return points.where(F.lit(False)).withColumn(poly_id, F.lit(None).cast("long"))
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
     j = j.join(F.broadcast(polygons), poly_id, "inner")
 
     @F.pandas_udf("boolean")
@@ -333,15 +371,25 @@ def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
     equi-joining on the pruned cell column, then refining by the exact
     tile bbox.  ``tiles``: iterable of (zoom, x, y)."""
     spark = points.sparkSession
-    rows = []
+    by_n: dict[int, list[tuple]] = {}
     for z, x, y in tiles:
         mnla, mxla, mnlo, mxlo = tiles_np.tile_bounds(z, x, y)
-        for c in tiles_np.tile_cells(z, x, y, nchars):
-            rows.append((f"{z}/{x}/{y}", str(c), float(mnla), float(mxla),
-                         float(mnlo), float(mxlo)))
-    cover = spark.createDataFrame(
-        rows, "tile string, cell string, t_mnla double, t_mxla double, t_mnlo double, t_mxlo double")
-    j = points.join(F.broadcast(cover), points[cell_col] == cover["cell"], "inner")
+        eps = 1e-12
+        n, cells = _fit_cover_bbox(float(mnla), float(mxla) - eps,
+                                   float(mnlo), float(mxlo) - eps, nchars)
+        by_n.setdefault(n, []).extend(
+            (f"{z}/{x}/{y}", c, float(mnla), float(mxla), float(mnlo), float(mxlo))
+            for c in cells)
+    schema = ("tile string, cell string, t_mnla double, t_mxla double, "
+              "t_mnlo double, t_mxlo double")
+    parts = []
+    for n, rows in by_n.items():
+        cover = spark.createDataFrame(rows, schema)
+        key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
+        parts.append(points.join(F.broadcast(cover), key == cover["cell"], "inner"))
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
     return (j.where((F.col("lat") >= F.col("t_mnla")) & (F.col("lat") < F.col("t_mxla"))
                     & (F.col("lon") >= F.col("t_mnlo")) & (F.col("lon") < F.col("t_mxlo")))
             .drop("cell", "t_mnla", "t_mxla", "t_mnlo", "t_mxlo"))

@@ -44,10 +44,8 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id",
         (F.pmod(F.col(id_col) * 53, F.lit(1080)) + 16).cast("int").alias("height"),
         (F.pmod(F.col(id_col) * 97, F.lit(600000))).cast("int").alias("duration_ms"),
         F.lit("fake/v1").alias("codec"))
-    return (df.select(F.col(id_col).alias("media_id"))
-            .withColumn("kind", kind)
-            .withColumn("payload", payload)
-            .withColumn("meta", meta))
+    return df.select(F.col(id_col).alias("media_id"), kind.alias("kind"),
+                     payload.alias("payload"), meta.alias("meta"))
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:

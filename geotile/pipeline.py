@@ -120,7 +120,9 @@ def main() -> None:
 
     spark = get_spark("geotile-pipeline", cores=args.cores)
     metrics = run_pipeline(spark, args.workdir, args.n)
-    print(metrics)
+    import json
+
+    print(json.dumps(metrics))
 
 
 if __name__ == "__main__":

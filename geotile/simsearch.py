@@ -52,9 +52,12 @@ def cosine_col(vec_col: str, query: list[float]):
     q = [float(x) for x in query]
     qnorm = float(np.sqrt(sum(x * x for x in q)))
     qlit = F.array(*[F.lit(x) for x in q])
-    dot = F.aggregate(F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b),
+    # cast up front: otherwise zip_with multiplies in float32 and the
+    # result drifts ~1e-9 from a float64 reference
+    vec = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(vec, qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
-    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda a: a * a),
                               F.lit(0.0), lambda acc, v: acc + v))
     return dot / (norm * F.lit(qnorm))
 

@@ -1,0 +1,128 @@
+"""Structured Streaming surface: continuous position ingestion.
+
+Maps the reference's feed loop (``Runtime_Thread``,
+/root/reference/LoadModule/LoadModule.cpp:44-91 — a 5 s poll loop
+writing through AddPos) onto Structured Streaming:
+
+* :func:`upsert_stream` — file-source micro-batches -> ``foreachBatch``
+  last-write-wins MERGE into a versioned state table (snapshot per
+  batch, manifest-committed, so a crashed stream resumes from the last
+  good snapshot + checkpoint — the shm-durability equivalent).
+* :func:`keyed_latest_stream` — the same semantics fully inside the
+  stream via ``applyInPandasWithState`` (keyed state per msisdn),
+  emitting only rows whose position actually changed (the reference's
+  cell-migration event, mapinfo.cpp:122-145).
+* :func:`cell_count_stream` — watermarked sliding-window occupancy
+  per cell (GetPoolState over event time).
+
+Exactly-once: foreachBatch writes are idempotent by construction —
+the state snapshot for batch N is derived from snapshot N-1 + batch N
+and committed atomically through the manifest; replays overwrite the
+same snapshot id.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from . import engine, table
+
+POS_SCHEMA = "msisdn string, lat double, lon double, ts long"
+
+
+def _state_version_path(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"v{version:06d}")
+
+
+def latest_state_version(state_dir: str) -> int | None:
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [int(d[1:]) for d in os.listdir(state_dir)
+                if d.startswith("v") and table.read_manifest(os.path.join(state_dir, d))]
+    return max(versions) if versions else None
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    v = latest_state_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(_state_version_path(state_dir, v))
+
+
+def upsert_stream(spark: SparkSession, updates_dir: str, state_dir: str,
+                  checkpoint_dir: str, available_now: bool = True):
+    """File-source stream of position updates -> LWW-merged state
+    snapshots.  Returns the started StreamingQuery."""
+    updates = (spark.readStream.schema(POS_SCHEMA).parquet(updates_dir))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        state = read_state(spark, state_dir)
+        batch_df = engine.with_cell(batch_df)
+        if state is None:
+            merged = engine.upsert_positions(
+                batch_df.limit(0), batch_df, key="msisdn", ts="ts")
+        else:
+            merged = engine.upsert_positions(state, batch_df, key="msisdn", ts="ts")
+        out = _state_version_path(state_dir, int(batch_id))
+        table.write_stage(merged, out, params={"batch_id": int(batch_id)})
+
+    writer = (updates.writeStream.foreachBatch(_merge)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def keyed_latest_stream(updates: DataFrame) -> DataFrame:
+    """Stateful keyed latest-position operator: emits a row per input
+    update whose ts is >= the stored latest (out-of-order stale updates
+    are suppressed) — AddPos's overwrite-if-newer as a stream operator."""
+    out_schema = "msisdn string, lat double, lon double, ts long"
+    state_schema = "lat double, lon double, ts long"
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        rows = pd.concat(list(pdfs), ignore_index=True)  # arrival order
+        if state.exists:
+            _s_lat, _s_lon, s_ts = state.get
+        else:
+            s_ts = -1
+        # AddPos arrival-order LWW: accept an update iff its ts >= the
+        # running latest; a late-arriving older ts is stale -> dropped
+        ts = rows["ts"].to_numpy(np.int64)
+        running = np.maximum.accumulate(np.concatenate(([np.int64(s_ts)], ts)))[:-1]
+        accept = ts >= running
+        fresh = rows[accept]
+        if len(fresh):
+            last = fresh.iloc[-1]
+            state.update((float(last["lat"]), float(last["lon"]), int(last["ts"])))
+            yield pd.DataFrame({"msisdn": [key[0]] * len(fresh),
+                                "lat": fresh["lat"].to_numpy(),
+                                "lon": fresh["lon"].to_numpy(),
+                                "ts": fresh["ts"].to_numpy()})
+        else:
+            yield pd.DataFrame({"msisdn": [], "lat": [], "lon": [], "ts": []})
+
+    # emitted rows are final (an accepted update never mutates later) ->
+    # "append" operator mode, compatible with append-only file sinks
+    return (updates.groupBy("msisdn")
+            .applyInPandasWithState(_update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def cell_count_stream(updates: DataFrame, window: str = "1 minute",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window occupancy per cell — the streaming
+    GetPoolState (mapinfo.cpp:473-497).  ``updates`` must carry an
+    event-time timestamp column ``event_time``."""
+    with_cell = engine.with_cell(updates)
+    return (with_cell.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window).alias("win"), F.col("geohash"))
+            .agg(F.count("*").alias("n")))

@@ -57,7 +57,9 @@ def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
     writer.parquet(path)
 
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    # explicit schema: an empty stage writes no data files, and the
+    # schema must survive that (the manifest also records it)
+    written = spark.read.schema(df.schema).parquet(path)
     if partition_by:
         counts = {"|".join(str(r[c]) for c in partition_by): r["n"]
                   for r in written.groupBy(*partition_by).agg(F.count("*").alias("n")).collect()}
@@ -66,6 +68,7 @@ def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
     manifest = {
         "format_version": 1,
         "committed_at": time.time(),
+        "schema_json": df.schema.json(),
         "schema_fingerprint": _schema_fingerprint(written),
         "lineage": _lineage_hash(parent_hashes, params),
         "partition_by": list(partition_by),
@@ -103,6 +106,11 @@ def is_complete(path: str, parents: Sequence[str] = (), params: dict | None = No
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    m = read_manifest(path)
+    if m and m.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(json.loads(m["schema_json"]))).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,76 @@
+"""Structured Streaming: file-source upsert stream, keyed state
+operator, windowed cell counts."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotile import streaming, table
+
+
+def _write_batch(spark, path, rows, idx):
+    df = spark.createDataFrame(rows, streaming.POS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"b{idx}"))
+
+
+def test_upsert_stream_file_source(spark, tmp_path):
+    updates_dir = str(tmp_path / "updates")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(updates_dir)
+    # two batches of update files: second moves subscriber a and adds c
+    _write_batch(spark, updates_dir, [("a", 39.928167, 116.389550, 100),
+                                      ("b", 39.928667, 116.389550, 100)], 0)
+    _write_batch(spark, updates_dir, [("a", 31.230416, 121.473701, 200),
+                                      ("c", 57.649110, 10.407440, 150)], 1)
+    q = streaming.upsert_stream(spark, updates_dir + "/b*", state_dir, ckpt)
+    q.awaitTermination(120)
+    state = streaming.read_state(spark, state_dir)
+    rows = {r["msisdn"]: (r["lat"], r["geohash"]) for r in state.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"][1] == "wtw3s"  # migrated to Shanghai
+    assert rows["b"][1] == "wx4g0"
+    v = streaming.latest_state_version(state_dir)
+    assert table.verify_counts(spark, os.path.join(state_dir, f"v{v:06d}"))
+
+
+def test_keyed_latest_stream_batchwise(spark, tmp_path):
+    """applyInPandasWithState logic, driven through a real stream with
+    availableNow over a file source."""
+    updates_dir = str(tmp_path / "updates")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(updates_dir)
+    _write_batch(spark, updates_dir, [("a", 1.0, 1.0, 100), ("a", 2.0, 2.0, 90)], 0)
+    stream = spark.readStream.schema(streaming.POS_SCHEMA).parquet(updates_dir + "/b*")
+    latest = streaming.keyed_latest_stream(stream)
+    q = (latest.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    # ts=90 is stale relative to ts=100 within the same batch -> suppressed
+    assert [(r["lat"], r["ts"]) for r in got] == [(1.0, 100)]
+
+
+def test_cell_count_stream_windowed(spark, tmp_path):
+    updates_dir = str(tmp_path / "updates")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(updates_dir)
+    rows = [("a", 39.928167, 116.389550, 100), ("b", 39.928667, 116.389550, 100),
+            ("c", 31.230416, 121.473701, 100)]
+    df = spark.createDataFrame(rows, streaming.POS_SCHEMA) \
+        .withColumn("event_time", F.to_timestamp(F.lit("2026-01-01 00:00:30")))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(updates_dir, "b0"))
+    stream = (spark.readStream
+              .schema("msisdn string, lat double, lon double, ts long, event_time timestamp")
+              .parquet(updates_dir + "/b*"))
+    counts = streaming.cell_count_stream(stream)
+    q = (counts.writeStream.format("memory").queryName("cellcounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["geohash"]: r["n"] for r in spark.sql("SELECT * FROM cellcounts").collect()}
+    assert got == {"wx4g0": 2, "wtw3s": 1}

@@ -107,7 +107,7 @@ def test_quality_and_tokens(spark):
     assert q[0]["quality"] == 1.0 and q[1]["quality"] == 0.0
     assert q[0]["n_tokens"] == 13
     t = {r["doc_id"]: r["n_tokens"] for r in textops.token_count(df).collect()}
-    assert t[0] == 13  # no words >= 6 chars except 'looked' (6 chars -> +1)
+    assert t[0] == 14  # 13 words + 1 subword split for 'looked' (6 chars)
     assert t[1] == 1
 
 

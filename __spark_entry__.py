@@ -271,8 +271,8 @@ def _q14_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q15_langid(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return (textops.lang_scores(docs).groupBy("lang_pred")
-            .agg(F.count("*").alias("n")).orderBy("lang_pred"))
+    return (textops.lang_scores(docs).groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n")).orderBy("lang", "lang_pred"))
 
 
 def _q16_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -350,6 +350,65 @@ def _q25_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", F.round("value", 2).alias("value")).orderBy("user_id")
 
 
+def _q26_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q27_setops(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    click = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buy = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.where((F.col("event_type") == "error") & (F.col("value") > 300.0)) \
+        .select("user_id").distinct()
+    return click.intersect(buy).exceptAll(err).orderBy("user_id")
+
+
+def _q28_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    with_big = cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi")
+    return (with_big.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+def _q29_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (ev.groupBy(bucket).pivot("event_type", types).count()
+            .na.fill(0, types)  # empty pivot groups are 0, not null
+            .orderBy("user_bucket"))
+
+
+def _q30_compat_json(spark: SparkSession, sf: str) -> DataFrame:
+    pos = _positions_df(spark, sf).withColumnRenamed("event_id", "msisdn")
+    pos = pos.withColumn("msisdn", F.col("msisdn").cast("string")) \
+        .withColumn("ts", F.unix_timestamp("ts"))
+    return engine.format_positions_json(pos).orderBy("json").limit(500)
+
+
+def _q31_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior-or-equal
+    click ts of the same user (window form — no self-join shuffle)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    click_ts = F.last(F.when(F.col("event_type") == "click",
+                             F.unix_timestamp("ts")), ignorenulls=True).over(w)
+    # coalesce to -1: a nullable BIGINT comes back from DuckDB->pandas
+    # as float64, which would break value comparison
+    click_ts = F.coalesce(click_ts, F.lit(-1).cast("long"))
+    return (ev.withColumn("last_click_ts", click_ts)
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "last_click_ts")
+            .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -377,6 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_pool_state": _q23_pool_state,
         "q24_compat_cell_counts": _q24_compat_cells,
         "q25_upsert_lww": _q25_upsert,
+        "q26_rollup_agg": _q26_rollup,
+        "q27_set_ops": _q27_setops,
+        "q28_semi_join": _q28_semijoin,
+        "q29_pivot": _q29_pivot,
+        "q30_compat_json_sink": _q30_compat_json,
+        "q31_asof_window": _q31_asof,
     }
 
 
@@ -560,13 +625,13 @@ ORDER BY source
     pred = "CASE " + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
     sqls["q15_lang_id"] = f"""
 WITH scored AS (
-  SELECT {lang_score_cols}
+  SELECT lang, {lang_score_cols}
   FROM documents
 )
-SELECT {pred} AS lang_pred, count(*) AS n
+SELECT lang, {pred} AS lang_pred, count(*) AS n
 FROM scored
-GROUP BY 1
-ORDER BY lang_pred
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
 """
 
     sqls["q18_ngram_jaccard"] = r"""
@@ -633,6 +698,67 @@ FROM pos
 GROUP BY 1
 HAVING count(*) >= 2
 ORDER BY geohash
+"""
+
+    sqls["q26_rollup_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sqls["q27_set_ops"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+ORDER BY user_id
+"""
+
+    sqls["q28_semi_join"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+    sqls["q29_pivot"] = """
+SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS "view"
+FROM events
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+    sqls["q30_compat_json_sink"] = f"""
+WITH {_POS_CTE}
+SELECT printf('{{"Msisdn":"%s","Latitude":"%f","Longitude":"%f","CurrTime":"%d"}}',
+              CAST(event_id AS VARCHAR), lat, lon, CAST(floor(epoch(ts)) AS BIGINT)) AS json
+FROM pos
+ORDER BY json
+LIMIT 500
+"""
+
+    sqls["q31_asof_window"] = """
+SELECT event_id, user_id, coalesce(last_click_ts, -1) AS last_click_ts
+FROM (
+  SELECT event_id, user_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+)
+WHERE event_type = 'purchase'
+ORDER BY event_id
 """
 
     sqls["q25_upsert_lww"] = """

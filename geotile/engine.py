@@ -106,8 +106,13 @@ def radius_search_compat(positions: DataFrame, qlat: float, qlon: float,
     cells = gh.candidate_cells_ref(qlat, qlon, radius_m)
     if not cells:
         return positions.where(F.lit(False))
-    dist = udfs.distance_ref_udf()(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
-    return (positions.where(F.col(cell_col).isin(cells))
+    dist = udfs.distance_ref_udf().asNondeterministic()(
+        F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
+    pred = F.col(cell_col).isin(cells)
+    pp = _prefix_pruning(positions, cells)
+    if pp is not None:
+        pred = pp & pred
+    return (positions.where(pred)
             .withColumn("dist_m", dist)
             .where(F.col("dist_m") <= radius_m))
 
@@ -131,6 +136,19 @@ def _fit_cover_radius(qlat: float, qlon: float, radius_m: float,
     return _fit_cover_bbox(*gh.bbox_correct(qlat, qlon, radius_m), nchars, max_cells)
 
 
+PREFIX_COL = "gh2"  # stored tables partition by the 2-char cell prefix
+
+
+def _prefix_pruning(df: DataFrame, cells: Sequence[str]) -> Column | None:
+    """Partition-pruning predicate on the table's cell-prefix partition
+    column (PartitionFilters at the scan), when applicable."""
+    if PREFIX_COL not in df.columns or not cells:
+        return None
+    if min(len(c) for c in cells) < 2:
+        return None  # cover coarser than the partition prefix
+    return F.col(PREFIX_COL).isin(sorted({c[:2] for c in cells}))
+
+
 def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: float,
                   nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
                   lat: str = "lat", lon: str = "lon") -> DataFrame:
@@ -142,7 +160,13 @@ def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: floa
     n, cells = _fit_cover_radius(qlat, qlon, radius_m, nchars)
     pred = (F.col(cell_col).isin(cells) if n == nchars
             else F.substring(F.col(cell_col), 1, n).isin(cells))
-    dist = udfs.haversine_udf()(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
+    pp = _prefix_pruning(positions, cells)
+    if pp is not None:
+        pred = pp & pred
+    # asNondeterministic: stops Catalyst duplicating the UDF into both
+    # the projection and the pushed filter (one Arrow pass, not two)
+    dist = udfs.haversine_udf().asNondeterministic()(
+        F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
     return (positions.where(pred)
             .withColumn("dist_m", dist)
             .where(F.col("dist_m") <= radius_m))
@@ -168,14 +192,19 @@ def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_
     for n, rows in by_n.items():
         cov = spark.createDataFrame(rows, f"{qid} long, cell string")
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
-        parts.append(positions.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+        side = positions
+        pp = _prefix_pruning(positions, [r[1] for r in rows])
+        if pp is not None:
+            side = side.where(pp)
+        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
     if not parts:
         return positions.where(F.lit(False)).withColumn(qid, F.lit(None).cast("long"))
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.unionByName(p)
     joined = joined.join(F.broadcast(queries.select(qid, qlat, qlon, radius)), qid, "inner")
-    dist = udfs.haversine_udf()(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
+    dist = udfs.haversine_udf().asNondeterministic()(
+        F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
     return (joined.withColumn("dist_m", dist)
             .where(F.col("dist_m") <= F.col(radius)))
 
@@ -252,6 +281,9 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         # literal IN prefilter reaches the parquet scan; skip it when the
         # list would bloat the plan (the broadcast join still filters)
         pruned = positions.where(key.isin(all_cells)) if len(all_cells) <= 4096 else positions
+        pp = _prefix_pruning(positions, all_cells)
+        if pp is not None:
+            pruned = pruned.where(pp)
         cand = pruned.join(F.broadcast(cand_cells), key == cand_cells["cell"], "inner")
         cand = (cand.withColumn("dist_m", hv(F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
                 .withColumn("_rn", F.row_number().over(w))
@@ -320,7 +352,11 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
     for n, rows in by_n.items():
         cov = spark.createDataFrame(rows, f"{poly_id} long, cell string")
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
-        parts.append(points.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+        side = points
+        pp = _prefix_pruning(points, [r[1] for r in rows])
+        if pp is not None:
+            side = side.where(pp)
+        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
     if not parts:
         return points.where(F.lit(False)).withColumn(poly_id, F.lit(None).cast("long"))
     j = parts[0]
@@ -347,8 +383,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
             out[idxs] = gh.point_in_polygon(lat_np[idxs], lon_np[idxs], v_la, v_lo)
         return pd.Series(out)
 
-    return (j.withColumn("_inside", _pip(F.col(lat), F.col(lon),
-                                         F.col(poly_lat), F.col(poly_lon)))
+    return (j.withColumn("_inside", _pip.asNondeterministic()(
+                F.col(lat), F.col(lon), F.col(poly_lat), F.col(poly_lon)))
             .where(F.col("_inside"))
             .drop("_inside", poly_lat, poly_lon))
 
@@ -386,7 +422,11 @@ def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
     for n, rows in by_n.items():
         cover = spark.createDataFrame(rows, schema)
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
-        parts.append(points.join(F.broadcast(cover), key == cover["cell"], "inner"))
+        side = points
+        pp = _prefix_pruning(points, [r[1] for r in rows])
+        if pp is not None:
+            side = side.where(pp)
+        parts.append(side.join(F.broadcast(cover), key == cover["cell"], "inner"))
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)

@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import engine, extract, synth, table, udfs
+from . import engine, extract, synth, table
 
 
 def poi_queries(spark: SparkSession, radius_m: float = 50000.0) -> DataFrame:
@@ -44,21 +44,70 @@ def stage_pages(spark: SparkSession, workdir: str, n: int, partitions: int | Non
     return path
 
 
+POINTS_SCHEMA = ("url string, lat double, lon double, geohash string, "
+                 "gh2 string, s2_cell long, tile string")
+
+
+def _points_batches(nchars: int):
+    """Fused pages -> points transform: html re-extraction + byte-
+    identical check + mention parse + geohash/S2/tile assignment in ONE
+    Arrow pass (five separate pandas-UDF stages would cross the JVM <->
+    Python boundary five times; this crosses once)."""
+    import numpy as np
+    import pandas as pd
+
+    from .kernel import geohash_np as gh
+    from .kernel import s2_np, tiles_np
+
+    def _tile_strings(lat, lon):
+        x, y = tiles_np.tile_xy(lat, lon, 12)
+        return pd.Series(x).astype(str).radd("12/").str.cat(
+            pd.Series(y).astype(str), sep="/").to_numpy()
+
+    def _fn(batches):
+        for pdf in batches:
+            text = extract.extract_text_pd(pdf["html"]).reset_index(drop=True)
+            stored = pdf["text"].reset_index(drop=True)
+            ok = (text == stored).to_numpy()
+            t = text[ok].reset_index(drop=True)
+            urls = pdf["url"].reset_index(drop=True)[ok].reset_index(drop=True)
+            m = extract.parse_mentions_pd(t)
+            if not len(m):
+                yield pd.DataFrame({c.split(" ")[0]: [] for c in POINTS_SCHEMA.split(", ")})
+                continue
+            lat = m["lat"].to_numpy()
+            lon = m["lon"].to_numpy()
+            cells = gh.encode(lat, lon, nchars)
+            yield pd.DataFrame({
+                "url": urls.iloc[m["row_idx"]].to_numpy(),
+                "lat": lat,
+                "lon": lon,
+                "geohash": cells,
+                "gh2": pd.Series(cells).str[:2].to_numpy(),
+                "s2_cell": s2_np.cell_id(lat, lon, 10).astype(np.int64),
+                "tile": _tile_strings(lat, lon),
+            })
+
+    return _fn
+
+
 def stage_points(spark: SparkSession, workdir: str, nchars: int = 5) -> str:
     pages_path = os.path.join(workdir, "pages")
     path = os.path.join(workdir, "points")
     params = {"nchars": nchars}
     if not table.is_complete(path, parents=[pages_path], params=params):
         pages = table.read_stage(spark, pages_path)
-        # re-extract from html and enforce the byte-identical invariant
-        pts = extract.with_text(pages, out="text2")
-        pts = pts.withColumn("_text_ok", F.col("text") == F.col("text2"))
-        pts = extract.with_mentions(pts, text_col="text2")
-        points = extract.explode_mentions(pts.where(F.col("_text_ok")))
-        points = engine.with_cell(points, nchars=nchars)
-        points = points.withColumn("gh2", F.substring("geohash", 1, 2))
-        points = points.withColumn("s2_cell", udfs.s2_cell_udf(10)(F.col("lat"), F.col("lon")))
-        points = points.withColumn("tile", udfs.tile_udf(12)(F.col("lat"), F.col("lon")))
+        # spread the UDF-heavy stage across every core even when the
+        # input collapses into few splits (html compresses well)
+        target = spark.sparkContext.defaultParallelism * 2
+        if pages.rdd.getNumPartitions() < target:
+            pages = pages.repartition(target)
+        points = pages.mapInPandas(_points_batches(nchars), schema=POINTS_SCHEMA)
+        # cluster rows by partition value (+ salt so a hot city cell
+        # splits across tasks) BEFORE the partitioned write: bounds the
+        # small-file count at tasks-per-cell instead of tasks*cells
+        points = points.repartition(target, F.col("gh2"),
+                                    F.pmod(F.xxhash64("url"), F.lit(8)))
         table.write_stage(points, path, partition_by=["gh2"],
                           parents=[pages_path], params=params)
     return path
@@ -86,9 +135,19 @@ def stage_rollup(spark: SparkSession, workdir: str) -> str:
     return path
 
 
+def warm_up(spark: SparkSession) -> None:
+    """Pre-fork the Python UDF workers at full parallelism.  On a real
+    cluster executors (and their python daemons) are long-lived; in a
+    fresh local JVM the first pandas stage would otherwise pay ~0.5 s
+    per worker fork, which pollutes scaling measurements."""
+    p = spark.sparkContext.defaultParallelism
+    spark.range(0, p, 1, p).mapInPandas(lambda it: it, schema="id bigint").count()
+
+
 def run_pipeline(spark: SparkSession, workdir: str, n: int,
                  partitions: int | None = None) -> dict:
     """Run (or resume) all stages; returns timing + row metrics."""
+    warm_up(spark)
     t0 = time.time()
     stage_pages(spark, workdir, n, partitions)
     t1 = time.time()

@@ -32,6 +32,27 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest.json"
 
 
+def _footer_counts(path: str, partition_by: list[str]) -> dict[str, int]:
+    """Per-partition row counts from the parquet FOOTERS of what landed
+    on disk — ground truth without a table scan (footer reads are
+    milliseconds; at cluster scale the table format's own manifests
+    provide the same numbers)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        kv = dict(seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg)
+        key = "|".join(kv.get(c, "") for c in partition_by) if partition_by else ""
+        for fname in files:
+            if fname.endswith(".parquet"):
+                n = pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+                counts[key] = counts.get(key, 0) + n
+    if not counts:
+        counts[""] = 0
+    return counts
+
+
 def _schema_fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(df.schema.json().encode()).hexdigest()[:16]
 
@@ -56,20 +77,12 @@ def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
 
-    spark = df.sparkSession
-    # explicit schema: an empty stage writes no data files, and the
-    # schema must survive that (the manifest also records it)
-    written = spark.read.schema(df.schema).parquet(path)
-    if partition_by:
-        counts = {"|".join(str(r[c]) for c in partition_by): r["n"]
-                  for r in written.groupBy(*partition_by).agg(F.count("*").alias("n")).collect()}
-    else:
-        counts = {"": written.count()}
+    counts = _footer_counts(path, list(partition_by))
     manifest = {
         "format_version": 1,
         "committed_at": time.time(),
         "schema_json": df.schema.json(),
-        "schema_fingerprint": _schema_fingerprint(written),
+        "schema_fingerprint": _schema_fingerprint(df),
         "lineage": _lineage_hash(parent_hashes, params),
         "partition_by": list(partition_by),
         "partitions": counts,

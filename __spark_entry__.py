@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geotile import engine, extract, synth, textops, simsearch
+from geotile import engine, extract, multimodal, synth, textops, simsearch
 from geotile.kernel import geohash_np as gh
 
 # ---------------------------------------------------------------------------
@@ -409,6 +409,60 @@ def _q31_asof(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def _q32_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over events; integer-exact measures.  Group
+    keys are coalesced to sentinels so null-ordering differences
+    between engines cannot reorder rows."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = (ev.cube(F.col("event_type"), (F.col("user_id") % 5).alias("user_bucket"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.floor("value").cast("long")).alias("sum_floor_value")))
+    return (out.select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                       F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+                       "n_events", "sum_floor_value")
+            .orderBy("event_type", "user_bucket"))
+
+
+def _q33_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint overlap pairs (Schleimer et al. local
+    fingerprinting) — docs sharing >= 3 fingerprints.  Non-SQL (numpy
+    rolling-hash signatures) -> rows-only check."""
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 300))
+    fp = textops.winnow_fingerprints(docs)
+    ex = fp.select("doc_id", F.explode("fingerprints").alias("fp"))
+    l = ex.alias("l")
+    r = ex.alias("r")
+    return (l.join(r, (F.col("l.fp") == F.col("r.fp"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .agg(F.count_distinct("l.fp").alias("shared_fps"))
+            .where(F.col("shared_fps") >= 3)
+            .orderBy("a", "b"))
+
+
+def _q34_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: typed fake media columns over
+    documents + video frame sampling (sequence/explode — built-ins)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    media = multimodal.attach_fake_media(docs)
+    return (multimodal.sample_frames(media, every_ms=5000)
+            .select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
+            .orderBy("media_id", "frame_ms"))
+
+
+def _q35_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (deterministic seeded
+    sample), nprobe nearest lists, exact cosine refine.  Iterative
+    k-means -> rows-only check."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _embedding_query(sf)
+    cents = simsearch.train_centroids(emb.orderBy("vec_id"), n_centroids=8, sample=512)
+    got = simsearch.ivf_topk(emb, qv, cents, k=10, nprobe=3)
+    return (got.select("vec_id", F.round("cosine", 4).alias("cos4"))
+            .orderBy(F.col("cos4").desc(), "vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -442,6 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_pivot": _q29_pivot,
         "q30_compat_json_sink": _q30_compat_json,
         "q31_asof_window": _q31_asof,
+        "q32_cube_agg": _q32_cube,
+        "q33_winnow_pairs": _q33_winnow,
+        "q34_frame_sample": _q34_frames,
+        "q35_ivf_ann_topk": _q35_ivf,
     }
 
 
@@ -793,6 +851,25 @@ LIMIT 10
     except Exception:
         pass  # no embeddings parquet available -> rows-only check
 
+    sqls["q32_cube_agg"] = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(user_id % 5, -1) AS BIGINT) AS user_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 5)
+ORDER BY event_type, user_bucket
+"""
+
+    sqls["q34_frame_sample"] = """
+SELECT doc_id AS media_id, CAST(f.frame_ms AS BIGINT) AS frame_ms
+FROM documents,
+     UNNEST(generate_series(0, CAST(doc_id * 97 % 600000 AS BIGINT), 5000)) AS f(frame_ms)
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_ms
+"""
+
     # q11 (S2 Hilbert ids), q16/q17 (MinHash/SimHash signatures), q20
-    # (LSH ANN): not ANSI-SQL-expressible -> driver rows-only checks.
+    # (LSH ANN), q33 (winnowing signatures), q35 (iterative k-means):
+    # not ANSI-SQL-expressible -> driver rows-only checks.
     return sqls

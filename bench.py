@@ -24,7 +24,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pages scaled to the sf of the relational tables (sf0.1 ~ 600k lineitem)
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
-WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR", "/tmp/geotile_bench")
+# tmpfs scratch: all local threads share one block device in this
+# sandbox; real executors own their local disks (see BENCH/BASELINE.md)
+WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR", "/dev/shm/geotile_bench")
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/geotile_bench_local")
 
 
 def main() -> None:

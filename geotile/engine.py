@@ -163,16 +163,14 @@ def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: floa
     pp = _prefix_pruning(positions, cells)
     if pp is not None:
         pred = pp & pred
-    # asNondeterministic: stops Catalyst duplicating the UDF into both
-    # the projection and the pushed filter (one Arrow pass, not two)
-    dist = udfs.haversine_udf().asNondeterministic()(
-        F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
+    # native-expression refine: stays inside whole-stage codegen
+    dist = udfs.haversine_col(F.lit(qlat), F.lit(qlon), F.col(lat), F.col(lon))
     return (positions.where(pred)
             .withColumn("dist_m", dist)
             .where(F.col("dist_m") <= radius_m))
 
 
-def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_NCHARS,
+def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
                 cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
                 qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
                 radius: str = "radius_m") -> DataFrame:
@@ -180,17 +178,32 @@ def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_
     (POI sets, dims) — their covers are computed driver-side, grouped by
     the (adaptive) cover precision, and broadcast; each precision group
     equi-joins the big positions table on the cell prefix; exact
-    haversine refine follows the join.  Positions are never shuffled,
-    and covers stay <= ~1k cells per query regardless of radius."""
+    haversine refine (a NATIVE expression — no Python in the hot path)
+    follows the join.  Positions are never shuffled, and covers stay
+    <= ~1k cells per query regardless of radius.
+
+    ``queries``: either a DataFrame with (qid, qlat, qlon, radius)
+    columns, or — the zero-round-trip path for driver-side-constant
+    query sets — a sequence of (query_id, qlat, qlon, radius_m) tuples.
+    The query attributes ride inside the broadcast cover rows, so the
+    whole join is ONE broadcast hash join + codegen filter."""
     spark = positions.sparkSession
-    qrows = queries.select(qid, qlat, qlon, radius).collect()
-    by_n: dict[int, list[tuple[int, str]]] = {}
-    for r in qrows:
-        n, cells = _fit_cover_radius(float(r[qlat]), float(r[qlon]), float(r[radius]), nchars)
-        by_n.setdefault(n, []).extend((int(r[qid]), c) for c in cells)
+    if isinstance(queries, DataFrame):
+        qrows = [(int(r[qid]), float(r[qlat]), float(r[qlon]), float(r[radius]))
+                 for r in queries.select(qid, qlat, qlon, radius).collect()]
+    else:
+        qrows = [(int(a), float(b), float(c), float(d)) for a, b, c, d in queries]
+    by_n: dict[int, list[tuple]] = {}
+    for q_id, q_la, q_lo, q_r in qrows:
+        n, cells = _fit_cover_radius(q_la, q_lo, q_r, nchars)
+        by_n.setdefault(n, []).extend((q_id, c, q_la, q_lo, q_r) for c in cells)
     parts = []
     for n, rows in by_n.items():
-        cov = spark.createDataFrame(rows, f"{qid} long, cell string")
+        # pandas -> Arrow conversion path: driver-side covers can reach
+        # ~1k cells x many queries; tuple-list conversion is slow
+        cov = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[qid, "cell", qlat, qlon, radius]),
+            f"{qid} long, cell string, {qlat} double, {qlon} double, {radius} double")
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
         side = positions
         pp = _prefix_pruning(positions, [r[1] for r in rows])
@@ -198,13 +211,16 @@ def radius_join(positions: DataFrame, queries: DataFrame, nchars: int = DEFAULT_
             side = side.where(pp)
         parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
     if not parts:
-        return positions.where(F.lit(False)).withColumn(qid, F.lit(None).cast("long"))
+        return (positions.where(F.lit(False))
+                .withColumn(qid, F.lit(None).cast("long"))
+                .withColumn(qlat, F.lit(None).cast("double"))
+                .withColumn(qlon, F.lit(None).cast("double"))
+                .withColumn(radius, F.lit(None).cast("double"))
+                .withColumn("dist_m", F.lit(None).cast("double")))
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.unionByName(p)
-    joined = joined.join(F.broadcast(queries.select(qid, qlat, qlon, radius)), qid, "inner")
-    dist = udfs.haversine_udf().asNondeterministic()(
-        F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
+    dist = udfs.haversine_col(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
     return (joined.withColumn("dist_m", dist)
             .where(F.col("dist_m") <= F.col(radius)))
 
@@ -255,7 +271,6 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
     mapinfo.cpp:455-458); this is the north_rule's kNN operator.
     """
     spark = positions.sparkSession
-    hv = udfs.haversine_udf()
     if nchars is None:
         if n_total is None:
             n_total = positions.count()
@@ -276,7 +291,9 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
             i_lat, i_lon, _ = gh.decode_ij(gh.encode(q_lat, q_lon, nchars))
             cells = gh.disk(int(i_lat[0]), int(i_lon[0]), nchars, ring)
             rows.extend((int(q_id), float(q_lat), float(q_lon), str(c)) for c in cells)
-        cand_cells = spark.createDataFrame(rows, "query_id long, qlat double, qlon double, cell string")
+        cand_cells = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "qlat", "qlon", "cell"]),
+            "query_id long, qlat double, qlon double, cell string")
         all_cells = sorted({r[3] for r in rows})
         # literal IN prefilter reaches the parquet scan; skip it when the
         # list would bloat the plan (the broadcast join still filters)
@@ -285,7 +302,8 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         if pp is not None:
             pruned = pruned.where(pp)
         cand = pruned.join(F.broadcast(cand_cells), key == cand_cells["cell"], "inner")
-        cand = (cand.withColumn("dist_m", hv(F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
+        cand = (cand.withColumn("dist_m", udfs.haversine_col(
+                    F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
                 .persist())
@@ -350,7 +368,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
         by_n.setdefault(n, []).extend((int(r[poly_id]), c) for c in cells)
     parts = []
     for n, rows in by_n.items():
-        cov = spark.createDataFrame(rows, f"{poly_id} long, cell string")
+        cov = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[poly_id, "cell"]), f"{poly_id} long, cell string")
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
         side = points
         pp = _prefix_pruning(points, [r[1] for r in rows])
@@ -420,7 +439,9 @@ def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
               "t_mnlo double, t_mxlo double")
     parts = []
     for n, rows in by_n.items():
-        cover = spark.createDataFrame(rows, schema)
+        cover = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["tile", "cell", "t_mnla", "t_mxla",
+                                        "t_mnlo", "t_mxlo"]), schema)
         key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
         side = points
         pp = _prefix_pruning(points, [r[1] for r in rows])

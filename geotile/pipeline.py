@@ -39,6 +39,12 @@ def stage_pages(spark: SparkSession, workdir: str, n: int, partitions: int | Non
     path = os.path.join(workdir, "pages")
     params = {"n": n}
     if not table.is_complete(path, params=params):
+        # fixed fan-out independent of the session's core count: the
+        # stored table's file/row-group layout (hence every downstream
+        # scan's split balance) must not depend on the parallelism the
+        # ingest happened to run at
+        if partitions is None:
+            partitions = int(os.environ.get("SPARK_GRAFT_PAGES_PARTITIONS", "16"))
         df = synth.synth_pages(spark, n, partitions)
         table.write_stage(df, path, parents=(), params=params)
     return path
@@ -103,13 +109,39 @@ def stage_points(spark: SparkSession, workdir: str, nchars: int = 5) -> str:
         if pages.rdd.getNumPartitions() < target:
             pages = pages.repartition(target)
         points = pages.mapInPandas(_points_batches(nchars), schema=POINTS_SCHEMA)
-        # cluster rows by partition value (+ salt so a hot city cell
-        # splits across tasks) BEFORE the partitioned write: bounds the
-        # small-file count at tasks-per-cell instead of tasks*cells
-        points = points.repartition(target, F.col("gh2"),
-                                    F.pmod(F.xxhash64("url"), F.lit(8)))
-        table.write_stage(points, path, partition_by=["gh2"],
-                          parents=[pages_path], params=params)
+        # Two write layouts, both ending in a gh2-partitioned table:
+        #
+        # * "sorted" (default): sortWithinPartitions(gh2, geohash) then
+        #   write — a NARROW per-task sort, no shuffle, no second pass
+        #   over the UDF output.  File count = tasks x dirs-touched;
+        #   rows inside each file are cell-clustered so row-group
+        #   min/max stats prune later scans.  Small files are the
+        #   table-format compactor's job at cluster scale (and the scan
+        #   packs them into splits here).
+        #
+        # * "range": repartitionByRange(gh2, geohash) first — each task
+        #   then holds a contiguous cell range, so file count ~ tasks
+        #   and files are size-balanced even under hot-city skew.  The
+        #   right choice for a 1000-executor run writing one file per
+        #   task; costs a full extra pass (the range partitioner SAMPLES
+        #   its child, so the UDF output must be persisted to avoid
+        #   re-executing the extract stage) plus a shuffle of the table.
+        cluster = os.environ.get("SPARK_GRAFT_CLUSTER_WRITE", "sorted")
+        if cluster == "range":
+            from pyspark import StorageLevel
+
+            points = points.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                clustered = points.repartitionByRange(
+                    target, F.col("gh2"), F.col("geohash"))
+                table.write_stage(clustered, path, partition_by=["gh2"],
+                                  parents=[pages_path], params=params)
+            finally:
+                points.unpersist()
+        else:
+            clustered = points.sortWithinPartitions(F.col("gh2"), F.col("geohash"))
+            table.write_stage(clustered, path, partition_by=["gh2"],
+                              parents=[pages_path], params=params)
     return path
 
 
@@ -119,7 +151,11 @@ def stage_join(spark: SparkSession, workdir: str, radius_m: float = 50000.0) -> 
     params = {"radius_m": radius_m}
     if not table.is_complete(path, parents=[points_path], params=params):
         points = table.read_stage(spark, points_path)
-        joined = engine.radius_join(points, poi_queries(spark, radius_m))
+        # query set is a driver-side constant -> tuple fast path (no
+        # createDataFrame/collect round-trip in the timed stage)
+        qrows = [(i, lat, lon, radius_m)
+                 for i, (_name, lat, lon) in enumerate(synth.CITIES)]
+        joined = engine.radius_join(points, qrows)
         table.write_stage(joined.select("url", "query_id", "geohash", "dist_m"),
                           path, parents=[points_path], params=params)
     return path
@@ -135,27 +171,57 @@ def stage_rollup(spark: SparkSession, workdir: str) -> str:
     return path
 
 
-def warm_up(spark: SparkSession) -> None:
-    """Pre-fork the Python UDF workers at full parallelism.  On a real
-    cluster executors (and their python daemons) are long-lived; in a
-    fresh local JVM the first pandas stage would otherwise pay ~0.5 s
-    per worker fork, which pollutes scaling measurements."""
+def warm_up(spark: SparkSession, workdir: str | None = None) -> None:
+    """Pre-fork the Python UDF workers at full parallelism and JIT-warm
+    the codegen/parquet/broadcast paths with a micro dry run.  On a real
+    cluster executors (and their python daemons) are long-lived and the
+    JVM is hot; in a fresh local JVM the first pandas stage pays ~0.5 s
+    per worker fork and the first join/write pays seconds of JIT and
+    codegen compilation, which pollutes scaling measurements."""
     p = spark.sparkContext.defaultParallelism
     spark.range(0, p, 1, p).mapInPandas(lambda it: it, schema="id bigint").count()
+    if workdir is not None:
+        scratch = os.path.join(workdir, "_warmup")
+        pages = synth.synth_pages(spark, 2000, p)
+        pts = pages.mapInPandas(_points_batches(5), schema=POINTS_SCHEMA)
+        qrows = [(i, lat, lon, 50000.0)
+                 for i, (_name, lat, lon) in enumerate(synth.CITIES)]
+        j = engine.radius_join(pts, qrows)
+        j.select("url", "query_id", "geohash", "dist_m").write.mode(
+            "overwrite").parquet(os.path.join(scratch, "j"))
+        engine.salted_cell_counts(pts).write.mode("overwrite").parquet(
+            os.path.join(scratch, "r"))
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def run_pipeline(spark: SparkSession, workdir: str, n: int,
                  partitions: int | None = None) -> dict:
-    """Run (or resume) all stages; returns timing + row metrics."""
-    warm_up(spark)
+    """Run (or resume) all stages; returns timing + row metrics.
+
+    ``joined`` and ``rollup`` are independent consumers of ``points``,
+    so they run as CONCURRENT Spark jobs (two driver threads; the
+    scheduler interleaves their tasks) — standard DAG-level parallelism
+    that fills scheduling gaps instead of serializing two scans."""
+    warm_up(spark, workdir)
     t0 = time.time()
     stage_pages(spark, workdir, n, partitions)
     t1 = time.time()
     stage_points(spark, workdir)
     t2 = time.time()
-    stage_join(spark, workdir)
-    t3 = time.time()
-    stage_rollup(spark, workdir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _timed(fn, *a):
+        s = time.time()
+        fn(*a)
+        return time.time() - s
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_join = ex.submit(_timed, stage_join, spark, workdir)
+        f_rollup = ex.submit(_timed, stage_rollup, spark, workdir)
+        d_join = f_join.result()
+        d_rollup = f_rollup.result()
     t4 = time.time()
     m_pages = table.read_manifest(os.path.join(workdir, "pages"))
     m_points = table.read_manifest(os.path.join(workdir, "points"))
@@ -163,8 +229,8 @@ def run_pipeline(spark: SparkSession, workdir: str, n: int,
     return {
         "pages": m_pages["total_rows"], "points": m_points["total_rows"],
         "joined": m_joined["total_rows"],
-        "t_pages": t1 - t0, "t_points": t2 - t1, "t_join": t3 - t2,
-        "t_rollup": t4 - t3, "t_total": t4 - t0,
+        "t_pages": t1 - t0, "t_points": t2 - t1, "t_join": d_join,
+        "t_rollup": d_rollup, "t_spatial": t4 - t2, "t_total": t4 - t0,
         "pages_per_sec": m_pages["total_rows"] / max(t4 - t0, 1e-9),
     }
 

@@ -34,7 +34,21 @@ def get_spark(app: str = "geotile", cores: int | None = None,
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # scale JVM GC threads with the executor-thread count: by default
+        # the JVM sizes GC for every host core, which would hand a
+        # local[1] run 32 hidden GC threads and skew N-vs-4N scaling
+        # comparisons (a real 1-core executor has 1-2 GC threads)
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ParallelGCThreads={max(2, cores)} -XX:ConcGCThreads={max(1, cores // 4)}")
     )
+    # Shuffle/spill scratch space.  On a real cluster every executor has
+    # its own local disks; in this sandbox all threads share one device,
+    # so scaling runs point this at tmpfs to measure the engine, not the
+    # single shared disk.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -37,18 +37,23 @@ def _footer_counts(path: str, partition_by: list[str]) -> dict[str, int]:
     on disk — ground truth without a table scan (footer reads are
     milliseconds; at cluster scale the table format's own manifests
     provide the same numbers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    counts: dict[str, int] = {}
+    jobs: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(path):
         rel = os.path.relpath(root, path)
         kv = dict(seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg)
         key = "|".join(kv.get(c, "") for c in partition_by) if partition_by else ""
-        for fname in files:
-            if fname.endswith(".parquet"):
-                n = pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+        jobs.extend((key, os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    counts: dict[str, int] = {}
+    if jobs:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for (key, _), n in zip(jobs, ex.map(
+                    lambda j: pq.ParquetFile(j[1]).metadata.num_rows, jobs)):
                 counts[key] = counts.get(key, 0) + n
-    if not counts:
+    else:
         counts[""] = 0
     return counts
 

@@ -297,8 +297,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     def _fp(text: pd.Series) -> pd.Series:
         res = []
         for t in text:
-            hs = _shingle_hashes(t or "", k)  # note: unique-sorted
-            # winnowing needs positional order; recompute without unique
+            # winnowing needs positional order, so the rolling hash is
+            # computed here without the unique() that _shingle_hashes does
             b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
             if b.shape[0] < k + window - 1:
                 res.append([])

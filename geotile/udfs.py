@@ -42,8 +42,23 @@ def geohash_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
     return _enc
 
 
+def haversine_col(lat1, lon1, lat2, lon2):
+    """Correct great-circle meters as a NATIVE column expression — the
+    production refine predicate.  Stays inside whole-stage codegen (no
+    JVM<->Python crossing at all); same formula and sphere radius as
+    :func:`geotile.kernel.geohash_np.haversine_m`."""
+    from pyspark.sql import functions as F
+
+    la1, lo1, la2, lo2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
+    a = (F.pow(F.sin((la2 - la1) / 2), 2)
+         + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2))
+    return (F.lit(2.0 * gh.EARTH_RADIUS_M)
+            * F.asin(F.sqrt(F.greatest(F.lit(0.0), F.least(F.lit(1.0), a)))))
+
+
 def haversine_udf():
-    """Correct great-circle meters (production refine predicate)."""
+    """Correct great-circle meters (pandas-UDF form, for callers that
+    need the numpy kernel; the engine hot path uses :func:`haversine_col`)."""
 
     @pandas_udf(DoubleType())
     def _dist(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:

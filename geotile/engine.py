@@ -381,31 +381,32 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)
-    j = j.join(F.broadcast(polygons), poly_id, "inner")
+
+    # polygon vertices travel in the UDF CLOSURE keyed by poly_id (the
+    # dim side is small by contract) — the join never ships vertex
+    # arrays per row, and the refine groups rows by poly_id with
+    # np.unique: one vectorized ray-cast per polygon per batch, no
+    # per-row Python.
+    verts = {int(r[poly_id]): (np.asarray(r[poly_lat], dtype=np.float64),
+                               np.asarray(r[poly_lon], dtype=np.float64))
+             for r in prows}
 
     @F.pandas_udf("boolean")
-    def _pip(plat: pd.Series, plon: pd.Series, vlat: pd.Series, vlon: pd.Series) -> pd.Series:
+    def _pip(pid: pd.Series, plat: pd.Series, plon: pd.Series) -> pd.Series:
         out = np.zeros(len(plat), dtype=bool)
         lat_np = plat.to_numpy(np.float64)
         lon_np = plon.to_numpy(np.float64)
-        # group rows by polygon value within the batch -> one
-        # vectorized ray-cast per polygon
-        first: dict = {}
-        for i in range(len(plat)):
-            kk = (tuple(np.asarray(vlat.iloc[i]).tolist()),
-                  tuple(np.asarray(vlon.iloc[i]).tolist()))
-            first.setdefault(kk, []).append(i)
-        for kk, idxs in first.items():
-            idxs = np.asarray(idxs)
-            v_la = np.asarray(vlat.iloc[idxs[0]], dtype=np.float64)
-            v_lo = np.asarray(vlon.iloc[idxs[0]], dtype=np.float64)
+        pid_np = pid.to_numpy(np.int64)
+        for p_val in np.unique(pid_np):
+            idxs = np.nonzero(pid_np == p_val)[0]
+            v_la, v_lo = verts[int(p_val)]
             out[idxs] = gh.point_in_polygon(lat_np[idxs], lon_np[idxs], v_la, v_lo)
         return pd.Series(out)
 
     return (j.withColumn("_inside", _pip.asNondeterministic()(
-                F.col(lat), F.col(lon), F.col(poly_lat), F.col(poly_lon)))
+                F.col(poly_id), F.col(lat), F.col(lon)))
             .where(F.col("_inside"))
-            .drop("_inside", poly_lat, poly_lon))
+            .drop("_inside"))
 
 
 # ---------------------------------------------------------------------------

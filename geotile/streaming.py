@@ -117,6 +117,47 @@ def keyed_latest_stream(updates: DataFrame) -> DataFrame:
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def radius_join_stream(updates: DataFrame, queries) -> DataFrame:
+    """Continuous radius matching: every streamed position update is
+    joined against the (static, driver-side) query set — the streaming
+    form of the reference's feed loop that re-ran FindPos every 5 s
+    (/root/reference/LoadModule/LoadModule.cpp:76-84), except matches
+    are emitted exactly once per update instead of re-scanned.
+
+    ``queries``: sequence of (query_id, qlat, qlon, radius_m).  Plan:
+    stream-static broadcast join on the cell prefix (the static side is
+    the precomputed cell cover with query attrs inline) + native
+    haversine refine — no Python, no stream state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import udfs
+    from .engine import _fit_cover_radius
+
+    spark = updates.sparkSession
+    with_cell = engine.with_cell(updates)
+    by_n: dict[int, list[tuple]] = {}
+    for q_id, q_la, q_lo, q_r in queries:
+        n, cells = _fit_cover_radius(float(q_la), float(q_lo), float(q_r), 5)
+        by_n.setdefault(n, []).extend(
+            (int(q_id), c, float(q_la), float(q_lo), float(q_r)) for c in cells)
+    parts = []
+    for n, rows in by_n.items():
+        cov = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "cell", "qlat", "qlon", "radius_m"]),
+            "query_id long, cell string, qlat double, qlon double, radius_m double")
+        key = F.col("geohash") if n == 5 else F.substring(F.col("geohash"), 1, n)
+        parts.append(with_cell.join(F.broadcast(cov), key == cov["cell"], "inner")
+                     .drop("cell"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dist = udfs.haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    return (out.withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= F.col("radius_m"))
+            .drop("qlat", "qlon", "radius_m"))
+
+
 def cell_count_stream(updates: DataFrame, window: str = "1 minute",
                       watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window occupancy per cell — the streaming

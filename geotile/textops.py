@@ -137,30 +137,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit SimHash over whitespace tokens (sign of per-bit weighted
-    sums of token hashes).  Narrow map."""
-
-    def _word_hash(words: list[str]) -> np.ndarray:
-        # deterministic FNV-1a per word (Python's hash() is salted per
-        # process — NOT usable across executors)
-        out = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = 0xCBF29CE484222325
-            for byte in w.encode("utf-8"):
-                h = ((h ^ byte) * 0x100000001B3) & _MASK
-            out[i] = h
-        return out
+    sums of token hashes).  Narrow map, vectorized across the whole
+    Arrow batch: tokens explode to one flat array, word hashes come
+    from pandas' deterministic cython hasher (fixed key — stable across
+    executors/processes, unlike Python's salted ``hash()``), and the
+    per-document bit-majorities reduce via ``np.add.reduceat``."""
 
     @F.pandas_udf(LongType())
     def _sh(text: pd.Series) -> pd.Series:
-        res = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            hs = _splitmix64(_word_hash(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-            res[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+        n = len(text)
+        res = np.zeros(n, dtype=np.int64)
+        toks_per_doc = text.fillna("").str.split()
+        counts = toks_per_doc.str.len().to_numpy(np.int64)
+        nonempty = counts > 0
+        if not nonempty.any():
+            return pd.Series(res)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks_per_doc[nonempty]])
+        hs = _splitmix64(pd.util.hash_array(flat).astype(np.uint64))
+        ne_counts = counts[nonempty]
+        ends = np.cumsum(ne_counts)
+        starts = ends - ne_counts
+        sig = np.empty(ne_counts.shape[0], dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        # chunk over documents so the (words, 64) bit matrix stays
+        # bounded (~256 MB) regardless of Arrow batch size
+        chunk_words = 500_000
+        d0 = 0
+        while d0 < ne_counts.shape[0]:
+            d1 = int(np.searchsorted(ends, ends[d0] - ne_counts[d0] + chunk_words,
+                                     side="right"))
+            d1 = max(d1, d0 + 1)
+            w0, w1 = starts[d0], ends[d1 - 1]
+            bits = ((hs[w0:w1, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bits, (starts[d0:d1] - w0), axis=0)
+            cnts = ne_counts[d0:d1, None]
+            v = (sums * 2 >= cnts).astype(np.uint64)
+            sig[d0:d1] = (v << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            d0 = d1
+        res[nonempty] = sig.astype(np.int64)
         return pd.Series(res)
 
     return df.withColumn(out, _sh(F.col(text_col)))

@@ -55,6 +55,31 @@ def test_keyed_latest_stream_batchwise(spark, tmp_path):
     assert [(r["lat"], r["ts"]) for r in got] == [(1.0, 100)]
 
 
+def test_radius_join_stream(spark, tmp_path):
+    """Stream-static radius matching: each streamed position joins the
+    broadcast query covers once; matches refine with the native
+    haversine expression."""
+    updates_dir = str(tmp_path / "updates")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckptr")
+    os.makedirs(updates_dir)
+    rows = [("a", 39.928167, 116.389550, 100),   # Beijing: matches q0
+            ("b", 39.928667, 116.389550, 100),   # Beijing: matches q0
+            ("c", 57.649110, 10.407440, 100)]    # Skagen: matches nothing
+    _write_batch(spark, updates_dir, rows, 0)
+    stream = spark.readStream.schema(streaming.POS_SCHEMA).parquet(updates_dir + "/b*")
+    queries = [(0, 39.9286, 116.3895, 50000.0), (1, -33.8568, 151.2153, 50000.0)]
+    matched = streaming.radius_join_stream(stream, queries)
+    q = (matched.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["msisdn"], r["query_id"]) for r in spark.read.parquet(out_dir).collect())
+    assert got == [("a", 0), ("b", 0)]
+    dists = [r["dist_m"] for r in spark.read.parquet(out_dir).collect()]
+    assert all(d <= 50000.0 for d in dists)
+
+
 def test_cell_count_stream_windowed(spark, tmp_path):
     updates_dir = str(tmp_path / "updates")
     out_dir = str(tmp_path / "out")

@@ -463,6 +463,19 @@ def _q35_ivf(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("cos4").desc(), "vec_id"))
 
 
+def _q36_hex_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """H3-style aperture-7 hexagonal cell assignment (kernel/hex_np) —
+    occupancy per hex at res 6.  The DuckDB oracle replicates the exact
+    double arithmetic (mercator -> rotated axial -> cube round -> pack)
+    with kernel constants injected as literals."""
+    from geotile import udfs as _udfs
+
+    pos = _positions_df(spark, sf)
+    pos = pos.withColumn("hex6", _udfs.hex_cell_udf(6)(F.col("lat"), F.col("lon")))
+    return (pos.groupBy("hex6").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 3).orderBy("hex6"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_winnow_pairs": _q33_winnow,
         "q34_frame_sample": _q34_frames,
         "q35_ivf_ann_topk": _q35_ivf,
+        "q36_hex_cells": _q36_hex_cells,
     }
 
 
@@ -867,6 +881,54 @@ FROM documents,
      UNNEST(generate_series(0, CAST(doc_id * 97 % 600000 AS BIGINT), 5000)) AS f(frame_ms)
 WHERE doc_id % 3 = 2
 ORDER BY media_id, frame_ms
+"""
+
+    # q36: replicate kernel/hex_np.hex_cell(lat, lon, res=6) in SQL with
+    # the kernel's constants injected as exact double literals, so both
+    # engines perform the identical double-precision op sequence.
+    import math as _math
+
+    from geotile.kernel import hex_np as _hex
+
+    _res = 6
+    _th = _hex._res_rot(_res)
+    _c, _s = _math.cos(_th), _math.sin(_th)
+    _size = _hex._res_size(_res)
+    _m1 = _hex.SQRT3 / 3.0
+    _third = 1.0 / 3.0
+    _twothird = 2.0 / 3.0
+    _bias = _hex._BIAS
+    xr = f"({_c!r} * radians(lon) + {_s!r} * ln(tan(pi() / 4.0 + radians(lat) / 2.0)))"
+    yr = f"({-_s!r} * radians(lon) + {_c!r} * ln(tan(pi() / 4.0 + radians(lat) / 2.0)))"
+    qf = f"(({_m1!r} * {xr} - {_third!r} * {yr}) / {_size!r})"
+    rf = f"(({_twothird!r} * {yr}) / {_size!r})"
+    sqls["q36_hex_cells"] = f"""
+WITH {_POS_CTE},
+frac AS (
+  SELECT {qf} AS q, {rf} AS r FROM pos
+),
+rounded AS (
+  SELECT q, r, -q - r AS s,
+         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+  FROM frac
+),
+fixed AS (
+  SELECT CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+              THEN -rr - rs ELSE rq END AS fq,
+         CASE WHEN NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+                   AND abs(rr - r) > abs(rs - s)
+              THEN -(CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+                          THEN -rr - rs ELSE rq END) - rs
+              ELSE rr END AS fr
+  FROM rounded
+)
+SELECT CAST({_res} * 1152921504606846976 + (CAST(fq AS BIGINT) + {_bias}) * 1073741824
+            + (CAST(fr AS BIGINT) + {_bias}) AS BIGINT) AS hex6,
+       count(*) AS n
+FROM fixed
+GROUP BY 1
+HAVING count(*) >= 3
+ORDER BY hex6
 """
 
     # q11 (S2 Hilbert ids), q16/q17 (MinHash/SimHash signatures), q20

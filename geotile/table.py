@@ -132,6 +132,46 @@ def read_stage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
+    """Rewrite a stage's data files into ~``target_mb`` files (within
+    each partition dir) — the table-format compactor's job, here for
+    the sorted-no-shuffle write path that trades file count for zero
+    extra passes at write time (pipeline.stage_points).  Content,
+    partitioning, lineage, and per-partition counts are unchanged (the
+    manifest is re-committed with the same lineage hash, so downstream
+    ``is_complete`` checks still pass); only the file layout changes."""
+    import shutil
+
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(f"no manifest at {path}")
+    total_bytes = sum(os.path.getsize(os.path.join(root, f))
+                      for root, _d, files in os.walk(path) for f in files
+                      if f.endswith(".parquet"))
+    n_files = max(1, int(total_bytes // (target_mb << 20)) + 1)
+    df = read_stage(spark, path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    writer = df.repartition(n_files, *[F.col(c) for c in m["partition_by"]]) \
+        if m["partition_by"] else df.coalesce(n_files)
+    w = writer.write.mode("overwrite")
+    if m["partition_by"]:
+        w = w.partitionBy(*m["partition_by"])
+    w.parquet(tmp)
+    new_counts = _footer_counts(tmp, m["partition_by"])
+    if {k: int(v) for k, v in new_counts.items()} != \
+            {k: int(v) for k, v in m["partitions"].items()}:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("compaction row-count mismatch; aborted, original intact")
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    m["partitions"] = new_counts
+    m["committed_at"] = time.time()
+    with open(os.path.join(path, MANIFEST + ".tmp"), "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(os.path.join(path, MANIFEST + ".tmp"), os.path.join(path, MANIFEST))
+    return m
+
+
 def verify_counts(spark: SparkSession, path: str) -> bool:
     """Conservation invariant: manifest row counts match a live recount
     (the reference's pool used+free=all check, mapinfo.cpp:473-497)."""

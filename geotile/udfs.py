@@ -116,6 +116,20 @@ def s2_cell_udf(level: int = 10):
     return _cell
 
 
+def hex_cell_udf(res: int = 6):
+    """H3-style aperture-7 hexagonal cell id at ``res`` (kernel/hex_np)."""
+    from pyspark.sql.types import LongType
+
+    from .kernel import hex_np
+
+    @pandas_udf(LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(hex_np.hex_cell(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), res))
+
+    return _cell
+
+
 def tile_udf(zoom: int = 12):
     """Web-Mercator z/x/y raster tile key string at ``zoom``."""
 
@@ -137,3 +151,6 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_distance_ref", distance_ref_udf())
     spark.udf.register("gh_neighbors", neighbors_udf())
     spark.udf.register("gh_neighbors_ref12", neighbors_ref_udf(12))
+    spark.udf.register("gh_s2_cell10", s2_cell_udf(10))
+    spark.udf.register("gh_hex_cell6", hex_cell_udf(6))
+    spark.udf.register("gh_tile12", tile_udf(12))

@@ -88,3 +88,26 @@ def test_join_rows_identical_across_parallelism(spark, tmp_path):
     a = sorted(tuple(r) for r in j1.collect())
     b = sorted(tuple(r) for r in j2.collect())
     assert a == b
+
+
+def test_compact_preserves_content_and_lineage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    wd = str(tmp_path / "wd")
+    pipeline.run_pipeline(spark, wd, n=3000, partitions=6)
+    ppath = os.path.join(wd, "points")
+    before = {tuple(r) for r in table.read_stage(spark, ppath)
+              .select("url", "geohash").collect()}
+    n_files_before = sum(1 for root, _d, fs in os.walk(ppath)
+                         for f in fs if f.endswith(".parquet"))
+    m = table.compact(spark, ppath, target_mb=128)
+    n_files_after = sum(1 for root, _d, fs in os.walk(ppath)
+                        for f in fs if f.endswith(".parquet"))
+    assert n_files_after <= n_files_before
+    after = {tuple(r) for r in table.read_stage(spark, ppath)
+             .select("url", "geohash").collect()}
+    assert after == before
+    assert table.verify_counts(spark, ppath)
+    # lineage unchanged -> downstream stages still see the stage complete
+    assert table.is_complete(ppath, parents=[os.path.join(wd, "pages")],
+                             params=m["params"])

@@ -476,6 +476,24 @@ def _q36_hex_cells(spark: SparkSession, sf: str) -> DataFrame:
             .where(F.col("n") >= 3).orderBy("hex6"))
 
 
+def _q37_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode -> decode round trip: every position's cell decodes to
+    bounds that contain it; output is (event_id, cell, bounds, center).
+    Bounds are exact dyadic rationals -> exact cross-engine parity."""
+    from geotile import udfs as _udfs
+
+    pos = engine.with_cell(_positions_df(spark, sf))
+    dec = _udfs.decode_udf()(F.col("geohash")).alias("d")
+    out = pos.select("event_id", "geohash", dec)
+    return (out.select("event_id", "geohash",
+                       F.col("d.min_lat").alias("min_lat"),
+                       F.col("d.max_lat").alias("max_lat"),
+                       F.col("d.min_lon").alias("min_lon"),
+                       F.col("d.max_lon").alias("max_lon"))
+            .where(F.col("event_id") % 7 == 0)
+            .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -514,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_frame_sample": _q34_frames,
         "q35_ivf_ann_topk": _q35_ivf,
         "q36_hex_cells": _q36_hex_cells,
+        "q37_decode_bounds": _q37_decode,
     }
 
 
@@ -929,6 +948,20 @@ FROM fixed
 GROUP BY 1
 HAVING count(*) >= 3
 ORDER BY hex6
+"""
+
+    la_idx = "LEAST(GREATEST(CAST(floor((lat + 90.0) * (4096.0 / 180.0)) AS BIGINT), 0), 4095)"
+    lo_idx = "LEAST(GREATEST(CAST(floor((lon + 180.0) * (8192.0 / 360.0)) AS BIGINT), 0), 8191)"
+    sqls["q37_decode_bounds"] = f"""
+WITH {_POS_CTE}
+SELECT event_id, {gh5} AS geohash,
+       -90.0 + {la_idx} * (180.0 / 4096.0) AS min_lat,
+       (-90.0 + {la_idx} * (180.0 / 4096.0)) + (180.0 / 4096.0) AS max_lat,
+       -180.0 + {lo_idx} * (360.0 / 8192.0) AS min_lon,
+       (-180.0 + {lo_idx} * (360.0 / 8192.0)) + (360.0 / 8192.0) AS max_lon
+FROM pos
+WHERE event_id % 7 = 0
+ORDER BY event_id
 """
 
     # q11 (S2 Hilbert ids), q16/q17 (MinHash/SimHash signatures), q20

@@ -104,6 +104,26 @@ def neighbors_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
     return _nbrs
 
 
+def decode_udf():
+    """Geohash cell -> bounds + center (the production decode; the
+    compat GetGeoRect lives in distance/rect *_ref kernels)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType() \
+        .add("min_lat", DoubleType()).add("max_lat", DoubleType()) \
+        .add("min_lon", DoubleType()).add("max_lon", DoubleType()) \
+        .add("lat", DoubleType()).add("lon", DoubleType())
+
+    @pandas_udf(schema)
+    def _dec(cells: pd.Series) -> pd.DataFrame:
+        mnla, mxla, mnlo, mxlo = gh.cell_bounds(cells.to_numpy())
+        return pd.DataFrame({
+            "min_lat": mnla, "max_lat": mxla, "min_lon": mnlo, "max_lon": mxlo,
+            "lat": (mnla + mxla) / 2.0, "lon": (mnlo + mxlo) / 2.0})
+
+    return _dec
+
+
 def s2_cell_udf(level: int = 10):
     """S2-style cell id (cube face + Hilbert curve) at ``level``."""
     from pyspark.sql.types import LongType
@@ -151,6 +171,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_distance_ref", distance_ref_udf())
     spark.udf.register("gh_neighbors", neighbors_udf())
     spark.udf.register("gh_neighbors_ref12", neighbors_ref_udf(12))
+    spark.udf.register("gh_decode", decode_udf())
     spark.udf.register("gh_s2_cell10", s2_cell_udf(10))
     spark.udf.register("gh_hex_cell6", hex_cell_udf(6))
     spark.udf.register("gh_tile12", tile_udf(12))

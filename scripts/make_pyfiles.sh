@@ -1,7 +1,7 @@
 #!/bin/sh
 # Package the engine for spark-submit --py-files (north_rule launch mode):
 #   sh scripts/make_pyfiles.sh
-#   spark-submit --py-files dist/geotile.zip geotile/pipeline.py --n 1000000000
+#   spark-submit --py-files dist/geotile.zip scripts/submit_pipeline.py --n 1000000000
 set -e
 cd "$(dirname "$0")/.."
 mkdir -p dist

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the numpy kernels — the
+invariants SURVEY.md §5 commits to: encode/decode containment, prefix
+monotonicity, distance metric sanity, cover completeness, hex Voronoi.
+Kernel-only (no Spark session) so the whole module runs in seconds.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geotile.kernel import geohash_np as gh
+from geotile.kernel import hex_np
+
+# stay off the exact poles/antimeridian (cell assignment clamps there)
+lats = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False)
+lons = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+nchars_st = st.integers(min_value=1, max_value=9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, nchars_st)
+def test_encode_decode_containment(lat, lon, nchars):
+    """A point lies inside the bounds of its own cell — up to one ULP
+    of the (coord + offset) addition at a cell boundary, which is the
+    precision limit of ANY float grid binning."""
+    cell = gh.encode(np.array([lat]), np.array([lon]), nchars)
+    mnla, mxla, mnlo, mxlo = gh.cell_bounds(cell)
+    eps = 1e-12
+    assert mnla[0] - eps <= lat < mxla[0] + eps or (lat == 90.0 and mxla[0] == 90.0)
+    assert mnlo[0] - eps <= lon < mxlo[0] + eps or (lon == 180.0 and mxlo[0] == 180.0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=2, max_value=9))
+def test_prefix_monotonicity(lat, lon, nchars):
+    """The cell at p chars is prefixed by every coarser cell."""
+    fine = gh.encode(np.array([lat]), np.array([lon]), nchars)[0]
+    for p in range(1, nchars):
+        coarse = gh.encode(np.array([lat]), np.array([lon]), p)[0]
+        assert fine.startswith(coarse)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, lats, lons)
+def test_haversine_symmetry_and_identity(a_lat, a_lon, b_lat, b_lon):
+    d_ab = gh.haversine_m(a_lat, a_lon, b_lat, b_lon)[0]
+    d_ba = gh.haversine_m(b_lat, b_lon, a_lat, a_lon)[0]
+    assert abs(d_ab - d_ba) <= 1e-6 * max(d_ab, 1.0)
+    assert gh.haversine_m(a_lat, a_lon, a_lat, a_lon)[0] <= 1e-6
+    assert 0.0 <= d_ab <= np.pi * gh.EARTH_RADIUS_M * (1 + 1e-12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lats, lons, lats, lons, lats, lons)
+def test_haversine_triangle_inequality(a1, o1, a2, o2, a3, o3):
+    d12 = gh.haversine_m(a1, o1, a2, o2)[0]
+    d23 = gh.haversine_m(a2, o2, a3, o3)[0]
+    d13 = gh.haversine_m(a1, o1, a3, o3)[0]
+    assert d13 <= d12 + d23 + 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats, lons, st.floats(min_value=10.0, max_value=2_000_000.0),
+       lats, lons)
+def test_radius_cover_completeness(qlat, qlon, radius_m, plat, plon):
+    """Every point within the radius falls in some cover cell (at the
+    precision the engine's adaptive fitting would pick)."""
+    from geotile.engine import _fit_cover_radius
+
+    if gh.haversine_m(qlat, qlon, plat, plon)[0] > radius_m:
+        return
+    # covers are bbox-based with lon wraparound; skip the wrap seam
+    # (the engine handles it via modular lon cells, asserted separately)
+    _mnla, _mxla, mnlo, mxlo = gh.bbox_correct(qlat, qlon, radius_m)
+    if mnlo < -180.0 or mxlo > 180.0:
+        return
+    n, cells = _fit_cover_radius(qlat, qlon, radius_m, 5)
+    pcell = gh.encode(np.array([plat]), np.array([plon]), n)[0]
+    assert pcell in set(cells)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_neighbors_contain_nudged_points(lat, lon):
+    """A small nudge in any direction lands in the cell itself or one
+    of its correct 8 neighbors."""
+    nchars = 5
+    cell = gh.encode(np.array([lat]), np.array([lon]), nchars)
+    allowed = {c for row in gh.neighbors(cell, include_self=True)
+               for c in np.atleast_1d(row).tolist() if c is not None}
+    mnla, mxla, mnlo, mxlo = gh.cell_bounds(cell)
+    eps_la = (mxla[0] - mnla[0]) * 0.25
+    eps_lo = (mxlo[0] - mnlo[0]) * 0.25
+    for dla in (-eps_la, 0.0, eps_la):
+        for dlo in (-eps_lo, 0.0, eps_lo):
+            la2 = lat + dla
+            lo2 = lon + dlo
+            if not (-90.0 <= la2 <= 90.0):
+                continue
+            lo2 = ((lo2 + 180.0) % 360.0) - 180.0
+            nb = gh.encode(np.array([la2]), np.array([lo2]), nchars)[0]
+            assert nb in allowed
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=1, max_value=10))
+def test_hex_point_nearer_own_center_than_any_neighbor(lat, lon, res):
+    cell = hex_np.hex_cell(np.array([lat]), np.array([lon]), res)
+    x, y = hex_np._project(np.array([lat]), np.array([lon]))
+    _r, q, r = hex_np.unpack(cell)
+    cx, cy = hex_np._from_axial(q.astype(float), r.astype(float), res)
+    own = float(np.hypot(x - cx, y - cy)[0])
+    _nr, nq, nr_ = hex_np.unpack(hex_np.neighbors(cell).ravel())
+    nx, ny = hex_np._from_axial(nq.astype(float), nr_.astype(float), res)
+    other = np.hypot(x[0] - nx, y[0] - ny)
+    assert own <= other.min() + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+               max_size=400))
+def test_extract_text_idempotent_and_deterministic(html):
+    """Extraction is a pure function: same input -> same bytes, and
+    re-extracting already-extracted text is stable (no tags left)."""
+    import pandas as pd
+
+    from geotile.extract import extract_text_pd
+
+    s = pd.Series([f"<html><body><p>{html}</p></body></html>"])
+    t1 = extract_text_pd(s)
+    t2 = extract_text_pd(s)
+    assert t1.iloc[0] == t2.iloc[0]
+    assert "<p>" not in t1.iloc[0]

@@ -494,6 +494,23 @@ def _q37_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def _q38_knn_bulk(spark: SparkSession, sf: str) -> DataFrame:
+    """BULK kNN join (engine.knn_join_bulk): the query side is itself a
+    table (~1/67 of positions, nudged off the lattice) — candidate
+    generation, refinement, and the resolution test all run
+    distributed; no per-query driver work."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    q = (pos.where(F.col("event_id") % 67 == 0)
+         .select(F.col("event_id").alias("query_id"),
+                 (F.col("lat") + 0.0015).alias("qlat"),
+                 (F.col("lon") - 0.0025).alias("qlon")))
+    res = engine.knn_join_bulk(pos, q, k=5, id_col="event_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("event_id").asc())
+    return (res.withColumn("rnk", F.row_number().over(w))
+            .select("query_id", "rnk", "event_id")
+            .orderBy("query_id", "rnk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -533,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ivf_ann_topk": _q35_ivf,
         "q36_hex_cells": _q36_hex_cells,
         "q37_decode_bounds": _q37_decode,
+        "q38_knn_join_bulk": _q38_knn_bulk,
     }
 
 
@@ -948,6 +966,24 @@ FROM fixed
 GROUP BY 1
 HAVING count(*) >= 3
 ORDER BY hex6
+"""
+
+    sqls["q38_knn_join_bulk"] = f"""
+WITH {_POS_CTE},
+q AS (
+  SELECT event_id AS query_id, lat + 0.0015 AS qlat, lon - 0.0025 AS qlon
+  FROM pos WHERE event_id % 67 = 0
+),
+scored AS (
+  SELECT q.query_id, pos.event_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {hav.format(lat1='q.qlat', lon1='q.qlon', lat2='pos.lat', lon2='pos.lon')} ASC,
+                    pos.event_id ASC) AS rnk
+  FROM pos CROSS JOIN q
+)
+SELECT query_id, rnk, event_id FROM scored WHERE rnk <= 5
+ORDER BY query_id, rnk
 """
 
     la_idx = "LEAST(GREATEST(CAST(floor((lat + 90.0) * (4096.0 / 180.0)) AS BIGINT), 0), 4095)"

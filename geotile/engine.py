@@ -339,6 +339,79 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
     return out.drop("cell", "_rn")
 
 
+def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,
+                  nchars: int | None = None, cell_nchars: int = DEFAULT_NCHARS,
+                  cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+                  qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
+                  id_col: str | None = None, start_ring: int = 1,
+                  max_ring: int = 64, n_total: int | None = None) -> DataFrame:
+    """kNN join for LARGE query sets — the fully distributed
+    formulation (cf. the driver-side-cover :func:`knn_join`, which is
+    the right shape only when queries are a small POI set).
+
+    Per round: each unresolved query EXPLODES into its Chebyshev-disk
+    cells (a vectorized UDF — no per-query driver work), equi-joins the
+    cell-keyed positions table (one shuffle; AQE splits hot-cell skew),
+    exact haversine refine (native expression), windowed top-k per
+    query.  A query is resolved when it has >= k candidates AND its
+    k-th distance is within the disk's guarantee radius — both computed
+    as COLUMN expressions, so the resolution test is distributed too;
+    the driver only counts unresolved per round (bounded rounds, ring
+    doubles each time).  This is the standard parallel kNN-join design
+    (hash by cell, candidates from expanding neighborhoods, verify by
+    distance bound) from the MapReduce kNN-join literature.
+    """
+    spark = positions.sparkSession
+    if nchars is None:
+        if n_total is None:
+            n_total = positions.count()
+        budget = max((2 * start_ring + 1) ** 2 * max(n_total, 1) / max(4 * k, 1), 2.0)
+        nchars = max(1, min(cell_nchars, int(math.log2(budget) // 5)))
+    key = (F.col(cell_col) if nchars == cell_nchars
+           else F.substring(F.col(cell_col), 1, nchars))
+    order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
+    w = Window.partitionBy(qid).orderBy(*order_cols)
+    # conservative min cell extent (m) at the query's latitude, as a
+    # native column: no closer point can live outside a disk of
+    # ring * extent meters
+    lat_bits, lon_bits = gh._axis_bits(nchars)
+    h_m = 180.0 / (1 << lat_bits) * _M_PER_DEG
+    w_deg = 360.0 / (1 << lon_bits) * _M_PER_DEG
+    extent = F.least(F.lit(h_m),
+                     F.lit(w_deg) * F.greatest(F.cos(F.radians(F.col(qlat))), F.lit(1e-6)))
+
+    unresolved = queries.select(qid, qlat, qlon)
+    resolved_parts: list[DataFrame] = []
+    ring = start_ring
+    while True:
+        cand_cells = unresolved.withColumn(
+            "cell", F.explode(udfs.disk_cells_udf(nchars, ring)(F.col(qlat), F.col(qlon))))
+        cand = positions.join(cand_cells, key == cand_cells["cell"], "inner").drop("cell")
+        dist = udfs.haversine_col(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
+        topk = (cand.withColumn("dist_m", dist)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .withColumn("_guarantee", F.lit(float(ring)) * extent)
+                .persist())
+        stats = (topk.groupBy(qid)
+                 .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_kth"),
+                      F.first("_guarantee").alias("_g")))
+        ok = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.col("_g"))).select(qid)
+        resolved_parts.append(topk.join(ok, qid, "left_semi"))
+        unresolved = unresolved.join(ok, qid, "left_anti")
+        ring *= 2
+        if ring > max_ring:
+            # out of rings: best-effort for the remainder
+            resolved_parts.append(topk.join(unresolved.select(qid), qid, "left_semi"))
+            break
+        if unresolved.isEmpty():  # the one driver-side action per round
+            break
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_rn", "_guarantee")
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon join (north_rule extension)
 # ---------------------------------------------------------------------------

@@ -172,3 +172,23 @@ def test_format_positions_json(spark):
     js = engine.format_positions_json(state).collect()[0]["json"]
     assert js == ('{"Msisdn":"13412345637","Latitude":"39.928667",'
                   '"Longitude":"116.389550","CurrTime":"1486447081"}')
+
+
+def test_knn_join_bulk_matches_brute_force(spark):
+    """Bulk (distributed) kNN join: 40 query points derived from the
+    data themselves, verified against numpy brute force."""
+    df, lat, lon = _random_positions(spark)
+    k = 5
+    qrows = [(i, float(lat[i * 37 % len(lat)]) + 0.001,
+              float(lon[i * 37 % len(lon)]) - 0.002) for i in range(40)]
+    qdf = spark.createDataFrame(qrows, "query_id long, qlat double, qlon double")
+    got = engine.knn_join_bulk(df, qdf, k=k, id_col="msisdn").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((round(r["dist_m"], 6), r["msisdn"]))
+    assert set(by_q) == {q[0] for q in qrows}
+    for qid, qla, qlo in qrows:
+        d = gh.haversine_m(np.full(len(lat), qla), np.full(len(lat), qlo), lat, lon)
+        order = np.argsort(d, kind="stable")[:k]
+        expect = sorted((round(float(d[i]), 6), f"m{i}") for i in order)
+        assert sorted(by_q[qid]) == expect, f"query {qid}"

@@ -401,12 +401,27 @@ def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
 
 
 def bbox_correct(lat: float, lon: float, radius_m: float):
-    """True degree bounding box for a radius query (what GetBoundingBox
-    intended): dlat = r/R in degrees, dlon stretched by 1/cos(lat)."""
-    dlat = np.degrees(radius_m / EARTH_RADIUS_M)
-    coslat = max(np.cos(np.radians(lat)), 1e-12)
-    dlon = dlat / coslat
-    return (max(lat - dlat, -90.0), min(lat + dlat, 90.0), lon - dlon, lon + dlon)
+    """True degree bounding box of the spherical cap around (lat, lon)
+    with great-circle radius ``radius_m`` (what the reference's
+    GetBoundingBox intended, geohash.cpp:323-333).
+
+    Latitude extent is exactly +-delta (delta = r/R).  The maximum
+    LONGITUDE deviation of a cap is asin(sin(delta)/cos(lat)) — NOT the
+    small-angle delta/cos(lat), which underestimates for large radii at
+    high latitudes; and a cap that reaches past a pole spans every
+    longitude (caught by a hypothesis cover-completeness test)."""
+    delta = radius_m / EARTH_RADIUS_M  # radians
+    dlat = np.degrees(delta)
+    lo_lat = max(lat - dlat, -90.0)
+    hi_lat = min(lat + dlat, 90.0)
+    if abs(lat) + dlat >= 90.0:
+        # the cap contains a pole -> all longitudes
+        return (lo_lat, hi_lat, -180.0, 180.0)
+    ratio = np.sin(min(delta, np.pi / 2)) / max(np.cos(np.radians(lat)), 1e-12)
+    if ratio >= 1.0:
+        return (lo_lat, hi_lat, -180.0, 180.0)
+    dlon = np.degrees(np.arcsin(ratio))
+    return (lo_lat, hi_lat, lon - dlon, lon + dlon)
 
 
 def cover_bbox(min_lat: float, max_lat: float, min_lon: float, max_lon: float,

@@ -106,8 +106,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     from full signatures -> filter.  Returns (a, b, est_jaccard) with
     a < b, deduplicated across bands."""
     rows = n_hashes // bands
+    # persist: the banded frame feeds BOTH sides of the self-join;
+    # without it the signature UDF executes twice (once per side)
     sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(
-        F.col(id_col), F.col("minhash"))
+        F.col(id_col), F.col("minhash")).persist()
     banded = sigs.select(
         id_col, "minhash",
         F.explode(F.array(*[
@@ -189,7 +191,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     equi-join on (band, band_bits), then exact popcount verify."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = simhash(df, text_col).select(id_col, "simhash")
+    # persist: both self-join sides read the signatures; computed once
+    sh = simhash(df, text_col).select(id_col, "simhash").persist()
     bands = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -82,6 +82,30 @@ def upsert_positions(state: DataFrame, updates: DataFrame, key: str = "msisdn",
             .drop("_rn", "_src"))
 
 
+def upsert_positions_merge(state: DataFrame, updates: DataFrame, key: str = "msisdn",
+                           ts: str = "ts") -> DataFrame:
+    """MERGE-shaped last-write-wins upsert: full-outer join on the key,
+    newer ``ts`` wins per column (both sides must be key-unique — run
+    the window dedup on raw updates first if needed).
+
+    This is the form bucketed storage accelerates: with state and
+    updates co-bucketed (and sorted) by ``key``
+    (:func:`geotile.table.write_bucketed`), the sort-merge join runs
+    with ZERO Exchange — the window-dedup form cannot benefit because
+    its Union breaks hash-partitioning (a key lands in two partitions).
+    Verified by plan assertion in tests/test_pipeline.py.
+    """
+    s = state.alias("s")
+    u = updates.alias("u")
+    take_u = F.col(f"u.{ts}").isNotNull() & (
+        F.col(f"s.{ts}").isNull() | (F.col(f"u.{ts}") >= F.col(f"s.{ts}")))
+    cols = [c for c in state.columns if c != key]
+    j = s.join(u, key, "full_outer")
+    return j.select(key, *[
+        F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
+        for c in cols])
+
+
 def delete_positions(state: DataFrame, keys: DataFrame, key: str = "msisdn") -> DataFrame:
     """DelPos (mapinfo.cpp:308-382) as a left anti-join.  ``keys`` is
     small in practice -> Catalyst broadcasts it; empty-cell GC is

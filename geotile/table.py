@@ -132,6 +132,34 @@ def read_stage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 16,
+                   sort: bool = True) -> None:
+    """Store a keyed table bucketed (and sorted) by ``key``.
+
+    This is the storage layout that makes the engine's ONE unavoidable
+    wide shuffle avoidable: a bucketed scan reports hash-partitioning
+    on ``key``, so keyed upserts (window dedup / MERGE), joins, and
+    aggregations on ``key`` between co-bucketed tables run with ZERO
+    Exchange — verified by plan assertion in
+    tests/test_pipeline.py::test_bucketed_upsert_has_no_exchange.
+    At cluster scale this is the positions store keyed by url/msisdn
+    (SURVEY.md §7.3's 'bucket the stored table by key')."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # with the in-memory catalog a previous session's managed location
+    # survives the dropped catalog entry; clear it so saveAsTable can
+    # claim the path
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), name.split(".")[-1])
+    shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
+
+
 def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
     """Rewrite a stage's data files into ~``target_mb`` files (within
     each partition dir) — the table-format compactor's job, here for

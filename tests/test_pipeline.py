@@ -111,3 +111,40 @@ def test_compact_preserves_content_and_lineage(spark, tmp_path):
     # lineage unchanged -> downstream stages still see the stage complete
     assert table.is_complete(ppath, parents=[os.path.join(wd, "pages")],
                              params=m["params"])
+
+
+def test_bucketed_upsert_has_no_exchange(spark):
+    """Co-bucketed storage removes the keyed upsert's wide shuffle:
+    both scans report hash partitioning (and sort order) on the key,
+    so the MERGE-shaped upsert and a co-bucketed join run with ZERO
+    Exchange in the physical plan."""
+    rows = [(f"m{i}", float(i % 90), float(i % 180), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "msisdn string, lat double, lon double, ts long")
+    # updates: newer ts for even keys + 50 brand-new keys
+    upd_rows = [(f"m{i}", 1.0, 2.0, i + 1000) for i in range(0, 1000, 2)] + \
+               [(f"n{i}", 3.0, 4.0, i) for i in range(50)]
+    upd = spark.createDataFrame(upd_rows, "msisdn string, lat double, lon double, ts long")
+    table.write_bucketed(df, "pos_bucketed", "msisdn", n_buckets=8)
+    table.write_bucketed(upd, "upd_bucketed", "msisdn", n_buckets=8)
+    state = spark.table("pos_bucketed")
+    updates = spark.table("upd_bucketed")
+
+    merged = engine.upsert_positions_merge(state, updates, key="msisdn", ts="ts")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert merged.count() == 1050
+    got = {r["msisdn"]: (r["lat"], r["ts"]) for r in merged.collect()}
+    assert got["m0"] == (1.0, 1000)     # updated
+    assert got["m1"] == (1.0, 1)        # untouched (lat = 1 % 90)
+    assert got["n7"] == (3.0, 7)        # inserted
+
+    # equivalence with the window-dedup form (which needs a shuffle)
+    ref = {(r["msisdn"], r["lat"], r["ts"])
+           for r in engine.upsert_positions(state, updates, key="msisdn", ts="ts").collect()}
+    assert {(k, v[0], v[1]) for k, v in got.items()} == ref
+
+    # a co-bucketed join never SHUFFLES either side (a BroadcastExchange
+    # is fine — that's the optimal plan for a small side, not a shuffle)
+    joined = state.join(updates.select("msisdn", F.col("ts").alias("ts2")), "msisdn")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in jplan, jplan

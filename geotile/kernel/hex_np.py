@@ -24,6 +24,9 @@ engine needs from an H3-style index; swapping in the icosahedral
 projection changes only `_project`/`_unproject`.
 
 Cell id layout (int64): [4 bits res | 30 bits biased q | 30 bits biased r].
+All 64 bits are used, so ids at res >= 8 can be negative (the sign bit
+belongs to the res field) — ids are opaque; pack/unpack round-trip via
+two's complement and are pinned by tests at every resolution.
 """
 
 from __future__ import annotations
@@ -38,7 +41,10 @@ APERTURE_ROT = math.atan(math.sqrt(3.0) / 5.0)  # aperture-7 rotation
 SQRT7 = math.sqrt(7.0)
 SQRT3 = math.sqrt(3.0)
 
-MAX_RES = 15
+# res 9 hexes have ~25 cm edges — the finest resolution whose axial
+# coordinates provably fit the 30-bit packed range at every mercator
+# corner (|q|,|r| <= ~(|x|+|y|)/size < 2^29 requires 7^res <= ~1.2e8)
+MAX_RES = 9
 _BIAS = 1 << 29
 _COORD_MASK = (1 << 30) - 1
 _MAX_LAT = 85.05112878  # Web-Mercator clamp

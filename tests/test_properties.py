@@ -102,7 +102,7 @@ def test_neighbors_contain_nudged_points(lat, lon):
 
 
 @settings(max_examples=200, deadline=None)
-@given(lats, lons, st.integers(min_value=1, max_value=10))
+@given(lats, lons, st.integers(min_value=1, max_value=9))
 def test_hex_point_nearer_own_center_than_any_neighbor(lat, lon, res):
     cell = hex_np.hex_cell(np.array([lat]), np.array([lon]), res)
     x, y = hex_np._project(np.array([lat]), np.array([lon]))

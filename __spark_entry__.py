@@ -254,10 +254,15 @@ def _q12_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def _q13_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     q = textops.quality_features(docs)
+    # punct_ratio is summed in exact nano-units: each per-doc ratio is a
+    # single int/int double division (identical in both engines), scaled
+    # and floored to an integer BEFORE the sum, so the aggregate is
+    # order-independent (a raw double sum would depend on partition order)
+    punct_nano = F.floor(F.col("punct_ratio") * F.lit(1e9) + F.lit(0.5)).cast("long")
     return (q.groupBy("lang")
             .agg(F.sum("n_tokens").alias("total_tokens"),
                  F.sum(F.col("quality").cast("long")).alias("n_quality"),
-                 F.round(F.sum("punct_ratio"), 6).alias("sum_punct_ratio"))
+                 F.sum(punct_nano).alias("sum_punct_nano"))
             .orderBy("lang"))
 
 
@@ -707,9 +712,9 @@ WITH feats AS (
   FROM documents
 )
 SELECT lang,
-       sum(n_tokens) AS total_tokens,
-       sum(CASE WHEN n_tokens >= 10 AND stopword_ratio > 0.05 THEN 1 ELSE 0 END) AS n_quality,
-       round(sum(punct_ratio), 6) AS sum_punct_ratio
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tokens >= 10 AND stopword_ratio > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CAST(floor(punct_ratio * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sum_punct_nano
 FROM feats
 GROUP BY lang
 ORDER BY lang
@@ -717,9 +722,9 @@ ORDER BY lang
 
     sqls["q14_token_count"] = r"""
 SELECT source,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))
            + list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-                                     w -> CAST(floor(length(w) / 6) AS BIGINT)))) AS total_tokens,
+                                     w -> CAST(floor(length(w) / 6) AS BIGINT)))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -899,6 +904,92 @@ FROM scored
 ORDER BY cos4 DESC, vec_id ASC
 LIMIT 10
 """
+
+        # q20/q35: the ANN probes are NOT exact top-10 at these sf sizes
+        # (recall < 1 — verified), so their oracles replicate the ANN
+        # ALGORITHM itself: the deterministic hyperplanes / k-means
+        # centroids are injected as double literals and the bucket
+        # assignment + probe-set selection mirror the Spark code path.
+        # Residual cross-engine risk: summation-order ULP differences in
+        # the dot products could flip a sign/argmin only when a value
+        # sits within ~1e-12 of a decision boundary — measure-zero here.
+        cosine_sql = (f"list_inner_product(emb64, {vec}) / "
+                      f"(sqrt(list_inner_product(emb64, emb64)) * "
+                      f"sqrt(list_inner_product({vec}, {vec})))")
+
+        qv64 = np.asarray(qv, dtype=np.float64)
+        _nbits = 10
+        planes = simsearch._rand_unit((_nbits, qv64.shape[0]), 42)
+        qbucket = int(((qv64 @ planes.T >= 0).astype(np.uint64)
+                       << np.arange(_nbits, dtype=np.uint64)).sum())
+        probes = simsearch._probe_buckets(qbucket, _nbits, 2)
+        bucket_terms = " + ".join(
+            f"(CASE WHEN list_inner_product(emb64, "
+            f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(_nbits))
+        sqls["q20_lsh_ann_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, emb64, {bucket_terms} AS bucket FROM b
+),
+top AS (
+  SELECT vec_id, {cosine_sql} AS cosine
+  FROM bucketed
+  WHERE bucket IN ({", ".join(str(p) for p in probes)})
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT vec_id, round(cosine, 4) AS cos4 FROM top
+ORDER BY cos4 DESC, vec_id ASC
+"""
+
+        # q35: centroids from the same deterministic sample recipe as
+        # train_centroids (sorted by vec_id, first 512) via pyarrow +
+        # the shared pure-numpy kmeans — identical doubles, no Spark.
+        import pyarrow.parquet as _pq
+
+        _et = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).to_pandas()
+        _et = _et.sort_values("vec_id").head(512)
+        _x = np.stack([np.asarray(e, dtype=np.float64) for e in _et["embedding"]])
+        cents = simsearch.kmeans(_x, n_centroids=8, iters=10, seed=42)
+        nprobe_order = np.argsort(((cents - qv64[None, :]) ** 2).sum(axis=1))[:3]
+        dim = qv64.shape[0]
+        dist_cols = ",\n         ".join(
+            f"list_sum(list_transform(range(1, {dim + 1}), j -> "
+            f"pow(emb64[j] - ({_vec_literal_sql([float(x) for x in cents[c]])})[j], 2))) AS d{c}"
+            for c in range(8))
+        # first-argmin chain (matches np.argmin tie semantics: WHEN_i
+        # fires iff d_i <= every later d_j AND every earlier WHEN failed,
+        # which forces some earlier d_j' < d_i)
+        whens = " ".join(
+            "WHEN " + " AND ".join(f"d{c} <= d{j}" for j in range(c + 1, 8)) + f" THEN {c}"
+            for c in range(7))
+        sqls["q35_ivf_ann_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+dists AS (
+  SELECT vec_id, emb64,
+         {dist_cols}
+  FROM b
+),
+assigned AS (
+  SELECT vec_id, emb64, CASE {whens} ELSE 7 END AS cl FROM dists
+),
+top AS (
+  SELECT vec_id, {cosine_sql} AS cosine
+  FROM assigned
+  WHERE cl IN ({", ".join(str(int(c)) for c in nprobe_order)})
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT vec_id, round(cosine, 4) AS cos4 FROM top
+ORDER BY cos4 DESC, vec_id ASC
+"""
     except Exception:
         pass  # no embeddings parquet available -> rows-only check
 
@@ -935,8 +1026,14 @@ ORDER BY media_id, frame_ms
     _third = 1.0 / 3.0
     _twothird = 2.0 / 3.0
     _bias = _hex._BIAS
-    xr = f"({_c!r} * radians(lon) + {_s!r} * ln(tan(pi() / 4.0 + radians(lat) / 2.0)))"
-    yr = f"({-_s!r} * radians(lon) + {_c!r} * ln(tan(pi() / 4.0 + radians(lat) / 2.0)))"
+    # mirror _project's Web-Mercator latitude clamp (hex_np._MAX_LAT);
+    # current synth positions stay within ~|58| deg, but the oracle must
+    # not silently diverge if near-polar latitudes ever appear.  (The
+    # remaining cross-engine risk is tan/ln ULP disagreement at exact
+    # cube-round boundaries — measure-zero for lattice-derived inputs.)
+    _clat = f"LEAST(GREATEST(lat, {-_hex._MAX_LAT!r}), {_hex._MAX_LAT!r})"
+    xr = f"({_c!r} * radians(lon) + {_s!r} * ln(tan(pi() / 4.0 + radians({_clat}) / 2.0)))"
+    yr = f"({-_s!r} * radians(lon) + {_c!r} * ln(tan(pi() / 4.0 + radians({_clat}) / 2.0)))"
     qf = f"(({_m1!r} * {xr} - {_third!r} * {yr}) / {_size!r})"
     rf = f"(({_twothird!r} * {yr}) / {_size!r})"
     sqls["q36_hex_cells"] = f"""

@@ -18,8 +18,26 @@ def get_spark(app: str = "geotile", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    builder = SparkSession.builder
+    # Master resolution order: explicit SPARK_GRAFT_MASTER env > a master
+    # already provided by the launcher (spark-submit --master sets the
+    # spark.master JVM system property, visible through SparkConf) >
+    # local[cores] fallback.  Calling .master() unconditionally would
+    # override spark-submit and trap the engine in local mode.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        builder = builder.master(master_env)
+    else:
+        try:
+            from pyspark import SparkConf
+
+            has_master = SparkConf().contains("spark.master")
+        except Exception:
+            has_master = False
+        if not has_master:
+            builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

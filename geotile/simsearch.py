@@ -119,12 +119,11 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10, nbits: int =
             .limit(k))
 
 
-def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,
-                    iters: int = 10, seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
-    """IVF coarse quantizer: k-means on a driver-side sample (the
-    standard IVF recipe — training is tiny, assignment is distributed)."""
-    rows = df.select(vec_col).limit(sample).collect()
-    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+def kmeans(x: np.ndarray, n_centroids: int = 16, iters: int = 10,
+           seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an in-memory sample (seeded
+    splitmix init).  Pure numpy so oracle generators can reproduce the
+    exact centroids from the same sample without a SparkSession."""
     idx = _splitmix64(np.arange(n_centroids, dtype=np.uint64) + np.uint64(seed)) % np.uint64(x.shape[0])
     cents = x[idx.astype(np.int64)].copy()
     for _ in range(iters):
@@ -135,6 +134,15 @@ def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,
             if np.any(m):
                 cents[c] = x[m].mean(axis=0)
     return cents
+
+
+def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,
+                    iters: int = 10, seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (the
+    standard IVF recipe — training is tiny, assignment is distributed)."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return kmeans(x, n_centroids, iters, seed)
 
 
 def with_ivf_cluster(df: DataFrame, centroids: np.ndarray,

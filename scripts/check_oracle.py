@@ -23,10 +23,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+    """EXACT, type-distinguishing normalization.  The driver's hash is
+    value- and dtype-sensitive (DuckDB HUGEINT sums land in pandas as
+    float64 and hash differently from Spark's int64 even when equal) —
+    so int 1758 and float 1758.0 must NOT normalize alike, and floats
+    compare by shortest-round-trip repr, not a lossy %.9g."""
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"
+        return f"f:{f!r}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)

@@ -8,10 +8,13 @@ top-level shim is the launchable file:
     spark-submit --master <cluster> --py-files dist/geotile.zip \
         scripts/submit_pipeline.py --n 1000000000 --workdir <table-root>
 
-On a cluster, drop the session factory's local-mode master override by
-exporting SPARK_GRAFT_CPUS to match the executor allocation (the
-factory's other settings — AQE, Arrow, shuffle partitions — apply
-unchanged).
+The session factory respects the launcher's master: spark-submit
+--master sets the spark.master system property, which
+geotile.session.get_spark detects (via SparkConf) and then skips its
+local[. ] fallback; SPARK_GRAFT_MASTER overrides both.  Set
+SPARK_GRAFT_CPUS to the per-executor core count so shuffle-partition
+and GC-thread sizing match the allocation (the factory's other
+settings — AQE, Arrow, shuffle partitions — apply unchanged).
 """
 
 from geotile.pipeline import main

@@ -107,6 +107,123 @@ _POLY_QUAD = {"poly_id": 1,
               "lon": [-120.00029, -60.00013, -60.00037, -120.00021]}
 
 
+_W64 = 1 << 64
+
+
+def _poly_hash_sql(text_expr: str, pos_expr: str, k: int,
+                   base: int = 1099511628211) -> str:
+    """DuckDB replica of the kernels' k-byte Horner rolling hash at
+    1-based position ``pos_expr``: HUGEINT arithmetic with an explicit
+    mod 2^64 after every step (equals numpy's uint64 wraparound).  Valid
+    for ASCII text (ascii() = byte value; the synth corpus is ASCII)."""
+    expr = f"CAST(ascii(substr({text_expr}, {pos_expr}, 1)) AS HUGEINT)"
+    for j in range(1, k):
+        expr = (f"((({expr}) * {base}) % {_W64} + "
+                f"ascii(substr({text_expr}, ({pos_expr}) + {j}, 1))) % {_W64}")
+    return expr
+
+
+def _mulmod64_sql(z_expr: str, m: int) -> str:
+    """(z * m) mod 2^64 without overflowing signed INT128: split m into
+    32-bit halves so every intermediate stays < 2^96."""
+    hi, lo = m >> 32, m & 0xFFFFFFFF
+    return (f"((({z_expr}) * {lo}) % {_W64} + "
+            f"(((({z_expr}) % 4294967296) * {hi}) % 4294967296) * 4294967296) % {_W64}")
+
+
+def _splitmix_cte_sql(src: str, in_col: str, out_col: str, prefix: str) -> str:
+    """Chained CTEs applying splitmix64 to ``in_col`` (HUGEINT in
+    [0, 2^64)) — same constants as textops._splitmix64, exact."""
+    c0, m1, m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""{prefix}a AS (
+  SELECT *, (({in_col}) + {c0}) % {_W64} AS _z1 FROM {src}
+),
+{prefix}b AS (
+  SELECT *, {_mulmod64_sql("xor(_z1, _z1 >> 30)", m1)} AS _z2 FROM {prefix}a
+),
+{prefix}c AS (
+  SELECT *, {_mulmod64_sql("xor(_z2, _z2 >> 27)", m2)} AS _z3 FROM {prefix}b
+),
+{prefix}d AS (
+  SELECT * EXCLUDE (_z1, _z2, _z3), xor(_z3, _z3 >> 31) AS {out_col} FROM {prefix}c
+)"""
+
+
+def _signed64_sql(expr: str) -> str:
+    """HUGEINT in [0, 2^64) -> the int64 two's-complement BIGINT."""
+    return (f"CAST(({expr}) - CASE WHEN ({expr}) >= {1 << 63} "
+            f"THEN CAST({_W64} AS HUGEINT) ELSE 0 END AS BIGINT)")
+
+
+def _s2_oracle_sql(level: int = 8) -> str:
+    """DuckDB replica of kernel/s2_np.cell_id at ``level``: cube-face
+    selection, quadratic s/t transform, lattice quantization, and the
+    Hilbert xy->d walk UNROLLED (one chained CTE per bit plane — level
+    iterations, exact integer arithmetic).  Float ops (cos/sin/div/sqrt)
+    replicate the kernel's double sequence; the only cross-engine risk
+    is a libm ULP flip exactly on a face/lattice boundary, measure-zero
+    for the lattice-derived synth positions."""
+    n = 1 << level
+    sql = f"""
+sph AS (
+  SELECT cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pos
+),
+fuv AS (
+  SELECT CASE WHEN abs(x) >= abs(y) THEN
+           CASE WHEN abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END
+         ELSE
+           CASE WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END
+         END AS face, x, y, z
+  FROM sph
+),
+uv AS (
+  SELECT face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fuv
+),
+h0 AS (
+  SELECT face,
+         LEAST(GREATEST(CAST(floor((CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                                         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * {n})
+                        AS BIGINT), 0), {n - 1}) AS x,
+         LEAST(GREATEST(CAST(floor((CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                                         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END) * {n})
+                        AS BIGINT), 0), {n - 1}) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM uv
+)"""
+    k = 0
+    s = n >> 1
+    while s > 0:
+        k += 1
+        sql += f""",
+h{k} AS (
+  SELECT face, d + {s * s} * xor(3 * rx, ry) AS d,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s} - 1 - y ELSE y END ELSE x END AS x,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s} - 1 - x ELSE x END ELSE y END AS y
+  FROM (SELECT face, x, y, d,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h{k - 1})
+)"""
+        s >>= 1
+    return sql + f"""
+SELECT face * {1 << (2 * level)} + d AS s2_cell, count(*) AS n
+FROM h{k}
+GROUP BY 1
+HAVING count(*) >= 3
+ORDER BY s2_cell
+"""
+
+
 def _embedding_query(sf_dir: str) -> list[float]:
     """Deterministic query vector: the embedding of the lowest vec_id
     (read via pyarrow, no Spark needed)."""
@@ -118,7 +235,9 @@ def _embedding_query(sf_dir: str) -> list[float]:
 
 
 def _vec_literal_sql(vec: list[float]) -> str:
-    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "]"
+    # string-literal casts: DuckDB's decimal->double conversion of bare
+    # 17-digit numerics rounds the last digit; string->double is exact
+    return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec) + "]"
 
 
 # ---------------------------------------------------------------------------
@@ -430,19 +549,13 @@ def _q32_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q33_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint overlap pairs (Schleimer et al. local
-    fingerprinting) — docs sharing >= 3 fingerprints.  Non-SQL (numpy
-    rolling-hash signatures) -> rows-only check."""
+    fingerprinting) with the hot-fingerprint frequency cap.  The DuckDB
+    oracle replicates the full signature pipeline in SQL: unrolled k=7
+    Horner rolling hash + splitmix64 in HUGEINT mod-2^64 arithmetic,
+    window-of-4 minima, cap, pair join."""
     docs = (spark.read.parquet(f"{sf}/documents.parquet")
             .select("doc_id", "text").where(F.col("doc_id") < 300))
-    fp = textops.winnow_fingerprints(docs)
-    ex = fp.select("doc_id", F.explode("fingerprints").alias("fp"))
-    l = ex.alias("l")
-    r = ex.alias("r")
-    return (l.join(r, (F.col("l.fp") == F.col("r.fp"))
-                   & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-            .agg(F.count_distinct("l.fp").alias("shared_fps"))
-            .where(F.col("shared_fps") >= 3)
+    return (textops.winnow_pairs(docs, k=7, window=4, min_shared=3, max_df=16)
             .orderBy("a", "b"))
 
 
@@ -516,6 +629,90 @@ def _q38_knn_bulk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rnk"))
 
 
+# ---------------------------------------------------------------------------
+# Compat-kernel golden-vector queries (FIXTURES.md §2.4-2.7): the driver
+# gate sees the reference's replicated bugs, not just pytest.  Oracles
+# are VALUES literals transcribed from the compiled reference's output
+# (/root/reference/GeoHash/geohash.cpp:250-333, mapinfo.cpp:384-415).
+# ---------------------------------------------------------------------------
+
+_NEIGHBOR_FIX = [(0, 39.928167, 116.389550), (1, 39.928667, 116.389550),
+                 (2, 39.928367, 116.389550), (3, 31.230416, 121.473701)]
+# FIXTURES §2.4: slots [self, N, S, "W", "E", "SW", "NE", "SE", "NW"];
+# slots 3-8 carry the reference's (max+min) bug values
+_NEIGHBOR_GOLD = {
+    0: ["wx4g0", "wx4g2", "wx4fb", "9rj5p", "xzpgp", "32vhz", "crvpz", "rbzuz", "zzzzz"],
+    1: ["wx4g0", "wx4g2", "wx4fb", "9rj5p", "xzpgp", "32vhz", "crvpz", "rbzuz", "zzzzz"],
+    2: ["wx4g0", "wx4g2", "wx4fb", "9rj5p", "xzpgp", "32vhz", "crvpz", "rbzuz", "zzzzz"],
+    3: ["wtw3s", "wtw3u", "wtw3k", "9m99e", "xvxcx", "363w7", "crcxg", "rfryr", "zzzzz"],
+}
+_DIST_FIX = [(0, 39.928167, 116.389550, 31.230416, 121.473701),
+             (1, 39.928167, 116.389550, 39.928667, 116.389550),
+             (2, 40.689247, -74.044502, -33.856784, 151.215297)]
+# FIXTURES §2.5 golden meters (kernel agrees to < 1e-6; compared at round-6)
+_DIST_GOLD = [1070676.088970254, 55.613172332, 3669447.551874113]
+_BBOX_FIX = [(0, 39.928167, 116.389550, 100000.0),
+             (1, 39.928367, 116.389550, 100000.0)]
+# FIXTURES §2.6 exact doubles (kernel output is bit-identical)
+_BBOX_GOLD = [(39.927893128245046, 39.928440871754958, 116.38920956568919, 116.38989043431081),
+              (39.928093128245045, 39.928640871754958, 116.38920663808366, 116.38989336191634)]
+_CAND_FIX = [(0, 39.928367, 116.389550, 100000.0), (1, 39.928167, 116.389550, 10000.0),
+             (2, 31.230416, 121.473701, 100000.0), (3, 40.689247, -74.044502, 100000.0),
+             (4, -33.856784, 151.215297, 5000.0)]
+# FIXTURES §2.7 candidate-cell counts (0 = the cos-flip empty-bbox case)
+_CAND_GOLD = [1, 1, 1, 1, 0]
+
+
+def _q39_compat_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """K6: the reference's 9-slot neighbor table (buggy slots 3-8
+    replicated; geohash.cpp:250-291) on the FIXTURES §2.4 inputs."""
+    from geotile import udfs
+
+    df = spark.createDataFrame(_NEIGHBOR_FIX, "pt_id long, lat double, lon double")
+    nb = df.withColumn("nbrs", udfs.neighbors_ref_udf(12)(F.col("lat"), F.col("lon")))
+    return (nb.select("pt_id", F.posexplode("nbrs").alias("slot", "cell"))
+            .select("pt_id", F.col("slot").cast("long").alias("slot"), "cell")
+            .orderBy("pt_id", "slot"))
+
+
+def _q40_compat_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """K7: GetDistance with the sequential-if colatitude quirks
+    (geohash.cpp:293-321) on the FIXTURES §2.5 pairs."""
+    from geotile import udfs
+
+    df = spark.createDataFrame(
+        _DIST_FIX, "pair_id long, lat1 double, lon1 double, lat2 double, lon2 double")
+    d = udfs.distance_ref_udf()(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    return df.select("pair_id", F.round(d, 6).alias("dist_m")).orderBy("pair_id")
+
+
+def _q41_compat_bbox(spark: SparkSession, sf: str) -> DataFrame:
+    """K8: GetBoundingBox with the name-swapped unit helpers
+    (geohash.cpp:323-333, 81-89) on the FIXTURES §2.6 inputs — exact
+    doubles, compared unrounded."""
+    from geotile import udfs
+
+    df = spark.createDataFrame(_BBOX_FIX, "pt_id long, lat double, lon double, radius_m double")
+    b = udfs.bbox_ref_udf()(F.col("lat"), F.col("lon"), F.col("radius_m")).alias("b")
+    out = df.select("pt_id", b)
+    return (out.select("pt_id",
+                       F.col("b.min_lat").alias("min_lat"),
+                       F.col("b.max_lat").alias("max_lat"),
+                       F.col("b.min_lon").alias("min_lon"),
+                       F.col("b.max_lon").alias("max_lon"))
+            .orderBy("pt_id"))
+
+
+def _q42_compat_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """S3: the compat grid scan (mapinfo.cpp:384-415) candidate-cell
+    counts on the FIXTURES §2.7 queries.  The scan is a per-query
+    driver-side step by design (it runs once per FindPos call and
+    yields 0/1 cells); the count row set is what the gate pins."""
+    rows = [(int(qid), int(len(gh.candidate_cells_ref(la, lo, r))))
+            for qid, la, lo, r in _CAND_FIX]
+    return spark.createDataFrame(rows, "query_id long, n_cells long").orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -556,6 +753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_hex_cells": _q36_hex_cells,
         "q37_decode_bounds": _q37_decode,
         "q38_knn_join_bulk": _q38_knn_bulk,
+        "q39_compat_neighbors": _q39_compat_neighbors,
+        "q40_compat_distance": _q40_compat_distance,
+        "q41_compat_bbox": _q41_compat_bbox,
+        "q42_compat_candidates": _q42_compat_candidates,
     }
 
 
@@ -692,6 +893,11 @@ FROM pos
 GROUP BY 1
 HAVING count(*) >= 3
 ORDER BY tile
+"""
+
+    sqls["q11_s2_cells"] = f"""
+WITH {_POS_CTE},
+{_s2_oracle_sql(level=8)}
 """
 
     sqls["q12_dedup_exact"] = """
@@ -1097,7 +1303,139 @@ WHERE event_id % 7 = 0
 ORDER BY event_id
 """
 
-    # q11 (S2 Hilbert ids), q16/q17 (MinHash/SimHash signatures), q20
-    # (LSH ANN), q33 (winnowing signatures), q35 (iterative k-means):
-    # not ANSI-SQL-expressible -> driver rows-only checks.
+    # q33: full winnowing replica in SQL — k=7 Horner rolling hash +
+    # splitmix64 (exact HUGEINT mod-2^64 arithmetic), minima over
+    # 4-gram windows (computed on the UNSIGNED hash, like the kernel,
+    # then converted to int64), frequency cap, pair join.
+    _wk, _ww, _wdf = 7, 4, 16
+    sqls["q33_winnow_pairs"] = f"""
+WITH pos_grams AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - {_wk} + 2, 1))) AS i
+  FROM documents WHERE doc_id < 300
+),
+raw AS (
+  SELECT doc_id, i, {_poly_hash_sql("text", "i", _wk)} AS h0 FROM pos_grams
+),
+{_splitmix_cte_sql("raw", "h0", "hu", "sm")},
+wins AS (
+  SELECT doc_id,
+         min(hu) OVER w AS mh,
+         count(*) OVER w AS cnt
+  FROM smd
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_ww - 1} FOLLOWING)
+),
+fps AS (
+  SELECT DISTINCT doc_id, {_signed64_sql("mh")} AS fp FROM wins WHERE cnt = {_ww}
+),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfreq FROM fps)
+  WHERE dfreq <= {_wdf}
+)
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_fps
+FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY a, b
+"""
+
+    # q16: full MinHash+LSH replica in SQL.  Shingle hashes = unrolled
+    # k=5 Horner hash + splitmix64 (HUGEINT mod-2^64, exact); the 64
+    # permutations (a*h + b in WRAPPING uint64, then mod Mersenne-61 —
+    # matching numpy's uint64 semantics) ride in as literal rows; LSH
+    # candidates join on band-signature equality (the Spark side buckets
+    # by xxhash64 of the same slice — equal iff the slices are equal,
+    # modulo an astronomically unlikely 64-bit collision); est_jaccard
+    # is the signature agreement fraction, exact in double.  Assumes
+    # every doc has length >= 5 (min in the synth corpus: 44), so the
+    # kernel's short-text branch never fires.
+    _M61 = (1 << 61) - 1
+    _mh_seeds = textops._splitmix64(np.arange(128, dtype=np.uint64) + np.uint64(7))
+    _mh_a = (_mh_seeds[:64] % np.uint64(_M61 - 1) + np.uint64(1))
+    _mh_b = _mh_seeds[64:] % np.uint64(_M61)
+    _perm_values = ", ".join(f"({i}, {int(_mh_a[i])}, {int(_mh_b[i])})" for i in range(64))
+    # (hu * a) mod 2^64 with a COLUMN multiplier: 32-bit split in SQL
+    _mm = ("((hu * (a & 4294967295)) % {W} + "
+           "(((hu % 4294967296) * (a >> 32)) % 4294967296) * 4294967296) % {W}"
+           ).format(W=_W64)
+    sqls["q16_minhash_lsh_pairs"] = f"""
+WITH spos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 5 + 2, 1))) AS i
+  FROM documents
+),
+sraw AS (
+  SELECT doc_id, i, {_poly_hash_sql("text", "i", 5)} AS h0 FROM spos
+),
+{_splitmix_cte_sql("sraw", "h0", "hu", "qm")},
+sh AS (
+  SELECT DISTINCT doc_id, hu FROM qmd
+),
+perms(perm, a, b) AS (VALUES {_perm_values}),
+vals AS (
+  SELECT doc_id, perm, min((({_mm}) + b) % {_W64} % {_M61}) AS mh
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS sig
+  FROM vals GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+agree AS (
+  SELECT c.a, c.b,
+         sum(CASE WHEN va.mh = vb.mh THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN vals va ON va.doc_id = c.a
+  JOIN vals vb ON vb.doc_id = c.b AND vb.perm = va.perm
+  GROUP BY 1, 2
+)
+SELECT a, b, round(n_match / 64.0, 6) AS est_jaccard
+FROM agree
+WHERE n_match / 64.0 >= 0.35
+ORDER BY a, b
+"""
+
+    # compat golden-vector oracles: VALUES literals transcribed from
+    # FIXTURES.md §2.4-2.7 (compiled-reference output)
+    nb_values = ", ".join(
+        f"({pt}, {slot}, '{cell}')"
+        for pt, cells in _NEIGHBOR_GOLD.items() for slot, cell in enumerate(cells))
+    sqls["q39_compat_neighbors"] = f"""
+SELECT CAST(pt_id AS BIGINT) AS pt_id, CAST(slot AS BIGINT) AS slot, cell
+FROM (VALUES {nb_values}) AS t(pt_id, slot, cell)
+ORDER BY pt_id, slot
+"""
+    d_values = ", ".join(f"({i}, round(CAST({v!r} AS DOUBLE), 6))"
+                         for i, v in enumerate(_DIST_GOLD))
+    sqls["q40_compat_distance"] = f"""
+SELECT CAST(pair_id AS BIGINT) AS pair_id, dist_m
+FROM (VALUES {d_values}) AS t(pair_id, dist_m)
+ORDER BY pair_id
+"""
+    # CAST from STRING literals: DuckDB types bare 17-digit numeric
+    # literals as DECIMAL and its decimal->double conversion rounds off
+    # the 17th digit; string->double parses to the exact nearest double
+    b_values = ", ".join(
+        f"({i}, CAST('{mnla!r}' AS DOUBLE), CAST('{mxla!r}' AS DOUBLE), "
+        f"CAST('{mnlo!r}' AS DOUBLE), CAST('{mxlo!r}' AS DOUBLE))"
+        for i, (mnla, mxla, mnlo, mxlo) in enumerate(_BBOX_GOLD))
+    sqls["q41_compat_bbox"] = f"""
+SELECT CAST(pt_id AS BIGINT) AS pt_id, min_lat, max_lat, min_lon, max_lon
+FROM (VALUES {b_values}) AS t(pt_id, min_lat, max_lat, min_lon, max_lon)
+ORDER BY pt_id
+"""
+    c_values = ", ".join(f"({i}, {n})" for i, n in enumerate(_CAND_GOLD))
+    sqls["q42_compat_candidates"] = f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_cells AS BIGINT) AS n_cells
+FROM (VALUES {c_values}) AS t(query_id, n_cells)
+ORDER BY query_id
+"""
+
+    # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):
+    # not ANSI-SQL-expressible yet -> driver rows-only checks.
     return sqls

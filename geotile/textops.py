@@ -129,7 +129,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         "est_jaccard",
         F.aggregate(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("double")),
                     F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(n_hashes)))
-    return pairs.where(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+    out = pairs.where(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+    return _track_persisted(out, [sigs])
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +210,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
              .dropDuplicates(["a", "b"]))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (pairs.withColumn("hamming", hamming)
-            .where(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+    out = (pairs.withColumn("hamming", hamming)
+           .where(F.col("hamming") <= max_hamming)
+           .select("a", "b", "hamming"))
+    return _track_persisted(out, [sh])
 
 
 # ---------------------------------------------------------------------------
@@ -333,3 +335,54 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         return pd.Series(res)
 
     return df.withColumn(out, _fp(F.col(text_col)))
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 7, window: int = 4, min_shared: int = 3,
+                 max_df: int = 16) -> DataFrame:
+    """Document-overlap pairs from winnowing fingerprints, with a
+    HOT-FINGERPRINT FREQUENCY CAP: fingerprints occurring in more than
+    ``max_df`` documents are dropped before the pair join (the standard
+    MOSS-deployment fix — ubiquitous boilerplate carries no dedup
+    signal, and an uncapped posting list makes one hot fingerprint
+    quadratic at corpus scale).  Guarantee loss is explicit: substrings
+    shared by > max_df documents no longer contribute to pair scores.
+
+    Plan shape: one narrow signature pass (Arrow UDF) -> explode to
+    (fp, doc) postings -> ONE shuffle on fp (the frequency window count
+    and the self-join reuse the same hash partitioning) -> bounded
+    per-fp pair fan-out (<= max_df^2/2) -> per-pair shared counts.
+    Returns (a, b, shared_fps) with a < b and shared_fps >= min_shared.
+
+    The postings frame is persisted (it feeds both self-join sides);
+    call :func:`release` on the result after materializing it."""
+    fp = winnow_fingerprints(df.select(id_col, text_col), id_col, text_col, k, window)
+    ex = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    # (doc, fp) is distinct by construction (np.unique per doc), so the
+    # plain count over the fp partition IS the document frequency
+    ex = (ex.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+          .where(F.col("_df") <= max_df).drop("_df")
+          .persist())
+    l = ex.alias("l")
+    r = ex.alias("r")
+    out = (l.join(r, (F.col("l.fp") == F.col("r.fp"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+           .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+           .agg(F.count("*").alias("shared_fps"))
+           .where(F.col("shared_fps") >= min_shared))
+    return _track_persisted(out, [ex])
+
+
+def _track_persisted(result: DataFrame, frames: list[DataFrame]) -> DataFrame:
+    """Attach the intermediate persisted frames to the result so callers
+    can free executor cache once the result is materialized."""
+    result._geotile_persisted = frames  # type: ignore[attr-defined]
+    return result
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the intermediates a pairs operator cached (no-op for
+    frames without any).  Call AFTER materializing the result — cached
+    blocks otherwise accumulate for the life of a long-running driver."""
+    for f in getattr(result, "_geotile_persisted", []):
+        f.unpersist()

@@ -81,6 +81,26 @@ def distance_ref_udf():
     return _dist
 
 
+def bbox_ref_udf():
+    """Reference-exact GetBoundingBox (geohash.cpp:323-333, with the
+    name-swapped unit helpers replicated) -> struct of exact doubles."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType() \
+        .add("min_lat", DoubleType()).add("max_lat", DoubleType()) \
+        .add("min_lon", DoubleType()).add("max_lon", DoubleType())
+
+    @pandas_udf(schema)
+    def _bbox(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.DataFrame:
+        mnla, mxla, mnlo, mxlo = gh.bbox_ref(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64),
+            radius_m.to_numpy(np.float64))
+        return pd.DataFrame({"min_lat": mnla, "max_lat": mxla,
+                             "min_lon": mnlo, "max_lon": mxlo})
+
+    return _bbox
+
+
 def neighbors_udf(include_self: bool = False):
     """Correct 8-ring neighbors of a geohash cell -> array<string>."""
 
@@ -202,6 +222,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_distance_ref", distance_ref_udf())
     spark.udf.register("gh_neighbors", neighbors_udf())
     spark.udf.register("gh_neighbors_ref12", neighbors_ref_udf(12))
+    spark.udf.register("gh_bbox_ref", bbox_ref_udf())
     spark.udf.register("gh_decode", decode_udf())
     spark.udf.register("gh_s2_cell10", s2_cell_udf(10))
     spark.udf.register("gh_hex_cell6", hex_cell_udf(6))

@@ -406,8 +406,14 @@ def _q16_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6 via pigeonhole banding).
+    The DuckDB oracle recomputes the signatures (token Horner hash +
+    splitmix64 + bit majority) and checks ALL pairs exhaustively — the
+    7x9-bit banding is complete for hamming <= 6, so the sets agree."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return textops.simhash_pairs(docs, max_hamming=6).orderBy("a", "b")
+    return (textops.simhash_pairs(docs, max_hamming=6)
+            .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("a", "b"))
 
 
 def _q18_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1397,6 +1403,48 @@ agree AS (
 SELECT a, b, round(n_match / 64.0, 6) AS est_jaccard
 FROM agree
 WHERE n_match / 64.0 >= 0.35
+ORDER BY a, b
+"""
+
+    # q17: simhash signature replica in SQL — per-token Horner hash +
+    # splitmix64 (identical to textops._token_hashes_flat), per-bit
+    # majority vote, exhaustive pair check (banding is complete for
+    # hamming <= 6, so exhaustive == banded result set).  Token split
+    # on single spaces matches the byte-level run tokenizer on this
+    # corpus (verified: no tabs/newlines/double/edge spaces).
+    _tp = [1]
+    for _ in range(31):
+        _tp.append((_tp[-1] * 1099511628211) % _W64)
+    _powlist = "[" + ", ".join(f"CAST({p} AS HUGEINT)" for p in _tp) + "]"
+    sqls["q17_simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tokh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_powlist})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM toks
+),
+{_splitmix_cte_sql("tokh", "h0", "hu", "tm")},
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN (hu >> bb.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         count(*) AS ntok
+  FROM tmd CROSS JOIN (SELECT unnest(range(0, 64)) AS b) AS bb
+  GROUP BY doc_id, bb.b
+),
+sigs AS (
+  SELECT doc_id,
+         {_signed64_sql('sum(CASE WHEN 2 * ones >= ntok '
+                        'THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)')} AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= 6
 ORDER BY a, b
 """
 

@@ -254,13 +254,46 @@ def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
 # ---------------------------------------------------------------------------
 
 
-def _min_cell_extent_m(nchars: int, abs_lat_deg: float) -> float:
-    """Conservative minimum extent (m) of a cell at this precision near
-    ``abs_lat_deg`` — the ring-expansion distance guarantee unit."""
+# latitude split points for the lon-side guarantee, as fractions of the
+# searched disk's lat half-height (see _ring_guarantee_m)
+_GUARANTEE_T_FRACS = (1.0, 0.5, 0.25, 0.125, 0.0625)
+
+
+def _ring_guarantee_m(nchars: int, abs_lat_deg: float, ring: int) -> float:
+    """Sound lower bound (m) on the distance from a query at
+    ``abs_lat_deg`` to ANY point outside the searched Chebyshev disk of
+    ``ring`` cells.  An outside point differs from the query cell by
+    > ring rows (lat) or > ring columns (lon):
+
+    * lat side: |dlat| > ring * cell_height -> great-circle distance
+      >= R * dlat_rad (ring * h_m) — EXACT, no latitude term;
+    * lon side: |dlon| > ring * cell_width.  For ANY split t >= 0:
+      either the point is > t degrees of latitude away (d >= R * t_rad)
+      or its |lat| <= |qlat| + t, where the chord bound
+      d >= 2 R sin(dlon_rad / 2) * cos(|qlat| + t) applies — so
+      min(R t, chord * cos(|qlat|+t)) is a valid bound for EVERY t, and
+      the max over a small t-grid is both sound and tight (evaluating
+      only at t = disk height collapses to 0 near the poles, which is
+      what made the naive reach-latitude fix stall);
+    * once 2*ring+1 >= n_lon the annulus covers the full circle and
+      only the lat bound applies (a true polar cap has no lon bound —
+      antipodal-in-lon points can be arbitrarily close there).
+    """
     lat_bits, lon_bits = gh._axis_bits(nchars)
-    h_m = 180.0 / (1 << lat_bits) * _M_PER_DEG
-    w_m = 360.0 / (1 << lon_bits) * _M_PER_DEG * max(math.cos(math.radians(min(abs_lat_deg, 89.9))), 1e-6)
-    return min(h_m, w_m)
+    nlon = 1 << lon_bits
+    lat_cell_deg = 180.0 / (1 << lat_bits)
+    lat_bound = ring * lat_cell_deg * _M_PER_DEG
+    if 2 * ring + 1 >= nlon:
+        return lat_bound
+    half = min(ring * (2.0 * math.pi / nlon) / 2.0, math.pi / 2.0)
+    chord = 2.0 * gh.EARTH_RADIUS_M * math.sin(half)
+    lon_bound = 0.0
+    for frac in _GUARANTEE_T_FRACS:
+        t_deg = ring * lat_cell_deg * frac
+        b = min(t_deg * _M_PER_DEG,
+                chord * max(math.cos(math.radians(min(abs_lat_deg + t_deg, 90.0))), 0.0))
+        lon_bound = max(lon_bound, b)
+    return min(lat_bound, lon_bound)
 
 
 def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
@@ -301,9 +334,12 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         # finest n with (2r+1)^2 * n_total / 2^(5n) >= 4k at ring=start
         budget = max((2 * start_ring + 1) ** 2 * max(n_total, 1) / max(4 * k, 1), 2.0)
         nchars = max(1, min(cell_nchars, int(math.log2(budget) // 5)))
+    from . import cache
+
     unresolved = list(queries)
     ring = start_ring
     resolved_parts: list[DataFrame] = []
+    round_frames: list[DataFrame] = []
     order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
     w = Window.partitionBy("query_id").orderBy(*order_cols)
     key = (F.col(cell_col) if nchars == cell_nchars
@@ -314,7 +350,11 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         for q_id, q_lat, q_lon in unresolved:
             i_lat, i_lon, _ = gh.decode_ij(gh.encode(q_lat, q_lon, nchars))
             cells = gh.disk(int(i_lat[0]), int(i_lon[0]), nchars, ring)
-            rows.extend((int(q_id), float(q_lat), float(q_lon), str(c)) for c in cells)
+            # dedup: at coarse precisions a wide disk wraps the lon
+            # circle and re-hits cells; a duplicated (query, cell) row
+            # would duplicate candidates and corrupt the top-k ranks
+            rows.extend((int(q_id), float(q_lat), float(q_lon), c)
+                        for c in dict.fromkeys(map(str, cells)))
         cand_cells = spark.createDataFrame(
             pd.DataFrame(rows, columns=["query_id", "qlat", "qlon", "cell"]),
             "query_id long, qlat double, qlon double, cell string")
@@ -331,6 +371,7 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
                 .persist())
+        round_frames.append(cand)
         # guarantee check per query: k-th distance within the disk's safe radius
         stats = {r["query_id"]: (r["n"], r["kth"]) for r in
                  cand.groupBy("query_id").agg(F.count("*").alias("n"),
@@ -339,7 +380,7 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         done_ids = []
         for q_id, q_lat, q_lon in unresolved:
             n, kth = stats.get(int(q_id), (0, None))
-            guarantee = ring * _min_cell_extent_m(nchars, abs(q_lat))
+            guarantee = _ring_guarantee_m(nchars, abs(q_lat), ring)
             if n >= k and kth is not None and kth <= guarantee:
                 done_ids.append(int(q_id))
             else:
@@ -355,12 +396,20 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         ring *= 2
 
     if not resolved_parts:
+        for f in round_frames:
+            f.unpersist()
         return spark.createDataFrame([], positions.schema.add("query_id", LongType())
                                      .add("dist_m", DoubleType()))
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out.drop("cell", "_rn")
+    # materialize the (small: k rows/query) result, then free the
+    # per-round caches; the result stays cached for the caller to release
+    out = out.drop("cell", "_rn").persist()
+    out.count()
+    for f in round_frames:
+        f.unpersist()
+    return cache.track(out, [out])
 
 
 def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,
@@ -373,18 +422,31 @@ def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,
     formulation (cf. the driver-side-cover :func:`knn_join`, which is
     the right shape only when queries are a small POI set).
 
-    Per round: each unresolved query EXPLODES into its Chebyshev-disk
-    cells (a vectorized UDF — no per-query driver work), equi-joins the
-    cell-keyed positions table (one shuffle; AQE splits hot-cell skew),
-    exact haversine refine (native expression), windowed top-k per
-    query.  A query is resolved when it has >= k candidates AND its
-    k-th distance is within the disk's guarantee radius — both computed
-    as COLUMN expressions, so the resolution test is distributed too;
-    the driver only counts unresolved per round (bounded rounds, ring
-    doubles each time).  This is the standard parallel kNN-join design
-    (hash by cell, candidates from expanding neighborhoods, verify by
-    distance bound) from the MapReduce kNN-join literature.
+    Per round: each unresolved query EXPLODES into the INCREMENTAL ring
+    annulus only (cells searched in earlier rounds are never re-joined
+    — annulus_cells_udf dedups exactly, including lon wraparound), the
+    new band equi-joins the PRE-PARTITIONED positions table (positions
+    are hash-partitioned on the cell key ONCE up front and cached, so
+    per-round joins exchange only the small annulus side; on a cluster
+    where the table is already bucketed/partitioned by cell prefix the
+    up-front shuffle is a no-op), exact haversine refine (native
+    expression), and the new candidates union with the carried-forward
+    top-k before a windowed re-rank.  A query is resolved when it has
+    >= k candidates AND its k-th distance is within the searched disk's
+    sound guarantee radius (see :func:`_ring_guarantee_m`: exact lat
+    bound + chord lon bound priced at the disk's max REACHABLE |lat|)
+    — both as COLUMN expressions, so the resolution test is distributed
+    too.  The next ring is not blind doubling: the k-th candidate
+    distance already observed implies the ring that guarantees
+    resolution (ceil(kth / lat_cell_m)), so the driver JUMPS there
+    (>= doubling) and the search almost always finishes in 2-3 rounds.
+    One driver action per round (count unresolved + max needed ring).
+    This is the standard parallel kNN-join design (hash by cell,
+    candidates from expanding neighborhoods, verify by distance bound)
+    from the MapReduce kNN-join literature.
     """
+    from . import cache
+
     spark = positions.sparkSession
     if nchars is None:
         if n_total is None:
@@ -395,45 +457,90 @@ def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,
            else F.substring(F.col(cell_col), 1, nchars))
     order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
     w = Window.partitionBy(qid).orderBy(*order_cols)
-    # conservative min cell extent (m) at the query's latitude, as a
-    # native column: no closer point can live outside a disk of
-    # ring * extent meters
     lat_bits, lon_bits = gh._axis_bits(nchars)
-    h_m = 180.0 / (1 << lat_bits) * _M_PER_DEG
-    w_deg = 360.0 / (1 << lon_bits) * _M_PER_DEG
-    extent = F.least(F.lit(h_m),
-                     F.lit(w_deg) * F.greatest(F.cos(F.radians(F.col(qlat))), F.lit(1e-6)))
+    nlon = 1 << lon_bits
+    lat_cell_deg = 180.0 / (1 << lat_bits)
+    lat_cell_m = lat_cell_deg * _M_PER_DEG
+    dist = udfs.haversine_col(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
 
+    # ONE positions shuffle for the whole search: hash-partition on the
+    # materialized cell key and cache; every round's join then reuses
+    # this partitioning and exchanges only the annulus side
+    pos2 = positions.withColumn("_pcell", key).repartition(F.col("_pcell")).persist()
     unresolved = queries.select(qid, qlat, qlon)
     resolved_parts: list[DataFrame] = []
+    round_frames: list[DataFrame] = [pos2]
+    carry: DataFrame | None = None  # unresolved queries' current top-k (flagged)
+    flags = ["_n", "_kth", "_ok"]
+    w_part = Window.partitionBy(qid)
+    prev_ring = -1
     ring = start_ring
     while True:
+        ann = udfs.annulus_cells_udf(nchars, prev_ring, ring)
         cand_cells = unresolved.withColumn(
-            "cell", F.explode(udfs.disk_cells_udf(nchars, ring)(F.col(qlat), F.col(qlon))))
-        cand = positions.join(cand_cells, key == cand_cells["cell"], "inner").drop("cell")
-        dist = udfs.haversine_col(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
-        topk = (cand.withColumn("dist_m", dist)
-                .withColumn("_rn", F.row_number().over(w))
+            "cell", F.explode(ann(F.col(qlat), F.col(qlon))))
+        new_cand = (pos2.join(cand_cells, F.col("_pcell") == cand_cells["cell"], "inner")
+                    .drop("cell", "_pcell")
+                    .withColumn("dist_m", dist))
+        allc = new_cand if carry is None else carry.drop(*flags).unionByName(new_cand)
+        # distributed form of _ring_guarantee_m (same math; the only
+        # per-query term is cos(|qlat| + t) as a native column, with the
+        # t-grid max keeping the bound tight at high latitudes)
+        lat_bound = ring * lat_cell_m
+        if 2 * ring + 1 >= nlon:
+            g_col = F.lit(lat_bound)
+        else:
+            half = min(ring * (2.0 * math.pi / nlon) / 2.0, math.pi / 2.0)
+            chord = 2.0 * gh.EARTH_RADIUS_M * math.sin(half)
+            bounds = []
+            for frac in _GUARANTEE_T_FRACS:
+                t_deg = ring * lat_cell_deg * frac
+                reach = F.least(F.abs(F.col(qlat)) + F.lit(t_deg), F.lit(90.0))
+                bounds.append(F.least(
+                    F.lit(t_deg * _M_PER_DEG),
+                    F.lit(chord) * F.greatest(F.cos(F.radians(reach)), F.lit(0.0))))
+            g_col = F.least(F.lit(lat_bound), F.greatest(*bounds))
+        # rank AND resolution-test in the same qid-partitioned pass (no
+        # separate groupBy / semi / anti joins per round)
+        topk = (allc.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
-                .withColumn("_guarantee", F.lit(float(ring)) * extent)
+                .drop("_rn")
+                .withColumn("_n", F.count("*").over(w_part))
+                .withColumn("_kth", F.max("dist_m").over(w_part))
+                .withColumn("_ok", (F.col("_n") >= k) & (F.col("_kth") <= g_col))
                 .persist())
-        stats = (topk.groupBy(qid)
-                 .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_kth"),
-                      F.first("_guarantee").alias("_g")))
-        ok = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.col("_g"))).select(qid)
-        resolved_parts.append(topk.join(ok, qid, "left_semi"))
-        unresolved = unresolved.join(ok, qid, "left_anti")
-        ring *= 2
-        if ring > max_ring:
+        round_frames.append(topk)
+        resolved_parts.append(topk.where(F.col("_ok")).drop(*flags))
+        carry = topk.where(~F.col("_ok"))
+        unresolved = unresolved.join(topk.where(F.col("_ok")).select(qid),
+                                     qid, "left_anti")
+        # ONE driver action: unresolved count + the ring implied by the
+        # worst observed k-th distance (null for zero-candidate queries)
+        info = (unresolved.join(carry.select(qid, "_kth").dropDuplicates([qid]),
+                                qid, "left")
+                .agg(F.count("*").alias("n"),
+                     F.max(F.ceil(F.col("_kth") / F.lit(lat_cell_m))).alias("need"))
+                .first())
+        if int(info["n"]) == 0:
+            break
+        if ring >= max_ring:
             # out of rings: best-effort for the remainder
-            resolved_parts.append(topk.join(unresolved.select(qid), qid, "left_semi"))
+            resolved_parts.append(carry.drop(*flags))
             break
-        if unresolved.isEmpty():  # the one driver-side action per round
-            break
+        need = int(info["need"]) if info["need"] is not None else 2 * ring
+        prev_ring = ring
+        ring = min(max_ring, max(2 * ring, need))
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out.drop("_rn", "_guarantee")
+    # materialize once, then free the per-round caches (they would
+    # otherwise accumulate for the life of the session); the small
+    # result stays cached and is the caller's to release
+    out = out.persist()
+    out.count()
+    for f in round_frames:
+        f.unpersist()
+    return cache.track(out, [out])
 
 
 # ---------------------------------------------------------------------------

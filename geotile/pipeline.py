@@ -141,7 +141,8 @@ def stage_points(spark: SparkSession, workdir: str, nchars: int = 5) -> str:
         else:
             clustered = points.sortWithinPartitions(F.col("gh2"), F.col("geohash"))
             table.write_stage(clustered, path, partition_by=["gh2"],
-                              parents=[pages_path], params=params)
+                              parents=[pages_path], params=params,
+                              sort_by=["gh2", "geohash"])
     return path
 
 

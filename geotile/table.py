@@ -68,10 +68,16 @@ def _lineage_hash(parents: Sequence[str], params: dict) -> str:
 
 
 def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
-                parents: Sequence[str] = (), params: dict | None = None) -> dict:
+                parents: Sequence[str] = (), params: dict | None = None,
+                sort_by: Sequence[str] = ()) -> dict:
     """Write a stage output + manifest.  The manifest records the schema
     fingerprint, lineage hash (parent manifests + params), and row
-    counts per partition value — the resume/conservation contract."""
+    counts per partition value — the resume/conservation contract.
+
+    ``sort_by`` is DECLARATIVE metadata: the caller pre-sorted the data
+    by these columns (sortWithinPartitions), and :func:`compact` must
+    re-apply the same clustering so row-group min/max pruning survives
+    compaction."""
     params = params or {}
     parent_hashes = []
     for p in parents:
@@ -90,6 +96,7 @@ def write_stage(df: DataFrame, path: str, partition_by: Sequence[str] = (),
         "schema_fingerprint": _schema_fingerprint(df),
         "lineage": _lineage_hash(parent_hashes, params),
         "partition_by": list(partition_by),
+        "sort_by": list(sort_by),
         "partitions": counts,
         "total_rows": int(sum(counts.values())),
         "params": params,
@@ -181,6 +188,12 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
     tmp = path.rstrip("/") + ".compact.tmp"
     writer = df.repartition(n_files, *[F.col(c) for c in m["partition_by"]]) \
         if m["partition_by"] else df.coalesce(n_files)
+    # re-apply the stage's declared clustering: repartition alone would
+    # destroy the per-file sort the write path created, losing parquet
+    # row-group min/max pruning after every compaction
+    sort_by = m.get("sort_by") or []
+    if sort_by:
+        writer = writer.sortWithinPartitions(*[F.col(c) for c in sort_by])
     w = writer.write.mode("overwrite")
     if m["partition_by"]:
         w = w.partitionBy(*m["partition_by"])
@@ -190,13 +203,21 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
             {k: int(v) for k, v in m["partitions"].items()}:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError("compaction row-count mismatch; aborted, original intact")
-    shutil.rmtree(path)
+    # crash-safe swap: keep the original as a .bak sibling until the new
+    # manifest is committed — no window where the stage has no data (a
+    # crash mid-swap leaves either the original or original-in-.bak +
+    # new data, both recoverable; the old rmtree-then-replace had a
+    # window with NOTHING on disk)
+    bak = path.rstrip("/") + ".compact.bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.replace(path, bak)
     os.replace(tmp, path)
     m["partitions"] = new_counts
     m["committed_at"] = time.time()
     with open(os.path.join(path, MANIFEST + ".tmp"), "w") as f:
         json.dump(m, f, indent=1, sort_keys=True)
     os.replace(os.path.join(path, MANIFEST + ".tmp"), os.path.join(path, MANIFEST))
+    shutil.rmtree(bak, ignore_errors=True)  # commit point passed
     return m
 
 

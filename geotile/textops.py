@@ -138,26 +138,70 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 # ---------------------------------------------------------------------------
 
 
+_POLY_BASE = np.uint64(1099511628211)
+# ASCII whitespace byte values (space, \t, \n, \v, \f, \r).  Byte-level
+# run detection is UTF-8-safe: multibyte sequences only use bytes >=
+# 0x80, so no whitespace byte can appear inside a character.  (Unlike
+# the former pandas str.split this does NOT split on exotic Unicode
+# spaces — a deliberate choice: the hash is SQL-replicable this way.)
+_WS_BYTES = (9, 10, 11, 12, 13, 32)
+
+
+def _token_hashes_flat(text: pd.Series):
+    """ASCII-whitespace tokenization + per-token Horner rolling hash
+    (base 1099511628211, wrapping uint64) + splitmix64, vectorized over
+    ONE flat byte buffer for the whole Arrow batch — no per-token Python
+    objects anywhere.  The hash pipeline is byte-identical to what the
+    q17 DuckDB oracle computes per character, so signatures are
+    cross-engine checkable.  Returns (token_hashes: uint64[],
+    tokens_per_doc: int64[n_docs])."""
+    n = len(text)
+    enc = text.fillna("").str.encode("utf-8").tolist()
+    doc_lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"\n".join(enc), dtype=np.uint8) if n else np.empty(0, np.uint8)
+    # doc i spans [i + sum(lens[:i]), ...+lens[i]) in the \n-joined buffer
+    doc_end = np.cumsum(doc_lens) + np.arange(n, dtype=np.int64)
+    ws = np.isin(buf, _WS_BYTES)
+    nonws = ~ws
+    tok_starts = np.flatnonzero(nonws & np.concatenate(([True], ws[:-1])))
+    if tok_starts.size == 0:
+        return np.empty(0, np.uint64), np.zeros(n, dtype=np.int64)
+    tok_ends = np.flatnonzero(nonws & np.concatenate((ws[1:], [True]))) + 1
+    lens_tok = tok_ends - tok_starts
+    powers = np.empty(int(lens_tok.max()), dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, powers.shape[0]):
+        powers[i] = (powers[i - 1] * _POLY_BASE) & np.uint64(_MASK)
+    offsets = np.cumsum(lens_tok) - lens_tok
+    total = int(lens_tok.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens_tok)
+    g = np.repeat(tok_starts, lens_tok) + within
+    exp = np.repeat(tok_ends - 1, lens_tok) - g
+    terms = buf[g].astype(np.uint64) * powers[exp]
+    h_raw = np.add.reduceat(terms, offsets)  # wraps mod 2^64 == Horner
+    hs = _splitmix64(h_raw)
+    doc_of = np.searchsorted(doc_end, tok_starts, side="right")
+    return hs, np.bincount(doc_of, minlength=n).astype(np.int64)
+
+
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit SimHash over whitespace tokens (sign of per-bit weighted
     sums of token hashes).  Narrow map, vectorized across the whole
-    Arrow batch: tokens explode to one flat array, word hashes come
-    from pandas' deterministic cython hasher (fixed key — stable across
-    executors/processes, unlike Python's salted ``hash()``), and the
-    per-document bit-majorities reduce via ``np.add.reduceat``."""
+    Arrow batch: one flat byte buffer, run-detected tokens, Horner +
+    splitmix64 token hashes (deterministic across executors AND
+    SQL-replicable — the q17 oracle recomputes them), per-document
+    bit-majorities via ``np.add.reduceat``."""
 
     @F.pandas_udf(LongType())
     def _sh(text: pd.Series) -> pd.Series:
         n = len(text)
         res = np.zeros(n, dtype=np.int64)
-        toks_per_doc = text.fillna("").str.split()
-        counts = toks_per_doc.str.len().to_numpy(np.int64)
+        if n == 0:
+            return pd.Series(res)
+        hs, counts = _token_hashes_flat(text)
         nonempty = counts > 0
         if not nonempty.any():
             return pd.Series(res)
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks_per_doc[nonempty]])
-        hs = _splitmix64(pd.util.hash_array(flat).astype(np.uint64))
         ne_counts = counts[nonempty]
         ends = np.cumsum(ne_counts)
         starts = ends - ne_counts
@@ -373,16 +417,4 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return _track_persisted(out, [ex])
 
 
-def _track_persisted(result: DataFrame, frames: list[DataFrame]) -> DataFrame:
-    """Attach the intermediate persisted frames to the result so callers
-    can free executor cache once the result is materialized."""
-    result._geotile_persisted = frames  # type: ignore[attr-defined]
-    return result
-
-
-def release(result: DataFrame) -> None:
-    """Unpersist the intermediates a pairs operator cached (no-op for
-    frames without any).  Call AFTER materializing the result — cached
-    blocks otherwise accumulate for the life of a long-running driver."""
-    for f in getattr(result, "_geotile_persisted", []):
-        f.unpersist()
+from .cache import release, track as _track_persisted  # noqa: E402  (re-export)

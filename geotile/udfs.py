@@ -124,6 +124,56 @@ def neighbors_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
     return _nbrs
 
 
+def annulus_cells_udf(nchars: int, r_lo: int, r_hi: int):
+    """(lat, lon) -> cells of the Chebyshev ANNULUS (r_lo, r_hi] around
+    the point's cell at ``nchars`` — the INCREMENTAL candidate generator
+    for expanding-ring kNN: each round explodes only the new ring band,
+    never re-emitting the inner disk it already searched (``r_lo = -1``
+    yields the full disk for the first round).  Longitude wraparound is
+    deduplicated exactly: when ``2r+1 >= n_lon`` the circle is fully
+    covered and the offset set collapses to one canonical window, so a
+    cell is emitted at most once across ALL rounds of a search."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _ann(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        i_lat, i_lon, _ = gh.decode_ij(gh.encode(la, lo, nchars))
+        lat_bits, lon_bits = gh._axis_bits(nchars)
+        nlat = 1 << lat_bits
+        nlon = 1 << lon_bits
+        half = nlon // 2
+
+        def lon_offsets(r: int) -> set[int]:
+            if r < 0:
+                return set()
+            if 2 * r + 1 >= nlon:  # full circle: one canonical window
+                return set(range(-half, nlon - half))
+            return set(range(-r, r + 1))
+
+        lo_out = lon_offsets(r_hi)
+        lo_in = lon_offsets(r_lo)
+        cols = []
+        for dla in range(-r_hi, r_hi + 1):
+            inner_lat = abs(dla) <= r_lo
+            for dlo in sorted(lo_out):
+                if inner_lat and dlo in lo_in:
+                    continue  # covered by a previous round
+                la_i = i_lat + dla
+                lo_i = (i_lon + dlo) % nlon
+                ok = (la_i >= 0) & (la_i < nlat)
+                s = np.empty(la.shape[0], dtype=object)
+                s[ok] = gh.encode_ij(la_i[ok], lo_i[ok], nchars)
+                s[~ok] = None
+                cols.append(s)
+        if not cols:
+            return pd.Series([[] for _ in range(la.shape[0])])
+        stacked = np.stack(cols, axis=1)
+        return pd.Series([[c for c in row if c is not None] for row in stacked])
+
+    return _ann
+
+
 def disk_cells_udf(nchars: int, ring: int):
     """(lat, lon) -> array of the (2*ring+1)^2 cells of the Chebyshev
     disk around the point's cell at ``nchars`` — the candidate

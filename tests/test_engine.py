@@ -192,3 +192,61 @@ def test_knn_join_bulk_matches_brute_force(spark):
         order = np.argsort(d, kind="stable")[:k]
         expect = sorted((round(float(d[i]), 6), f"m{i}") for i in order)
         assert sorted(by_q[qid]) == expect, f"query {qid}"
+
+
+def test_annulus_cells_partition_disk(spark):
+    """annulus_cells_udf invariants (pandas-side, no Spark needed): the
+    expanding annuli (-1,1], (1,2], (2,4] are pairwise DISJOINT and
+    their union equals the full Chebyshev disk at ring 4 — including at
+    a coarse precision where wide rings wrap the lon circle (the case
+    where naive offset enumeration double-counts cells)."""
+    import pandas as pd
+
+    from geotile import udfs
+
+    lat = pd.Series([39.9286, -33.8568, 84.5, 0.0])
+    lon = pd.Series([116.3895, 151.2153, -179.9, 0.0])
+    for nchars in (1, 2):
+        rounds = [(-1, 1), (1, 2), (2, 4)]
+        per_round = [udfs.annulus_cells_udf(nchars, lo, hi).func(lat, lon)
+                     for lo, hi in rounds]
+        full = udfs.annulus_cells_udf(nchars, -1, 4).func(lat, lon)
+        for i in range(len(lat)):
+            sets = [set(s[i]) for s in per_round]
+            # disjoint across rounds
+            for a in range(len(sets)):
+                for b in range(a + 1, len(sets)):
+                    assert not (sets[a] & sets[b]), (nchars, i, a, b)
+            # no dup within a round
+            for s, rnd in zip(per_round, rounds):
+                assert len(s[i]) == len(set(s[i])), (nchars, i, rnd)
+            # union == full disk
+            assert set().union(*sets) == set(full[i]), (nchars, i)
+
+
+def test_knn_join_bulk_high_latitude(spark):
+    """Polar-band kNN: cells narrow sharply toward the pole, which is
+    exactly where a guarantee priced at cos(qlat) over-estimates the
+    safe radius (ADVICE r1).  Points at |lat| in [83, 89.5] across all
+    longitudes, queries inside the band — verified against numpy brute
+    force."""
+    rng = np.random.default_rng(11)
+    n = 1500
+    lat = rng.uniform(83.0, 89.5, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    rows = [(f"m{i}", float(lat[i]), float(lon[i]), i) for i in range(n)]
+    df = engine.with_cell(spark.createDataFrame(rows, POS_SCHEMA))
+    k = 5
+    qrows = [(i, float(lat[i * 53 % n]) + 0.003,
+              float(lon[i * 53 % n]) - 0.004) for i in range(25)]
+    qdf = spark.createDataFrame(qrows, "query_id long, qlat double, qlon double")
+    got = engine.knn_join_bulk(df, qdf, k=k, id_col="msisdn").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((round(r["dist_m"], 6), r["msisdn"]))
+    assert set(by_q) == {q[0] for q in qrows}
+    for qid, qla, qlo in qrows:
+        d = gh.haversine_m(np.full(n, qla), np.full(n, qlo), lat, lon)
+        order = np.argsort(d, kind="stable")[:k]
+        expect = sorted((round(float(d[i]), 6), f"m{i}") for i in order)
+        assert sorted(by_q[qid]) == expect, f"query {qid}"

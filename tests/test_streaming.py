@@ -36,6 +36,45 @@ def test_upsert_stream_file_source(spark, tmp_path):
     assert table.verify_counts(spark, os.path.join(state_dir, f"v{v:06d}"))
 
 
+def test_upsert_stream_kill_and_resume(spark, tmp_path):
+    """Crash/restart recovery end-to-end: a SECOND upsert_stream run
+    with the same checkpoint resumes from the committed snapshot —
+    already-drained update files are NOT reprocessed (checkpoint), the
+    new micro-batch merges onto the RECOVERED state (snapshot), and a
+    torn snapshot (no manifest) is ignored by the version resolver."""
+    updates_dir = str(tmp_path / "updates")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(updates_dir)
+    _write_batch(spark, updates_dir, [("a", 39.928167, 116.389550, 100),
+                                      ("b", 39.928667, 116.389550, 100)], 0)
+    q = streaming.upsert_stream(spark, updates_dir + "/b*", state_dir, ckpt)
+    q.awaitTermination(120)  # run 1 drains batch 0, then the process "dies"
+    v0 = streaming.latest_state_version(state_dir)
+    assert v0 is not None
+    # updates arrive while the stream is down
+    _write_batch(spark, updates_dir, [("a", 31.230416, 121.473701, 200),
+                                      ("c", 57.649110, 10.407440, 150)], 1)
+    q2 = streaming.upsert_stream(spark, updates_dir + "/b*", state_dir, ckpt)
+    q2.awaitTermination(120)
+    # the restarted run saw ONLY the new files (checkpoint replay guard)
+    assert sum(p["numInputRows"] for p in q2.recentProgress) == 2
+    v1 = streaming.latest_state_version(state_dir)
+    assert v1 > v0
+    state = {r["msisdn"]: (r["lat"], r["ts"])
+             for r in streaming.read_state(spark, state_dir).collect()}
+    assert state == {"a": (31.230416, 200), "b": (39.928667, 100),
+                     "c": (57.649110, 150)}
+    assert table.verify_counts(spark, os.path.join(state_dir, f"v{v0:06d}"))
+    assert table.verify_counts(spark, os.path.join(state_dir, f"v{v1:06d}"))
+    # torn-write simulation: a snapshot without a committed manifest is
+    # invisible; readers fall back to the last GOOD snapshot
+    os.remove(os.path.join(state_dir, f"v{v1:06d}", table.MANIFEST))
+    assert streaming.latest_state_version(state_dir) == v0
+    fallback = {r["msisdn"] for r in streaming.read_state(spark, state_dir).collect()}
+    assert fallback == {"a", "b"}
+
+
 def test_keyed_latest_stream_batchwise(spark, tmp_path):
     """applyInPandasWithState logic, driven through a real stream with
     availableNow over a file source."""

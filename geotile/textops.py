@@ -119,17 +119,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     banded = banded.select(id_col, "minhash", "bb.band", "bb.bucket")
     l = banded.alias("l")
     r = banded.alias("r")
+    est = (F.aggregate(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(n_hashes)))
+    # estimate + threshold BEFORE the (a, b) dedup: hot buckets make the
+    # raw candidate stream orders of magnitude larger than the result,
+    # and the dedup is a shuffle — filter map-side first (duplicates are
+    # identical rows, so dedup-after-filter returns the same set)
     pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
                     & (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
                      F.col("l.minhash").alias("sig_a"), F.col("r.minhash").alias("sig_b"))
+             .withColumn("est_jaccard", est)
+             .where(F.col("est_jaccard") >= threshold)
              .dropDuplicates(["a", "b"]))
-    pairs = pairs.withColumn(
-        "est_jaccard",
-        F.aggregate(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(n_hashes)))
-    out = pairs.where(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+    out = pairs.select("a", "b", "est_jaccard")
     return _track_persisted(out, [sigs])
 
 
@@ -248,15 +252,18 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands = bands.select(id_col, "simhash", "bb.band", "bb.key")
     l = bands.alias("l")
     r = bands.alias("r")
-    pairs = (l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
-                     F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
-             .dropDuplicates(["a", "b"]))
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    out = (pairs.withColumn("hamming", hamming)
+    # popcount verify BEFORE the (a, b) dedup: hot band buckets emit
+    # millions of candidates of which a sliver qualifies, and the dedup
+    # shuffles its input — the xor/bit_count filter is a map-side
+    # codegen expression, so run it first (duplicates are identical
+    # rows; dedup-after-filter returns the same set)
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    out = (l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+           .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                   hamming.alias("hamming"))
            .where(F.col("hamming") <= max_hamming)
-           .select("a", "b", "hamming"))
+           .dropDuplicates(["a", "b"]))
     return _track_persisted(out, [sh])
 
 

@@ -90,6 +90,35 @@ def main() -> None:
         engine.knn_join(points, [(0, 39.9286, 116.3895)], k=5, id_col="url",
                         n_total=30000),
         "knn_join (final ring iteration shown): pruned scan + broadcast candidates + windowed top-k"))
+    # knn_join_bulk returns a materialized cached frame (its rounds run
+    # eagerly), so audit the ROUND-1 plan shape directly: the same
+    # pos-prepartition + annulus-explode + single-window rank/resolve
+    # pipeline the engine loop builds (engine.knn_join_bulk)
+    from pyspark.sql import Window
+
+    from geotile import udfs as _udfs
+
+    key2 = F.substring(F.col("geohash"), 1, 2)
+    pos2 = points.withColumn("_pcell", key2).repartition(F.col("_pcell"))
+    qb = (points.limit(50)
+          .select(F.col("url").alias("query_id"),
+                  F.col("lat").alias("qlat"), F.col("lon").alias("qlon")))
+    cand_cells = qb.withColumn(
+        "cell", F.explode(_udfs.annulus_cells_udf(2, -1, 1)(F.col("qlat"), F.col("qlon"))))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("url"))
+    wp = Window.partitionBy("query_id")
+    bulk_round = (pos2.join(cand_cells, F.col("_pcell") == cand_cells["cell"], "inner")
+                  .drop("cell", "_pcell")
+                  .withColumn("dist_m", _udfs.haversine_col(
+                      F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")))
+                  .withColumn("_rn", F.row_number().over(wq))
+                  .where(F.col("_rn") <= 5).drop("_rn")
+                  .withColumn("_n", F.count("*").over(wp))
+                  .withColumn("_kth", F.max("dist_m").over(wp)))
+    sections.append(summarize(
+        bulk_round,
+        "knn_join_bulk (one round): positions pre-partitioned once, annulus side "
+        "exchanges, rank + resolution test in a single qid window pass"))
     from geotile.kernel import tiles_np
 
     tx, ty = tiles_np.tile_xy(39.9286, 116.3895, 10)

@@ -130,3 +130,43 @@ def test_extract_text_idempotent_and_deterministic(html):
     t2 = extract_text_pd(s)
     assert t1.iloc[0] == t2.iloc[0]
     assert "<p>" not in t1.iloc[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(lats, lons, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=32), st.data())
+def test_ring_guarantee_soundness(qlat, qlon, nchars, ring, data):
+    """engine._ring_guarantee_m is a true lower bound: ANY point whose
+    cell lies outside the query's Chebyshev disk of ``ring`` cells is
+    at least guarantee meters away.  This is the kNN termination
+    condition — an overestimate here returns wrong neighbors (the
+    round-1 advice found exactly that at high latitude)."""
+    from geotile import engine
+
+    g = engine._ring_guarantee_m(nchars, abs(qlat), ring)
+    assert g >= 0.0
+    lat_bits, lon_bits = gh._axis_bits(nchars)
+    nlat, nlon = 1 << lat_bits, 1 << lon_bits
+    qi, qj, _ = gh.decode_ij(gh.encode(qlat, qlon, nchars))
+    qi, qj = int(qi[0]), int(qj[0])
+    # sample a point in a cell OUTSIDE the disk (index diff > ring in
+    # lat, or circular lon diff > ring)
+    dla = data.draw(st.integers(min_value=-nlat, max_value=nlat))
+    dlo = data.draw(st.integers(min_value=-(nlon // 2), max_value=nlon // 2))
+    pi = qi + dla
+    pj = (qj + dlo) % nlon
+    circ = min(abs(dlo), nlon - abs(dlo))
+    if not (0 <= pi < nlat):
+        return  # no such cell
+    if abs(dla) <= ring and circ <= ring:
+        return  # inside the searched disk — not covered by the bound
+    # worst case: the point sits at the cell corner nearest the query
+    fla = data.draw(st.floats(min_value=0.0, max_value=1.0))
+    flo = data.draw(st.floats(min_value=0.0, max_value=1.0))
+    plat = -90.0 + (pi + fla) * (180.0 / nlat)
+    plon = -180.0 + (pj + flo) * (360.0 / nlon)
+    d = float(gh.haversine_m(np.array([qlat]), np.array([qlon]),
+                             np.array([plat]), np.array([plon]))[0])
+    assert d >= g - 1e-6 * max(g, 1.0), (
+        f"guarantee {g} > true distance {d} (nchars={nchars} ring={ring} "
+        f"q=({qlat},{qlon}) p=({plat},{plon}) dla={dla} dlo={dlo})")

@@ -111,6 +111,15 @@ def test_compact_preserves_content_and_lineage(spark, tmp_path):
     # lineage unchanged -> downstream stages still see the stage complete
     assert table.is_complete(ppath, parents=[os.path.join(wd, "pages")],
                              params=m["params"])
+    # sort clustering survives the rewrite (row-group min/max pruning
+    # depends on it) and the crash-safe .bak sibling is gone
+    import pyarrow.parquet as pq
+
+    pfiles = sorted(os.path.join(root, f) for root, _d, fs in os.walk(ppath)
+                    for f in fs if f.endswith(".parquet"))
+    col = pq.read_table(pfiles[0], columns=["geohash"]).to_pandas()["geohash"]
+    assert list(col) == sorted(col)
+    assert not os.path.exists(ppath + ".compact.bak")
 
 
 def test_bucketed_upsert_has_no_exchange(spark):

@@ -155,6 +155,71 @@ def _signed64_sql(expr: str) -> str:
             f"THEN CAST({_W64} AS HUGEINT) ELSE 0 END AS BIGINT)")
 
 
+_M61 = (1 << 61) - 1
+_MH_SEEDS = textops._splitmix64(np.arange(128, dtype=np.uint64) + np.uint64(7))
+_MH_A = (_MH_SEEDS[:64] % np.uint64(_M61 - 1) + np.uint64(1))
+_MH_B = _MH_SEEDS[64:] % np.uint64(_M61)
+
+
+def _minhash_cand_cte(threshold: float) -> str:
+    """CTE chain replicating textops.minhash_lsh_pairs in DuckDB, ending
+    in ``mh_cand(a, b, est_jaccard)``.  Shingle hashes = unrolled k=5
+    Horner hash + splitmix64 (HUGEINT mod-2^64, exact); the 64
+    permutations (a*h + b in WRAPPING uint64, then mod Mersenne-61 —
+    matching numpy's uint64 semantics) ride in as literal rows; LSH
+    candidates join on band-signature equality (the Spark side buckets
+    by xxhash64 of the same slice — equal iff the slices are equal,
+    modulo an astronomically unlikely 64-bit collision); est_jaccard is
+    the signature agreement fraction, exact in double.  Assumes every
+    doc has length >= 5 (min in the synth corpus: 44), so the kernel's
+    short-text branch never fires."""
+    perm_values = ", ".join(f"({i}, {int(_MH_A[i])}, {int(_MH_B[i])})"
+                            for i in range(64))
+    # (hu * a) mod 2^64 with a COLUMN multiplier: 32-bit split in SQL
+    mm = ("((hu * (a & 4294967295)) % {W} + "
+          "(((hu % 4294967296) * (a >> 32)) % 4294967296) * 4294967296) % {W}"
+          ).format(W=_W64)
+    return f"""spos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 5 + 2, 1))) AS i
+  FROM documents
+),
+sraw AS (
+  SELECT doc_id, i, {_poly_hash_sql("text", "i", 5)} AS h0 FROM spos
+),
+{_splitmix_cte_sql("sraw", "h0", "hu", "qm")},
+sh AS (
+  SELECT DISTINCT doc_id, hu FROM qmd
+),
+perms(perm, a, b) AS (VALUES {perm_values}),
+vals AS (
+  SELECT doc_id, perm, min((({mm}) + b) % {_W64} % {_M61}) AS mh
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS sig
+  FROM vals GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+agree AS (
+  SELECT c.a, c.b,
+         sum(CASE WHEN va.mh = vb.mh THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN vals va ON va.doc_id = c.a
+  JOIN vals vb ON vb.doc_id = c.b AND vb.perm = va.perm
+  GROUP BY 1, 2
+),
+mh_cand AS (
+  SELECT a, b, n_match / 64.0 AS est_jaccard
+  FROM agree
+  WHERE n_match / 64.0 >= {threshold!r}
+)"""
+
+
 def _s2_oracle_sql(level: int = 8) -> str:
     """DuckDB replica of kernel/s2_np.cell_id at ``level``: cube-face
     selection, quadratic s/t transform, lattice quantization, and the
@@ -635,6 +700,44 @@ def _q38_knn_bulk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rnk"))
 
 
+def _q43_dedup_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage verified dedup: MinHash+LSH candidates (recall-oriented
+    threshold) -> EXACT word-trigram Jaccard verify on candidates only
+    — the composition that keeps exact comparison O(candidates) at
+    corpus scale.  Oracle replicates both stages in SQL."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.verified_near_dup_pairs(docs)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+def _q44_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (engine.sessionize): per-user sessions
+    with a 1-hour inactivity gap, rolled up to (n_events, duration).
+    Integer-exact: the window runs on unix-second epochs in both
+    engines."""
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    s = engine.sessionize(ev, key="user_id", ts="ep", gap_s=3600, id_col="event_id")
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max("_ep") - F.min("_ep")).alias("duration_s"))
+            .orderBy("user_id", "session_id"))
+
+
+def _q45_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles (Spark `percentile`, linear interpolation) per
+    group — integer-valued l_quantity makes the interpolated doubles
+    cross-engine exact vs DuckDB quantile_cont."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", 0.25), 6).alias("p25"),
+                 F.round(F.percentile("l_quantity", 0.5), 6).alias("p50"),
+                 F.round(F.percentile("l_quantity", 0.9), 6).alias("p90"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
 # ---------------------------------------------------------------------------
 # Compat-kernel golden-vector queries (FIXTURES.md §2.4-2.7): the driver
 # gate sees the reference's replicated bugs, not just pytest.  Oracles
@@ -763,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_compat_distance": _q40_compat_distance,
         "q41_compat_bbox": _q41_compat_bbox,
         "q42_compat_candidates": _q42_compat_candidates,
+        "q43_dedup_verified": _q43_dedup_verified,
+        "q44_sessionize": _q44_sessionize,
+        "q45_percentiles": _q45_percentiles,
     }
 
 
@@ -1346,64 +1452,79 @@ HAVING count(*) >= 3
 ORDER BY a, b
 """
 
-    # q16: full MinHash+LSH replica in SQL.  Shingle hashes = unrolled
-    # k=5 Horner hash + splitmix64 (HUGEINT mod-2^64, exact); the 64
-    # permutations (a*h + b in WRAPPING uint64, then mod Mersenne-61 —
-    # matching numpy's uint64 semantics) ride in as literal rows; LSH
-    # candidates join on band-signature equality (the Spark side buckets
-    # by xxhash64 of the same slice — equal iff the slices are equal,
-    # modulo an astronomically unlikely 64-bit collision); est_jaccard
-    # is the signature agreement fraction, exact in double.  Assumes
-    # every doc has length >= 5 (min in the synth corpus: 44), so the
-    # kernel's short-text branch never fires.
-    _M61 = (1 << 61) - 1
-    _mh_seeds = textops._splitmix64(np.arange(128, dtype=np.uint64) + np.uint64(7))
-    _mh_a = (_mh_seeds[:64] % np.uint64(_M61 - 1) + np.uint64(1))
-    _mh_b = _mh_seeds[64:] % np.uint64(_M61)
-    _perm_values = ", ".join(f"({i}, {int(_mh_a[i])}, {int(_mh_b[i])})" for i in range(64))
-    # (hu * a) mod 2^64 with a COLUMN multiplier: 32-bit split in SQL
-    _mm = ("((hu * (a & 4294967295)) % {W} + "
-           "(((hu % 4294967296) * (a >> 32)) % 4294967296) * 4294967296) % {W}"
-           ).format(W=_W64)
+    # q16: full MinHash+LSH replica in SQL (see _minhash_cand_cte)
     sqls["q16_minhash_lsh_pairs"] = f"""
-WITH spos AS (
-  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 5 + 2, 1))) AS i
-  FROM documents
+WITH {_minhash_cand_cte(0.35)}
+SELECT a, b, round(est_jaccard, 6) AS est_jaccard
+FROM mh_cand
+ORDER BY a, b
+"""
+
+    # q43: two-stage verified dedup — the q16 candidate pipeline at a
+    # recall-oriented threshold, then the q18-style EXACT word-trigram
+    # Jaccard verify restricted to the candidates
+    sqls["q43_dedup_verified"] = rf"""
+WITH {_minhash_cand_cte(0.2)},
+toks43 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ),
-sraw AS (
-  SELECT doc_id, i, {_poly_hash_sql("text", "i", 5)} AS h0 FROM spos
+grams43 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks43
 ),
-{_splitmix_cte_sql("sraw", "h0", "hu", "qm")},
-sh AS (
-  SELECT DISTINCT doc_id, hu FROM qmd
-),
-perms(perm, a, b) AS (VALUES {_perm_values}),
-vals AS (
-  SELECT doc_id, perm, min((({_mm}) + b) % {_W64} % {_M61}) AS mh
-  FROM sh CROSS JOIN perms
-  GROUP BY doc_id, perm
-),
-bands AS (
-  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS sig
-  FROM vals GROUP BY doc_id, perm // 4
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-),
-agree AS (
-  SELECT c.a, c.b,
-         sum(CASE WHEN va.mh = vb.mh THEN 1 ELSE 0 END) AS n_match
-  FROM cand c
-  JOIN vals va ON va.doc_id = c.a
-  JOIN vals vb ON vb.doc_id = c.b AND vb.perm = va.perm
+sizes43 AS (SELECT doc_id, count(*) AS ng FROM grams43 GROUP BY doc_id),
+inter43 AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM mh_cand c
+  JOIN grams43 ga ON ga.doc_id = c.a
+  JOIN grams43 gb ON gb.doc_id = c.b AND gb.g = ga.g
   GROUP BY 1, 2
 )
-SELECT a, b, round(n_match / 64.0, 6) AS est_jaccard
-FROM agree
-WHERE n_match / 64.0 >= 0.35
+SELECT a, b,
+       round(CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter), 6) AS jaccard
+FROM inter43
+JOIN sizes43 sa ON sa.doc_id = a
+JOIN sizes43 sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter) >= 0.25
 ORDER BY a, b
+"""
+
+    sqls["q44_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ep,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(max(ep) - min(ep) AS BIGINT) AS duration_s
+FROM sess
+GROUP BY 1, 2
+ORDER BY user_id, session_id
+"""
+
+    sqls["q45_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
 
     # q17: simhash signature replica in SQL — per-token Horner hash +

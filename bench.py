@@ -58,7 +58,8 @@ def main() -> None:
         "q10_tile_assign", "q12_dedup_exact", "q13_quality_features",
         "q15_lang_id", "q16_minhash_lsh_pairs", "q17_simhash_pairs",
         "q19_embed_topk", "q21_radius_join", "q22_raster_vector_join",
-        "q36_hex_cells", "q38_knn_join_bulk",
+        "q36_hex_cells", "q38_knn_join_bulk", "q43_dedup_verified",
+        "q44_sessionize",
     ]
     from geotile import cache, textops
 

@@ -676,6 +676,27 @@ def pool_state(positions: DataFrame, cell_col: str = "geohash") -> DataFrame:
         F.count(F.col(cell_col)).alias("link_used"))
 
 
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_s: int = 1800, id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to
+    one session while the inter-event gap stays <= ``gap_s`` seconds.
+    Pure window composition (lag -> boundary flag -> running sum), one
+    shuffle on the key, integer-exact outputs.  The batch twin of the
+    streaming surface's session windows; generalizes the reference's
+    per-subscriber event timeline (AddPos ts ordering, mapinfo.cpp:
+    151-215) into an analytics operator."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    epoch = F.unix_timestamp(F.col(ts)) if dict(df.dtypes)[ts] == "timestamp" \
+        else F.col(ts).cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(prev.isNull() | (epoch - prev > gap_s), 1).otherwise(0)
+    return (df.withColumn("_ep", epoch)
+            .withColumn("_new", new_sess)
+            .withColumn("session_id",
+                        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("_new"))
+
+
 def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16) -> DataFrame:
     """Per-cell counts with two-level salted aggregation: map-side
     partial on (cell, salt) then final on cell — bounds any single

@@ -425,3 +425,47 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 from .cache import release, track as _track_persisted  # noqa: E402  (re-export)
+
+
+def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            candidate_threshold: float = 0.2,
+                            jaccard_threshold: float = 0.25,
+                            n_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 5) -> DataFrame:
+    """The canonical two-stage corpus dedup: MinHash+LSH CANDIDATE
+    generation (banded bucket join — never all-pairs) followed by an
+    EXACT word-n-gram Jaccard verify restricted to the candidate pairs.
+    This is the composition the q18-style exact op documents as
+    'verify-stage-only at 100 TB': the quadratic exact comparison runs
+    on O(candidates), not O(n^2).
+
+    Plan: signatures (narrow, persisted) -> banded candidates (one
+    bucket-key shuffle) -> distinct doc n-grams (narrow + one distinct
+    shuffle) -> candidates x grams equi-join on (doc, gram) -> per-pair
+    intersection counts -> Jaccard filter.  Returns (a, b, jaccard)."""
+    cand_full = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands, shingle_k,
+                                  threshold=candidate_threshold)
+    cand = cand_full.select("a", "b")
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w"))
+    grams = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))).alias("g")) \
+        .distinct().persist()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("ng"))
+    ga = grams.select(F.col(id_col).alias("a"), "g")
+    gb = grams.select(F.col(id_col).alias("b2"), F.col("g").alias("gb"))
+    inter = (cand.join(ga, "a")
+             .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("gb")))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("ng").alias("nb"))
+    out = (inter.join(sa, "a").join(sb, "b")
+           .withColumn("jaccard",
+                       F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+           .where(F.col("jaccard") >= jaccard_threshold)
+           .select("a", "b", "jaccard"))
+    return _track_persisted(
+        out, [grams, *getattr(cand_full, "_geotile_persisted", [])])

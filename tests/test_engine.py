@@ -250,3 +250,20 @@ def test_knn_join_bulk_high_latitude(spark):
         order = np.argsort(d, kind="stable")[:k]
         expect = sorted((round(float(d[i]), 6), f"m{i}") for i in order)
         assert sorted(by_q[qid]) == expect, f"query {qid}"
+
+
+def test_sessionize_gap_semantics(spark):
+    """Sessions split exactly at gaps > gap_s; ids are 1-based per key
+    in time order; duration = last - first within the session."""
+    rows = [
+        ("u1", 0, 0), ("u1", 100, 1), ("u1", 200, 2),      # session 1
+        ("u1", 2000, 3), ("u1", 2100, 4),                   # session 2 (gap 1800)
+        ("u2", 50, 5),                                      # session 1
+        ("u2", 5000, 6),                                    # session 2
+    ]
+    df = spark.createDataFrame([(u, t, e) for u, t, e in rows],
+                               "user_id string, ts long, event_id long")
+    out = engine.sessionize(df, key="user_id", ts="ts", gap_s=1000).collect()
+    sess = {(r["user_id"], r["event_id"]): r["session_id"] for r in out}
+    assert [sess[("u1", e)] for e in (0, 1, 2, 3, 4)] == [1, 1, 1, 2, 2]
+    assert [sess[("u2", e)] for e in (5, 6)] == [1, 2]

@@ -128,3 +128,33 @@ def test_minhash_deterministic_across_runs(docs):
     s2 = textops.minhash_signatures(docs.limit(20).repartition(5)).select("doc_id", "minhash").collect()
     assert {r["doc_id"]: tuple(r["minhash"]) for r in s1} == \
            {r["doc_id"]: tuple(r["minhash"]) for r in s2}
+
+
+def test_verified_near_dup_pairs(spark, docs_with_dups):
+    """Two-stage dedup: exact copies verify at jaccard 1.0; every
+    reported pair's jaccard is the true exact n-gram jaccard (checked
+    against the brute-force exact op on the same corpus subset)."""
+    got = textops.verified_near_dup_pairs(docs_with_dups).collect()
+    by_pair = {(r["a"], r["b"]): r["jaccard"] for r in got}
+    # exact copies (ids +100000) must all be found with jaccard 1.0
+    exact = {p for p in by_pair if p[1] == p[0] + 100000}
+    assert len(exact) == 10
+    assert all(by_pair[p] == 1.0 for p in exact)
+    # reported jaccards agree with the exact all-pairs op (verify stage
+    # is exact, so every reported pair must match the brute-force value)
+    brute = {(r["a"], r["b"]): r["jaccard"]
+             for r in textops.ngram_jaccard_pairs(
+                 docs_with_dups, n=3, threshold=0.25).collect()}
+    for p, j in by_pair.items():
+        assert p in brute and abs(brute[p] - j) < 1e-12
+
+
+def test_verified_pairs_subset_of_exact(spark, docs_with_dups):
+    """LSH candidates can MISS pairs (false negatives) but the verified
+    output can never contain a pair the exact op rejects."""
+    got = {(r["a"], r["b"]) for r in
+           textops.verified_near_dup_pairs(docs_with_dups).collect()}
+    exact = {(r["a"], r["b"]) for r in
+             textops.ngram_jaccard_pairs(
+                 docs_with_dups, n=3, threshold=0.25).collect()}
+    assert got <= exact

@@ -156,6 +156,12 @@ def _signed64_sql(expr: str) -> str:
 
 
 _M61 = (1 << 61) - 1
+# B^e mod 2^64 literals for the per-token Horner hash (tokens <= 31
+# chars; corpus max is 8) — shared by the q17 and q47 oracles
+_TOK_POWS = [1]
+for _ in range(31):
+    _TOK_POWS.append((_TOK_POWS[-1] * 1099511628211) % (1 << 64))
+_POWLIST = "[" + ", ".join(f"CAST({p} AS HUGEINT)" for p in _TOK_POWS) + "]"
 _MH_SEEDS = textops._splitmix64(np.arange(128, dtype=np.uint64) + np.uint64(7))
 _MH_A = (_MH_SEEDS[:64] % np.uint64(_M61 - 1) + np.uint64(1))
 _MH_B = _MH_SEEDS[64:] % np.uint64(_M61)
@@ -738,6 +744,38 @@ def _q45_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def _q46_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join (engine.range_join): 40 overlapping time windows
+    derived from the events epoch range by integer arithmetic (exact in
+    both engines), each matched to the events it contains via the
+    bucket-cover equi-join + BETWEEN refine."""
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
+    step = max((int(hi) - int(lo)) // 40, 1)
+    rows = [(i, int(lo) + i * step, min(int(lo) + i * step + 2 * step, int(hi)))
+            for i in range(40)]
+    wdf = spark.createDataFrame(rows, "w_id long, start_ep long, end_ep long")
+    j = engine.range_join(ev, wdf, ts="ep", bucket_s=max(step, 1))
+    return (j.groupBy("w_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy("w_id"))
+
+
+def _q47_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-token sketch per language (textops.kmv_distinct) —
+    a deterministic, mergeable cardinality sketch whose k-th minimum
+    hash and estimate the DuckDB oracle reproduces exactly."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.kmv_distinct(docs, group="lang", k=256)
+    return (out.select("lang",
+                       F.coalesce("kth_hash", F.lit(-1)).alias("kth_hash"),
+                       "n_in_sketch",
+                       F.round("est_distinct", 4).alias("est_distinct"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # Compat-kernel golden-vector queries (FIXTURES.md §2.4-2.7): the driver
 # gate sees the reference's replicated bugs, not just pytest.  Oracles
@@ -869,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_dedup_verified": _q43_dedup_verified,
         "q44_sessionize": _q44_sessionize,
         "q45_percentiles": _q45_percentiles,
+        "q46_range_join": _q46_range_join,
+        "q47_kmv_distinct": _q47_kmv_distinct,
     }
 
 
@@ -1516,6 +1556,63 @@ GROUP BY 1, 2
 ORDER BY user_id, session_id
 """
 
+    sqls["q46_range_join"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+b AS (
+  SELECT min(ep) AS lo, max(ep) AS hi,
+         greatest((max(ep) - min(ep)) // 40, 1) AS step
+  FROM e
+),
+w AS (
+  SELECT i.i AS w_id, lo + i.i * step AS start_ep,
+         least(lo + i.i * step + 2 * step, hi) AS end_ep
+  FROM b CROSS JOIN (SELECT unnest(range(0, 40)) AS i) AS i
+)
+SELECT CAST(w.w_id AS BIGINT) AS w_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM w JOIN e ON e.ep BETWEEN w.start_ep AND w.end_ep
+GROUP BY 1
+ORDER BY w_id
+"""
+
+    # q47: the KMV sketch replica — same token Horner+splitmix hashes
+    # as q17, unsigned-ordered k-th minimum, identical double sequence
+    # for the estimate (signed + 2^63, / 2^64)
+    sqls["q47_kmv_distinct"] = f"""
+WITH ktoks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ktokh AS (
+  SELECT lang,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM ktoks
+),
+{_splitmix_cte_sql("ktokh", "h0", "hu", "km")},
+dh AS (SELECT DISTINCT lang, hu FROM kmd),
+ranked AS (
+  SELECT lang, hu, row_number() OVER (PARTITION BY lang ORDER BY hu ASC) AS rn
+  FROM dh
+),
+kagg AS (
+  SELECT lang, max(CASE WHEN rn = 256 THEN hu END) AS kth_hu,
+         count(*) AS n_in_sketch
+  FROM ranked WHERE rn <= 256 GROUP BY lang
+)
+SELECT lang,
+       CAST(coalesce({_signed64_sql("kth_hu")}, -1) AS BIGINT) AS kth_hash,
+       n_in_sketch,
+       round(CASE WHEN kth_hu IS NULL THEN CAST(n_in_sketch AS DOUBLE)
+                  ELSE 255.0 / ((CAST(kth_hu - 9223372036854775808 AS DOUBLE)
+                                 + 9223372036854775808.0) / 18446744073709551616.0)
+             END, 4) AS est_distinct
+FROM kagg
+ORDER BY lang
+"""
+
     sqls["q45_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.25), 6) AS p25,
@@ -1533,10 +1630,6 @@ ORDER BY l_returnflag
     # hamming <= 6, so exhaustive == banded result set).  Token split
     # on single spaces matches the byte-level run tokenizer on this
     # corpus (verified: no tabs/newlines/double/edge spaces).
-    _tp = [1]
-    for _ in range(31):
-        _tp.append((_tp[-1] * 1099511628211) % _W64)
-    _powlist = "[" + ", ".join(f"CAST({p} AS HUGEINT)" for p in _tp) + "]"
     sqls["q17_simhash_pairs"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1545,7 +1638,7 @@ tokh AS (
   SELECT doc_id,
          list_sum(list_transform(range(1, length(tok) + 1),
            j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
-                * ({_powlist})[length(tok) - j + 1])) % {_W64} AS h0
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
   FROM toks
 ),
 {_splitmix_cte_sql("tokh", "h0", "hu", "tm")},

@@ -676,6 +676,30 @@ def pool_state(positions: DataFrame, cell_col: str = "geohash") -> DataFrame:
         F.count(F.col(cell_col)).alias("link_used"))
 
 
+def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
+               win_start: str = "start_ep", win_end: str = "end_ep",
+               bucket_s: int = 3600) -> DataFrame:
+    """Interval (range) join: every fact row matched to every window
+    whose ``[win_start, win_end]`` contains its timestamp.
+
+    Scale shape: a raw ts BETWEEN start AND end join condition is
+    non-equi — Catalyst would plan a BroadcastNestedLoopJoin (every
+    fact row tested against every window).  Instead each window
+    EXPLODES into the ``bucket_s``-wide time buckets it overlaps (the
+    windows side is small by contract; a window of span S covers
+    ~S/bucket_s buckets), facts derive ONE bucket key narrowly, and the
+    join is a broadcast EQUI-join on the bucket with the exact BETWEEN
+    as a post-join refine — same filter-refine discipline as the
+    spatial joins (cell cover ≙ bucket cover)."""
+    wb = windows.withColumn(
+        "_b", F.explode(F.sequence(F.floor(F.col(win_start) / bucket_s),
+                                   F.floor(F.col(win_end) / bucket_s))))
+    fb = facts.withColumn("_b", F.floor(F.col(ts) / bucket_s))
+    return (fb.join(F.broadcast(wb), "_b")
+            .where((F.col(ts) >= F.col(win_start)) & (F.col(ts) <= F.col(win_end)))
+            .drop("_b"))
+
+
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
                gap_s: int = 1800, id_col: str = "event_id") -> DataFrame:
     """Gap-based sessionization: consecutive events of a key belong to

@@ -158,6 +158,19 @@ def radius_join_stream(updates: DataFrame, queries) -> DataFrame:
             .drop("qlat", "qlon", "radius_m"))
 
 
+def session_count_stream(updates: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Event-time SESSION windows per key: a session extends while
+    events keep arriving within ``gap``; the watermark closes sessions
+    so append-mode sinks get final rows — the streaming twin of
+    ``engine.sessionize`` (same gap semantics, Structured Streaming's
+    native session_window state instead of a batch window pass)."""
+    return (updates.withWatermark("event_time", watermark)
+            .groupBy(F.session_window("event_time", gap).alias("win"),
+                     F.col("msisdn"))
+            .agg(F.count("*").alias("n")))
+
+
 def cell_count_stream(updates: DataFrame, window: str = "1 minute",
                       watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window occupancy per cell — the streaming

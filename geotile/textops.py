@@ -188,6 +188,51 @@ def _token_hashes_flat(text: pd.Series):
     return hs, np.bincount(doc_of, minlength=n).astype(np.int64)
 
 
+def token_hash_udf():
+    """Per-document array of 64-bit token hashes (the shared
+    Horner+splitmix pipeline of :func:`_token_hashes_flat` — stable
+    across executors and SQL-replicable)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _th(text: pd.Series) -> pd.Series:
+        hs, counts = _token_hashes_flat(text)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sig = hs.astype(np.int64)
+        return pd.Series([sig[s:e].tolist() for s, e in zip(starts, ends)])
+
+    return _th
+
+
+def kmv_distinct(df: DataFrame, group: str = "lang", text_col: str = "text",
+                 k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token sketch per group
+    (Bar-Yossef et al.): keep the k smallest distinct token hashes in
+    UNSIGNED order; distinct-count estimate = (k-1) / normalized k-th
+    minimum.  Deterministic (shared Horner+splitmix hash) and MERGEABLE
+    — the union of two groups' min-k sets is the min-k of the union, so
+    partial sketches combine associatively across partitions/days at
+    corpus scale.  Returns (group, kth_hash, n_in_sketch,
+    est_distinct); groups with < k distinct hashes report their exact
+    count.  One narrow hash pass -> (group, hash) distinct -> per-group
+    ranked top-k -> closed-form estimate."""
+    ex = (df.select(F.col(group), F.explode(token_hash_udf()(F.col(text_col))).alias("h"))
+          .dropDuplicates([group, "h"]))
+    # unsigned hash order over signed int64: flipping the sign bit is an
+    # exact order isomorphism (ub = hu - 2^63 as a signed value)
+    ub = F.col("h").bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy(group).orderBy(ub.asc())
+    topk = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = (topk.groupBy(group)
+           .agg(F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("kth_hash"),
+                F.count("*").alias("n_in_sketch")))
+    kth_ub = F.col("kth_hash").bitwiseXOR(F.lit(-(1 << 63)))
+    norm = (kth_ub.cast("double") + F.lit(float(1 << 63))) / F.lit(float(1 << 64))
+    est = F.when(F.col("kth_hash").isNull(), F.col("n_in_sketch").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / norm)
+    return agg.withColumn("est_distinct", est)
+
+
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit SimHash over whitespace tokens (sign of per-bit weighted
     sums of token hashes).  Narrow map, vectorized across the whole

@@ -267,3 +267,21 @@ def test_sessionize_gap_semantics(spark):
     sess = {(r["user_id"], r["event_id"]): r["session_id"] for r in out}
     assert [sess[("u1", e)] for e in (0, 1, 2, 3, 4)] == [1, 1, 1, 2, 2]
     assert [sess[("u2", e)] for e in (5, 6)] == [1, 2]
+
+
+def test_range_join_exact_and_plan(spark):
+    """Interval join: results match a brute-force BETWEEN check, and
+    the physical plan is a bucket EQUI-join (no BroadcastNestedLoopJoin
+    from the raw inequality)."""
+    facts = spark.createDataFrame(
+        [(i, i * 137 % 10007) for i in range(2000)], "fact_id long, ep long")
+    wins = spark.createDataFrame(
+        [(w, w * 900, w * 900 + 2500) for w in range(12)],
+        "w_id long, start_ep long, end_ep long")
+    out = engine.range_join(facts, wins, ts="ep", bucket_s=1000)
+    got = {(r["fact_id"], r["w_id"]) for r in out.collect()}
+    expect = {(f, w) for f in range(2000) for w in range(12)
+              if w * 900 <= (f * 137 % 10007) <= w * 900 + 2500}
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -138,3 +138,32 @@ def test_cell_count_stream_windowed(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["geohash"]: r["n"] for r in spark.sql("SELECT * FROM cellcounts").collect()}
     assert got == {"wx4g0": 2, "wtw3s": 1}
+
+
+def test_session_count_stream(spark, tmp_path):
+    """Native session windows: two bursts separated by more than the
+    gap form two sessions for 'a'; a single event forms one for 'b'."""
+    updates_dir = str(tmp_path / "updates")
+    ckpt = str(tmp_path / "ckpt4")
+    os.makedirs(updates_dir)
+    rows = [("a", 1.0, 1.0, 0, "2026-01-01 00:00:00"),
+            ("a", 1.0, 1.0, 1, "2026-01-01 00:10:00"),   # same session (gap 30m)
+            ("a", 1.0, 1.0, 2, "2026-01-01 02:00:00"),   # new session
+            ("b", 2.0, 2.0, 3, "2026-01-01 00:05:00")]
+    df = spark.createDataFrame(
+        [(m, la, lo, t) for m, la, lo, t, _ in rows],
+        streaming.POS_SCHEMA).withColumn(
+        "event_time", F.to_timestamp(
+            F.element_at(F.array(*[F.lit(r[4]) for r in rows]),
+                         (F.col("ts") + 1).cast("int"))))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(updates_dir, "b0"))
+    stream = (spark.readStream
+              .schema("msisdn string, lat double, lon double, ts long, event_time timestamp")
+              .parquet(updates_dir + "/b*"))
+    sessions = streaming.session_count_stream(stream, gap="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sesscounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["msisdn"], r["n"]) for r in
+                 spark.sql("SELECT * FROM sesscounts").collect())
+    assert got == [("a", 1), ("a", 2), ("b", 1)]

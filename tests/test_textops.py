@@ -158,3 +158,21 @@ def test_verified_pairs_subset_of_exact(spark, docs_with_dups):
              textops.ngram_jaccard_pairs(
                  docs_with_dups, n=3, threshold=0.25).collect()}
     assert got <= exact
+
+
+def test_kmv_distinct_estimates(spark, docs):
+    """KMV sketch: groups with < k distinct hashes report the exact
+    count; k-saturated groups estimate within standard KMV error
+    (~1/sqrt(k) -> assert a generous 5-sigma band)."""
+    out = {r["lang"]: r for r in
+           textops.kmv_distinct(docs, group="lang", k=256).collect()}
+    ex = (docs.select("lang", F.explode(
+        textops.token_hash_udf()(F.col("text"))).alias("h"))
+        .groupBy("lang").agg(F.count_distinct("h").alias("nd")))
+    exact = {r["lang"]: r["nd"] for r in ex.collect()}
+    for lang, r in out.items():
+        if r["n_in_sketch"] < 256:
+            assert r["est_distinct"] == float(exact[lang])
+        else:
+            rel = abs(r["est_distinct"] - exact[lang]) / exact[lang]
+            assert rel < 5.0 / (256 ** 0.5), (lang, r["est_distinct"], exact[lang])

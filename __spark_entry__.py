@@ -776,6 +776,17 @@ def _q47_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q48_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (simsearch.cosine_near_dup_pairs)
+    — multi-table hyperplane LSH candidates + exact cosine refine.  The
+    oracle replicates the 4 bucketings with literal hyperplanes and the
+    identical cosine expression."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.cosine_near_dup_pairs(emb, threshold=0.3)
+    return (out.select("a", "b", F.round("cosine", 4).alias("cos4"))
+            .orderBy("a", "b"))
+
+
 # ---------------------------------------------------------------------------
 # Compat-kernel golden-vector queries (FIXTURES.md §2.4-2.7): the driver
 # gate sees the reference's replicated bugs, not just pytest.  Oracles
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_percentiles": _q45_percentiles,
         "q46_range_join": _q46_range_join,
         "q47_kmv_distinct": _q47_kmv_distinct,
+        "q48_cosine_near_dup": _q48_cosine_near_dup,
     }
 
 
@@ -1347,6 +1359,42 @@ top AS (
 )
 SELECT vec_id, round(cosine, 4) AS cos4 FROM top
 ORDER BY cos4 DESC, vec_id ASC
+"""
+
+        # q48: multi-table hyperplane LSH near-dup replica — 4
+        # independent bucketings (seeds 42..45) as literal hyperplanes,
+        # bucket equi-join candidates, identical exact-cosine refine
+        def _bucket_terms(planes, col):
+            return " + ".join(
+                f"(CASE WHEN list_inner_product({col}, "
+                f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(planes.shape[0]))
+
+        nd_selects = []
+        for t in range(4):
+            pl = simsearch._rand_unit((12, qv64.shape[0]), 42 + t)
+            nd_selects.append(f"SELECT vec_id, emb64, {t} AS t, "
+                              f"{_bucket_terms(pl, 'emb64')} AS bucket FROM nb")
+        nd_union = "\nUNION ALL\n".join(nd_selects)
+        cos_lr = ("list_inner_product(l.emb64, r.emb64) / "
+                  "(sqrt(list_inner_product(l.emb64, l.emb64)) * "
+                  "sqrt(list_inner_product(r.emb64, r.emb64)))")
+        sqls["q48_cosine_near_dup"] = f"""
+WITH nb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+bt AS (
+{nd_union}
+),
+cand AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, {cos_lr} AS cosine
+  FROM bt l JOIN bt r
+    ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, round(cosine, 4) AS cos4
+FROM cand WHERE cosine >= 0.3
+ORDER BY a, b
 """
     except Exception:
         pass  # no embeddings parquet available -> rows-only check

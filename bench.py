@@ -59,7 +59,8 @@ def main() -> None:
         "q15_lang_id", "q16_minhash_lsh_pairs", "q17_simhash_pairs",
         "q19_embed_topk", "q21_radius_join", "q22_raster_vector_join",
         "q36_hex_cells", "q38_knn_join_bulk", "q43_dedup_verified",
-        "q44_sessionize",
+        "q44_sessionize", "q46_range_join", "q47_kmv_distinct",
+        "q48_cosine_near_dup",
     ]
     from geotile import cache, textops
 

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 _MASK = (1 << 64) - 1
 
@@ -134,6 +134,58 @@ def kmeans(x: np.ndarray, n_centroids: int = 16, iters: int = 10,
             if np.any(m):
                 cents[c] = x[m].mean(axis=0)
     return cents
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12,
+                          n_tables: int = 4, seed: int = 42,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the vector-space member
+    of the dedup family (exact / MinHash / SimHash / n-gram / cosine).
+
+    Standard multi-table hyperplane LSH: ``n_tables`` independent
+    sign-bit bucketings (seeds ``seed + t``); candidate pairs share a
+    bucket in >= 1 table (equi-join on (table, bucket) — never
+    all-pairs); the exact cosine runs as a NATIVE zip_with/aggregate
+    expression and filters BEFORE the (a, b) dedup (hot buckets emit
+    many duplicates).  Recall rises with n_tables at linear cost — the
+    classical LSH recall/cost dial.  Returns (a, b, cosine)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return (df.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double"))
+    dim = len(first[0])
+    # all tables' sign bits in ONE Arrow pass (one matmul per batch;
+    # per-table chained UDFs would pay n_tables Python round-trips)
+    all_planes = [_rand_unit((nbits, dim), seed + t) for t in range(n_tables)]
+    flat_planes = np.concatenate(all_planes, axis=0)  # (n_tables*nbits, dim)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        signs = (m @ flat_planes.T) >= 0  # (batch, n_tables*nbits)
+        s = signs.astype(np.uint64).reshape(m.shape[0], n_tables, nbits)
+        vals = (s << np.arange(nbits, dtype=np.uint64)[None, None, :]).sum(axis=2)
+        return pd.Series(vals.astype(np.int64).tolist())
+
+    bucketed = (df.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias("_v64"))
+                .withColumn("_bks", _buckets(F.col("_v64"))))
+    ex = (bucketed.select(id_col, "_v64", F.posexplode("_bks").alias("t", "bk")))
+    l = ex.alias("l")
+    r = ex.alias("r")
+    dot = F.aggregate(F.zip_with("l._v64", "r._v64", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = (F.sqrt(F.aggregate(F.transform("l._v64", lambda a: a * a),
+                               F.lit(0.0), lambda acc, v: acc + v))
+            * F.sqrt(F.aggregate(F.transform("r._v64", lambda a: a * a),
+                                 F.lit(0.0), lambda acc, v: acc + v)))
+    return (l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.bk") == F.col("r.bk"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                    (dot / norm).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["a", "b"]))
 
 
 def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,

@@ -128,6 +128,14 @@ def main() -> None:
     sections.append(summarize(
         engine.radius_search_compat(points, 39.928167, 116.389550, 10000.0),
         "radius_search_compat (reference-exact): 0-or-1 candidate cell, pushed IN filter"))
+    facts = points.select("url").withColumn("ep", (F.crc32("url") % 100000).cast("long"))
+    wins = spark.createDataFrame(
+        [(w, w * 9000, w * 9000 + 25000) for w in range(10)],
+        "w_id long, start_ep long, end_ep long")
+    sections.append(summarize(
+        engine.range_join(facts, wins, ts="ep", bucket_s=10000),
+        "range_join (interval): bucket-cover broadcast EQUI-join + BETWEEN refine "
+        "(no BroadcastNestedLoopJoin from the inequality)"))
 
     header = """# PLANS — audited physical plans for the core operators
 

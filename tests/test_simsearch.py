@@ -98,3 +98,29 @@ def test_frame_sampling(spark, sf_dir):
     vids = media.where("kind = 'video'").select("media_id", "meta.duration_ms").collect()
     expect = sum(r["duration_ms"] // 60000 + 1 for r in vids)
     assert len(rows) == expect
+
+
+def test_cosine_near_dup_pairs(spark, emb, emb_np):
+    """Embedding near-dup: a planted exact copy is always found
+    (identical vectors share every bucket in every table) at cosine
+    1.0, and every reported pair's cosine is the true cosine."""
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    first_id = int(ids.min())
+    dup = (emb.where(F.col("vec_id") == first_id)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   "embedding", "label"))
+    df = emb.unionByName(dup)
+    got = simsearch.cosine_near_dup_pairs(df, threshold=0.3).collect()
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in got}
+    assert (first_id, first_id + 1000000) in pairs
+    assert pairs[(first_id, first_id + 1000000)] == pytest.approx(1.0)
+    # reported cosines match numpy ground truth; no pair below threshold
+    id_to_row = {int(i): mat[k] for k, i in enumerate(ids)}
+    id_to_row[first_id + 1000000] = id_to_row[first_id]
+    for (a, b), c in pairs.items():
+        va, vb = id_to_row[a], id_to_row[b]
+        true = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert c == pytest.approx(true, abs=1e-9)
+        assert c >= 0.3

@@ -89,6 +89,96 @@ def extract_features(df: DataFrame, fake: bool = True,
     return df.mapInPandas(_extract, schema=out_schema)
 
 
+def resize_image(img: np.ndarray, out_h: int, out_w: int,
+                 method: str = "area") -> np.ndarray:
+    """REAL image resize (pure numpy — no codec needed once pixels
+    exist): ``area`` does box-average downsampling via integral images
+    (antialiased, the right default for thumbnailing); ``nearest`` does
+    index sampling (exact, fastest).  Works for any HxWxC uint8/float
+    array, vectorized — no per-pixel Python."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        return img[ri][:, ci]
+    if method != "area":
+        raise ValueError(f"unknown resize method {method!r}")
+    # box-average via a 2-D integral image: output pixel = mean over its
+    # (fractional-free) source box, computed with 4 gather ops
+    f = img.astype(np.float64)
+    integral = np.zeros((h + 1, w + 1) + f.shape[2:], dtype=np.float64)
+    integral[1:, 1:] = f.cumsum(axis=0).cumsum(axis=1)
+    r0 = (np.arange(out_h) * h) // out_h
+    r1 = ((np.arange(out_h) + 1) * h + out_h - 1) // out_h
+    c0 = (np.arange(out_w) * w) // out_w
+    c1 = ((np.arange(out_w) + 1) * w + out_w - 1) // out_w
+    area = ((r1 - r0)[:, None] * (c1 - c0)[None, :]).astype(np.float64)
+    box = (integral[r1][:, c1] - integral[r1][:, c0]
+           - integral[r0][:, c1] + integral[r0][:, c0])
+    out = box / area[(...,) + (None,) * (img.ndim - 2)]
+    return out.astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else out
+
+
+def thumbnails(df: DataFrame, out_h: int = 4, out_w: int = 4,
+               fake: bool = True, payload_col: str = "payload") -> DataFrame:
+    """Image rows -> (media_id, thumb: array<float>) — decode (stubbed)
+    then REAL area resize, flattened row-major.  Same narrow mapInPandas
+    shape as extract_features."""
+    out_schema = "media_id long, thumb array<float>"
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                img = decode_image(payload, fake=fake)
+                t = resize_image(img, out_h, out_w, method="area")
+                rows.append((t.astype(np.float32) / 255.0).reshape(-1))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "thumb": rows})
+
+    return df.where(F.col("kind") == "image").mapInPandas(_thumb, schema=out_schema)
+
+
+def decode_audio(payload: bytes, fake: bool = False,
+                 n_samples: int = 2048) -> np.ndarray:
+    """Decode an audio payload to a float32 PCM array in [-1, 1].
+
+    REAL DECODE IS STUBBED (no audio codecs in this container); with
+    ``fake=True`` returns deterministic pseudo-PCM derived from the
+    payload bytes, so the feature pipeline below runs end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable in this environment; pass fake=True "
+            "or swap in soundfile/ffmpeg on a real cluster")
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * (n_samples * 2 // len(h) + 1))[: n_samples * 2],
+                        dtype=np.int16)
+    return (raw.astype(np.float32) / 32768.0)
+
+
+def audio_features(df: DataFrame, frame: int = 256, fake: bool = True,
+                   payload_col: str = "payload") -> DataFrame:
+    """Audio rows -> framewise RMS energy + zero-crossing rate (the
+    real DSP is numpy over the PCM array; only the codec is stubbed).
+    Output: (media_id, rms: array<float>, zcr: array<float>)."""
+    out_schema = "media_id long, rms array<float>, zcr array<float>"
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms_rows, zcr_rows = [], []
+            for payload in pdf[payload_col]:
+                pcm = decode_audio(payload, fake=fake)
+                n = (pcm.shape[0] // frame) * frame
+                frames = pcm[:n].reshape(-1, frame)
+                rms_rows.append(np.sqrt((frames ** 2).mean(axis=1)).astype(np.float32))
+                signs = frames >= 0
+                zcr_rows.append((signs[:, 1:] != signs[:, :-1])
+                                .mean(axis=1).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "rms": rms_rows, "zcr": zcr_rows})
+
+    return df.where(F.col("kind") == "audio").mapInPandas(_feat, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: explode each video row into frame
     timestamps every ``every_ms`` (decode of the actual frames is the

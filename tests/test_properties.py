@@ -55,7 +55,11 @@ def test_haversine_triangle_inequality(a1, o1, a2, o2, a3, o3):
     d12 = gh.haversine_m(a1, o1, a2, o2)[0]
     d23 = gh.haversine_m(a2, o2, a3, o3)[0]
     d13 = gh.haversine_m(a1, o1, a3, o3)[0]
-    assert d13 <= d12 + d23 + 1e-6
+    # RELATIVE slack: near-antipodal paths (~2e7 m) accumulate a few
+    # ulps through asin near 1; an absolute 1e-6 m bound is tighter
+    # than double precision itself there (hypothesis found a 2.6e-6 m
+    # violation on a pole-to-pole path)
+    assert d13 <= (d12 + d23) * (1.0 + 1e-12) + 1e-6
 
 
 @settings(max_examples=100, deadline=None)

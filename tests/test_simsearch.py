@@ -124,3 +124,45 @@ def test_cosine_near_dup_pairs(spark, emb, emb_np):
         true = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert c == pytest.approx(true, abs=1e-9)
         assert c >= 0.3
+
+
+def test_resize_image_area_and_nearest():
+    # constant image stays constant at any size
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    for m in ("area", "nearest"):
+        out = multimodal.resize_image(img, 4, 4, method=m)
+        assert out.shape == (4, 4, 3) and (out == 100).all()
+    # 2x2 checkerboard tiled to 8x8: 2x2 area-downsample averages to 127/128
+    cb = np.indices((8, 8)).sum(axis=0) % 2 * 255
+    img = np.stack([cb] * 3, axis=2).astype(np.uint8)
+    out = multimodal.resize_image(img, 4, 4, method="area")
+    assert out.shape == (4, 4, 3)
+    assert np.abs(out.astype(int) - 127).max() <= 1
+    # nearest at same size is identity
+    assert (multimodal.resize_image(img, 8, 8, method="nearest") == img).all()
+    # upscale keeps values in range
+    up = multimodal.resize_image(img, 16, 16, method="area")
+    assert up.shape == (16, 16, 3)
+
+
+def test_thumbnails_and_audio_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = multimodal.attach_fake_media(docs)
+    th = multimodal.thumbnails(media, out_h=4, out_w=4).collect()
+    assert th and all(len(r["thumb"]) == 4 * 4 * 3 for r in th)
+    assert all(0.0 <= v <= 1.0 for v in th[0]["thumb"])
+    # deterministic across recomputation
+    th2 = multimodal.thumbnails(media, out_h=4, out_w=4).collect()
+    assert {r["media_id"]: tuple(r["thumb"]) for r in th} == \
+           {r["media_id"]: tuple(r["thumb"]) for r in th2}
+    au = multimodal.audio_features(media).collect()
+    assert au and all(len(r["rms"]) == 2048 // 256 for r in au)
+    assert all(v >= 0.0 for v in au[0]["rms"])
+    assert all(0.0 <= v <= 1.0 for v in au[0]["zcr"])
+
+
+def test_real_decode_paths_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"x", fake=False)

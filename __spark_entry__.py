@@ -149,6 +149,41 @@ def _splitmix_cte_sql(src: str, in_col: str, out_col: str, prefix: str) -> str:
 )"""
 
 
+def _xxhash64_cte_sql(src: str, in_col: str, out_col: str, prefix: str,
+                      seed: int = 42) -> str:
+    """Chained CTEs replicating Spark's built-in ``xxhash64`` for one
+    BIGINT input (the textops.xxhash64_long recipe, validated bit-exact
+    vs the JVM): XXH64 single-8-byte-block path in HUGEINT mod-2^64,
+    multiplies via the 32-bit-split trick, rotls via shift+or."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    acc0 = (seed + p5 + 8) % _W64
+
+    def rotl(e, r):
+        return f"(((({e}) << {r}) % {_W64}) | (({e}) >> {64 - r}))"
+
+    return f"""{prefix}a AS (
+  SELECT *, {_mulmod64_sql(f"({in_col})", p2)} AS _k1 FROM {src}
+),
+{prefix}b AS (
+  SELECT *, {_mulmod64_sql(rotl("_k1", 31), p1)} AS _k2 FROM {prefix}a
+),
+{prefix}c AS (
+  SELECT *, ({_mulmod64_sql(rotl(f"xor({acc0}, _k2)", 27), p1)} + {p4}) % {_W64} AS _a1
+  FROM {prefix}b
+),
+{prefix}d AS (
+  SELECT *, {_mulmod64_sql("xor(_a1, _a1 >> 33)", p2)} AS _a2 FROM {prefix}c
+),
+{prefix}e AS (
+  SELECT *, {_mulmod64_sql("xor(_a2, _a2 >> 29)", p3)} AS _a3 FROM {prefix}d
+),
+{prefix}f AS (
+  SELECT * EXCLUDE (_k1, _k2, _a1, _a2, _a3), xor(_a3, _a3 >> 32) AS {out_col}
+  FROM {prefix}e
+)"""
+
+
 def _signed64_sql(expr: str) -> str:
     """HUGEINT in [0, 2^64) -> the int64 two's-complement BIGINT."""
     return (f"CAST(({expr}) - CASE WHEN ({expr}) >= {1 << 63} "
@@ -776,6 +811,20 @@ def _q47_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q49_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling (textops.deterministic_sample): a
+    20% split of documents keyed by doc_id — membership is a pure
+    function of the key (native splitmix64 expression, no UDF), so both
+    engines select the identical row set."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    s = textops.deterministic_sample(docs, 0.2, "doc_id", seed=7)
+    return (s.groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("lang"))
+
+
 def _q48_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (simsearch.cosine_near_dup_pairs)
     — multi-table hyperplane LSH candidates + exact cosine refine.  The
@@ -921,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_range_join": _q46_range_join,
         "q47_kmv_distinct": _q47_kmv_distinct,
         "q48_cosine_near_dup": _q48_cosine_near_dup,
+        "q49_deterministic_sample": _q49_deterministic_sample,
     }
 
 
@@ -1658,6 +1708,23 @@ SELECT lang,
                                  + 9223372036854775808.0) / 18446744073709551616.0)
              END, 4) AS est_distinct
 FROM kagg
+ORDER BY lang
+"""
+
+    # q49: Spark's built-in xxhash64 over (doc_id + seed), replicated
+    # in HUGEINT (see _xxhash64_cte_sql); the cut is one Python-computed
+    # integer literal on both sides
+    _cut49 = int(0.2 * float(1 << 64))
+    sqls["q49_deterministic_sample"] = f"""
+WITH s0 AS (
+  SELECT lang, doc_id, CAST(doc_id + 7 AS HUGEINT) AS z0 FROM documents
+),
+{_xxhash64_cte_sql("s0", "z0", "hu", "xh")}
+SELECT lang, count(*) AS n_sampled,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM xhf
+WHERE hu < {_cut49}
+GROUP BY lang
 ORDER BY lang
 """
 

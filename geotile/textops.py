@@ -188,6 +188,51 @@ def _token_hashes_flat(text: pd.Series):
     return hs, np.bincount(doc_of, minlength=n).astype(np.int64)
 
 
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Pure-Python replica of Spark's built-in ``xxhash64`` for ONE
+    BIGINT input (validated bit-exact against the JVM implementation) —
+    the ground truth the q49 DuckDB oracle and tests replicate."""
+    m = (1 << 64) - 1
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & m
+
+    acc = (seed + p5 + 8) & m
+    k1 = rotl((value & m) * p2 & m, 31) * p1 & m
+    acc = (rotl(acc ^ k1, 27) * p1 + p4) & m
+    acc ^= acc >> 33
+    acc = acc * p2 & m
+    acc ^= acc >> 29
+    acc = acc * p3 & m
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def deterministic_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                         seed: int = 0) -> DataFrame:
+    """Deterministic hash sampling for training-data pipelines: keep a
+    row iff xxhash64(key + seed) falls below fraction of the hash
+    space.  Unlike ``df.sample``, membership is a pure function of the
+    KEY — stable across runs, partitionings, cluster sizes, and
+    incremental reruns (a doc's split assignment never changes when the
+    corpus grows), and different seeds give independent splits.  Pure
+    whole-stage codegen (Spark's built-in XXH64 — no UDF, no shuffle;
+    hand-built multiply mixers are impossible natively because ANSI
+    mode overflow-checks long multiplication, and shift-only mixers
+    have no avalanche on small sequential keys); the unsigned
+    comparison uses the sign-flip order isomorphism."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    h = F.xxhash64(F.col(key_col).cast("long") + F.lit(seed))
+    ub = h.bitwiseXOR(F.lit(-(1 << 63)))  # unsigned order as signed
+    cut = int(fraction * float(1 << 64))
+    if cut >= (1 << 64):
+        return df
+    return df.where(ub < F.lit(cut - (1 << 63)))
+
+
 def token_hash_udf():
     """Per-document array of 64-bit token hashes (the shared
     Horner+splitmix pipeline of :func:`_token_hashes_flat` — stable

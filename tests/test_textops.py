@@ -176,3 +176,28 @@ def test_kmv_distinct_estimates(spark, docs):
         else:
             rel = abs(r["est_distinct"] - exact[lang]) / exact[lang]
             assert rel < 5.0 / (256 ** 0.5), (lang, r["est_distinct"], exact[lang])
+
+
+def test_deterministic_sample_stability(spark, docs):
+    """Hash-sample membership is a pure key function: invariant across
+    partitionings AND across corpus growth (a doc's split assignment
+    never changes when more docs arrive); fraction lands near target;
+    disjoint seeds give different (independent) splits."""
+    full = {r["doc_id"] for r in
+            textops.deterministic_sample(docs, 0.2, seed=7).select("doc_id").collect()}
+    repart = {r["doc_id"] for r in
+              textops.deterministic_sample(docs.repartition(13), 0.2, seed=7)
+              .select("doc_id").collect()}
+    assert full == repart
+    subset = {r["doc_id"] for r in
+              textops.deterministic_sample(docs.where("doc_id < 200"), 0.2, seed=7)
+              .select("doc_id").collect()}
+    assert subset == {d for d in full if d < 200}
+    n = docs.count()
+    assert abs(len(full) / n - 0.2) < 0.08
+    other = {r["doc_id"] for r in
+             textops.deterministic_sample(docs, 0.2, seed=8).select("doc_id").collect()}
+    assert other != full
+    # edge fractions
+    assert textops.deterministic_sample(docs, 0.0).count() == 0
+    assert textops.deterministic_sample(docs, 1.0).count() == n

@@ -81,6 +81,34 @@ def main() -> None:
     cache.release(wp)
     timings["winnow_pairs_full"] = round(time.time() - t0, 3)
 
+    # streaming upsert throughput: N position updates over 4 micro-batch
+    # files -> availableNow upsert_stream (LWW merge + snapshot commit
+    # per batch) — measured, not asserted
+    from pyspark.sql import functions as F
+
+    from geotile import streaming
+
+    n_stream = max(N_PAGES // 10, 1000)
+    sdir = os.path.join(WORKDIR, "stream")
+    shutil.rmtree(sdir, ignore_errors=True)
+    updates = (spark.range(n_stream)
+               .select(F.concat(F.lit("m"), (F.col("id") % (n_stream // 2))).alias("msisdn"),
+                       ((F.col("id") * 7919 % 160000) / 1000.0 - 80.0).alias("lat"),
+                       ((F.col("id") * 104729 % 340000) / 1000.0 - 170.0).alias("lon"),
+                       F.col("id").alias("ts"),
+                       (F.col("id") % 4).alias("b")))
+    for b in range(4):
+        (updates.where(F.col("b") == b).drop("b").coalesce(max(CPUS // 4, 1))
+         .write.mode("overwrite").parquet(os.path.join(sdir, f"updates/b{b}")))
+    t0 = time.time()
+    q = streaming.upsert_stream(spark, os.path.join(sdir, "updates/b*"),
+                                os.path.join(sdir, "state"),
+                                os.path.join(sdir, "ckpt"))
+    q.awaitTermination(600)
+    t_stream = time.time() - t0
+    timings["stream_upsert"] = round(t_stream, 3)
+    stream_rows_per_sec = round(n_stream / t_stream, 1)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_suite_total_sec",
@@ -92,6 +120,8 @@ def main() -> None:
         "points": pm["points"],
         "joined_rows": pm["joined"],
         "pages_per_sec": round(pm["pages_per_sec"], 1),
+        "stream_updates": n_stream,
+        "stream_rows_per_sec": stream_rows_per_sec,
         "cpus": CPUS,
     }
     print(json.dumps(out))

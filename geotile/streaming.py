@@ -48,11 +48,20 @@ def latest_state_version(state_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    v = latest_state_version(state_dir)
-    if v is None:
-        return None
-    return spark.read.parquet(_state_version_path(state_dir, v))
+def read_state(spark: SparkSession, state_dir: str,
+               version: int | None = None) -> DataFrame | None:
+    """Read a committed state snapshot: the latest by default, or an
+    explicit ``version`` for TIME TRAVEL across the LWW history (each
+    micro-batch committed an immutable snapshot — the Iceberg-snapshot
+    read pattern)."""
+    if version is None:
+        version = latest_state_version(state_dir)
+        if version is None:
+            return None
+    path = _state_version_path(state_dir, version)
+    if table.read_manifest(path) is None:
+        raise ValueError(f"no committed snapshot v{version} under {state_dir}")
+    return spark.read.parquet(path)
 
 
 def upsert_stream(spark: SparkSession, updates_dir: str, state_dir: str,

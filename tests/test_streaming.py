@@ -67,6 +67,12 @@ def test_upsert_stream_kill_and_resume(spark, tmp_path):
                      "c": (57.649110, 150)}
     assert table.verify_counts(spark, os.path.join(state_dir, f"v{v0:06d}"))
     assert table.verify_counts(spark, os.path.join(state_dir, f"v{v1:06d}"))
+    # time travel: the pre-restart snapshot is still readable by version
+    past = {r["msisdn"] for r in
+            streaming.read_state(spark, state_dir, version=v0).collect()}
+    assert past == {"a", "b"}
+    with pytest.raises(ValueError):
+        streaming.read_state(spark, state_dir, version=v1 + 17)
     # torn-write simulation: a snapshot without a committed manifest is
     # invisible; readers fall back to the last GOOD snapshot
     os.remove(os.path.join(state_dir, f"v{v1:06d}", table.MANIFEST))

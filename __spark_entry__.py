@@ -825,6 +825,21 @@ def _q49_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q50_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language top-3 most frequent tokens (array explode ->
+    two-level aggregate -> ranked window; ties broken by token).  The
+    §2.4 'array functions + windowed top-k' combination as one gated
+    query."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("lang", F.col("rnk").cast("long").alias("rnk"), "tok", "n")
+            .orderBy("lang", "rnk"))
+
+
 def _q48_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (simsearch.cosine_near_dup_pairs)
     — multi-table hyperplane LSH candidates + exact cosine refine.  The
@@ -971,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_kmv_distinct": _q47_kmv_distinct,
         "q48_cosine_near_dup": _q48_cosine_near_dup,
         "q49_deterministic_sample": _q49_deterministic_sample,
+        "q50_top_tokens": _q50_top_tokens,
     }
 
 
@@ -1726,6 +1742,24 @@ FROM xhf
 WHERE hu < {_cut49}
 GROUP BY lang
 ORDER BY lang
+"""
+
+    sqls["q50_top_tokens"] = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+  FROM counts
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok, n
+FROM ranked WHERE rnk <= 3
+ORDER BY lang, rnk
 """
 
     sqls["q45_percentiles"] = """

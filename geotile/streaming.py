@@ -167,6 +167,18 @@ def radius_join_stream(updates: DataFrame, queries) -> DataFrame:
             .drop("qlat", "qlon", "radius_m"))
 
 
+def dedup_stream(updates: DataFrame, keys: tuple[str, ...] = ("msisdn", "ts"),
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup for at-least-once sources: duplicates of
+    ``keys`` arriving within the ``watermark`` horizon are suppressed
+    (``dropDuplicatesWithinWatermark`` — state is BOUNDED by the
+    horizon, unlike a plain streaming dropDuplicates whose key state
+    grows forever).  The streaming twin of textops.exact_dedup for
+    replayed/duplicated ingestion feeds."""
+    return (updates.withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def session_count_stream(updates: DataFrame, gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
     """Event-time SESSION windows per key: a session extends while

@@ -173,3 +173,29 @@ def test_session_count_stream(spark, tmp_path):
     got = sorted((r["msisdn"], r["n"]) for r in
                  spark.sql("SELECT * FROM sesscounts").collect())
     assert got == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Replayed duplicates within the watermark horizon are suppressed;
+    distinct (msisdn, ts) rows all pass."""
+    updates_dir = str(tmp_path / "updates")
+    out_dir = str(tmp_path / "outd")
+    ckpt = str(tmp_path / "ckpt5")
+    os.makedirs(updates_dir)
+    rows = [("a", 1.0, 1.0, 100), ("a", 1.0, 1.0, 100),   # duplicate
+            ("a", 2.0, 2.0, 200),                          # distinct ts
+            ("b", 3.0, 3.0, 100), ("b", 3.0, 3.0, 100)]   # duplicate
+    df = spark.createDataFrame(rows, streaming.POS_SCHEMA) \
+        .withColumn("event_time", F.to_timestamp(F.from_unixtime(
+            F.col("ts") + 1700000000)))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(updates_dir, "b0"))
+    stream = (spark.readStream
+              .schema("msisdn string, lat double, lon double, ts long, event_time timestamp")
+              .parquet(updates_dir + "/b*"))
+    deduped = streaming.dedup_stream(stream)
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["msisdn"], r["ts"]) for r in spark.read.parquet(out_dir).collect())
+    assert got == [("a", 100), ("a", 200), ("b", 100)]

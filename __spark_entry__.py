@@ -105,6 +105,12 @@ _POLY_TRI = {"poly_id": 0,
 _POLY_QUAD = {"poly_id": 1,
               "lat": [-40.00033, -40.00019, 10.00027, 10.00041],
               "lon": [-120.00029, -60.00013, -60.00037, -120.00021]}
+# polylines (routes) with off-lattice vertices for q51
+_POLYLINES = [
+    (0, [30.00037, 35.20063, 40.50021], [110.10041, 115.40017, 120.90053]),
+    (1, [-44.00031, -33.50047, -25.00011], [140.90029, 151.40061, 160.30017]),
+]
+_ROUTE_RADIUS_M = 200000.0
 
 
 _W64 = 1 << 64
@@ -825,6 +831,20 @@ def _q49_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q51_route_proximity(spark: SparkSession, sf: str) -> DataFrame:
+    """Polyline (route) proximity join: positions within 200 km of two
+    fixed routes (engine.polyline_proximity_join — per-segment cover +
+    native point-to-segment refine in the segment's equirectangular
+    frame; the oracle computes the identical formula over all pairs)."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    lines = spark.createDataFrame(
+        _POLYLINES, "line_id long, line_lat array<double>, line_lon array<double>")
+    out = engine.polyline_proximity_join(pos, lines, radius_m=_ROUTE_RADIUS_M,
+                                         id_cols=["event_id"])
+    return (out.select("line_id", "event_id", F.round("dist_m", 6).alias("dist_m"))
+            .orderBy("line_id", "event_id"))
+
+
 def _q50_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language top-3 most frequent tokens (array explode ->
     two-level aggregate -> ranked window; ties broken by token).  The
@@ -987,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_cosine_near_dup": _q48_cosine_near_dup,
         "q49_deterministic_sample": _q49_deterministic_sample,
         "q50_top_tokens": _q50_top_tokens,
+        "q51_route_proximity": _q51_route_proximity,
     }
 
 
@@ -1742,6 +1763,48 @@ FROM xhf
 WHERE hu < {_cut49}
 GROUP BY lang
 ORDER BY lang
+"""
+
+    # q51: point-to-segment distance with the IDENTICAL double sequence
+    # as the engine refine (equirectangular frame at the segment's
+    # midpoint lat); segments and constants ride in as string-cast
+    # double literals; oracle brute-forces all (point, segment) pairs
+    _mlit = f"CAST('{engine._M_PER_DEG!r}' AS DOUBLE)"
+    seg_vals = []
+    for lid, las, los in _POLYLINES:
+        for s in range(len(las) - 1):
+            mid = (las[s] + las[s + 1]) / 2.0
+            seg_vals.append(
+                f"({lid}, CAST('{las[s]!r}' AS DOUBLE), CAST('{los[s]!r}' AS DOUBLE), "
+                f"CAST('{las[s + 1]!r}' AS DOUBLE), CAST('{los[s + 1]!r}' AS DOUBLE), "
+                f"CAST('{mid!r}' AS DOUBLE))")
+    sqls["q51_route_proximity"] = f"""
+WITH {_POS_CTE},
+segs(line_id, a_lat, a_lon, b_lat, b_lon, mid_lat) AS (VALUES {", ".join(seg_vals)}),
+calc AS (
+  SELECT s.line_id, pos.event_id,
+         (pos.lon - s.a_lon) * (cos(radians(s.mid_lat)) * {_mlit}) AS x,
+         (pos.lat - s.a_lat) * {_mlit} AS y,
+         (s.b_lon - s.a_lon) * (cos(radians(s.mid_lat)) * {_mlit}) AS xb,
+         (s.b_lat - s.a_lat) * {_mlit} AS yb
+  FROM pos CROSS JOIN segs s
+),
+tt AS (
+  SELECT line_id, event_id, x, y, xb, yb,
+         LEAST(GREATEST(CASE WHEN xb * xb + yb * yb > 0.0
+                             THEN (x * xb + y * yb) / (xb * xb + yb * yb)
+                             ELSE 0.0 END, 0.0), 1.0) AS t
+  FROM calc
+),
+dd AS (
+  SELECT line_id, event_id,
+         min(sqrt(pow(x - t * xb, 2) + pow(y - t * yb, 2))) AS dist_m
+  FROM tt GROUP BY 1, 2
+)
+SELECT CAST(line_id AS BIGINT) AS line_id, event_id, round(dist_m, 6) AS dist_m
+FROM dd
+WHERE dist_m <= 200000.0
+ORDER BY line_id, event_id
 """
 
     sqls["q50_top_tokens"] = r"""

@@ -613,6 +613,89 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
             .drop("_inside"))
 
 
+def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float,
+                            nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
+                            lat: str = "lat", lon: str = "lon",
+                            line_id: str = "line_id", line_lat: str = "line_lat",
+                            line_lon: str = "line_lon",
+                            id_cols: Sequence[str] | None = None) -> DataFrame:
+    """Route-proximity join: points within ``radius_m`` of a POLYLINE
+    (per-segment point-to-segment distance, minimized over segments).
+
+    ``lines``: (line_id, line_lat: array<double>, line_lon:
+    array<double>) — the small dim side by contract (routes, road
+    segments).  Same filter-refine shape as the other spatial joins:
+    each SEGMENT's radius-expanded bbox covers to cells driver-side
+    (adaptive precision), the segment endpoints ride inside the
+    broadcast cover rows, the big points table prefix-equi-joins on its
+    cell column (pruned scan, zero shuffles), and the exact refine is a
+    NATIVE column expression.
+
+    Distance model: local equirectangular projection anchored at each
+    segment's midpoint latitude (exact same double arithmetic in the
+    DuckDB oracle) — the standard small-radius planar approximation;
+    for radii of interest (<= tens of km) the error vs great-circle is
+    << 1%.  Returns one row per (line, point) with ``dist_m`` = the
+    min distance over that line's segments.
+    """
+    spark = points.sparkSession
+    lrows = lines.select(line_id, line_lat, line_lon).collect()
+    by_n: dict[int, list[tuple]] = {}
+    for r in lrows:
+        la = np.asarray(r[line_lat], dtype=np.float64)
+        lo = np.asarray(r[line_lon], dtype=np.float64)
+        for s in range(la.shape[0] - 1):
+            a_la, a_lo, b_la, b_lo = la[s], lo[s], la[s + 1], lo[s + 1]
+            mid = (a_la + b_la) / 2.0
+            dlat = radius_m / _M_PER_DEG
+            dlon = radius_m / (_M_PER_DEG * max(
+                math.cos(math.radians(min(abs(mid) + dlat, 89.9))), 1e-6))
+            n, cells = _fit_cover_bbox(min(a_la, b_la) - dlat, max(a_la, b_la) + dlat,
+                                       min(a_lo, b_lo) - dlon, max(a_lo, b_lo) + dlon,
+                                       nchars)
+            by_n.setdefault(n, []).extend(
+                (int(r[line_id]), int(s), c, float(a_la), float(a_lo),
+                 float(b_la), float(b_lo), float(mid)) for c in cells)
+    schema = (f"{line_id} long, seg long, cell string, a_lat double, a_lon double, "
+              "b_lat double, b_lon double, mid_lat double")
+    parts = []
+    for n, rows in by_n.items():
+        cov = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[line_id, "seg", "cell", "a_lat", "a_lon",
+                                        "b_lat", "b_lon", "mid_lat"]), schema)
+        key = F.col(cell_col) if n == nchars else F.substring(F.col(cell_col), 1, n)
+        side = points
+        pp = _prefix_pruning(points, [r[2] for r in rows])
+        if pp is not None:
+            side = side.where(pp)
+        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+    if not parts:
+        return (points.where(F.lit(False))
+                .withColumn(line_id, F.lit(None).cast("long"))
+                .withColumn("dist_m", F.lit(None).cast("double")))
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
+    # native point-to-segment distance in the segment's local
+    # equirectangular frame (kx = meters per lon degree at mid_lat)
+    kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
+    x = (F.col(lon) - F.col("a_lon")) * kx
+    y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    bx = (F.col("b_lon") - F.col("a_lon")) * kx
+    by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    denom = bx * bx + by * by
+    t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    dist = F.sqrt(F.pow(x - t * bx, 2) + F.pow(y - t * by, 2))
+    # min over segments per (line, point): group on the caller's point
+    # key when given (narrow shuffle rows), else on all point columns
+    pt_cols = list(id_cols) if id_cols else [c for c in points.columns]
+    return (j.withColumn("_d", dist)
+            .groupBy(line_id, *pt_cols)
+            .agg(F.min("_d").alias("dist_m"))
+            .where(F.col("dist_m") <= radius_m))
+
+
 # ---------------------------------------------------------------------------
 # Raster tile <-> vector cell mapping (north_rule extension)
 # ---------------------------------------------------------------------------

@@ -285,3 +285,38 @@ def test_range_join_exact_and_plan(spark):
     assert got == expect
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_polyline_proximity_join_matches_brute_force(spark):
+    """Route proximity: cover + native refine equals the numpy
+    brute-force min point-to-segment distance (same equirectangular
+    model)."""
+    df, lat, lon = _random_positions(spark)
+    lines = [(0, [39.2, 40.1, 40.8], [115.3, 116.4, 117.6]),
+             (1, [39.0, 39.9], [117.9, 115.1])]
+    ldf = spark.createDataFrame(
+        lines, "line_id long, line_lat array<double>, line_lon array<double>")
+    r = 25000.0
+    got = {(row["line_id"], row["msisdn"]): row["dist_m"]
+           for row in engine.polyline_proximity_join(
+               df, ldf, r, id_cols=["msisdn"]).collect()}
+    m_per_deg = np.pi * gh.EARTH_RADIUS_M / 180.0
+    expect = {}
+    for lid, las, los in lines:
+        best = np.full(len(lat), np.inf)
+        for s in range(len(las) - 1):
+            mid = (las[s] + las[s + 1]) / 2.0
+            kx = np.cos(np.radians(mid)) * m_per_deg
+            x = (lon - los[s]) * kx
+            y = (lat - las[s]) * m_per_deg
+            bx = (los[s + 1] - los[s]) * kx
+            by = (las[s + 1] - las[s]) * m_per_deg
+            denom = bx * bx + by * by
+            t = np.clip((x * bx + y * by) / denom, 0.0, 1.0) if denom > 0 else 0.0
+            d = np.sqrt((x - t * bx) ** 2 + (y - t * by) ** 2)
+            best = np.minimum(best, d)
+        for i in np.nonzero(best <= r)[0]:
+            expect[(lid, f"m{i}")] = float(best[i])
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6)

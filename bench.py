@@ -60,7 +60,8 @@ def main() -> None:
         "q19_embed_topk", "q21_radius_join", "q22_raster_vector_join",
         "q36_hex_cells", "q38_knn_join_bulk", "q43_dedup_verified",
         "q44_sessionize", "q46_range_join", "q47_kmv_distinct",
-        "q48_cosine_near_dup",
+        "q48_cosine_near_dup", "q49_deterministic_sample", "q50_top_tokens",
+        "q51_route_proximity",
     ]
     from geotile import cache, textops
 

@@ -141,6 +141,24 @@ def radius_search_compat(positions: DataFrame, qlat: float, qlon: float,
             .where(F.col("dist_m") <= radius_m))
 
 
+COVER_BROADCAST_MAX_ROWS = 500_000   # ~25 MB broadcast at ~50 B/row
+COVER_DRIVER_MAX_ROWS = 5_000_000    # driver-side cover materialization cap
+
+
+def _maybe_broadcast(cov: DataFrame, n_rows: int, what: str) -> DataFrame:
+    """Broadcast-overflow guard for the small-by-contract cover/window
+    sides: past COVER_BROADCAST_MAX_ROWS the hint is dropped (Catalyst
+    plans a shuffle join instead of shipping an oversized broadcast);
+    past COVER_DRIVER_MAX_ROWS the contract is so badly violated that
+    continuing would OOM the driver — fail loudly with guidance."""
+    if n_rows > COVER_DRIVER_MAX_ROWS:
+        raise ValueError(
+            f"{what}: {n_rows} cover rows exceeds COVER_DRIVER_MAX_ROWS="
+            f"{COVER_DRIVER_MAX_ROWS}; the small-side contract is violated — "
+            "shard the query/window set or use a distributed cover instead")
+    return cov if n_rows > COVER_BROADCAST_MAX_ROWS else F.broadcast(cov)
+
+
 def _fit_cover_bbox(min_lat: float, max_lat: float, min_lon: float, max_lon: float,
                     nchars: int, max_cells: int = 1024) -> tuple[int, list[str]]:
     """Cover the bbox at the finest precision <= nchars whose cover fits
@@ -233,7 +251,8 @@ def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
         pp = _prefix_pruning(positions, [r[1] for r in rows])
         if pp is not None:
             side = side.where(pp)
-        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+        parts.append(side.join(_maybe_broadcast(cov, len(rows), "radius_join cover"),
+                                key == cov["cell"], "inner").drop("cell"))
     if not parts:
         return (positions.where(F.lit(False))
                 .withColumn(qid, F.lit(None).cast("long"))
@@ -579,7 +598,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
         pp = _prefix_pruning(points, [r[1] for r in rows])
         if pp is not None:
             side = side.where(pp)
-        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+        parts.append(side.join(_maybe_broadcast(cov, len(rows), "pip_join cover"), key == cov["cell"], "inner").drop("cell"))
     if not parts:
         return points.where(F.lit(False)).withColumn(poly_id, F.lit(None).cast("long"))
     j = parts[0]
@@ -633,10 +652,18 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
 
     Distance model: local equirectangular projection anchored at each
     segment's midpoint latitude (exact same double arithmetic in the
-    DuckDB oracle) — the standard small-radius planar approximation;
-    for radii of interest (<= tens of km) the error vs great-circle is
-    << 1%.  Returns one row per (line, point) with ``dist_m`` = the
-    min distance over that line's segments.
+    DuckDB oracle, so the gate compares identical formulas).  Error vs
+    the geodesic answer is dominated by the cos(lat) anchor drift over
+    the point-to-segment span: relative error ~ tan(lat) * (d / R_earth)
+    on the east-west component — < 0.1% for d <= 20 km, and at the
+    200 km radius q51 uses, up to ~3% at 45 deg latitude (worst case:
+    purely E-W offsets).  Near the radius boundary a point's INCLUSION
+    can therefore differ from the great-circle answer by up to that
+    margin; the operator itself is deterministic and self-consistent.
+    Callers needing geodesic exactness at large radii should refine
+    with udfs.haversine_col against each segment instead.  Returns one
+    row per (line, point) with ``dist_m`` = the min distance over that
+    line's segments.
     """
     spark = points.sparkSession
     lrows = lines.select(line_id, line_lat, line_lon).collect()
@@ -668,11 +695,16 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
         pp = _prefix_pruning(points, [r[2] for r in rows])
         if pp is not None:
             side = side.where(pp)
-        parts.append(side.join(F.broadcast(cov), key == cov["cell"], "inner").drop("cell"))
+        parts.append(side.join(_maybe_broadcast(cov, len(rows), "polyline_proximity_join cover"), key == cov["cell"], "inner").drop("cell"))
     if not parts:
+        # same projected schema as the normal path: (line_id, *pt_cols,
+        # dist_m) — an all-point-columns empty frame would break
+        # unionByName in downstream consumers when id_cols is given
+        empty_pt_cols = list(id_cols) if id_cols else list(points.columns)
         return (points.where(F.lit(False))
                 .withColumn(line_id, F.lit(None).cast("long"))
-                .withColumn("dist_m", F.lit(None).cast("double")))
+                .withColumn("dist_m", F.lit(None).cast("double"))
+                .select(line_id, *empty_pt_cols, "dist_m"))
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)
@@ -735,7 +767,7 @@ def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
         pp = _prefix_pruning(points, [r[1] for r in rows])
         if pp is not None:
             side = side.where(pp)
-        parts.append(side.join(F.broadcast(cover), key == cover["cell"], "inner"))
+        parts.append(side.join(_maybe_broadcast(cover, len(rows), "raster_vector_join cover"), key == cover["cell"], "inner"))
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)
@@ -774,11 +806,21 @@ def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
     join is a broadcast EQUI-join on the bucket with the exact BETWEEN
     as a post-join refine — same filter-refine discipline as the
     spatial joins (cell cover ≙ bucket cover)."""
-    wb = windows.withColumn(
+    # inverted windows (end < start) must match zero rows: F.sequence
+    # with start > stop silently builds a DESCENDING bucket sequence
+    valid = windows.where(F.col(win_end) >= F.col(win_start))
+    # broadcast-overflow guard: the exploded bucket count is
+    # sum(span/bucket_s) — one tiny agg on the small-by-contract side;
+    # a giant windows table (or giant spans) downgrades to a shuffle
+    # equi-join instead of OOMing on the broadcast
+    n_bucket_rows = int(valid.select(F.sum(
+        F.floor(F.col(win_end) / bucket_s)
+        - F.floor(F.col(win_start) / bucket_s) + 1)).first()[0] or 0)
+    wb = valid.withColumn(
         "_b", F.explode(F.sequence(F.floor(F.col(win_start) / bucket_s),
                                    F.floor(F.col(win_end) / bucket_s))))
     fb = facts.withColumn("_b", F.floor(F.col(ts) / bucket_s))
-    return (fb.join(F.broadcast(wb), "_b")
+    return (fb.join(_maybe_broadcast(wb, n_bucket_rows, "range_join windows"), "_b")
             .where((F.col(ts) >= F.col(win_start)) & (F.col(ts) <= F.col(win_end)))
             .drop("_b"))
 

@@ -221,6 +221,46 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
     return m
 
 
+def recover_compact(path: str) -> str:
+    """Resolve a crash mid-:func:`compact` to a committed, readable
+    stage.  The swap sequence is: write .compact.tmp -> move original to
+    .compact.bak -> move tmp into place -> commit manifest -> drop bak;
+    a kill between any two steps leaves exactly one of these states:
+
+      * tmp only (crash before any swap): original intact — drop tmp.
+      * bak present, ``path`` missing (between the two os.replace):
+        restore bak -> path, drop tmp.
+      * bak present, ``path`` has NO manifest (new data landed but its
+        manifest never committed): the new data is uncommitted by
+        definition — roll back to the original, drop the orphan.
+      * bak present, ``path`` has a manifest (crash after the commit
+        point): compaction succeeded — drop the stale bak.
+
+    Returns the action taken ("clean" when nothing to do).  Idempotent;
+    callers run it before read_stage/is_complete on restart."""
+    import shutil
+
+    bak = path.rstrip("/") + ".compact.bak"
+    tmp = path.rstrip("/") + ".compact.tmp"
+    state = "clean"
+    if os.path.exists(bak):
+        if not os.path.exists(path):
+            os.replace(bak, path)
+            state = "restored_bak"
+        elif read_manifest(path) is None:
+            shutil.rmtree(path)
+            os.replace(bak, path)
+            state = "rolled_back"
+        else:
+            shutil.rmtree(bak)
+            state = "dropped_bak"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        if state == "clean":
+            state = "dropped_tmp"
+    return state
+
+
 def verify_counts(spark: SparkSession, path: str) -> bool:
     """Conservation invariant: manifest row counts match a live recount
     (the reference's pool used+free=all check, mapinfo.cpp:473-497)."""

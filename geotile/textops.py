@@ -61,8 +61,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     base = np.uint64(1099511628211)
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+        for i in range(1, k):
+            powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
     windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
     h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
     return np.unique(_splitmix64(h))
@@ -174,8 +175,9 @@ def _token_hashes_flat(text: pd.Series):
     lens_tok = tok_ends - tok_starts
     powers = np.empty(int(lens_tok.max()), dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, powers.shape[0]):
-        powers[i] = (powers[i - 1] * _POLY_BASE) & np.uint64(_MASK)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+        for i in range(1, powers.shape[0]):
+            powers[i] = (powers[i - 1] * _POLY_BASE) & np.uint64(_MASK)
     offsets = np.cumsum(lens_tok) - lens_tok
     total = int(lens_tok.sum())
     within = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens_tok)
@@ -369,7 +371,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     -> |intersection| per pair -> Jaccard from per-doc distinct counts.
     Quadratic in cluster size — intended for verify stages and small
     corpora; at 100 TB run it only on LSH candidates."""
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w"))
+    # trim before split (leading/trailing whitespace would yield empty
+    # tokens) and guard docs shorter than n tokens: F.sequence(0, size-n)
+    # with start > stop builds a DESCENDING sequence and slice(w, 0, n)
+    # throws at runtime.
+    toks = (df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+            .where(F.size("w") >= n))
     grams = toks.select(
         id_col,
         F.explode(F.transform(
@@ -467,8 +475,9 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             base = np.uint64(1099511628211)
             powers = np.empty(k, dtype=np.uint64)
             powers[0] = 1
-            for i in range(1, k):
-                powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
+            with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+                for i in range(1, k):
+                    powers[i] = (powers[i - 1] * base) & np.uint64(_MASK)
             win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
             h = _splitmix64((win * powers[::-1]).sum(axis=1, dtype=np.uint64))
             mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
@@ -537,7 +546,12 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     cand_full = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands, shingle_k,
                                   threshold=candidate_threshold)
     cand = cand_full.select("a", "b")
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("w"))
+    # trim + short-doc guard: matches the DuckDB oracle's trim, and a doc
+    # with < n tokens would otherwise build a descending F.sequence whose
+    # slice(w, 0, n) throws (see ngram_jaccard_pairs).
+    toks = (df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+            .where(F.size("w") >= n))
     grams = toks.select(
         id_col,
         F.explode(F.transform(

@@ -320,3 +320,59 @@ def test_polyline_proximity_join_matches_brute_force(spark):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k], abs=1e-6)
+
+
+def test_range_join_inverted_window_matches_nothing(spark):
+    """A malformed window with end < start matches zero rows (it must
+    not explode a descending bucket sequence into bogus matches)."""
+    facts = spark.createDataFrame([(i, 100 * i) for i in range(50)],
+                                  "fact_id long, ep long")
+    wins = spark.createDataFrame(
+        [(0, 4000, 1000), (1, 200, 700)], "w_id long, start_ep long, end_ep long")
+    got = {(r["fact_id"], r["w_id"])
+           for r in engine.range_join(facts, wins, ts="ep", bucket_s=500).collect()}
+    assert got == {(f, 1) for f in range(50) if 200 <= 100 * f <= 700}
+
+
+def test_polyline_empty_cover_schema_matches_normal_path(spark):
+    """The empty-cover early return projects the same (line_id,
+    *id_cols, dist_m) schema as the normal path, so unionByName works."""
+    df, _lat, _lon = _random_positions(spark)
+    empty_lines = spark.createDataFrame(
+        [], "line_id long, line_lat array<double>, line_lon array<double>")
+    lines = spark.createDataFrame(
+        [(0, [39.2, 40.1], [115.3, 116.4])],
+        "line_id long, line_lat array<double>, line_lon array<double>")
+    out_empty = engine.polyline_proximity_join(df, empty_lines, 25000.0,
+                                               id_cols=["msisdn"])
+    out_norm = engine.polyline_proximity_join(df, lines, 25000.0,
+                                              id_cols=["msisdn"])
+    assert out_empty.columns == out_norm.columns
+    assert out_empty.count() == 0
+    assert out_norm.unionByName(out_empty).count() == out_norm.count()
+
+
+def test_maybe_broadcast_guard(spark, monkeypatch):
+    """Broadcast-overflow guard: hint below the threshold, plain df
+    above it, loud failure past the driver cap — and range_join still
+    returns exact results through the downgraded (shuffle) path."""
+    cov = spark.createDataFrame([(1,)], "x long")
+    hinted = engine._maybe_broadcast(cov, 10, "t")
+    assert "Hint broadcast" in hinted._jdf.queryExecution().logical().toString()
+    assert engine._maybe_broadcast(cov, engine.COVER_BROADCAST_MAX_ROWS + 1, "t") is cov
+    with pytest.raises(ValueError, match="small-side contract"):
+        engine._maybe_broadcast(cov, engine.COVER_DRIVER_MAX_ROWS + 1, "t")
+
+    # end-to-end downgrade: force every cover/window side past the hint
+    # threshold and check range_join is still exact
+    monkeypatch.setattr(engine, "COVER_BROADCAST_MAX_ROWS", 3)
+    facts = spark.createDataFrame([(i, 97 * i % 5000) for i in range(500)],
+                                  "fact_id long, ep long")
+    wins = spark.createDataFrame(
+        [(w, w * 700, w * 700 + 1500) for w in range(6)],
+        "w_id long, start_ep long, end_ep long")
+    got = {(r["fact_id"], r["w_id"])
+           for r in engine.range_join(facts, wins, ts="ep", bucket_s=300).collect()}
+    expect = {(f, w) for f in range(500) for w in range(6)
+              if w * 700 <= 97 * f % 5000 <= w * 700 + 1500}
+    assert got == expect

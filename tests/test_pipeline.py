@@ -157,3 +157,56 @@ def test_bucketed_upsert_has_no_exchange(spark):
     joined = state.join(updates.select("msisdn", F.col("ts").alias("ts2")), "msisdn")
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in jplan, jplan
+
+
+def test_compact_crash_recovery_all_states(spark, tmp_path):
+    """Kill-between-steps: every on-disk state the compact swap can be
+    interrupted in (tmp-only, bak+missing-path, bak+uncommitted-path,
+    bak+committed-path) recovers via table.recover_compact to a stage
+    that read_stage can read with conserved counts."""
+    import shutil
+
+    base = str(tmp_path / "stage")
+    df = synth.synth_pages(spark, 300, partitions=3).select("url", "lang", "warc_ts")
+    table.write_stage(df, base, partition_by=["lang"], params={"n": 300})
+    m0 = table.read_manifest(base)
+    golden = {tuple(r) for r in table.read_stage(spark, base).collect()}
+
+    def clone(name):
+        p = str(tmp_path / name)
+        shutil.copytree(base, p)
+        return p, p + ".compact.bak", p + ".compact.tmp"
+
+    # state 1: crash after tmp written, before any swap
+    p, bak, tmp = clone("s1")
+    shutil.copytree(p, tmp)
+    assert table.recover_compact(p) == "dropped_tmp"
+    assert not os.path.exists(tmp)
+
+    # state 2: crash between os.replace(path, bak) and os.replace(tmp, path)
+    p, bak, tmp = clone("s2")
+    shutil.copytree(p, tmp)
+    os.replace(p, bak)
+    assert table.recover_compact(p) == "restored_bak"
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+
+    # state 3: crash after new data moved in, before manifest commit
+    p, bak, tmp = clone("s3")
+    shutil.copytree(p, tmp)
+    os.remove(os.path.join(tmp, table.MANIFEST))  # compact's tmp has no manifest
+    os.replace(p, bak)
+    os.replace(tmp, p)
+    assert table.recover_compact(p) == "rolled_back"
+
+    # state 4: crash after manifest commit, before bak cleanup
+    p, bak, tmp = clone("s4")
+    shutil.copytree(p, bak)
+    assert table.recover_compact(p) == "dropped_bak"
+
+    for name in ("s1", "s2", "s3", "s4"):
+        p = str(tmp_path / name)
+        assert table.recover_compact(p) == "clean"  # idempotent
+        m = table.read_manifest(p)
+        assert m is not None and m["partitions"] == m0["partitions"]
+        assert {tuple(r) for r in table.read_stage(spark, p).collect()} == golden
+        assert table.verify_counts(spark, p)

@@ -201,3 +201,31 @@ def test_deterministic_sample_stability(spark, docs):
     # edge fractions
     assert textops.deterministic_sample(docs, 0.0).count() == 0
     assert textops.deterministic_sample(docs, 1.0).count() == n
+
+
+def test_ngram_jaccard_edge_whitespace_and_short_docs(spark):
+    """Leading/trailing whitespace must not create empty tokens (the
+    DuckDB oracle trims), and docs with fewer than n tokens must not
+    build a descending F.sequence (slice throws at runtime)."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (1, "  alpha beta gamma delta  "),   # same grams after trim
+         (2, "too short"),                     # < n tokens: guarded out
+         (3, "x")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in textops.ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()}
+    assert got == {(0, 1): 1.0}
+
+
+def test_verified_near_dup_edge_docs_no_crash(spark):
+    """verified_near_dup_pairs survives whitespace-padded and sub-n-token
+    docs end-to-end (trim + short-doc guard on the verify stage)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(0, base), (1, "  " + base + "  "), (2, "tiny doc"), (3, "q")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in textops.verified_near_dup_pairs(
+        df, candidate_threshold=0.1, jaccard_threshold=0.5).collect()}
+    assert (0, 1) in got
+    assert all(a not in (2, 3) and b not in (2, 3) for a, b in got)

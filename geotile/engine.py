@@ -345,20 +345,36 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
 
     The reference has no top-k at all (FindPos returns unordered,
     mapinfo.cpp:455-458); this is the north_rule's kNN operator.
+
+    The result is contractually tiny (k rows per query, POI-sized query
+    sets), so each round's top-k is COLLECTED in the single action that
+    also yields the resolution stats — no persist/unpersist cycle and
+    exactly ONE Spark job per ring round.  Query sets too large for
+    that contract (k * |queries| > ~50k result rows) route through
+    :func:`knn_join_bulk`'s fully distributed annulus machinery, which
+    returns the identical schema.
     """
     spark = positions.sparkSession
+    queries = [(int(q), float(a), float(b)) for q, a, b in queries]
+    if k * len(queries) > 50_000:
+        qdf = spark.createDataFrame(
+            pd.DataFrame(queries, columns=["query_id", "qlat", "qlon"]),
+            "query_id long, qlat double, qlon double")
+        return knn_join_bulk(positions, qdf, k, nchars=nchars,
+                             cell_nchars=cell_nchars, cell_col=cell_col,
+                             lat=lat, lon=lon, id_col=id_col,
+                             start_ring=start_ring, n_total=n_total)
     if nchars is None:
         if n_total is None:
             n_total = positions.count()
         # finest n with (2r+1)^2 * n_total / 2^(5n) >= 4k at ring=start
         budget = max((2 * start_ring + 1) ** 2 * max(n_total, 1) / max(4 * k, 1), 2.0)
         nchars = max(1, min(cell_nchars, int(math.log2(budget) // 5)))
-    from . import cache
 
-    unresolved = list(queries)
+    unresolved = queries
     ring = start_ring
-    resolved_parts: list[DataFrame] = []
-    round_frames: list[DataFrame] = []
+    out_rows: list = []
+    out_schema = None
     order_cols = [F.col("dist_m")] + ([F.col(id_col)] if id_col else [F.col(lat), F.col(lon)])
     w = Window.partitionBy("query_id").orderBy(*order_cols)
     key = (F.col(cell_col) if nchars == cell_nchars
@@ -372,7 +388,7 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
             # dedup: at coarse precisions a wide disk wraps the lon
             # circle and re-hits cells; a duplicated (query, cell) row
             # would duplicate candidates and corrupt the top-k ranks
-            rows.extend((int(q_id), float(q_lat), float(q_lon), c)
+            rows.extend((q_id, q_lat, q_lon, c)
                         for c in dict.fromkeys(map(str, cells)))
         cand_cells = spark.createDataFrame(
             pd.DataFrame(rows, columns=["query_id", "qlat", "qlon", "cell"]),
@@ -384,51 +400,41 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         pp = _prefix_pruning(positions, all_cells)
         if pp is not None:
             pruned = pruned.where(pp)
-        cand = pruned.join(F.broadcast(cand_cells), key == cand_cells["cell"], "inner")
-        cand = (cand.withColumn("dist_m", udfs.haversine_col(
+        cand = (pruned.join(F.broadcast(cand_cells), key == cand_cells["cell"], "inner")
+                .withColumn("dist_m", udfs.haversine_col(
                     F.col("qlat"), F.col("qlon"), F.col(lat), F.col(lon)))
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k)
-                .persist())
-        round_frames.append(cand)
-        # guarantee check per query: k-th distance within the disk's safe radius
-        stats = {r["query_id"]: (r["n"], r["kth"]) for r in
-                 cand.groupBy("query_id").agg(F.count("*").alias("n"),
-                                              F.max("dist_m").alias("kth")).collect()}
+                .drop("cell", "_rn"))
+        if out_schema is None:
+            out_schema = cand.schema
+        crows = cand.collect()  # the round's only action: rows AND stats
+        stats: dict[int, tuple[int, float]] = {}
+        for r in crows:
+            n, kth = stats.get(r["query_id"], (0, 0.0))
+            stats[r["query_id"]] = (n + 1, max(kth, r["dist_m"]))
         still = []
-        done_ids = []
+        done: set[int] = set()
         for q_id, q_lat, q_lon in unresolved:
-            n, kth = stats.get(int(q_id), (0, None))
-            guarantee = _ring_guarantee_m(nchars, abs(q_lat), ring)
-            if n >= k and kth is not None and kth <= guarantee:
-                done_ids.append(int(q_id))
+            n, kth = stats.get(q_id, (0, None))
+            # guarantee check: k-th distance within the disk's safe radius
+            if n >= k and kth is not None and kth <= _ring_guarantee_m(
+                    nchars, abs(q_lat), ring):
+                done.add(q_id)
             else:
                 still.append((q_id, q_lat, q_lon))
-        if done_ids:
-            resolved_parts.append(cand.where(F.col("query_id").isin(done_ids)))
         if still and ring >= max_ring:
             # out of rings: accept best-effort for the remainder
-            rest = [int(q[0]) for q in still]
-            resolved_parts.append(cand.where(F.col("query_id").isin(rest)))
+            done |= {q[0] for q in still}
             still = []
+        out_rows.extend(r for r in crows if r["query_id"] in done)
         unresolved = still
         ring *= 2
 
-    if not resolved_parts:
-        for f in round_frames:
-            f.unpersist()
+    if out_schema is None:
         return spark.createDataFrame([], positions.schema.add("query_id", LongType())
                                      .add("dist_m", DoubleType()))
-    out = resolved_parts[0]
-    for p in resolved_parts[1:]:
-        out = out.unionByName(p)
-    # materialize the (small: k rows/query) result, then free the
-    # per-round caches; the result stays cached for the caller to release
-    out = out.drop("cell", "_rn").persist()
-    out.count()
-    for f in round_frames:
-        f.unpersist()
-    return cache.track(out, [out])
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,

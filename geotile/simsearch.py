@@ -168,24 +168,37 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
         vals = (s << np.arange(nbits, dtype=np.uint64)[None, None, :]).sum(axis=2)
         return pd.Series(vals.astype(np.int64).tolist())
 
-    bucketed = (df.select(F.col(id_col),
-                          F.col(vec_col).cast("array<double>").alias("_v64"))
-                .withColumn("_bks", _buckets(F.col("_v64"))))
-    ex = (bucketed.select(id_col, "_v64", F.posexplode("_bks").alias("t", "bk")))
-    l = ex.alias("l")
-    r = ex.alias("r")
-    dot = F.aggregate(F.zip_with("l._v64", "r._v64", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = (F.sqrt(F.aggregate(F.transform("l._v64", lambda a: a * a),
-                               F.lit(0.0), lambda acc, v: acc + v))
-            * F.sqrt(F.aggregate(F.transform("r._v64", lambda a: a * a),
-                                 F.lit(0.0), lambda acc, v: acc + v)))
-    return (l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.bk") == F.col("r.bk"))
+    # candidate generation runs on SLIM keys only — (id, t, bk), three
+    # longs/row — so the (t, bk) self-join shuffle never ships vector
+    # payload (the old plan exploded the full _v64 n_tables x into both
+    # join inputs); pairs dedup while still slim, and vectors re-attach
+    # once per unique pair for the exact refine.  The vector branch
+    # needs NO Python at all (cast + native norm), so the Arrow UDF
+    # runs exactly once, in the keys branch — no persist needed.
+    keys = (df.select(F.col(id_col),
+                      _buckets(F.col(vec_col).cast("array<double>")).alias("_bks"))
+            .select(id_col, F.posexplode("_bks").alias("t", "bk")))
+    l = keys.alias("l")
+    r = keys.alias("r")
+    cand = (l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.bk") == F.col("r.bk"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
-                    (dot / norm).alias("cosine"))
-            .where(F.col("cosine") >= threshold)
+            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
             .dropDuplicates(["a", "b"]))
+    # per-id norm once (identical double arithmetic to the per-pair form)
+    vecs = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v64"))
+            .withColumn("_nrm", F.sqrt(F.aggregate(
+                F.transform("_v64", lambda a: a * a),
+                F.lit(0.0), lambda acc, v: acc + v))))
+    va = vecs.select(F.col(id_col).alias("a"), F.col("_v64").alias("_va"),
+                     F.col("_nrm").alias("_na"))
+    vb = vecs.select(F.col(id_col).alias("b"), F.col("_v64").alias("_vb"),
+                     F.col("_nrm").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return (cand.join(va, "a").join(vb, "b")
+            .select("a", "b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
 
 
 def train_centroids(df: DataFrame, n_centroids: int = 16, sample: int = 2048,

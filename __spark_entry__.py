@@ -947,12 +947,18 @@ def _q41_compat_bbox(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q42_compat_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """S3: the compat grid scan (mapinfo.cpp:384-415) candidate-cell
-    counts on the FIXTURES §2.7 queries.  The scan is a per-query
-    driver-side step by design (it runs once per FindPos call and
-    yields 0/1 cells); the count row set is what the gate pins."""
-    rows = [(int(qid), int(len(gh.candidate_cells_ref(la, lo, r))))
-            for qid, la, lo, r in _CAND_FIX]
-    return spark.createDataFrame(rows, "query_id long, n_cells long").orderBy("query_id")
+    counts on the FIXTURES §2.7 queries, computed ON THE EXECUTORS via
+    the registered ``gh_candidate_cells_ref`` UDF surface — the gate
+    thereby pins the kernel as it actually runs in a Spark job, not a
+    driver-side precomputation."""
+    from geotile import udfs
+
+    df = spark.createDataFrame(
+        _CAND_FIX, "query_id long, lat double, lon double, radius_m double")
+    cells = udfs.candidate_cells_ref_udf()(
+        F.col("lat"), F.col("lon"), F.col("radius_m"))
+    return (df.select("query_id", F.size(cells).cast("long").alias("n_cells"))
+            .orderBy("query_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -124,6 +124,21 @@ def neighbors_ref_udf(nbits: int = gh.GEO_PRECISION_BITS):
     return _nbrs
 
 
+def candidate_cells_ref_udf():
+    """Reference compat grid scan (mapinfo.cpp:384-415) as an executor
+    UDF: (lat, lon, radius_m) -> array<string> of the 0/1 candidate
+    cells the reference's FindPos would probe.  Per-row scalar work by
+    design (the scan runs once per query in the reference); vectorized
+    batching just amortizes the Arrow transfer."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _cand(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.Series:
+        return pd.Series([gh.candidate_cells_ref(float(la), float(lo), float(r))
+                          for la, lo, r in zip(lat, lon, radius_m)])
+
+    return _cand
+
+
 def annulus_cells_udf(nchars: int, r_lo: int, r_hi: int):
     """(lat, lon) -> cells of the Chebyshev ANNULUS (r_lo, r_hi] around
     the point's cell at ``nchars`` — the INCREMENTAL candidate generator
@@ -273,6 +288,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_neighbors", neighbors_udf())
     spark.udf.register("gh_neighbors_ref12", neighbors_ref_udf(12))
     spark.udf.register("gh_bbox_ref", bbox_ref_udf())
+    spark.udf.register("gh_candidate_cells_ref", candidate_cells_ref_udf())
     spark.udf.register("gh_decode", decode_udf())
     spark.udf.register("gh_s2_cell10", s2_cell_udf(10))
     spark.udf.register("gh_hex_cell6", hex_cell_udf(6))

@@ -208,6 +208,50 @@ _MH_A = (_MH_SEEDS[:64] % np.uint64(_M61 - 1) + np.uint64(1))
 _MH_B = _MH_SEEDS[64:] % np.uint64(_M61)
 
 
+def _text_emb_cte_sql(dim: int, seed: int) -> str:
+    """CTE chain replicating textops.text_embedding in DuckDB, ending
+    in ``fullg(doc_id, i, c)`` (signed bucket counts as exact doubles,
+    zeros included) and ``nrm(doc_id, norm)``.  Token hash = the shared
+    Horner+splitmix pipeline (same CTEs as the q17/q47 oracles), then a
+    second seed-mixed splitmix64; bucket = low bits (h % dim), sign =
+    top bit.  All accumulation is integer, so the final v = c / norm
+    divisions reproduce the numpy doubles bit-for-bit."""
+    return f"""emb_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+emb_tokh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM emb_toks
+),
+{_splitmix_cte_sql("emb_tokh", "h0", "hu", "te1")},
+emb_seeded AS (
+  SELECT doc_id, (hu + {seed}) % {_W64} AS h1 FROM te1d
+),
+{_splitmix_cte_sql("emb_seeded", "h1", "h2", "te2")},
+emb_feat AS (
+  SELECT doc_id, CAST(h2 % {dim} AS BIGINT) AS i,
+         CASE WHEN (h2 >> 63) & 1 = 1 THEN -1 ELSE 1 END AS s
+  FROM te2d
+),
+emb_comp AS (
+  SELECT doc_id, i, sum(s) AS c FROM emb_feat GROUP BY doc_id, i
+),
+emb_grid AS (
+  SELECT d.doc_id, ii.i FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {dim})) AS BIGINT) AS i) ii
+),
+fullg AS (
+  SELECT g.doc_id, g.i, CAST(COALESCE(c.c, 0) AS DOUBLE) AS c
+  FROM emb_grid g LEFT JOIN emb_comp c ON g.doc_id = c.doc_id AND g.i = c.i
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS norm FROM fullg GROUP BY doc_id
+)"""
+
+
 def _minhash_cand_cte(threshold: float) -> str:
     """CTE chain replicating textops.minhash_lsh_pairs in DuckDB, ending
     in ``mh_cand(a, b, est_jaccard)``.  Shingle hashes = unrolled k=5
@@ -871,6 +915,39 @@ def _q48_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("a", "b"))
 
 
+_EMB_DIM, _EMB_SEED = 16, 11        # q52 gate: small dim keeps the oracle cheap
+_EMB_E2E_DIM = 64                   # q53 end-to-end pipeline dimension
+
+
+def _q52_text_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """textops.text_embedding: deterministic hashed-token projection
+    documents.text -> array<double>, exploded to (doc_id, i, v) rows.
+    Component values are EXACT doubles by construction (integer bucket
+    sums, one sqrt, one division), so the oracle — the same
+    Horner+splitmix token pipeline the q17/q47 oracles replicate, plus
+    a seed-mix splitmix stage — matches bit-for-bit, unrounded."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = textops.text_embedding(docs, dim=_EMB_DIM, seed=_EMB_SEED)
+    return (emb.select("doc_id", F.posexplode("embedding").alias("i", "v"))
+            .select("doc_id", F.col("i").cast("long").alias("i"), "v")
+            .orderBy("doc_id", "i"))
+
+
+def _q53_text_near_dup_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The full LLM-pipeline composition in one query: documents.text
+    -> hashed-token embedding (textops.text_embedding, dim 64) ->
+    multi-table hyperplane LSH candidates -> exact cosine refine
+    (simsearch.cosine_near_dup_pairs).  The oracle replays the entire
+    chain in SQL: token-hash embedding CTEs + literal hyperplanes +
+    identical cosine arithmetic."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = textops.text_embedding(docs, dim=_EMB_E2E_DIM, seed=_EMB_SEED)
+    out = simsearch.cosine_near_dup_pairs(
+        emb.select("doc_id", "embedding"), threshold=0.95, id_col="doc_id")
+    return (out.select("a", "b", F.round("cosine", 4).alias("cos4"))
+            .orderBy("a", "b"))
+
+
 # ---------------------------------------------------------------------------
 # Compat-kernel golden-vector queries (FIXTURES.md §2.4-2.7): the driver
 # gate sees the reference's replicated bugs, not just pytest.  Oracles
@@ -1014,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_deterministic_sample": _q49_deterministic_sample,
         "q50_top_tokens": _q50_top_tokens,
         "q51_route_proximity": _q51_route_proximity,
+        "q52_text_embedding": _q52_text_embedding,
+        "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
     }
 
 
@@ -1914,6 +1993,55 @@ ORDER BY pt_id
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_cells AS BIGINT) AS n_cells
 FROM (VALUES {c_values}) AS t(query_id, n_cells)
 ORDER BY query_id
+"""
+
+    # q52: hashed-token embedding components, exact doubles (integer
+    # bucket sums -> one sqrt -> one division; see _text_emb_cte_sql)
+    sqls["q52_text_embedding"] = f"""
+WITH {_text_emb_cte_sql(_EMB_DIM, _EMB_SEED)}
+SELECT f.doc_id, f.i, CASE WHEN n.norm > 0 THEN f.c / n.norm ELSE 0.0 END AS v
+FROM fullg f JOIN nrm n USING (doc_id)
+ORDER BY doc_id, i
+"""
+
+    # q53: the full text -> embedding -> LSH near-dup chain in SQL —
+    # embedding CTEs at dim 64 + the q48 recipe (literal hyperplanes,
+    # bucket equi-join, identical cosine arithmetic)
+    def _e2e_bucket_terms(planes, col):
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({col}, "
+            f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(planes.shape[0]))
+
+    e2e_selects = []
+    for t in range(4):
+        pl = simsearch._rand_unit((12, _EMB_E2E_DIM), 42 + t)
+        e2e_selects.append(f"SELECT vec_id, emb64, {t} AS t, "
+                           f"{_e2e_bucket_terms(pl, 'emb64')} AS bucket FROM emb_e2e")
+    e2e_cos = ("list_inner_product(l.emb64, r.emb64) / "
+               "(sqrt(list_inner_product(l.emb64, l.emb64)) * "
+               "sqrt(list_inner_product(r.emb64, r.emb64)))")
+    e2e_union = "\nUNION ALL\n".join(e2e_selects)
+    sqls["q53_text_near_dup_e2e"] = f"""
+WITH {_text_emb_cte_sql(_EMB_E2E_DIM, _EMB_SEED)},
+emb_e2e AS (
+  SELECT f.doc_id AS vec_id,
+         list(CASE WHEN n.norm > 0 THEN f.c / n.norm ELSE 0.0 END ORDER BY f.i) AS emb64
+  FROM fullg f JOIN nrm n USING (doc_id)
+  GROUP BY f.doc_id
+),
+bt_e2e AS (
+{e2e_union}
+),
+cand_e2e AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, {e2e_cos} AS cosine
+  FROM bt_e2e l JOIN bt_e2e r
+    ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, round(cosine, 4) AS cos4
+FROM cand_e2e WHERE cosine >= 0.95
+ORDER BY a, b
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

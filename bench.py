@@ -61,7 +61,7 @@ def main() -> None:
         "q36_hex_cells", "q38_knn_join_bulk", "q43_dedup_verified",
         "q44_sessionize", "q46_range_join", "q47_kmv_distinct",
         "q48_cosine_near_dup", "q49_deterministic_sample", "q50_top_tokens",
-        "q51_route_proximity",
+        "q51_route_proximity", "q52_text_embedding", "q53_text_near_dup_e2e",
     ]
     from geotile import cache, textops
 

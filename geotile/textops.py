@@ -251,6 +251,43 @@ def token_hash_udf():
     return _th
 
 
+def text_embedding(df: DataFrame, text_col: str = "text", dim: int = 64,
+                   seed: int = 11, out: str = "embedding") -> DataFrame:
+    """Deterministic hashed-token text embedding (the 'hashing trick'):
+    token -> 64-bit hash (the same Horner+splitmix pipeline as
+    SimHash/KMV, :func:`_token_hashes_flat`) -> seed-mixed with a
+    second splitmix64 -> bucket ``h % dim`` with sign from the top bit
+    -> per-doc signed counts -> L2 normalize.  Closes the
+    documents -> vectors -> ANN loop: the output array<double> feeds
+    :func:`geotile.simsearch.cosine_near_dup_pairs` and the top-k
+    searches directly.
+
+    Numerically EXACT across engines by construction: bucket sums are
+    small integers (sums of +-1, exactly representable), the norm is
+    sqrt of an integer, and each component is one IEEE division — so a
+    SQL oracle replaying the same hash pipeline reproduces identical
+    doubles (no order-sensitive float accumulation anywhere).  One
+    narrow Arrow pass, no shuffle; at corpus scale this is a map-only
+    stage ahead of the (bucketed) ANN joins."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _emb(text: pd.Series) -> pd.Series:
+        n = len(text)
+        hs, per_doc = _token_hashes_flat(text)
+        h2 = _splitmix64(hs + np.uint64(seed))  # uint64 add wraps silently
+        idx = (h2 % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h2 >> np.uint64(63)).astype(bool), -1.0, 1.0)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        vec = np.bincount(doc_of * dim + idx, weights=sign,
+                          minlength=n * dim).reshape(n, dim)
+        norm = np.sqrt((vec * vec).sum(axis=1))
+        emb = vec / np.where(norm > 0.0, norm, 1.0)[:, None]
+        return pd.Series(emb.tolist())
+
+    return df.withColumn(out, _emb(F.col(text_col)))
+
+
 def kmv_distinct(df: DataFrame, group: str = "lang", text_col: str = "text",
                  k: int = 256) -> DataFrame:
     """KMV (k-minimum-values) distinct-token sketch per group

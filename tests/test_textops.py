@@ -229,3 +229,49 @@ def test_verified_near_dup_edge_docs_no_crash(spark):
         df, candidate_threshold=0.1, jaccard_threshold=0.5).collect()}
     assert (0, 1) in got
     assert all(a not in (2, 3) and b not in (2, 3) for a, b in got)
+
+
+def test_text_embedding_deterministic_and_normalized(spark):
+    """Hashed-token embedding: L2-normalized, partitioning-invariant,
+    and components are exact integer/norm ratios."""
+    import numpy as np
+
+    rows = [(i, f"alpha beta gamma doc{i} token{i % 7} the the") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df7 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    e1 = {r["doc_id"]: r["embedding"]
+          for r in textops.text_embedding(df1, dim=32).collect()}
+    e7 = {r["doc_id"]: r["embedding"]
+          for r in textops.text_embedding(df7, dim=32).collect()}
+    assert e1 == e7  # bit-identical across partitionings
+    for v in e1.values():
+        a = np.asarray(v)
+        assert abs(float(a @ a) - 1.0) < 1e-12
+    # identical texts -> identical vectors; disjoint texts -> dissimilar
+    ra, rb = e1[0], e1[7]  # doc0 vs doc7 share token7-class and statics
+    pair = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y z"), (2, "p q r s t u v w")],
+        "doc_id long, text string")
+    pe = {r["doc_id"]: np.asarray(r["embedding"])
+          for r in textops.text_embedding(pair, dim=32).collect()}
+    assert np.array_equal(pe[0], pe[1])
+    assert float(pe[0] @ pe[2]) < 0.9
+
+
+def test_text_embedding_feeds_cosine_near_dup(spark):
+    """End-to-end documents -> vectors -> near-dup pairs: exact dup
+    texts surface as cosine-1 pairs."""
+    from geotile import simsearch
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "completely different words entirely " * 6),
+         (3, "unrelated corpus text with other tokens " * 5)],
+        "doc_id long, text string")
+    emb = textops.text_embedding(df, dim=64)
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in simsearch.cosine_near_dup_pairs(
+               emb.select("doc_id", "embedding"), threshold=0.95,
+               id_col="doc_id").collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0, abs=1e-12)
+    assert all({a, b} == {0, 1} for a, b in got)

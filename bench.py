@@ -82,6 +82,35 @@ def main() -> None:
     cache.release(wp)
     timings["winnow_pairs_full"] = round(time.time() - t0, 3)
 
+    # adversarial-skew dedup stress: Zipf-boilerplate corpus — the
+    # hottest block appears in ~1/3 of ALL docs (fingerprint df >> the
+    # max_df=16 cap), proving the frequency cap and filter-before-dedup
+    # claims under skew the uniform synth corpus never exercises
+    from pyspark.sql import functions as F
+
+    from geotile import synth
+
+    n_skew = max(N_PAGES // 30, 2000)
+    skew = synth.synth_docs_skew(spark, n_skew, partitions=CPUS).persist()
+    skew.count()
+    hot = (textops.winnow_fingerprints(skew)
+           .select(F.explode("fingerprints").alias("f"))
+           .groupBy("f").agg(F.count("*").alias("df"))
+           .agg(F.max("df").alias("mx"),
+                F.sum(F.when(F.col("df") > 16, 1).otherwise(0)).alias("over"),
+                F.count("*").alias("n_fp")).first())
+    t0 = time.time()
+    wp = textops.winnow_pairs(skew)
+    n_wp = wp.count()
+    cache.release(wp)
+    timings["skew_winnow_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    mp = textops.minhash_lsh_pairs(skew, threshold=0.5)
+    n_mp = mp.count()
+    cache.release(mp)
+    timings["skew_minhash_pairs"] = round(time.time() - t0, 3)
+    skew.unpersist()
+
     # streaming upsert throughput: N position updates over 4 micro-batch
     # files -> availableNow upsert_stream (LWW merge + snapshot commit
     # per batch) — measured, not asserted
@@ -123,6 +152,12 @@ def main() -> None:
         "pages_per_sec": round(pm["pages_per_sec"], 1),
         "stream_updates": n_stream,
         "stream_rows_per_sec": stream_rows_per_sec,
+        "skew_docs": n_skew,
+        "skew_fp_max_df": int(hot["mx"]),
+        "skew_fp_over_cap": int(hot["over"]),
+        "skew_fp_distinct": int(hot["n_fp"]),
+        "skew_winnow_pairs_rows": int(n_wp),
+        "skew_minhash_pairs_rows": int(n_mp),
         "cpus": CPUS,
     }
     print(json.dumps(out))

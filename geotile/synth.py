@@ -130,3 +130,46 @@ def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> D
             yield synth_pages_pd(pdf["id"].to_numpy())
 
     return rng.mapInPandas(_gen, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-skew document corpus (dedup stress)
+# ---------------------------------------------------------------------------
+
+_BP_NBLOCKS = 1024
+_BP_PER_DOC = 4
+# boilerplate blocks: 8 tokens each (~56 chars — far above the winnow
+# k+window-1 and shingle-k minima, so every block contributes shared
+# fingerprints)
+_BP_BLOCKS = np.array([" ".join(f"blk{r}w{j}" for j in range(8))
+                       for r in range(_BP_NBLOCKS)], dtype=object)
+
+
+def synth_docs_skew_pd(ids: np.ndarray) -> pd.DataFrame:
+    """Zipf-boilerplate doc batch: each doc concatenates _BP_PER_DOC
+    blocks drawn LOG-UNIFORM over block rank (Zipf(1)-like: rank 0
+    lands in ~ln2/ln(n_blocks) of slots, so the hottest block appears
+    in ~1/3 of ALL documents — document frequency orders of magnitude
+    above winnow_pairs' max_df cap) plus a unique per-doc tail.  Pure
+    function of doc_id: byte-identical at any partitioning/scale."""
+    ids = ids.astype(np.int64)
+    text = None
+    for s in range(_BP_PER_DOC):
+        u = _u01(ids, 100 + s)
+        rank = np.clip((_BP_NBLOCKS ** u).astype(np.int64) - 1, 0, _BP_NBLOCKS - 1)
+        part = _BP_BLOCKS[rank]
+        text = part if text is None else text + " " + part
+    tail = pd.Series(ids).map(lambda i: f"uniq{i}a uniq{i}b uniq{i}c")
+    text = pd.Series(text, dtype=object) + " " + tail
+    return pd.DataFrame({"doc_id": ids, "text": text.astype(object)})
+
+
+def synth_docs_skew(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed Zipf-boilerplate corpus (see synth_docs_skew_pd)."""
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches):
+        for pdf in batches:
+            yield synth_docs_skew_pd(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(_gen, schema="doc_id long, text string")

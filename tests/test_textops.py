@@ -275,3 +275,23 @@ def test_text_embedding_feeds_cosine_near_dup(spark):
                id_col="doc_id").collect()}
     assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0, abs=1e-12)
     assert all({a, b} == {0, 1} for a, b in got)
+
+
+def test_synth_docs_skew_deterministic_and_capped(spark):
+    """Zipf-boilerplate corpus: deterministic across partitionings, hot
+    fingerprints far above the winnow cap, and winnow_pairs still
+    completes with bounded output under that skew."""
+    from geotile import synth
+
+    a = sorted(r["text"] for r in synth.synth_docs_skew(spark, 300, partitions=1).collect())
+    b = sorted(r["text"] for r in synth.synth_docs_skew(spark, 300, partitions=5).collect())
+    assert a == b
+    skew = synth.synth_docs_skew(spark, 300, partitions=4)
+    hot = (textops.winnow_fingerprints(skew)
+           .select(F.explode("fingerprints").alias("f"))
+           .groupBy("f").count().agg(F.max("count").alias("mx")).first())
+    assert hot["mx"] > 50  # hottest block fingerprint lands in ~1/3 of docs
+    wp = textops.winnow_pairs(skew)
+    n = wp.count()
+    textops.release(wp)
+    assert 0 < n < 300 * 299 / 2  # bounded: nowhere near all-pairs

@@ -143,6 +143,7 @@ def radius_search_compat(positions: DataFrame, qlat: float, qlon: float,
 
 COVER_BROADCAST_MAX_ROWS = 500_000   # ~25 MB broadcast at ~50 B/row
 COVER_DRIVER_MAX_ROWS = 5_000_000    # driver-side cover materialization cap
+KNN_POI_MAX_RESULT_ROWS = 50_000     # knn_join -> knn_join_bulk delegation cap
 
 
 def _maybe_broadcast(cov: DataFrame, n_rows: int, what: str) -> DataFrame:
@@ -356,7 +357,7 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
     """
     spark = positions.sparkSession
     queries = [(int(q), float(a), float(b)) for q, a, b in queries]
-    if k * len(queries) > 50_000:
+    if k * len(queries) > KNN_POI_MAX_RESULT_ROWS:
         qdf = spark.createDataFrame(
             pd.DataFrame(queries, columns=["query_id", "qlat", "qlon"]),
             "query_id long, qlat double, qlon double")

@@ -175,8 +175,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
     # once per unique pair for the exact refine.  The vector branch
     # needs NO Python at all (cast + native norm), so the Arrow UDF
     # runs exactly once, in the keys branch — no persist needed.
+    # asNondeterministic: projection collapse would otherwise inline the
+    # UDF into the posexplode projection and evaluate it TWICE per scan
+    # (observed as stacked ArrowEvalPython nodes); the barrier pins one
+    # evaluation.  Output is in fact deterministic.
     keys = (df.select(F.col(id_col),
-                      _buckets(F.col(vec_col).cast("array<double>")).alias("_bks"))
+                      _buckets.asNondeterministic()(
+                          F.col(vec_col).cast("array<double>")).alias("_bks"))
             .select(id_col, F.posexplode("_bks").alias("t", "bk")))
     l = keys.alias("l")
     r = keys.alias("r")

@@ -285,7 +285,10 @@ def text_embedding(df: DataFrame, text_col: str = "text", dim: int = 64,
         emb = vec / np.where(norm > 0.0, norm, 1.0)[:, None]
         return pd.Series(emb.tolist())
 
-    return df.withColumn(out, _emb(F.col(text_col)))
+    # asNondeterministic: stops projection collapse from duplicating the
+    # UDF when downstream plans explode/slice the vector (the output is
+    # deterministic; the flag is only an optimizer barrier)
+    return df.withColumn(out, _emb.asNondeterministic()(F.col(text_col)))
 
 
 def kmv_distinct(df: DataFrame, group: str = "lang", text_col: str = "text",

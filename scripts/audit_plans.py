@@ -137,6 +137,28 @@ def main() -> None:
         "range_join (interval): bucket-cover broadcast EQUI-join + BETWEEN refine "
         "(no BroadcastNestedLoopJoin from the inequality)"))
 
+    # embedding operators against a real parquet table (column pruning
+    # + the slim-key candidate join are the audit targets)
+    emb_path = args.points + "_emb"
+    if not os.path.isdir(emb_path):
+        from geotile import textops
+        docs = synth.synth_docs_skew(spark, 2000, partitions=8)
+        (textops.text_embedding(docs, dim=32)
+         .select(F.col("doc_id").alias("vec_id"), "embedding", F.lit("x").alias("extra"))
+         .write.mode("overwrite").parquet(emb_path))
+    emb = spark.read.parquet(emb_path)
+    from geotile import simsearch, textops
+    sections.append(summarize(
+        simsearch.cosine_near_dup_pairs(emb, threshold=0.8),
+        "cosine_near_dup_pairs: SLIM (id, t, bk) self-join — no vector payload in "
+        "the candidate shuffle; vectors re-attach once per unique pair (scans "
+        "prune to vec_id+embedding; 'extra' never read)"))
+    docs_tbl = synth.synth_docs_skew(spark, 500, partitions=4)
+    sections.append(summarize(
+        textops.text_embedding(docs_tbl, dim=32),
+        "text_embedding: ONE narrow Arrow pass, zero Exchange (map-only stage "
+        "ahead of the bucketed ANN joins)"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -376,3 +376,32 @@ def test_maybe_broadcast_guard(spark, monkeypatch):
     expect = {(f, w) for f in range(500) for w in range(6)
               if w * 700 <= 97 * f % 5000 <= w * 700 + 1500}
     assert got == expect
+
+
+def test_knn_join_large_query_set_delegates_to_bulk(spark, monkeypatch):
+    """Past the small-POI result cap, knn_join routes through
+    knn_join_bulk's distributed annulus path with identical schema and
+    identical result rows."""
+    from geotile import cache
+
+    df, lat, lon = _random_positions(spark)
+    queries = [(0, 39.9286, 116.3895), (1, 40.9, 117.9), (2, 39.05, 115.05)]
+    k = 5
+    small = engine.knn_join(df, queries, k=k, id_col="msisdn")
+    small_rows = {(r["query_id"], r["msisdn"]) for r in small.collect()}
+
+    calls = {"bulk": 0}
+    orig = engine.knn_join_bulk
+
+    def spy(*a, **kw):
+        calls["bulk"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine, "knn_join_bulk", spy)
+    monkeypatch.setattr(engine, "KNN_POI_MAX_RESULT_ROWS", 10)  # force delegation
+    big = engine.knn_join(df, queries, k=k, id_col="msisdn")
+    assert calls["bulk"] == 1
+    assert big.columns == small.columns
+    big_rows = {(r["query_id"], r["msisdn"]) for r in big.collect()}
+    cache.release(big)
+    assert big_rows == small_rows

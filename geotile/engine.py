@@ -502,7 +502,10 @@ def knn_join_bulk(positions: DataFrame, queries: DataFrame, k: int,
     prev_ring = -1
     ring = start_ring
     while True:
-        ann = udfs.annulus_cells_udf(nchars, prev_ring, ring)
+        # asNondeterministic: bars projection collapse from inlining the
+        # UDF into the explode projection and evaluating it twice per
+        # round (output is deterministic; flag is an optimizer barrier)
+        ann = udfs.annulus_cells_udf(nchars, prev_ring, ring).asNondeterministic()
         cand_cells = unresolved.withColumn(
             "cell", F.explode(ann(F.col(qlat), F.col(qlon))))
         new_cand = (pos2.join(cand_cells, F.col("_pcell") == cand_cells["cell"], "inner")

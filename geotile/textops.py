@@ -524,7 +524,9 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             res.append(np.unique(mins).astype(np.int64).tolist())
         return pd.Series(res)
 
-    return df.withColumn(out, _fp(F.col(text_col)))
+    # asNondeterministic: see text_embedding — stops downstream explodes
+    # from double-evaluating the fingerprint UDF
+    return df.withColumn(out, _fp.asNondeterministic()(F.col(text_col)))
 
 
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

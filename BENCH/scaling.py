@@ -179,8 +179,20 @@ test_join_rows_identical_across_parallelism` asserts byte-identical join
 output rows between different partitionings; the reference's geohash
 golden vectors are pinned in tests/test_geohash_kernel.py.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve manually-authored sections (data sweep, skew stress,
+    # noise analysis): everything from the first marker heading onward
+    # in the existing file is re-appended after the regenerated template
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    keep = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        for marker in ("## Data-scale sweep", "## Adversarial-skew", "## pages_pipeline"):
+            i = old.find(marker)
+            if i >= 0:
+                keep = "\n" + old[i:]
+                break
+    with open(path, "w") as f:
+        f.write(md + keep)
     print(json.dumps(result))
 
 

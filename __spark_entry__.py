@@ -252,6 +252,53 @@ nrm AS (
 )"""
 
 
+def _text_emb_capped_cte_sql(dim: int, seed: int, max_df: int) -> str:
+    """CTE chain replicating textops.text_embedding_capped: the shared
+    token Horner+splitmix pipeline, a document-frequency filter
+    (df <= max_df), then the NATIVE seed mix (xxhash64 of hu XOR seed —
+    the same bit-exact XXH64 replica the q49 oracle uses), bucket = low
+    bits, sign = top bit, integer sums, zeros included.  Ends in
+    ``fullg(doc_id, i, c)`` and ``nrm(doc_id, norm)``."""
+    return f"""emb_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+emb_tokh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM emb_toks
+),
+{_splitmix_cte_sql("emb_tokh", "h0", "hu", "tc1")},
+emb_dfreq AS (
+  SELECT hu, count(DISTINCT doc_id) AS ndf FROM tc1d GROUP BY hu
+),
+emb_kept AS (
+  SELECT s.doc_id, xor(s.hu, {seed}) AS z0
+  FROM tc1d s JOIN emb_dfreq USING (hu) WHERE ndf <= {max_df}
+),
+{_xxhash64_cte_sql("emb_kept", "z0", "xh", "tc2")},
+emb_feat AS (
+  SELECT doc_id, CAST(xh % {dim} AS BIGINT) AS i,
+         CASE WHEN xh >= {1 << 63} THEN -1 ELSE 1 END AS s
+  FROM tc2f
+),
+emb_comp AS (
+  SELECT doc_id, i, sum(s) AS c FROM emb_feat GROUP BY doc_id, i
+),
+emb_grid AS (
+  SELECT d.doc_id, ii.i FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {dim})) AS BIGINT) AS i) ii
+),
+fullg AS (
+  SELECT g.doc_id, g.i, CAST(COALESCE(c.c, 0) AS DOUBLE) AS c
+  FROM emb_grid g LEFT JOIN emb_comp c ON g.doc_id = c.doc_id AND g.i = c.i
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS norm FROM fullg GROUP BY doc_id
+)"""
+
+
 def _minhash_cand_cte(threshold: float) -> str:
     """CTE chain replicating textops.minhash_lsh_pairs in DuckDB, ending
     in ``mh_cand(a, b, est_jaccard)``.  Shingle hashes = unrolled k=5
@@ -1038,6 +1085,24 @@ def _q42_compat_candidates(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+_EMB_CAP_MAXDF = 50                 # q54: stopword-suppression df cap
+
+
+def _q54_text_embedding_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """textops.text_embedding_capped: document-frequency-capped hashed
+    embedding — tokens in more than max_df docs are dropped before
+    hashing (IDF-style boilerplate suppression), the seed mix is the
+    NATIVE xxhash64 (ANSI-safe), and everything past the token-hash UDF
+    is built-in aggregation.  Oracle replays token hashes + df filter +
+    the bit-exact XXH64 replica; components are exact doubles."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = textops.text_embedding_capped(docs, dim=_EMB_DIM, seed=_EMB_SEED,
+                                        max_df=_EMB_CAP_MAXDF)
+    return (emb.select("doc_id", F.posexplode("embedding").alias("i", "v"))
+            .select("doc_id", F.col("i").cast("long").alias("i"), "v")
+            .orderBy("doc_id", "i"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1093,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_route_proximity": _q51_route_proximity,
         "q52_text_embedding": _q52_text_embedding,
         "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
+        "q54_text_embedding_capped": _q54_text_embedding_capped,
     }
 
 
@@ -2042,6 +2108,15 @@ cand_e2e AS (
 SELECT DISTINCT a, b, round(cosine, 4) AS cos4
 FROM cand_e2e WHERE cosine >= 0.95
 ORDER BY a, b
+"""
+
+    # q54: df-capped embedding components (token pipeline + df filter +
+    # XXH64 replica; exact doubles like q52)
+    sqls["q54_text_embedding_capped"] = f"""
+WITH {_text_emb_capped_cte_sql(_EMB_DIM, _EMB_SEED, _EMB_CAP_MAXDF)}
+SELECT f.doc_id, f.i, CASE WHEN n.norm > 0 THEN f.c / n.norm ELSE 0.0 END AS v
+FROM fullg f JOIN nrm n USING (doc_id)
+ORDER BY doc_id, i
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

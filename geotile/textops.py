@@ -291,6 +291,57 @@ def text_embedding(df: DataFrame, text_col: str = "text", dim: int = 64,
     return df.withColumn(out, _emb.asNondeterministic()(F.col(text_col)))
 
 
+def text_embedding_capped(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", dim: int = 64,
+                          seed: int = 11, max_df: int | None = None,
+                          out: str = "embedding") -> DataFrame:
+    """Document-frequency-capped hashed-token embedding — the IDF-style
+    companion to :func:`text_embedding`: tokens appearing in more than
+    ``max_df`` documents (site boilerplate, stopwords) are dropped
+    BEFORE hashing, so ubiquitous tokens stop dominating every vector
+    and near-dup cosine discriminates on the distinctive content.
+
+    Spark-first shape: Python touches only the token-hash UDF; all of
+    df-counting, the seed mix (native ``xxhash64`` — ANSI mode forbids
+    hand-built multiply mixers), bucket/sign assignment, the signed
+    integer sums, dense-vector assembly, and L2 normalization are
+    built-in expressions/aggregations over equi-keys (100-TB shape: one
+    token shuffle for df, one (doc, bucket) aggregate, one per-doc
+    assemble).  Like text_embedding, components are exact integer/norm
+    ratios, so a SQL oracle reproduces identical doubles.  Docs whose
+    tokens are all capped away embed as the zero vector."""
+    toks = df.select(F.col(id_col),
+                     F.explode(token_hash_udf()(F.col(text_col))).alias("h"))
+    if max_df is not None:
+        dfreq = (toks.dropDuplicates([id_col, "h"])
+                 .groupBy("h").agg(F.count("*").alias("_df")))
+        toks = (toks.join(dfreq.where(F.col("_df") <= max_df), "h", "inner")
+                .drop("_df"))
+    mixed = F.xxhash64(F.col("h").bitwiseXOR(F.lit(seed)))
+    feats = toks.select(
+        id_col,
+        F.pmod(mixed, F.lit(dim)).alias("i"),
+        F.when(mixed < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s"))
+    comp = feats.groupBy(id_col, "i").agg(F.sum("s").alias("c"))
+    maps = comp.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("_m"))
+    dense = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.coalesce(
+                            F.element_at("_m", i.cast("long")), F.lit(0)))
+    norm = F.sqrt(F.aggregate(F.transform("_v", lambda v: v * v),
+                              F.lit(0.0), lambda acc, v: acc + v.cast("double")))
+    emb = F.when(F.col("_n") > 0.0,
+                 F.transform("_v", lambda v: v.cast("double") / F.col("_n"))) \
+        .otherwise(F.transform("_v", lambda v: F.lit(0.0)))
+    zeros = F.array(*[F.lit(0.0)] * dim)
+    return (df.join(maps, id_col, "left")
+            .withColumn("_v", F.when(F.col("_m").isNotNull(), dense)
+                        .otherwise(F.array(*[F.lit(0)] * dim)))
+            .withColumn("_n", norm)
+            .withColumn(out, F.coalesce(emb, zeros))
+            .drop("_m", "_v", "_n"))
+
+
 def kmv_distinct(df: DataFrame, group: str = "lang", text_col: str = "text",
                  k: int = 256) -> DataFrame:
     """KMV (k-minimum-values) distinct-token sketch per group

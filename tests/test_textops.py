@@ -295,3 +295,32 @@ def test_synth_docs_skew_deterministic_and_capped(spark):
     n = wp.count()
     textops.release(wp)
     assert 0 < n < 300 * 299 / 2  # bounded: nowhere near all-pairs
+
+
+def test_text_embedding_capped_suppresses_boilerplate(spark):
+    """df-capped embedding: a token present in every doc is dropped, so
+    docs that differ only in distinctive content become orthogonal-ish,
+    while the uncapped embedding sees them as similar; all-capped docs
+    embed as the zero vector."""
+    import numpy as np
+
+    rows = [(i, "common filler words everywhere " + t) for i, t in
+            [(0, "apples oranges pears"), (1, "apples oranges pears"),
+             (2, "zebras yaks gnus"), (3, "")]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {r["doc_id"]: np.asarray(r["embedding"]) for r in
+              textops.text_embedding_capped(df, dim=32, max_df=3).collect()}
+    # identical distinctive content -> identical vectors
+    assert np.array_equal(capped[0], capped[1])
+    # doc3 has only capped tokens -> zero vector
+    assert not capped[3].any()
+    # distinctive-only vectors: different content nearly orthogonal
+    cos = float(capped[0] @ capped[2])
+    uncapped = {r["doc_id"]: np.asarray(r["embedding"]) for r in
+                textops.text_embedding(df, dim=32).collect()}
+    cos_unc = float(uncapped[0] @ uncapped[2])
+    assert abs(cos) < cos_unc  # cap strictly improves separation here
+    # partitioning invariance
+    b = {r["doc_id"]: list(r["embedding"]) for r in
+         textops.text_embedding_capped(df.repartition(7), dim=32, max_df=3).collect()}
+    assert b == {k: list(v) for k, v in capped.items()}

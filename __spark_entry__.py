@@ -1103,6 +1103,20 @@ def _q54_text_embedding_capped(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "i"))
 
 
+_PYR_MIN_Z, _PYR_MAX_Z = 3, 8
+
+
+def _q55_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """engine.tile_pyramid: the whole zoom-3..8 raster count pyramid in
+    one pass — finest tile native, ancestors by integer division, one
+    partially-aggregated shuffle.  Oracle replays the identical literal
+    double sequence + integer parent derivation per zoom."""
+    pos = _positions_df(spark, sf)
+    out = engine.tile_pyramid(pos, min_zoom=_PYR_MIN_Z, max_zoom=_PYR_MAX_Z)
+    return (out.where(F.col("n") >= 2)
+            .orderBy("zoom", "x", "y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1159,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_text_embedding": _q52_text_embedding,
         "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
         "q54_text_embedding_capped": _q54_text_embedding_capped,
+        "q55_tile_pyramid": _q55_tile_pyramid,
     }
 
 
@@ -2117,6 +2132,41 @@ WITH {_text_emb_capped_cte_sql(_EMB_DIM, _EMB_SEED, _EMB_CAP_MAXDF)}
 SELECT f.doc_id, f.i, CASE WHEN n.norm > 0 THEN f.c / n.norm ELSE 0.0 END AS v
 FROM fullg f JOIN nrm n USING (doc_id)
 ORDER BY doc_id, i
+"""
+
+    # q55: tile pyramid — identical literal double sequence (explicit
+    # lat/180*pi, injected Mercator clamp + pi), integer parent division
+    import math as _m
+
+    from geotile.kernel import tiles_np as _tiles
+
+    _pn = 1 << _PYR_MAX_Z
+    _pi = f"CAST('{_m.pi!r}' AS DOUBLE)"
+    _lim = f"CAST('{_tiles.MAX_MERC_LAT!r}' AS DOUBLE)"
+    _clat = f"LEAST(GREATEST(lat, -{_lim}), {_lim})"
+    _latr = f"({_clat} / 180.0 * {_pi})"
+    _xr = f"floor((lon + 180.0) / 360.0 * {float(_pn)!r})"
+    _yr = (f"floor((1.0 - ln(tan({_latr}) + 1.0 / cos({_latr})) / {_pi}) "
+           f"/ 2.0 * {float(_pn)!r})")
+    sqls["q55_tile_pyramid"] = f"""
+WITH {_POS_CTE},
+base AS (
+  SELECT LEAST(GREATEST(CAST({_xr} AS BIGINT), 0), {_pn - 1}) AS x0,
+         LEAST(GREATEST(CAST({_yr} AS BIGINT), 0), {_pn - 1}) AS y0
+  FROM pos
+),
+lv AS (SELECT CAST(unnest(range({_PYR_MIN_Z}, {_PYR_MAX_Z + 1})) AS BIGINT) AS zoom),
+tiles AS (
+  SELECT lv.zoom,
+         b.x0 // (1 << ({_PYR_MAX_Z} - lv.zoom)) AS x,
+         b.y0 // (1 << ({_PYR_MAX_Z} - lv.zoom)) AS y
+  FROM base b CROSS JOIN lv
+)
+SELECT zoom, x, y, count(*) AS n
+FROM tiles
+GROUP BY zoom, x, y
+HAVING count(*) >= 2
+ORDER BY zoom, x, y
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -749,6 +749,47 @@ def with_tile(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return df.withColumn(out, udfs.tile_udf(zoom)(F.col(lat), F.col(lon)))
 
 
+def tile_pyramid(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                 min_zoom: int = 3, max_zoom: int = 12) -> DataFrame:
+    """Multi-zoom tile-count pyramid in ONE pass — the raster-pyramid
+    aggregation a tiling engine serves map clients from: per-point
+    counts at every zoom in ``[min_zoom, max_zoom]``.
+
+    Plan shape (100-TB): the FINEST tile (x, y) is computed with pure
+    native expressions (no Python anywhere), each row explodes into the
+    zoom levels with ancestors derived by integer division (slippy-tile
+    parents are floor(x / 2^(dz)) — exact), and one partial-aggregated
+    shuffle on (zoom, x, y) produces the whole pyramid.  Compare:
+    max_zoom-min_zoom+1 separate groupBys would scan the table once per
+    level.  Returns (zoom, x, y, n).
+
+    Web-Mercator math is injected as literal doubles (identical in the
+    DuckDB oracle); latitude clamps to the Mercator limit first.
+    """
+    if not 0 <= min_zoom <= max_zoom <= 20:
+        raise ValueError("need 0 <= min_zoom <= max_zoom <= 20")
+    n = 1 << max_zoom
+    lim = tiles_np.MAX_MERC_LAT
+    clat = F.least(F.greatest(F.col(lat), F.lit(-lim)), F.lit(lim))
+    # explicit lat / 180 * pi (NOT F.radians: JVM toRadians computes
+    # x / 180 * PI while other engines may fold x * (PI / 180) — a
+    # different double; writing the sequence out keeps both sides equal)
+    latr = clat / F.lit(180.0) * F.lit(math.pi)
+    xr = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    yr = F.floor((F.lit(1.0) - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+                  / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(n)))
+    x0 = F.least(F.greatest(xr.cast("long"), F.lit(0)), F.lit(n - 1))
+    y0 = F.least(F.greatest(yr.cast("long"), F.lit(0)), F.lit(n - 1))
+    base = (df.select(x0.alias("_x0"), y0.alias("_y0"))
+            .select("_x0", "_y0",
+                    F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("zoom")))
+    return (base.select(
+                F.col("zoom").cast("long").alias("zoom"),
+                F.expr(f"_x0 div shiftleft(1L, {max_zoom} - zoom)").alias("x"),
+                F.expr(f"_y0 div shiftleft(1L, {max_zoom} - zoom)").alias("y"))
+            .groupBy("zoom", "x", "y").agg(F.count("*").alias("n")))
+
+
 def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],
                        nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash") -> DataFrame:
     """Select the points falling in a set of raster tiles by mapping

@@ -405,3 +405,30 @@ def test_knn_join_large_query_set_delegates_to_bulk(spark, monkeypatch):
     big_rows = {(r["query_id"], r["msisdn"]) for r in big.collect()}
     cache.release(big)
     assert big_rows == small_rows
+
+
+def test_tile_pyramid_matches_kernel_and_is_consistent(spark):
+    """One-pass pyramid equals per-zoom numpy tile assignment, and every
+    tile's count equals the sum of its four children at the next zoom."""
+    from geotile.kernel import tiles_np
+
+    df, lat, lon = _random_positions(spark, n=1500)
+    out = engine.tile_pyramid(df, min_zoom=3, max_zoom=7).collect()
+    got = {(r["zoom"], r["x"], r["y"]): r["n"] for r in out}
+    expect = {}
+    for z in range(3, 8):
+        tx, ty = tiles_np.tile_xy(lat, lon, z)
+        for x, y in zip(tx, ty):
+            expect[(z, int(x), int(y))] = expect.get((z, int(x), int(y)), 0) + 1
+    assert got == expect
+    # pyramid consistency: parent count = sum of children
+    for (z, x, y), cnt in got.items():
+        if z < 7:
+            kids = sum(got.get((z + 1, 2 * x + dx, 2 * y + dy), 0)
+                       for dx in (0, 1) for dy in (0, 1))
+            assert kids == cnt, (z, x, y)
+    # exactly one shuffle (the final aggregate)
+    plan = (engine.tile_pyramid(df, min_zoom=3, max_zoom=7)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan  # fully native

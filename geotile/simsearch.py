@@ -102,18 +102,26 @@ def _probe_buckets(qbucket: int, nbits: int, multiprobe: int) -> list[int]:
 
 def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10, nbits: int = 12,
                     multiprobe: int = 1, seed: int = 42, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id", bucket_col: str = "bucket") -> DataFrame:
     """Approximate cosine top-k: probe the query's hyperplane bucket
-    (+- ``multiprobe`` bit flips), exact refine inside.  With the bucket
-    stored as a partition column, this is a pruned scan of
-    ~(1 + nbits + C(nbits,2)) / 2^nbits of the data."""
+    (+- ``multiprobe`` bit flips), exact refine inside.
+
+    When ``bucket_col`` already exists on ``df`` (the stored-index
+    layout: the table is written partitioned by its precomputed bucket),
+    the probe filters THAT column — a literal ``IN`` that reaches the
+    scan as a PartitionFilter, so only ~(1 + nbits + C(nbits,2)) /
+    2^nbits of the data is read (plan-asserted in tests).  Otherwise
+    the bucket is computed on the fly (one narrow Arrow pass, full
+    scan) — the ad-hoc path."""
     q = np.asarray(query, dtype=np.float64)
     planes = _rand_unit((nbits, q.shape[0]), seed)
     qbucket = int(((q @ planes.T >= 0).astype(np.uint64)
                    << np.arange(nbits, dtype=np.uint64)).sum())
     probes = _probe_buckets(qbucket, nbits, multiprobe)
-    bucketed = with_lsh_bucket(df, q.shape[0], nbits, seed, vec_col)
-    return (bucketed.where(F.col("bucket").isin(probes))
+    bucketed = (df if bucket_col in df.columns
+                else with_lsh_bucket(df, q.shape[0], nbits, seed, vec_col,
+                                     out=bucket_col))
+    return (bucketed.where(F.col(bucket_col).isin(probes))
             .withColumn("cosine", cosine_col(vec_col, query))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))

@@ -159,6 +159,22 @@ def main() -> None:
         "text_embedding: ONE narrow Arrow pass, zero Exchange (map-only stage "
         "ahead of the bucketed ANN joins)"))
 
+    sections.append(summarize(
+        engine.tile_pyramid(points, min_zoom=3, max_zoom=8),
+        "tile_pyramid: all zoom levels in ONE scan — native tile math, integer "
+        "parent division, single partially-aggregated shuffle, zero Python"))
+    # stored-index ANN probe: table partitioned by precomputed bucket
+    bkt_path = args.points + "_bkt"
+    if not os.path.isdir(bkt_path):
+        (simsearch.with_lsh_bucket(emb.select("vec_id", "embedding"), 32, nbits=6)
+         .write.mode("overwrite").partitionBy("bucket").parquet(bkt_path))
+    stored = spark.read.parquet(bkt_path)
+    qv = [float(x) for x in emb.select("embedding").first()[0]]
+    sections.append(summarize(
+        simsearch.lsh_bucket_topk(stored, qv, k=5, nbits=6),
+        "lsh_bucket_topk (stored index): probe IN list prunes the bucket "
+        "partition column at the scan — no Python, ~probes/2^nbits of data read"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

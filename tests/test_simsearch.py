@@ -166,3 +166,30 @@ def test_real_decode_paths_raise():
         multimodal.decode_image(b"x", fake=False)
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"x", fake=False)
+
+
+def test_lsh_bucket_topk_stored_bucket_prunes_partitions(spark, tmp_path):
+    """Stored-index path: a table partitioned by its precomputed bucket
+    serves probes as a PRUNED scan (PartitionFilters at the FileScan),
+    with results identical to the ad-hoc computed-bucket path."""
+    import numpy as np
+
+    n, dim = 400, 16
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb_by_bucket")
+    (simsearch.with_lsh_bucket(df, dim, nbits=4, seed=42)
+     .write.partitionBy("bucket").parquet(path))
+    stored = spark.read.parquet(path)
+    query = [float(x) for x in vecs[0]]
+    ad_hoc = simsearch.lsh_bucket_topk(df, query, k=5, nbits=4)
+    pruned = simsearch.lsh_bucket_topk(stored, query, k=5, nbits=4)
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in pruned.collect()] == \
+           [(r["vec_id"], round(r["cosine"], 9)) for r in ad_hoc.collect()]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in part_filters  # probe IN list prunes partitions
+    assert "ArrowEvalPython" not in plan  # stored path needs no Python

@@ -237,12 +237,18 @@ def with_ivf_cluster(df: DataFrame, centroids: np.ndarray,
 
 
 def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray, k: int = 10,
-             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF probe: nearest ``nprobe`` centroid lists, exact refine."""
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             cluster_col: str = "ivf_cluster") -> DataFrame:
+    """IVF probe: nearest ``nprobe`` centroid lists, exact refine.
+    Like :func:`lsh_bucket_topk`, a table that already carries its
+    ``cluster_col`` (written partitioned by it — the stored IVF index)
+    is probed via a literal IN on that column: partition pruning at the
+    scan, no assignment UDF on the read path."""
     q = np.asarray(query, dtype=np.float64)
     order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:nprobe]
-    clustered = with_ivf_cluster(df, centroids, vec_col)
-    return (clustered.where(F.col("ivf_cluster").isin([int(c) for c in order]))
+    clustered = (df if cluster_col in df.columns
+                 else with_ivf_cluster(df, centroids, vec_col, out=cluster_col))
+    return (clustered.where(F.col(cluster_col).isin([int(c) for c in order]))
             .withColumn("cosine", cosine_col(vec_col, query))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))

@@ -193,3 +193,30 @@ def test_lsh_bucket_topk_stored_bucket_prunes_partitions(spark, tmp_path):
     part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in part_filters  # probe IN list prunes partitions
     assert "ArrowEvalPython" not in plan  # stored path needs no Python
+
+
+def test_ivf_topk_stored_cluster_prunes_partitions(spark, tmp_path):
+    """Stored IVF index: probing a cluster-partitioned table prunes at
+    the scan and skips the assignment UDF, with identical results."""
+    import numpy as np
+
+    n, dim = 300, 8
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(n, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    cents = simsearch.train_centroids(df, n_centroids=4, sample=128)
+    path = str(tmp_path / "emb_by_cluster")
+    (simsearch.with_ivf_cluster(df, cents)
+     .write.partitionBy("ivf_cluster").parquet(path))
+    stored = spark.read.parquet(path)
+    query = [float(x) for x in vecs[3]]
+    ad_hoc = simsearch.ivf_topk(df, query, cents, k=5, nprobe=2)
+    pruned = simsearch.ivf_topk(stored, query, cents, k=5, nprobe=2)
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in pruned.collect()] == \
+           [(r["vec_id"], round(r["cosine"], 9)) for r in ad_hoc.collect()]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cluster" in part_filters
+    assert "ArrowEvalPython" not in plan

@@ -766,6 +766,17 @@ def tile_pyramid(df: DataFrame, lat: str = "lat", lon: str = "lon",
     Web-Mercator math is injected as literal doubles (identical in the
     DuckDB oracle); latitude clamps to the Mercator limit first.
     """
+    return (with_tile_pyramid_keys(df, lat, lon, min_zoom, max_zoom)
+            .groupBy("zoom", "x", "y").agg(F.count("*").alias("n")))
+
+
+def with_tile_pyramid_keys(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                           min_zoom: int = 3, max_zoom: int = 12,
+                           keep: Sequence[str] = ()) -> DataFrame:
+    """One row per (input row, zoom) with (zoom, x, y) tile keys — the
+    shared fan-out under :func:`tile_pyramid` and the streaming pyramid
+    (``keep`` carries columns such as the event-time through).  Pure
+    native expressions, no shuffle."""
     if not 0 <= min_zoom <= max_zoom <= 20:
         raise ValueError("need 0 <= min_zoom <= max_zoom <= 20")
     n = 1 << max_zoom
@@ -780,14 +791,15 @@ def tile_pyramid(df: DataFrame, lat: str = "lat", lon: str = "lon",
                   / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(n)))
     x0 = F.least(F.greatest(xr.cast("long"), F.lit(0)), F.lit(n - 1))
     y0 = F.least(F.greatest(yr.cast("long"), F.lit(0)), F.lit(n - 1))
-    base = (df.select(x0.alias("_x0"), y0.alias("_y0"))
-            .select("_x0", "_y0",
+    keep = list(keep)
+    base = (df.select(*keep, x0.alias("_x0"), y0.alias("_y0"))
+            .select(*keep, "_x0", "_y0",
                     F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("zoom")))
-    return (base.select(
-                F.col("zoom").cast("long").alias("zoom"),
-                F.expr(f"_x0 div shiftleft(1L, {max_zoom} - zoom)").alias("x"),
-                F.expr(f"_y0 div shiftleft(1L, {max_zoom} - zoom)").alias("y"))
-            .groupBy("zoom", "x", "y").agg(F.count("*").alias("n")))
+    return base.select(
+        *keep,
+        F.col("zoom").cast("long").alias("zoom"),
+        F.expr(f"_x0 div shiftleft(1L, {max_zoom} - zoom)").alias("x"),
+        F.expr(f"_y0 div shiftleft(1L, {max_zoom} - zoom)").alias("y"))
 
 
 def raster_vector_join(points: DataFrame, tiles: Iterable[tuple[int, int, int]],

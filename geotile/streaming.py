@@ -201,3 +201,21 @@ def cell_count_stream(updates: DataFrame, window: str = "1 minute",
     return (with_cell.withWatermark("event_time", watermark)
             .groupBy(F.window("event_time", window).alias("win"), F.col("geohash"))
             .agg(F.count("*").alias("n")))
+
+
+def tile_pyramid_stream(updates: DataFrame, min_zoom: int = 3, max_zoom: int = 8,
+                        window: str = "1 minute",
+                        watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window tile-count PYRAMID: the streaming
+    twin of :func:`geotile.engine.tile_pyramid` — every micro-batch row
+    fans out into its (zoom, x, y) memberships with pure native
+    expressions, then one windowed streaming aggregate maintains counts
+    for all zoom levels at once.  ``updates`` must carry ``event_time``;
+    late rows past the watermark are dropped by the engine, and state is
+    bounded by (windows in horizon) x (occupied tiles)."""
+    keys = engine.with_tile_pyramid_keys(updates, min_zoom=min_zoom,
+                                         max_zoom=max_zoom, keep=["event_time"])
+    return (keys.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window).alias("win"),
+                     "zoom", "x", "y")
+            .agg(F.count("*").alias("n")))

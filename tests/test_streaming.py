@@ -199,3 +199,31 @@ def test_dedup_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["msisdn"], r["ts"]) for r in spark.read.parquet(out_dir).collect())
     assert got == [("a", 100), ("a", 200), ("b", 100)]
+
+
+def test_tile_pyramid_stream(spark, tmp_path):
+    """Streaming pyramid: windowed (zoom, x, y) counts match the batch
+    tile_pyramid over the same rows, per window."""
+    from geotile import engine
+
+    updates_dir = str(tmp_path / "updates")
+    os.makedirs(updates_dir)
+    rows = [("a", 39.928167, 116.389550, 100), ("b", 39.928667, 116.389550, 100),
+            ("c", 31.230416, 121.473701, 100), ("d", -33.856784, 151.215297, 100)]
+    df = spark.createDataFrame(rows, streaming.POS_SCHEMA) \
+        .withColumn("event_time", F.to_timestamp(F.lit("2026-01-01 00:00:30")))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(updates_dir, "b0"))
+    stream = (spark.readStream
+              .schema("msisdn string, lat double, lon double, ts long, event_time timestamp")
+              .parquet(updates_dir + "/b*"))
+    pyr = streaming.tile_pyramid_stream(stream, min_zoom=3, max_zoom=6)
+    q = (pyr.writeStream.format("memory").queryName("pyrcounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["zoom"], r["x"], r["y"]): r["n"]
+           for r in spark.sql("SELECT * FROM pyrcounts").collect()}
+    batch = {(r["zoom"], r["x"], r["y"]): r["n"]
+             for r in engine.tile_pyramid(
+                 spark.createDataFrame(rows, streaming.POS_SCHEMA),
+                 min_zoom=3, max_zoom=6).collect()}
+    assert got == batch

@@ -186,11 +186,13 @@ golden vectors are pinned in tests/test_geohash_kernel.py.
     keep = ""
     if os.path.exists(path):
         old = open(path).read()
-        for marker in ("## Data-scale sweep", "## Adversarial-skew", "## pages_pipeline"):
-            i = old.find(marker)
-            if i >= 0:
-                keep = "\n" + old[i:]
-                break
+        # earliest marker POSITION wins (not tuple priority), so manual
+        # sections survive regardless of how they are ordered in the file
+        offsets = [i for i in (old.find(m) for m in
+                   ("## Data-scale sweep", "## Adversarial-skew", "## pages_pipeline"))
+                   if i >= 0]
+        if offsets:
+            keep = "\n" + old[min(offsets):]
     with open(path, "w") as f:
         f.write(md + keep)
     print(json.dumps(result))

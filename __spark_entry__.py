@@ -437,6 +437,21 @@ def _embedding_query(sf_dir: str) -> list[float]:
     return [float(x) for x in df.iloc[0]["embedding"]]
 
 
+def _hyperplane_bucket_terms_sql(planes, col: str) -> str:
+    """Sign-bit bucket id of ``col`` (DOUBLE[]) against literal
+    hyperplanes — shared by the q20/q48/q53 oracle builders."""
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({col}, "
+        f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(planes.shape[0]))
+
+
+_COS_LR_SQL = ("list_inner_product(l.emb64, r.emb64) / "
+               "(sqrt(list_inner_product(l.emb64, l.emb64)) * "
+               "sqrt(list_inner_product(r.emb64, r.emb64)))")
+
+
 def _vec_literal_sql(vec: list[float]) -> str:
     # string-literal casts: DuckDB's decimal->double conversion of bare
     # 17-digit numerics rounds the last digit; string->double is exact
@@ -1617,22 +1632,13 @@ ORDER BY cos4 DESC, vec_id ASC
         # q48: multi-table hyperplane LSH near-dup replica — 4
         # independent bucketings (seeds 42..45) as literal hyperplanes,
         # bucket equi-join candidates, identical exact-cosine refine
-        def _bucket_terms(planes, col):
-            return " + ".join(
-                f"(CASE WHEN list_inner_product({col}, "
-                f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-                for i in range(planes.shape[0]))
-
         nd_selects = []
         for t in range(4):
             pl = simsearch._rand_unit((12, qv64.shape[0]), 42 + t)
             nd_selects.append(f"SELECT vec_id, emb64, {t} AS t, "
-                              f"{_bucket_terms(pl, 'emb64')} AS bucket FROM nb")
+                              f"{_hyperplane_bucket_terms_sql(pl, 'emb64')} AS bucket FROM nb")
         nd_union = "\nUNION ALL\n".join(nd_selects)
-        cos_lr = ("list_inner_product(l.emb64, r.emb64) / "
-                  "(sqrt(list_inner_product(l.emb64, l.emb64)) * "
-                  "sqrt(list_inner_product(r.emb64, r.emb64)))")
+        cos_lr = _COS_LR_SQL
         sqls["q48_cosine_near_dup"] = f"""
 WITH nb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
@@ -2088,21 +2094,12 @@ ORDER BY doc_id, i
     # q53: the full text -> embedding -> LSH near-dup chain in SQL —
     # embedding CTEs at dim 64 + the q48 recipe (literal hyperplanes,
     # bucket equi-join, identical cosine arithmetic)
-    def _e2e_bucket_terms(planes, col):
-        return " + ".join(
-            f"(CASE WHEN list_inner_product({col}, "
-            f"{_vec_literal_sql([float(x) for x in planes[i]])}) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i in range(planes.shape[0]))
-
     e2e_selects = []
     for t in range(4):
         pl = simsearch._rand_unit((12, _EMB_E2E_DIM), 42 + t)
         e2e_selects.append(f"SELECT vec_id, emb64, {t} AS t, "
-                           f"{_e2e_bucket_terms(pl, 'emb64')} AS bucket FROM emb_e2e")
-    e2e_cos = ("list_inner_product(l.emb64, r.emb64) / "
-               "(sqrt(list_inner_product(l.emb64, l.emb64)) * "
-               "sqrt(list_inner_product(r.emb64, r.emb64)))")
+                           f"{_hyperplane_bucket_terms_sql(pl, 'emb64')} AS bucket FROM emb_e2e")
+    e2e_cos = _COS_LR_SQL
     e2e_union = "\nUNION ALL\n".join(e2e_selects)
     sqls["q53_text_near_dup_e2e"] = f"""
 WITH {_text_emb_cte_sql(_EMB_E2E_DIM, _EMB_SEED)},

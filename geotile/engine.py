@@ -364,7 +364,8 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         return knn_join_bulk(positions, qdf, k, nchars=nchars,
                              cell_nchars=cell_nchars, cell_col=cell_col,
                              lat=lat, lon=lon, id_col=id_col,
-                             start_ring=start_ring, n_total=n_total)
+                             start_ring=start_ring, max_ring=max_ring,
+                             n_total=n_total)
     if nchars is None:
         if n_total is None:
             n_total = positions.count()
@@ -413,7 +414,11 @@ def knn_join(positions: DataFrame, queries: Sequence[tuple], k: int,
         stats: dict[int, tuple[int, float]] = {}
         for r in crows:
             n, kth = stats.get(r["query_id"], (0, 0.0))
-            stats[r["query_id"]] = (n + 1, max(kth, r["dist_m"]))
+            # null dist_m (corrupt row: null lat/lon) counts toward n but
+            # never becomes the k-th bound — matches the old F.max agg,
+            # which skipped nulls
+            d = r["dist_m"]
+            stats[r["query_id"]] = (n + 1, kth if d is None else max(kth, d))
         still = []
         done: set[int] = set()
         for q_id, q_lat, q_lon in unresolved:
@@ -869,23 +874,34 @@ def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
     join is a broadcast EQUI-join on the bucket with the exact BETWEEN
     as a post-join refine — same filter-refine discipline as the
     spatial joins (cell cover ≙ bucket cover)."""
+    from . import cache
+
     # inverted windows (end < start) must match zero rows: F.sequence
-    # with start > stop silently builds a DESCENDING bucket sequence
-    valid = windows.where(F.col(win_end) >= F.col(win_start))
+    # with start > stop silently builds a DESCENDING bucket sequence.
+    # Persisted because both the guard count and the exploded join side
+    # read it — a derived windows frame would otherwise recompute its
+    # whole upstream twice (caller releases via geotile.cache.release).
+    valid = windows.where(F.col(win_end) >= F.col(win_start)).persist()
     # broadcast-overflow guard: the exploded bucket count is
     # sum(span/bucket_s) — one tiny agg on the small-by-contract side;
     # a giant windows table (or giant spans) downgrades to a shuffle
-    # equi-join instead of OOMing on the broadcast
+    # equi-join instead of OOMing on the broadcast.  The windows side is
+    # fully DISTRIBUTED (never driver-materialized), so unlike the
+    # driver-built covers there is no driver cap — any size legitimately
+    # falls back to the shuffle join.
     n_bucket_rows = int(valid.select(F.sum(
         F.floor(F.col(win_end) / bucket_s)
         - F.floor(F.col(win_start) / bucket_s) + 1)).first()[0] or 0)
     wb = valid.withColumn(
         "_b", F.explode(F.sequence(F.floor(F.col(win_start) / bucket_s),
                                    F.floor(F.col(win_end) / bucket_s))))
+    if n_bucket_rows <= COVER_BROADCAST_MAX_ROWS:
+        wb = F.broadcast(wb)
     fb = facts.withColumn("_b", F.floor(F.col(ts) / bucket_s))
-    return (fb.join(_maybe_broadcast(wb, n_bucket_rows, "range_join windows"), "_b")
-            .where((F.col(ts) >= F.col(win_start)) & (F.col(ts) <= F.col(win_end)))
-            .drop("_b"))
+    out = (fb.join(wb, "_b")
+           .where((F.col(ts) >= F.col(win_start)) & (F.col(ts) <= F.col(win_end)))
+           .drop("_b"))
+    return cache.track(out, [valid])
 
 
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",

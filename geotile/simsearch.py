@@ -154,10 +154,15 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
     Standard multi-table hyperplane LSH: ``n_tables`` independent
     sign-bit bucketings (seeds ``seed + t``); candidate pairs share a
     bucket in >= 1 table (equi-join on (table, bucket) — never
-    all-pairs); the exact cosine runs as a NATIVE zip_with/aggregate
-    expression and filters BEFORE the (a, b) dedup (hot buckets emit
-    many duplicates).  Recall rises with n_tables at linear cost — the
-    classical LSH recall/cost dial.  Returns (a, b, cosine)."""
+    all-pairs).  Candidates DEDUP WHILE SLIM — (a, b) id pairs of two
+    longs, before vectors attach — then the exact cosine (a NATIVE
+    zip_with/aggregate expression) refines once per unique pair.  This
+    inverts the usual filter-before-dedup pair-operator rule
+    (CLAUDE.md) deliberately: here the verify needs the vector payload,
+    so deduping the slim ids FIRST is what keeps that payload out of
+    the hot-bucket candidate stream.  Recall rises with n_tables at
+    linear cost — the classical LSH recall/cost dial.  Returns
+    (a, b, cosine)."""
     first = df.select(vec_col).first()
     if first is None:
         return (df.sparkSession.createDataFrame(

@@ -318,9 +318,18 @@ def text_embedding_capped(df: DataFrame, id_col: str = "doc_id",
         toks = (toks.join(dfreq.where(F.col("_df") <= max_df), "h", "inner")
                 .drop("_df"))
     mixed = F.xxhash64(F.col("h").bitwiseXOR(F.lit(seed)))
+    # bucket on the UNSIGNED 64-bit value of the hash, matching both
+    # text_embedding's uint64 % dim and the oracle's HUGEINT % dim: for
+    # negative signed h the unsigned value is h + 2^64, so u % dim =
+    # pmod(pmod(h, dim) + (2^64 % dim), dim).  (2^64 % dim == 0 for
+    # power-of-two dims, where signed pmod already agreed.)
+    w64_mod = ((1 << 64) % dim)
+    idx = F.pmod(F.pmod(mixed, F.lit(dim))
+                 + F.when(mixed < 0, F.lit(w64_mod)).otherwise(F.lit(0)),
+                 F.lit(dim))
     feats = toks.select(
         id_col,
-        F.pmod(mixed, F.lit(dim)).alias("i"),
+        idx.alias("i"),
         F.when(mixed < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s"))
     comp = feats.groupBy(id_col, "i").agg(F.sum("s").alias("c"))
     maps = comp.groupBy(id_col).agg(

@@ -2,6 +2,7 @@
 driver's documents table + synthetic near-dups."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -324,3 +325,27 @@ def test_text_embedding_capped_suppresses_boilerplate(spark):
     b = {r["doc_id"]: list(r["embedding"]) for r in
          textops.text_embedding_capped(df.repartition(7), dim=32, max_df=3).collect()}
     assert b == {k: list(v) for k, v in capped.items()}
+
+
+def test_text_embedding_capped_non_pow2_dim_unsigned_bucketing(spark):
+    """Bucketing must follow the UNSIGNED 64-bit hash for any dim (the
+    oracle computes HUGEINT % dim): verify dim=100 against a pure-python
+    unsigned reference built from the validated xxhash64 replica."""
+    import numpy as np
+
+    dim, seed = 100, 11
+    texts = ["alpha beta gamma delta", "epsilon zeta eta"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["embedding"] for r in
+           textops.text_embedding_capped(df, dim=dim, seed=seed).collect()}
+    hs, per = textops._token_hashes_flat(pd.Series(texts))
+    off = 0
+    for d, cnt in enumerate(per):
+        vec = np.zeros(dim)
+        for h in hs[off:off + cnt]:
+            u = textops.xxhash64_long(int(h) ^ seed) & ((1 << 64) - 1)
+            vec[u % dim] += -1.0 if u >> 63 else 1.0
+        off += cnt
+        nrm = float(np.sqrt((vec * vec).sum()))
+        want = (vec / nrm if nrm > 0 else vec).tolist()
+        assert got[d] == want, d

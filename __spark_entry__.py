@@ -1132,6 +1132,54 @@ def _q55_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("zoom", "x", "y"))
 
 
+_Q56_SINK = {"n": 0}
+
+
+def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING under the exact-oracle gate: tile_pyramid_stream runs
+    to completion (availableNow trigger, complete output mode) over the
+    events table as a file stream; on a finite stream the windowed
+    streaming aggregate must equal the batch GROUP BY — which is
+    exactly what the DuckDB oracle computes (hour windows are
+    UTC-epoch-aligned: win_start = epoch // 3600 * 3600).  The memory
+    sink materializes the final state; rows-only checks are no longer
+    the best streaming can do."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    # Structured Streaming's file source needs a DIRECTORY; the testdata
+    # tables are single parquet files, so stream from a /tmp symlink dir
+    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d))
+    pos = ev.select(
+        F.col("ts").alias("event_time"),
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+    pyr = streaming.tile_pyramid_stream(pos, min_zoom=_PYR_MIN_Z, max_zoom=6,
+                                        window="1 hour", watermark="87600 hours")
+    _Q56_SINK["n"] += 1
+    sink = f"q56_pyramid_sink_{_Q56_SINK['n']}"
+    q = (pyr.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select(F.col("win.start").cast("long").alias("win_start"),
+                    "zoom", "x", "y", "n")
+            .where(F.col("n") >= 2)
+            .orderBy("win_start", "zoom", "x", "y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1189,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
         "q54_text_embedding_capped": _q54_text_embedding_capped,
         "q55_tile_pyramid": _q55_tile_pyramid,
+        "q56_stream_tile_pyramid": _q56_stream_tile_pyramid,
     }
 
 
@@ -2164,6 +2213,34 @@ FROM tiles
 GROUP BY zoom, x, y
 HAVING count(*) >= 2
 ORDER BY zoom, x, y
+"""
+
+    # q56: the STREAMING pyramid equals this batch GROUP BY on a finite
+    # stream (hour windows are UTC-epoch-aligned)
+    _p6 = 1 << 6
+    _xr6 = f"floor((lon + 180.0) / 360.0 * {float(_p6)!r})"
+    _yr6 = (f"floor((1.0 - ln(tan({_latr}) + 1.0 / cos({_latr})) / {_pi}) "
+            f"/ 2.0 * {float(_p6)!r})")
+    sqls["q56_stream_tile_pyramid"] = f"""
+WITH {_POS_CTE},
+base AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
+         LEAST(GREATEST(CAST({_xr6} AS BIGINT), 0), {_p6 - 1}) AS x0,
+         LEAST(GREATEST(CAST({_yr6} AS BIGINT), 0), {_p6 - 1}) AS y0
+  FROM pos
+),
+lv AS (SELECT CAST(unnest(range({_PYR_MIN_Z}, 7)) AS BIGINT) AS zoom),
+tiles AS (
+  SELECT b.win_start, lv.zoom,
+         b.x0 // (1 << (6 - lv.zoom)) AS x,
+         b.y0 // (1 << (6 - lv.zoom)) AS y
+  FROM base b CROSS JOIN lv
+)
+SELECT win_start, zoom, x, y, count(*) AS n
+FROM tiles
+GROUP BY win_start, zoom, x, y
+HAVING count(*) >= 2
+ORDER BY win_start, zoom, x, y
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -1180,6 +1180,44 @@ def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("win_start", "zoom", "x", "y"))
 
 
+def _q57_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Second streaming query under the exact gate: native
+    session_window state (streaming.session_count_stream, 1-hour gap)
+    run to completion over the events file stream; per-user session
+    (start, end, n) rows must equal gap-sessionization computed in SQL
+    on MICROSECOND epochs (session_window compares raw timestamps, so
+    a seconds-floored oracle would merge sessions split by sub-second
+    margins).  session end = last event + gap, floored to seconds only
+    at the output cast, exactly as Spark's timestamp->long cast does."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d)
+          .select(F.col("ts").alias("event_time"), "user_id"))
+    s = streaming.session_count_stream(ev, gap="1 hour",
+                                       watermark="87600 hours", key="user_id")
+    _Q56_SINK["n"] += 1
+    sink = f"q57_session_sink_{_Q56_SINK['n']}"
+    q = (s.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select("user_id",
+                    F.col("win.start").cast("long").alias("s_start"),
+                    F.col("win.end").cast("long").alias("s_end"), "n")
+            .orderBy("user_id", "s_start"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1238,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_text_embedding_capped": _q54_text_embedding_capped,
         "q55_tile_pyramid": _q55_tile_pyramid,
         "q56_stream_tile_pyramid": _q56_stream_tile_pyramid,
+        "q57_stream_sessionize": _q57_stream_sessionize,
     }
 
 
@@ -2241,6 +2280,34 @@ FROM tiles
 GROUP BY win_start, zoom, x, y
 HAVING count(*) >= 2
 ORDER BY win_start, zoom, x, y
+"""
+
+    # q57: streaming session_window == gap sessionization on MICROSECOND
+    # epochs (raw-timestamp gap compares; floor to seconds only at output)
+    sqls["q57_stream_sessionize"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(us) // 1000000 AS BIGINT) AS s_start,
+       CAST(max(us) // 1000000 + 3600 AS BIGINT) AS s_end,
+       count(*) AS n
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, s_start
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

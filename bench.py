@@ -63,7 +63,7 @@ def main() -> None:
         "q48_cosine_near_dup", "q49_deterministic_sample", "q50_top_tokens",
         "q51_route_proximity", "q52_text_embedding", "q53_text_near_dup_e2e",
         "q54_text_embedding_capped", "q55_tile_pyramid",
-        "q56_stream_tile_pyramid",
+        "q56_stream_tile_pyramid", "q57_stream_sessionize",
     ]
     from geotile import cache, textops
 

@@ -180,7 +180,8 @@ def dedup_stream(updates: DataFrame, keys: tuple[str, ...] = ("msisdn", "ts"),
 
 
 def session_count_stream(updates: DataFrame, gap: str = "30 minutes",
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         key: str = "msisdn") -> DataFrame:
     """Event-time SESSION windows per key: a session extends while
     events keep arriving within ``gap``; the watermark closes sessions
     so append-mode sinks get final rows — the streaming twin of
@@ -188,7 +189,7 @@ def session_count_stream(updates: DataFrame, gap: str = "30 minutes",
     native session_window state instead of a batch window pass)."""
     return (updates.withWatermark("event_time", watermark)
             .groupBy(F.session_window("event_time", gap).alias("win"),
-                     F.col("msisdn"))
+                     F.col(key))
             .agg(F.count("*").alias("n")))
 
 

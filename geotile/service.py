@@ -41,6 +41,12 @@ class GeoService:
         self.spark = spark
         self.capacity = capacity
         self._seq = 0
+        # Driver-side key mirror: this façade is the ONLY writer, and
+        # upsert (LWW) / delete keep exactly one row per msisdn — so a
+        # set of live keys gives exact Used counts and existence checks
+        # without running a Spark count() job per HTTP call (the
+        # reference answers these from its in-shm hash the same way).
+        self._keys: set[str] = set()
         self.state: DataFrame = engine.with_cell_ref(
             spark.createDataFrame([], _STATE_SCHEMA))
 
@@ -48,7 +54,7 @@ class GeoService:
     def add(self, msisdn: str, latitude: float, longitude: float, time: int) -> str:
         if not msisdn or latitude == 0.0 or longitude == 0.0 or time == 0:
             return '{"error":"1"}'
-        if self.state.count() >= self.capacity:
+        if len(self._keys) >= self.capacity:
             return '{"error":"2"}'  # pool exhausted (AddPos false)
         self._seq += 1
         update = engine.with_cell_ref(self.spark.createDataFrame(
@@ -59,6 +65,7 @@ class GeoService:
                                              key="msisdn", ts="ts")
         # re-pin the tie-break: on equal ts the larger seq (newer) wins
         self.state = self.state.cache()
+        self._keys.add(msisdn)
         return '{"success":"0"}'
 
     # -- /GeoHash/Search/ ----------------------------------------------
@@ -76,11 +83,11 @@ class GeoService:
     def delete(self, msisdn: str) -> str:
         if not msisdn:
             return '{"error":"1"}'
-        exists = self.state.where(F.col("msisdn") == msisdn).count() > 0
-        if not exists:
+        if msisdn not in self._keys:
             return '{"error":"2"}'  # DelPos false on missing key
         keys = self.spark.createDataFrame([(msisdn,)], "msisdn string")
         self.state = engine.delete_positions(self.state, keys).cache()
+        self._keys.discard(msisdn)
         return '{"success":"0"}'
 
     # -- /GeoHash/Pool/ ------------------------------------------------

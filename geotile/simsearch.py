@@ -192,9 +192,22 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
     # UDF into the posexplode projection and evaluate it TWICE per scan
     # (observed as stacked ArrowEvalPython nodes); the barrier pins one
     # evaluation.  Output is in fact deterministic.
-    keys = (df.select(F.col(id_col),
-                      _buckets.asNondeterministic()(
-                          F.col(vec_col).cast("array<double>")).alias("_bks"))
+    # per-id norm once (identical double arithmetic to the per-pair
+    # form); ZERO-NORM vectors are excluded up front — cosine is
+    # undefined for them (they can never be near-dups), they would
+    # divide by zero under ANSI mode, and, worse, they all land in the
+    # same all-ones sign bucket (0 >= 0) and manufacture a hot bucket.
+    # Arises for real inputs: a df-capped embedding of a doc whose
+    # every token was boilerplate is the zero vector.
+    vecs = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v64"))
+            .withColumn("_nrm", F.sqrt(F.aggregate(
+                F.transform("_v64", lambda a: a * a),
+                F.lit(0.0), lambda acc, v: acc + v)))
+            .where(F.col("_nrm") > 0.0))
+    keys = (vecs.select(F.col(id_col),
+                        _buckets.asNondeterministic()(
+                            F.col("_v64")).alias("_bks"))
             .select(id_col, F.posexplode("_bks").alias("t", "bk")))
     l = keys.alias("l")
     r = keys.alias("r")
@@ -202,12 +215,6 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
             .dropDuplicates(["a", "b"]))
-    # per-id norm once (identical double arithmetic to the per-pair form)
-    vecs = (df.select(F.col(id_col),
-                      F.col(vec_col).cast("array<double>").alias("_v64"))
-            .withColumn("_nrm", F.sqrt(F.aggregate(
-                F.transform("_v64", lambda a: a * a),
-                F.lit(0.0), lambda acc, v: acc + v))))
     va = vecs.select(F.col(id_col).alias("a"), F.col("_v64").alias("_va"),
                      F.col("_nrm").alias("_na"))
     vb = vecs.select(F.col(id_col).alias("b"), F.col("_v64").alias("_vb"),

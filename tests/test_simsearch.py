@@ -100,6 +100,25 @@ def test_frame_sampling(spark, sf_dir):
     assert len(rows) == expect
 
 
+def test_cosine_near_dup_pairs_zero_vectors_excluded(spark, emb, emb_np):
+    """Zero-norm vectors (e.g. a df-capped embedding of an all-
+    boilerplate doc) are excluded up front: no ANSI divide-by-zero, no
+    pairs involving them, and the manufactured all-ones sign bucket
+    they would share never forms."""
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    zeros = spark.createDataFrame(
+        [(2000000 + i, [0.0] * dim, "z") for i in range(5)],
+        "vec_id long, embedding array<double>, label string")
+    df = emb.unionByName(zeros)
+    got = simsearch.cosine_near_dup_pairs(df, threshold=0.3).collect()
+    base = simsearch.cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(r["a"], r["b"]) for r in base}
+    assert all(r["a"] < 2000000 and r["b"] < 2000000 for r in got)
+
+
 def test_cosine_near_dup_pairs(spark, emb, emb_np):
     """Embedding near-dup: a planted exact copy is always found
     (identical vectors share every bucket in every table) at cosine

@@ -951,6 +951,24 @@ def _q51_route_proximity(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("line_id", "event_id"))
 
 
+def _q60_route_proximity_gc(spark: SparkSession, sf: str) -> DataFrame:
+    """q51's route-proximity join under the GREAT-CIRCLE distance model
+    (engine.polyline_proximity_join model='greatcircle'): exact
+    spherical cross-track / endpoint arc distances, native expressions
+    only — latitude-independent accuracy at the 200 km radius where the
+    equirect model's worst case is ~3%.  The oracle brute-forces all
+    (point, segment) pairs with the identical 3-vector double
+    arithmetic."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    lines = spark.createDataFrame(
+        _POLYLINES, "line_id long, line_lat array<double>, line_lon array<double>")
+    out = engine.polyline_proximity_join(pos, lines, radius_m=_ROUTE_RADIUS_M,
+                                         id_cols=["event_id"],
+                                         model="greatcircle")
+    return (out.select("line_id", "event_id", F.round("dist_m", 6).alias("dist_m"))
+            .orderBy("line_id", "event_id"))
+
+
 def _q50_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language top-3 most frequent tokens (array explode ->
     two-level aggregate -> ranked window; ties broken by token).  The
@@ -1218,6 +1236,64 @@ def _q57_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id", "s_start"))
 
 
+def _q59_capped_near_dup_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The boilerplate-robust dedup composition: documents.text ->
+    df-capped hashed embedding (textops.text_embedding_capped — tokens
+    shared by > max_df docs are dropped, so template/boilerplate mass
+    cannot hold near-dup cosines up) -> hyperplane LSH candidates ->
+    exact cosine refine.  Same chain as q53 but over the capped
+    embedding; the oracle swaps in the capped CTE (df filter + XXH64
+    seed mix) and replays the identical LSH + cosine recipe."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = textops.text_embedding_capped(docs, dim=_EMB_E2E_DIM, seed=_EMB_SEED,
+                                        max_df=_EMB_CAP_MAXDF)
+    out = simsearch.cosine_near_dup_pairs(
+        emb.select("doc_id", "embedding"), threshold=0.95, id_col="doc_id")
+    return (out.select("a", "b", F.round("cosine", 4).alias("cos4"))
+            .orderBy("a", "b"))
+
+
+def _q58_stream_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Third streaming query under the exact gate: cell_count_stream
+    (the streaming GetPoolState — watermarked tumbling-window occupancy
+    per geohash cell) run to completion over the events file stream;
+    final state must equal the batch GROUP BY of hour-window x 5-char
+    geohash, with the cell computed by the same closed-form 25-bit SQL
+    replica the batch cell-count oracles use."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d))
+    pos = ev.select(
+        F.col("ts").alias("event_time"),
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+    cc = streaming.cell_count_stream(pos, window="1 hour",
+                                     watermark="87600 hours")
+    _Q56_SINK["n"] += 1
+    sink = f"q58_cell_sink_{_Q56_SINK['n']}"
+    q = (cc.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select(F.col("win.start").cast("long").alias("win_start"),
+                    "geohash", "n")
+            .where(F.col("n") >= 2)
+            .orderBy("win_start", "geohash"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1277,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_tile_pyramid": _q55_tile_pyramid,
         "q56_stream_tile_pyramid": _q56_stream_tile_pyramid,
         "q57_stream_sessionize": _q57_stream_sessionize,
+        "q58_stream_cell_counts": _q58_stream_cell_counts,
+        "q59_capped_near_dup_e2e": _q59_capped_near_dup_e2e,
+        "q60_route_proximity_gc": _q60_route_proximity_gc,
     }
 
 
@@ -2067,6 +2146,75 @@ WHERE dist_m <= 200000.0
 ORDER BY line_id, event_id
 """
 
+    # q60: the same join under the GREAT-CIRCLE model — the oracle
+    # replays engine._greatcircle_seg_dist's exact double sequence
+    # (unit 3-vectors, cross/dot products, CASE-guarded divisions)
+    _radl = f"CAST('{engine._RAD_PER_DEG!r}' AS DOUBLE)"
+    _rl = f"CAST('{gh.EARTH_RADIUS_M!r}' AS DOUBLE)"
+    sqls["q60_route_proximity_gc"] = f"""
+WITH {_POS_CTE},
+segs(line_id, a_lat, a_lon, b_lat, b_lon, mid_lat) AS (VALUES {", ".join(seg_vals)}),
+v AS (
+  SELECT s.line_id, pos.event_id,
+         cos(pos.lat * {_radl}) * cos(pos.lon * {_radl}) AS px,
+         cos(pos.lat * {_radl}) * sin(pos.lon * {_radl}) AS py,
+         sin(pos.lat * {_radl}) AS pz,
+         cos(s.a_lat * {_radl}) * cos(s.a_lon * {_radl}) AS ax,
+         cos(s.a_lat * {_radl}) * sin(s.a_lon * {_radl}) AS ay,
+         sin(s.a_lat * {_radl}) AS az,
+         cos(s.b_lat * {_radl}) * cos(s.b_lon * {_radl}) AS bx,
+         cos(s.b_lat * {_radl}) * sin(s.b_lon * {_radl}) AS by,
+         sin(s.b_lat * {_radl}) AS bz
+  FROM pos CROSS JOIN segs s
+),
+n AS (
+  SELECT *, ay * bz - az * by AS nx, az * bx - ax * bz AS ny,
+         ax * by - ay * bx AS nz
+  FROM v
+),
+m AS (
+  SELECT *, nx * nx + ny * ny + nz * nz AS nn2,
+         px * nx + py * ny + pz * nz AS pn
+  FROM n
+),
+c AS (
+  SELECT *, CASE WHEN nn2 > 0.0 THEN nn2 ELSE 1.0 END AS snn2 FROM m
+),
+f AS (
+  SELECT *, px - (pn / snn2) * nx AS cx, py - (pn / snn2) * ny AS cy,
+         pz - (pn / snn2) * nz AS cz
+  FROM c
+),
+g AS (
+  SELECT line_id, event_id, nn2,
+         (ay * cz - az * cy) * nx + (az * cx - ax * cz) * ny
+           + (ax * cy - ay * cx) * nz AS s1,
+         (cy * bz - cz * by) * nx + (cz * bx - cx * bz) * ny
+           + (cx * by - cy * bx) * nz AS s2,
+         abs(asin(LEAST(GREATEST(pn / sqrt(snn2), -1.0), 1.0))) * {_rl} AS ct,
+         atan2(sqrt((py * az - pz * ay) * (py * az - pz * ay)
+                    + (pz * ax - px * az) * (pz * ax - px * az)
+                    + (px * ay - py * ax) * (px * ay - py * ax)),
+               px * ax + py * ay + pz * az) * {_rl} AS da,
+         atan2(sqrt((py * bz - pz * by) * (py * bz - pz * by)
+                    + (pz * bx - px * bz) * (pz * bx - px * bz)
+                    + (px * by - py * bx) * (px * by - py * bx)),
+               px * bx + py * by + pz * bz) * {_rl} AS db
+  FROM f
+),
+d AS (
+  SELECT line_id, event_id,
+         CASE WHEN nn2 > 0.0 AND s1 >= 0.0 AND s2 >= 0.0
+              THEN ct ELSE LEAST(da, db) END AS d
+  FROM g
+),
+dd AS (SELECT line_id, event_id, min(d) AS dist_m FROM d GROUP BY 1, 2)
+SELECT CAST(line_id AS BIGINT) AS line_id, event_id, round(dist_m, 6) AS dist_m
+FROM dd
+WHERE dist_m <= 200000.0
+ORDER BY line_id, event_id
+"""
+
     sqls["q50_top_tokens"] = r"""
 WITH toks AS (
   SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -2219,6 +2367,35 @@ FROM fullg f JOIN nrm n USING (doc_id)
 ORDER BY doc_id, i
 """
 
+    # q59: capped embedding -> LSH -> cosine (q53's recipe over the
+    # df-capped CTE; the near-dup gate survives boilerplate suppression)
+    cap_selects = []
+    for t in range(4):
+        pl = simsearch._rand_unit((12, _EMB_E2E_DIM), 42 + t)
+        cap_selects.append(f"SELECT vec_id, emb64, {t} AS t, "
+                           f"{_hyperplane_bucket_terms_sql(pl, 'emb64')} AS bucket FROM emb_cap")
+    cap_union = "\nUNION ALL\n".join(cap_selects)
+    sqls["q59_capped_near_dup_e2e"] = f"""
+WITH {_text_emb_capped_cte_sql(_EMB_E2E_DIM, _EMB_SEED, _EMB_CAP_MAXDF)},
+emb_cap AS (
+  SELECT f.doc_id AS vec_id,
+         list(CASE WHEN n.norm > 0 THEN f.c / n.norm ELSE 0.0 END ORDER BY f.i) AS emb64
+  FROM fullg f JOIN nrm n USING (doc_id)
+  GROUP BY f.doc_id
+),
+bt_cap AS (
+{cap_union}
+),
+cand_cap AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, {_COS_LR_SQL} AS cosine
+  FROM bt_cap l JOIN bt_cap r
+    ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, round(cosine, 4) AS cos4
+FROM cand_cap WHERE cosine >= 0.95
+ORDER BY a, b
+"""
+
     # q55: tile pyramid — identical literal double sequence (explicit
     # lat/180*pi, injected Mercator clamp + pi), integer parent division
     import math as _m
@@ -2308,6 +2485,18 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, s_start
+"""
+
+    # q58: streaming windowed cell occupancy == batch hour-window x gh5
+    # GROUP BY on a finite stream (same closed-form geohash replica as q6)
+    sqls["q58_stream_cell_counts"] = f"""
+WITH {_POS_CTE}
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
+       {gh5} AS geohash, count(*) AS n
+FROM pos
+GROUP BY win_start, geohash
+HAVING count(*) >= 2
+ORDER BY win_start, geohash
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

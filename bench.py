@@ -64,6 +64,8 @@ def main() -> None:
         "q51_route_proximity", "q52_text_embedding", "q53_text_near_dup_e2e",
         "q54_text_embedding_capped", "q55_tile_pyramid",
         "q56_stream_tile_pyramid", "q57_stream_sessionize",
+        "q58_stream_cell_counts", "q59_capped_near_dup_e2e",
+        "q60_route_proximity_gc",
     ]
     from geotile import cache, textops
 

@@ -647,12 +647,68 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
             .drop("_inside"))
 
 
+_RAD_PER_DEG = math.pi / 180.0
+
+
+def _unit3(lat_c, lon_c):
+    """Unit 3-vector of a (lat, lon) degree pair — native expressions."""
+    la = lat_c * F.lit(_RAD_PER_DEG)
+    lo = lon_c * F.lit(_RAD_PER_DEG)
+    return (F.cos(la) * F.cos(lo), F.cos(la) * F.sin(lo), F.sin(la))
+
+
+def _greatcircle_seg_dist(plat, plon, alat, alon, blat, blon):
+    """Exact spherical point-to-arc distance as a native column
+    expression: cross-track distance R*|asin(P.n / |n|)| against the
+    segment's great-circle normal n = A x B when the perpendicular foot
+    C (P projected into the circle plane) lies within the arc (both
+    triple-product sign tests (AxC).n >= 0 and (CxB).n >= 0), else the
+    nearer endpoint's great-circle distance R*atan2(|P x E|, P.E).
+    Degenerate segments (duplicate or antipodal endpoints, |n| = 0)
+    fall to the endpoint distance; divisions are CASE-guarded so ANSI
+    mode cannot raise on them.  The q60 oracle replays this exact
+    double arithmetic in SQL."""
+    px, py, pz = _unit3(plat, plon)
+    ax, ay, az = _unit3(alat, alon)
+    bx, by, bz = _unit3(blat, blon)
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn2 = nx * nx + ny * ny + nz * nz
+    safe_nn2 = F.when(nn2 > 0.0, nn2).otherwise(F.lit(1.0))
+    pn = px * nx + py * ny + pz * nz
+    # perpendicular foot, unnormalized — only its direction feeds signs
+    k = pn / safe_nn2
+    cx = px - k * nx
+    cy = py - k * ny
+    cz = pz - k * nz
+    s1 = ((ay * cz - az * cy) * nx + (az * cx - ax * cz) * ny
+          + (ax * cy - ay * cx) * nz)
+    s2 = ((cy * bz - cz * by) * nx + (cz * bx - cx * bz) * ny
+          + (cx * by - cy * bx) * nz)
+    r = F.lit(gh.EARTH_RADIUS_M)
+    ct = F.abs(F.asin(F.least(F.greatest(
+        pn / F.sqrt(safe_nn2), F.lit(-1.0)), F.lit(1.0)))) * r
+
+    def _gc(ex, ey, ez):
+        crx = py * ez - pz * ey
+        cry = pz * ex - px * ez
+        crz = px * ey - py * ex
+        return F.atan2(F.sqrt(crx * crx + cry * cry + crz * crz),
+                       px * ex + py * ey + pz * ez) * r
+
+    d_end = F.least(_gc(ax, ay, az), _gc(bx, by, bz))
+    return F.when((nn2 > 0.0) & (s1 >= 0.0) & (s2 >= 0.0),
+                  ct).otherwise(d_end)
+
+
 def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float,
                             nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
                             lat: str = "lat", lon: str = "lon",
                             line_id: str = "line_id", line_lat: str = "line_lat",
                             line_lon: str = "line_lon",
-                            id_cols: Sequence[str] | None = None) -> DataFrame:
+                            id_cols: Sequence[str] | None = None,
+                            model: str = "equirect") -> DataFrame:
     """Route-proximity join: points within ``radius_m`` of a POLYLINE
     (per-segment point-to-segment distance, minimized over segments).
 
@@ -665,21 +721,36 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
     cell column (pruned scan, zero shuffles), and the exact refine is a
     NATIVE column expression.
 
-    Distance model: local equirectangular projection anchored at each
-    segment's midpoint latitude (exact same double arithmetic in the
-    DuckDB oracle, so the gate compares identical formulas).  Error vs
-    the geodesic answer is dominated by the cos(lat) anchor drift over
-    the point-to-segment span: relative error ~ tan(lat) * (d / R_earth)
-    on the east-west component — < 0.1% for d <= 20 km, and at the
-    200 km radius q51 uses, up to ~3% at 45 deg latitude (worst case:
-    purely E-W offsets).  Near the radius boundary a point's INCLUSION
-    can therefore differ from the great-circle answer by up to that
-    margin; the operator itself is deterministic and self-consistent.
-    Callers needing geodesic exactness at large radii should refine
-    with udfs.haversine_col against each segment instead.  Returns one
-    row per (line, point) with ``dist_m`` = the min distance over that
-    line's segments.
+    Distance model (``model``):
+
+    * ``"equirect"`` (default): local equirectangular projection
+      anchored at each segment's midpoint latitude (exact same double
+      arithmetic in the DuckDB oracle, so the gate compares identical
+      formulas).  Error vs the geodesic answer is dominated by the
+      cos(lat) anchor drift over the point-to-segment span: relative
+      error ~ tan(lat) * (d / R_earth) on the east-west component —
+      < 0.1% for d <= 20 km, and at the 200 km radius q51 uses, up to
+      ~3% at 45 deg latitude (worst case: purely E-W offsets).  Near
+      the radius boundary a point's INCLUSION can therefore differ from
+      the great-circle answer by up to that margin; the operator itself
+      is deterministic and self-consistent.
+    * ``"greatcircle"``: exact spherical point-to-arc distance —
+      cross-track distance R*|asin(P.n_hat)| when the foot of the
+      perpendicular lies within the segment's arc (sign tests against
+      the great-circle normal n = A x B), else the nearer endpoint's
+      great-circle distance R*atan2(|P x E|, P.E).  All native column
+      expressions (unit 3-vectors from lat/lon, cross/dot products) —
+      no Python, and latitude-independent accuracy at any radius.
+
+    Either way the refine is a NATIVE column expression and the
+    per-segment cover is valid: the bbox margins (radius/M_PER_DEG
+    degrees of latitude; longitude scaled by the most poleward
+    cos(lat)) bound the GREAT-CIRCLE reach of the radius, which also
+    bounds the equirect reach.  Returns one row per (line, point) with
+    ``dist_m`` = the min distance over that line's segments.
     """
+    if model not in ("equirect", "greatcircle"):
+        raise ValueError(f"unknown distance model {model!r}")
     spark = points.sparkSession
     lrows = lines.select(line_id, line_lat, line_lon).collect()
     by_n: dict[int, list[tuple]] = {}
@@ -723,17 +794,22 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)
-    # native point-to-segment distance in the segment's local
-    # equirectangular frame (kx = meters per lon degree at mid_lat)
-    kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
-    x = (F.col(lon) - F.col("a_lon")) * kx
-    y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
-    bx = (F.col("b_lon") - F.col("a_lon")) * kx
-    by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
-    denom = bx * bx + by * by
-    t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
-    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-    dist = F.sqrt(F.pow(x - t * bx, 2) + F.pow(y - t * by, 2))
+    if model == "equirect":
+        # native point-to-segment distance in the segment's local
+        # equirectangular frame (kx = meters per lon degree at mid_lat)
+        kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
+        x = (F.col(lon) - F.col("a_lon")) * kx
+        y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
+        bx = (F.col("b_lon") - F.col("a_lon")) * kx
+        by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
+        denom = bx * bx + by * by
+        t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        dist = F.sqrt(F.pow(x - t * bx, 2) + F.pow(y - t * by, 2))
+    else:
+        dist = _greatcircle_seg_dist(
+            F.col(lat), F.col(lon), F.col("a_lat"), F.col("a_lon"),
+            F.col("b_lat"), F.col("b_lon"))
     # min over segments per (line, point): group on the caller's point
     # key when given (narrow shuffle rows), else on all point columns
     pt_cols = list(id_cols) if id_cols else [c for c in points.columns]

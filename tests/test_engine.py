@@ -322,6 +322,87 @@ def test_polyline_proximity_join_matches_brute_force(spark):
         assert got[k] == pytest.approx(expect[k], abs=1e-6)
 
 
+def _gc_seg_dist_np(plat, plon, a, b):
+    """numpy ground truth for engine._greatcircle_seg_dist (same math,
+    independent implementation path)."""
+    def u3(la, lo):
+        la, lo = np.radians(la), np.radians(lo)
+        return np.stack([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)], axis=-1)
+    p = u3(np.asarray(plat, float), np.asarray(plon, float))
+    av = u3(*a)
+    bv = u3(*b)
+    r = gh.EARTH_RADIUS_M
+    d_a = r * np.arctan2(np.linalg.norm(np.cross(p, av), axis=-1), p @ av)
+    d_b = r * np.arctan2(np.linalg.norm(np.cross(p, bv), axis=-1), p @ bv)
+    n = np.cross(av, bv)
+    nn = np.linalg.norm(n)
+    if nn == 0.0:
+        return np.minimum(d_a, d_b)
+    pn = p @ n
+    c = p - np.outer(pn / (nn * nn), n)
+    s1 = np.cross(av, c) @ n
+    s2 = np.cross(c, bv) @ n
+    ct = r * np.abs(np.arcsin(np.clip(pn / nn, -1.0, 1.0)))
+    return np.where((s1 >= 0.0) & (s2 >= 0.0), ct, np.minimum(d_a, d_b))
+
+
+def test_polyline_proximity_join_greatcircle_matches_brute_force(spark):
+    """model='greatcircle' equals the numpy spherical cross-track /
+    endpoint-arc minimum over segments."""
+    df, lat, lon = _random_positions(spark)
+    lines = [(0, [39.2, 40.1, 40.8], [115.3, 116.4, 117.6]),
+             (1, [39.0, 39.9], [117.9, 115.1])]
+    ldf = spark.createDataFrame(
+        lines, "line_id long, line_lat array<double>, line_lon array<double>")
+    r = 25000.0
+    got = {(row["line_id"], row["msisdn"]): row["dist_m"]
+           for row in engine.polyline_proximity_join(
+               df, ldf, r, id_cols=["msisdn"], model="greatcircle").collect()}
+    expect = {}
+    for lid, las, los in lines:
+        best = np.full(len(lat), np.inf)
+        for s in range(len(las) - 1):
+            best = np.minimum(best, _gc_seg_dist_np(
+                lat, lon, (las[s], los[s]), (las[s + 1], los[s + 1])))
+        for i in np.nonzero(best <= r)[0]:
+            expect[(lid, f"m{i}")] = float(best[i])
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], abs=1e-5)
+
+
+def test_greatcircle_seg_dist_known_values(spark):
+    """Closed-form checks: against an equatorial arc the cross-track
+    distance of (lat, mid-lon) is exactly R*|lat| radians; a point past
+    the arc's end on the equator gets the endpoint distance."""
+    rows = [(0, 1.0, 5.0),     # abeam the middle -> cross-track
+            (1, -2.0, 3.0),    # abeam, south side -> same magnitude law
+            (2, 0.0, 15.0)]    # past B -> endpoint arc to (0, 10)
+    df = spark.createDataFrame(rows, "pt long, lat double, lon double")
+    d = engine._greatcircle_seg_dist(
+        F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0),
+        F.lit(0.0), F.lit(10.0))
+    got = {r["pt"]: r["d"] for r in df.select("pt", d.alias("d")).collect()}
+    r_e = gh.EARTH_RADIUS_M
+    assert got[0] == pytest.approx(r_e * np.radians(1.0), rel=1e-12)
+    assert got[1] == pytest.approx(r_e * np.radians(2.0), rel=1e-12)
+    assert got[2] == pytest.approx(r_e * np.radians(5.0), rel=1e-12)
+
+
+def test_polyline_greatcircle_degenerate_segment(spark):
+    """A zero-length segment (duplicate vertices) must not crash under
+    ANSI mode and falls back to the endpoint great-circle distance."""
+    df = spark.createDataFrame([(0, 39.95, 116.41)], "pt long, lat double, lon double")
+    d = engine._greatcircle_seg_dist(
+        F.col("lat"), F.col("lon"), F.lit(39.9), F.lit(116.4),
+        F.lit(39.9), F.lit(116.4))
+    got = df.select(d.alias("d")).collect()[0]["d"]
+    expect = gh.haversine_m(np.array([39.95]), np.array([116.41]),
+                            np.array([39.9]), np.array([116.4]))[0]
+    assert got == pytest.approx(float(expect), rel=1e-6)
+
+
 def test_range_join_inverted_window_matches_nothing(spark):
     """A malformed window with end < start matches zero rows (it must
     not explode a descending bucket sequence into bogus matches)."""

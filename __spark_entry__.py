@@ -1294,6 +1294,17 @@ def _q58_stream_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("win_start", "geohash"))
 
 
+def _q61_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs -> clusters -> keep-one: verified near-dup pairs (the q43
+    pipeline) resolved into connected components by distributed
+    min-label propagation (graph.connected_components), each cluster
+    keeping its minimum doc id as the canonical survivor.  The oracle
+    replicates the full composition in SQL, components via a recursive
+    reachability CTE."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.near_dup_clusters(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1356,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_stream_cell_counts": _q58_stream_cell_counts,
         "q59_capped_near_dup_e2e": _q59_capped_near_dup_e2e,
         "q60_route_proximity_gc": _q60_route_proximity_gc,
+        "q61_dedup_clusters": _q61_dedup_clusters,
     }
 
 
@@ -2003,6 +2015,49 @@ JOIN sizes43 sa ON sa.doc_id = a
 JOIN sizes43 sb ON sb.doc_id = b
 WHERE CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter) >= 0.25
 ORDER BY a, b
+"""
+
+    sqls["q61_dedup_clusters"] = rf"""
+WITH RECURSIVE {_minhash_cand_cte(0.2)},
+toks61 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+grams61 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks61
+),
+sizes61 AS (SELECT doc_id, count(*) AS ng FROM grams61 GROUP BY doc_id),
+inter61 AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM mh_cand c
+  JOIN grams61 ga ON ga.doc_id = c.a
+  JOIN grams61 gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY 1, 2
+),
+pairs61 AS (
+  SELECT i.a, i.b FROM inter61 i
+  JOIN sizes61 sa ON sa.doc_id = i.a
+  JOIN sizes61 sb ON sb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.ng + sb.ng - i.inter) >= 0.25
+),
+edges61 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs61
+  UNION
+  SELECT b AS u, a AS v FROM pairs61
+),
+reach AS (
+  SELECT u AS node, u AS lbl FROM edges61
+  UNION
+  SELECT e.v AS node, r.lbl AS lbl FROM reach r JOIN edges61 e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id)
+SELECT comp.node AS doc_id, comp.cluster_id, sz.n_docs,
+       CAST(comp.node = comp.cluster_id AS INTEGER) AS keep
+FROM comp JOIN sz ON sz.cluster_id = comp.cluster_id
+ORDER BY doc_id
 """
 
     sqls["q44_sessionize"] = """

@@ -675,3 +675,34 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
            .select("a", "b", "jaccard"))
     return _track_persisted(
         out, [grams, *getattr(cand_full, "_geotile_persisted", [])])
+
+
+def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", **pair_kwargs) -> DataFrame:
+    """Pairs -> clusters: the keep-one-per-cluster step of corpus dedup.
+
+    Runs :func:`verified_near_dup_pairs` (banded LSH candidates + exact
+    n-gram Jaccard verify), then resolves the pair graph into connected
+    components (graph.connected_components) so each near-dup cluster
+    gets one deterministic canonical survivor (minimum doc id).
+
+    Returns one row per document that appears in >= 1 verified pair:
+    ``(doc_id, cluster_id, n_docs, keep)`` where ``n_docs`` is the
+    cluster size and ``keep`` is 1 for the canonical doc, 0 for the
+    duplicates to drop.  Documents in no pair are implicit singletons
+    (their "cluster" is themselves) and are not emitted — at corpus
+    scale the emitted set is exactly the dedup decision list, tiny
+    relative to the corpus.
+    """
+    from . import graph
+
+    pairs = verified_near_dup_pairs(df, id_col=id_col, text_col=text_col,
+                                    **pair_kwargs)
+    cc = graph.connected_components(pairs.select("a", "b"), "a", "b")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    out = (cc.join(sizes, "cluster_id")
+           .select(F.col("node").alias(id_col), "cluster_id", "n_docs",
+                   (F.col("node") == F.col("cluster_id")).cast("int").alias("keep")))
+    return _track_persisted(
+        out, [*getattr(cc, "_geotile_persisted", []),
+              *getattr(pairs, "_geotile_persisted", [])])

@@ -1305,6 +1305,19 @@ def _q61_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return textops.near_dup_clusters(docs).orderBy("doc_id")
 
 
+def _q62_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed DBSCAN (engine.dbscan) over a deterministic sample
+    of the synthetic positions: eps=300 km, min_pts=4.  Candidate pairs
+    from a per-point eps-box cell cover equi-join (never all-pairs),
+    native haversine refine, components via graph.connected_components
+    on the core graph, min-id tie-breaks throughout.  Oracle: brute
+    all-pairs in SQL + recursive reachability."""
+    pos = (_positions_df(spark, sf)
+           .where(F.col("event_id") % 7 == 0)
+           .select(F.col("event_id").alias("pid"), "lat", "lon"))
+    return engine.dbscan(pos, 300000.0, 4, id_col="pid", nchars=2).orderBy("pid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1368,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_capped_near_dup_e2e": _q59_capped_near_dup_e2e,
         "q60_route_proximity_gc": _q60_route_proximity_gc,
         "q61_dedup_clusters": _q61_dedup_clusters,
+        "q62_dbscan": _q62_dbscan,
     }
 
 
@@ -2058,6 +2072,43 @@ SELECT comp.node AS doc_id, comp.cluster_id, sz.n_docs,
        CAST(comp.node = comp.cluster_id AS INTEGER) AS keep
 FROM comp JOIN sz ON sz.cluster_id = comp.cluster_id
 ORDER BY doc_id
+"""
+
+    dbscan_hav = hav.format(lat1="x.lat", lon1="x.lon", lat2="y.lat", lon2="y.lon")
+    sqls["q62_dbscan"] = f"""
+WITH RECURSIVE {_POS_CTE},
+p62 AS (SELECT event_id AS pid, lat, lon FROM pos WHERE event_id % 7 = 0),
+prs62 AS MATERIALIZED (
+  SELECT x.pid AS a, y.pid AS b
+  FROM p62 x JOIN p62 y ON x.pid <> y.pid
+  WHERE {dbscan_hav} <= 300000.0
+),
+deg62 AS (SELECT a, count(*) AS n FROM prs62 GROUP BY a),
+cores62 AS (SELECT a FROM deg62 WHERE n + 1 >= 4),
+ce62 AS MATERIALIZED (
+  SELECT pr.a AS u, pr.b AS v FROM prs62 pr
+  JOIN cores62 c1 ON c1.a = pr.a
+  JOIN cores62 c2 ON c2.a = pr.b
+),
+reach62 AS (
+  SELECT u AS node, u AS lbl FROM ce62
+  UNION
+  SELECT e.v AS node, r.lbl AS lbl FROM reach62 r JOIN ce62 e ON e.u = r.node
+),
+comp62 AS (SELECT node, min(lbl) AS cluster_id FROM reach62 GROUP BY node),
+iso62 AS (SELECT c.a AS node, c.a AS cluster_id FROM cores62 c
+          WHERE c.a NOT IN (SELECT node FROM comp62)),
+allcore62 AS (SELECT * FROM comp62 UNION ALL SELECT * FROM iso62),
+border62 AS (
+  SELECT pr.a AS node, min(ac.cluster_id) AS cluster_id
+  FROM prs62 pr JOIN allcore62 ac ON ac.node = pr.b
+  WHERE pr.a NOT IN (SELECT a FROM cores62)
+  GROUP BY pr.a
+)
+SELECT node AS pid, cluster_id, 1 AS is_core FROM allcore62
+UNION ALL
+SELECT node AS pid, cluster_id, 0 AS is_core FROM border62
+ORDER BY pid
 """
 
     sqls["q44_sessionize"] = """

@@ -65,7 +65,7 @@ def main() -> None:
         "q54_text_embedding_capped", "q55_tile_pyramid",
         "q56_stream_tile_pyramid", "q57_stream_sessionize",
         "q58_stream_cell_counts", "q59_capped_near_dup_e2e",
-        "q60_route_proximity_gc", "q61_dedup_clusters",
+        "q60_route_proximity_gc", "q61_dedup_clusters", "q62_dbscan",
     ]
     from geotile import cache, textops
 

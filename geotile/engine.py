@@ -1001,6 +1001,73 @@ def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
             .drop("_new"))
 
 
+def dbscan(points: DataFrame, eps_m: float, min_pts: int,
+           id_col: str = "pid", lat: str = "lat", lon: str = "lon",
+           nchars: int = 2) -> DataFrame:
+    """Grid-bucketed DBSCAN over point sets (density clustering the
+    reference's cell index makes natural; no analog in the reference —
+    north-rule spatial-analytics surface).
+
+    Semantics (scikit-learn convention): a point is CORE iff its
+    eps-neighborhood, itself included, holds >= ``min_pts`` points;
+    clusters are the connected components of core points within eps of
+    each other; a non-core (border) point joins the cluster of a core
+    neighbor — deterministically the minimum cluster id among them
+    (classic DBSCAN is order-dependent here; we pin the tie-break).
+    Noise points are not emitted.
+
+    Scale shape: candidate pairs come from ONE equi-join — each point
+    explodes to the cells of its own eps-box (udfs.eps_cover_cells_udf,
+    exact per row, pole/wraparound safe) and joins points' stored cell
+    column, so pair generation is bucketed, never all-pairs; the
+    haversine refine is a native column expression running map-side
+    before any aggregation.  Component resolution reuses
+    graph.connected_components on the CORE pair graph only (bounded by
+    density, far smaller than the point set).  Pick ``nchars`` so the
+    eps-box spans a handful of cells at the data's max |lat| — too fine
+    explodes the cover, too coarse inflates refine fan-in.
+
+    Returns ``(id_col, cluster_id, is_core)``, cluster_id = min core id.
+    """
+    from . import cache, graph
+
+    pts = with_cell(points.select(id_col, lat, lon), lat, lon, nchars).persist()
+    cov = pts.select(
+        F.col(id_col).alias("a"), F.col(lat).alias("_alat"), F.col(lon).alias("_alon"),
+        F.explode(udfs.eps_cover_cells_udf(nchars, eps_m)(F.col(lat), F.col(lon))).alias("geohash"))
+    other = pts.select(F.col(id_col).alias("b"), F.col(lat).alias("_blat"),
+                       F.col(lon).alias("_blon"), "geohash")
+    pairs = (cov.join(other, "geohash")
+             .where(F.col("a") != F.col("b"))
+             .where(udfs.haversine_col(F.col("_alat"), F.col("_alon"),
+                                       F.col("_blat"), F.col("_blon")) <= eps_m)
+             .select("a", "b").persist())
+
+    deg = pairs.groupBy("a").agg(F.count("*").alias("_n"))
+    cores = deg.where(F.col("_n") + 1 >= min_pts).select("a").persist()
+
+    core_edges = (pairs
+                  .join(cores, "a")
+                  .join(cores.select(F.col("a").alias("b")), "b"))
+    cc = graph.connected_components(core_edges, "a", "b")
+    # core points with no core neighbor are their own singleton cluster
+    iso = (cores.join(cc.select(F.col("node").alias("a")), "a", "left_anti")
+           .select(F.col("a").alias("node"), F.col("a").alias("cluster_id")))
+    core_assign = cc.unionByName(iso).persist()
+
+    border = (pairs
+              .join(cores.select("a"), "a", "left_anti")
+              .join(core_assign.select(F.col("node").alias("b"), "cluster_id"), "b")
+              .groupBy("a").agg(F.min("cluster_id").alias("cluster_id")))
+
+    out = (core_assign.select(F.col("node").alias(id_col), "cluster_id",
+                              F.lit(1).alias("is_core"))
+           .unionByName(border.select(F.col("a").alias(id_col), "cluster_id",
+                                      F.lit(0).alias("is_core"))))
+    return cache.track(out, [pts, pairs, cores, core_assign,
+                             *getattr(cc, "_geotile_persisted", [])])
+
+
 def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16) -> DataFrame:
     """Per-cell counts with two-level salted aggregation: map-side
     partial on (cell, salt) then final on cell — bounds any single

@@ -11,6 +11,8 @@ reference's ``IMapInfo`` plugin ABI (/root/reference/GeoHash/imapinfo.h:12-22).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -218,6 +220,49 @@ def disk_cells_udf(nchars: int, ring: int):
         return pd.Series([[c for c in row if c is not None] for row in stacked])
 
     return _disk
+
+
+def eps_cover_cells_udf(nchars: int, eps_m: float):
+    """(lat, lon) -> all cells at ``nchars`` intersecting the point's
+    eps-meter bounding box — the per-row candidate generator for the
+    density self-join (engine.dbscan).  Exact per row: the latitude
+    band is the box's lattice range, the longitude half-span uses the
+    widest |lat| edge of the box (1/cos stretch), collapsing to the
+    full circle when the box touches a pole or wraps.  Completeness
+    guarantee: any point within eps_m greater-circle meters lies inside
+    the box, so its cell is in the emitted cover."""
+    lat_bits, lon_bits = gh._axis_bits(nchars)
+    nlat = 1 << lat_bits
+    nlon = 1 << lon_bits
+    eps_deg = eps_m / (math.pi * gh.EARTH_RADIUS_M / 180.0)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _cov(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        n = la.shape[0]
+        la_lo = np.clip(np.floor((la - eps_deg + 90.0) * nlat / 180.0), 0, nlat - 1).astype(np.int64)
+        la_hi = np.clip(np.floor((la + eps_deg + 90.0) * nlat / 180.0), 0, nlat - 1).astype(np.int64)
+        edge = np.minimum(np.maximum(np.abs(la - eps_deg), np.abs(la + eps_deg)), 89.999999)
+        span = eps_deg / np.cos(np.radians(edge))
+        full = ((np.abs(la) + eps_deg) >= 90.0) | (span >= 180.0)
+        lo_lo = np.floor((lo - span + 180.0) * nlon / 360.0).astype(np.int64)
+        lo_hi = np.floor((lo + span + 180.0) * nlon / 360.0).astype(np.int64)
+        full |= (lo_hi - lo_lo + 1) >= nlon
+        parts_i: list[np.ndarray] = []
+        parts_j: list[np.ndarray] = []
+        counts = np.empty(n, dtype=np.int64)
+        for r in range(n):
+            ii = np.arange(la_lo[r], la_hi[r] + 1)
+            jj = np.arange(nlon) if full[r] else np.arange(lo_lo[r], lo_hi[r] + 1) % nlon
+            gi, gj = np.meshgrid(ii, jj, indexing="ij")
+            parts_i.append(gi.ravel())
+            parts_j.append(gj.ravel())
+            counts[r] = gi.size
+        cells = gh.encode_ij(np.concatenate(parts_i), np.concatenate(parts_j), nchars)
+        return pd.Series([list(s) for s in np.split(cells, np.cumsum(counts)[:-1])])
+
+    return _cov
 
 
 def decode_udf():

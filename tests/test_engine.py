@@ -513,3 +513,37 @@ def test_tile_pyramid_matches_kernel_and_is_consistent(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan  # fully native
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (engine.dbscan)
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_basic_core_border_noise(spark):
+    from geotile import cache, engine
+
+    # cluster of 4 mutual points near Beijing (core), one border point
+    # ~eps away from one core only, one far noise point
+    pts = [(1, 39.90, 116.40), (2, 39.91, 116.40), (3, 39.90, 116.41),
+           (4, 39.91, 116.41), (5, 39.975, 116.40), (6, 10.0, 10.0)]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    out = engine.dbscan(df, eps_m=8000.0, min_pts=4, id_col="pid", nchars=4)
+    rows = {r["pid"]: (r["cluster_id"], r["is_core"]) for r in out.collect()}
+    cache.release(out)
+    assert rows == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (1, 1), 5: (1, 0)}
+
+
+def test_dbscan_antimeridian_and_pole(spark):
+    from geotile import cache, engine
+
+    # pair straddling the antimeridian + pair hugging the north pole:
+    # the eps-box cover must wrap and collapse to the full circle
+    pts = [(1, 0.0, 179.99), (2, 0.0, -179.99),
+           (3, 89.95, 10.0), (4, 89.95, -170.0)]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    out = engine.dbscan(df, eps_m=20000.0, min_pts=2, id_col="pid", nchars=3)
+    rows = {r["pid"]: r["cluster_id"] for r in out.collect()}
+    cache.release(out)
+    # both pairs are within 20 km (antimeridian ~2.2 km; polar ~11 km)
+    assert rows == {1: 1, 2: 1, 3: 3, 4: 3}

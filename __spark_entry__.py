@@ -1318,6 +1318,18 @@ def _q62_dbscan(spark: SparkSession, sf: str) -> DataFrame:
     return engine.dbscan(pos, 300000.0, 4, id_col="pid", nchars=2).orderBy("pid")
 
 
+_BM25_TERMS = ["dup", "spark", "join", "window"]
+
+
+def _q63_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval (textops.bm25_topk): top-10 documents for
+    a 4-term query, Lucene idf, (doc,term) contributions in exact
+    integer nano-units so the per-doc sum is order-independent.  The
+    oracle replicates the identical double expression in SQL."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1382,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_route_proximity_gc": _q60_route_proximity_gc,
         "q61_dedup_clusters": _q61_dedup_clusters,
         "q62_dbscan": _q62_dbscan,
+        "q63_bm25_topk": _q63_bm25_topk,
     }
 
 
@@ -2109,6 +2122,45 @@ SELECT node AS pid, cluster_id, 1 AS is_core FROM allcore62
 UNION ALL
 SELECT node AS pid, cluster_id, 0 AS is_core FROM border62
 ORDER BY pid
+"""
+
+    bm25_terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    sqls["q63_bm25_topk"] = rf"""
+WITH q63(t) AS (VALUES {bm25_terms}),
+toks63 AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+stats63 AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT DISTINCT doc_id, dl FROM toks63)
+),
+tf63 AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM toks63
+  WHERE t IN (SELECT t FROM q63)
+  GROUP BY doc_id, t, dl
+),
+dft63 AS (SELECT t, count(*) AS df_t FROM tf63 GROUP BY t),
+contrib63 AS (
+  SELECT f.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * s.n_docs) / s.sum_dl))
+           * 1e9 + 0.5) AS BIGINT) AS c
+  FROM tf63 f JOIN dft63 d ON d.t = f.t CROSS JOIN stats63 s
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS score_nano,
+       count(*) AS n_terms
+FROM contrib63
+GROUP BY doc_id
+ORDER BY score_nano DESC, doc_id
+LIMIT 10
 """
 
     sqls["q44_sessionize"] = """

@@ -706,3 +706,44 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     return _track_persisted(
         out, [*getattr(cc, "_geotile_persisted", []),
               *getattr(pairs, "_geotile_persisted", [])])
+
+
+def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 keyword retrieval: score every document against a small
+    term set and return the top-k.  Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, classic (k1+1) numerator.
+
+    Determinism for the cross-engine gate: each (doc, term)
+    contribution is one double expression evaluated identically in
+    Spark and DuckDB, scaled to integer nano-units BEFORE the per-doc
+    sum — the aggregate is order-independent, so partition order can
+    never move the score.  avgdl never materializes: the length norm
+    uses ``(dl * N) / sum_dl`` with exact integer numerator.
+
+    Scale shape: tokens are filtered to the query terms BEFORE the
+    (doc, term) shuffle (the explode emits only matching tokens); the
+    per-term document frequencies are a tiny broadcast; the final
+    top-k is a TakeOrdered, never a global sort.  All built-ins, no
+    Python."""
+    toks = df.select(F.col(id_col),
+                     F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    dl = toks.select(id_col, F.size("w").cast("long").alias("dl"), "w")
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tf = (dl.select(F.col(id_col), "dl", F.explode("w").alias("t"))
+          .where(F.col("t").isin(list(terms)))
+          .groupBy(id_col, "t", "dl").agg(F.count("*").alias("tf")))
+    dft = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    scored = tf.join(F.broadcast(dft), "t").crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) +
+                (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5)))
+    norm = (F.lit(1.0) - F.lit(b) +
+            F.lit(b) * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl"))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * norm)
+    nano = F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per_doc = (scored.withColumn("_c", nano)
+               .groupBy(id_col)
+               .agg(F.sum("_c").alias("score_nano"),
+                    F.count("*").alias("n_terms")))
+    return per_doc.orderBy(F.col("score_nano").desc(), F.col(id_col)).limit(k)

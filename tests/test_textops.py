@@ -349,3 +349,35 @@ def test_text_embedding_capped_non_pow2_dim_unsigned_bucketing(spark):
         nrm = float(np.sqrt((vec * vec).sum()))
         want = (vec / nrm if nrm > 0 else vec).tolist()
         assert got[d] == want, d
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    from geotile import textops
+
+    docs = [(1, "apple banana apple"), (2, "apple cherry"),
+            (3, "banana banana banana durian"), (4, "cherry durian elder fig")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["score_nano"], r["n_terms"])
+           for r in textops.bm25_topk(df, ["apple", "banana"], k=4).collect()}
+
+    texts = {d: t.split() for d, t in docs}
+    N = 4
+    sum_dl = sum(len(w) for w in texts.values())
+    dfreq = {t: sum(1 for w in texts.values() if t in w) for t in ("apple", "banana")}
+    expect = {}
+    for d, w in texts.items():
+        nano = 0
+        nt = 0
+        for t in ("apple", "banana"):
+            tf = w.count(t)
+            if not tf:
+                continue
+            nt += 1
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            norm = 1.0 - 0.75 + 0.75 * (len(w) * N) / sum_dl
+            nano += math.floor(idf * (tf * 2.2) / (tf + 1.2 * norm) * 1e9 + 0.5)
+        if nt:
+            expect[d] = (nano, nt)
+    assert out == expect

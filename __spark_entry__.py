@@ -1330,6 +1330,15 @@ def _q63_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return textops.bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q64_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition quality filter (Gopher-style):
+    duplicate bigram/trigram fractions + top-word fraction as exact
+    nano-unit ints, thresholded into a keep flag.  Map-only over the
+    token array (textops.repetition_features) — no shuffle at all."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.repetition_features(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1395,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_dedup_clusters": _q61_dedup_clusters,
         "q62_dbscan": _q62_dbscan,
         "q63_bm25_topk": _q63_bm25_topk,
+        "q64_repetition_filter": _q64_repetition_filter,
     }
 
 
@@ -2161,6 +2171,41 @@ FROM contrib63
 GROUP BY doc_id
 ORDER BY score_nano DESC, doc_id
 LIMIT 10
+"""
+
+    sqls["q64_repetition_filter"] = r"""
+WITH t64 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+m64 AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS g2,
+         list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) AS g3,
+         w
+  FROM t64
+),
+topw64 AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t64)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+feat64 AS (
+  SELECT m.doc_id, m.n_words,
+         CAST(floor((len(m.g2) - len(list_distinct(m.g2)))
+              / greatest(len(m.g2), 1) * 1e9 + 0.5) AS BIGINT) AS dup2_nano,
+         CAST(floor((len(m.g3) - len(list_distinct(m.g3)))
+              / greatest(len(m.g3), 1) * 1e9 + 0.5) AS BIGINT) AS dup3_nano,
+         CAST(floor(t.top_cnt / greatest(m.n_words, 1) * 1e9 + 0.5) AS BIGINT) AS topw_nano
+  FROM m64 m JOIN topw64 t ON t.doc_id = m.doc_id
+)
+SELECT doc_id, n_words, dup2_nano, dup3_nano, topw_nano,
+       CAST(dup2_nano <= 500000000 AND dup3_nano <= 350000000
+            AND topw_nano <= 250000000 AS INTEGER) AS keep
+FROM feat64
+ORDER BY doc_id
 """
 
     sqls["q44_sessionize"] = """

@@ -747,3 +747,58 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
                .agg(F.sum("_c").alias("score_nano"),
                     F.count("*").alias("n_terms")))
     return per_doc.orderBy(F.col("score_nano").desc(), F.col(id_col)).limit(k)
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        dup2_max: float = 0.5, dup3_max: float = 0.35,
+                        topw_max: float = 0.25) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/RefinedWeb
+    quality-filter family): duplicate word-bigram and -trigram
+    fractions (1 - distinct/total) and top-word fraction (count of the
+    most frequent word / total words), each floored to integer
+    nano-units (single int/int division — cross-engine exact), plus a
+    ``keep`` flag applying the thresholds.
+
+    One narrow pass per doc: every metric is an expression over the
+    token array (aggregate/transform/array_distinct) — no explode, no
+    shuffle, no Python.  At 100 TB this is a map-only stage."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def dup_frac_nano(n: int):
+        grams = F.when(F.size(w) >= n, F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))) \
+            .otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        frac = (total - distinct) / F.greatest(total, F.lit(1))
+        return F.floor(frac * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    # top-word count without a shuffle: sort the token array, then the
+    # longest run of equal adjacent tokens is the max multiplicity
+    sorted_w = F.array_sort(w)
+    run = F.aggregate(
+        sorted_w,
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1).cast("long"))).alias("best")),
+        lambda acc: acc["best"])
+    topw = F.floor((run / F.greatest(F.size(w), F.lit(1))) * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        dup_frac_nano(2).alias("dup2_nano"),
+        dup_frac_nano(3).alias("dup3_nano"),
+        topw.alias("topw_nano"))
+    keep = ((F.col("dup2_nano") <= int(dup2_max * 1e9)) &
+            (F.col("dup3_nano") <= int(dup3_max * 1e9)) &
+            (F.col("topw_nano") <= int(topw_max * 1e9))).cast("int")
+    return out.withColumn("keep", keep)

@@ -381,3 +381,19 @@ def test_bm25_topk_matches_reference_formula(spark):
         if nt:
             expect[d] = (nano, nt)
     assert out == expect
+
+
+def test_repetition_features_flags_repetitive_doc(spark):
+    from geotile import textops
+
+    docs = [(1, "spam spam spam spam spam ham"),
+            (2, "one two three four five six seven eight")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in textops.repetition_features(df).collect()}
+    # doc 1: 6 words, top word 5/6; bigrams 5 total 2 distinct -> 0.6 dup
+    assert rows[1]["keep"] == 0
+    assert rows[1]["topw_nano"] == round(5 / 6 * 1e9)
+    assert rows[1]["dup2_nano"] == round(3 / 5 * 1e9)
+    # doc 2: all distinct -> everything zero, kept
+    assert rows[2] == {"doc_id": 2, "n_words": 8, "dup2_nano": 0,
+                       "dup3_nano": 0, "topw_nano": 125000000, "keep": 1}

@@ -1339,6 +1339,49 @@ def _q64_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     return textops.repetition_features(docs).orderBy("doc_id")
 
 
+def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fourth streaming query under the exact gate: watermarked
+    STREAM-STREAM inner join (streaming.interval_join_stream) — two
+    legs of the events file stream self-joined on user_id with an
+    event-time range bound (clicks within 30 min after the left
+    event).  Run to completion with availableNow; the final match set
+    must equal the batch interval join the oracle states in SQL."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d))
+    a = (ev.where(F.col("event_id") % 3 == 0)
+         .select("user_id", F.col("ts").alias("l_ts"),
+                 F.col("event_id").alias("a_id")))
+    b = (ev.where(F.col("event_type") == "click")
+         .select("user_id", F.col("ts").alias("r_ts"),
+                 F.col("event_id").alias("b_id")))
+    j = (streaming.interval_join_stream(a, b, "user_id",
+                                        within="30 minutes",
+                                        watermark="87600 hours")
+         .where(F.col("a_id") != F.col("b_id")))
+    _Q56_SINK["n"] += 1
+    sink = f"q65_ssj_sink_{_Q56_SINK['n']}"
+    q = (j.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select("user_id", "a_id", "b_id",
+                    (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+                    .alias("delta_s"))
+            .orderBy("a_id", "b_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1405,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_dbscan": _q62_dbscan,
         "q63_bm25_topk": _q63_bm25_topk,
         "q64_repetition_filter": _q64_repetition_filter,
+        "q65_stream_interval_join": _q65_stream_interval_join,
     }
 
 
@@ -2206,6 +2250,16 @@ SELECT doc_id, n_words, dup2_nano, dup3_nano, topw_nano,
             AND topw_nano <= 250000000 AS INTEGER) AS keep
 FROM feat64
 ORDER BY doc_id
+"""
+
+    sqls["q65_stream_interval_join"] = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delta_s
+FROM events a JOIN events b ON b.user_id = a.user_id
+WHERE a.event_id % 3 = 0 AND b.event_type = 'click'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+  AND b.event_id <> a.event_id
+ORDER BY a_id, b_id
 """
 
     sqls["q44_sessionize"] = """

@@ -66,7 +66,7 @@ def main() -> None:
         "q56_stream_tile_pyramid", "q57_stream_sessionize",
         "q58_stream_cell_counts", "q59_capped_near_dup_e2e",
         "q60_route_proximity_gc", "q61_dedup_clusters", "q62_dbscan",
-        "q63_bm25_topk", "q64_repetition_filter",
+        "q63_bm25_topk", "q64_repetition_filter", "q65_stream_interval_join",
     ]
     from geotile import cache, textops
 

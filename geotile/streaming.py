@@ -220,3 +220,25 @@ def tile_pyramid_stream(updates: DataFrame, min_zoom: int = 3, max_zoom: int = 8
             .groupBy(F.window("event_time", window).alias("win"),
                      "zoom", "x", "y")
             .agg(F.count("*").alias("n")))
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str = "l_ts", right_ts: str = "r_ts",
+                         within: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join: every left event matches
+    right events of the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]``.
+
+    The event-time range condition plus watermarks on BOTH sides is
+    what lets Structured Streaming bound join state: a buffered left
+    row can be evicted once the right watermark passes
+    ``left_ts + within``, and vice versa — without the range bound the
+    state grows forever.  Output is append-mode (inner-join matches
+    are final the moment they are emitted)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[key] == rw[key])
+            & (rw[right_ts] >= lw[left_ts])
+            & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")))
+    return lw.join(rw, cond, "inner").drop(rw[key])

@@ -227,3 +227,44 @@ def test_tile_pyramid_stream(spark, tmp_path):
                  spark.createDataFrame(rows, streaming.POS_SCHEMA),
                  min_zoom=3, max_zoom=6).collect()}
     assert got == batch
+
+
+def test_interval_join_stream(spark, tmp_path):
+    """Stream-stream inner join with an event-time range bound: the
+    completed finite stream must produce exactly the batch interval
+    join of the same two legs."""
+    import pandas as pd
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for uid in (1, 2):
+        for i in range(6):
+            rows.append((uid * 100 + i, base + pd.Timedelta(minutes=7 * i + uid), uid,
+                         "left" if i % 2 == 0 else "right"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "kind"])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src + "/b0", mode="overwrite")
+
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, kind string")
+          .parquet(src + "/b*"))
+    left = (ev.where("kind = 'left'")
+            .select("user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("a_id")))
+    right = (ev.where("kind = 'right'")
+             .select("user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("b_id")))
+    j = streaming.interval_join_stream(left, right, "user_id",
+                                       within="15 minutes", watermark="10 hours")
+    q = (j.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["a_id"], r["b_id"]) for r in spark.table("ssj_test").collect()}
+
+    batch = spark.read.parquet(src + "/b0")
+    bl = batch.where("kind = 'left'").selectExpr("user_id", "ts AS l_ts", "event_id AS a_id")
+    br = batch.where("kind = 'right'").selectExpr("user_id u2", "ts AS r_ts", "event_id AS b_id")
+    expect = {(r["a_id"], r["b_id"]) for r in
+              bl.join(br, (bl["user_id"] == br["u2"])
+                      & (br["r_ts"] >= bl["l_ts"])
+                      & (br["r_ts"] <= bl["l_ts"] + F.expr("INTERVAL 15 minutes"))).collect()}
+    assert got == expect and len(got) > 0

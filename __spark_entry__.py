@@ -1382,6 +1382,50 @@ def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
+def _q66_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function breadth in one pass: ntile(4), cume_dist,
+    percent_rank and lag-delta over (event_type, value) with exact
+    tie-breaks, rolled up per (event_type, tile).  Ratio windows are
+    rationals floored to nano-units before summing; the lag delta is a
+    same-ordered double subtraction floored to cents."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(),
+                                                 F.col("event_id").asc())
+    x = ev.select(
+        "event_type", "value",
+        F.ntile(4).over(w).alias("tile"),
+        F.floor(F.cume_dist().over(w) * F.lit(1e9) + F.lit(0.5)).alias("cume_nano"),
+        F.floor(F.percent_rank().over(w) * F.lit(1e9) + F.lit(0.5)).alias("pr_nano"),
+        F.floor((F.col("value") - F.lag("value").over(w)) * F.lit(100) + F.lit(0.5))
+        .alias("delta_c"))
+    return (x.groupBy("event_type", "tile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 2).alias("min_v"),
+                 F.round(F.max("value"), 2).alias("max_v"),
+                 F.sum("cume_nano").alias("sum_cume_nano"),
+                 F.sum("pr_nano").alias("sum_pr_nano"),
+                 F.sum("delta_c").alias("sum_delta_c"))
+            .orderBy("event_type", "tile"))
+
+
+def _q67_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS with grouping() flags — the grouping-set surface
+    beyond the existing ROLLUP (q26) / CUBE (q32), integer-exact
+    aggregates throughout."""
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView("li67")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows
+        FROM li67
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1449,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_bm25_topk": _q63_bm25_topk,
         "q64_repetition_filter": _q64_repetition_filter,
         "q65_stream_interval_join": _q65_stream_interval_join,
+        "q66_window_suite": _q66_window_suite,
+        "q67_grouping_sets": _q67_grouping_sets,
     }
 
 
@@ -2260,6 +2306,39 @@ WHERE a.event_id % 3 = 0 AND b.event_type = 'click'
   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
   AND b.event_id <> a.event_id
 ORDER BY a_id, b_id
+"""
+
+    sqls["q66_window_suite"] = """
+WITH x66 AS (
+  SELECT event_type, value,
+         ntile(4) OVER w AS tile,
+         CAST(floor(cume_dist() OVER w * 1e9 + 0.5) AS BIGINT) AS cume_nano,
+         CAST(floor(percent_rank() OVER w * 1e9 + 0.5) AS BIGINT) AS pr_nano,
+         CAST(floor((value - lag(value) OVER w) * 100 + 0.5) AS BIGINT) AS delta_c
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+)
+SELECT event_type, tile, count(*) AS n,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v,
+       CAST(sum(cume_nano) AS BIGINT) AS sum_cume_nano,
+       CAST(sum(pr_nano) AS BIGINT) AS sum_pr_nano,
+       CAST(sum(delta_c) AS BIGINT) AS sum_delta_c
+FROM x66
+GROUP BY event_type, tile
+ORDER BY event_type, tile
+"""
+
+    sqls["q67_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')
 """
 
     sqls["q44_sessionize"] = """

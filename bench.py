@@ -67,6 +67,7 @@ def main() -> None:
         "q58_stream_cell_counts", "q59_capped_near_dup_e2e",
         "q60_route_proximity_gc", "q61_dedup_clusters", "q62_dbscan",
         "q63_bm25_topk", "q64_repetition_filter", "q65_stream_interval_join",
+        "q66_window_suite", "q67_grouping_sets",
     ]
     from geotile import cache, textops
 

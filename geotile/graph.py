@@ -10,13 +10,15 @@ canonical document per cluster.
 Scale shape: connected components run over the *pair graph*, which for
 dedup workloads is orders of magnitude smaller than the corpus (pairs
 are the output of banded LSH candidate generation + verify, bounded by
-band-bucket sizes — never all-pairs).  Each propagation round is ONE
-shuffle keyed on node id; the number of rounds equals the graph
-diameter, and near-dup components are near-cliques (diameter 2-4), so
-the loop settles in a handful of rounds.  For adversarial long-chain
-graphs the standard fix is the large-star/small-star rewrite
-(O(log n) rounds); the simple min-propagation below is the right
-trade-off for dedup graphs and is what runs under the q61 oracle gate.
+band-bucket sizes — never all-pairs).  The algorithm is the alternating
+large-star / small-star contraction of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC 2014): unlike label
+propagation — which re-joins the FULL edge list against a label table
+every round and needs O(diameter) rounds — star contraction rewrites
+the edge set itself, so each round's shuffle shrinks as components
+collapse, and the round count is O(log^2 n) worst-case (a handful in
+practice, even for path/cycle-shaped components such as a DBSCAN core
+graph snaking around the globe).  Runs under the q61/q62 oracle gates.
 """
 
 from __future__ import annotations
@@ -37,46 +39,64 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     ids must be orderable (BIGINT doc ids here); self-loops are
     dropped.
 
-    Algorithm: iterative min-label propagation.  Every round sends each
-    node's current label across its edges and takes the elementwise
-    minimum; labels only decrease, so a round with zero changed labels
-    proves convergence.  One hash shuffle per round, both sides already
-    partitioned on ``node`` after the first aggregate.
+    Algorithm: alternating large-star / small-star (Kiveris et al.
+    2014).  Large-star hooks every neighbor LARGER than a node to the
+    minimum of its neighborhood; small-star hooks the smaller neighbors
+    (and the node itself) to that minimum.  Both steps strictly shrink
+    tree heights, the edge set contracts toward a forest of min-rooted
+    stars, and the unique fixpoint (edge set unchanged by a round) IS
+    that star forest — each surviving edge reads ``(node, component
+    min)``.  Every round is two groupBy/join shuffles over the CURRENT
+    (shrinking) edge set; lineage is truncated per round with
+    localCheckpoint (swap for checkpoint() on reliable storage at
+    cluster scale).
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u") != F.col("v")))
-    e = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-         .distinct().persist())
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .where(F.col("u") != F.col("v")))
+    # canonical hi->lo orientation + dedup: (u, v) with u > v
+    e = (e0.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint(eager=True))
 
-    labels = (e.select(F.col("u").alias("node")).distinct()
-              .withColumn("lbl", F.col("node"))
-              .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().persist())
 
     converged = False
     for _ in range(max_iter):
-        # neighbor propagation: every node offers its label across its edges
-        cand = (e.withColumnRenamed("u", "node")
-                .join(labels, "node")
-                .select(F.col("v").alias("node"), "lbl"))
-        mins = (cand.unionByName(labels)
-                .groupBy("node").agg(F.min("lbl").alias("lbl")))
-        # pointer doubling: jump to the label's own label (halves the
-        # remaining chain length -> O(log diameter) rounds, not O(diameter))
-        ptr = mins.select(F.col("node").alias("k"), F.col("lbl").alias("lbl2"))
-        new = (mins.join(ptr, mins["lbl"] == ptr["k"])
-               .select("node", F.least("lbl", "lbl2").alias("lbl"))
-               # truncate lineage each round or plan analysis grows unboundedly;
-               # on a real cluster swap for checkpoint() on reliable storage
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new
-        if changed == 0:
+        # LARGE-STAR: over the symmetric neighborhood of u, connect every
+        # neighbor v > u to m = min(N(u) + {u}).  Output keeps hi->lo
+        # orientation automatically (v > u >= m).
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select("u", F.least("u", "_mn").alias("m")))
+        e_ls = (sym.join(lmin, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+        # SMALL-STAR: edges are hi->lo, so grouping by u collects the
+        # smaller neighbors N; connect each of them and u itself to
+        # m = min(N).
+        smin = e_ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_ss = (e_ls.join(smin, "u")
+                .select(F.col("v").alias("n"), F.col("m").alias("v"))
+                .unionByName(smin.select(F.col("u").alias("n"), F.col("m").alias("v")))
+                .where(F.col("n") != F.col("v"))
+                .select(F.col("n").alias("u"), "v")
+                .distinct()
+                .localCheckpoint(eager=True))
+        # fixpoint: the round left the edge set unchanged -> star forest
+        if e_ss.count() == e.count() and e_ss.exceptAll(e).isEmpty():
+            e = e_ss
             converged = True
             break
+        e = e_ss
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
 
-    out = labels.select("node", F.col("lbl").alias("cluster_id"))
-    return cache.track(out, [e])
+    # fixpoint edges are (node, component-min); roots get a self row
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("_root"))
+    out = (nodes.join(stars, "node", "left")
+           .select("node", F.coalesce("_root", F.col("node")).alias("cluster_id")))
+    return cache.track(out, [nodes])

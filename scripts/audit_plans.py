@@ -175,6 +175,38 @@ def main() -> None:
         "lsh_bucket_topk (stored index): probe IN list prunes the bucket "
         "partition column at the scan — no Python, ~probes/2^nbits of data read"))
 
+    # DBSCAN pair generation (the engine loop is eager — audit the
+    # candidate-pair stage it builds: per-point eps-box cover explode,
+    # cell equi-join, native haversine refine BEFORE any aggregation)
+    pid_pts = points.select(F.col("url").alias("pid"), "lat", "lon")
+    pts_c = engine.with_cell(pid_pts, nchars=2)
+    cov = pts_c.select(
+        F.col("pid").alias("a"), F.col("lat").alias("_alat"), F.col("lon").alias("_alon"),
+        F.explode(_udfs.eps_cover_cells_udf(2, 300000.0)(F.col("lat"), F.col("lon"))).alias("geohash"))
+    other = pts_c.select(F.col("pid").alias("b"), F.col("lat").alias("_blat"),
+                         F.col("lon").alias("_blon"), "geohash")
+    dbscan_pairs = (cov.join(other, "geohash")
+                    .where(F.col("a") != F.col("b"))
+                    .where(_udfs.haversine_col(F.col("_alat"), F.col("_alon"),
+                                               F.col("_blat"), F.col("_blon")) <= 300000.0)
+                    .groupBy("a").agg(F.count("*").alias("_n")))
+    sections.append(summarize(
+        dbscan_pairs,
+        "dbscan (pair stage): eps-box cover explode -> ONE cell equi-join, native "
+        "haversine refine map-side before the degree aggregate — never all-pairs"))
+
+    sections.append(summarize(
+        textops.bm25_topk(docs_tbl, ["the", "a"], k=5),
+        "bm25_topk: tokens filtered to query terms BEFORE the (doc,term) shuffle; "
+        "doc-frequency side broadcast; TakeOrdered top-k, no global sort (the one "
+        "BroadcastNestedLoopJoin is the 1-ROW corpus-stats scalar attach — a "
+        "constant cross join, not a predicate join)"))
+
+    sections.append(summarize(
+        textops.repetition_features(docs_tbl),
+        "repetition_features: pure array expressions — map-only, ZERO Exchange, "
+        "zero Python"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

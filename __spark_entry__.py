@@ -1426,6 +1426,69 @@ def _q67_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def _q68_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide chunk-level dedup (C4/RefinedWeb line-dedup over
+    5-token windows): keep only the globally-first occurrence of every
+    distinct chunk, reassemble documents from the survivors
+    (textops.chunk_dedup).  Two shuffles total — chunk-value argmin +
+    per-doc reassembly."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.chunk_dedup(docs, n=5).orderBy("doc_id")
+
+
+def _q69_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer PageRank (graph.pagerank, 5 rounds) over a
+    hash-synthesized link graph: each doc emits 3 out-links
+    ``dst = pmod(xxhash64(doc_id*3 + j), n)`` (self-loops dropped,
+    deduped).  Integer nano-unit arithmetic end to end makes an
+    iterative graph algorithm exactly SQL-replicable; the oracle
+    unrolls all 5 rounds over the same xxhash64 HUGEINT replica the
+    q49 sampler gate uses."""
+    from geotile import graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    pr = graph.pagerank(docs.select(F.col("doc_id").alias("node")), edges,
+                        iters=5)
+    return (pr.select(F.col("node").alias("doc_id"), "rank_nano")
+            .orderBy("doc_id"))
+
+
+def _q70_compact_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash cover compaction (engine.compact_cells): take the
+    distinct gh2 cells of the positions, expand each to its 1024
+    gh4 descendants minus a ~3% deterministic drop-out, then compact —
+    complete 32-child sets collapse into their parent, level by level
+    down to precision 2.  The oracle unrolls both compaction levels in
+    SQL over the same alphabet cross-join."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    seeds = pos.select(F.substring("geohash", 1, 2).alias("g2")).distinct()
+    al = spark.createDataFrame(list(enumerate(_BASE32)), "i int, c string")
+    i0 = F.expr(f"instr('{_BASE32}', substr(g2, 2, 1))") - 1
+    # drop-out is PARENT-correlated so compaction has real work at both
+    # levels: seeds with i0 % 3 == 0 stay fully complete (collapse all
+    # the way to the gh2 seed); other seeds get exactly two "broken"
+    # gh3 parents, each missing one child
+    broken = ((F.col("i1") * 13 + i0) % 16 == 0) & (i0 % 3 != 0)
+    dropped = broken & (F.col("i2") == (F.col("i1") * 7 + i0) % 32)
+    leaves = (seeds
+              .crossJoin(F.broadcast(al.select(F.col("i").alias("i1"),
+                                               F.col("c").alias("c1"))))
+              .crossJoin(F.broadcast(al.select(F.col("i").alias("i2"),
+                                               F.col("c").alias("c2"))))
+              .where(~dropped)
+              .select(F.concat("g2", "c1", "c2").alias("cell")))
+    return engine.compact_cells(leaves, "cell", min_precision=2).orderBy("cell")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1495,6 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q66_window_suite": _q66_window_suite,
         "q67_grouping_sets": _q67_grouping_sets,
+        "q68_chunk_dedup": _q68_chunk_dedup,
+        "q69_pagerank": _q69_pagerank,
+        "q70_compact_cells": _q70_compact_cells,
     }
 
 
@@ -2833,6 +2899,111 @@ FROM pos
 GROUP BY win_start, geohash
 HAVING count(*) >= 2
 ORDER BY win_start, geohash
+"""
+
+    sqls["q68_chunk_dedup"] = r"""
+WITH t68 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+ch68 AS (
+  SELECT doc_id, j AS idx,
+         array_to_string(w[(j*5+1):(j*5+5)], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS j
+        FROM t68)
+),
+f68 AS (
+  SELECT chunk, min(doc_id * 1000000 + idx) AS first_pos FROM ch68 GROUP BY chunk
+),
+k68 AS (
+  SELECT c.doc_id, c.idx, c.chunk
+  FROM ch68 c JOIN f68 f ON f.chunk = c.chunk
+  WHERE c.doc_id * 1000000 + c.idx = f.first_pos
+),
+a68 AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+  FROM k68 GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(ceil(len(t.w) / 5.0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM t68 t LEFT JOIN a68 a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+    # q69: 5 unrolled rounds of integer PageRank over the xxhash64-
+    # synthesized link graph (same HUGEINT xxhash64 replica as q49)
+    pr_sig = _signed64_sql("xh")
+    pr_iters = []
+    prev = "r0"
+    for i in range(1, 6):
+        pr_iters.append(f"""s{i} AS (
+  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+  FROM e69 e JOIN {prev} r ON r.node = e.src JOIN d69 d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.doc_id AS node,
+         (150000000 // nn.n) + (85 * coalesce(s.s, 0)) // 100 AS r
+  FROM documents d CROSS JOIN nn LEFT JOIN s{i} s ON s.node = d.doc_id
+)""")
+        prev = f"r{i}"
+    sqls["q69_pagerank"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l69 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l69", "z0", "xh", "x69")},
+e69a AS (
+  SELECT doc_id AS src, ((({pr_sig} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x69f CROSS JOIN nn
+),
+e69 AS (SELECT DISTINCT src, dst FROM e69a WHERE dst <> src),
+d69 AS (SELECT src, count(*) AS deg FROM e69 GROUP BY src),
+r0 AS (
+  SELECT doc_id AS node, 1000000000 // nn.n AS r FROM documents CROSS JOIN nn
+),
+{",".join(pr_iters)}
+SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_nano FROM r5 ORDER BY doc_id
+"""
+
+    # q70: gh2 seeds -> gh4 expansion minus the deterministic drop-out,
+    # then both compaction levels unrolled (complete 32-child sets
+    # collapse into their parent)
+    al_rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(_BASE32))
+    sqls["q70_compact_cells"] = f"""
+WITH {_POS_CTE},
+g2 AS (SELECT DISTINCT substr({gh5}, 1, 2) AS g2 FROM pos),
+al AS (SELECT * FROM (VALUES {al_rows}) AS t(i, c)),
+i0s AS (
+  SELECT g2, instr('{_BASE32}', substr(g2, 2, 1)) - 1 AS i0 FROM g2
+),
+lvl4 AS (
+  SELECT s.g2 || a1.c || a2.c AS cell
+  FROM i0s s, al a1, al a2
+  WHERE NOT ((a1.i * 13 + s.i0) % 16 = 0 AND s.i0 % 3 <> 0
+             AND a2.i = (a1.i * 7 + s.i0) % 32)
+),
+p4 AS (
+  SELECT substr(cell, 1, 3) AS parent FROM lvl4
+  GROUP BY 1 HAVING count(*) = 32
+),
+after4 AS (
+  SELECT cell FROM lvl4 WHERE substr(cell, 1, 3) NOT IN (SELECT parent FROM p4)
+  UNION ALL SELECT parent FROM p4
+),
+p3 AS (
+  SELECT substr(cell, 1, 2) AS parent FROM after4 WHERE length(cell) = 3
+  GROUP BY 1 HAVING count(*) = 32
+),
+after3 AS (
+  SELECT cell FROM after4
+  WHERE length(cell) <> 3 OR substr(cell, 1, 2) NOT IN (SELECT parent FROM p3)
+  UNION ALL SELECT parent FROM p3
+)
+SELECT cell, CAST(length(cell) AS INTEGER) AS prec FROM after3 ORDER BY cell
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

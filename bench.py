@@ -67,7 +67,8 @@ def main() -> None:
         "q58_stream_cell_counts", "q59_capped_near_dup_e2e",
         "q60_route_proximity_gc", "q61_dedup_clusters", "q62_dbscan",
         "q63_bm25_topk", "q64_repetition_filter", "q65_stream_interval_join",
-        "q66_window_suite", "q67_grouping_sets",
+        "q66_window_suite", "q67_grouping_sets", "q68_chunk_dedup",
+        "q69_pagerank", "q70_compact_cells",
     ]
     from geotile import cache, textops
 

@@ -1078,6 +1078,51 @@ def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16
     return level1.groupBy(cell_col).agg(F.sum("_c").alias("n"))
 
 
+def compact_cells(cells: DataFrame, cell_col: str = "cell",
+                  min_precision: int = 1) -> DataFrame:
+    """Geohash cover compaction (the index-maintenance dual of cover
+    EXPANSION in the radius/annulus UDFs): wherever all 32 children of
+    a parent cell are present, replace them with the parent, repeated
+    level by level until ``min_precision``.  The result is the minimal
+    mixed-precision cover of the same region — what a tile index stores
+    so broadcast cover sets and partition-pruning IN-lists stay small.
+
+    Input: a DataFrame with one geohash string per row (any mix of
+    precisions; duplicates tolerated).  Output: ``(cell, prec)``,
+    the compacted set.
+
+    Scale shape: one distinct, then per level one groupBy on the
+    (p-1)-char prefix of ONLY the length-p cells — the shuffle operand
+    is the distinct cell set itself (tiny next to the data the cover
+    describes), shrinking every round; count(DISTINCT)==32 decides
+    compaction.  Driver loop depth = max precision (<= 12), each round
+    pure relational ops.  The reference builds covers but never
+    compacts them (GeoHash/geohash.cpp:171-214 emits raw 9-cell
+    blocks); this closes that gap Spark-side."""
+    from . import cache
+
+    cur = (cells.select(F.col(cell_col).alias("cell")).distinct()
+           .persist())
+    max_p = cur.agg(F.max(F.length("cell"))).first()[0] or 0
+    for p in range(max_p, min_precision, -1):
+        lvl = cur.where(F.length("cell") == p)
+        done = (cur.where(F.length("cell") != p))
+        parents = (lvl.groupBy(F.substring("cell", 1, p - 1).alias("parent"))
+                   .agg(F.count("*").alias("_n")))
+        full = parents.where(F.col("_n") == 32).select("parent")
+        survivors = (lvl.join(F.broadcast(full),
+                              F.substring("cell", 1, p - 1) == F.col("parent"),
+                              "left_anti"))
+        nxt = (done.unionByName(survivors)
+               .unionByName(full.select(F.col("parent").alias("cell")))
+               .persist())
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    out = cur.select("cell", F.length("cell").cast("int").alias("prec"))
+    return cache.track(out, [cur])
+
+
 def format_positions_json(df: DataFrame, key: str = "msisdn", lat: str = "lat",
                           lon: str = "lon", ts: str = "ts") -> DataFrame:
     """Compat JSON sink (main.cpp:29,345-382): rows formatted as

@@ -100,3 +100,52 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     out = (nodes.join(stars, "node", "left")
            .select("node", F.coalesce("_root", F.col("node")).alias("cluster_id")))
     return cache.track(out, [nodes])
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+             node_col: str = "node", src: str = "src", dst: str = "dst",
+             damping_pct: int = 85) -> DataFrame:
+    """Fixed-point integer PageRank: ``iters`` synchronous rounds of
+
+        r'(v) = (100 - d)% * 1e9 / n  +  d% * sum_{u->v} (r(u) DIV deg(u))
+
+    with EVERY operation in 64-bit integer arithmetic (ranks are
+    nano-units of probability mass, divisions are integer DIV, the
+    damping multiply happens before its divide).  Integer semantics
+    make the result exactly reproducible across engines and partition
+    orders — no float summation-order drift — which is what puts a
+    10-line-iterative graph algorithm under the exact SQL oracle gate
+    (q69).  Dangling mass (nodes with no out-edges) and DIV round-down
+    mass are deliberately dropped, so ranks sum to slightly under 1e9;
+    the ORDERING (what PageRank is used for) is the classic one.
+
+    Scale shape: the edge list is joined src-side to the rank table and
+    aggregated dst-side — one hash shuffle per round, the textbook
+    distributed PageRank plan.  Out-degrees are attached to the edges
+    ONCE up front (``ed`` is persisted and re-read every round, so the
+    join key partitioning is reused); ranks are localCheckpoint-ed per
+    round to truncate lineage (swap for checkpoint() on reliable
+    storage at cluster scale).  n comes from one count on the node
+    table.  The reference has no graph surface (its only adjacency is
+    the per-cell posting list, GeoHash/common.h:58-98)."""
+    nd = nodes.select(F.col(node_col).alias("node"))
+    n = nd.count()
+    deg = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("deg"))
+    ed = (edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+          .join(deg, "node")
+          .persist())
+    ed.count()
+    base = (100 - damping_pct) * 10**9 // (100 * n)
+    ranks = nd.withColumn("rank_nano", F.lit(10**9 // n).cast("long"))
+    for _ in range(iters):
+        sums = (ed.join(ranks, "node")
+                .select(F.col("_dst").alias("node"),
+                        F.expr("rank_nano DIV deg").alias("_c"))
+                .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (nd.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(base) +
+                          F.expr(f"({damping_pct} * coalesce(_s, 0)) DIV 100"))
+                         .cast("long").alias("rank_nano"))
+                 .localCheckpoint(eager=True))
+    return cache.track(ranks, [ed])

@@ -47,6 +47,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             .drop("_h", "_rn"))
 
 
+def chunk_dedup(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Corpus-wide chunk-level dedup (the C4/RefinedWeb *line dedup*
+    family, over fixed token windows because the synth corpus has no
+    newlines): split each document into non-overlapping ``n``-token
+    chunks, keep only the globally-FIRST occurrence of every distinct
+    chunk value (minimum ``(doc_id, idx)``, encoded as one BIGINT so
+    the argmin is a plain integer ``min``), and reassemble each
+    document from its surviving chunks.
+
+    Returns ``(doc_id, n_chunks, n_kept, clean_text)`` — one row per
+    input document; a document whose every chunk is boilerplate seen
+    earlier comes back with ``n_kept = 0`` and an empty string.
+
+    Scale shape: two shuffles, both the honest minimum for GLOBAL line
+    dedup — one hash-partition on the chunk value to find each chunk's
+    first occurrence (group sizes = duplication factor, tiny), one on
+    doc_id to reassemble.  Everything is built-in expressions; at
+    100 TB the chunk key would be ``xxhash64(chunk)`` instead of the
+    string (same plan shape, 8-byte shuffle key).
+
+    The reference has no text surface; this extends the corpus-dedup
+    family (exact_dedup, verified_near_dup_pairs) to sub-document
+    granularity."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    nch = F.ceil(F.size(w) / F.lit(n)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nch - 1),
+        lambda j: F.concat_ws(" ", F.slice(w, (j * n + 1).cast("int"), n)))
+    base = df.select(F.col(id_col), nch.alias("n_chunks"),
+                     F.posexplode(chunks).alias("idx", "chunk"))
+    # global first occurrence per chunk value; idx < 1e6 by construction
+    # (docs are << 5M tokens), so (doc_id, idx) packs into one BIGINT
+    pos = (F.col(id_col) * F.lit(1000000) + F.col("idx"))
+    occ = base.withColumn("_pos", pos)
+    firsts = occ.groupBy("chunk").agg(F.min("_pos").alias("_first"))
+    kept = (occ.join(firsts, "chunk")
+            .where(F.col("_pos") == F.col("_first")))
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.count("*").alias("n_kept"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                                lambda s: s["chunk"]), " ").alias("clean_text")))
+    out = (df.select(F.col(id_col), nch.alias("n_chunks"))
+           .join(reassembled, id_col, "left")
+           .select(id_col, "n_chunks",
+                   F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                   F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -547,3 +547,51 @@ def test_dbscan_antimeridian_and_pole(spark):
     cache.release(out)
     # both pairs are within 20 km (antimeridian ~2.2 km; polar ~11 km)
     assert rows == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# geohash cover compaction
+# ---------------------------------------------------------------------------
+
+
+def _gh_children(cell):
+    return [cell + c for c in "0123456789bcdefghjkmnpqrstuvwxyz"]
+
+
+def test_compact_cells_complete_sets_collapse(spark):
+    from geotile import cache
+    # u: all 32 children at p2, each with all 32 children at p3 -> "u"
+    # v: 31 of 32 children (vz missing) -> stays at p2 minus nothing
+    cells = []
+    for c2 in _gh_children("u"):
+        cells += _gh_children(c2)
+    cells += _gh_children("v")[:-1]
+    df = spark.createDataFrame([(c,) for c in cells], "cell string")
+    out = engine.compact_cells(df, "cell")
+    got = sorted((r["cell"], r["prec"]) for r in out.collect())
+    cache.release(out)
+    assert ("u", 1) in got
+    assert all(not c.startswith("u") or c == "u" for c, _ in got)
+    v_cells = [c for c, _ in got if c.startswith("v")]
+    assert len(v_cells) == 31 and all(len(c) == 2 for c in v_cells)
+
+
+def test_compact_cells_min_precision_floor(spark):
+    from geotile import cache
+    df = spark.createDataFrame([(c,) for c in _gh_children("u")], "cell string")
+    out = engine.compact_cells(df, "cell", min_precision=2)
+    got = sorted(r["cell"] for r in out.collect())
+    cache.release(out)
+    # would compact to "u" but the floor stops the 2->1 round
+    assert got == sorted(_gh_children("u"))
+
+
+def test_compact_cells_mixed_precision_input(spark):
+    from geotile import cache
+    # duplicates + an already-compact parent alongside its children's level
+    cells = [("w",), ("w",)] + [(c,) for c in _gh_children("x")]
+    df = spark.createDataFrame(cells, "cell string")
+    out = engine.compact_cells(df, "cell")
+    got = sorted((r["cell"], r["prec"]) for r in out.collect())
+    cache.release(out)
+    assert got == [("w", 1), ("x", 1)]

@@ -68,3 +68,45 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i + 1, i) for i in range(10)], "a long, b long")
     with pytest.raises(RuntimeError):
         graph.connected_components(df, max_iter=2)
+
+
+def _pr_local(n, edges, iters=5, damping_pct=85):
+    """Pure-Python integer PageRank oracle (same fixed-point rules)."""
+    from collections import defaultdict
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    base = (100 - damping_pct) * 10**9 // (100 * n)
+    r = {v: 10**9 // n for v in range(n)}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: base + damping_pct * s.get(v, 0) // 100 for v in range(n)}
+    return r
+
+
+def test_pagerank_matches_local_fixed_point(spark):
+    rng = random.Random(11)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [e for e in edges if e[0] != e[1]]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.pagerank(nodes, edf, iters=5)
+    got = {r["node"]: r["rank_nano"] for r in out.collect()}
+    cache.release(out)
+    assert got == _pr_local(n, edges)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # everyone links to node 0; node 0 links to 1
+    n = 8
+    edges = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.pagerank(nodes, edf, iters=5)
+    got = {r["node"]: r["rank_nano"] for r in out.collect()}
+    cache.release(out)
+    assert max(got, key=got.get) == 0
+    assert got[1] > got[2] == got[3]

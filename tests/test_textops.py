@@ -397,3 +397,42 @@ def test_repetition_features_flags_repetitive_doc(spark):
     # doc 2: all distinct -> everything zero, kept
     assert rows[2] == {"doc_id": 2, "n_words": 8, "dup2_nano": 0,
                        "dup3_nano": 0, "topw_nano": 125000000, "keep": 1}
+
+
+# ---------------------------------------------------------------------------
+# chunk-level global dedup
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_keeps_first_occurrence_only(spark):
+    rows = [
+        (0, "a b c d e f g h"),          # chunks: "a b c d e", "f g h"
+        (1, "a b c d e x y"),            # first chunk duplicates doc 0
+        (2, "f g h q r s t u v w"),      # no 5-token chunk collision
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.chunk_dedup(df, n=5).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    # doc 1 loses its first chunk (doc 0 owns it), keeps the tail
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "x y"
+    assert out[2]["n_kept"] == 2
+    assert out[2]["clean_text"] == "f g h q r s t u v w"
+
+
+def test_chunk_dedup_fully_duplicated_doc_empties(spark):
+    rows = [(0, "p q r s t"), (1, "p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.chunk_dedup(df, n=5).collect()}
+    assert out[0]["clean_text"] == "p q r s t"
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    # the same chunk twice in ONE doc: second occurrence dropped
+    df = spark.createDataFrame([(5, "m n o p q m n o p q")],
+                               "doc_id long, text string")
+    r = textops.chunk_dedup(df, n=5).collect()[0]
+    assert r["n_chunks"] == 2 and r["n_kept"] == 1
+    assert r["clean_text"] == "m n o p q"

@@ -1489,6 +1489,34 @@ def _q70_compact_cells(spark: SparkSession, sf: str) -> DataFrame:
     return engine.compact_cells(leaves, "cell", min_precision=2).orderBy("cell")
 
 
+def _q71_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (graph.bfs_hops, 6 rounds max) over the same
+    xxhash64-synthesized link graph as q69: hop distance from the seed
+    set ``doc_id % 1000 == 0`` to every page reachable within 6 clicks
+    (crawl-frontier / seed-expansion shape).  Exact integer hop counts
+    put frontier iteration under the SQL gate; the oracle is a DuckDB
+    recursive CTE over the identical HUGEINT xxhash64 edge replica,
+    min(hops) per node."""
+    from geotile import graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    seeds = docs.where(F.col("doc_id") % 1000 == 0) \
+                .select(F.col("doc_id").alias("node"))
+    out = graph.bfs_hops(edges, seeds, max_hops=6)
+    return (out.select(F.col("node").alias("doc_id"),
+                       F.col("hops").cast("int").alias("hops"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1561,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_chunk_dedup": _q68_chunk_dedup,
         "q69_pagerank": _q69_pagerank,
         "q70_compact_cells": _q70_compact_cells,
+        "q71_bfs_hops": _q71_bfs_hops,
     }
 
 
@@ -3004,6 +3033,34 @@ after3 AS (
   UNION ALL SELECT parent FROM p3
 )
 SELECT cell, CAST(length(cell) AS INTEGER) AS prec FROM after3 ORDER BY cell
+"""
+
+    # q71: multi-source BFS over the q69 link graph — recursive CTE
+    # floods (node, hops) rows outward from the seed set (bounded by the
+    # hop cap), min(hops) per node is the BFS distance
+    bfs_sig = _signed64_sql("xh")
+    sqls["q71_bfs_hops"] = f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+l71 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l71", "z0", "xh", "x71")},
+e71a AS (
+  SELECT doc_id AS src, ((({bfs_sig} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x71f CROSS JOIN nn
+),
+e71 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e71a WHERE dst <> src),
+reach71 AS (
+  SELECT CAST(doc_id AS HUGEINT) AS node, 0 AS hops
+  FROM documents WHERE doc_id % 1000 = 0
+  UNION
+  SELECT e.dst AS node, r.hops + 1 AS hops
+  FROM reach71 r JOIN e71 e ON e.src = r.node
+  WHERE r.hops < 6
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(hops) AS INTEGER) AS hops
+FROM reach71 GROUP BY node ORDER BY doc_id
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

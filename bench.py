@@ -68,7 +68,7 @@ def main() -> None:
         "q60_route_proximity_gc", "q61_dedup_clusters", "q62_dbscan",
         "q63_bm25_topk", "q64_repetition_filter", "q65_stream_interval_join",
         "q66_window_suite", "q67_grouping_sets", "q68_chunk_dedup",
-        "q69_pagerank", "q70_compact_cells",
+        "q69_pagerank", "q70_compact_cells", "q71_bfs_hops",
     ]
     from geotile import cache, textops
 

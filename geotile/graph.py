@@ -149,3 +149,42 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                          .cast("long").alias("rank_nano"))
                  .localCheckpoint(eager=True))
     return cache.track(ranks, [ed])
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 15,
+             src: str = "src", dst: str = "dst",
+             source_col: str = "node") -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest source along
+    directed edges.  Returns ``(node, hops)`` for every REACHED node
+    (sources at 0); unreached nodes are absent — at web scale the
+    reached set (e.g. pages within k clicks of a seed list) is the
+    product, and emitting the unreached complement would be a full
+    corpus scan for rows that carry no information.
+
+    Scale shape: frontier-style Pregel iteration — each round joins
+    the CURRENT frontier (new nodes only, never the full visited set)
+    against the persisted edge list, then anti-joins the visited set
+    to keep first-reach rows.  Shuffle per round is proportional to
+    the frontier's out-edge count, the distributed-BFS minimum; round
+    count is the graph diameter capped at ``max_hops``.  Lineage is
+    truncated per round (localCheckpoint -> checkpoint() on a real
+    cluster).  Hop counts are exact integers: deterministic across
+    engines and partition orders (q71 gate)."""
+    ed = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .persist())
+    ed.count()
+    dist = (sources.select(F.col(source_col).alias("node")).distinct()
+            .withColumn("hops", F.lit(0))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for d in range(1, max_hops + 1):
+        cand = (frontier.join(ed, frontier["node"] == ed["u"])
+                .select(F.col("v").alias("node")).distinct())
+        new = (cand.join(dist, "node", "left_anti")
+               .withColumn("hops", F.lit(d))
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return cache.track(dist, [ed])

@@ -207,6 +207,24 @@ def main() -> None:
         "repetition_features: pure array expressions — map-only, ZERO Exchange, "
         "zero Python"))
 
+    # multi-source BFS (graph.bfs_hops's loop is eager — audit ONE
+    # round's shape: the SMALL frontier joins the persisted edge list,
+    # then hash anti-joins the visited set; shuffle volume tracks the
+    # frontier's out-edges, never the full corpus)
+    ed_bfs = facts.select(F.col("ep").alias("u"),
+                          (F.col("ep") * 7 % 100000).alias("v"))
+    frontier = facts.select(F.col("ep").alias("node")).limit(64)
+    dist_b = frontier.withColumn("hops", F.lit(0))
+    bfs_round = (frontier.join(ed_bfs, frontier["node"] == ed_bfs["u"])
+                 .select(F.col("v").alias("node")).distinct()
+                 .join(dist_b, "node", "left_anti")
+                 .withColumn("hops", F.lit(1)))
+    sections.append(summarize(
+        bfs_round,
+        "bfs_hops (one round): frontier-sized join against the persisted edge "
+        "list + anti-join on the visited set — per-round shuffle bounded by the "
+        "frontier's out-edge count, never the corpus"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

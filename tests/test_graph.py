@@ -99,6 +99,67 @@ def test_pagerank_matches_local_fixed_point(spark):
     assert got == _pr_local(n, edges)
 
 
+def _bfs_local(edges, sources, max_hops):
+    """Pure-Python multi-source BFS oracle."""
+    from collections import defaultdict, deque
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _run_bfs(spark, edges, sources, max_hops):
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sources], "node long")
+    out = graph.bfs_hops(edf, sdf, max_hops=max_hops)
+    rows = {r["node"]: r["hops"] for r in out.collect()}
+    cache.release(out)
+    return rows
+
+
+def test_bfs_chain_directed_cap(spark):
+    # directed chain 0->1->2->3->4, seed {0}, cap 2: nodes 3,4 unreached
+    edges = [(i, i + 1) for i in range(4)]
+    assert _run_bfs(spark, edges, [0], 2) == {0: 0, 1: 1, 2: 2}
+    # edges point away from 4, so seeding at 4 reaches nothing new
+    assert _run_bfs(spark, edges, [4], 3) == {4: 0}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    # chain 0->1->2->3->4->5 with seeds {0, 4}: node 5 is 1 hop (via 4)
+    edges = [(i, i + 1) for i in range(5)]
+    got = _run_bfs(spark, edges, [0, 4], 10)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 1}
+
+
+def test_bfs_cycle_terminates_before_cap(spark):
+    # 4-cycle: BFS must stop when the frontier empties, not at the cap
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _run_bfs(spark, edges, [0], 15) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_matches_local_on_random_graphs(spark):
+    rng = random.Random(13)
+    for _ in range(3):
+        n = 50
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(90)})
+        edges = [e for e in edges if e[0] != e[1]]
+        sources = [0, 17]
+        expect = _bfs_local(edges, sources, 4)
+        assert _run_bfs(spark, edges, sources, 4) == expect
+
+
 def test_pagerank_sink_heavy_node_ranks_highest(spark):
     # everyone links to node 0; node 0 links to 1
     n = 8

@@ -1517,6 +1517,40 @@ def _q71_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q72_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source curation quota (textops.source_quota): keep the 20
+    best documents per source by exact nano-unit quality score
+    (stopword richness minus punctuation noise), doc-id tie-breaks —
+    the C4/RefinedWeb-style domain cap that stops any one host from
+    dominating a training mix."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.source_quota(docs, quota=20).orderBy("source", "rank")
+
+
+def _q73_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining (textops.collocations): top-50
+    adjacent token pairs by exact integer lift (monotone in PMI,
+    DECIMAL(38,0) DIV — no cross-engine libm in the gate), pair count
+    floor 5."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.collocations(docs, min_count=5, k=50)
+
+
+def _q74_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch mergeability under the exact gate: per-source partial KMV
+    sketches (textops.kmv_sketch_rows) re-minned into ONE corpus-level
+    estimate (textops.kmv_merge).  The oracle computes the global min-k
+    directly from the raw corpus, so the gate proves merge(partials) ==
+    sketch(whole) — the associativity that lets per-partition/per-day
+    sketches combine at 100 TB without re-reading raw text."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sk = textops.kmv_sketch_rows(docs, group="source", k=256)
+    out = textops.kmv_merge(sk, k=256)
+    return out.select(F.coalesce("kth_hash", F.lit(-1)).alias("kth_hash"),
+                      "n_in_sketch",
+                      F.round("est_distinct", 4).alias("est_distinct"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1590,6 +1624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_pagerank": _q69_pagerank,
         "q70_compact_cells": _q70_compact_cells,
         "q71_bfs_hops": _q71_bfs_hops,
+        "q72_source_quota": _q72_source_quota,
+        "q73_collocations": _q73_collocations,
+        "q74_kmv_merge": _q74_kmv_merge,
     }
 
 
@@ -3061,6 +3098,91 @@ reach71 AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(hops) AS INTEGER) AS hops
 FROM reach71 GROUP BY node ORDER BY doc_id
+"""
+
+    # q72: the q13 quality-feature replica scored per DOC (nano-unit
+    # stopword minus punctuation), per-source rank with doc-id ties
+    sqls["q72_source_quota"] = r"""
+WITH f72 AS (
+  SELECT source, doc_id,
+         CAST(floor(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) * 1e9 + 0.5) AS BIGINT)
+         - CAST(floor(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) * 1e9 + 0.5) AS BIGINT) AS score_nano
+  FROM documents
+),
+r72 AS (
+  SELECT source, doc_id, score_nano,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY score_nano DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM f72
+)
+SELECT source, doc_id, score_nano, rank FROM r72
+WHERE rank <= 20 ORDER BY source, rank
+"""
+
+    # q73: bigram lift in HUGEINT (the Spark side computes the same
+    # integer DIV in DECIMAL(38,0)) — top-50 pairs, count floor 5
+    sqls["q73_collocations"] = r"""
+WITH t73 AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+uni73 AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM t73) GROUP BY tok
+),
+big73 AS (
+  SELECT s.x AS x, s.y AS y FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> {'x': w[i], 'y': w[i + 1]})) AS s
+    FROM t73 WHERE len(w) >= 2)
+),
+tot73 AS (
+  SELECT (SELECT sum(c) FROM uni73) AS nu, (SELECT count(*) FROM big73) AS nb
+),
+cnt73 AS (
+  SELECT x, y, count(*) AS c_xy FROM big73 GROUP BY x, y HAVING count(*) >= 5
+)
+SELECT r.x, r.y, r.c_xy,
+       CAST((CAST(r.c_xy AS HUGEINT) * t.nu * t.nu * 1000000000)
+            // (CAST(t.nb AS HUGEINT) * cx.c * cy.c) AS BIGINT) AS lift_nano
+FROM cnt73 r
+JOIN uni73 cx ON cx.tok = r.x
+JOIN uni73 cy ON cy.tok = r.y
+CROSS JOIN tot73 t
+ORDER BY lift_nano DESC, r.x, r.y LIMIT 50
+"""
+
+    # q74: corpus-level KMV — the oracle takes the global min-k straight
+    # from the raw corpus (same Horner+splitmix replica as q47), which
+    # is exactly what merging the per-source partial sketches yields
+    sqls["q74_kmv_merge"] = f"""
+WITH mtoks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+mtokh AS (
+  SELECT list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM mtoks
+),
+{_splitmix_cte_sql("mtokh", "h0", "hu", "mg")},
+mdh AS (SELECT DISTINCT hu FROM mgd),
+mranked AS (
+  SELECT hu, row_number() OVER (ORDER BY hu ASC) AS rn FROM mdh
+),
+magg AS (
+  SELECT max(CASE WHEN rn = 256 THEN hu END) AS kth_hu,
+         count(*) AS n_in_sketch
+  FROM mranked WHERE rn <= 256
+)
+SELECT CAST(coalesce({_signed64_sql("kth_hu")}, -1) AS BIGINT) AS kth_hash,
+       n_in_sketch,
+       round(CASE WHEN kth_hu IS NULL THEN CAST(n_in_sketch AS DOUBLE)
+                  ELSE 255.0 / ((CAST(kth_hu - 9223372036854775808 AS DOUBLE)
+                                 + 9223372036854775808.0) / 18446744073709551616.0)
+             END, 4) AS est_distinct
+FROM magg
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

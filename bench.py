@@ -69,6 +69,7 @@ def main() -> None:
         "q63_bm25_topk", "q64_repetition_filter", "q65_stream_interval_join",
         "q66_window_suite", "q67_grouping_sets", "q68_chunk_dedup",
         "q69_pagerank", "q70_compact_cells", "q71_bfs_hops",
+        "q72_source_quota", "q73_collocations", "q74_kmv_merge",
     ]
     from geotile import cache, textops
 

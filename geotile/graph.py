@@ -173,10 +173,14 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 15,
     ed = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .persist())
     ed.count()
-    dist = (sources.select(F.col(source_col).alias("node")).distinct()
-            .withColumn("hops", F.lit(0))
-            .localCheckpoint(eager=True))
-    frontier = dist
+    frontier = (sources.select(F.col(source_col).alias("node")).distinct()
+                .withColumn("hops", F.lit(0))
+                .localCheckpoint(eager=True))
+    # the visited set is re-checkpointed per round: one compact frame
+    # broadcasts into the anti-join cheaper than a lazy union of all
+    # prior frontiers (measured — the union variant re-evaluates and
+    # re-broadcasts every frame every round)
+    dist = frontier
     for d in range(1, max_hops + 1):
         cand = (frontier.join(ed, frontier["node"] == ed["u"])
                 .select(F.col("v").alias("node")).distinct())

@@ -854,3 +854,116 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
             (F.col("dup3_nano") <= int(dup3_max * 1e9)) &
             (F.col("topw_nano") <= int(topw_max * 1e9))).cast("int")
     return out.withColumn("keep", keep)
+
+
+def source_quota(df: DataFrame, quota: int = 10, group: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source curation quota (C4/RefinedWeb-style domain cap): keep
+    at most ``quota`` documents per source, ranked by an exact integer
+    quality score — nano-unit stopword richness minus punctuation noise
+    (the same floor(x*1e9+0.5) features the q13 gate replicates), ties
+    broken by doc id.  Caps boilerplate-heavy hosts so no single domain
+    dominates a training mix.
+
+    Scale shape: one narrow map pass computes the score, one hash
+    shuffle on the group key, a windowed row_number keeps the top rows;
+    per-group work is bounded by the host's own doc count (a
+    pathological single host can be pre-thinned with a two-level
+    top-k).  Integer scoring makes the selection deterministic across
+    engines and partition orders (q72 gate)."""
+    qf = quality_features(df, text_col)
+    score = (F.floor(F.col("stopword_ratio") * F.lit(1e9) + F.lit(0.5))
+             - F.floor(F.col("punct_ratio") * F.lit(1e9) + F.lit(0.5))).cast("long")
+    scored = qf.withColumn("score_nano", score)
+    w = Window.partitionBy(group).orderBy(F.col("score_nano").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= quota)
+            .select(group, id_col, "score_nano", "rank"))
+
+
+def collocations(df: DataFrame, text_col: str = "text", min_count: int = 5,
+                 k: int = 50) -> DataFrame:
+    """Bigram collocation mining (word2vec-style phrase detection):
+    lift(x, y) = P(xy) / (P(x) P(y)) over adjacent token pairs, emitted
+    as the exact integer ``lift_nano = (c_xy * nu^2 * 1e9) DIV
+    (nb * c_x * c_y)`` in DECIMAL(38,0) arithmetic — monotone in PMI
+    (= log lift), but log itself would put cross-engine libm rounding
+    inside the gate.  Returns the top ``k`` pairs with pair count >=
+    ``min_count``, ordered (lift desc, x, y).
+
+    Scale shape: the bigram explode is linear in corpus tokens; two
+    partially-aggregated shuffles (pair counts, unigram counts); the
+    unigram table is vocabulary-sized and broadcast to both join sides;
+    top-k is a TakeOrdered, never a global sort.  The two corpus totals
+    are scalar aggregates.  DECIMAL(38,0) headroom: nu^2 * 1e9 * c_xy
+    must stay under 1e38 — beyond ~1e12 total tokens, drop the nano
+    scale (micro-units) or downscale nu on both sides of the DIV."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(toks.alias("w"))
+    uni = (t.select(F.explode("w").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c"))
+           .persist())
+    nu = uni.agg(F.sum("c")).first()[0]
+    pairs = (t.where(F.size("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(0, size(w) - 2),"
+                 " i -> struct(w[i] AS x, w[i + 1] AS y))")).alias("p"))
+             .select("p.x", "p.y"))
+    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy")).persist()
+    nb = big.agg(F.sum("c_xy")).first()[0]
+    lift = F.expr(
+        f"CAST((CAST(c_xy AS DECIMAL(38,0)) * {nu} * {nu} * 1000000000)"
+        f" DIV (CAST({nb} AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)")
+    res = (big.where(F.col("c_xy") >= min_count)
+           .join(F.broadcast(uni.select(F.col("tok").alias("x"),
+                                        F.col("c").alias("c_x"))), "x")
+           .join(F.broadcast(uni.select(F.col("tok").alias("y"),
+                                        F.col("c").alias("c_y"))), "y")
+           .withColumn("lift_nano", lift)
+           .orderBy(F.col("lift_nano").desc(), "x", "y").limit(k)
+           .select("x", "y", "c_xy", "lift_nano"))
+    from . import cache
+    return cache.track(res, [uni, big])
+
+
+def kmv_sketch_rows(df: DataFrame, group: str = "source",
+                    text_col: str = "text", k: int = 256) -> DataFrame:
+    """Partial KMV sketch in its MERGEABLE row form: the k smallest
+    distinct token hashes per group, one ``(group, h)`` row each (the
+    same Horner+splitmix hashes as kmv_distinct, unsigned order).  This
+    is the representation partial sketches ship in at corpus scale —
+    per-partition / per-day sketches are just rows, and re-minning a
+    union of them is exact (see kmv_merge)."""
+    ex = (df.select(F.col(group),
+                    F.explode(token_hash_udf()(F.col(text_col))).alias("h"))
+          .dropDuplicates([group, "h"]))
+    ub = F.col("h").bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy(group).orderBy(ub.asc())
+    return (ex.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Merge partial KMV sketches (rows of ``h`` from kmv_sketch_rows)
+    into one corpus-level estimate: distinct the union, re-min to the
+    global k smallest, apply the same (k-1)/kth-minimum estimator as
+    kmv_distinct.  EXACT merge, not approximate-on-approximate: every
+    hash among the global k smallest is necessarily among its own
+    group's k smallest, so the union always contains the true global
+    min-k — the associativity that lets sketches combine across
+    partitions, days, or clusters without touching raw data again.
+    Input is at most k * n_groups rows, so the single-partition
+    ranking window is a few KB by construction."""
+    dh = sketches.select("h").distinct()
+    ub = F.col("h").bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.orderBy(ub.asc())
+    topk = dh.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = topk.agg(
+        F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("kth_hash"),
+        F.count("*").alias("n_in_sketch"))
+    kth_ub = F.col("kth_hash").bitwiseXOR(F.lit(-(1 << 63)))
+    norm = (kth_ub.cast("double") + F.lit(float(1 << 63))) / F.lit(float(1 << 64))
+    est = F.when(F.col("kth_hash").isNull(), F.col("n_in_sketch").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / norm)
+    return agg.withColumn("est_distinct", est)

@@ -207,6 +207,20 @@ def main() -> None:
         "repetition_features: pure array expressions — map-only, ZERO Exchange, "
         "zero Python"))
 
+    docs_src = docs_tbl.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")))
+    sections.append(summarize(
+        textops.source_quota(docs_src, quota=5),
+        "source_quota: integer quality score in the map pass, ONE hash shuffle "
+        "on the host key, windowed top-N — pruned scan reads only "
+        "(doc_id, text, source)"))
+
+    sections.append(summarize(
+        textops.collocations(docs_tbl, min_count=2, k=20),
+        "collocations: linear bigram explode, two partial-agg shuffles, "
+        "vocabulary-sized unigram table BROADCAST to both join sides, "
+        "TakeOrdered top-k (never a global sort), zero Python"))
+
     # multi-source BFS (graph.bfs_hops's loop is eager — audit ONE
     # round's shape: the SMALL frontier joins the persisted edge list,
     # then hash anti-joins the visited set; shuffle volume tracks the

@@ -436,3 +436,68 @@ def test_chunk_dedup_within_doc_repeat(spark):
     r = textops.chunk_dedup(df, n=5).collect()[0]
     assert r["n_chunks"] == 2 and r["n_kept"] == 1
     assert r["clean_text"] == "m n o p q"
+
+
+def test_source_quota_caps_and_ranks(spark, docs):
+    """Quota respected per source; ranks are 1..min(quota, group size);
+    selection = the quota best by (score desc, doc_id) ground truth."""
+    out = textops.source_quota(docs, quota=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    qf = textops.quality_features(docs)
+    truth = qf.select(
+        "source", "doc_id",
+        (F.floor(F.col("stopword_ratio") * 1e9 + F.lit(0.5))
+         - F.floor(F.col("punct_ratio") * 1e9 + F.lit(0.5)))
+        .cast("long").alias("s")).collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r["source"], []).append((-r["s"], r["doc_id"]))
+    for src, rows in by_src.items():
+        assert len(rows) <= 5
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        top = [d for _, d in sorted(want[src])[:5]]
+        assert sorted(r["doc_id"] for r in rows) == sorted(top)
+
+
+def test_collocations_matches_local_counts(spark):
+    """Tiny corpus with a planted collocation: counts and integer lift
+    match a pure-Python computation."""
+    texts = ["new york is big", "i love new york", "new york new york",
+             "york new haven", "big is big"] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = textops.collocations(df, min_count=2, k=10).collect()
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for t in texts:
+        w = t.split()
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    want = []
+    for (x, y), c in big.items():
+        if c >= 2:
+            want.append((x, y, c, c * nu * nu * 10**9 // (nb * uni[x] * uni[y])))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    got = [(r["x"], r["y"], r["c_xy"], r["lift_nano"]) for r in out]
+    assert got == want[:10]
+    # the planted bigram survives the count floor and ranks above its
+    # reversal (PMI-style lift rewards rare exclusive pairs like
+    # "i love" even more — that's correct)
+    pairs = [g[:2] for g in got]
+    assert ("new", "york") in pairs
+    assert pairs.index(("new", "york")) < pairs.index(("york", "new"))
+
+
+def test_kmv_merge_equals_direct_global_sketch(spark, docs):
+    """Mergeability: re-minning per-source partial sketches reproduces
+    the sketch computed directly over the whole corpus."""
+    sk = textops.kmv_sketch_rows(docs, group="source", k=128)
+    merged = textops.kmv_merge(sk, k=128).collect()[0]
+    direct = (textops.kmv_distinct(
+        docs.withColumn("_g", F.lit("all")), group="_g", k=128)
+        .collect()[0])
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["n_in_sketch"] == direct["n_in_sketch"]
+    assert merged["est_distinct"] == direct["est_distinct"]

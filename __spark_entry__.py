@@ -1551,6 +1551,19 @@ def _q74_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
                       F.round("est_distinct", 4).alias("est_distinct"))
 
 
+def _q75_cell_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo-stratified deterministic sample (engine.cell_stratified_
+    sample): at most 5 positions per gh3 cell, picked by xxhash64
+    event-id order — downweights dense urban cells for a
+    geographically balanced training mix.  The oracle replays the gh5
+    closed form, the HUGEINT xxhash64 replica, and the same per-cell
+    rank."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    out = engine.cell_stratified_sample(pos, per_cell=5, nchars=3,
+                                        key_col="event_id")
+    return out.select("cell", "event_id", "rank").orderBy("cell", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1627,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_source_quota": _q72_source_quota,
         "q73_collocations": _q73_collocations,
         "q74_kmv_merge": _q74_kmv_merge,
+        "q75_cell_sample": _q75_cell_sample,
     }
 
 
@@ -3183,6 +3197,27 @@ SELECT CAST(coalesce({_signed64_sql("kth_hu")}, -1) AS BIGINT) AS kth_hash,
                                  + 9223372036854775808.0) / 18446744073709551616.0)
              END, 4) AS est_distinct
 FROM magg
+"""
+
+    # q75: gh3 stratified sample — gh5 closed form + xxhash64 HUGEINT
+    # replica on event_id, per-cell signed-order rank, keep <= 5
+    s75_sig = _signed64_sql("xh")
+    sqls["q75_cell_sample"] = f"""
+WITH {_POS_CTE},
+g75 AS (
+  SELECT event_id, substr({gh5}, 1, 3) AS cell,
+         CAST(event_id AS HUGEINT) AS z0
+  FROM pos
+),
+{_xxhash64_cte_sql("g75", "z0", "xh", "s75")},
+r75 AS (
+  SELECT cell, event_id,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY {s75_sig} ASC, event_id ASC)
+              AS INTEGER) AS rank
+  FROM s75f
+)
+SELECT cell, event_id, rank FROM r75 WHERE rank <= 5 ORDER BY cell, rank
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -1078,6 +1078,31 @@ def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16
     return level1.groupBy(cell_col).agg(F.sum("_c").alias("n"))
 
 
+def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
+                           key_col: str = "event_id",
+                           cell_col: str = "geohash") -> DataFrame:
+    """Geo-stratified deterministic sample: keep at most ``per_cell``
+    rows per geohash-prefix cell, picked by xxhash64 key order (key
+    tie-break) — the geographic analog of textops.source_quota's
+    domain cap.  Hash order makes the pick uniform WITHIN a cell
+    (value order would bias toward low keys) while downweighting dense
+    urban cells, the standard recipe for a geographically balanced
+    training mix over web-scale check-in / mention data.
+
+    Scale shape: one hash shuffle on the cell prefix + a windowed
+    row_number; per-cell work is bounded by that cell's row count (the
+    hottest city cell is the skew unit — pre-thin with a salted
+    two-level top-k if one cell dominates).  Native xxhash64, no
+    Python; exact integer ranks make the selection deterministic
+    across engines and partition orders (q75 gate)."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(cell).orderBy(F.xxhash64(F.col(key_col)).asc(),
+                                         F.col(key_col).asc())
+    return (df.withColumn("cell", cell)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= per_cell))
+
+
 def compact_cells(cells: DataFrame, cell_col: str = "cell",
                   min_precision: int = 1) -> DataFrame:
     """Geohash cover compaction (the index-maintenance dual of cover

@@ -595,3 +595,26 @@ def test_compact_cells_mixed_precision_input(spark):
     got = sorted((r["cell"], r["prec"]) for r in out.collect())
     cache.release(out)
     assert got == [("w", 1), ("x", 1)]
+
+
+# geo-stratified sampling
+
+def test_cell_stratified_sample_matches_brute_force(spark):
+    import random
+    rng = random.Random(23)
+    rows = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170)) for i in range(400)]
+    df = engine.with_cell(spark.createDataFrame(rows, "event_id long, lat double, lon double"))
+    out = engine.cell_stratified_sample(df, per_cell=3, nchars=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["cell"], []).append((r["rank"], r["event_id"]))
+    # brute force: per gh2 cell, 3 smallest by (xxhash64(event_id), event_id)
+    hashed = df.select(F.substring("geohash", 1, 2).alias("cell"), "event_id",
+                       F.xxhash64("event_id").alias("h")).collect()
+    want = {}
+    for r in hashed:
+        want.setdefault(r["cell"], []).append((r["h"], r["event_id"]))
+    for cell, lst in want.items():
+        top = [e for _, e in sorted(lst)[:3]]
+        assert [e for _, e in sorted(got[cell])] == top
+        assert sorted(r for r, _ in got[cell]) == list(range(1, len(top) + 1))

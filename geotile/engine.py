@@ -1080,7 +1080,8 @@ def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16
 
 def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
                            key_col: str = "event_id",
-                           cell_col: str = "geohash") -> DataFrame:
+                           cell_col: str = "geohash",
+                           salt_mod: int = 0) -> DataFrame:
     """Geo-stratified deterministic sample: keep at most ``per_cell``
     rows per geohash-prefix cell, picked by xxhash64 key order (key
     tie-break) — the geographic analog of textops.source_quota's
@@ -1090,17 +1091,19 @@ def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
     training mix over web-scale check-in / mention data.
 
     Scale shape: one hash shuffle on the cell prefix + a windowed
-    row_number; per-cell work is bounded by that cell's row count (the
-    hottest city cell is the skew unit — pre-thin with a salted
-    two-level top-k if one cell dominates).  Native xxhash64, no
+    row_number; per-cell work is bounded by that cell's row count —
+    when one mega-city cell can exceed an executor's sort budget, pass
+    ``salt_mod`` to pre-thin via the salted two-level top-N
+    (skew.salted_topn, bit-identical results).  Native xxhash64, no
     Python; exact integer ranks make the selection deterministic
     across engines and partition orders (q75 gate)."""
+    from . import skew
+
     cell = F.substring(F.col(cell_col), 1, nchars)
-    w = Window.partitionBy(cell).orderBy(F.xxhash64(F.col(key_col)).asc(),
-                                         F.col(key_col).asc())
-    return (df.withColumn("cell", cell)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= per_cell))
+    return skew.salted_topn(
+        df.withColumn("cell", cell), ["cell"],
+        [F.xxhash64(F.col(key_col)).asc(), F.col(key_col).asc()],
+        [F.col(key_col)], per_cell, salt_mod=salt_mod)
 
 
 def compact_cells(cells: DataFrame, cell_col: str = "cell",

@@ -857,7 +857,8 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
 
 
 def source_quota(df: DataFrame, quota: int = 10, group: str = "source",
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 salt_mod: int = 0) -> DataFrame:
     """Per-source curation quota (C4/RefinedWeb-style domain cap): keep
     at most ``quota`` documents per source, ranked by an exact integer
     quality score — nano-unit stopword richness minus punctuation noise
@@ -867,19 +868,22 @@ def source_quota(df: DataFrame, quota: int = 10, group: str = "source",
 
     Scale shape: one narrow map pass computes the score, one hash
     shuffle on the group key, a windowed row_number keeps the top rows;
-    per-group work is bounded by the host's own doc count (a
-    pathological single host can be pre-thinned with a two-level
-    top-k).  Integer scoring makes the selection deterministic across
-    engines and partition orders (q72 gate)."""
+    per-group work is bounded by the host's own doc count — for a
+    pathological single host pass ``salt_mod`` to pre-thin via the
+    salted two-level top-N (skew.salted_topn, bit-identical results).
+    Integer scoring makes the selection deterministic across engines
+    and partition orders (q72 gate)."""
+    from . import skew
+
     qf = quality_features(df, text_col)
     score = (F.floor(F.col("stopword_ratio") * F.lit(1e9) + F.lit(0.5))
              - F.floor(F.col("punct_ratio") * F.lit(1e9) + F.lit(0.5))).cast("long")
     scored = qf.withColumn("score_nano", score)
-    w = Window.partitionBy(group).orderBy(F.col("score_nano").desc(),
-                                          F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= quota)
-            .select(group, id_col, "score_nano", "rank"))
+    return skew.salted_topn(
+        scored, [group],
+        [F.col("score_nano").desc(), F.col(id_col).asc()],
+        [F.col(id_col)], quota, salt_mod=salt_mod) \
+        .select(group, id_col, "score_nano", "rank")
 
 
 def collocations(df: DataFrame, text_col: str = "text", min_count: int = 5,

@@ -618,3 +618,16 @@ def test_cell_stratified_sample_matches_brute_force(spark):
         top = [e for _, e in sorted(lst)[:3]]
         assert [e for _, e in sorted(got[cell])] == top
         assert sorted(r for r, _ in got[cell]) == list(range(1, len(top) + 1))
+
+
+def test_salted_topn_identical_results(spark):
+    """Two-level salted pre-thin returns EXACTLY the plain window's
+    rows and ranks, including on a group holding 90% of all rows."""
+    from geotile import skew
+    rows = [(i, "hot" if i % 10 else f"g{i % 7}", (i * 37) % 1000)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    base = skew.salted_topn(df, ["g"], order, [F.col("id")], 10, salt_mod=0)
+    salted = skew.salted_topn(df, ["g"], order, [F.col("id")], 10, salt_mod=8)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, salted.collect()))

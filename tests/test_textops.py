@@ -501,3 +501,10 @@ def test_kmv_merge_equals_direct_global_sketch(spark, docs):
     assert merged["kth_hash"] == direct["kth_hash"]
     assert merged["n_in_sketch"] == direct["n_in_sketch"]
     assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_source_quota_salted_pre_thin_identical(spark, docs):
+    plain = sorted(map(tuple, textops.source_quota(docs, quota=7).collect()))
+    salted = sorted(map(tuple,
+                        textops.source_quota(docs, quota=7, salt_mod=4).collect()))
+    assert plain == salted

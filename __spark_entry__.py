@@ -1564,6 +1564,32 @@ def _q75_cell_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cell", "event_id", "rank").orderBy("cell", "rank")
 
 
+def _q76_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily cohort retention matrix (behavior.cohort_retention):
+    cohort = day of a user's first event, n_users = distinct users from
+    that cohort active at each day offset.  Integer bucket arithmetic
+    on unix-second epochs — exact in both engines."""
+    from geotile import behavior
+
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    return (behavior.cohort_retention(ev, bucket_s=86400)
+            .orderBy("cohort", "offset"))
+
+
+def _q77_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered first-touch funnel (behavior.funnel): users who viewed,
+    then clicked strictly after their first view, then purchased
+    strictly after that first qualifying click.  Unix-second epochs,
+    distinct-user counts — exact in both engines."""
+    from geotile import behavior
+
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    return (behavior.funnel(ev, ["view", "click", "purchase"])
+            .orderBy("step_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1641,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_collocations": _q73_collocations,
         "q74_kmv_merge": _q74_kmv_merge,
         "q75_cell_sample": _q75_cell_sample,
+        "q76_cohort_retention": _q76_cohort_retention,
+        "q77_funnel": _q77_funnel,
     }
 
 
@@ -3218,6 +3246,48 @@ r75 AS (
   FROM s75f
 )
 SELECT cell, event_id, rank FROM r75 WHERE rank <= 5 ORDER BY cell, rank
+"""
+
+    # q76: daily cohort retention — same DIV bucket arithmetic on
+    # floor(epoch) seconds, distinct (user, day) then first-day join
+    sqls["q76_cohort_retention"] = """
+WITH act76 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket
+  FROM events
+),
+first76 AS (SELECT u, min(bucket) AS cohort FROM act76 GROUP BY u)
+SELECT f.cohort, a.bucket - f.cohort AS "offset",
+       count(*) AS n_users
+FROM act76 a JOIN first76 f ON f.u = a.u
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    # q77: first-touch funnel view -> click -> purchase, strict-after
+    # chaining on each user's earliest qualifying second
+    sqls["q77_funnel"] = """
+WITH s1 AS (
+  SELECT user_id AS u, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s2.t
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step_idx
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

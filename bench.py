@@ -70,7 +70,7 @@ def main() -> None:
         "q66_window_suite", "q67_grouping_sets", "q68_chunk_dedup",
         "q69_pagerank", "q70_compact_cells", "q71_bfs_hops",
         "q72_source_quota", "q73_collocations", "q74_kmv_merge",
-        "q75_cell_sample",
+        "q75_cell_sample", "q76_cohort_retention", "q77_funnel",
     ]
     from geotile import cache, textops
 

@@ -1,0 +1,73 @@
+"""Behavioral analytics over the events stream: cohort retention and
+ordered funnels.
+
+The reference engine's event surface stops at per-cell position logs
+(GeoHash/common.h posting lists); a web-scale engine also answers the
+standard product-analytics questions asked of the SAME event table the
+spatial operators index.  Both operators here are integer-exact
+(unix-second epochs, integer bucket arithmetic, distinct-user counts)
+so they sit under the exact SQL oracle gate (q76/q77).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(events: DataFrame, bucket_s: int = 86400,
+                     ts_col: str = "ep", user_col: str = "user_id") -> DataFrame:
+    """Cohort retention matrix: assign each user to the bucket of their
+    FIRST activity (the cohort), then count distinct active users per
+    (cohort, offset) where offset = activity bucket - cohort bucket.
+    ``ts_col`` is integer epoch seconds; buckets are ``ts DIV
+    bucket_s`` (days by default).
+
+    Scale shape: one (user, bucket) distinct — the partial aggregate
+    collapses each user's events map-side — then a broadcast-sized
+    first-bucket table joins back (users << events after the
+    distinct), and one final (cohort, offset) count.  No windows, no
+    skew beyond the hottest cohort-day pair."""
+    ub = F.expr(f"{ts_col} DIV {bucket_s}").alias("bucket")
+    act = events.select(F.col(user_col).alias("user"), ub).distinct()
+    first = act.groupBy("user").agg(F.min("bucket").alias("cohort"))
+    return (act.join(first, "user")
+            .groupBy("cohort", (F.col("bucket") - F.col("cohort")).alias("offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
+def funnel(events: DataFrame, steps: Sequence[str], ts_col: str = "ep",
+           user_col: str = "user_id", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: how many users performed ``steps[0]``, then
+    ``steps[1]`` STRICTLY AFTER their first ``steps[0]``, then
+    ``steps[2]`` strictly after that first qualifying ``steps[1]``,
+    and so on (first-touch semantics — the standard product funnel).
+    Returns one row per step: ``(step_idx, step, n_users)``.
+
+    Scale shape: per step, one filtered aggregate to each user's
+    earliest qualifying timestamp plus an equi-join against the
+    previous step's (shrinking) reached set — len(steps) passes, each
+    filtered to ONE event type before its shuffle.  The counts union
+    into a single plan, so the whole funnel is one action."""
+    reached = (events.where(F.col(type_col) == steps[0])
+               .groupBy(F.col(user_col).alias("user"))
+               .agg(F.min(ts_col).alias("t")))
+    frames = [reached]
+    for s in steps[1:]:
+        prev = frames[-1].select("user", F.col("t").alias("_pt"))
+        frames.append(
+            events.where(F.col(type_col) == s)
+            .select(F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+            .join(prev, "user")
+            .where(F.col("t") > F.col("_pt"))
+            .groupBy("user").agg(F.min("t").alias("t")))
+    counts = [f.agg(F.count("*").alias("n_users"))
+              .select(F.lit(i + 1).alias("step_idx"), F.lit(s).alias("step"),
+                      "n_users")
+              for i, (s, f) in enumerate(zip(steps, frames))]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1,0 +1,79 @@
+"""Cohort retention + ordered funnel (geotile/behavior.py) vs
+pure-Python ground truth on hand-built and randomized event logs."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from geotile import behavior
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ep long, event_type string")
+
+
+def test_cohort_retention_hand_case(spark):
+    # u1 first at day 0, active days 0,1,3; u2 first at day 1, active 1,1,2
+    rows = [(1, 10, "x"), (1, 86400 + 5, "x"), (1, 3 * 86400, "x"),
+            (2, 86400 + 50, "x"), (2, 86400 + 60, "x"), (2, 2 * 86400, "x")]
+    got = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in behavior.cohort_retention(_ev(spark, rows)).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_cohort_retention_matches_local_on_random(spark):
+    rng = random.Random(5)
+    rows = [(rng.randrange(20), rng.randrange(10 * 86400), "x")
+            for _ in range(400)]
+    got = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in behavior.cohort_retention(_ev(spark, rows)).collect()}
+    act = {(u, ep // 86400) for u, ep, _ in rows}
+    first = {}
+    for u, b in act:
+        first[u] = min(first.get(u, b), b)
+    want = {}
+    for u, b in act:
+        k = (first[u], b - first[u])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def _local_funnel(rows, steps):
+    by_user = {}
+    for u, ep, t in rows:
+        by_user.setdefault(u, []).append((ep, t))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev_t = None
+        for i, s in enumerate(steps):
+            cand = [ep for ep, t in evs
+                    if t == s and (prev_t is None or ep > prev_t)]
+            if not cand:
+                break
+            prev_t = min(cand)
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),   # full funnel
+        (2, 10, "view"), (2, 5, "click"),                     # click BEFORE view
+        (3, 10, "view"),                                      # view only
+        (4, 10, "click"), (4, 20, "buy"),                     # never viewed
+        (5, 10, "view"), (5, 10, "click"),                    # same second: not strict
+    ]
+    got = {r["step"]: r["n_users"]
+           for r in behavior.funnel(_ev(spark, rows), ["view", "click", "buy"]).collect()}
+    assert got == {"view": 4, "click": 1, "buy": 1}
+
+
+def test_funnel_matches_local_on_random(spark):
+    rng = random.Random(9)
+    types = ["view", "click", "buy"]
+    rows = [(rng.randrange(30), rng.randrange(1000), rng.choice(types))
+            for _ in range(600)]
+    steps = ["view", "click", "buy"]
+    out = behavior.funnel(_ev(spark, rows), steps).collect()
+    got = [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])]
+    assert got == _local_funnel(rows, steps)

@@ -239,6 +239,22 @@ def main() -> None:
         "list + anti-join on the visited set — per-round shuffle bounded by the "
         "frontier's out-edge count, never the corpus"))
 
+    # behavioral analytics over an events-shaped frame
+    from geotile import behavior
+
+    ev_b = facts.select(F.col("url").alias("user_id"), "ep",
+                        F.concat(F.lit("t"),
+                                 (F.col("ep") % 3).cast("string")).alias("event_type"))
+    sections.append(summarize(
+        behavior.cohort_retention(ev_b, bucket_s=10000),
+        "cohort_retention: (user, bucket) distinct partial-aggregates map-side, "
+        "first-bucket table joins back, one (cohort, offset) count — no windows"))
+    sections.append(summarize(
+        behavior.funnel(ev_b, ["t0", "t1", "t2"]),
+        "funnel: each step filtered to ONE event type before its shuffle, "
+        "joined to the previous step's shrinking reached set; all step counts "
+        "union into a single plan (one action)"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -1136,13 +1136,18 @@ def compact_cells(cells: DataFrame, cell_col: str = "cell",
         lvl = cur.where(F.length("cell") == p)
         done = (cur.where(F.length("cell") != p))
         parents = (lvl.groupBy(F.substring("cell", 1, p - 1).alias("parent"))
-                   .agg(F.count("*").alias("_n")))
+                   .agg(F.count_distinct("cell").alias("_n")))
         full = parents.where(F.col("_n") == 32).select("parent")
         survivors = (lvl.join(F.broadcast(full),
                               F.substring("cell", 1, p - 1) == F.col("parent"),
                               "left_anti"))
+        # distinct each round: a promoted parent may duplicate a
+        # pre-existing cell of the same precision, and a duplicate here
+        # would count twice toward the next level's 32-child threshold
+        # (false collapse) as well as duplicating output rows
         nxt = (done.unionByName(survivors)
                .unionByName(full.select(F.col("parent").alias("cell")))
+               .distinct()
                .persist())
         nxt.count()
         cur.unpersist()

@@ -53,9 +53,10 @@ def chunk_dedup(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     family, over fixed token windows because the synth corpus has no
     newlines): split each document into non-overlapping ``n``-token
     chunks, keep only the globally-FIRST occurrence of every distinct
-    chunk value (minimum ``(doc_id, idx)``, encoded as one BIGINT so
-    the argmin is a plain integer ``min``), and reassemble each
-    document from its surviving chunks.
+    chunk value (minimum ``(doc_id, idx)``, argmin via ``min`` over a
+    two-field struct — lexicographic struct ordering, no arithmetic
+    packing so any doc length / doc_id range is safe under ANSI mode),
+    and reassemble each document from its surviving chunks.
 
     Returns ``(doc_id, n_chunks, n_kept, clean_text)`` — one row per
     input document; a document whose every chunk is boilerplate seen
@@ -78,13 +79,15 @@ def chunk_dedup(df: DataFrame, n: int = 5, id_col: str = "doc_id",
         lambda j: F.concat_ws(" ", F.slice(w, (j * n + 1).cast("int"), n)))
     base = df.select(F.col(id_col), nch.alias("n_chunks"),
                      F.posexplode(chunks).alias("idx", "chunk"))
-    # global first occurrence per chunk value; idx < 1e6 by construction
-    # (docs are << 5M tokens), so (doc_id, idx) packs into one BIGINT
-    pos = (F.col(id_col) * F.lit(1000000) + F.col("idx"))
-    occ = base.withColumn("_pos", pos)
+    # global first occurrence per chunk value: struct min orders by
+    # (doc_id, idx) lexicographically — no integer packing, so there is
+    # no idx bound to violate and no ANSI multiply overflow
+    occ = base.withColumn("_pos", F.struct(F.col(id_col).alias("d"),
+                                           F.col("idx").alias("i")))
     firsts = occ.groupBy("chunk").agg(F.min("_pos").alias("_first"))
     kept = (occ.join(firsts, "chunk")
             .where(F.col("_pos") == F.col("_first")))
+    kept = kept.drop("_pos", "_first")
     reassembled = (kept.groupBy(id_col)
                    .agg(F.count("*").alias("n_kept"),
                         F.array_join(

@@ -597,6 +597,24 @@ def test_compact_cells_mixed_precision_input(spark):
     assert got == [("w", 1), ("x", 1)]
 
 
+def test_compact_cells_promoted_parent_duplicate_no_false_collapse(spark):
+    from geotile import cache
+    # "uv" pre-exists at p2 AND its complete child set is present at p3
+    # (promotes a second "uv"), alongside 30 of the other p2 children of
+    # "u" ("uz" subtree absent).  Without per-round dedup the duplicate
+    # "uv" made count(*) over "u" hit 32 -> false collapse to "u", a
+    # cover that claims area ("uz") absent from the input.
+    siblings = [c for c in _gh_children("u") if c not in ("uv", "uz")]
+    cells = ["uv"] + _gh_children("uv") + siblings
+    df = spark.createDataFrame([(c,) for c in cells], "cell string")
+    out = engine.compact_cells(df, "cell")
+    got = sorted((r["cell"], r["prec"]) for r in out.collect())
+    cache.release(out)
+    assert ("u", 1) not in got                      # no false collapse
+    assert got == sorted([("uv", 2)] + [(c, 2) for c in siblings])
+    assert len(got) == len(set(got))                # no duplicate rows
+
+
 # geo-stratified sampling
 
 def test_cell_stratified_sample_matches_brute_force(spark):

@@ -903,7 +903,11 @@ def _q46_range_join(spark: SparkSession, sf: str) -> DataFrame:
     rows = [(i, int(lo) + i * step, min(int(lo) + i * step + 2 * step, int(hi)))
             for i in range(40)]
     wdf = spark.createDataFrame(rows, "w_id long, start_ep long, end_ep long")
-    j = engine.range_join(ev, wdf, ts="ep", bucket_s=max(step, 1))
+    b = max(step, 1)
+    # windows are driver-built -> pass the exact bucket count so the
+    # broadcast-overflow guard costs zero Spark jobs
+    nb = sum(e // b - s // b + 1 for _, s, e in rows if e >= s)
+    j = engine.range_join(ev, wdf, ts="ep", bucket_s=b, n_bucket_rows=nb)
     return (j.groupBy("w_id")
             .agg(F.count("*").alias("n_events"),
                  F.count_distinct("user_id").alias("n_users"))

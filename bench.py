@@ -34,11 +34,27 @@ WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR", "/dev/shm/geotile_bench")
 os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/geotile_bench_local")
 
 
+def _contention_probe() -> float:
+    """Fixed-work single-process CPU burner (same work unit as
+    BENCH/scaling.py's hardware-ceiling probe): wall seconds for a
+    constant pure-python loop.  Run before AND after the suite and
+    emitted into the JSON so a round whose numbers are uniformly slow
+    can be attributed to host co-load (probe >> idle baseline ~2-4 s)
+    instead of a code regression, without a re-run."""
+    t0 = time.time()
+    n = 0
+    for i in range(30000000):
+        n += i * i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from geotile import pipeline
     from geotile.session import get_spark
 
+    probe_before = _contention_probe()
+    load_before = os.getloadavg()[0]
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("geotile-bench", cores=CPUS, shuffle_partitions=CPUS)
 
@@ -120,6 +136,35 @@ def main() -> None:
     timings["skew_minhash_pairs"] = round(time.time() - t0, 3)
     skew.unpersist()
 
+    # graph stress: connected components over the q69-style synthesized
+    # link graph PLUS a pathological LONG PATH component (a 4096-node
+    # chain in an id range above the docs) — the worst case for
+    # label-propagation-style algorithms (O(diameter) rounds); star
+    # contraction must stay O(log^2 n).  Rounds-to-convergence is
+    # recorded, not just wall time.
+    from geotile import graph
+
+    docs_ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    n_docs = docs_ids.count()
+    rand_edges = (docs_ids
+                  .select("doc_id", F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+                  .select(F.col("doc_id").alias("a"),
+                          F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+                                 F.lit(n_docs)).alias("b")))
+    chain_base = 10_000_000_000
+    chain = (spark.range(4095)
+             .select((F.col("id") + chain_base).alias("a"),
+                     (F.col("id") + chain_base + 1).alias("b")))
+    t0 = time.time()
+    cc = graph.connected_components(rand_edges.unionByName(chain), "a", "b")
+    n_cc_nodes = cc.count()
+    cc_rounds = cc._geotile_rounds
+    chain_roots = (cc.where(F.col("node") >= chain_base)
+                   .select("cluster_id").distinct().count())
+    cache.release(cc)
+    timings["graph_cc_longpath"] = round(time.time() - t0, 3)
+    assert chain_roots == 1, "long-path chain must resolve to ONE component"
+
     # streaming upsert throughput: N position updates over 4 micro-batch
     # files -> availableNow upsert_stream (LWW merge + snapshot commit
     # per batch) — measured, not asserted
@@ -148,11 +193,18 @@ def main() -> None:
     timings["stream_upsert"] = round(t_stream, 3)
     stream_rows_per_sec = round(n_stream / t_stream, 1)
 
+    probe_after = _contention_probe()
+    load_after = os.getloadavg()[0]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_suite_total_sec",
         "value": total,
         "unit": "sec",
+        "contention_probe_before_sec": probe_before,
+        "contention_probe_after_sec": probe_after,
+        "loadavg_before": round(load_before, 2),
+        "loadavg_after": round(load_after, 2),
         "queries": timings,
         "sf": sf_tag,
         "pages": pm["pages"],
@@ -167,6 +219,8 @@ def main() -> None:
         "skew_fp_distinct": int(hot["n_fp"]),
         "skew_winnow_pairs_rows": int(n_wp),
         "skew_minhash_pairs_rows": int(n_mp),
+        "graph_cc_nodes": int(n_cc_nodes),
+        "graph_cc_rounds": int(cc_rounds),
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -146,6 +146,18 @@ COVER_DRIVER_MAX_ROWS = 5_000_000    # driver-side cover materialization cap
 KNN_POI_MAX_RESULT_ROWS = 50_000     # knn_join -> knn_join_bulk delegation cap
 
 
+def _is_local_relation(df: DataFrame) -> bool:
+    """True when the frame's OPTIMIZED plan is a LocalRelation (driver
+    literals after ConvertToLocalRelation folded any filter/projection)
+    — for such frames collect() is a driver-side LocalTableScan that
+    launches no Spark job, so guards can inspect them for free."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:
+        return False
+
+
 def _maybe_broadcast(cov: DataFrame, n_rows: int, what: str) -> DataFrame:
     """Broadcast-overflow guard for the small-by-contract cover/window
     sides: past COVER_BROADCAST_MAX_ROWS the hint is dropped (Catalyst
@@ -937,7 +949,8 @@ def pool_state(positions: DataFrame, cell_col: str = "geohash") -> DataFrame:
 
 def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
                win_start: str = "start_ep", win_end: str = "end_ep",
-               bucket_s: int = 3600) -> DataFrame:
+               bucket_s: int = 3600,
+               n_bucket_rows: int | None = None) -> DataFrame:
     """Interval (range) join: every fact row matched to every window
     whose ``[win_start, win_end]`` contains its timestamp.
 
@@ -949,25 +962,40 @@ def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
     ~S/bucket_s buckets), facts derive ONE bucket key narrowly, and the
     join is a broadcast EQUI-join on the bucket with the exact BETWEEN
     as a post-join refine — same filter-refine discipline as the
-    spatial joins (cell cover ≙ bucket cover)."""
+    spatial joins (cell cover ≙ bucket cover).
+
+    ``n_bucket_rows``: callers that construct the windows driver-side
+    already know ``sum(floor(end/bucket_s) - floor(start/bucket_s) + 1)``
+    — passing it skips the guard's Spark job entirely (inverted windows
+    must not be counted; overcounting is safe, it can only downgrade
+    broadcast to shuffle)."""
     from . import cache
 
     # inverted windows (end < start) must match zero rows: F.sequence
     # with start > stop silently builds a DESCENDING bucket sequence.
-    # Persisted because both the guard count and the exploded join side
-    # read it — a derived windows frame would otherwise recompute its
-    # whole upstream twice (caller releases via geotile.cache.release).
-    valid = windows.where(F.col(win_end) >= F.col(win_start)).persist()
+    valid = windows.where(F.col(win_end) >= F.col(win_start))
     # broadcast-overflow guard: the exploded bucket count is
-    # sum(span/bucket_s) — one tiny agg on the small-by-contract side;
-    # a giant windows table (or giant spans) downgrades to a shuffle
-    # equi-join instead of OOMing on the broadcast.  The windows side is
-    # fully DISTRIBUTED (never driver-materialized), so unlike the
-    # driver-built covers there is no driver cap — any size legitimately
-    # falls back to the shuffle join.
-    n_bucket_rows = int(valid.select(F.sum(
-        F.floor(F.col(win_end) / bucket_s)
-        - F.floor(F.col(win_start) / bucket_s) + 1)).first()[0] or 0)
+    # sum(span/bucket_s) — a giant windows table (or giant spans)
+    # downgrades to a shuffle equi-join instead of OOMing on the
+    # broadcast.  The windows side is fully DISTRIBUTED (never
+    # driver-materialized), so unlike the driver-built covers there is
+    # no driver cap — any size legitimately falls back to the shuffle
+    # join.  Cost of the guard: ZERO jobs with the caller hint or when
+    # the windows frame is a LocalRelation (SQL literal VALUES —
+    # ConvertToLocalRelation folds the filter+projection, so collect()
+    # is a driver-side LocalTableScan); one tiny scalar-agg job
+    # otherwise, in which case valid is persisted so the guard and the
+    # exploded join side don't recompute the windows' upstream twice
+    # (caller releases via geotile.cache.release).
+    per_w = (F.floor(F.col(win_end) / bucket_s)
+             - F.floor(F.col(win_start) / bucket_s) + 1)
+    tracked: list[DataFrame] = []
+    if n_bucket_rows is None and _is_local_relation(valid):
+        n_bucket_rows = sum(r[0] for r in valid.select(per_w).collect())
+    elif n_bucket_rows is None:
+        valid = valid.persist()
+        tracked.append(valid)
+        n_bucket_rows = int(valid.select(F.sum(per_w)).first()[0] or 0)
     wb = valid.withColumn(
         "_b", F.explode(F.sequence(F.floor(F.col(win_start) / bucket_s),
                                    F.floor(F.col(win_end) / bucket_s))))
@@ -977,7 +1005,7 @@ def range_join(facts: DataFrame, windows: DataFrame, ts: str = "ep",
     out = (fb.join(wb, "_b")
            .where((F.col(ts) >= F.col(win_start)) & (F.col(ts) <= F.col(win_end)))
            .drop("_b"))
-    return cache.track(out, [valid])
+    return cache.track(out, tracked)
 
 
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",

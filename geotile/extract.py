@@ -30,7 +30,12 @@ COORD_RE = r"(-?\d{1,2}\.\d{3,7})\s*,\s*(-?\d{1,3}\.\d{3,7})"
 
 def extract_text_pd(html: pd.Series) -> pd.Series:
     """Pure-pandas extraction: bytes/str html -> canonical text."""
-    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else b)
+    # vectorized decode (no per-row Python): Series.str.decode handles
+    # the bytes rows (same codec + errors="replace" as bytes.decode);
+    # non-bytes rows (already-str inputs, nulls) come back NaN and are
+    # filled from the original values
+    dec = html.str.decode("utf-8", "replace")
+    s = dec.where(dec.notna(), html)
     s = s.astype("string")
     s = s.str.replace(r"(?is)<(script|style)\b.*?</\1>", " ", regex=True)
     s = s.str.replace(r"(?s)<[^>]*>", " ", regex=True)

@@ -459,6 +459,53 @@ def test_maybe_broadcast_guard(spark, monkeypatch):
     assert got == expect
 
 
+def test_range_join_real_threshold_shuffle_fallback(spark):
+    """End-to-end shuffle fallback at the REAL threshold (no
+    monkeypatch): 3 wide windows explode into >COVER_BROADCAST_MAX_ROWS
+    buckets at bucket_s=1, so the guard must drop the FORCED broadcast
+    hint from the logical plan (AQE may still choose broadcast at
+    runtime from the measured size — that is the point: the decision is
+    deferred to actual sizes instead of forced) and the result still
+    matches brute force."""
+    from geotile import cache
+
+    span = engine.COVER_BROADCAST_MAX_ROWS // 3 + 10     # ~167k buckets each
+    wins = spark.createDataFrame(
+        [(w, w * 5, w * 5 + span) for w in range(3)],
+        "w_id long, start_ep long, end_ep long")
+    facts = spark.createDataFrame(
+        [(i, (7919 * i) % (span + 20)) for i in range(300)],
+        "fact_id long, ep long")
+    out = engine.range_join(facts, wins, ts="ep", bucket_s=1)
+    got = {(r["fact_id"], r["w_id"]) for r in out.collect()}
+    logical = out._jdf.queryExecution().logical().toString()
+    cache.release(out)
+    expect = {(f, w) for f in range(300) for w in range(3)
+              if w * 5 <= (7919 * f) % (span + 20) <= w * 5 + span}
+    assert got == expect
+    assert "hint broadcast" not in logical.lower()
+
+
+def test_range_join_caller_bucket_hint_skips_guard_job(spark):
+    """The n_bucket_rows caller hint: same exact results, still
+    broadcast when under the threshold, and the guard runs no Spark job
+    (no persisted intermediate is tracked on the result)."""
+    facts = spark.createDataFrame(
+        [(i, i * 137 % 10007) for i in range(2000)], "fact_id long, ep long")
+    rows = [(w, w * 900, w * 900 + 2500) for w in range(12)]
+    wins = spark.createDataFrame(rows, "w_id long, start_ep long, end_ep long")
+    nb = sum(e // 1000 - s // 1000 + 1 for _, s, e in rows if e >= s)
+    out = engine.range_join(facts, wins, ts="ep", bucket_s=1000,
+                            n_bucket_rows=nb)
+    assert out._geotile_persisted == []      # guard ran driver-side only
+    got = {(r["fact_id"], r["w_id"]) for r in out.collect()}
+    expect = {(f, w) for f in range(2000) for w in range(12)
+              if w * 900 <= (f * 137 % 10007) <= w * 900 + 2500}
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_knn_join_large_query_set_delegates_to_bulk(spark, monkeypatch):
     """Past the small-POI result cap, knn_join routes through
     knn_join_bulk's distributed annulus path with identical schema and

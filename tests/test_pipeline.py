@@ -30,6 +30,20 @@ def test_extract_text_canonical():
     assert extract.extract_text_pd(html)[0] == "T A&B x y"
 
 
+def test_extract_text_invalid_utf8_and_mixed_inputs():
+    # the vectorized Series.str.decode path must match bytes.decode
+    # ("utf-8", "replace") exactly, and already-str / null rows pass
+    # through — pins the errors="replace" contract (U+FFFD per bad byte)
+    bad = b"<p>caf\xe9 \xff\xfe ok</p>"
+    html = pd.Series([bad, "<p>already str</p>", None])
+    got = extract.extract_text_pd(html)
+    assert got[0] == bad.decode("utf-8", "replace") \
+        .replace("<p>", " ").replace("</p>", " ").strip()
+    assert "�" in got[0]
+    assert got[1] == "already str"
+    assert pd.isna(got[2])
+
+
 def test_parse_mentions():
     t = pd.Series(["near beijing at 39.928167, 116.389550 and 91.5, 10.5 end",
                    "no coords here", "at -33.856784,151.215297"])

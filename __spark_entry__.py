@@ -806,16 +806,17 @@ def _q35_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q36_hex_cells(spark: SparkSession, sf: str) -> DataFrame:
-    """H3-style aperture-7 hexagonal cell assignment (kernel/hex_np) —
-    occupancy per hex at res 6.  The DuckDB oracle replicates the exact
-    double arithmetic (mercator -> rotated axial -> cube round -> pack)
-    with kernel constants injected as literals."""
+    """H3-style aperture-7 hexagonal cell assignment on the ICOSAHEDRON
+    (kernel/hex_np) — occupancy per hex at res 5.  The DuckDB oracle
+    replicates the exact double arithmetic (unit vector -> argmax face
+    -> gnomonic plane -> rotated axial -> cube round -> pack) with the
+    20 face centers/bases and kernel constants injected as literals."""
     from geotile import udfs as _udfs
 
     pos = _positions_df(spark, sf)
-    pos = pos.withColumn("hex6", _udfs.hex_cell_udf(6)(F.col("lat"), F.col("lon")))
+    pos = pos.withColumn("hex6", _udfs.hex_cell_udf(5)(F.col("lat"), F.col("lon")))
     return (pos.groupBy("hex6").agg(F.count("*").alias("n"))
-            .where(F.col("n") >= 3).orderBy("hex6"))
+            .where(F.col("n") >= 2).orderBy("hex6"))
 
 
 def _q37_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -2186,43 +2187,78 @@ WHERE doc_id % 3 = 2
 ORDER BY media_id, frame_ms
 """
 
-    # q36: replicate kernel/hex_np.hex_cell(lat, lon, res=6) in SQL with
-    # the kernel's constants injected as exact double literals, so both
-    # engines perform the identical double-precision op sequence.
+    # q36: replicate kernel/hex_np.hex_cell(lat, lon, res=6) in SQL —
+    # icosahedral gnomonic binning: unit vector -> argmax face (20
+    # literal face centers/bases injected as exact double reprs, CAST
+    # from strings) -> gnomonic plane -> rotated aperture-7 axial ->
+    # cube round -> 59/54/27-bit pack.  Both engines then perform the
+    # identical double-precision op sequence; the remaining
+    # cross-engine risk is cos/sin ULP disagreement at exact argmax /
+    # cube-round boundaries — measure-zero for lattice-derived inputs.
     import math as _math
 
     from geotile.kernel import hex_np as _hex
 
-    _res = 6
+    _res = 5
     _th = _hex._res_rot(_res)
     _c, _s = _math.cos(_th), _math.sin(_th)
     _size = _hex._res_size(_res)
     _m1 = _hex.SQRT3 / 3.0
     _third = 1.0 / 3.0
     _twothird = 2.0 / 3.0
-    _bias = _hex._BIAS
-    # mirror _project's Web-Mercator latitude clamp (hex_np._MAX_LAT);
-    # current synth positions stay within ~|58| deg, but the oracle must
-    # not silently diverge if near-polar latitudes ever appear.  (The
-    # remaining cross-engine risk is tan/ln ULP disagreement at exact
-    # cube-round boundaries — measure-zero for lattice-derived inputs.)
-    _clat = f"LEAST(GREATEST(lat, {-_hex._MAX_LAT!r}), {_hex._MAX_LAT!r})"
-    xr = f"({_c!r} * radians(lon) + {_s!r} * ln(tan(pi() / 4.0 + radians({_clat}) / 2.0)))"
-    yr = f"({-_s!r} * radians(lon) + {_c!r} * ln(tan(pi() / 4.0 + radians({_clat}) / 2.0)))"
-    qf = f"(({_m1!r} * {xr} - {_third!r} * {yr}) / {_size!r})"
-    rf = f"(({_twothird!r} * {yr}) / {_size!r})"
+    _d = "CAST('{}' AS DOUBLE)"
+    _face_rows = ",\n         ".join(
+        "({}, {})".format(f, ", ".join(
+            _d.format(repr(float(x)))
+            for x in (*_hex.FACE_CENTERS[f], *_hex.FACE_E1[f], *_hex.FACE_E2[f])))
+        for f in range(20))
+    _xr = f"({_d.format(repr(_c))} * px + {_d.format(repr(_s))} * py)"
+    _yr = f"({_d.format(repr(-_s))} * px + {_d.format(repr(_c))} * py)"
+    _qf = f"(({_d.format(repr(_m1))} * {_xr} - {_d.format(repr(_third))} * {_yr}) / {_d.format(repr(_size))})"
+    _rf = f"(({_d.format(repr(_twothird))} * {_yr}) / {_d.format(repr(_size))})"
+    _res_hi = _res << 59
+    _face_mul = 1 << 54
+    _q_mul = 1 << 27
+    _bias27 = _hex._BIAS
     sqls["q36_hex_cells"] = f"""
 WITH {_POS_CTE},
+faces(face, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z) AS (
+  VALUES {_face_rows}
+),
+v AS (
+  SELECT event_id,
+         cos(radians(lat)) * cos(radians(lon)) AS vx,
+         cos(radians(lat)) * sin(radians(lon)) AS vy,
+         sin(radians(lat)) AS vz
+  FROM pos
+),
+fd AS (
+  SELECT v.event_id, v.vx, v.vy, v.vz, f.face,
+         f.e1x, f.e1y, f.e1z, f.e2x, f.e2y, f.e2z,
+         (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) AS dot,
+         row_number() OVER (
+           PARTITION BY v.event_id
+           ORDER BY (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) DESC,
+                    f.face ASC) AS rn
+  FROM v CROSS JOIN faces f
+),
+plane AS (
+  SELECT event_id, face,
+         ((vx * e1x + vy * e1y + vz * e1z) / dot) AS px,
+         ((vx * e2x + vy * e2y + vz * e2z) / dot) AS py
+  FROM fd WHERE rn = 1
+),
 frac AS (
-  SELECT {qf} AS q, {rf} AS r FROM pos
+  SELECT face, {_qf} AS q, {_rf} AS r FROM plane
 ),
 rounded AS (
-  SELECT q, r, -q - r AS s,
+  SELECT face, q, r, -q - r AS s,
          round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
   FROM frac
 ),
 fixed AS (
-  SELECT CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+  SELECT face,
+         CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
               THEN -rr - rs ELSE rq END AS fq,
          CASE WHEN NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
                    AND abs(rr - r) > abs(rs - s)
@@ -2231,12 +2267,12 @@ fixed AS (
               ELSE rr END AS fr
   FROM rounded
 )
-SELECT CAST({_res} * 1152921504606846976 + (CAST(fq AS BIGINT) + {_bias}) * 1073741824
-            + (CAST(fr AS BIGINT) + {_bias}) AS BIGINT) AS hex6,
+SELECT CAST({_res_hi} + face * {_face_mul} + (CAST(fq AS BIGINT) + {_bias27}) * {_q_mul}
+            + (CAST(fr AS BIGINT) + {_bias27}) AS BIGINT) AS hex6,
        count(*) AS n
 FROM fixed
 GROUP BY 1
-HAVING count(*) >= 3
+HAVING count(*) >= 2
 ORDER BY hex6
 """
 

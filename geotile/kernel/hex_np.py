@@ -1,32 +1,44 @@
-"""H3-style hexagonal hierarchical cell index (pure numpy).
+"""H3-style hexagonal hierarchical cell index on an ICOSAHEDRON
+(pure numpy).
 
 The reference engine has a single rectangular geohash grid
 (/root/reference/GeoHash/geohash.cpp); the north rule asks for an
 "H3/S2-style" cell system.  `s2_np.py` provides the quad-tree /
 Hilbert-curve family; this module provides the hexagonal family:
 
-* pointy-top hexagonal binning in the Web-Mercator plane,
-* an APERTURE-7 resolution hierarchy: each finer resolution shrinks the
-  hex edge by 1/sqrt(7) and rotates the grid by atan(sqrt(3)/5)
-  (~19.1066 deg) — the same aperture/rotation H3 uses,
-* exact axial k-ring / disk neighborhoods (the kNN candidate generator
-  hexes are better at than rectangles: all 6 neighbors are
-  equidistant),
+* the sphere is projected onto the 20 GNOMONIC faces of an icosahedron
+  (the same base solid H3 uses), so cell areas stay within ~2x
+  globally — the gnomonic area distortion is (1 + rho^2)^(3/2) and the
+  face circumradius caps rho at tan(~37.38 deg) ~ 0.764, ratio ~1.99;
+* pointy-top hexagonal binning in each face plane with an APERTURE-7
+  resolution hierarchy: each finer resolution shrinks the hex edge by
+  1/sqrt(7) and rotates the grid by atan(sqrt(3)/5) (~19.1066 deg) —
+  the same aperture/rotation H3 uses;
+* face-Voronoi ownership: a point belongs to its ARGMAX face by
+  face-center dot product (ties: lowest face index), then to the hex
+  its gnomonic projection cube-rounds to on that face's lattice — a
+  true deterministic partition of the sphere.  Cells along a face edge
+  are CLIPPED by the face boundary; a clipped cell's nominal center
+  can lie on the neighboring face (like a crescent's centroid falling
+  outside the crescent), so bin(center(cell)) == cell holds for all
+  interior cells but not for the clipped band (~0.3% of cells at
+  res 6, shrinking by 1/sqrt(7) per res — quantified by test);
+* exact axial k-ring / disk neighborhoods WITHIN a face (all 6
+  neighbors equidistant); neighbor/ring/distance queries across a face
+  boundary are not supported (H3 solves this with its Class-II/III
+  aligned grids and 12 pentagons; we trade that machinery for a
+  SQL-replicable kernel — stated plainly, same spirit as H3's own
+  pentagon compromise);
 * parent/child via center-point containment (in ANY aperture-7 system
   child hexes only approximately nest; H3 makes the same compromise).
 
-Differences from real H3, stated plainly: H3 projects onto an
-icosahedron (20 gnomonic faces) so cell areas stay within ~2x globally;
-this kernel uses a single Web-Mercator plane, so cells are
-area-distorted toward high latitudes and there are no pentagon cells.
-The API surface (cell id, k-ring, parent, boundary) matches what the
-engine needs from an H3-style index; swapping in the icosahedral
-projection changes only `_project`/`_unproject`.
-
-Cell id layout (int64): [4 bits res | 30 bits biased q | 30 bits biased r].
-All 64 bits are used, so ids at res >= 8 can be negative (the sign bit
-belongs to the res field) — ids are opaque; pack/unpack round-trip via
-two's complement and are pinned by tests at every resolution.
+Cell id layout (int64, always >= 0):
+  [63] 0 | [62:59] res (4b) | [58:54] face (5b) |
+  [53:27] q + 2^26 (27b) | [26:0] r + 2^26 (27b)
+res 15 hexes have ~0.9 m edges; face-local axial coords provably fit
+the 27-bit biased range at every gnomonic candidate with face-center
+dot > 0.3 (|q| <= ~7.5 * 7^(15/2) < 2^26).  Ids are opaque;
+pack/unpack round-trip is pinned by tests at every resolution.
 """
 
 from __future__ import annotations
@@ -35,35 +47,62 @@ import math
 
 import numpy as np
 
-# base hex edge length at res 0, in mercator radians (~1/4 of the map)
-BASE_SIZE = math.pi / 2.0
+# base hex edge length at res 1 is BASE_SIZE/sqrt(7) (~0.126 rad);
+# res 0 hexes (edge 1/3 rad) are comparable to a face and exist only
+# as the hierarchy root — binning supports res in [MIN_RES, MAX_RES]
+BASE_SIZE = 1.0 / 3.0
 APERTURE_ROT = math.atan(math.sqrt(3.0) / 5.0)  # aperture-7 rotation
 SQRT7 = math.sqrt(7.0)
 SQRT3 = math.sqrt(3.0)
 
-# res 9 hexes have ~25 cm edges — the finest resolution whose axial
-# coordinates provably fit the 30-bit packed range at every mercator
-# corner (|q|,|r| <= ~(|x|+|y|)/size < 2^29 requires 7^res <= ~1.2e8)
-MAX_RES = 9
-_BIAS = 1 << 29
-_COORD_MASK = (1 << 30) - 1
-_MAX_LAT = 85.05112878  # Web-Mercator clamp
+MIN_RES = 1
+MAX_RES = 15
+_BIAS = 1 << 26
+_COORD_MASK = (1 << 27) - 1
 
 
-def _project(lat, lon):
-    """lat/lon degrees -> Web-Mercator (x, y) in radians."""
-    lat = np.clip(np.asarray(lat, dtype=np.float64), -_MAX_LAT, _MAX_LAT)
-    lon = np.asarray(lon, dtype=np.float64)
-    x = np.radians(lon)
-    la = np.radians(lat)
-    y = np.log(np.tan(np.pi / 4.0 + la / 2.0))
-    return x, y
+def _icosahedron():
+    """Deterministic icosahedron: 12 vertices from the golden ratio,
+    20 faces enumerated in fixed (i < j < k) vertex order.  Returns
+    (centers, e1, e2): unit face centers and an orthonormal tangent
+    basis per face, shape (20, 3) each."""
+    phi = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            verts += [(0.0, a, b), (a, b, 0.0), (b, 0.0, a)]
+    v = np.asarray(verts, dtype=np.float64)
+    v /= np.sqrt((v * v).sum(axis=1, keepdims=True))
+    # faces = vertex triples that are mutually adjacent (chord of an
+    # icosahedron edge: |vi - vj|^2 = 4/(phi*sqrt(5)) ~ 1.1056)
+    edge2 = 4.0 / (phi * math.sqrt(5.0))
+    d2 = ((v[:, None, :] - v[None, :, :]) ** 2).sum(axis=2)
+    adj = np.abs(d2 - edge2) < 1e-9
+    faces = [(i, j, k)
+             for i in range(12) for j in range(i + 1, 12) if adj[i, j]
+             for k in range(j + 1, 12) if adj[i, k] and adj[j, k]]
+    assert len(faces) == 20
+    tri = v[np.asarray(faces, dtype=np.int64)]          # (20, 3, 3)
+    c = tri.sum(axis=1)
+    c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+    # tangent basis: e1 toward the face's first vertex, e2 = c x e1
+    t = tri[:, 0, :] - c * (tri[:, 0, :] * c).sum(axis=1, keepdims=True)
+    e1 = t / np.sqrt((t * t).sum(axis=1, keepdims=True))
+    e2 = np.cross(c, e1)
+    return c, e1, e2
 
 
-def _unproject(x, y):
-    lon = np.degrees(np.asarray(x, dtype=np.float64))
-    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64))) - np.pi / 2.0)
-    return lat, lon
+FACE_CENTERS, FACE_E1, FACE_E2 = _icosahedron()
+
+
+def _unit_vectors(lat, lon):
+    """lat/lon degrees -> unit 3D vectors (component arrays).  The op
+    sequence (cos/sin of radians, products) is mirrored literally by
+    the DuckDB oracle — keep elementwise, no BLAS."""
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    cl = np.cos(la)
+    return cl * np.cos(lo), cl * np.sin(lo), np.sin(la)
 
 
 def _res_size(res: int) -> float:
@@ -75,7 +114,7 @@ def _res_rot(res: int) -> float:
 
 
 def _to_axial(x, y, res: int):
-    """Rotated-plane fractional axial coordinates at ``res``."""
+    """Rotated face-plane fractional axial coordinates at ``res``."""
     th = _res_rot(res)
     c, s = math.cos(th), math.sin(th)
     xr = c * x + s * y
@@ -111,48 +150,97 @@ def _cube_round(q, r):
     return rq.astype(np.int64), rr.astype(np.int64)
 
 
-def pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
+def pack(res: int, face, q, r) -> np.ndarray:
+    face = np.asarray(face, dtype=np.int64)
     q = np.asarray(q, dtype=np.int64) + _BIAS
     r = np.asarray(r, dtype=np.int64) + _BIAS
     if np.any((q < 0) | (q > _COORD_MASK) | (r < 0) | (r > _COORD_MASK)):
         raise ValueError("axial coordinate out of packable range")
-    return (np.int64(res) << np.int64(60)) | (q << np.int64(30)) | r
+    if np.any((face < 0) | (face > 19)):
+        raise ValueError("face out of range")
+    return ((np.int64(res) << np.int64(59)) | (face << np.int64(54))
+            | (q << np.int64(27)) | r)
 
 
-def unpack(cell: np.ndarray):
+def unpack(cell):
     cell = np.asarray(cell, dtype=np.int64)
-    res = (cell >> np.int64(60)) & np.int64(0xF)
-    q = ((cell >> np.int64(30)) & np.int64(_COORD_MASK)) - _BIAS
+    res = (cell >> np.int64(59)) & np.int64(0xF)
+    face = (cell >> np.int64(54)) & np.int64(0x1F)
+    q = ((cell >> np.int64(27)) & np.int64(_COORD_MASK)) - _BIAS
     r = (cell & np.int64(_COORD_MASK)) - _BIAS
-    return res, q, r
+    return res, face, q, r
+
+
+def _center3d(face, q, r, res: int):
+    """Face-local axial ints -> UNNORMALIZED 3D center components.
+    Op order (c + x*e1 + y*e2 per component) mirrors the oracle."""
+    x, y = _from_axial(np.asarray(q, dtype=np.float64),
+                       np.asarray(r, dtype=np.float64), res)
+    c = FACE_CENTERS[face]
+    e1 = FACE_E1[face]
+    e2 = FACE_E2[face]
+    ux = c[..., 0] + x * e1[..., 0] + y * e2[..., 0]
+    uy = c[..., 1] + x * e1[..., 1] + y * e2[..., 1]
+    uz = c[..., 2] + x * e1[..., 2] + y * e2[..., 2]
+    return ux, uy, uz
 
 
 def hex_cell(lat, lon, res: int) -> np.ndarray:
-    """Vectorized: lat/lon degrees -> hex cell id at ``res``."""
-    if not 0 <= res <= MAX_RES:
-        raise ValueError(f"res must be in [0, {MAX_RES}]")
-    x, y = _project(lat, lon)
-    q, r = _to_axial(x, y, res)
-    qi, ri = _cube_round(q, r)
-    return pack(res, qi, ri)
+    """Vectorized: lat/lon degrees -> hex cell id at ``res``.
+
+    Ownership rule (deterministic, SQL-replicable): ARGMAX face by
+    face-center dot product (np.argmax — first/lowest face index on
+    exact ties, mirrored by the oracle's ORDER BY dot DESC, face ASC),
+    gnomonic projection onto that face, cube round on the rotated
+    aperture-7 lattice."""
+    if not MIN_RES <= res <= MAX_RES:
+        raise ValueError(f"res must be in [{MIN_RES}, {MAX_RES}]")
+    vx, vy, vz = (np.atleast_1d(a) for a in _unit_vectors(lat, lon))
+    dots = (vx[:, None] * FACE_CENTERS[None, :, 0]
+            + vy[:, None] * FACE_CENTERS[None, :, 1]
+            + vz[:, None] * FACE_CENTERS[None, :, 2])
+    face = np.argmax(dots, axis=1)
+    d = np.take_along_axis(dots, face[:, None], axis=1)[:, 0]
+    e1 = FACE_E1[face]
+    e2 = FACE_E2[face]
+    px = (vx * e1[:, 0] + vy * e1[:, 1] + vz * e1[:, 2]) / d
+    py = (vx * e2[:, 0] + vy * e2[:, 1] + vz * e2[:, 2]) / d
+    qf, rf = _to_axial(px, py, res)
+    qi, ri = _cube_round(qf, rf)
+    return pack(res, face, qi, ri)
 
 
 def cell_center(cell) -> tuple[np.ndarray, np.ndarray]:
-    """Cell id -> (lat, lon) of the hex center."""
-    res, q, r = unpack(cell)
-    res0 = int(np.atleast_1d(res)[0])
-    x, y = _from_axial(q.astype(np.float64), r.astype(np.float64), res0)
-    return _unproject(x, y)
+    """Cell id -> (lat, lon) of the hex center (on the sphere)."""
+    res, face, q, r = unpack(np.atleast_1d(cell))
+    res0 = int(res[0])
+    ux, uy, uz = _center3d(face, q, r, res0)
+    nrm = np.sqrt(ux * ux + uy * uy + uz * uz)
+    nx, ny, nz = ux / nrm, uy / nrm, uz / nrm
+    lat = np.degrees(np.arctan2(nz, np.hypot(nx, ny)))
+    lon = np.degrees(np.arctan2(ny, nx))
+    return lat, lon
 
 
 def cell_boundary(cell) -> tuple[np.ndarray, np.ndarray]:
-    """Cell id -> (6, ) lat / lon vertex arrays (single cell)."""
-    res, q, r = (int(v[0]) for v in map(np.atleast_1d, unpack(cell)))
+    """Cell id -> (6,) lat / lon vertex arrays (single cell),
+    gnomonic-plane hexagon corners lifted back to the sphere."""
+    res, face, q, r = (int(np.atleast_1d(v)[0]) for v in unpack(cell))
     cx, cy = _from_axial(float(q), float(r), res)
     size = _res_size(res)
     th = _res_rot(res)
     ang = np.radians(np.arange(6) * 60.0 + 30.0) + th
-    return _unproject(cx + size * np.cos(ang), cy + size * np.sin(ang))
+    bx = cx + size * np.cos(ang)
+    by = cy + size * np.sin(ang)
+    c, e1, e2 = FACE_CENTERS[face], FACE_E1[face], FACE_E2[face]
+    ux = c[0] + bx * e1[0] + by * e2[0]
+    uy = c[1] + bx * e1[1] + by * e2[1]
+    uz = c[2] + bx * e1[2] + by * e2[2]
+    nrm = np.sqrt(ux * ux + uy * uy + uz * uz)
+    nx, ny, nz = ux / nrm, uy / nrm, uz / nrm
+    lat = np.degrees(np.arctan2(nz, np.hypot(nx, ny)))
+    lon = np.degrees(np.arctan2(ny, nx))
+    return lat, lon
 
 
 _DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)],
@@ -160,18 +248,22 @@ _DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)],
 
 
 def neighbors(cell) -> np.ndarray:
-    """The 6 adjacent hexes (exact — no (max+min)-style surprises,
-    cf. the reference's broken neighbor table geohash.cpp:250-291)."""
-    res, q, r = (np.atleast_1d(v) for v in unpack(cell))
+    """The 6 adjacent hexes on the SAME FACE (exact — no
+    (max+min)-style surprises, cf. the reference's broken neighbor
+    table geohash.cpp:250-291).  Face-local: see the module docstring
+    for the cross-face caveat."""
+    res, face, q, r = (np.atleast_1d(v) for v in unpack(cell))
     res0 = int(res[0])
     qs = q[:, None] + _DIRS[None, :, 0]
     rs = r[:, None] + _DIRS[None, :, 1]
-    return pack(res0, qs.ravel(), rs.ravel()).reshape(len(q), 6)
+    fs = np.repeat(face[:, None], 6, axis=1)
+    return pack(res0, fs.ravel(), qs.ravel(), rs.ravel()).reshape(len(q), 6)
 
 
 def ring(cell, k: int) -> np.ndarray:
-    """Exact hex ring at distance k (6k cells; k=0 -> the cell itself)."""
-    res, q0, r0 = (int(np.atleast_1d(v)[0]) for v in unpack(cell))
+    """Exact hex ring at distance k on the cell's face (6k cells;
+    k=0 -> the cell itself)."""
+    res, face, q0, r0 = (int(np.atleast_1d(v)[0]) for v in unpack(cell))
     if k == 0:
         return np.atleast_1d(np.asarray(cell, dtype=np.int64))
     out_q, out_r = [], []
@@ -182,19 +274,24 @@ def ring(cell, k: int) -> np.ndarray:
             out_r.append(r)
             q += _DIRS[d][0]
             r += _DIRS[d][1]
-    return pack(res, np.asarray(out_q), np.asarray(out_r))
+    f = np.full(len(out_q), face, dtype=np.int64)
+    return pack(res, f, np.asarray(out_q), np.asarray(out_r))
 
 
 def disk(cell, k: int) -> np.ndarray:
-    """All hexes within hex-distance k (1 + 3k(k+1) cells)."""
+    """All hexes within hex-distance k on the cell's face
+    (1 + 3k(k+1) cells)."""
     parts = [ring(cell, i) for i in range(k + 1)]
     return np.unique(np.concatenate(parts))
 
 
 def hex_distance(a, b) -> np.ndarray:
-    """Exact hex grid distance between same-res cells."""
-    _res_a, qa, ra = unpack(a)
-    _res_b, qb, rb = unpack(b)
+    """Exact hex grid distance between same-res SAME-FACE cells
+    (cross-face pairs raise — the axial metric is face-local)."""
+    _res_a, fa, qa, ra = unpack(a)
+    _res_b, fb, qb, rb = unpack(b)
+    if np.any(np.atleast_1d(fa) != np.atleast_1d(fb)):
+        raise ValueError("hex_distance requires same-face cells")
     dq = qa - qb
     dr = ra - rb
     return ((np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2).astype(np.int64)
@@ -203,17 +300,16 @@ def hex_distance(a, b) -> np.ndarray:
 def parent(cell) -> np.ndarray:
     """Containing cell one resolution coarser (center-point containment
     — aperture-7 children only approximately nest, same as H3)."""
-    res, q, r = (np.atleast_1d(v) for v in unpack(cell))
-    res0 = int(res[0])
-    if res0 == 0:
-        raise ValueError("res-0 cells have no parent")
+    res = int(np.atleast_1d(unpack(cell)[0])[0])
+    if res <= MIN_RES:
+        raise ValueError(f"res-{MIN_RES} cells have no parent")
     lat, lon = cell_center(cell)
-    return hex_cell(lat, lon, res0 - 1)
+    return hex_cell(lat, lon, res - 1)
 
 
 def children(cell) -> np.ndarray:
     """Approximate child set at res+1: the child containing the center
-    plus its 6 neighbors (the aperture-7 family)."""
+    plus its 6 same-face neighbors (the aperture-7 family)."""
     res = int(np.atleast_1d(unpack(cell)[0])[0])
     lat, lon = cell_center(cell)
     c = hex_cell(lat, lon, res + 1)

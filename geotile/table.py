@@ -167,6 +167,55 @@ def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 16,
     w.saveAsTable(name)
 
 
+def merge_into(spark: SparkSession, target: str, updates: DataFrame,
+               key: str = "msisdn", ts: str = "ts",
+               n_buckets: int = 16) -> dict:
+    """Last-write-wins MERGE of ``updates`` into the catalog table
+    ``target`` — the production API shape for the keyed positions
+    store (AddPos upsert against bucketed storage).
+
+    Path 1 (production): the ANSI ``MERGE INTO`` statement —
+    ``WHEN MATCHED AND u.ts >= t.ts THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` — which an Iceberg/Delta v2 catalog executes as a
+    bucket-pruned merge.  Path 2 (this sandbox): the built-in v1
+    parquet session catalog rejects MERGE
+    (UNSUPPORTED_FEATURE.TABLE_OPERATION — probed, no v2 catalog jar is
+    available here), so the identical semantics run as
+    :func:`geotile.engine.upsert_positions_merge` over the bucketed
+    scans — a ZERO-Exchange sort-merge join (plan-asserted in
+    tests/test_pipeline.py) — followed by a bucketed rewrite and a
+    catalog swap (stage table + RENAME; an Iceberg catalog would make
+    this step a snapshot commit instead).
+
+    Returns ``{"path": "merge-sql" | "merge-join", "plan": <physical
+    plan of the merge computation, for plan assertions>}``."""
+    from . import engine
+
+    upd_view = "_geotile_merge_updates_" + "".join(
+        ch if ch.isalnum() else "_" for ch in target)
+    updates.createOrReplaceTempView(upd_view)
+    merge_sql = (
+        f"MERGE INTO {target} t USING {upd_view} u ON t.{key} = u.{key} "
+        f"WHEN MATCHED AND u.{ts} >= t.{ts} THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *")
+    try:
+        spark.sql(merge_sql)
+        return {"path": "merge-sql", "plan": ""}
+    except Exception as e:  # v1 catalog: fall through to the join form
+        if "MERGE INTO" not in str(e):
+            raise
+    state = spark.table(target)
+    merged = engine.upsert_positions_merge(state, spark.table(upd_view),
+                                           key=key, ts=ts)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    stage = f"{target}__merge_stage"
+    write_bucketed(merged, stage, key, n_buckets=n_buckets)
+    spark.sql(f"DROP TABLE {target}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+    spark.catalog.dropTempView(upd_view)
+    return {"path": "merge-join", "plan": plan}
+
+
 def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
     """Rewrite a stage's data files into ~``target_mb`` files (within
     each partition dir) — the table-format compactor's job, here for

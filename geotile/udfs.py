@@ -298,7 +298,8 @@ def s2_cell_udf(level: int = 10):
 
 
 def hex_cell_udf(res: int = 6):
-    """H3-style aperture-7 hexagonal cell id at ``res`` (kernel/hex_np)."""
+    """H3-style aperture-7 ICOSAHEDRAL hexagonal cell id at ``res``
+    (kernel/hex_np — gnomonic faces, areas within ~2x globally)."""
     from pyspark.sql.types import LongType
 
     from .kernel import hex_np

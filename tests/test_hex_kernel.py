@@ -1,4 +1,5 @@
-"""H3-style hexagonal kernel: identity, adjacency, rings, hierarchy."""
+"""Icosahedral H3-style hexagonal kernel: identity, adjacency, rings,
+hierarchy, and the global area-distortion bound."""
 
 import numpy as np
 import pytest
@@ -7,24 +8,36 @@ from geotile.kernel import hex_np
 
 
 RNG = np.random.default_rng(7)
-LAT = RNG.uniform(-80, 80, 500)
+LAT = RNG.uniform(-89, 89, 500)
 LON = RNG.uniform(-179, 179, 500)
 
 
 def test_cell_round_trip_center():
-    """Re-binning a cell's own center returns the same cell."""
-    for res in (0, 3, 6, 9):
+    """Re-binning a cell's own center returns the same cell for every
+    INTERIOR cell; the only exceptions are clipped face-boundary cells
+    (whose nominal center legitimately lies on the neighboring face),
+    a band that shrinks ~1/sqrt(7) per res."""
+    for res, max_frac in ((1, 0.15), (3, 0.03), (6, 0.003), (9, 0.0005)):
         cells = hex_np.hex_cell(LAT, LON, res)
         clat, clon = hex_np.cell_center(cells)
         again = hex_np.hex_cell(clat, clon, res)
-        assert (again == cells).all()
+        bad = again != cells
+        # every failure must be a face hop (clipped cell) — a same-face
+        # mismatch would be a genuine rounding bug
+        f1 = hex_np.unpack(cells)[1]
+        f2 = hex_np.unpack(again)[1]
+        assert not (bad & (f1 == f2)).any()
+        assert bad.mean() <= max_frac
 
 
 def test_pack_unpack_round_trip():
-    cells = hex_np.hex_cell(LAT, LON, 8)
-    res, q, r = hex_np.unpack(cells)
-    assert (res == 8).all()
-    assert (hex_np.pack(8, q, r) == cells).all()
+    for res in (1, 8, 15):
+        cells = hex_np.hex_cell(LAT, LON, res)
+        r, face, q, rr = hex_np.unpack(cells)
+        assert (r == res).all()
+        assert ((face >= 0) & (face <= 19)).all()
+        assert (hex_np.pack(res, face, q, rr) == cells).all()
+        assert (cells >= 0).all()          # bit 63 is always clear
 
 
 def test_neighbors_are_distance_one_and_symmetric():
@@ -48,39 +61,55 @@ def test_ring_and_disk_sizes():
     assert len(d) == 1 + 3 * 3 * (3 + 1)  # 1 + 3k(k+1)
 
 
+def _project_on_own_face(lat, lon):
+    """Test helper: gnomonic plane coords of each point on its argmax
+    face (the face hex_cell binned it to)."""
+    vx, vy, vz = hex_np._unit_vectors(lat, lon)
+    dots = (vx[:, None] * hex_np.FACE_CENTERS[None, :, 0]
+            + vy[:, None] * hex_np.FACE_CENTERS[None, :, 1]
+            + vz[:, None] * hex_np.FACE_CENTERS[None, :, 2])
+    face = np.argmax(dots, axis=1)
+    d = np.take_along_axis(dots, face[:, None], axis=1)[:, 0]
+    e1, e2 = hex_np.FACE_E1[face], hex_np.FACE_E2[face]
+    px = (vx * e1[:, 0] + vy * e1[:, 1] + vz * e1[:, 2]) / d
+    py = (vx * e2[:, 0] + vy * e2[:, 1] + vz * e2[:, 2]) / d
+    return face, px, py
+
+
 def test_points_fall_inside_their_cell_boundary():
-    """Each point is within the circumradius of its cell's center (in
-    the projected plane) — the binning is a true Voronoi partition."""
+    """Each point is within the circumradius of its cell's center in
+    the face plane — the in-plane binning is a true Voronoi partition."""
     res = 6
     cells = hex_np.hex_cell(LAT, LON, res)
-    _res, q, r = hex_np.unpack(cells)
-    x, y = hex_np._project(LAT, LON)
+    _res, face, q, r = hex_np.unpack(cells)
+    pface, px, py = _project_on_own_face(LAT, LON)
+    assert (pface == face).all()
     cx, cy = hex_np._from_axial(q.astype(float), r.astype(float), res)
-    dist = np.hypot(x - cx, y - cy)
+    dist = np.hypot(px - cx, py - cy)
     assert (dist <= hex_np._res_size(res) + 1e-12).all()
 
 
 def test_nearest_center_property():
-    """Cube rounding assigns each point to the NEAREST hex center —
-    no neighbor's center is closer."""
+    """Cube rounding assigns each point to the NEAREST hex center in
+    its face plane — no same-face neighbor's center is closer."""
     res = 5
     lat, lon = LAT[:100], LON[:100]
     cells = hex_np.hex_cell(lat, lon, res)
-    x, y = hex_np._project(lat, lon)
-    _res, q, r = hex_np.unpack(cells)
+    _pface, px, py = _project_on_own_face(lat, lon)
+    _res, _f, q, r = hex_np.unpack(cells)
     cx, cy = hex_np._from_axial(q.astype(float), r.astype(float), res)
-    own = np.hypot(x - cx, y - cy)
+    own = np.hypot(px - cx, py - cy)
     nbrs = hex_np.neighbors(cells)  # (n, 6)
-    _nr, nq, nr_ = hex_np.unpack(nbrs.ravel())
+    _nr, _nf, nq, nr_ = hex_np.unpack(nbrs.ravel())
     nx, ny = hex_np._from_axial(nq.astype(float), nr_.astype(float), res)
-    other = np.hypot(x.repeat(6) - nx, y.repeat(6) - ny).reshape(-1, 6)
+    other = np.hypot(px.repeat(6) - nx, py.repeat(6) - ny).reshape(-1, 6)
     assert (own[:, None] <= other + 1e-12).all()
 
 
 def test_parent_contains_child_center():
     cells = hex_np.hex_cell(LAT, LON, 7)
     par = hex_np.parent(cells)
-    res, _q, _r = hex_np.unpack(par)
+    res = hex_np.unpack(par)[0]
     assert (res == 6).all()
     # the child's center bins into its parent at the parent's res
     clat, clon = hex_np.cell_center(cells)
@@ -91,7 +120,7 @@ def test_children_cover_parent_center():
     c = hex_np.hex_cell(np.array([-33.8568]), np.array([151.2153]), 4)
     ch = hex_np.children(c)
     assert 5 <= len(ch) <= 7
-    res, _q, _r = hex_np.unpack(ch)
+    res = hex_np.unpack(ch)[0]
     assert (res == 5).all()
     # center child's parent is c
     clat, clon = hex_np.cell_center(c)
@@ -106,7 +135,51 @@ def test_aperture_seven_area_ratio():
     assert a0 / a1 == pytest.approx(7.0)
 
 
+def _spherical_polygon_area(lat_deg, lon_deg):
+    """Girard spherical excess of the polygon (unit sphere steradians)."""
+    la, lo = np.radians(lat_deg), np.radians(lon_deg)
+    v = np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                  np.sin(la)], axis=1)
+    n = len(v)
+    ang = 0.0
+    for i in range(n):
+        a, b, c = v[(i - 1) % n], v[i], v[(i + 1) % n]
+        t1 = a - b * (a @ b)
+        t2 = c - b * (c @ b)
+        ang += np.arccos(np.clip(
+            (t1 @ t2) / np.sqrt((t1 @ t1) * (t2 @ t2)), -1.0, 1.0))
+    return ang - (n - 2) * np.pi
+
+
+def test_global_cell_area_ratio_within_two():
+    """The icosahedral gnomonic projection bounds cell-area distortion
+    globally: max/min spherical cell area <= (1 + tan^2(37.38 deg))^1.5
+    ~ 1.99 (the face circumradius caps the gnomonic radius).  The old
+    single-plane Web-Mercator kernel had UNBOUNDED ratio toward the
+    poles; this pins the fix."""
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-89.9, 89.9, 2000)
+    lon = rng.uniform(-180.0, 180.0, 2000)
+    cells = np.unique(hex_np.hex_cell(lat, lon, 4))
+    areas = np.array([_spherical_polygon_area(*hex_np.cell_boundary(
+        np.array([c]))) for c in cells])
+    ratio = areas.max() / areas.min()
+    assert ratio < 2.0
+    # and the sampled cells genuinely span the sphere (all 20 faces)
+    assert len(np.unique(hex_np.unpack(cells)[1])) == 20
+
+
 def test_deterministic_across_calls():
     a = hex_np.hex_cell(LAT, LON, 8)
     b = hex_np.hex_cell(LAT.copy(), LON.copy(), 8)
     assert (a == b).all()
+
+
+def test_res_bounds_raise():
+    with pytest.raises(ValueError):
+        hex_np.hex_cell(LAT[:2], LON[:2], 0)
+    with pytest.raises(ValueError):
+        hex_np.hex_cell(LAT[:2], LON[:2], 16)
+    c = hex_np.hex_cell(LAT[:2], LON[:2], hex_np.MIN_RES)
+    with pytest.raises(ValueError):
+        hex_np.parent(c)

@@ -173,6 +173,46 @@ def test_bucketed_upsert_has_no_exchange(spark):
     assert "Exchange hashpartitioning" not in jplan, jplan
 
 
+def test_merge_into_bucketed_table(spark):
+    """table.merge_into: the production MERGE INTO statement is tried
+    first; on this sandbox's v1 parquet catalog it falls back to the
+    merge-join form whose physical plan must be ZERO-Exchange over the
+    co-bucketed scans, followed by the catalog swap.  End state equals
+    the window-dedup upsert semantics."""
+    rows = [(f"m{i}", float(i % 90), float(i % 180), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "msisdn string, lat double, lon double, ts long")
+    upd_rows = [(f"m{i}", 1.0, 2.0, i + 400) for i in range(0, 400, 2)] + \
+               [(f"n{i}", 3.0, 4.0, i) for i in range(20)]
+    upd = spark.createDataFrame(upd_rows, "msisdn string, lat double, lon double, ts long")
+    table.write_bucketed(df, "pos_merge_tgt", "msisdn", n_buckets=8)
+    table.write_bucketed(upd, "pos_merge_upd", "msisdn", n_buckets=8)
+
+    res = table.merge_into(spark, "pos_merge_tgt",
+                           spark.table("pos_merge_upd"),
+                           key="msisdn", ts="ts", n_buckets=8)
+    # no v2 catalog in this sandbox -> the join fallback must have run,
+    # and its merge computation must be shuffle-free
+    assert res["path"] == "merge-join"
+    assert "Exchange" not in res["plan"], res["plan"]
+
+    got = {r["msisdn"]: (r["lat"], r["ts"])
+           for r in spark.table("pos_merge_tgt").collect()}
+    assert len(got) == 420
+    assert got["m0"] == (1.0, 400)      # updated
+    assert got["m1"] == (1.0, 1)        # untouched
+    assert got["n7"] == (3.0, 7)        # inserted
+    # merging the same updates again is idempotent
+    upd2 = spark.createDataFrame(upd_rows, "msisdn string, lat double, lon double, ts long")
+    table.write_bucketed(upd2, "pos_merge_upd", "msisdn", n_buckets=8)
+    table.merge_into(spark, "pos_merge_tgt", spark.table("pos_merge_upd"),
+                     key="msisdn", ts="ts", n_buckets=8)
+    again = {r["msisdn"]: (r["lat"], r["ts"])
+             for r in spark.table("pos_merge_tgt").collect()}
+    assert again == got
+    spark.sql("DROP TABLE IF EXISTS pos_merge_tgt")
+    spark.sql("DROP TABLE IF EXISTS pos_merge_upd")
+
+
 def test_compact_crash_recovery_all_states(spark, tmp_path):
     """Kill-between-steps: every on-disk state the compact swap can be
     interrupted in (tmp-only, bak+missing-path, bak+uncommitted-path,

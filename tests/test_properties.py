@@ -108,12 +108,19 @@ def test_neighbors_contain_nudged_points(lat, lon):
 @settings(max_examples=200, deadline=None)
 @given(lats, lons, st.integers(min_value=1, max_value=9))
 def test_hex_point_nearer_own_center_than_any_neighbor(lat, lon, res):
+    """Gnomonic face-plane Voronoi: in the point's own face plane, the
+    assigned hex center is nearest among itself and its 6 neighbors."""
     cell = hex_np.hex_cell(np.array([lat]), np.array([lon]), res)
-    x, y = hex_np._project(np.array([lat]), np.array([lon]))
-    _r, q, r = hex_np.unpack(cell)
+    vx, vy, vz = hex_np._unit_vectors(np.array([lat]), np.array([lon]))
+    _r, face, q, r = hex_np.unpack(cell)
+    f = int(face[0])
+    c, e1, e2 = (hex_np.FACE_CENTERS[f], hex_np.FACE_E1[f], hex_np.FACE_E2[f])
+    d = vx * c[0] + vy * c[1] + vz * c[2]
+    x = (vx * e1[0] + vy * e1[1] + vz * e1[2]) / d
+    y = (vx * e2[0] + vy * e2[1] + vz * e2[2]) / d
     cx, cy = hex_np._from_axial(q.astype(float), r.astype(float), res)
     own = float(np.hypot(x - cx, y - cy)[0])
-    _nr, nq, nr_ = hex_np.unpack(hex_np.neighbors(cell).ravel())
+    _nr, _nf, nq, nr_ = hex_np.unpack(hex_np.neighbors(cell).ravel())
     nx, ny = hex_np._from_axial(nq.astype(float), nr_.astype(float), res)
     other = np.hypot(x[0] - nx, y[0] - ny)
     assert own <= other.min() + 1e-9

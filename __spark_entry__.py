@@ -1614,15 +1614,171 @@ def _q77_funnel(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("step_idx"))
 
 
+# ---------------------------------------------------------------------------
+# Trajectory / mobility analytics (geotile/trajectory.py, round 4)
+# ---------------------------------------------------------------------------
+
+# Locality-aware walk for the dwell/OD/co-location queries: users
+# cluster around 12 hub cities (hub = user_id % 12, plus a per-user
+# <= 0.1 deg offset so hub-mates share gh4 cells without stacking),
+# and each fix adds mostly-small jitter (mode < 7 -> ~10 m steps, else
+# ~5 km jumps).  Pure integer-mod + double multiply/add — exact in
+# both engines; jumps break dwell chains so stay-point detection has
+# real work, and shared hubs give co-location real pairs.
+_WALK_LAT_SQL = ("(((user_id % 12) * 12347) % 120000) / 1000.0 - 60.0 + "
+                 "((user_id * 13) % 100) / 1000.0 + "
+                 "(((user_id * 13 + event_id * 7919) % 21) - 10) * "
+                 "(CASE WHEN (user_id * 31 + event_id * 17) % 10 < 7 "
+                 "THEN 0.0001 ELSE 0.05 END)")
+_WALK_LON_SQL = ("(((user_id % 12) * 54323) % 300000) / 1000.0 - 150.0 + "
+                 "((user_id * 7) % 100) / 1000.0 + "
+                 "(((user_id * 7 + event_id * 104729) % 21) - 10) * "
+                 "(CASE WHEN (user_id * 31 + event_id * 17) % 10 < 7 "
+                 "THEN 0.0001 ELSE 0.05 END)")
+_WALK_CTE = f"""walk AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {_WALK_LAT_SQL} AS lat,
+         {_WALK_LON_SQL} AS lon
+  FROM events
+)"""
+
+
+def _walk_df(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    scale = F.when((F.col("user_id") * 31 + F.col("event_id") * 17) % 10 < 7,
+                   F.lit(0.0001)).otherwise(F.lit(0.05))
+    return ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ep"),
+        ((((F.col("user_id") % 12) * 12347) % 120000) / F.lit(1000.0) - 60.0
+         + ((F.col("user_id") * 13) % 100) / F.lit(1000.0)
+         + (((F.col("user_id") * 13 + F.col("event_id") * 7919) % 21) - 10)
+         * scale).alias("lat"),
+        ((((F.col("user_id") % 12) * 54323) % 300000) / F.lit(1000.0) - 150.0
+         + ((F.col("user_id") * 7) % 100) / F.lit(1000.0)
+         + (((F.col("user_id") * 7 + F.col("event_id") * 104729) % 21) - 10)
+         * scale).alias("lon"))
+
+
+def _q78_hex_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution icosahedral hex occupancy pyramid: res 3/4/5
+    cell counts in ONE pass — a single Arrow crossing emits all three
+    cell ids per fix (udfs.hex_cells_multi_udf), posexplode, one
+    partially-aggregated shuffle (the hex twin of q55's square-tile
+    pyramid).  The oracle shares q36's icosahedral face/gnomonic CTEs
+    and unrolls the three per-res axial chains."""
+    from geotile import udfs as _udfs
+
+    pos = _positions_df(spark, sf)
+    cells = _udfs.hex_cells_multi_udf((3, 4, 5))(F.col("lat"), F.col("lon"))
+    return (pos.select(F.posexplode(cells).alias("i", "cell"))
+            .select((F.col("i") + 3).cast("int").alias("res"), "cell")
+            .groupBy("res", "cell").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2)
+            .orderBy("res", "cell"))
+
+
+def _q83_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_counts) over the same
+    xxhash64-synthesized link graph as q69/q71: canonical low->high
+    edges, ordered-wedge join closed against the edge set, all three
+    corners credited.  The oracle replays the HUGEINT xxhash64 edge
+    replica and the identical 3-way self-join."""
+    from geotile import graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    return graph.triangle_counts(edges).orderBy("node")
+
+
+def _q84_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-distribution entropy quality screen
+    (textops.char_entropy): exact integer nano-bit Shannon entropy per
+    document — per-char terms floor to ints before the sum, so the
+    result is aggregation-order-independent and engine-exact."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.char_entropy(docs).orderBy("doc_id")
+
+
+def _q79_speed_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """GPS plausibility filter (trajectory.speed_filter): per-user
+    great-circle speed from the previous fix over the RANDOM global
+    positions (absurd teleports by construction — the filter must flag
+    them), keep = first fix or speed <= 40 m/s.  Lag window + native
+    haversine; speeds rounded to 4 dp for the exact gate."""
+    from geotile import trajectory
+
+    pos = _positions_df(spark, sf).withColumn("ep", F.unix_timestamp("ts"))
+    out = trajectory.speed_filter(pos, max_speed_mps=40.0)
+    return (out.select("event_id", "user_id", "dist4", "dt_s", "speed4", "keep")
+            .orderBy("event_id"))
+
+
+def _q80_stay_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Stay-point detection (trajectory.stay_points) over the
+    locality-aware walk: consecutive-chain dwell runs (each fix within
+    300 m of the previous) spanning >= 1800 s.  Lag -> boundary flag ->
+    running sum -> one aggregate; centroids are the
+    order-independent snapped-grid mean (exact across engines)."""
+    from geotile import trajectory
+
+    out = trajectory.stay_points(_walk_df(spark, sf),
+                                 radius_m=300.0, min_dwell_s=1800)
+    return (out.select("user_id", "stay_id", "n_fixes", "t_start", "t_end",
+                       "clat", "clon")
+            .orderBy("user_id", "stay_id"))
+
+
+def _q81_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Origin-destination flows (trajectory.od_matrix): consecutive
+    fix pairs of a user whose gh4 cell changed, counted per directed
+    (origin, destination) cell pair; flows with >= 2 trips."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.od_matrix(pos, nchars=4)
+    return (out.where(F.col("n_flows") >= 2)
+            .orderBy("o_cell", "d_cell"))
+
+
+def _q82_colocation_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-location pairs (trajectory.colocation_pairs): users observed
+    in the same gh4 cell within the same 3600 s bucket, >= 2 distinct
+    co-occurrences, hot buckets capped at 1000 keys (none at this sf).
+    Distinct-collapse BEFORE the bucket self-join — the LSH-pairs
+    shuffle discipline on space-time buckets."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.colocation_pairs(pos, bucket_s=3600, nchars=4,
+                                      min_cooc=2)
+    return out.orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
-    # exactly 50 rows), so the entries with no driver-side row yet
-    # (q51-q77, added rounds 2-3) come FIRST — cheap batch queries, then
-    # the four costlier streaming gates — followed by q1-q50, which
-    # already have green rows in CORRECTNESS_r02 and r03 plus the local
-    # exact-oracle gate (scripts/check_oracle.py) and pinned fixtures.
+    # exactly 50 rows), so the entries with no driver-side row yet come
+    # FIRST (the round-4 additions q78+, then the round-2/3 block
+    # q51-q77 — cheap batch queries, then the four costlier streaming
+    # gates) — followed by q1-q50, which already have green rows in
+    # CORRECTNESS_r02 and r03 plus the local exact-oracle gate
+    # (scripts/check_oracle.py) and pinned fixtures.
     return {
+        "q78_hex_pyramid": _q78_hex_pyramid,
+        "q83_triangle_counts": _q83_triangle_counts,
+        "q84_char_entropy": _q84_char_entropy,
+        "q79_speed_filter": _q79_speed_filter,
+        "q80_stay_points": _q80_stay_points,
+        "q81_od_matrix": _q81_od_matrix,
+        "q82_colocation_pairs": _q82_colocation_pairs,
         "q51_route_proximity": _q51_route_proximity,
         "q52_text_embedding": _q52_text_embedding,
         "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
@@ -3353,6 +3509,251 @@ SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
 UNION ALL
 SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
 ORDER BY step_idx
+"""
+
+    # q78: the q36 face/gnomonic chain shared, three per-res axial
+    # chains unrolled (res 3/4/5), union + count
+    _lvls = []
+    for _r78 in (3, 4, 5):
+        _t = _hex._res_rot(_r78)
+        _c78, _s78 = _math.cos(_t), _math.sin(_t)
+        _sz = _hex._res_size(_r78)
+        _x78 = f"({_d.format(repr(_c78))} * px + {_d.format(repr(_s78))} * py)"
+        _y78 = f"({_d.format(repr(-_s78))} * px + {_d.format(repr(_c78))} * py)"
+        _q78 = (f"(({_d.format(repr(_m1))} * {_x78} - {_d.format(repr(_third))} * {_y78})"
+                f" / {_d.format(repr(_sz))})")
+        _r78f = f"(({_d.format(repr(_twothird))} * {_y78}) / {_d.format(repr(_sz))})"
+        _lvls.append(f"""frac{_r78} AS (
+  SELECT face, {_q78} AS q, {_r78f} AS r FROM plane
+),
+rounded{_r78} AS (
+  SELECT face, q, r, -q - r AS s,
+         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+  FROM frac{_r78}
+),
+fixed{_r78} AS (
+  SELECT face,
+         CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+              THEN -rr - rs ELSE rq END AS fq,
+         CASE WHEN NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+                   AND abs(rr - r) > abs(rs - s)
+              THEN -(CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+                          THEN -rr - rs ELSE rq END) - rs
+              ELSE rr END AS fr
+  FROM rounded{_r78}
+),
+lvl{_r78} AS (
+  SELECT CAST({_r78} AS INTEGER) AS res,
+         CAST({_r78 << 59} + face * {1 << 54} + (CAST(fq AS BIGINT) + {_hex._BIAS}) * {1 << 27}
+              + (CAST(fr AS BIGINT) + {_hex._BIAS}) AS BIGINT) AS cell
+  FROM fixed{_r78}
+)""")
+    _lvl_sql = ",\n".join(_lvls)
+    sqls["q78_hex_pyramid"] = f"""
+WITH {_POS_CTE},
+faces(face, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z) AS (
+  VALUES {_face_rows}
+),
+v AS (
+  SELECT event_id,
+         cos(radians(lat)) * cos(radians(lon)) AS vx,
+         cos(radians(lat)) * sin(radians(lon)) AS vy,
+         sin(radians(lat)) AS vz
+  FROM pos
+),
+fd AS (
+  SELECT v.event_id, v.vx, v.vy, v.vz, f.face,
+         f.e1x, f.e1y, f.e1z, f.e2x, f.e2y, f.e2z,
+         (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) AS dot,
+         row_number() OVER (
+           PARTITION BY v.event_id
+           ORDER BY (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) DESC,
+                    f.face ASC) AS rn
+  FROM v CROSS JOIN faces f
+),
+plane AS (
+  SELECT event_id, face,
+         ((vx * e1x + vy * e1y + vz * e1z) / dot) AS px,
+         ((vx * e2x + vy * e2y + vz * e2z) / dot) AS py
+  FROM fd WHERE rn = 1
+),
+{_lvl_sql}
+SELECT res, cell, count(*) AS n
+FROM (SELECT * FROM lvl3 UNION ALL SELECT * FROM lvl4 UNION ALL SELECT * FROM lvl5)
+GROUP BY res, cell
+HAVING count(*) >= 2
+ORDER BY res, cell
+"""
+
+    # q79-q82: trajectory/mobility analytics.  The haversine fragment
+    # mirrors udfs.haversine_col op-for-op (premultiplied 2R literal,
+    # greatest/least clamp) so thresholded outputs are exact.
+    from geotile.kernel import geohash_np as _ghk
+
+    _2r = repr(2.0 * _ghk.EARTH_RADIUS_M)
+    _thav = ("CAST('" + _2r + "' AS DOUBLE) * asin(sqrt(greatest(0.0, least(1.0, "
+             "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+             "cos(radians({lat1})) * cos(radians({lat2})) * "
+             "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))))")
+    _d79 = _thav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    sqls["q79_speed_filter"] = f"""
+WITH {_POS_CTE},
+p AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, lat, lon
+  FROM pos
+),
+lagged AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ep) OVER w AS pep
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+m AS (
+  SELECT event_id, user_id, pep IS NULL AS first,
+         ep - pep AS dt, {_d79} AS dist
+  FROM lagged
+)
+SELECT event_id, user_id,
+       CASE WHEN first THEN -1.0 ELSE round(dist, 4) END AS dist4,
+       CAST(CASE WHEN first THEN -1.0 ELSE dt END AS DOUBLE) AS dt_s,
+       CASE WHEN first OR dt <= 0 THEN -1.0 ELSE round(dist / dt, 4) END AS speed4,
+       (first OR (dt > 0 AND dist / dt <= 40.0)) AS keep
+FROM m
+ORDER BY event_id
+"""
+
+    _d80 = _thav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    sqls["q80_stay_points"] = f"""
+WITH {_WALK_CTE},
+lagged AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ep) OVER w AS pep
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+flagged AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         CASE WHEN pep IS NULL OR {_d80} > 300.0 THEN 1 ELSE 0 END AS newrun
+  FROM lagged
+),
+runs AS (
+  SELECT user_id, ep, lat, lon,
+         CAST(sum(newrun) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stay_id
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, stay_id, count(*) AS n_fixes,
+         min(ep) AS t_start, max(ep) AS t_end,
+         CAST(sum(CAST(round(lat * 10000.0) AS BIGINT)) AS BIGINT) AS slat,
+         CAST(sum(CAST(round(lon * 10000.0) AS BIGINT)) AS BIGINT) AS slon
+  FROM runs GROUP BY user_id, stay_id
+)
+SELECT user_id, stay_id, n_fixes, t_start, t_end,
+       CAST(slat AS DOUBLE) / (10000.0 * n_fixes) AS clat,
+       CAST(slon AS DOUBLE) / (10000.0 * n_fixes) AS clon
+FROM agg
+WHERE t_end - t_start >= 1800 AND n_fixes >= 2
+ORDER BY user_id, stay_id
+"""
+
+    _wgh4 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q81_od_matrix"] = f"""
+WITH {_WALK_CTE},
+cells AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS d
+  FROM walk
+),
+lagged AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS o
+  FROM cells
+)
+SELECT o AS o_cell, d AS d_cell, count(*) AS n_flows
+FROM lagged
+WHERE o IS NOT NULL AND o <> d
+GROUP BY o, d
+HAVING count(*) >= 2
+ORDER BY o_cell, d_cell
+"""
+
+    sqls["q82_colocation_pairs"] = f"""
+WITH {_WALK_CTE},
+b AS (
+  SELECT DISTINCT user_id AS k, {_wgh4} AS cell,
+         CAST(floor(ep / 3600) AS BIGINT) AS tb
+  FROM walk
+),
+sizes AS (
+  SELECT cell, tb FROM b GROUP BY cell, tb HAVING count(*) <= 1000
+),
+kept AS (
+  SELECT b.k, b.cell, b.tb FROM b JOIN sizes USING (cell, tb)
+)
+SELECT l.k AS a, r.k AS b, count(*) AS n_cooc
+FROM kept l JOIN kept r ON l.cell = r.cell AND l.tb = r.tb AND l.k < r.k
+GROUP BY l.k, r.k
+HAVING count(*) >= 2
+ORDER BY a, b
+"""
+
+    # q83: triangle counts over the q69 link graph — HUGEINT xxhash64
+    # edge replica, canonical low->high orientation, ordered-wedge
+    # 3-way self-join, all three corners credited
+    _sig83 = _signed64_sql("xh")
+    sqls["q83_triangle_counts"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l83 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l83", "z0", "xh", "x83")},
+e83a AS (
+  SELECT doc_id AS src, ((({_sig83} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x83f CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS u,
+                  CAST(greatest(src, dst) AS BIGINT) AS v
+  FROM e83a WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*) AS n_tri
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+ORDER BY node
+"""
+
+    # q84: char-entropy quality screen — per-char nano-bit terms floor
+    # to ints before the order-independent sum
+    sqls["q84_char_entropy"] = """
+WITH nz AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+chars AS (
+  SELECT doc_id, n, substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM (SELECT doc_id, text, n, unnest(range(1, CAST(n AS BIGINT) + 1)) AS i FROM nz)
+),
+cnts AS (
+  SELECT doc_id, n, ch, count(*) AS c FROM chars GROUP BY doc_id, n, ch
+),
+terms AS (
+  SELECT doc_id,
+         CAST(floor(((c / n) * log2(c / n)) * 1000000000.0) AS BIGINT) AS t
+  FROM cnts
+)
+SELECT doc_id, CAST(-sum(t) AS BIGINT) AS ent_nano,
+       count(*) AS n_distinct_chars
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -87,6 +87,9 @@ def main() -> None:
         "q69_pagerank", "q70_compact_cells", "q71_bfs_hops",
         "q72_source_quota", "q73_collocations", "q74_kmv_merge",
         "q75_cell_sample", "q76_cohort_retention", "q77_funnel",
+        "q78_hex_pyramid", "q79_speed_filter", "q80_stay_points",
+        "q81_od_matrix", "q82_colocation_pairs", "q83_triangle_counts",
+        "q84_char_entropy",
     ]
     from geotile import cache, textops
 

@@ -581,6 +581,34 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy in exact
+    integer nano-bits: ``ent_nano = -sum_c floor(p_c * log2(p_c) *
+    1e9)`` over the document's character histogram — the classic
+    gibberish/boilerplate screen (low entropy = repeated filler, high
+    = encrypted/binary junk) next to the ratio-based quality features.
+
+    Scale shape: the per-character explode never shuffles — the
+    (doc, char) groupBy partial-aggregates map-side, so the shuffle
+    operand is doc x alphabet (tiny), not doc x characters.  The
+    per-char terms floor to integers BEFORE the final sum, making the
+    result summation-order-independent and engine-exact (a double
+    entropy sum varies in the last ulp with aggregation order)."""
+    n = F.length(F.col(text_col))
+    chars = (df.where(n > 0)
+             .select(F.col(id_col), n.alias("_n"),
+                     F.explode(F.split(F.col(text_col), "")).alias("ch"))
+             .where(F.col("ch") != ""))
+    cnts = chars.groupBy(id_col, "_n", "ch").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("_n")
+    term = F.floor(p * F.log2(p) * F.lit(1000000000.0)).cast("long")
+    return (cnts.select(F.col(id_col), term.alias("_t"))
+            .groupBy(id_col)
+            .agg((-F.sum("_t")).alias("ent_nano"),
+                 F.count("*").alias("n_distinct_chars")))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / punctuation / stopword features + a composite
     quality score — all built-ins, one narrow pass."""

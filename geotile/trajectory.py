@@ -1,0 +1,173 @@
+"""Trajectory / mobility analytics over keyed position streams.
+
+The reference engine stores per-key position logs (AddPos timelines,
+mapinfo.cpp:151-215) but never ANALYZES them as trajectories; a
+web-scale spatial engine answers the standard mobility questions asked
+of exactly that table: is this GPS fix physically plausible
+(speed filter — the geo twin of the text quality filters, run before
+any location data enters a training mix), where did the key dwell
+(stay points), how does traffic flow between cells (origin-destination
+matrix), and which keys co-occur (co-location pairs — contact-graph /
+dedup-by-device input).
+
+All four operators are window/aggregate compositions of native column
+expressions (no UDFs): one shuffle on the key for the lag-based ones,
+one shuffle on the (cell, bucket) pair for co-location.  Distances are
+the native :func:`geotile.udfs.haversine_col` (whole-stage codegen);
+thresholded outputs and ROUND(4) speeds keep results exact under the
+DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import udfs
+
+
+def _lagged(df: DataFrame, key: str, ts: str, order_col: str,
+            lat: str, lon: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    return (df.withColumn("_plat", F.lag(lat).over(w))
+            .withColumn("_plon", F.lag(lon).over(w))
+            .withColumn("_pts", F.lag(ts).over(w)))
+
+
+def speed_filter(df: DataFrame, max_speed_mps: float = 40.0,
+                 key: str = "user_id", ts: str = "ep",
+                 order_col: str = "event_id",
+                 lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Physical-plausibility filter for GPS fixes: great-circle speed
+    from the key's previous fix; a fix faster than ``max_speed_mps``
+    (or with a non-increasing clock) is flagged ``keep = false`` — the
+    standard teleport/jitter cleaner run over raw location logs before
+    they feed any spatial aggregate or training mix.
+
+    Returns the input plus ``(dist4, dt_s, speed4, keep)``; the first
+    fix of a key keeps (no prior) and carries -1.0 sentinels instead of
+    NULLs (a NULL double round-trips differently through the oracle
+    gate's pandas fetch — NaN vs None; the sentinel keeps the gate
+    value-exact), as does ``speed4`` for a non-increasing clock.
+    ``speed4`` is ROUND(m/s, 4).  One shuffle (the per-key window); all
+    expressions native."""
+    d = _lagged(df, key, ts, order_col, lat, lon)
+    dist = udfs.haversine_col(F.col("_plat"), F.col("_plon"),
+                              F.col(lat), F.col(lon))
+    dt = F.col(ts) - F.col("_pts")
+    first = F.col("_pts").isNull()
+    na = F.lit(-1.0)
+    speed = F.when(first | (dt <= 0), na).otherwise(dist / dt)
+    keep = first | ((dt > 0) & (speed <= max_speed_mps))
+    return (d.withColumn("dist4", F.when(first, na).otherwise(F.round(dist, 4)))
+            .withColumn("dt_s", F.when(first, na).otherwise(dt).cast("double"))
+            .withColumn("speed4", F.when(first | (dt <= 0), na)
+                        .otherwise(F.round(speed, 4)))
+            .withColumn("keep", keep)
+            .drop("_plat", "_plon", "_pts"))
+
+
+def stay_points(df: DataFrame, radius_m: float = 300.0,
+                min_dwell_s: int = 1800, key: str = "user_id",
+                ts: str = "ep", order_col: str = "event_id",
+                lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Stay-point (dwell) detection, consecutive-chain formulation: a
+    run of a key's consecutive fixes each within ``radius_m`` of the
+    PREVIOUS fix is one candidate stay; candidates spanning at least
+    ``min_dwell_s`` seconds are emitted as
+    ``(key, stay_id, n_fixes, t_start, t_end, clat, clon)``.
+
+    The centroid is the mean of the fixes SNAPPED to a 1e-4-degree
+    grid (``sum(round(lat * 1e4)) / (1e4 * n)``): integer sums are
+    summation-ORDER-independent, so the result is bit-identical across
+    partitionings and engines — a plain ``avg(lat)`` varies in the
+    last ulp with Spark's partial-aggregation order and cannot sit
+    under a value-exact gate (~11 m snap; dwell radii are hundreds of
+    meters).
+
+    The chain rule (distance to previous fix) is the SQL-exact
+    simplification of anchor-based stay detection (Li et al. 2008
+    measure from the run's first fix); chains over-merge slow drift —
+    acceptable for cell-level dwell features and exactly replicable.
+    Same plan shape as sessionize: lag -> boundary flag -> running sum
+    -> one aggregate; one shuffle total."""
+    d = _lagged(df, key, ts, order_col, lat, lon)
+    dist = udfs.haversine_col(F.col("_plat"), F.col("_plon"),
+                              F.col(lat), F.col(lon))
+    new_run = F.when(F.col("_pts").isNull() | (dist > radius_m), 1).otherwise(0)
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (d.withColumn("_new", new_run)
+            .withColumn("stay_id", F.sum("_new").over(w)))
+    snap = 10000.0
+    out = (runs.groupBy(key, "stay_id")
+           .agg(F.count("*").alias("n_fixes"),
+                F.min(ts).alias("t_start"),
+                F.max(ts).alias("t_end"),
+                F.sum(F.round(F.col(lat) * snap).cast("long")).alias("_slat"),
+                F.sum(F.round(F.col(lon) * snap).cast("long")).alias("_slon"))
+           .where((F.col("t_end") - F.col("t_start")) >= min_dwell_s)
+           .where(F.col("n_fixes") >= 2))
+    return (out.withColumn(
+                "clat", F.col("_slat").cast("double")
+                / (F.lit(snap) * F.col("n_fixes")))
+            .withColumn(
+                "clon", F.col("_slon").cast("double")
+                / (F.lit(snap) * F.col("n_fixes")))
+            .drop("_slat", "_slon"))
+
+
+def od_matrix(df: DataFrame, nchars: int = 4, key: str = "user_id",
+              ts: str = "ep", order_col: str = "event_id",
+              cell_col: str = "geohash") -> DataFrame:
+    """Origin-destination flow matrix at cell granularity: each
+    consecutive fix pair of a key whose cell CHANGED contributes one
+    (origin_cell, dest_cell) flow; output is the count per directed
+    pair.  The input must already carry ``cell_col`` (engine.with_cell).
+
+    Scale shape: one per-key window (lag) then one (o, d) count — the
+    flow table is tiny next to the fixes (bounded by occupied cell
+    pairs), so the second shuffle's operand has already collapsed
+    map-side."""
+    o = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_d", o)
+         .withColumn("_o", F.lag("_d").over(w)))
+    return (d.where(F.col("_o").isNotNull() & (F.col("_o") != F.col("_d")))
+            .groupBy(F.col("_o").alias("o_cell"), F.col("_d").alias("d_cell"))
+            .agg(F.count("*").alias("n_flows")))
+
+
+def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
+                     min_cooc: int = 2, key: str = "user_id",
+                     ts: str = "ep", cell_col: str = "geohash",
+                     max_bucket_keys: int = 1000) -> DataFrame:
+    """Co-location pairs: keys observed in the SAME cell prefix within
+    the SAME time bucket, counted over distinct (cell, bucket)
+    co-occurrences; pairs seen at least ``min_cooc`` times are emitted
+    as ``(a, b, n_cooc)`` with a < b.  The contact-graph primitive
+    (same-device detection, companion mining).
+
+    Scale shape — the LSH-pairs discipline applied to space-time
+    buckets: first collapse to DISTINCT (key, cell, bucket) map-side
+    (a key pinging 100x in one bucket is one row), then cap
+    pathological buckets (a stadium cell-bucket with ``>
+    max_bucket_keys`` keys would fan out quadratically; capped buckets
+    are DROPPED and counted — the standard df-cap honesty trade), then
+    the bucket self-join emits ordered pairs and one count.  No
+    all-pairs join anywhere; fan-out per bucket is C(n_keys, 2) with
+    n_keys bounded."""
+    b = (df.select(F.col(key).alias("k"),
+                   F.substring(F.col(cell_col), 1, nchars).alias("cell"),
+                   F.floor(F.col(ts) / bucket_s).alias("tb"))
+         .distinct())
+    sizes = b.groupBy("cell", "tb").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket_keys).select("cell", "tb")
+    kept = b.join(ok, ["cell", "tb"])
+    l = kept.select("cell", "tb", F.col("k").alias("a"))
+    r = kept.select("cell", "tb", F.col("k").alias("b"))
+    pairs = (l.join(r, ["cell", "tb"])
+             .where(F.col("a") < F.col("b")))
+    return (pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc"))
+            .where(F.col("n_cooc") >= min_cooc))

@@ -312,6 +312,24 @@ def hex_cell_udf(res: int = 6):
     return _cell
 
 
+def hex_cells_multi_udf(res_list: tuple[int, ...] = (3, 4, 5)):
+    """All requested hex resolutions in ONE Arrow crossing: returns
+    array<long> of cell ids, index-aligned with ``res_list`` (the hex
+    twin of engine.with_tile_pyramid_keys — one pass, explode after)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .kernel import hex_np
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cells(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        cols = [hex_np.hex_cell(la, lo, r) for r in res_list]
+        return pd.Series(np.stack(cols, axis=1).tolist())
+
+    return _cells
+
+
 def tile_udf(zoom: int = 12):
     """Web-Mercator z/x/y raster tile key string at ``zoom``."""
 

@@ -255,6 +255,51 @@ def main() -> None:
         "joined to the previous step's shrinking reached set; all step counts "
         "union into a single plan (one action)"))
 
+    # trajectory / mobility operators (round 4)
+    from geotile import graph as graph_mod
+    from geotile import trajectory
+
+    traj = facts.select(
+        (F.col("ep") % 50).alias("user_id"), F.col("ep").alias("tts"),
+        F.col("ep").alias("event_id"),
+        ((F.col("ep") % 160) - 80.0).alias("lat"),
+        ((F.col("ep") % 340) - 170.0).alias("lon"))
+    sections.append(summarize(
+        trajectory.speed_filter(traj, ts="tts"),
+        "speed_filter: ONE per-key window shuffle, native haversine lag "
+        "distance — zero Python, map-side everything else"))
+    sections.append(summarize(
+        trajectory.stay_points(traj, ts="tts"),
+        "stay_points: lag -> boundary flag -> running sum -> one aggregate "
+        "(sessionize's shape); snapped-int centroid sums are "
+        "order-independent"))
+    traj_c = engine.with_cell(traj)
+    sections.append(summarize(
+        trajectory.od_matrix(traj_c, ts="tts"),
+        "od_matrix: per-key lag window, then the (o, d) count collapses "
+        "map-side — the flow table is occupied-cell-pair sized"))
+    sections.append(summarize(
+        trajectory.colocation_pairs(traj_c, ts="tts"),
+        "colocation_pairs: DISTINCT (key, cell, bucket) first, hot buckets "
+        "capped and dropped, THEN the bucket self-join — quadratic fan-out "
+        "bounded per bucket, never all-pairs"))
+
+    ed_tri = facts.select(F.col("ep").alias("src"),
+                          (F.col("ep") * 7 % 100000).alias("dst"))
+    sections.append(summarize(
+        graph_mod.triangle_counts(ed_tri),
+        "triangle_counts: canonical low->high edge set persisted (3 readers), "
+        "ordered-wedge join closed against it, corners credited via explode — "
+        "per-key fan-out bounded by low-vertex degree (degree orientation is "
+        "the documented 100 TB upgrade)"))
+
+    sections.append(summarize(
+        textops.char_entropy(docs_tbl),
+        "char_entropy: the per-character explode NEVER shuffles — the "
+        "(doc, char) groupBy partial-aggregates map-side, so the exchange "
+        "carries doc x alphabet rows; integer nano terms sum "
+        "order-independently"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

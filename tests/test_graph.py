@@ -171,3 +171,18 @@ def test_pagerank_sink_heavy_node_ranks_highest(spark):
     cache.release(out)
     assert max(got, key=got.get) == 0
     assert got[1] > got[2] == got[3]
+
+
+def test_triangle_counts_exact(spark):
+    from geotile import cache, graph
+    from pyspark.sql import functions as F
+
+    # triangle 1-2-3 (with a duplicate reversed edge), square 4-5-6-7
+    # (no triangles), K4 on 10..13 (4 triangles, each node in 3)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 5), (5, 6), (6, 7), (7, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.triangle_counts(e)
+    got = sorted((r["node"], r["n_tri"]) for r in out.collect())
+    cache.release(out)
+    assert got == [(1, 1), (2, 1), (3, 1)] + [(n, 3) for n in range(10, 14)]

@@ -183,3 +183,19 @@ def test_res_bounds_raise():
     c = hex_np.hex_cell(LAT[:2], LON[:2], hex_np.MIN_RES)
     with pytest.raises(ValueError):
         hex_np.parent(c)
+
+
+def test_multi_res_udf_matches_kernel(spark):
+    from pyspark.sql import functions as F
+
+    from geotile import udfs
+
+    df = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in zip(LAT[:50], LON[:50])],
+        "lat double, lon double")
+    got = df.select(udfs.hex_cells_multi_udf((3, 4, 5))(
+        F.col("lat"), F.col("lon")).alias("cells")).collect()
+    for row, la, lo in zip(got, LAT[:50], LON[:50]):
+        for i, res in enumerate((3, 4, 5)):
+            assert row["cells"][i] == int(hex_np.hex_cell(
+                np.array([la]), np.array([lo]), res)[0])

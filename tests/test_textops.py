@@ -508,3 +508,19 @@ def test_source_quota_salted_pre_thin_identical(spark, docs):
     salted = sorted(map(tuple,
                         textops.source_quota(docs, quota=7, salt_mod=4).collect()))
     assert plain == salted
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from geotile import textops
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["ent_nano"], r["n_distinct_chars"])
+           for r in textops.char_entropy(df).collect()}
+    assert 4 not in got                      # empty doc excluded
+    assert got[1] == (0, 1)                  # single-char text: zero bits
+    assert got[2] == (-2 * math.floor(0.5 * math.log2(0.5) * 1e9), 2)
+    assert got[3] == (-4 * math.floor(0.25 * math.log2(0.25) * 1e9), 4)

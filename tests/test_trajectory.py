@@ -1,0 +1,112 @@
+"""Trajectory operators: brute-force equivalence + shape invariants."""
+
+import numpy as np
+
+from geotile import engine, trajectory
+from geotile.kernel import geohash_np as gh
+
+
+def _traj_rows():
+    # user 1: dwell at (10, 20) for 4 fixes spanning 3000 s, then a
+    # 5 km jump, then 2 more fixes nearby (short dwell, 100 s)
+    rows = [(1, 0, 10.0, 20.0), (1, 1000, 10.0001, 20.0001),
+            (1, 2000, 10.0002, 20.0000), (1, 3000, 10.0001, 20.0002),
+            (1, 3600, 10.05, 20.05), (1, 3700, 10.0501, 20.0501)]
+    # user 2: teleports (absurd speed) and a clock tie
+    rows += [(2, 0, 0.0, 0.0), (2, 10, 45.0, 90.0), (2, 10, 45.0, 90.0001),
+             (2, 4000, 45.0001, 90.0001)]
+    return [(i, u, t, la, lo) for i, (u, t, la, lo) in enumerate(rows)]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        _traj_rows(), "event_id long, user_id long, ep long, lat double, lon double")
+
+
+def test_speed_filter_brute_force(spark):
+    out = {r["event_id"]: r for r in
+           trajectory.speed_filter(_df(spark), max_speed_mps=40.0).collect()}
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    prev = {}
+    for eid, u, t, la, lo in rows:
+        r = out[eid]
+        if u not in prev:
+            assert r["keep"] and r["dist4"] == -1.0 and r["speed4"] == -1.0
+        else:
+            pt, pla, plo = prev[u]
+            d = float(gh.haversine_m(np.array([pla]), np.array([plo]),
+                                     np.array([la]), np.array([lo]))[0])
+            dt = t - pt
+            assert r["dt_s"] == float(dt)
+            assert abs(r["dist4"] - round(d, 4)) < 1e-9
+            if dt <= 0:
+                assert r["speed4"] == -1.0 and not r["keep"]
+            else:
+                assert r["keep"] == (d / dt <= 40.0)
+        prev[u] = (t, la, lo)
+
+
+def test_stay_points_chain_semantics(spark):
+    out = sorted(trajectory.stay_points(_df(spark), radius_m=300.0,
+                                        min_dwell_s=1800).collect(),
+                 key=lambda r: r["user_id"])
+    # user 1's first run (4 fixes, 3000 s) qualifies; the post-jump run
+    # spans only 100 s.  User 2's teleport to (45, 90) starts a run
+    # whose three nearby fixes span t=10..4000 -> also a stay
+    assert len(out) == 2
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_fixes"] == 4
+    assert (r["t_start"], r["t_end"]) == (0, 3000)
+    # snapped-grid centroid: mean of round(lat*1e4)/1e4
+    lats = [10.0, 10.0001, 10.0002, 10.0001]
+    assert r["clat"] == sum(round(v * 1e4) for v in lats) / (1e4 * 4)
+    r2 = out[1]
+    assert r2["user_id"] == 2 and r2["n_fixes"] == 3
+    assert (r2["t_start"], r2["t_end"]) == (10, 4000)
+
+
+def test_od_matrix_flows(spark):
+    pos = engine.with_cell(_df(spark), lat="lat", lon="lon")
+    out = {(r["o_cell"], r["d_cell"]): r["n_flows"]
+           for r in trajectory.od_matrix(pos, nchars=4).collect()}
+    # user 1 crosses cells once (dwell -> +0.05 deg), user 2 hops
+    # 0->45/90 then stays; every flow here is distinct cells
+    assert all(o != d for o, d in out)
+    assert sum(out.values()) >= 2
+    total_moves = sum(v for v in out.values())
+    # recompute brute force
+    import collections
+    flows = collections.Counter()
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    prevc = {}
+    for eid, u, t, la, lo in rows:
+        c = gh.encode(np.array([la]), np.array([lo]), 5)[0][:4]
+        if u in prevc and prevc[u] != c:
+            flows[(prevc[u], c)] += 1
+        prevc[u] = c
+    assert out == dict(flows)
+    assert total_moves == sum(flows.values())
+
+
+def test_colocation_pairs_and_hot_bucket_cap(spark):
+    # users 1..4 share cell+bucket twice; users 5..9 pile into one
+    # hot bucket that exceeds the cap -> contributes nothing
+    rows = []
+    for b in (0, 1):
+        for u in (1, 2, 3, 4):
+            rows.append((len(rows), u, b * 1000, 10.0, 20.0))
+    for u in range(5, 10):
+        rows.append((len(rows), u, 5000, -30.0, 40.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    pos = engine.with_cell(df, lat="lat", lon="lon")
+    out = {(r["a"], r["b"]): r["n_cooc"] for r in
+           trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
+                                       min_cooc=2, max_bucket_keys=4).collect()}
+    assert out == {(a, b): 2 for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b}
+    # with the cap lifted the hot-bucket pairs appear (n_cooc 1 < 2
+    # filtered; lower min_cooc to see them)
+    out2 = {(r["a"], r["b"]) for r in
+            trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
+                                        min_cooc=1, max_bucket_keys=1000).collect()}
+    assert (5, 6) in out2 and (8, 9) in out2

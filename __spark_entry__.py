@@ -1707,6 +1707,32 @@ def _q84_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return textops.char_entropy(docs).orderBy("doc_id")
 
 
+def _q85_hex_disk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hex k-ring neighborhood search (kernel ring/disk as the
+    candidate generator): positions counted by exact hex distance
+    (0/1/2) from each query point's res-3 icosahedral hex — the hex
+    twin of the geohash radius search, with the 19-cell disk built
+    DRIVER-side (tiny by contract, like the radius covers) and
+    broadcast.  The oracle rebuilds the disk from literal axial
+    offsets around the query's (face, q, r) and replays the same
+    icosahedral binning for the positions."""
+    from geotile import udfs as _udfs
+    from geotile.kernel import hex_np
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("h5", _udfs.hex_cell_udf(3)(F.col("lat"), F.col("lon"))))
+    rows = []
+    for qid, qla, qlo in _KNN_QUERIES:
+        c = hex_np.hex_cell(np.array([qla]), np.array([qlo]), 3)
+        for kk in range(3):
+            for cell in hex_np.ring(c, kk):
+                rows.append((qid, int(cell), kk))
+    ddf = spark.createDataFrame(rows, "query_id long, h5 long, hexdist int")
+    return (pos.join(F.broadcast(ddf), "h5")
+            .groupBy("query_id", "hexdist").agg(F.count("*").alias("n"))
+            .orderBy("query_id", "hexdist"))
+
+
 def _q79_speed_filter(spark: SparkSession, sf: str) -> DataFrame:
     """GPS plausibility filter (trajectory.speed_filter): per-user
     great-circle speed from the previous fix over the RANDOM global
@@ -1762,6 +1788,40 @@ def _q82_colocation_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("a", "b")
 
 
+def _q86_daily_trips(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily travel distance per user (trajectory.daily_trip_distance)
+    over the hub walk: consecutive-fix legs floored to integer
+    millimeters BEFORE the per-day sum — summation-order-independent,
+    so an iterative-sum quantity sits under the exact gate."""
+    from geotile import trajectory
+
+    out = trajectory.daily_trip_distance(_walk_df(spark, sf))
+    return out.orderBy("user_id", "day")
+
+
+def _q87_rate_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily event-rate anomalies
+    (trajectory.daily_rate_anomalies): the z>2 test multiplied through
+    by n^2 into pure BIGINT arithmetic — (c*n - S)^2 > 4*(n*SS - S^2),
+    c*n > S — no doubles anywhere (the scraper/burst screen)."""
+    from geotile import trajectory
+
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    out = trajectory.daily_rate_anomalies(ev)
+    return out.orderBy("user_id", "day")
+
+
+def _q88_winsorize_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source p95 winsorization of document token counts
+    (textops.winsorize_doc_lengths): the cap is the exact k-th smallest
+    with k = (95*n + 99) DIV 100, rank by (count, doc_id) — integer
+    arithmetic end to end, no percentile interpolation."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.winsorize_doc_lengths(docs)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
@@ -1775,6 +1835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_hex_pyramid": _q78_hex_pyramid,
         "q83_triangle_counts": _q83_triangle_counts,
         "q84_char_entropy": _q84_char_entropy,
+        "q85_hex_disk": _q85_hex_disk,
+        "q86_daily_trips": _q86_daily_trips,
+        "q87_rate_anomalies": _q87_rate_anomalies,
+        "q88_winsorize_lengths": _q88_winsorize_lengths,
         "q79_speed_filter": _q79_speed_filter,
         "q80_stay_points": _q80_stay_points,
         "q81_od_matrix": _q81_od_matrix,
@@ -3754,6 +3818,203 @@ SELECT doc_id, CAST(-sum(t) AS BIGINT) AS ent_nano,
 FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+    # q85: hex disk search — query points run the same icosahedral
+    # chain (res 5), the 19-cell k<=2 disk comes from literal axial
+    # offsets, positions bin exactly as q36
+    _offs = []
+    for _dq in range(-2, 3):
+        for _dr in range(-2, 3):
+            _hd = (abs(_dq) + abs(_dr) + abs(_dq + _dr)) // 2
+            if _hd <= 2:
+                _offs.append(f"({_dq}, {_dr}, {_hd})")
+    _off_rows = ", ".join(_offs)
+    _qpt_rows = ", ".join(f"({qid}, {_d.format(repr(float(qla)))}, {_d.format(repr(float(qlo)))})"
+                          for qid, qla, qlo in _KNN_QUERIES)
+    _t85 = _hex._res_rot(3)
+    _c85, _s85 = _math.cos(_t85), _math.sin(_t85)
+    _sz85 = _hex._res_size(3)
+    _x85 = f"({_d.format(repr(_c85))} * px + {_d.format(repr(_s85))} * py)"
+    _y85 = f"({_d.format(repr(-_s85))} * px + {_d.format(repr(_c85))} * py)"
+    _qf85 = (f"(({_d.format(repr(_m1))} * {_x85} - {_d.format(repr(_third))} * {_y85})"
+             f" / {_d.format(repr(_sz85))})")
+    _rf85 = f"(({_d.format(repr(_twothird))} * {_y85}) / {_d.format(repr(_sz85))})"
+    _res_hi85 = 3 << 59
+    sqls["q85_hex_disk"] = f"""
+WITH {_POS_CTE},
+faces(face, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z) AS (
+  VALUES {_face_rows}
+),
+v AS (
+  SELECT event_id,
+         cos(radians(lat)) * cos(radians(lon)) AS vx,
+         cos(radians(lat)) * sin(radians(lon)) AS vy,
+         sin(radians(lat)) AS vz
+  FROM pos
+),
+fd AS (
+  SELECT v.event_id, v.vx, v.vy, v.vz, f.face,
+         f.e1x, f.e1y, f.e1z, f.e2x, f.e2y, f.e2z,
+         (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) AS dot,
+         row_number() OVER (
+           PARTITION BY v.event_id
+           ORDER BY (v.vx * f.cx + v.vy * f.cy + v.vz * f.cz) DESC,
+                    f.face ASC) AS rn
+  FROM v CROSS JOIN faces f
+),
+plane AS (
+  SELECT event_id, face,
+         ((vx * e1x + vy * e1y + vz * e1z) / dot) AS px,
+         ((vx * e2x + vy * e2y + vz * e2z) / dot) AS py
+  FROM fd WHERE rn = 1
+),
+frac AS (
+  SELECT face, {_qf85} AS q, {_rf85} AS r FROM plane
+),
+rounded AS (
+  SELECT face, q, r, -q - r AS s,
+         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+  FROM frac
+),
+fixed AS (
+  SELECT face,
+         CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+              THEN -rr - rs ELSE rq END AS fq,
+         CASE WHEN NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+                   AND abs(rr - r) > abs(rs - s)
+              THEN -(CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+                          THEN -rr - rs ELSE rq END) - rs
+              ELSE rr END AS fr
+  FROM rounded
+),
+pos_h AS (
+  SELECT CAST({_res_hi85} + face * {_face_mul} + (CAST(fq AS BIGINT) + {_bias27}) * {_q_mul}
+              + (CAST(fr AS BIGINT) + {_bias27}) AS BIGINT) AS h5
+  FROM fixed
+),
+qpts(query_id, qlat, qlon) AS (VALUES {_qpt_rows}),
+vq AS (
+  SELECT query_id,
+         cos(radians(qlat)) * cos(radians(qlon)) AS vx,
+         cos(radians(qlat)) * sin(radians(qlon)) AS vy,
+         sin(radians(qlat)) AS vz
+  FROM qpts
+),
+fdq AS (
+  SELECT vq.query_id, vq.vx, vq.vy, vq.vz, f.face,
+         f.e1x, f.e1y, f.e1z, f.e2x, f.e2y, f.e2z,
+         (vq.vx * f.cx + vq.vy * f.cy + vq.vz * f.cz) AS dot,
+         row_number() OVER (
+           PARTITION BY vq.query_id
+           ORDER BY (vq.vx * f.cx + vq.vy * f.cy + vq.vz * f.cz) DESC,
+                    f.face ASC) AS rn
+  FROM vq CROSS JOIN faces f
+),
+plane_q AS (
+  SELECT query_id, face,
+         ((vx * e1x + vy * e1y + vz * e1z) / dot) AS px,
+         ((vx * e2x + vy * e2y + vz * e2z) / dot) AS py
+  FROM fdq WHERE rn = 1
+),
+frac_q AS (
+  SELECT query_id, face, {_qf85} AS q, {_rf85} AS r FROM plane_q
+),
+rounded_q AS (
+  SELECT query_id, face, q, r, -q - r AS s,
+         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+  FROM frac_q
+),
+fixed_q AS (
+  SELECT query_id, face,
+         CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+              THEN -rr - rs ELSE rq END AS fq,
+         CASE WHEN NOT (abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s))
+                   AND abs(rr - r) > abs(rs - s)
+              THEN -(CASE WHEN abs(rq - q) > abs(rr - r) AND abs(rq - q) > abs(rs - s)
+                          THEN -rr - rs ELSE rq END) - rs
+              ELSE rr END AS fr
+  FROM rounded_q
+),
+offs(dq, dr, hexdist) AS (VALUES {_off_rows}),
+disk AS (
+  SELECT query_id,
+         CAST({_res_hi85} + face * {_face_mul}
+              + (CAST(fq AS BIGINT) + dq + {_bias27}) * {_q_mul}
+              + (CAST(fr AS BIGINT) + dr + {_bias27}) AS BIGINT) AS h5,
+         CAST(hexdist AS INTEGER) AS hexdist
+  FROM fixed_q CROSS JOIN offs
+)
+SELECT d.query_id, d.hexdist, count(*) AS n
+FROM pos_h p JOIN disk d ON d.h5 = p.h5
+GROUP BY d.query_id, d.hexdist
+ORDER BY d.query_id, d.hexdist
+"""
+
+    # q86: daily trip distance — legs floor to integer mm pre-sum
+    _d86 = _thav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    sqls["q86_daily_trips"] = f"""
+WITH {_WALK_CTE},
+lagged AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ep) OVER w AS pep
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+legs AS (
+  SELECT user_id, ep // 86400 AS day,
+         CAST(floor({_d86} * 1000.0) AS BIGINT) AS mm
+  FROM lagged WHERE pep IS NOT NULL
+)
+SELECT user_id, day, count(*) AS n_legs,
+       CAST(sum(mm) AS BIGINT) AS dist_mm
+FROM legs GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+    # q87: integer-exact daily rate anomalies (z>2 multiplied through
+    # by n^2 — pure BIGINT comparison)
+    sqls["q87_rate_anomalies"] = """
+WITH daily AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n_events
+  FROM events GROUP BY user_id, day
+),
+mom AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM daily GROUP BY user_id
+)
+SELECT d.user_id, d.day, d.n_events,
+       (d.n_events * m.n - m.s > 0 AND
+        (d.n_events * m.n - m.s) * (d.n_events * m.n - m.s)
+          > 4 * (m.n * m.ss - m.s * m.s)) AS is_anomaly
+FROM daily d JOIN mom m ON m.user_id = d.user_id
+ORDER BY d.user_id, d.day
+"""
+
+    # q88: per-source p95 winsorization — exact k-th smallest cap
+    sqls["q88_winsorize_lengths"] = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n_tokens ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+caps AS (
+  SELECT source, n_tokens AS cap FROM ranked
+  WHERE rk = (95 * n + 99) // 100
+)
+SELECT b.doc_id, b.source, b.n_tokens,
+       least(b.n_tokens, c.cap) AS n_capped
+FROM base b JOIN caps c ON c.source = b.source
+ORDER BY b.doc_id
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

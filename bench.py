@@ -89,7 +89,8 @@ def main() -> None:
         "q75_cell_sample", "q76_cohort_retention", "q77_funnel",
         "q78_hex_pyramid", "q79_speed_filter", "q80_stay_points",
         "q81_od_matrix", "q82_colocation_pairs", "q83_triangle_counts",
-        "q84_char_entropy",
+        "q84_char_entropy", "q85_hex_disk", "q86_daily_trips",
+        "q87_rate_anomalies", "q88_winsorize_lengths",
     ]
     from geotile import cache, textops
 

@@ -1002,3 +1002,33 @@ def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
     est = F.when(F.col("kth_hash").isNull(), F.col("n_in_sketch").cast("double")) \
         .otherwise(F.lit(float(k - 1)) / norm)
     return agg.withColumn("est_distinct", est)
+
+
+def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          pct: int = 95) -> DataFrame:
+    """Per-group winsorization of document token counts at the exact
+    ``pct``-th percentile — the outlier-capping hygiene step applied to
+    length-based features before a training mix is balanced.  The cap
+    is the k-th smallest count with ``k = ceil(pct/100 * n)`` computed
+    in INTEGER arithmetic (``(pct*n + 99) DIV 100``), rank by
+    (count, doc_id) — fully deterministic, no interpolation, no
+    doubles.
+
+    Returns ``(id_col, group_col, n_tokens, n_capped)``.  One window
+    shuffle on the group (rank + group size), a group-sized cap table
+    joins back broadcast."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = df.select(F.col(id_col), F.col(group_col),
+                     n_tok.alias("n_tokens"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_tokens").asc(), F.col(id_col).asc())
+    ranked = (base.withColumn("_rk", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy(group_col))))
+    k = (F.lit(pct) * F.col("_n") + 99) / 100
+    caps = (ranked.where(F.col("_rk") == F.floor(k).cast("long"))
+            .select(F.col(group_col), F.col("n_tokens").alias("_cap")))
+    return (base.join(F.broadcast(caps), group_col)
+            .select(id_col, group_col, "n_tokens",
+                    F.least(F.col("n_tokens"), F.col("_cap")).alias("n_capped")))

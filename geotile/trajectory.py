@@ -171,3 +171,56 @@ def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
              .where(F.col("a") < F.col("b")))
     return (pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc"))
             .where(F.col("n_cooc") >= min_cooc))
+
+
+def daily_trip_distance(df: DataFrame, bucket_s: int = 86400,
+                        key: str = "user_id", ts: str = "ep",
+                        order_col: str = "event_id",
+                        lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Distance traveled per key per day: each consecutive fix pair is
+    one leg credited to the day of its DESTINATION fix; leg lengths
+    floor to integer millimeters before the sum, so the per-day total
+    is summation-order-independent and engine-exact (a double sum of
+    haversines varies in the last ulp with aggregation order).
+
+    Returns ``(key, day, n_legs, dist_mm)``.  One per-key window
+    shuffle + one (key, day) count — same shape as od_matrix."""
+    d = _lagged(df, key, ts, order_col, lat, lon)
+    dist = udfs.haversine_col(F.col("_plat"), F.col("_plon"),
+                              F.col(lat), F.col(lon))
+    mm = F.floor(dist * 1000.0).cast("long")
+    return (d.where(F.col("_pts").isNotNull())
+            .select(F.col(key), F.expr(f"{ts} DIV {bucket_s}").alias("day"),
+                    mm.alias("_mm"))
+            .groupBy(key, "day")
+            .agg(F.count("*").alias("n_legs"), F.sum("_mm").alias("dist_mm")))
+
+
+def daily_rate_anomalies(events: DataFrame, bucket_s: int = 86400,
+                         key: str = "user_id", ts: str = "ep",
+                         sigmas: int = 2) -> DataFrame:
+    """Per-key daily event-rate anomaly flags with INTEGER-EXACT
+    z-score arithmetic: a day is anomalous iff its count exceeds the
+    key's mean by more than ``sigmas`` population standard deviations.
+    The test ``(c - S/n)^2 > sigmas^2 * (n*SS - S^2) / n^2`` is
+    multiplied through by n^2 so the whole comparison is
+    ``(c*n - S)^2 > sigmas^2 * (n*SS - S^2) AND c*n > S`` — pure
+    BIGINT, no doubles, exact in any engine (the bursty-key /
+    scraper-detection screen run over raw event logs).
+
+    Returns ``(key, day, n_events, is_anomaly)``.  Two aggregates: the
+    (key, day) count collapses map-side; the per-key moment table is
+    key-sized and joins back."""
+    day = F.expr(f"{ts} DIV {bucket_s}").alias("day")
+    daily = (events.select(F.col(key), day)
+             .groupBy(key, "day").agg(F.count("*").alias("n_events")))
+    mom = (daily.groupBy(key)
+           .agg(F.count("*").alias("_n"),
+                F.sum("n_events").alias("_s"),
+                F.sum(F.col("n_events") * F.col("n_events")).alias("_ss")))
+    dev = F.col("n_events") * F.col("_n") - F.col("_s")
+    rhs = F.lit(sigmas * sigmas) * (F.col("_n") * F.col("_ss")
+                                    - F.col("_s") * F.col("_s"))
+    return (daily.join(mom, key)
+            .withColumn("is_anomaly", (dev > 0) & (dev * dev > rhs))
+            .drop("_n", "_s", "_ss"))

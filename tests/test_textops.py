@@ -524,3 +524,24 @@ def test_char_entropy_known_values(spark):
     assert got[1] == (0, 1)                  # single-char text: zero bits
     assert got[2] == (-2 * math.floor(0.5 * math.log2(0.5) * 1e9), 2)
     assert got[3] == (-4 * math.floor(0.25 * math.log2(0.25) * 1e9), 4)
+
+
+def test_winsorize_doc_lengths_exact_kth(spark):
+    from geotile import textops
+
+    rows = [(i, "s1", " ".join(["w"] * n)) for i, n in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    rows += [(100 + i, "s2", " ".join(["w"] * n)) for i, n in
+             enumerate([5, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_capped"])
+           for r in textops.winsorize_doc_lengths(df).collect()}
+    # s1: n=10, k = (95*10+99)//100 = 10 -> cap = 100 (no capping)
+    assert out[9] == (100, 100)
+    # s2: n=2, k = (95*2+99)//100 = 2 -> cap = 50
+    assert out[101] == (50, 50)
+    assert out[100] == (5, 5)
+    # force capping: s1 with k=9 via pct=90 -> cap 9, the 100 capped
+    out90 = {r["doc_id"]: r["n_capped"] for r in
+             textops.winsorize_doc_lengths(df, pct=90).collect()}
+    assert out90[9] == 9

@@ -110,3 +110,46 @@ def test_colocation_pairs_and_hot_bucket_cap(spark):
             trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
                                         min_cooc=1, max_bucket_keys=1000).collect()}
     assert (5, 6) in out2 and (8, 9) in out2
+
+
+def test_daily_trip_distance_brute_force(spark):
+    out = {(r["user_id"], r["day"]): (r["n_legs"], r["dist_mm"])
+           for r in trajectory.daily_trip_distance(
+               _df(spark), bucket_s=2000).collect()}
+    import collections
+    legs = collections.defaultdict(lambda: [0, 0])
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    prev = {}
+    for eid, u, t, la, lo in rows:
+        if u in prev:
+            pla, plo = prev[u]
+            d = float(gh.haversine_m(np.array([pla]), np.array([plo]),
+                                     np.array([la]), np.array([lo]))[0])
+            k = (u, t // 2000)
+            legs[k][0] += 1
+            legs[k][1] += int(np.floor(d * 1000.0))
+        prev[u] = (la, lo)
+    assert out == {k: tuple(v) for k, v in legs.items()}
+
+
+def test_daily_rate_anomalies_integer_exact(spark):
+    # user 1: 9 quiet days (1 event) + 1 burst day (20 events)
+    rows = []
+    for d in range(9):
+        rows.append((len(rows), 1, d * 86400 + 5))
+    for j in range(20):
+        rows.append((len(rows), 1, 9 * 86400 + j))
+    # user 2: perfectly uniform -> nothing flagged
+    for d in range(5):
+        rows.append((len(rows), 2, d * 86400 + 1))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ep long")
+    out = {(r["user_id"], r["day"]): r["is_anomaly"]
+           for r in trajectory.daily_rate_anomalies(ev, ts="ep").collect()}
+    assert out[(1, 9)] is True
+    assert all(not v for (u, d), v in out.items() if (u, d) != (1, 9))
+    # brute-force check of the integer inequality on the burst day
+    counts = [1] * 9 + [20]
+    n, s = len(counts), sum(counts)
+    ss = sum(c * c for c in counts)
+    c = 20
+    assert (c * n - s) > 0 and (c * n - s) ** 2 > 4 * (n * ss - s * s)

@@ -1170,6 +1170,15 @@ def _shm_checkpoint(sink: str) -> str:
     return d
 
 
+def _rm_ckpt(path: str) -> None:
+    """Delete a finished stream's tmpfs checkpoint — /dev/shm is
+    RAM-backed, so leaking one per invocation would steadily eat memory
+    on a long-lived host."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 _Q56_SINK = {"n": 0}
 
 
@@ -1209,9 +1218,10 @@ def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     _Q56_SINK["n"] += 1
     sink = f"q56_pyramid_sink_{_Q56_SINK['n']}"
     q = (pyr.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", _shm_checkpoint(sink))
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select(F.col("win.start").cast("long").alias("win_start"),
                     "zoom", "x", "y", "n")
@@ -1248,9 +1258,10 @@ def _q57_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     _Q56_SINK["n"] += 1
     sink = f"q57_session_sink_{_Q56_SINK['n']}"
     q = (s.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", _shm_checkpoint(sink))
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select("user_id",
                     F.col("win.start").cast("long").alias("s_start"),
@@ -1307,9 +1318,10 @@ def _q58_stream_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     _Q56_SINK["n"] += 1
     sink = f"q58_cell_sink_{_Q56_SINK['n']}"
     q = (cc.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", _shm_checkpoint(sink))
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select(F.col("win.start").cast("long").alias("win_start"),
                     "geohash", "n")
@@ -1396,9 +1408,10 @@ def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     _Q56_SINK["n"] += 1
     sink = f"q65_ssj_sink_{_Q56_SINK['n']}"
     q = (j.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", _shm_checkpoint(sink))
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select("user_id", "a_id", "b_id",
                     (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))

@@ -187,33 +187,72 @@ def merge_into(spark: SparkSession, target: str, updates: DataFrame,
     catalog swap (stage table + RENAME; an Iceberg catalog would make
     this step a snapshot commit instead).
 
+    Raw updates may carry several rows per key (the normal AddPos batch
+    shape): they are LWW-deduped here first, because BOTH downstream
+    forms require a key-unique source — the join form would emit
+    duplicate keys, and a v2 MERGE raises a cardinality violation.
+
+    The fallback's DROP + RENAME pair is not atomic; a crash between
+    the two statements leaves the data under ``{target}__merge_stage``.
+    :func:`recover_merge` (called automatically on entry) completes the
+    interrupted rename, mirroring compact()'s crash-recovery contract.
+    An Iceberg catalog would make the whole step one snapshot commit.
+
     Returns ``{"path": "merge-sql" | "merge-join", "plan": <physical
     plan of the merge computation, for plan assertions>}``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from . import engine
 
+    recover_merge(spark, target)
+    # LWW-dedup the raw updates (ties -> any deterministic winner; the
+    # window orders by ts desc so the newest row per key survives)
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    updates = (updates.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
     upd_view = "_geotile_merge_updates_" + "".join(
         ch if ch.isalnum() else "_" for ch in target)
     updates.createOrReplaceTempView(upd_view)
-    merge_sql = (
-        f"MERGE INTO {target} t USING {upd_view} u ON t.{key} = u.{key} "
-        f"WHEN MATCHED AND u.{ts} >= t.{ts} THEN UPDATE SET * "
-        f"WHEN NOT MATCHED THEN INSERT *")
     try:
-        spark.sql(merge_sql)
-        return {"path": "merge-sql", "plan": ""}
-    except Exception as e:  # v1 catalog: fall through to the join form
-        if "MERGE INTO" not in str(e):
-            raise
-    state = spark.table(target)
-    merged = engine.upsert_positions_merge(state, spark.table(upd_view),
-                                           key=key, ts=ts)
-    plan = merged._jdf.queryExecution().executedPlan().toString()
+        merge_sql = (
+            f"MERGE INTO {target} t USING {upd_view} u ON t.{key} = u.{key} "
+            f"WHEN MATCHED AND u.{ts} >= t.{ts} THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
+        try:
+            spark.sql(merge_sql)
+            return {"path": "merge-sql", "plan": ""}
+        except Exception as e:
+            # fall through ONLY on "this catalog cannot MERGE" — match
+            # the error condition, not the statement text (which any
+            # failed MERGE would echo)
+            cond = getattr(e, "getCondition", lambda: None)() or ""
+            if ("UNSUPPORTED_FEATURE" not in cond
+                    and "does not support MERGE INTO" not in str(e)):
+                raise
+        state = spark.table(target)
+        merged = engine.upsert_positions_merge(state, spark.table(upd_view),
+                                               key=key, ts=ts)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        stage = f"{target}__merge_stage"
+        write_bucketed(merged, stage, key, n_buckets=n_buckets)
+        spark.sql(f"DROP TABLE {target}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+        return {"path": "merge-join", "plan": plan}
+    finally:
+        spark.catalog.dropTempView(upd_view)
+
+
+def recover_merge(spark: SparkSession, target: str) -> bool:
+    """Repair an interrupted merge_into swap: if the target table is
+    gone but its merge stage exists (a crash landed between DROP and
+    RENAME), complete the rename.  Returns True when a repair ran."""
     stage = f"{target}__merge_stage"
-    write_bucketed(merged, stage, key, n_buckets=n_buckets)
-    spark.sql(f"DROP TABLE {target}")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
-    spark.catalog.dropTempView(upd_view)
-    return {"path": "merge-join", "plan": plan}
+    if (not spark.catalog.tableExists(target)
+            and spark.catalog.tableExists(stage)):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+        return True
+    return False
 
 
 def compact(spark: SparkSession, path: str, target_mb: int = 128) -> dict:

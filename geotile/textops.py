@@ -1026,8 +1026,8 @@ def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
     ranked = (base.withColumn("_rk", F.row_number().over(w))
               .withColumn("_n", F.count("*").over(
                   Window.partitionBy(group_col))))
-    k = (F.lit(pct) * F.col("_n") + 99) / 100
-    caps = (ranked.where(F.col("_rk") == F.floor(k).cast("long"))
+    k = F.expr(f"({pct} * _n + 99) DIV 100")  # true integer DIV, as the oracle
+    caps = (ranked.where(F.col("_rk") == k)
             .select(F.col(group_col), F.col("n_tokens").alias("_cap")))
     return (base.join(F.broadcast(caps), group_col)
             .select(id_col, group_col, "n_tokens",

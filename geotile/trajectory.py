@@ -153,24 +153,36 @@ def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
     buckets: first collapse to DISTINCT (key, cell, bucket) map-side
     (a key pinging 100x in one bucket is one row), then cap
     pathological buckets (a stadium cell-bucket with ``>
-    max_bucket_keys`` keys would fan out quadratically; capped buckets
-    are DROPPED and counted — the standard df-cap honesty trade), then
-    the bucket self-join emits ordered pairs and one count.  No
-    all-pairs join anywhere; fan-out per bucket is C(n_keys, 2) with
-    n_keys bounded."""
+    max_bucket_keys`` keys would fan out quadratically), then the
+    bucket self-join emits ordered pairs and one count.  No all-pairs
+    join anywhere; fan-out per bucket is C(n_keys, 2) with n_keys
+    bounded.  The distinct bucket table is persisted (it feeds the size
+    guard AND both self-join sides — four plan branches otherwise
+    recompute the dominant shuffle); callers release via
+    ``geotile.cache.release``.  Capped buckets are not silent: the
+    dropped-bucket count is attached to the result as
+    ``_geotile_dropped_buckets`` (a tiny driver-side aggregate over the
+    already-persisted bucket table — the standard df-cap honesty
+    trade, reported instead of swallowed)."""
+    from . import cache
+
     b = (df.select(F.col(key).alias("k"),
                    F.substring(F.col(cell_col), 1, nchars).alias("cell"),
                    F.floor(F.col(ts) / bucket_s).alias("tb"))
-         .distinct())
+         .distinct().persist())
     sizes = b.groupBy("cell", "tb").agg(F.count("*").alias("_n"))
+    dropped = int(sizes.where(F.col("_n") > max_bucket_keys).count())
     ok = sizes.where(F.col("_n") <= max_bucket_keys).select("cell", "tb")
     kept = b.join(ok, ["cell", "tb"])
     l = kept.select("cell", "tb", F.col("k").alias("a"))
     r = kept.select("cell", "tb", F.col("k").alias("b"))
     pairs = (l.join(r, ["cell", "tb"])
              .where(F.col("a") < F.col("b")))
-    return (pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc"))
-            .where(F.col("n_cooc") >= min_cooc))
+    out = (pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc"))
+           .where(F.col("n_cooc") >= min_cooc))
+    out = cache.track(out, [b])
+    out._geotile_dropped_buckets = dropped  # type: ignore[attr-defined]
+    return out
 
 
 def daily_trip_distance(df: DataFrame, bucket_s: int = 86400,

@@ -264,3 +264,32 @@ def test_compact_crash_recovery_all_states(spark, tmp_path):
         assert m is not None and m["partitions"] == m0["partitions"]
         assert {tuple(r) for r in table.read_stage(spark, p).collect()} == golden
         assert table.verify_counts(spark, p)
+
+
+def test_merge_into_crash_recovery_and_dup_updates(spark):
+    """(a) Raw updates with duplicate keys are LWW-deduped before the
+    merge (the join fallback would otherwise emit duplicate keys);
+    (b) a crash landing between DROP and RENAME (simulated by doing the
+    swap by hand) is repaired by recover_merge on the next call."""
+    rows = [(f"m{i}", 0.0, 0.0, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "msisdn string, lat double, lon double, ts long")
+    table.write_bucketed(df, "pos_rec_tgt", "msisdn", n_buckets=4)
+    # duplicate-key updates: the newer ts (lat=2.0) must win, once
+    upd = spark.createDataFrame(
+        [("m1", 1.0, 1.0, 100), ("m1", 2.0, 2.0, 200), ("x", 9.0, 9.0, 1)],
+        "msisdn string, lat double, lon double, ts long")
+    table.merge_into(spark, "pos_rec_tgt", upd, key="msisdn", ts="ts",
+                     n_buckets=4)
+    got = spark.table("pos_rec_tgt").where("msisdn = 'm1'").collect()
+    assert len(got) == 1 and got[0]["lat"] == 2.0 and got[0]["ts"] == 200
+    assert spark.table("pos_rec_tgt").count() == 51
+
+    # simulate the crash window: stage exists, target dropped
+    spark.sql("CREATE TABLE pos_rec_tgt__merge_stage AS SELECT * FROM pos_rec_tgt")
+    spark.sql("DROP TABLE pos_rec_tgt")
+    assert table.recover_merge(spark, "pos_rec_tgt") is True
+    assert spark.table("pos_rec_tgt").count() == 51
+    assert not spark.catalog.tableExists("pos_rec_tgt__merge_stage")
+    # and merge_into itself self-heals on entry (no-op repair when fine)
+    assert table.recover_merge(spark, "pos_rec_tgt") is False
+    spark.sql("DROP TABLE IF EXISTS pos_rec_tgt")

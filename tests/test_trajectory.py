@@ -110,6 +110,14 @@ def test_colocation_pairs_and_hot_bucket_cap(spark):
             trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
                                         min_cooc=1, max_bucket_keys=1000).collect()}
     assert (5, 6) in out2 and (8, 9) in out2
+    # the capped run reports exactly one dropped bucket, the uncapped none
+    from geotile import cache
+
+    capped = trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
+                                         min_cooc=2, max_bucket_keys=4)
+    assert capped._geotile_dropped_buckets == 1
+    capped.collect()
+    cache.release(capped)
 
 
 def test_daily_trip_distance_brute_force(spark):

@@ -1835,6 +1835,28 @@ def _q88_winsorize_lengths(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q89_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy-hitter tokens (textops.heavy_hitter_tokens):
+    per-partition Misra-Gries sketch generates a guaranteed-superset
+    candidate set (pigeonhole over partition shares), exact counting
+    verifies — the output is EXACT and partitioning-independent, so a
+    sketch-pruned operator sits under the plain SQL frequency oracle."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(16)
+    return (textops.heavy_hitter_tokens(docs, phi=0.004)
+            .orderBy("token"))
+
+
+def _q90_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (simsearch.scalar_quantize): per-dimension linear map onto 0..255
+    from exact corpus extrema — floor of identical doubles, exact in
+    both engines."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (simsearch.scalar_quantize(emb)
+            .select("vec_id", F.col("i").cast("long").alias("i"), "q")
+            .orderBy("vec_id", "i"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
@@ -1852,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_daily_trips": _q86_daily_trips,
         "q87_rate_anomalies": _q87_rate_anomalies,
         "q88_winsorize_lengths": _q88_winsorize_lengths,
+        "q89_heavy_hitters": _q89_heavy_hitters,
+        "q90_scalar_quantize": _q90_scalar_quantize,
         "q79_speed_filter": _q79_speed_filter,
         "q80_stay_points": _q80_stay_points,
         "q81_od_matrix": _q81_od_matrix,
@@ -4029,6 +4053,43 @@ SELECT b.doc_id, b.source, b.n_tokens,
 FROM base b JOIN caps c ON c.source = b.source
 ORDER BY b.doc_id
 """
+
+    # q89: heavy hitters — the oracle is the PLAIN exact frequency
+    # filter; the Spark side must land on the identical exact answer
+    # despite its Misra-Gries pruning stage
+    sqls["q89_heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT count(*) AS total FROM toks)
+SELECT t.token, count(*) AS n, tot.total
+FROM toks t CROSS JOIN tot
+GROUP BY t.token, tot.total
+HAVING count(*) > tot.total * 0.004
+ORDER BY t.token
+"""
+
+    # q90: int8 scalar quantization — per-dim extrema, linear map,
+    # floor; same double op order as simsearch.scalar_quantize
+    sqls["q90_scalar_quantize"] = """
+WITH ex AS (
+  SELECT vec_id, i, embedding[i + 1] AS v
+  FROM read_parquet_embeddings_stub
+),
+rng AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+)
+SELECT ex.vec_id, ex.i,
+       CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                 ELSE least(255.0, greatest(0.0,
+                      floor((ex.v - rng.mn) / (rng.mx - rng.mn) * 255.0)))
+            END AS BIGINT) AS q
+FROM ex JOIN rng ON rng.i = ex.i
+ORDER BY ex.vec_id, ex.i
+""".replace("read_parquet_embeddings_stub",
+            "(SELECT vec_id, unnest(range(0, 64)) AS i, embedding "
+            "FROM embeddings)")
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):
     # not ANSI-SQL-expressible yet -> driver rows-only checks.

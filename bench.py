@@ -91,6 +91,7 @@ def main() -> None:
         "q81_od_matrix", "q82_colocation_pairs", "q83_triangle_counts",
         "q84_char_entropy", "q85_hex_disk", "q86_daily_trips",
         "q87_rate_anomalies", "q88_winsorize_lengths",
+        "q89_heavy_hitters", "q90_scalar_quantize",
     ]
     from geotile import cache, textops
 

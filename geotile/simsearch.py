@@ -264,3 +264,33 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray, k: int = 
             .withColumn("cosine", cosine_col(vec_col, query))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column — the
+    standard 4x storage/bandwidth compression step before ANN index
+    build (int8 SQ as in FAISS's SQ8): each dimension maps linearly
+    from its corpus [min, max] onto 0..2^bits-1,
+    ``q = floor((v - min_d) / (max_d - min_d) * (2^bits - 1))``
+    clamped, constant dimensions mapping to 0.
+
+    Returns ``(id_col, i, q)`` — one row per (vector, dimension), q an
+    exact integer (floor of identical doubles in any engine).
+
+    Scale shape: one posexplode pass + a DIM-sized min/max aggregate
+    (64 rows here) broadcast back — the second pass rescans the
+    (cheap) exploded projection rather than shuffling it.  At 100 TB
+    the per-dim extrema would come from a sampled or sketched pass;
+    the exact pass keeps the gate deterministic."""
+    exploded = df.select(F.col(id_col),
+                         F.posexplode(vec_col).alias("i", "v"))
+    rng = exploded.groupBy("i").agg(F.min("v").alias("_mn"),
+                                    F.max("v").alias("_mx"))
+    levels = float((1 << bits) - 1)
+    q = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(F.lit(levels), F.greatest(F.lit(0.0),
+            F.floor((F.col("v") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn")) * levels))))
+    return (exploded.join(F.broadcast(rng), "i")
+            .select(id_col, "i", q.cast("long").alias("q")))

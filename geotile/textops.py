@@ -1032,3 +1032,54 @@ def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
     return (base.join(F.broadcast(caps), group_col)
             .select(id_col, group_col, "n_tokens",
                     F.least(F.col("n_tokens"), F.col("_cap")).alias("n_capped")))
+
+
+def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
+                        text_col: str = "text",
+                        sketch_k: int | None = None) -> DataFrame:
+    """Exact corpus heavy hitters via a Misra-Gries candidate pass:
+    every token whose corpus frequency exceeds ``phi`` of all token
+    occurrences, with its EXACT count — ``(token, n, total)``.
+
+    Scale shape (the sketch-then-verify discipline, cf. LSH pairs):
+    stage 1 runs a Misra-Gries summary with ``k = ceil(2/phi)``
+    counters PER PARTITION (mapInPandas over the token stream — O(k)
+    memory, no shuffle); any token with global share > 1/k must exceed
+    share 1/k in at least one partition (pigeonhole), so the union of
+    per-partition candidates (<= k rows each) is a guaranteed superset
+    of the true heavy hitters.  Stage 2 broadcast-semi-joins the tiny
+    candidate set against the token stream and counts EXACTLY — the
+    only shuffle operand is (candidate tokens x partitions).  The
+    output is therefore exact and independent of partitioning, even
+    though a sketch did the pruning — which is what makes it gateable
+    against a plain SQL frequency oracle."""
+    import pandas as pd
+
+    k = sketch_k or max(int(np.ceil(2.0 / phi)), 8)
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[text_col]:
+                for tok in (t or "").split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        dead = [c for c, n in counters.items() if n == 1]
+                        for c in counters:
+                            counters[c] -= 1
+                        for c in dead:
+                            del counters[c]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cand = (df.select(text_col).mapInPandas(_mg, "token string")
+            .distinct())
+    toks = df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                     .alias("token"))
+    total = toks.count()
+    counts = (toks.join(F.broadcast(cand), "token")
+              .groupBy("token").agg(F.count("*").alias("n")))
+    return (counts.where(F.col("n") > F.lit(float(total)) * phi)
+            .withColumn("total", F.lit(total).cast("long")))

@@ -239,3 +239,24 @@ def test_ivf_topk_stored_cluster_prunes_partitions(spark, tmp_path):
     part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "ivf_cluster" in part_filters
     assert "ArrowEvalPython" not in plan
+
+
+def test_scalar_quantize_brute_force(spark):
+    import math
+
+    from geotile import simsearch
+
+    rows = [(0, [0.0, 5.0, -1.0]), (1, [10.0, 5.0, 3.0]), (2, [5.0, 5.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["vec_id"], r["i"]): r["q"]
+           for r in simsearch.scalar_quantize(df).collect()}
+    mins = [0.0, 5.0, -1.0]
+    maxs = [10.0, 5.0, 3.0]
+    for vid, vec in rows:
+        for i, v in enumerate(vec):
+            if maxs[i] == mins[i]:
+                assert got[(vid, i)] == 0   # constant dim
+            else:
+                q = min(255.0, max(0.0, math.floor(
+                    (v - mins[i]) / (maxs[i] - mins[i]) * 255.0)))
+                assert got[(vid, i)] == int(q)

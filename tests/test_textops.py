@@ -545,3 +545,21 @@ def test_winsorize_doc_lengths_exact_kth(spark):
     out90 = {r["doc_id"]: r["n_capped"] for r in
              textops.winsorize_doc_lengths(df, pct=90).collect()}
     assert out90[9] == 9
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    from geotile import textops
+
+    # "hot" is 49% of tokens, "warm" ~10%, the rest are singletons
+    rows = [(i, "hot " * 5 + "warm " + f"rare{i} x{i} y{i} z{i}")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {("hot", 1500), ("warm", 300)}
+    for parts in (1, 7, 32):
+        out = {(r["token"], r["n"]) for r in textops.heavy_hitter_tokens(
+            df.repartition(parts), phi=0.05).collect()}
+        assert out == expect
+    # tight sketch: k floored at 8 counters still captures >1/8-share
+    out = {(r["token"], r["n"]) for r in textops.heavy_hitter_tokens(
+        df.repartition(13), phi=0.3, sketch_k=8).collect()}
+    assert out == {("hot", 1500)}

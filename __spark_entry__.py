@@ -1220,7 +1220,8 @@ def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     q = (pyr.writeStream.format("memory").queryName(sink)
          .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()        # never rmtree a LIVE query's checkpoint
     _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select(F.col("win.start").cast("long").alias("win_start"),
@@ -1260,7 +1261,8 @@ def _q57_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     q = (s.writeStream.format("memory").queryName(sink)
          .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()        # never rmtree a LIVE query's checkpoint
     _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select("user_id",
@@ -1320,7 +1322,8 @@ def _q58_stream_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     q = (cc.writeStream.format("memory").queryName(sink)
          .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()        # never rmtree a LIVE query's checkpoint
     _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select(F.col("win.start").cast("long").alias("win_start"),
@@ -1410,7 +1413,8 @@ def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     q = (j.writeStream.format("memory").queryName(sink)
          .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()        # never rmtree a LIVE query's checkpoint
     _rm_ckpt(_ckpt)
     return (spark.table(sink)
             .select("user_id", "a_id", "b_id",
@@ -1795,10 +1799,15 @@ def _q82_colocation_pairs(spark: SparkSession, sf: str) -> DataFrame:
     shuffle discipline on space-time buckets."""
     from geotile import trajectory
 
+    from geotile import cache
+
     pos = engine.with_cell(_walk_df(spark, sf))
     out = trajectory.colocation_pairs(pos, bucket_s=3600, nchars=4,
                                       min_cooc=2)
-    return out.orderBy("a", "b")
+    # orderBy creates a new frame: re-attach the persisted-intermediate
+    # tracking so the driver/bench cache.release still frees the cache
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
 
 
 def _q86_daily_trips(spark: SparkSession, sf: str) -> DataFrame:
@@ -1841,9 +1850,12 @@ def _q89_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     candidate set (pigeonhole over partition shares), exact counting
     verifies — the output is EXACT and partitioning-independent, so a
     sketch-pruned operator sits under the plain SQL frequency oracle."""
+    from geotile import cache
+
     docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(16)
-    return (textops.heavy_hitter_tokens(docs, phi=0.004)
-            .orderBy("token"))
+    out = textops.heavy_hitter_tokens(docs, phi=0.004)
+    return cache.track(out.orderBy("token"),
+                       getattr(out, "_geotile_persisted", []))
 
 
 def _q90_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
@@ -4074,7 +4086,7 @@ ORDER BY t.token
     # floor; same double op order as simsearch.scalar_quantize
     sqls["q90_scalar_quantize"] = """
 WITH ex AS (
-  SELECT vec_id, i, embedding[i + 1] AS v
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
   FROM read_parquet_embeddings_stub
 ),
 rng AS (

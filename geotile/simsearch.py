@@ -276,7 +276,12 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
     clamped, constant dimensions mapping to 0.
 
     Returns ``(id_col, i, q)`` — one row per (vector, dimension), q an
-    exact integer (floor of identical doubles in any engine).
+    exact integer.  The stored vectors are float32; BOTH engines must
+    do the arithmetic in double (Spark coerces float operands to double
+    division, DuckDB would divide in float32 and floor a different
+    quotient ~3 rows per million) — so the vector is cast to
+    array<double> up front, the module-wide convention (cosine_col does
+    the same), and the oracle CASTs v AS DOUBLE to match.
 
     Scale shape: one posexplode pass + a DIM-sized min/max aggregate
     (64 rows here) broadcast back — the second pass rescans the
@@ -284,7 +289,8 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
     the per-dim extrema would come from a sampled or sketched pass;
     the exact pass keeps the gate deterministic."""
     exploded = df.select(F.col(id_col),
-                         F.posexplode(vec_col).alias("i", "v"))
+                         F.posexplode(F.col(vec_col).cast("array<double>"))
+                         .alias("i", "v"))
     rng = exploded.groupBy("i").agg(F.min("v").alias("_mn"),
                                     F.max("v").alias("_mx"))
     levels = float((1 << bits) - 1)

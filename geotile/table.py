@@ -206,9 +206,11 @@ def merge_into(spark: SparkSession, target: str, updates: DataFrame,
     from . import engine
 
     recover_merge(spark, target)
-    # LWW-dedup the raw updates (ties -> any deterministic winner; the
-    # window orders by ts desc so the newest row per key survives)
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    # LWW-dedup the raw updates: newest ts per key survives, and ts
+    # ties break by a TOTAL order over the payload columns (ordering by
+    # ts alone would make the committed row depend on scan order)
+    tie = [F.col(c).desc() for c in updates.columns if c not in (key, ts)]
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), *tie)
     updates = (updates.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
     upd_view = "_geotile_merge_updates_" + "".join(

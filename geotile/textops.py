@@ -1047,21 +1047,35 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
     memory, no shuffle); any token with global share > 1/k must exceed
     share 1/k in at least one partition (pigeonhole), so the union of
     per-partition candidates (<= k rows each) is a guaranteed superset
-    of the true heavy hitters.  Stage 2 broadcast-semi-joins the tiny
-    candidate set against the token stream and counts EXACTLY — the
-    only shuffle operand is (candidate tokens x partitions).  The
-    output is therefore exact and independent of partitioning, even
-    though a sketch did the pruning — which is what makes it gateable
-    against a plain SQL frequency oracle."""
+    of the true heavy hitters.  The MG tokenizer is the SAME ASCII
+    ``\\s+`` split as the exact pass (Python str.split would use
+    Unicode whitespace and could fragment a heavy token out of the
+    candidate set, silently breaking the superset guarantee).  Stage 2
+    counts in ONE aggregation pass: non-candidate tokens collapse into
+    a NULL bucket (map-side partials are <= k+1 keys per partition), so
+    the grand total and the exact candidate counts come out of the same
+    tiny shuffle; the corpus total attaches as a 1-row broadcast, the
+    bm25 corpus-stats pattern.  Everything stays lazy (no driver
+    action); the aggregate is persisted (two readers) and released via
+    ``geotile.cache.release``.  The output is exact and independent of
+    partitioning even though a sketch did the pruning — which is what
+    makes it gateable against a plain SQL frequency oracle."""
+    import re
+
     import pandas as pd
 
+    from . import cache
+
     k = sketch_k or max(int(np.ceil(2.0 / phi)), 8)
+    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s, not Unicode
 
     def _mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
             for t in pdf[text_col]:
-                for tok in (t or "").split():
+                # mirror F.split(F.trim(text), r"\s+") exactly: trim
+                # spaces only; an empty/edge split emits '' tokens
+                for tok in ws.split((t or "").strip(" ")):
                     if tok in counters:
                         counters[tok] += 1
                     elif len(counters) < k:
@@ -1075,11 +1089,16 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
         yield pd.DataFrame({"token": list(counters.keys())})
 
     cand = (df.select(text_col).mapInPandas(_mg, "token string")
-            .distinct())
+            .distinct().withColumn("_hit", F.lit(1)))
     toks = df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                      .alias("token"))
-    total = toks.count()
-    counts = (toks.join(F.broadcast(cand), "token")
-              .groupBy("token").agg(F.count("*").alias("n")))
-    return (counts.where(F.col("n") > F.lit(float(total)) * phi)
-            .withColumn("total", F.lit(total).cast("long")))
+    grp = (toks.join(F.broadcast(cand), "token", "left")
+           .groupBy(F.when(F.col("_hit").isNotNull(), F.col("token"))
+                    .alias("token"))
+           .agg(F.count("*").alias("n"))
+           .persist())
+    tot = grp.agg(F.sum("n").alias("total"))
+    out = (grp.where(F.col("token").isNotNull())
+           .crossJoin(F.broadcast(tot))
+           .where(F.col("n") > F.col("total").cast("double") * phi))
+    return cache.track(out, [grp])

@@ -160,10 +160,11 @@ def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
     guard AND both self-join sides — four plan branches otherwise
     recompute the dominant shuffle); callers release via
     ``geotile.cache.release``.  Capped buckets are not silent: the
-    dropped-bucket count is attached to the result as
-    ``_geotile_dropped_buckets`` (a tiny driver-side aggregate over the
-    already-persisted bucket table — the standard df-cap honesty
-    trade, reported instead of swallowed)."""
+    dropped (cell, bucket) pairs are attached to the result as the
+    ``_geotile_dropped_buckets_df`` DataFrame — a LAZY frame over the
+    already-persisted bucket table (no driver action at construction;
+    count it when reporting — the standard df-cap honesty trade,
+    reported instead of swallowed)."""
     from . import cache
 
     b = (df.select(F.col(key).alias("k"),
@@ -171,7 +172,6 @@ def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
                    F.floor(F.col(ts) / bucket_s).alias("tb"))
          .distinct().persist())
     sizes = b.groupBy("cell", "tb").agg(F.count("*").alias("_n"))
-    dropped = int(sizes.where(F.col("_n") > max_bucket_keys).count())
     ok = sizes.where(F.col("_n") <= max_bucket_keys).select("cell", "tb")
     kept = b.join(ok, ["cell", "tb"])
     l = kept.select("cell", "tb", F.col("k").alias("a"))
@@ -181,7 +181,8 @@ def colocation_pairs(df: DataFrame, bucket_s: int = 600, nchars: int = 5,
     out = (pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc"))
            .where(F.col("n_cooc") >= min_cooc))
     out = cache.track(out, [b])
-    out._geotile_dropped_buckets = dropped  # type: ignore[attr-defined]
+    out._geotile_dropped_buckets_df = (  # type: ignore[attr-defined]
+        sizes.where(F.col("_n") > max_bucket_keys))
     return out
 
 

@@ -300,6 +300,31 @@ def main() -> None:
         "carries doc x alphabet rows; integer nano terms sum "
         "order-independently"))
 
+    hh = textops.heavy_hitter_tokens(docs_tbl, phi=0.01)
+    sections.append(summarize(
+        hh,
+        "heavy_hitter_tokens: Misra-Gries candidates via mapInPandas (no "
+        "shuffle), then ONE aggregation where non-candidates collapse into "
+        "a NULL bucket — map-side partials are <= k+1 keys; total attaches "
+        "as a 1-row broadcast"))
+    from geotile import cache as _cache
+
+    _cache.release(hh)
+
+    from geotile import simsearch as _ss
+
+    emb_tbl = spark.read.parquet(os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet")) if os.path.exists(os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet")) else None
+    if emb_tbl is not None:
+        sections.append(summarize(
+            _ss.scalar_quantize(emb_tbl),
+            "scalar_quantize: posexplode pass + DIM-sized min/max aggregate "
+            "broadcast back — the join side is 64 rows, never a shuffle of "
+            "the vectors"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

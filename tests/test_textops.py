@@ -554,12 +554,25 @@ def test_heavy_hitters_exact_and_partition_independent(spark):
     rows = [(i, "hot " * 5 + "warm " + f"rare{i} x{i} y{i} z{i}")
             for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    from geotile import cache
+
     expect = {("hot", 1500), ("warm", 300)}
     for parts in (1, 7, 32):
-        out = {(r["token"], r["n"]) for r in textops.heavy_hitter_tokens(
-            df.repartition(parts), phi=0.05).collect()}
+        hh = textops.heavy_hitter_tokens(df.repartition(parts), phi=0.05)
+        out = {(r["token"], r["n"]) for r in hh.collect()}
+        cache.release(hh)
         assert out == expect
     # tight sketch: k floored at 8 counters still captures >1/8-share
-    out = {(r["token"], r["n"]) for r in textops.heavy_hitter_tokens(
-        df.repartition(13), phi=0.3, sketch_k=8).collect()}
+    hh = textops.heavy_hitter_tokens(df.repartition(13), phi=0.3, sketch_k=8)
+    out = {(r["token"], r["n"]) for r in hh.collect()}
+    cache.release(hh)
     assert out == {("hot", 1500)}
+    # the MG pass must tokenize exactly like the exact pass: a token
+    # glued by a UNICODE space (one \s+ token to Spark) stays heavy
+    df2 = spark.createDataFrame(
+        [(i, "a\u00a0b " * 3 + f"r{i}") for i in range(100)],
+        "doc_id long, text string")
+    hh2 = textops.heavy_hitter_tokens(df2.repartition(9), phi=0.5)
+    got = {(r["token"], r["n"]) for r in hh2.collect()}
+    cache.release(hh2)
+    assert got == {("a\u00a0b", 300)}

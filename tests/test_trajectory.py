@@ -115,7 +115,7 @@ def test_colocation_pairs_and_hot_bucket_cap(spark):
 
     capped = trajectory.colocation_pairs(pos, bucket_s=1000, nchars=4,
                                          min_cooc=2, max_bucket_keys=4)
-    assert capped._geotile_dropped_buckets == 1
+    assert capped._geotile_dropped_buckets_df.count() == 1
     capped.collect()
     cache.release(capped)
 

@@ -1869,6 +1869,84 @@ def _q90_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("vec_id", "i"))
 
 
+def _q91_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Fifth streaming query under the exact gate: bounded-state
+    streaming dedup (streaming.dedup_stream,
+    dropDuplicatesWithinWatermark) over a DELIBERATELY DUPLICATED
+    source — the events file symlinked twice into the stream directory
+    (the at-least-once replay shape) — run to completion; the surviving
+    rows must equal the batch DISTINCT the oracle states."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    d = "/tmp/geotile_stream_dup_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    for ln in ("ev1.parquet", "ev2.parquet"):
+        link = os.path.join(d, ln)
+        if not os.path.lexists(link):
+            os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d)
+          .select(F.col("ts").alias("event_time"), "event_id", "user_id",
+                  "event_type"))
+    dd = streaming.dedup_stream(ev, keys=("event_id",),
+                                watermark="87600 hours")
+    _Q56_SINK["n"] += 1
+    sink = f"q91_dedup_sink_{_Q56_SINK['n']}"
+    q = (dd.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+    _rm_ckpt(_ckpt)
+    return (spark.table(sink)
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id"))
+
+
+def _q92_stream_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Sixth streaming query under the exact gate: stream-static radius
+    join (streaming.radius_join_stream — broadcast cell-cover join +
+    native haversine refine, NO stream state) over the positions
+    stream; matches must equal the batch filter-refine radius join the
+    oracle states in plain haversine SQL."""
+    import hashlib
+    import os
+
+    from geotile import streaming
+
+    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d))
+    pos = ev.select(
+        "event_id",
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+    j = (streaming.radius_join_stream(pos, _RADIUS_QUERIES)
+         .select("query_id", "event_id", F.round("dist_m", 4).alias("dist4")))
+    _Q56_SINK["n"] += 1
+    sink = f"q92_radius_sink_{_Q56_SINK['n']}"
+    q = (j.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+    _rm_ckpt(_ckpt)
+    return spark.table(sink).orderBy("query_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
@@ -1919,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_stream_sessionize": _q57_stream_sessionize,
         "q58_stream_cell_counts": _q58_stream_cell_counts,
         "q65_stream_interval_join": _q65_stream_interval_join,
+        "q91_stream_dedup": _q91_stream_dedup,
+        "q92_stream_radius_join": _q92_stream_radius_join,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -4102,6 +4182,30 @@ ORDER BY ex.vec_id, ex.i
 """.replace("read_parquet_embeddings_stub",
             "(SELECT vec_id, unnest(range(0, 64)) AS i, embedding "
             "FROM embeddings)")
+
+    # q91: streaming bounded dedup over the duplicated source must
+    # equal the batch DISTINCT
+    sqls["q91_stream_dedup"] = """
+SELECT DISTINCT event_id, user_id, event_type
+FROM events
+ORDER BY event_id
+"""
+
+    # q92: stream-static radius join equals the batch filter-refine
+    # radius join (exact haversine_col replica)
+    _d92 = _thav.format(lat1="q.qlat", lon1="q.qlon", lat2="p.lat", lon2="p.lon")
+    _q92_rows = ", ".join(
+        f"({qid}, {_d.format(repr(float(qla)))}, {_d.format(repr(float(qlo)))}, "
+        f"{_d.format(repr(float(qr)))})"
+        for qid, qla, qlo, qr in _RADIUS_QUERIES)
+    sqls["q92_stream_radius_join"] = f"""
+WITH {_POS_CTE},
+q(query_id, qlat, qlon, radius_m) AS (VALUES {_q92_rows})
+SELECT q.query_id, p.event_id, round({_d92}, 4) AS dist4
+FROM pos p CROSS JOIN q
+WHERE {_d92} <= q.radius_m
+ORDER BY q.query_id, p.event_id
+"""
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):
     # not ANSI-SQL-expressible yet -> driver rows-only checks.

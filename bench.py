@@ -92,6 +92,7 @@ def main() -> None:
         "q84_char_entropy", "q85_hex_disk", "q86_daily_trips",
         "q87_rate_anomalies", "q88_winsorize_lengths",
         "q89_heavy_hitters", "q90_scalar_quantize",
+        "q91_stream_dedup", "q92_stream_radius_join",
     ]
     from geotile import cache, textops
 

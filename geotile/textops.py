@@ -1102,3 +1102,55 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
            .crossJoin(F.broadcast(tot))
            .where(F.col("n") > F.col("total").cast("double") * phi))
     return cache.track(out, [grp])
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """KenLM-style corpus-LM fluency score (the CCNet/RefinedWeb
+    quality signal): per document, the sum of conditional bigram
+    log-probabilities under the corpus's OWN bigram model,
+    ``lp = sum_i ln( B(w_i, w_i+1) / U(w_i) )`` with B the corpus
+    bigram count and U the bigram-prefix count (so probabilities
+    normalize exactly).  Low scores flag disfluent/gibberish text;
+    unusually-high ones flag boilerplate the model has memorized.
+
+    Returns ``(doc_id, n_bigrams, lp_nano)`` with each bigram's term
+    floored to integer nano-nats BEFORE the per-doc sum —
+    order-independent and engine-exact (the BM25/entropy discipline).
+
+    Scale shape: one bigram explode feeding both the stats aggregate
+    and the scoring join; the distinct-bigram stats table (persisted,
+    released via geotile.cache) joins the prefix totals once, then doc
+    scoring is one shuffle on the bigram key + one per-doc sum.  At
+    100 TB the stats table gets a min-count floor / count-min sketch;
+    exact counts keep the gate deterministic."""
+    from . import cache
+
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    bg = df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(w) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(F.element_at(w, i + 1).alias("w1"),
+                               F.element_at(w, i + 2).alias("w2"))))
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
+        .alias("b"))
+    bg = bg.select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    stats = (bg.groupBy("w1", "w2").agg(F.count("*").alias("_b"))
+             .persist())
+    prefix = stats.groupBy("w1").agg(F.sum("_b").alias("_u"))
+    terms = (stats.join(prefix, "w1")
+             .select("w1", "w2",
+                     F.floor(F.log(F.col("_b").cast("double")
+                                   / F.col("_u").cast("double"))
+                             * F.lit(1000000000.0)).cast("long").alias("_t")))
+    scored = (bg.join(terms, ["w1", "w2"])
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("_t").alias("lp_nano")))
+    out = (df.select(id_col)
+           .join(scored, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                   F.coalesce("lp_nano", F.lit(0)).alias("lp_nano")))
+    return cache.track(out, [stats])

@@ -237,3 +237,40 @@ def daily_rate_anomalies(events: DataFrame, bucket_s: int = 86400,
     return (daily.join(mom, key)
             .withColumn("is_anomaly", (dev > 0) & (dev * dev > rhs))
             .drop("_n", "_s", "_ss"))
+
+
+def session_trip_stats(df: DataFrame, gap_s: int = 3600,
+                       key: str = "user_id", ts: str = "ep",
+                       order_col: str = "event_id",
+                       lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-session trip statistics: gap-based sessions (a new session
+    starts after ``gap_s`` seconds of silence, engine.sessionize's
+    rule) with, per (key, session), the fix count, the number of
+    intra-session legs, the traveled distance (legs floored to integer
+    millimeters pre-sum — order-independent, exact), and the session
+    duration.  The per-trip mobility summary (commute mining, trip
+    tables for OD calibration).
+
+    ONE window pass computes the lagged fix AND the session boundary
+    flag together, so the whole operator is a single per-key shuffle +
+    one aggregate — the same plan as sessionize with the leg math
+    fused in."""
+    d = _lagged(df, key, ts, order_col, lat, lon)
+    new_s = F.when(F.col("_pts").isNull()
+                   | ((F.col(ts) - F.col("_pts")) > gap_s), 1).otherwise(0)
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dist = udfs.haversine_col(F.col("_plat"), F.col("_plon"),
+                              F.col(lat), F.col(lon))
+    leg = F.when((F.col("_pts").isNotNull()) & (new_s == 0), 1).otherwise(0)
+    mm = F.when(leg == 1, F.floor(dist * 1000.0).cast("long")).otherwise(0)
+    s = (d.withColumn("_new", new_s)
+         .withColumn("session_id", F.sum("_new").over(w))
+         .withColumn("_leg", leg)
+         .withColumn("_mm", mm))
+    return (s.groupBy(key, "session_id")
+            .agg(F.count("*").alias("n_fixes"),
+                 F.sum("_leg").alias("n_legs"),
+                 F.sum("_mm").alias("dist_mm"),
+                 (F.max(ts) - F.min(ts)).alias("duration_s")))

@@ -161,3 +161,32 @@ def test_daily_rate_anomalies_integer_exact(spark):
     ss = sum(c * c for c in counts)
     c = 20
     assert (c * n - s) > 0 and (c * n - s) ** 2 > 4 * (n * ss - s * s)
+
+
+def test_session_trip_stats_brute_force(spark):
+    out = {(r["user_id"], r["session_id"]):
+           (r["n_fixes"], r["n_legs"], r["dist_mm"], r["duration_s"])
+           for r in trajectory.session_trip_stats(
+               _df(spark), gap_s=500).collect()}
+    import collections
+    sess = collections.defaultdict(lambda: [0, 0, 0, []])
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    prev = {}
+    sid = collections.defaultdict(int)
+    for eid, u, t, la, lo in rows:
+        new = u not in prev or t - prev[u][0] > 500
+        if new:
+            sid[u] += 1
+        k = (u, sid[u])
+        sess[k][0] += 1
+        sess[k][3].append(t)
+        if not new:
+            pla, plo = prev[u][1], prev[u][2]
+            d = float(gh.haversine_m(np.array([pla]), np.array([plo]),
+                                     np.array([la]), np.array([lo]))[0])
+            sess[k][1] += 1
+            sess[k][2] += int(np.floor(d * 1000.0))
+        prev[u] = (t, la, lo)
+    expect = {k: (v[0], v[1], v[2], max(v[3]) - min(v[3]))
+              for k, v in sess.items()}
+    assert out == expect

@@ -1118,12 +1118,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     floored to integer nano-nats BEFORE the per-doc sum —
     order-independent and engine-exact (the BM25/entropy discipline).
 
-    Scale shape: one bigram explode feeding both the stats aggregate
-    and the scoring join; the distinct-bigram stats table (persisted,
-    released via geotile.cache) joins the prefix totals once, then doc
-    scoring is one shuffle on the bigram key + one per-doc sum.  At
-    100 TB the stats table gets a min-count floor / count-min sketch;
-    exact counts keep the gate deterministic."""
+    Scale shape: the bigram explode runs twice — once into the stats
+    aggregate, once into the scoring join — because it is a NARROW
+    recompute (split + transform, no shuffle) and cheaper than caching
+    a corpus-sized intermediate; the distinct-bigram stats table
+    (persisted, released via geotile.cache) joins the prefix totals
+    once, then doc scoring is one shuffle on the bigram key + one
+    per-doc sum.  At 100 TB the stats table gets a min-count floor /
+    count-min sketch; exact counts keep the gate deterministic."""
     from . import cache
 
     w = F.split(F.trim(F.col(text_col)), r"\s+")

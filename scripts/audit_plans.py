@@ -300,6 +300,21 @@ def main() -> None:
         "carries doc x alphabet rows; integer nano terms sum "
         "order-independently"))
 
+    sections.append(summarize(
+        trajectory.session_trip_stats(traj, ts="tts"),
+        "session_trip_stats: session boundary + leg haversine fused in ONE "
+        "window pass — a single per-key shuffle + one aggregate"))
+
+    blp = textops.bigram_logprob(docs_tbl)
+    sections.append(summarize(
+        blp,
+        "bigram_logprob: narrow bigram explode recomputed for the scoring "
+        "join (cheaper than caching the corpus-sized intermediate); the "
+        "persisted distinct-bigram stats table is the only cached frame"))
+    from geotile import cache as _cache2
+
+    _cache2.release(blp)
+
     hh = textops.heavy_hitter_tokens(docs_tbl, phi=0.01)
     sections.append(summarize(
         hh,

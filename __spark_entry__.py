@@ -1976,6 +1976,18 @@ def _q94_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q95_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column statistics (table.column_stats) over the
+    events table — count / nulls / exact distinct / min / max per
+    numeric column, the stats surface a cost model and data-quality
+    checks read (GetPoolState generalized)."""
+    from geotile import table as _table
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (_table.column_stats(ev, ["event_id", "user_id", "value"])
+            .orderBy("column"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
@@ -1997,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_scalar_quantize": _q90_scalar_quantize,
         "q93_session_trips": _q93_session_trips,
         "q94_bigram_logprob": _q94_bigram_logprob,
+        "q95_table_stats": _q95_table_stats,
         "q79_speed_filter": _q79_speed_filter,
         "q80_stay_points": _q80_stay_points,
         "q81_od_matrix": _q81_od_matrix,
@@ -4306,6 +4319,19 @@ SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        coalesce(s.lp, 0) AS lp_nano
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # q95: ANALYZE-style column stats — one row per column
+    _q95_cols = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max "
+        f"FROM events"
+        for c in ("event_id", "user_id", "value"))
+    sqls["q95_table_stats"] = f"""
+{_q95_cols}
+ORDER BY "column"
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -93,7 +93,7 @@ def main() -> None:
         "q87_rate_anomalies", "q88_winsorize_lengths",
         "q89_heavy_hitters", "q90_scalar_quantize",
         "q91_stream_dedup", "q92_stream_radius_join",
-        "q93_session_trips", "q94_bigram_logprob",
+        "q93_session_trips", "q94_bigram_logprob", "q95_table_stats",
     ]
     from geotile import cache, textops
 

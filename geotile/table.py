@@ -364,3 +364,35 @@ def verify_counts(spark: SparkSession, path: str) -> bool:
     else:
         counts = {"": df.count()}
     return {k: int(v) for k, v in counts.items()} == {k: int(v) for k, v in m["partitions"].items()}
+
+
+def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics for numeric/temporal
+    columns: ``(column, n_rows, n_null, n_distinct, min, max)`` with
+    min/max cast to double for a uniform schema — what the optimizer's
+    cost model and the manifest layer's data-quality checks read
+    (the engine twin of GetPoolState's occupancy counters,
+    /root/reference/GeoHash/mapinfo.cpp:473-497, generalized from pool
+    fill levels to real table statistics).
+
+    Scale shape: ONE aggregation pass computes count/nulls/min/max for
+    every requested column simultaneously (map-side partials are a
+    single row per partition); exact distinct counts run as one
+    grouped pass per column over the column's values only — swap in
+    approx_count_distinct at 100 TB (documented trade; exact keeps the
+    gate deterministic)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+                 F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+                 F.max(F.col(c).cast("double")).alias(f"{c}__mx")]
+    base = df.agg(*aggs).first()
+    spark = df.sparkSession
+    nd = {c: df.select(c).where(F.col(c).isNotNull()).distinct().count()
+          for c in cols}
+    rows = [(c, int(base[f"{c}__n"]), int(base[f"{c}__nn"]), int(nd[c]),
+             float(base[f"{c}__mn"]), float(base[f"{c}__mx"])) for c in cols]
+    return spark.createDataFrame(
+        rows, "column string, n_rows long, n_null long, n_distinct long, "
+              "min double, max double")

@@ -293,3 +293,14 @@ def test_merge_into_crash_recovery_and_dup_updates(spark):
     # and merge_into itself self-heals on entry (no-op repair when fine)
     assert table.recover_merge(spark, "pos_rec_tgt") is False
     spark.sql("DROP TABLE IF EXISTS pos_rec_tgt")
+
+
+def test_column_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 7.5), (3, 5.0)],
+        "k long, v double")
+    got = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                         r["min"], r["max"])
+           for r in table.column_stats(df, ["k", "v"]).collect()}
+    assert got["k"] == (4, 0, 3, 1.0, 3.0)
+    assert got["v"] == (4, 1, 2, 5.0, 7.5)

@@ -1158,7 +1158,7 @@ def _q55_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
 def _shm_checkpoint(sink: str) -> str:
     """Per-invocation streaming checkpoint on tmpfs: the default temp
     checkpoint lands on disk-backed /tmp; state-store + offset-log
-    commits are the per-batch fixed cost of the four streaming gates,
+    commits are the per-batch fixed cost of the six streaming gates,
     so keep them in memory (same /dev/shm scratch policy as BENCH)."""
     import os
     import shutil
@@ -1181,6 +1181,62 @@ def _rm_ckpt(path: str) -> None:
 
 _Q56_SINK = {"n": 0}
 
+_EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                         "event_type string, value double, props string")
+
+
+def _stream_events(spark: SparkSession, sf: str, copies: int = 1):
+    """File-source stream over the events table (Structured Streaming's
+    file source needs a DIRECTORY; the testdata tables are single
+    parquet files, so stream from a /tmp symlink dir).  ``copies > 1``
+    symlinks the same file N times — the deliberate at-least-once
+    duplication q91 deduplicates."""
+    import hashlib
+    import os
+
+    tag = "dup" if copies > 1 else "src"
+    d = (f"/tmp/geotile_stream_{tag}_"
+         + hashlib.md5(sf.encode()).hexdigest()[:10])
+    os.makedirs(d, exist_ok=True)
+    names = ["events.parquet"] if copies == 1 else [
+        f"ev{i}.parquet" for i in range(1, copies + 1)]
+    for ln in names:
+        link = os.path.join(d, ln)
+        if not os.path.lexists(link):
+            os.symlink(f"{sf}/events.parquet", link)
+    return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(d)
+
+
+def _stream_positions(ev: DataFrame) -> DataFrame:
+    """The _positions_df lat/lon synthesis (_LAT_SQL/_LON_SQL) applied
+    to the events STREAM — one definition for both batch and stream so
+    the formulas cannot drift apart."""
+    return ev.select(
+        "event_id",
+        F.col("ts").alias("event_time"),
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+
+
+def _run_stream_to_table(df: DataFrame, spark: SparkSession, prefix: str,
+                         mode: str) -> DataFrame:
+    """Shared sink scaffold for the six streaming gates: unique memory
+    sink, tmpfs checkpoint, availableNow to completion (stop a stream
+    that outlives the timeout BEFORE removing its checkpoint), cleanup,
+    return the materialized sink table."""
+    _Q56_SINK["n"] += 1
+    sink = f"{prefix}_{_Q56_SINK['n']}"
+    ckpt = _shm_checkpoint(sink)
+    q = (df.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode(mode).trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()        # never rmtree a LIVE query's checkpoint
+    _rm_ckpt(ckpt)
+    return spark.table(sink)
+
 
 def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING under the exact-oracle gate: tile_pyramid_stream runs
@@ -1191,39 +1247,12 @@ def _q56_stream_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     UTC-epoch-aligned: win_start = epoch // 3600 * 3600).  The memory
     sink materializes the final state; rows-only checks are no longer
     the best streaming can do."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    # Structured Streaming's file source needs a DIRECTORY; the testdata
-    # tables are single parquet files, so stream from a /tmp symlink dir
-    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d))
-    pos = ev.select(
-        F.col("ts").alias("event_time"),
-        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
-         / F.lit(1000.0) - 80.0).alias("lat"),
-        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
-         / F.lit(1000.0) - 170.0).alias("lon"))
+    pos = _stream_positions(_stream_events(spark, sf)).drop("event_id")
     pyr = streaming.tile_pyramid_stream(pos, min_zoom=_PYR_MIN_Z, max_zoom=6,
                                         window="1 hour", watermark="87600 hours")
-    _Q56_SINK["n"] += 1
-    sink = f"q56_pyramid_sink_{_Q56_SINK['n']}"
-    q = (pyr.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("complete").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()        # never rmtree a LIVE query's checkpoint
-    _rm_ckpt(_ckpt)
-    return (spark.table(sink)
+    return (_run_stream_to_table(pyr, spark, "q56_pyramid_sink", "complete")
             .select(F.col("win.start").cast("long").alias("win_start"),
                     "zoom", "x", "y", "n")
             .where(F.col("n") >= 2)
@@ -1239,32 +1268,13 @@ def _q57_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     a seconds-floored oracle would merge sessions split by sub-second
     margins).  session end = last event + gap, floored to seconds only
     at the output cast, exactly as Spark's timestamp->long cast does."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d)
+    ev = (_stream_events(spark, sf)
           .select(F.col("ts").alias("event_time"), "user_id"))
-    s = streaming.session_count_stream(ev, gap="1 hour",
-                                       watermark="87600 hours", key="user_id")
-    _Q56_SINK["n"] += 1
-    sink = f"q57_session_sink_{_Q56_SINK['n']}"
-    q = (s.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("complete").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()        # never rmtree a LIVE query's checkpoint
-    _rm_ckpt(_ckpt)
-    return (spark.table(sink)
+    sc = streaming.session_count_stream(ev, gap="1 hour",
+                                        watermark="87600 hours", key="user_id")
+    return (_run_stream_to_table(sc, spark, "q57_session_sink", "complete")
             .select("user_id",
                     F.col("win.start").cast("long").alias("s_start"),
                     F.col("win.end").cast("long").alias("s_end"), "n")
@@ -1295,37 +1305,12 @@ def _q58_stream_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     final state must equal the batch GROUP BY of hour-window x 5-char
     geohash, with the cell computed by the same closed-form 25-bit SQL
     replica the batch cell-count oracles use."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d))
-    pos = ev.select(
-        F.col("ts").alias("event_time"),
-        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
-         / F.lit(1000.0) - 80.0).alias("lat"),
-        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
-         / F.lit(1000.0) - 170.0).alias("lon"))
+    pos = _stream_positions(_stream_events(spark, sf)).drop("event_id")
     cc = streaming.cell_count_stream(pos, window="1 hour",
                                      watermark="87600 hours")
-    _Q56_SINK["n"] += 1
-    sink = f"q58_cell_sink_{_Q56_SINK['n']}"
-    q = (cc.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("complete").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()        # never rmtree a LIVE query's checkpoint
-    _rm_ckpt(_ckpt)
-    return (spark.table(sink)
+    return (_run_stream_to_table(cc, spark, "q58_cell_sink", "complete")
             .select(F.col("win.start").cast("long").alias("win_start"),
                     "geohash", "n")
             .where(F.col("n") >= 2)
@@ -1384,20 +1369,9 @@ def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     event-time range bound (clicks within 30 min after the left
     event).  Run to completion with availableNow; the final match set
     must equal the batch interval join the oracle states in SQL."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d))
+    ev = _stream_events(spark, sf)
     a = (ev.where(F.col("event_id") % 3 == 0)
          .select("user_id", F.col("ts").alias("l_ts"),
                  F.col("event_id").alias("a_id")))
@@ -1408,15 +1382,7 @@ def _q65_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
                                         within="30 minutes",
                                         watermark="87600 hours")
          .where(F.col("a_id") != F.col("b_id")))
-    _Q56_SINK["n"] += 1
-    sink = f"q65_ssj_sink_{_Q56_SINK['n']}"
-    q = (j.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()        # never rmtree a LIVE query's checkpoint
-    _rm_ckpt(_ckpt)
-    return (spark.table(sink)
+    return (_run_stream_to_table(j, spark, "q65_ssj_sink", "append")
             .select("user_id", "a_id", "b_id",
                     (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
                     .alias("delta_s"))
@@ -1876,34 +1842,14 @@ def _q91_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     source — the events file symlinked twice into the stream directory
     (the at-least-once replay shape) — run to completion; the surviving
     rows must equal the batch DISTINCT the oracle states."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    d = "/tmp/geotile_stream_dup_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    for ln in ("ev1.parquet", "ev2.parquet"):
-        link = os.path.join(d, ln)
-        if not os.path.lexists(link):
-            os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d)
+    ev = (_stream_events(spark, sf, copies=2)
           .select(F.col("ts").alias("event_time"), "event_id", "user_id",
                   "event_type"))
     dd = streaming.dedup_stream(ev, keys=("event_id",),
                                 watermark="87600 hours")
-    _Q56_SINK["n"] += 1
-    sink = f"q91_dedup_sink_{_Q56_SINK['n']}"
-    q = (dd.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-    _rm_ckpt(_ckpt)
-    return (spark.table(sink)
+    return (_run_stream_to_table(dd, spark, "q91_dedup_sink", "append")
             .select("event_id", "user_id", "event_type")
             .orderBy("event_id"))
 
@@ -1914,37 +1860,14 @@ def _q92_stream_radius_join(spark: SparkSession, sf: str) -> DataFrame:
     native haversine refine, NO stream state) over the positions
     stream; matches must equal the batch filter-refine radius join the
     oracle states in plain haversine SQL."""
-    import hashlib
-    import os
-
     from geotile import streaming
 
-    d = "/tmp/geotile_stream_src_" + hashlib.md5(sf.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf}/events.parquet", link)
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d))
-    pos = ev.select(
-        "event_id",
-        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
-         / F.lit(1000.0) - 80.0).alias("lat"),
-        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
-         / F.lit(1000.0) - 170.0).alias("lon"))
+    pos = (_stream_positions(_stream_events(spark, sf))
+           .drop("event_time"))
     j = (streaming.radius_join_stream(pos, _RADIUS_QUERIES)
          .select("query_id", "event_id", F.round("dist_m", 4).alias("dist4")))
-    _Q56_SINK["n"] += 1
-    sink = f"q92_radius_sink_{_Q56_SINK['n']}"
-    q = (j.writeStream.format("memory").queryName(sink)
-         .option("checkpointLocation", (_ckpt := _shm_checkpoint(sink)))
-         .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-    _rm_ckpt(_ckpt)
-    return spark.table(sink).orderBy("query_id", "event_id")
+    return (_run_stream_to_table(j, spark, "q92_radius_sink", "append")
+            .orderBy("query_id", "event_id"))
 
 
 def _q93_session_trips(spark: SparkSession, sf: str) -> DataFrame:
@@ -1966,7 +1889,7 @@ def _q93_session_trips(spark: SparkSession, sf: str) -> DataFrame:
 def _q94_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-LM fluency score (textops.bigram_logprob): per-doc sum of
     conditional bigram log-probabilities under the corpus's own bigram
-    model, each term floored to integer nano-nats pre-sum — the
+    model, each term floored to integer micro-nats pre-sum — the
     CCNet/RefinedWeb quality-filter signal under the exact gate."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     from geotile import cache
@@ -1993,7 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
     # exactly 50 rows), so the entries with no driver-side row yet come
     # FIRST (the round-4 additions q78+, then the round-2/3 block
-    # q51-q77 — cheap batch queries, then the four costlier streaming
+    # q51-q77 — cheap batch queries, then the six costlier streaming
     # gates) — followed by q1-q50, which already have green rows in
     # CORRECTNESS_r02 and r03 plus the local exact-oracle gate
     # (scripts/check_oracle.py) and pinned fixtures.
@@ -4289,7 +4212,8 @@ ORDER BY user_id, session_id
 """
 
     # q94: per-doc bigram log-prob under the corpus bigram model —
-    # nano-nat terms floor pre-sum
+    # micro-nat terms floor pre-sum (micro, not nano: shrinks the
+    # libm-ulp floor-flip exposure 1000x; see textops.bigram_logprob)
     sqls["q94_bigram_logprob"] = r"""
 WITH t94 AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -4307,7 +4231,7 @@ prefix AS (
 terms AS (
   SELECT s.w1, s.w2,
          CAST(floor(ln(CAST(s.b AS DOUBLE) / CAST(p.u AS DOUBLE))
-                    * 1000000000.0) AS BIGINT) AS t
+                    * 1000000.0) AS BIGINT) AS t
   FROM stats s JOIN prefix p ON p.w1 = s.w1
 ),
 scored AS (
@@ -4316,7 +4240,7 @@ scored AS (
   GROUP BY bg.doc_id
 )
 SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
-       coalesce(s.lp, 0) AS lp_nano
+       coalesce(s.lp, 0) AS lp_micro
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
 """

@@ -375,24 +375,28 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     /root/reference/GeoHash/mapinfo.cpp:473-497, generalized from pool
     fill levels to real table statistics).
 
-    Scale shape: ONE aggregation pass computes count/nulls/min/max for
-    every requested column simultaneously (map-side partials are a
-    single row per partition); exact distinct counts run as one
-    grouped pass per column over the column's values only — swap in
-    approx_count_distinct at 100 TB (documented trade; exact keeps the
-    gate deterministic)."""
+    Scale shape: ONE aggregation job computes everything — counts,
+    nulls, min/max, AND the exact distinct counts (multiple
+    count_distinct aggregates share a single Expand-based scan) — so
+    the whole ANALYZE is one pass over the table; swap
+    approx_count_distinct in at 100 TB (documented trade; exact keeps
+    the gate deterministic).  All-NULL columns and empty frames return
+    NULL min/max rather than crashing."""
     aggs = []
     for c in cols:
         aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
                  F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+                 F.count_distinct(F.col(c)).alias(f"{c}__nd"),
                  F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
                  F.max(F.col(c).cast("double")).alias(f"{c}__mx")]
     base = df.agg(*aggs).first()
-    spark = df.sparkSession
-    nd = {c: df.select(c).where(F.col(c).isNotNull()).distinct().count()
-          for c in cols}
-    rows = [(c, int(base[f"{c}__n"]), int(base[f"{c}__nn"]), int(nd[c]),
-             float(base[f"{c}__mn"]), float(base[f"{c}__mx"])) for c in cols]
-    return spark.createDataFrame(
+
+    def _f(v):
+        return None if v is None else float(v)
+
+    rows = [(c, int(base[f"{c}__n"]), int(base[f"{c}__nn"] or 0),
+             int(base[f"{c}__nd"]), _f(base[f"{c}__mn"]), _f(base[f"{c}__mx"]))
+            for c in cols]
+    return df.sparkSession.createDataFrame(
         rows, "column string, n_rows long, n_null long, n_distinct long, "
               "min double, max double")

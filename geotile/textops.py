@@ -1114,9 +1114,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     normalize exactly).  Low scores flag disfluent/gibberish text;
     unusually-high ones flag boilerplate the model has memorized.
 
-    Returns ``(doc_id, n_bigrams, lp_nano)`` with each bigram's term
-    floored to integer nano-nats BEFORE the per-doc sum —
-    order-independent and engine-exact (the BM25/entropy discipline).
+    Returns ``(doc_id, n_bigrams, lp_micro)`` with each bigram's term
+    floored to integer MICRO-nats before the per-doc sum — the sum is
+    summation-order-independent (the BM25/entropy discipline).  Unlike
+    the pure-integer gates, ln() itself is libm: a cross-engine 1-ulp
+    disagreement flips a floor only when term*1e6 sits within ~1e-9 of
+    an integer (~1e-9 per distinct bigram — the micro scale, not nano,
+    keeps that expected flip count ~1e-4 at gate size; same residual
+    risk class as the BM25 idf gate).
 
     Scale shape: the bigram explode runs twice — once into the stats
     aggregate, once into the scoring join — because it is a NARROW
@@ -1145,14 +1150,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
              .select("w1", "w2",
                      F.floor(F.log(F.col("_b").cast("double")
                                    / F.col("_u").cast("double"))
-                             * F.lit(1000000000.0)).cast("long").alias("_t")))
+                             * F.lit(1000000.0)).cast("long").alias("_t")))
     scored = (bg.join(terms, ["w1", "w2"])
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
-                   F.sum("_t").alias("lp_nano")))
+                   F.sum("_t").alias("lp_micro")))
     out = (df.select(id_col)
            .join(scored, id_col, "left")
            .select(id_col,
                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-                   F.coalesce("lp_nano", F.lit(0)).alias("lp_nano")))
+                   F.coalesce("lp_micro", F.lit(0)).alias("lp_micro")))
     return cache.track(out, [stats])

@@ -588,11 +588,11 @@ def test_bigram_logprob_known_values(spark):
         [(1, "a b a b"), (2, "a b a c"), (3, "x")],
         "doc_id long, text string")
     out = textops.bigram_logprob(df)
-    got = {r["doc_id"]: (r["n_bigrams"], r["lp_nano"]) for r in out.collect()}
+    got = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"]) for r in out.collect()}
     cache.release(out)
-    t_ab = math.floor(math.log(3 / 4) * 1e9)
-    t_ba = math.floor(math.log(2 / 2) * 1e9)
-    t_ac = math.floor(math.log(1 / 4) * 1e9)
+    t_ab = math.floor(math.log(3 / 4) * 1e6)
+    t_ba = math.floor(math.log(2 / 2) * 1e6)
+    t_ac = math.floor(math.log(1 / 4) * 1e6)
     assert got[1] == (3, 2 * t_ab + t_ba)
     assert got[2] == (3, t_ab + t_ba + t_ac)
     assert got[3] == (0, 0)          # single-token doc: no bigrams

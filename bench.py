@@ -94,6 +94,7 @@ def main() -> None:
         "q89_heavy_hitters", "q90_scalar_quantize",
         "q91_stream_dedup", "q92_stream_radius_join",
         "q93_session_trips", "q94_bigram_logprob", "q95_table_stats",
+        "q96_json_extract",
     ]
     from geotile import cache, textops
 

@@ -980,7 +980,8 @@ def _q50_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     §2.4 'array functions + windowed top-k' combination as one gated
     query."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    toks = docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    toks = docs.select("lang", F.explode(F.split(F.trim("text"),
+                                                 textops.WS_CLASS)).alias("tok"))
     counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
     return (counts.withColumn("rnk", F.row_number().over(w))
@@ -1232,9 +1233,14 @@ def _run_stream_to_table(df: DataFrame, spark: SparkSession, prefix: str,
     q = (df.writeStream.format("memory").queryName(sink)
          .option("checkpointLocation", ckpt)
          .outputMode(mode).trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
+    finished = q.awaitTermination(300)
+    if not finished:
         q.stop()        # never rmtree a LIVE query's checkpoint
     _rm_ckpt(ckpt)
+    if not finished:
+        # a partial memory sink would surface downstream as a confusing
+        # oracle value mismatch — fail loudly at the source instead
+        raise RuntimeError(f"stream {sink} did not finish within 300s")
     return spark.table(sink)
 
 
@@ -1818,6 +1824,11 @@ def _q89_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     sketch-pruned operator sits under the plain SQL frequency oracle."""
     from geotile import cache
 
+    # GATE SCAFFOLDING, not a scale pattern: the repartition(16) forces
+    # a multi-partition corpus at sf0.01 so the per-partition pigeonhole
+    # superset guarantee is actually exercised (one file -> one split
+    # otherwise); at scale the corpus is never pre-shuffled — the sketch
+    # runs on whatever partitioning the scan produced
     docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(16)
     out = textops.heavy_hitter_tokens(docs, phi=0.004)
     return cache.track(out.orderBy("token"),
@@ -1918,7 +1929,9 @@ def _q96_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     every web-scale event log needs.  Integer-exact aggregates; the
     oracle uses DuckDB's JSON extraction over the same strings."""
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    k = F.from_json(F.col("props"), "k int").getField("k").cast("long")
+    # 'k long', not 'k int': the oracle CASTs to BIGINT, so an int32
+    # schema would NULL out-of-range values Spark-side only
+    k = F.from_json(F.col("props"), "k long").getField("k")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
@@ -2188,11 +2201,11 @@ ORDER BY lang
     sqls["q13_quality_features"] = r"""
 WITH feats AS (
   SELECT lang,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens,
          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS punct_ratio,
          CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
-           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stopword_ratio
+           / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')), 1) AS stopword_ratio
   FROM documents
 )
 SELECT lang,
@@ -2206,8 +2219,8 @@ ORDER BY lang
 
     sqls["q14_token_count"] = r"""
 SELECT source,
-       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))
-           + list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+       CAST(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
+           + list_sum(list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                                      w -> CAST(floor(length(w) / 6) AS BIGINT)))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents
@@ -2234,7 +2247,7 @@ ORDER BY lang, lang_pred
 
     sqls["q18_ngram_jaccard"] = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 300
 ),
 grams AS (
@@ -2588,7 +2601,7 @@ frac AS (
 ),
 rounded AS (
   SELECT face, q, r, -q - r AS s,
-         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+         floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(-q - r + 0.5) AS rs
   FROM frac
 ),
 fixed AS (
@@ -2694,7 +2707,7 @@ ORDER BY a, b
     sqls["q43_dedup_verified"] = rf"""
 WITH {_minhash_cand_cte(0.2)},
 toks43 AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 grams43 AS (
   SELECT DISTINCT doc_id,
@@ -2722,7 +2735,7 @@ ORDER BY a, b
     sqls["q61_dedup_clusters"] = rf"""
 WITH RECURSIVE {_minhash_cand_cte(0.2)},
 toks61 AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 grams61 AS (
   SELECT DISTINCT doc_id,
@@ -2804,8 +2817,8 @@ ORDER BY pid
 WITH q63(t) AS (VALUES {bm25_terms}),
 toks63 AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
   FROM documents
 ),
 stats63 AS (
@@ -2840,7 +2853,7 @@ LIMIT 10
 
     sqls["q64_repetition_filter"] = r"""
 WITH t64 AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 m64 AS (
   SELECT doc_id,
@@ -3128,7 +3141,7 @@ ORDER BY line_id, event_id
 
     sqls["q50_top_tokens"] = r"""
 WITH toks AS (
-  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ),
 counts AS (
@@ -3412,7 +3425,7 @@ ORDER BY win_start, geohash
 
     sqls["q68_chunk_dedup"] = r"""
 WITH t68 AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 ch68 AS (
   SELECT doc_id, j AS idx,
@@ -3548,7 +3561,7 @@ FROM reach71 GROUP BY node ORDER BY doc_id
 WITH f72 AS (
   SELECT source, doc_id,
          CAST(floor(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
-              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) * 1e9 + 0.5) AS BIGINT)
+              / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')), 1) * 1e9 + 0.5) AS BIGINT)
          - CAST(floor(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                 / greatest(length(text), 1) * 1e9 + 0.5) AS BIGINT) AS score_nano
   FROM documents
@@ -3567,7 +3580,7 @@ WHERE rank <= 20 ORDER BY source, rank
     # integer DIV in DECIMAL(38,0)) — top-50 pairs, count floor 5
     sqls["q73_collocations"] = r"""
 WITH t73 AS (
-  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 uni73 AS (
   SELECT tok, count(*) AS c
@@ -3707,7 +3720,7 @@ ORDER BY step_idx
 ),
 rounded{_r78} AS (
   SELECT face, q, r, -q - r AS s,
-         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+         floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(-q - r + 0.5) AS rs
   FROM frac{_r78}
 ),
 fixed{_r78} AS (
@@ -3989,7 +4002,7 @@ frac AS (
 ),
 rounded AS (
   SELECT face, q, r, -q - r AS s,
-         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+         floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(-q - r + 0.5) AS rs
   FROM frac
 ),
 fixed AS (
@@ -4037,7 +4050,7 @@ frac_q AS (
 ),
 rounded_q AS (
   SELECT query_id, face, q, r, -q - r AS s,
-         round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+         floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(-q - r + 0.5) AS rs
   FROM frac_q
 ),
 fixed_q AS (
@@ -4113,7 +4126,7 @@ ORDER BY d.user_id, d.day
     sqls["q88_winsorize_lengths"] = r"""
 WITH base AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 ranked AS (
@@ -4137,7 +4150,7 @@ ORDER BY b.doc_id
     # despite its Misra-Gries pruning stage
     sqls["q89_heavy_hitters"] = r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ),
 tot AS (SELECT count(*) AS total FROM toks)
@@ -4235,7 +4248,7 @@ ORDER BY user_id, session_id
     # libm-ulp floor-flip exposure 1000x; see textops.bigram_logprob)
     sqls["q94_bigram_logprob"] = r"""
 WITH t94 AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
 ),
 bg AS MATERIALIZED (
   SELECT doc_id, w[j] AS w1, w[j + 1] AS w2

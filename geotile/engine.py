@@ -1152,20 +1152,42 @@ def compact_cells(cells: DataFrame, cell_col: str = "cell",
     is the distinct cell set itself (tiny next to the data the cover
     describes), shrinking every round; count(DISTINCT)==32 decides
     compaction.  Driver loop depth = max precision (<= 12), each round
-    pure relational ops.  The reference builds covers but never
-    compacts them (GeoHash/geohash.cpp:171-214 emits raw 9-cell
-    blocks); this closes that gap Spark-side."""
+    pure relational ops.  The cell set is a MICRO-frame next to the
+    data it describes, so every round repartitions it to a handful of
+    partitions instead of inheriting spark.sql.shuffle.partitions —
+    per-round fixed job overhead (task launch x partitions x levels)
+    otherwise dominates wall time; levels with no full parent are
+    SKIPPED without materializing a new round (the per-level count
+    probe rides on the persisted frame).  The reference builds covers
+    but never compacts them (GeoHash/geohash.cpp:171-214 emits raw
+    9-cell blocks); this closes that gap Spark-side."""
     from . import cache
 
+    nparts = max(2, int(cells.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 8)
     cur = (cells.select(F.col(cell_col).alias("cell")).distinct()
+           .repartition(nparts, "cell")
            .persist())
-    max_p = cur.agg(F.max(F.length("cell"))).first()[0] or 0
-    for p in range(max_p, min_precision, -1):
+    # one pass gives the driver loop its level plan: which precisions
+    # exist and how many cells each holds (skip the rest outright)
+    lvl_counts = dict(cur.groupBy(F.length("cell").alias("p"))
+                      .agg(F.count("*").alias("n")).collect())
+    for p in range(max(lvl_counts, default=0), min_precision, -1):
+        # a parent needs all 32 children present at length p
+        if lvl_counts.get(p, 0) < 32:
+            continue
         lvl = cur.where(F.length("cell") == p)
         done = (cur.where(F.length("cell") != p))
         parents = (lvl.groupBy(F.substring("cell", 1, p - 1).alias("parent"))
                    .agg(F.count_distinct("cell").alias("_n")))
-        full = parents.where(F.col("_n") == 32).select("parent")
+        full = (parents.where(F.col("_n") == 32).select("parent")
+                .persist())
+        n_full = full.count()
+        if n_full == 0:
+            # nothing compacts at this level: keep `cur` as is — no
+            # union/distinct/persist round, no extra jobs
+            full.unpersist()
+            continue
         survivors = (lvl.join(F.broadcast(full),
                               F.substring("cell", 1, p - 1) == F.col("parent"),
                               "left_anti"))
@@ -1175,9 +1197,12 @@ def compact_cells(cells: DataFrame, cell_col: str = "cell",
         # (false collapse) as well as duplicating output rows
         nxt = (done.unionByName(survivors)
                .unionByName(full.select(F.col("parent").alias("cell")))
+               .repartition(nparts, "cell")
                .distinct()
                .persist())
-        nxt.count()
+        lvl_counts = dict(nxt.groupBy(F.length("cell").alias("p"))
+                          .agg(F.count("*").alias("n")).collect())
+        full.unpersist()
         cur.unpersist()
         cur = nxt
     out = cur.select("cell", F.length("cell").cast("int").alias("prec"))

@@ -80,10 +80,17 @@ def with_mentions(df: DataFrame, text_col: str = "text", out: str = "mentions") 
     def _parse(text: pd.Series) -> pd.Series:
         t = text.reset_index(drop=True)
         m = parse_mentions_pd(t)
-        groups: list[list] = [[] for _ in range(len(t))]
-        for ri, la, lo in zip(m["row_idx"], m["lat"], m["lon"]):
-            groups[ri].append((la, lo))
-        return pd.Series(groups)
+        # vectorized row grouping: (lat, lon) tuples come out of a
+        # C-level to_records conversion and group by row index — no
+        # Python loop over matches (the html-decode twin of this fix
+        # is extract_text_pd's Series.str.decode)
+        groups = pd.Series([[]] * len(t), index=range(len(t)), dtype=object)
+        if len(m):
+            recs = pd.Series(
+                m[["lat", "lon"]].to_records(index=False).tolist(),
+                index=m["row_idx"].to_numpy())
+            groups.update(recs.groupby(level=0).agg(list))
+        return groups
 
     return df.withColumn(out, _parse(F.col(text_col)))
 

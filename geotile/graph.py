@@ -179,8 +179,16 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 15,
     ed = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .persist())
     ed.count()
+    # the frontier / visited sets are MICRO-frames next to the edge
+    # list: coalesce every checkpointed round to a handful of
+    # partitions so the per-round fixed job overhead (task launch x
+    # partitions x hops) stays off the wall clock — at driver-style
+    # oversubscribed local[32] that overhead dominated the whole query
+    nparts = max(2, int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 8)
     frontier = (sources.select(F.col(source_col).alias("node")).distinct()
                 .withColumn("hops", F.lit(0))
+                .coalesce(nparts)
                 .localCheckpoint(eager=True))
     # the visited set is re-checkpointed per round: one compact frame
     # broadcasts into the anti-join cheaper than a lazy union of all
@@ -192,10 +200,12 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 15,
                 .select(F.col("v").alias("node")).distinct())
         new = (cand.join(dist, "node", "left_anti")
                .withColumn("hops", F.lit(d))
+               .coalesce(nparts)
                .localCheckpoint(eager=True))
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = (dist.unionByName(new).coalesce(nparts)
+                .localCheckpoint(eager=True))
         frontier = new
     return cache.track(dist, [ed])
 

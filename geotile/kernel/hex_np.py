@@ -135,11 +135,17 @@ def _from_axial(q, r, res: int):
 
 
 def _cube_round(q, r):
-    """Round fractional axial coords to the containing hex (cube round)."""
+    """Round fractional axial coords to the containing hex (cube round).
+
+    Tie rule: floor(x + 0.5) (half-UP), NOT np.round — numpy rounds
+    half-to-even while DuckDB's round() is half-away-from-zero, so an
+    exact .5 fractional axial coordinate would bin to different cells
+    cross-engine.  floor(x + 0.5) is one op, identical in numpy and
+    SQL, and every oracle chain (q36/q78/q85/q97) mirrors it."""
     s = -q - r
-    rq = np.round(q)
-    rr = np.round(r)
-    rs = np.round(s)
+    rq = np.floor(q + 0.5)
+    rr = np.floor(r + 0.5)
+    rs = np.floor(s + 0.5)
     dq = np.abs(rq - q)
     dr = np.abs(rr - r)
     ds = np.abs(rs - s)

@@ -23,6 +23,13 @@ from pyspark.sql.types import ArrayType, LongType
 _MASK = (1 << 64) - 1
 _MERSENNE = (1 << 61) - 1
 
+# Shared tokenizer whitespace class, spelled EXPLICITLY instead of \s:
+# Java regex (Spark split) and Python re.ASCII \s include \x0B but
+# DuckDB's RE2 \s does not — a vertical tab in the corpus would break
+# Spark-vs-oracle parity for every token-count gate.  The explicit
+# class is Java's exact \s set and every oracle mirrors it literally.
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK)
@@ -72,7 +79,7 @@ def chunk_dedup(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     The reference has no text surface; this extends the corpus-dedup
     family (exact_dedup, verified_near_dup_pairs) to sub-document
     granularity."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
     nch = F.ceil(F.size(w) / F.lit(n)).cast("long")
     chunks = F.transform(
         F.sequence(F.lit(0).cast("long"), nch - 1),
@@ -531,7 +538,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     # with start > stop builds a DESCENDING sequence and slice(w, 0, n)
     # throws at runtime.
     toks = (df.select(F.col(id_col),
-                      F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+                      F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
             .where(F.size("w") >= n))
     grams = toks.select(
         id_col,
@@ -612,7 +619,7 @@ def char_entropy(df: DataFrame, text_col: str = "text",
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / punctuation / stopword features + a composite
     quality score — all built-ins, one narrow pass."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
@@ -631,7 +638,7 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
     """Whitespace + BPE-ish subword estimate: whitespace tokens plus an
     extra token per 6 chars of long words (a cheap, deterministic proxy
     for BPE splits) — built-ins only."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_CLASS)
     extra = F.aggregate(
         F.transform(words, lambda w: F.floor(F.length(w) / F.lit(6))),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -735,7 +742,7 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # with < n tokens would otherwise build a descending F.sequence whose
     # slice(w, 0, n) throws (see ngram_jaccard_pairs).
     toks = (df.select(F.col(id_col),
-                      F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+                      F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
             .where(F.size("w") >= n))
     grams = toks.select(
         id_col,
@@ -811,7 +818,7 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
     top-k is a TakeOrdered, never a global sort.  All built-ins, no
     Python."""
     toks = df.select(F.col(id_col),
-                     F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+                     F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
     dl = toks.select(id_col, F.size("w").cast("long").alias("dl"), "w")
     stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     tf = (dl.select(F.col(id_col), "dl", F.explode("w").alias("t"))
@@ -846,7 +853,7 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
     One narrow pass per doc: every metric is an expression over the
     token array (aggregate/transform/array_distinct) — no explode, no
     shuffle, no Python.  At 100 TB this is a map-only stage."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
 
     def dup_frac_nano(n: int):
         grams = F.when(F.size(w) >= n, F.transform(
@@ -934,7 +941,7 @@ def collocations(df: DataFrame, text_col: str = "text", min_count: int = 5,
     are scalar aggregates.  DECIMAL(38,0) headroom: nu^2 * 1e9 * c_xy
     must stay under 1e38 — beyond ~1e12 total tokens, drop the nano
     scale (micro-units) or downscale nu on both sides of the DIV."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS)
     t = df.select(toks.alias("w"))
     uni = (t.select(F.explode("w").alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("c"))
@@ -1018,7 +1025,7 @@ def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
     Returns ``(id_col, group_col, n_tokens, n_capped)``.  One window
     shuffle on the group (rank + group size), a group-sized cap table
     joins back broadcast."""
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), WS_CLASS)).cast("long")
     base = df.select(F.col(id_col), F.col(group_col),
                      n_tok.alias("n_tokens"))
     w = Window.partitionBy(group_col).orderBy(
@@ -1047,8 +1054,8 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
     memory, no shuffle); any token with global share > 1/k must exceed
     share 1/k in at least one partition (pigeonhole), so the union of
     per-partition candidates (<= k rows each) is a guaranteed superset
-    of the true heavy hitters.  The MG tokenizer is the SAME ASCII
-    ``\\s+`` split as the exact pass (Python str.split would use
+    of the true heavy hitters.  The MG tokenizer is the SAME explicit
+    ``WS_CLASS`` split as the exact pass (Python str.split would use
     Unicode whitespace and could fragment a heavy token out of the
     candidate set, silently breaking the superset guarantee).  Stage 2
     counts in ONE aggregation pass: non-candidate tokens collapse into
@@ -1060,37 +1067,43 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
     ``geotile.cache.release``.  The output is exact and independent of
     partitioning even though a sketch did the pruning — which is what
     makes it gateable against a plain SQL frequency oracle."""
-    import re
-
     import pandas as pd
 
     from . import cache
 
     k = sketch_k or max(int(np.ceil(2.0 / phi)), 8)
-    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s, not Unicode
 
     def _mg(batches):
+        # Vectorized Misra-Gries: per Arrow batch, tokenize with pandas
+        # .str ops and collapse to (token, count) via np.unique — the
+        # only Python-level loop is over the <= k surviving counters,
+        # never over tokens.  The batch merge is the standard mergeable-
+        # summaries step (Agarwal et al., TODS 2013): add the batch's
+        # exact counts, then if more than k counters survive subtract
+        # the (k+1)-th largest count from all and drop the non-positive
+        # — total decrement stays <= N/(k+1), so any token with
+        # partition share > 1/(k+1) still survives (the pigeonhole
+        # superset guarantee the exact stage-2 verify relies on).
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf[text_col]:
-                # mirror F.split(F.trim(text), r"\s+") exactly: trim
-                # spaces only; an empty/edge split emits '' tokens
-                for tok in ws.split((t or "").strip(" ")):
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < k:
-                        counters[tok] = 1
-                    else:
-                        dead = [c for c, n in counters.items() if n == 1]
-                        for c in counters:
-                            counters[c] -= 1
-                        for c in dead:
-                            del counters[c]
+            # mirror F.split(F.trim(text), WS_CLASS) exactly: trim
+            # spaces only; an empty/edge split emits '' tokens
+            toks = (pdf[text_col].fillna("").astype(str).str.strip(" ")
+                    .str.split(WS_CLASS, regex=True).explode())
+            uniq, cnt = np.unique(toks.to_numpy(dtype=object),
+                                  return_counts=True)
+            for t, c in zip(uniq.tolist(), cnt.tolist()):
+                counters[t] = counters.get(t, 0) + c
+            if len(counters) > k:
+                vals = np.asarray(list(counters.values()), dtype=np.int64)
+                cut = int(np.partition(vals, -(k + 1))[-(k + 1)])
+                counters = {t: c - cut for t, c in counters.items()
+                            if c > cut}
         yield pd.DataFrame({"token": list(counters.keys())})
 
     cand = (df.select(text_col).mapInPandas(_mg, "token string")
             .distinct().withColumn("_hit", F.lit(1)))
-    toks = df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = df.select(F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS))
                      .alias("token"))
     grp = (toks.join(F.broadcast(cand), "token", "left")
            .groupBy(F.when(F.col("_hit").isNotNull(), F.col("token"))
@@ -1133,7 +1146,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     count-min sketch; exact counts keep the gate deterministic."""
     from . import cache
 
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
     bg = df.select(
         F.col(id_col),
         F.explode(F.when(F.size(w) >= 2, F.transform(

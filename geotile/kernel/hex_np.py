@@ -24,11 +24,12 @@ Hilbert-curve family; this module provides the hexagonal family:
   interior cells but not for the clipped band (~0.3% of cells at
   res 6, shrinking by 1/sqrt(7) per res — quantified by test);
 * exact axial k-ring / disk neighborhoods WITHIN a face (all 6
-  neighbors equidistant); neighbor/ring/distance queries across a face
-  boundary are not supported (H3 solves this with its Class-II/III
-  aligned grids and 12 pentagons; we trade that machinery for a
-  SQL-replicable kernel — stated plainly, same spirit as H3's own
-  pentagon compromise);
+  neighbors equidistant); axial neighbor/ring/distance queries across
+  a face boundary are not defined (H3 solves this with its
+  Class-II/III aligned grids and 12 pentagons; we trade that machinery
+  for a SQL-replicable kernel) — CROSS-FACE neighborhoods go through
+  ``disk_geodesic``, the center-distance disk that enumerates every
+  nearby face's lattice and is gated under the q97 oracle;
 * parent/child via center-point containment (in ANY aperture-7 system
   child hexes only approximately nest; H3 makes the same compromise).
 
@@ -286,9 +287,71 @@ def ring(cell, k: int) -> np.ndarray:
 
 def disk(cell, k: int) -> np.ndarray:
     """All hexes within hex-distance k on the cell's face
-    (1 + 3k(k+1) cells)."""
+    (1 + 3k(k+1) cells).  Face-local: a disk near one of the 30
+    icosahedron edges misses the neighbor face's cells — use
+    ``disk_geodesic`` for the cross-face neighborhood."""
     parts = [ring(cell, i) for i in range(k + 1)]
     return np.unique(np.concatenate(parts))
+
+
+def disk_geodesic(lat: float, lon: float, res: int, radius_rad: float,
+                  dmin: float = 0.70, margin: int | None = None) -> np.ndarray:
+    """CROSS-FACE geodesic disk: every cell at ``res`` — on ANY face —
+    whose CENTER lies within great-circle angle ``radius_rad`` of the
+    point.  This closes the face-local hole in ``disk``/``ring``: near
+    an icosahedron edge the axial k-ring silently loses the neighbor
+    face's cells, while this enumerates a candidate lattice box on
+    EVERY face whose center-dot with the point exceeds ``dmin`` and
+    keeps candidates by exact center distance.  Deterministic and
+    SQL-replicable op for op (the q97 oracle mirrors each step);
+    equality with a full-lattice brute force at edge/vertex points is
+    pinned by tests.
+
+    A face's lattice extends past its owned (Voronoi) region, so the
+    result can include cells whose id no point ever bins to; membership
+    is a pure center-distance predicate and those ids simply never
+    match — harmless for disk-search joins, counted deterministically
+    by both engines.
+
+    Margin derivation (validated by the brute-force test): the
+    gnomonic image of the spherical cap stretches by at most
+    sec^2(theta_max + rho) < 2 inside the dmin >= 0.7 guard
+    (theta_max = acos(0.7) ~ 45.6 deg only at the guard boundary,
+    where the cap is already clipped), and one planar unit moves axial
+    coordinates by at most (sqrt3/3 + 1/3)/size < 0.92/size, so
+    ``2 * radius / size + 1`` covers both |dq| and |dr| after the
+    cube-round +-1.  Single point; returns sorted unique cell ids."""
+    if not MIN_RES <= res <= MAX_RES:
+        raise ValueError(f"res must be in [{MIN_RES}, {MAX_RES}]")
+    size = _res_size(res)
+    if margin is None:
+        margin = int(np.ceil(2.0 * radius_rad / size)) + 1
+    vx, vy, vz = (float(np.atleast_1d(a)[0]) for a in _unit_vectors(lat, lon))
+    cosr = math.cos(radius_rad)
+    dq = np.arange(-margin, margin + 1, dtype=np.int64)
+    dqg, drg = (a.ravel() for a in np.meshgrid(dq, dq, indexing="ij"))
+    out = []
+    for f in range(20):
+        c, e1, e2 = FACE_CENTERS[f], FACE_E1[f], FACE_E2[f]
+        dot = vx * c[0] + vy * c[1] + vz * c[2]
+        if not dot > dmin:
+            continue
+        px = (vx * e1[0] + vy * e1[1] + vz * e1[2]) / dot
+        py = (vx * e2[0] + vy * e2[1] + vz * e2[2]) / dot
+        qf, rf = _to_axial(px, py, res)
+        q0, r0 = _cube_round(np.asarray([qf]), np.asarray([rf]))
+        qa = q0[0] + dqg
+        ra = r0[0] + drg
+        ux, uy, uz = _center3d(np.full(qa.shape, f, dtype=np.int64), qa, ra, res)
+        nrm = np.sqrt(ux * ux + uy * uy + uz * uz)
+        dd = (ux * vx + uy * vy + uz * vz) / nrm
+        keep = dd >= cosr
+        if keep.any():
+            out.append(pack(res, np.full(int(keep.sum()), f, dtype=np.int64),
+                            qa[keep], ra[keep]))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
 
 
 def hex_distance(a, b) -> np.ndarray:

@@ -199,3 +199,100 @@ def test_multi_res_udf_matches_kernel(spark):
         for i, res in enumerate((3, 4, 5)):
             assert row["cells"][i] == int(hex_np.hex_cell(
                 np.array([la]), np.array([lo]), res)[0])
+
+
+# --------------------------------------------------------------------------
+# cross-face geodesic disk (disk_geodesic)
+# --------------------------------------------------------------------------
+
+
+def _edge_vertex_center_points():
+    """Adversarial query points for the cross-face disk: the first few
+    icosahedron edge midpoints (two faces meet), one vertex direction
+    (five faces meet), and one face center (interior control)."""
+    c = hex_np.FACE_CENTERS
+    pairs = [(i, j) for i in range(20) for j in range(i + 1, 20)
+             if float(c[i] @ c[j]) > 0.7][:4]
+    pts = [c[i] + c[j] for i, j in pairs]
+    # an actual icosahedron vertex: five faces meet there (the golden-
+    # ratio construction mirrors hex_np._icosahedron's first vertex)
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    pts.append(np.array([0.0, -1.0, -phi]))
+    pts.append(c[0].copy())
+    out = []
+    for v in pts:
+        v = v / np.sqrt((v * v).sum())
+        out.append((float(np.degrees(np.arctan2(v[2], np.hypot(v[0], v[1])))),
+                    float(np.degrees(np.arctan2(v[1], v[0])))))
+    return out
+
+
+def _reachable_cells_within(lat, lon, res, radius_rad):
+    """Reference for COMPLETENESS: bin a dense spherical cap of sample
+    points around the query and keep every cell points actually bin to
+    whose center is within the radius.  Any owned cell disk_geodesic
+    could miss shows up here."""
+    v = np.array(hex_np._unit_vectors(np.array([lat]), np.array([lon]))).ravel()
+    # orthonormal cap basis
+    a = np.array([1.0, 0.0, 0.0]) if abs(v[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    t1 = np.cross(v, a)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(v, t1)
+    # sample well past the radius so edge cells' interiors are hit
+    rho = np.linspace(0.0, 1.6 * radius_rad, 60)
+    ang = np.linspace(0.0, 2.0 * np.pi, 120, endpoint=False)
+    rr, aa = np.meshgrid(rho, ang, indexing="ij")
+    pts = (np.cos(rr.ravel())[:, None] * v[None, :]
+           + np.sin(rr.ravel())[:, None] * (np.cos(aa.ravel())[:, None] * t1
+                                            + np.sin(aa.ravel())[:, None] * t2))
+    la = np.degrees(np.arctan2(pts[:, 2], np.hypot(pts[:, 0], pts[:, 1])))
+    lo = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+    cells = np.unique(hex_np.hex_cell(la, lo, res))
+    cla, clo = hex_np.cell_center(cells)
+    w = np.stack(hex_np._unit_vectors(cla, clo), axis=1)
+    return set(cells[(w @ v) >= np.cos(radius_rad)].tolist())
+
+
+def test_disk_geodesic_sound_and_complete_at_edges():
+    radius = 2.5 * np.sqrt(3.0) * hex_np._res_size(2)
+    for lat, lon in _edge_vertex_center_points():
+        got = hex_np.disk_geodesic(lat, lon, 2, radius)
+        # soundness: every returned center really is within the radius
+        v = np.array(hex_np._unit_vectors(np.array([lat]), np.array([lon]))).ravel()
+        cla, clo = hex_np.cell_center(got)
+        w = np.stack(hex_np._unit_vectors(cla, clo), axis=1)
+        assert ((w @ v) >= np.cos(radius)).all()
+        # completeness: every bin-REACHABLE cell with center within the
+        # radius is present (phantom extras from neighbor lattices are
+        # allowed by contract; missing owned cells are not)
+        assert _reachable_cells_within(lat, lon, 2, radius) <= set(got.tolist())
+
+
+def test_disk_geodesic_spans_faces_at_edge():
+    radius = 2.5 * np.sqrt(3.0) * hex_np._res_size(2)
+    pts = _edge_vertex_center_points()
+    for lat, lon in pts[:4]:          # edge midpoints: two faces meet
+        reach = _reachable_cells_within(lat, lon, 2, radius)
+        faces = set(hex_np.unpack(np.array(sorted(reach)))[1].tolist())
+        assert len(faces) >= 2        # the face-local disk WOULD miss these
+    vreach = _reachable_cells_within(*pts[4], 2, radius)
+    vfaces = set(hex_np.unpack(np.array(sorted(vreach)))[1].tolist())
+    assert len(vfaces) >= 3           # vertex: five faces meet
+    # control: at a face center the query's own cell is present and owned
+    own = int(hex_np.hex_cell(np.array([pts[5][0]]), np.array([pts[5][1]]), 2)[0])
+    assert own in set(hex_np.disk_geodesic(*pts[5], 2, radius).tolist())
+
+
+def test_disk_geodesic_covers_face_local_disk_interior():
+    # at a face center the geodesic disk must contain the owner cell
+    # and every center within range also found by axial rings
+    lat, lon = _edge_vertex_center_points()[5]
+    radius = 2.5 * np.sqrt(3.0) * hex_np._res_size(2)
+    got = set(hex_np.disk_geodesic(lat, lon, 2, radius).tolist())
+    cell = hex_np.hex_cell(np.array([lat]), np.array([lon]), 2)
+    local = hex_np.disk(cell, 1)
+    la, lo = hex_np.cell_center(local)
+    v = np.array(hex_np._unit_vectors(np.array([lat]), np.array([lon]))).ravel()
+    w = np.stack(hex_np._unit_vectors(la, lo), axis=1)
+    within = (w @ v) >= np.cos(radius)
+    assert set(local[within].tolist()) <= got

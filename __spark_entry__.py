@@ -1978,6 +1978,34 @@ def _q96_json_extract(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q98_triangle_counts_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-oriented triangle counting
+    (graph.triangle_counts_oriented) on a DELIBERATELY star-heavy
+    graph: the q83 xxhash64 random edges plus a hub (node 0) linked to
+    every 8th document — the web link graph's 'last reducer' shape.
+    Id orientation pivots every hub wedge on node 0 (O(d^2) rows under
+    ONE join key); (degree, id) orientation gives the hub zero wedges
+    and bounds every key by O(sqrt(m)), while the exact counts still
+    match the orientation-free 3-way-join oracle."""
+    from geotile import graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    rand_edges = links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+    star = (docs.where(F.col("doc_id") % 8 == 0)
+            .select(F.lit(0).cast("long").alias("src"),
+                    F.col("doc_id").alias("dst")))
+    edges = (rand_edges.unionByName(star)
+             .where(F.col("src") != F.col("dst")).distinct())
+    return graph.triangle_counts_oriented(edges).orderBy("node")
+
+
 def _q97_crossface_hex_disk(spark: SparkSession, sf: str) -> DataFrame:
     """CROSS-FACE hex disk search (kernel hex_np.disk_geodesic):
     positions counted inside the geodesic center-distance disk of each
@@ -2121,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_deterministic_sample": _q49_deterministic_sample,
         "q50_top_tokens": _q50_top_tokens,
         "q97_crossface_hex_disk": _q97_crossface_hex_disk,
+        "q98_triangle_counts_skew": _q98_triangle_counts_skew,
     }
 
 
@@ -3981,6 +4010,43 @@ und AS MATERIALIZED (
   SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS u,
                   CAST(greatest(src, dst) AS BIGINT) AS v
   FROM e83a WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*) AS n_tri
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+ORDER BY node
+"""
+
+    # q98: same orientation-free triangle oracle over the star-heavy
+    # graph (q83 random edges + hub 0 -> every 8th doc) — triangle
+    # counts are independent of the engine's wedge orientation, so one
+    # plain 3-way join gates the degree-oriented variant
+    sqls["q98_triangle_counts_skew"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l83 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l83", "z0", "xh", "x83")},
+e98 AS (
+  SELECT doc_id AS src, ((({_sig83} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x83f CROSS JOIN nn
+  UNION ALL
+  SELECT CAST(0 AS BIGINT) AS src, doc_id AS dst
+  FROM documents WHERE doc_id % 8 = 0
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS u,
+                  CAST(greatest(src, dst) AS BIGINT) AS v
+  FROM e98 WHERE src <> dst
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c

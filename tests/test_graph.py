@@ -186,3 +186,46 @@ def test_triangle_counts_exact(spark):
     got = sorted((r["node"], r["n_tri"]) for r in out.collect())
     cache.release(out)
     assert got == [(1, 1), (2, 1), (3, 1)] + [(n, 3) for n in range(10, 14)]
+
+
+# --------------------------------------------------------------------------
+# triangle counting: degree-oriented variant vs id-oriented baseline
+# --------------------------------------------------------------------------
+
+
+def _tri_counts(df):
+    rows = {r["node"]: r["n_tri"] for r in df.collect()}
+    cache.release(df)
+    return rows
+
+
+def test_oriented_triangles_match_on_random_graph(spark):
+    rng = random.Random(98)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(250)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = _tri_counts(graph.triangle_counts(df))
+    skew = _tri_counts(graph.triangle_counts_oriented(df))
+    assert base == skew and base  # non-empty
+
+
+def test_oriented_triangles_match_on_star_heavy_graph(spark):
+    # hub 0 touches every node (the "last reducer" shape) + a clique
+    # + a few chords closing hub triangles
+    n = 120
+    edges = [(0, i) for i in range(1, n)]
+    edges += [(i, j) for i in range(1, 8) for j in range(i + 1, 8)]
+    edges += [(50 + i, 51 + i) for i in range(0, 40, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = _tri_counts(graph.triangle_counts(df))
+    skew = _tri_counts(graph.triangle_counts_oriented(df))
+    assert base == skew
+    # hub participates in every clique/chord triangle; sanity-pin one
+    assert base[0] == (7 * 6) // 2 + 20
+
+
+def test_oriented_star_alone_has_no_triangles(spark):
+    df = spark.createDataFrame([(0, i) for i in range(1, 50)],
+                               "src long, dst long")
+    out = graph.triangle_counts_oriented(df)
+    assert out.count() == 0
+    cache.release(out)

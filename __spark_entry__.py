@@ -1978,6 +1978,22 @@ def _q96_json_extract(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q99_bigram_logprob_floored(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM fluency with the min-count stats floor
+    (textops.bigram_logprob(min_count=2)) — the 100-TB variant q94's
+    docstring promises: singleton bigrams are pruned from the model
+    (bounding the stats table so it broadcasts), probabilities
+    renormalize over the survivors, and documents are scored on
+    modeled bigrams only.  Same micro-nat integer floors, same exact
+    gate — the oracle adds one HAVING clause."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from geotile import cache
+
+    out = textops.bigram_logprob(docs, min_count=2)
+    return cache.track(out.orderBy("doc_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q98_triangle_counts_skew(spark: SparkSession, sf: str) -> DataFrame:
     """Degree-oriented triangle counting
     (graph.triangle_counts_oriented) on a DELIBERATELY star-heavy
@@ -2150,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_top_tokens": _q50_top_tokens,
         "q97_crossface_hex_disk": _q97_crossface_hex_disk,
         "q98_triangle_counts_skew": _q98_triangle_counts_skew,
+        "q99_bigram_logprob_floored": _q99_bigram_logprob_floored,
     }
 
 
@@ -4395,6 +4412,40 @@ bg AS MATERIALIZED (
 ),
 stats AS (
   SELECT w1, w2, count(*) AS b FROM bg GROUP BY w1, w2
+),
+prefix AS (
+  SELECT w1, CAST(sum(b) AS BIGINT) AS u FROM stats GROUP BY w1
+),
+terms AS (
+  SELECT s.w1, s.w2,
+         CAST(floor(ln(CAST(s.b AS DOUBLE) / CAST(p.u AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS t
+  FROM stats s JOIN prefix p ON p.w1 = s.w1
+),
+scored AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(t.t) AS BIGINT) AS lp
+  FROM bg JOIN terms t ON t.w1 = bg.w1 AND t.w2 = bg.w2
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.lp, 0) AS lp_micro
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+    # q99: the same bigram-LM chain with the min-count stats floor —
+    # one HAVING clause prunes singleton bigrams BEFORE the prefix
+    # renormalization, docs score on modeled bigrams only
+    sqls["q99_bigram_logprob_floored"] = r"""
+WITH t99 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS j FROM t99 WHERE len(w) >= 2)
+),
+stats AS (
+  SELECT w1, w2, count(*) AS b FROM bg GROUP BY w1, w2 HAVING count(*) >= 2
 ),
 prefix AS (
   SELECT w1, CAST(sum(b) AS BIGINT) AS u FROM stats GROUP BY w1

@@ -1118,7 +1118,7 @@ def heavy_hitter_tokens(df: DataFrame, phi: float = 0.001,
 
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", min_count: int = 1) -> DataFrame:
     """KenLM-style corpus-LM fluency score (the CCNet/RefinedWeb
     quality signal): per document, the sum of conditional bigram
     log-probabilities under the corpus's OWN bigram model,
@@ -1142,8 +1142,11 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     a corpus-sized intermediate; the distinct-bigram stats table
     (persisted, released via geotile.cache) joins the prefix totals
     once, then doc scoring is one shuffle on the bigram key + one
-    per-doc sum.  At 100 TB the stats table gets a min-count floor /
-    count-min sketch; exact counts keep the gate deterministic."""
+    per-doc sum.  ``min_count`` is the 100-TB path: floor the stats
+    table at that corpus count (pruning the singleton tail bounds the
+    model so it broadcasts), renormalize over survivors, score docs on
+    modeled bigrams only — min_count=1 (default) is the exact model
+    and both variants sit under exact oracles (q94, q99)."""
     from . import cache
 
     w = F.split(F.trim(F.col(text_col)), WS_CLASS)
@@ -1156,8 +1159,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
             .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
         .alias("b"))
     bg = bg.select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    stats = (bg.groupBy("w1", "w2").agg(F.count("*").alias("_b"))
-             .persist())
+    stats = bg.groupBy("w1", "w2").agg(F.count("*").alias("_b"))
+    if min_count > 1:
+        # the 100-TB stats floor the docstring promises: pruning the
+        # singleton tail (typically the vast majority of DISTINCT
+        # bigrams) bounds the model table so it broadcasts, exactly
+        # like KenLM/CCNet min-count pruning.  Probabilities
+        # renormalize over the SURVIVING bigrams (prefix totals are
+        # computed after the floor) and documents are scored on
+        # modeled bigrams only — with min_count=1 this is bit-identical
+        # to the exact model (pinned by test).
+        stats = stats.where(F.col("_b") >= min_count)
+    stats = stats.persist()
     prefix = stats.groupBy("w1").agg(F.sum("_b").alias("_u"))
     terms = (stats.join(prefix, "w1")
              .select("w1", "w2",

@@ -596,3 +596,31 @@ def test_bigram_logprob_known_values(spark):
     assert got[1] == (3, 2 * t_ab + t_ba)
     assert got[2] == (3, t_ab + t_ba + t_ac)
     assert got[3] == (0, 0)          # single-token doc: no bigrams
+
+
+def test_bigram_logprob_min_count_floor(spark):
+    import math
+
+    from geotile import cache, textops
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c"), (3, "x")],
+        "doc_id long, text string")
+    # min_count=1 must be bit-identical to the exact model
+    exact = textops.bigram_logprob(df)
+    want = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"]) for r in exact.collect()}
+    cache.release(exact)
+    same = textops.bigram_logprob(df, min_count=1)
+    got = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"]) for r in same.collect()}
+    cache.release(same)
+    assert got == want
+    # min_count=2 prunes the singleton (a c); survivors renormalize:
+    # U(a) = 3 (only a->b survives), U(b) = 2
+    floored = textops.bigram_logprob(df, min_count=2)
+    got2 = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"]) for r in floored.collect()}
+    cache.release(floored)
+    t_ab = math.floor(math.log(3 / 3) * 1e6)
+    t_ba = math.floor(math.log(2 / 2) * 1e6)
+    assert got2[1] == (3, 2 * t_ab + t_ba)
+    assert got2[2] == (2, t_ab + t_ba)   # (a c) no longer modeled
+    assert got2[3] == (0, 0)

@@ -1978,6 +1978,26 @@ def _q96_json_extract(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q100_ws_class_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer whitespace-class robustness gate: every document gets
+    ADVERSARIAL whitespace appended on BOTH engines (vertical tab, form
+    feed, carriage return, tab — via chr() so each engine builds the
+    identical string) before token counting.  RE2's ``\\s`` excludes
+    ``\\x0B`` while Java's and Python's include it, so a '\\s+'
+    tokenizer would disagree cross-engine on exactly this input; the
+    shared explicit ``textops.WS_CLASS`` keeps parity — the round-4
+    ADVICE exposure, now pinned under a driver-gated query instead of
+    a comment."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    adv = F.concat(F.col("text"), F.lit("\x0Bvt\x0Cff\rcr\ttab"))
+    return (docs.select(
+        "doc_id",
+        F.length(adv).cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(adv), textops.WS_CLASS)).cast("long")
+        .alias("n_tokens"))
+        .orderBy("doc_id"))
+
+
 def _q99_bigram_logprob_floored(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-LM fluency with the min-count stats floor
     (textops.bigram_logprob(min_count=2)) — the 100-TB variant q94's
@@ -2060,64 +2080,14 @@ def _q97_crossface_hex_disk(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
-    # ~50 entries in iteration order (CORRECTNESS_r02/r03 both stop at
-    # exactly 50 rows), so the entries with no driver-side row yet come
-    # FIRST (the round-4 additions q78+, then the round-2/3 block
-    # q51-q77 — cheap batch queries, then the six costlier streaming
-    # gates) — followed by q1-q50, which already have green rows in
-    # CORRECTNESS_r02 and r03 plus the local exact-oracle gate
-    # (scripts/check_oracle.py) and pinned fixtures.
+    # 50 entries per round in iteration order.  Round-5 rotation: q5-q50
+    # (whose newest driver rows were r03 — one round stale after the
+    # round-4 reordering) come FIRST, followed by the four round-5
+    # additions q97-q100 (slots 47-50), so every entry's driver row is
+    # at most one round old: r05 covers q5-q50 + q97-q100, r04 covers
+    # q1-q4 + q51-q96.  The trailing block keeps cheap batch queries
+    # before the six costlier run-to-completion streaming gates.
     return {
-        "q78_hex_pyramid": _q78_hex_pyramid,
-        "q83_triangle_counts": _q83_triangle_counts,
-        "q84_char_entropy": _q84_char_entropy,
-        "q85_hex_disk": _q85_hex_disk,
-        "q86_daily_trips": _q86_daily_trips,
-        "q87_rate_anomalies": _q87_rate_anomalies,
-        "q88_winsorize_lengths": _q88_winsorize_lengths,
-        "q89_heavy_hitters": _q89_heavy_hitters,
-        "q90_scalar_quantize": _q90_scalar_quantize,
-        "q93_session_trips": _q93_session_trips,
-        "q94_bigram_logprob": _q94_bigram_logprob,
-        "q95_table_stats": _q95_table_stats,
-        "q96_json_extract": _q96_json_extract,
-        "q79_speed_filter": _q79_speed_filter,
-        "q80_stay_points": _q80_stay_points,
-        "q81_od_matrix": _q81_od_matrix,
-        "q82_colocation_pairs": _q82_colocation_pairs,
-        "q51_route_proximity": _q51_route_proximity,
-        "q52_text_embedding": _q52_text_embedding,
-        "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
-        "q54_text_embedding_capped": _q54_text_embedding_capped,
-        "q55_tile_pyramid": _q55_tile_pyramid,
-        "q59_capped_near_dup_e2e": _q59_capped_near_dup_e2e,
-        "q60_route_proximity_gc": _q60_route_proximity_gc,
-        "q61_dedup_clusters": _q61_dedup_clusters,
-        "q62_dbscan": _q62_dbscan,
-        "q63_bm25_topk": _q63_bm25_topk,
-        "q64_repetition_filter": _q64_repetition_filter,
-        "q66_window_suite": _q66_window_suite,
-        "q67_grouping_sets": _q67_grouping_sets,
-        "q68_chunk_dedup": _q68_chunk_dedup,
-        "q69_pagerank": _q69_pagerank,
-        "q70_compact_cells": _q70_compact_cells,
-        "q71_bfs_hops": _q71_bfs_hops,
-        "q72_source_quota": _q72_source_quota,
-        "q73_collocations": _q73_collocations,
-        "q74_kmv_merge": _q74_kmv_merge,
-        "q75_cell_sample": _q75_cell_sample,
-        "q76_cohort_retention": _q76_cohort_retention,
-        "q77_funnel": _q77_funnel,
-        "q56_stream_tile_pyramid": _q56_stream_tile_pyramid,
-        "q57_stream_sessionize": _q57_stream_sessionize,
-        "q58_stream_cell_counts": _q58_stream_cell_counts,
-        "q65_stream_interval_join": _q65_stream_interval_join,
-        "q91_stream_dedup": _q91_stream_dedup,
-        "q92_stream_radius_join": _q92_stream_radius_join,
-        "q1_pricing_summary": _q1_pricing,
-        "q2_latest_position_per_key": _q2_latest,
-        "q3_delete_antijoin": _q3_delete,
-        "q4_topk_per_group": _q4_topk,
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
         "q7_radius_search": _q7_radius,
@@ -2167,6 +2137,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_crossface_hex_disk": _q97_crossface_hex_disk,
         "q98_triangle_counts_skew": _q98_triangle_counts_skew,
         "q99_bigram_logprob_floored": _q99_bigram_logprob_floored,
+        "q100_ws_class_tokens": _q100_ws_class_tokens,
+        "q1_pricing_summary": _q1_pricing,
+        "q2_latest_position_per_key": _q2_latest,
+        "q3_delete_antijoin": _q3_delete,
+        "q4_topk_per_group": _q4_topk,
+        "q51_route_proximity": _q51_route_proximity,
+        "q52_text_embedding": _q52_text_embedding,
+        "q53_text_near_dup_e2e": _q53_text_near_dup_e2e,
+        "q54_text_embedding_capped": _q54_text_embedding_capped,
+        "q55_tile_pyramid": _q55_tile_pyramid,
+        "q59_capped_near_dup_e2e": _q59_capped_near_dup_e2e,
+        "q60_route_proximity_gc": _q60_route_proximity_gc,
+        "q61_dedup_clusters": _q61_dedup_clusters,
+        "q62_dbscan": _q62_dbscan,
+        "q63_bm25_topk": _q63_bm25_topk,
+        "q64_repetition_filter": _q64_repetition_filter,
+        "q66_window_suite": _q66_window_suite,
+        "q67_grouping_sets": _q67_grouping_sets,
+        "q68_chunk_dedup": _q68_chunk_dedup,
+        "q69_pagerank": _q69_pagerank,
+        "q70_compact_cells": _q70_compact_cells,
+        "q71_bfs_hops": _q71_bfs_hops,
+        "q72_source_quota": _q72_source_quota,
+        "q73_collocations": _q73_collocations,
+        "q74_kmv_merge": _q74_kmv_merge,
+        "q75_cell_sample": _q75_cell_sample,
+        "q76_cohort_retention": _q76_cohort_retention,
+        "q77_funnel": _q77_funnel,
+        "q78_hex_pyramid": _q78_hex_pyramid,
+        "q79_speed_filter": _q79_speed_filter,
+        "q80_stay_points": _q80_stay_points,
+        "q81_od_matrix": _q81_od_matrix,
+        "q82_colocation_pairs": _q82_colocation_pairs,
+        "q83_triangle_counts": _q83_triangle_counts,
+        "q84_char_entropy": _q84_char_entropy,
+        "q85_hex_disk": _q85_hex_disk,
+        "q86_daily_trips": _q86_daily_trips,
+        "q87_rate_anomalies": _q87_rate_anomalies,
+        "q88_winsorize_lengths": _q88_winsorize_lengths,
+        "q89_heavy_hitters": _q89_heavy_hitters,
+        "q90_scalar_quantize": _q90_scalar_quantize,
+        "q93_session_trips": _q93_session_trips,
+        "q94_bigram_logprob": _q94_bigram_logprob,
+        "q95_table_stats": _q95_table_stats,
+        "q96_json_extract": _q96_json_extract,
+        "q56_stream_tile_pyramid": _q56_stream_tile_pyramid,
+        "q57_stream_sessionize": _q57_stream_sessionize,
+        "q58_stream_cell_counts": _q58_stream_cell_counts,
+        "q65_stream_interval_join": _q65_stream_interval_join,
+        "q91_stream_dedup": _q91_stream_dedup,
+        "q92_stream_radius_join": _q92_stream_radius_join,
     }
 
 
@@ -4494,6 +4515,23 @@ SELECT event_type, count(*) AS n,
 FROM k96
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+    # q100: adversarial-whitespace token counting — chr() builds the
+    # identical suffix in both engines; the explicit class (NOT \s)
+    # must tokenize it identically
+    sqls["q100_ws_class_tokens"] = r"""
+WITH adv AS (
+  SELECT doc_id,
+         text || chr(11) || 'vt' || chr(12) || 'ff' || chr(13) || 'cr'
+              || chr(9) || 'tab' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(t), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
+FROM adv
+ORDER BY doc_id
 """
 
     # q97: cross-face geodesic hex disk — replicate disk_geodesic op

@@ -10,6 +10,7 @@ bench.  Stage graph (each stage = one manifest-committed table):
   points     extract + mentions explode + cells      partition: gh2 (2-char prefix)
   joined     radius join vs the city POI set         partition: none (result)
   rollup     per-cell counts (salted aggregation)    partition: none
+  store      latest point per url via MERGE INTO     bucketed catalog table (url)
 
 At 100 TB the 'points' table is the big one; it is written partitioned
 by the 2-char cell prefix so every later spatial join prunes partitions
@@ -50,8 +51,8 @@ def stage_pages(spark: SparkSession, workdir: str, n: int, partitions: int | Non
     return path
 
 
-POINTS_SCHEMA = ("url string, lat double, lon double, geohash string, "
-                 "gh2 string, s2_cell long, tile string")
+POINTS_SCHEMA = ("url string, warc_ts timestamp, lat double, lon double, "
+                 "geohash string, gh2 string, s2_cell long, tile string")
 
 
 def _points_batches(nchars: int):
@@ -77,6 +78,7 @@ def _points_batches(nchars: int):
             ok = (text == stored).to_numpy()
             t = text[ok].reset_index(drop=True)
             urls = pdf["url"].reset_index(drop=True)[ok].reset_index(drop=True)
+            tss = pdf["warc_ts"].reset_index(drop=True)[ok].reset_index(drop=True)
             m = extract.parse_mentions_pd(t)
             if not len(m):
                 yield pd.DataFrame({c.split(" ")[0]: [] for c in POINTS_SCHEMA.split(", ")})
@@ -86,6 +88,7 @@ def _points_batches(nchars: int):
             cells = gh.encode(lat, lon, nchars)
             yield pd.DataFrame({
                 "url": urls.iloc[m["row_idx"]].to_numpy(),
+                "warc_ts": tss.iloc[m["row_idx"]].to_numpy(),
                 "lat": lat,
                 "lon": lon,
                 "geohash": cells,
@@ -172,6 +175,71 @@ def stage_rollup(spark: SparkSession, workdir: str) -> str:
     return path
 
 
+def stage_store(spark: SparkSession, workdir: str) -> str:
+    """Keyed positions STORE maintained through the production MERGE
+    API (table.merge_into): the latest mention per url, LWW on
+    (warc_ts, payload), lands in a bucketed catalog table — the AddPos
+    upsert surface (SURVEY.md S1) exercised inside the resumable
+    pipeline rather than only in unit tests.
+
+    Shape: the points stage splits into two deterministic micro-batches
+    by xxhash64(url) parity — batch 0 SEEDS the store (bucketed write),
+    batch 1 arrives through ``MERGE INTO`` (v2 catalog) or the
+    zero-Exchange bucketed merge-join fallback, so every fresh run
+    exercises both the create and the incremental-merge path, exactly
+    how a daily crawl lands on the store at cluster scale.
+
+    Resume contract: a manifest under ``workdir/store`` records the
+    points lineage; when it matches AND the catalog table exists the
+    stage is skipped.  A crash between merge_into's DROP and RENAME is
+    repaired by recover_merge on the next entry (tested).  The catalog
+    here is per-session (in-memory); a restart with a warm manifest but
+    a cold catalog rebuilds the store — an Iceberg/Hive catalog makes
+    that case a no-op."""
+    import hashlib
+    import json
+
+    points_path = os.path.join(workdir, "points")
+    path = os.path.join(workdir, "store")
+    name = "geotile_store_" + hashlib.sha256(
+        os.path.abspath(workdir).encode()).hexdigest()[:10]
+    params = {"table": name}
+    if table.is_complete(path, parents=[points_path], params=params) \
+            and spark.catalog.tableExists(name):
+        return path
+    table.recover_merge(spark, name)
+    points = table.read_stage(spark, points_path)
+    upd = points.select(
+        "url", F.col("warc_ts").alias("ts"), "lat", "lon", "geohash",
+        F.pmod(F.xxhash64("url"), F.lit(2)).alias("_b"))
+    seed = upd.where(F.col("_b") == 0).drop("_b")
+    # LWW-dedup the seed batch exactly as merge_into dedups updates
+    from pyspark.sql import Window
+
+    tie = [F.col(c).desc() for c in seed.columns if c not in ("url", "ts")]
+    w = Window.partitionBy("url").orderBy(F.col("ts").desc(), *tie)
+    seed = (seed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    table.write_bucketed(seed, name, "url")
+    table.merge_into(spark, name, upd.where(F.col("_b") == 1).drop("_b"),
+                     key="url", ts="ts")
+    n = spark.table(name).count()
+    # commit the stage manifest (data lives in the catalog/warehouse;
+    # the manifest dir carries lineage + the row count metric)
+    os.makedirs(path, exist_ok=True)
+    pm = table.read_manifest(points_path)
+    manifest = {"format_version": 1, "committed_at": time.time(),
+                "lineage": table._lineage_hash(
+                    [pm["lineage"] if pm else "missing:" + points_path], params),
+                "partition_by": [], "partitions": {"": n},
+                "total_rows": n, "params": params}
+    tmp = os.path.join(path, table.MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, table.MANIFEST))
+    return path
+
+
 def warm_up(spark: SparkSession, workdir: str | None = None) -> None:
     """Pre-fork the Python UDF workers at full parallelism and JIT-warm
     the codegen/parquet/broadcast paths with a micro dry run.  On a real
@@ -224,14 +292,21 @@ def run_pipeline(spark: SparkSession, workdir: str, n: int,
         d_join = f_join.result()
         d_rollup = f_rollup.result()
     t4 = time.time()
+    # keyed positions store via the production MERGE path — timed
+    # separately so t_total/pages_per_sec keep their round-comparable
+    # definition (synth -> extract -> tile -> join/rollup)
+    stage_store(spark, workdir)
+    t5 = time.time()
     m_pages = table.read_manifest(os.path.join(workdir, "pages"))
     m_points = table.read_manifest(os.path.join(workdir, "points"))
     m_joined = table.read_manifest(os.path.join(workdir, "joined"))
+    m_store = table.read_manifest(os.path.join(workdir, "store"))
     return {
         "pages": m_pages["total_rows"], "points": m_points["total_rows"],
-        "joined": m_joined["total_rows"],
+        "joined": m_joined["total_rows"], "store": m_store["total_rows"],
         "t_pages": t1 - t0, "t_points": t2 - t1, "t_join": d_join,
-        "t_rollup": d_rollup, "t_spatial": t4 - t2, "t_total": t4 - t0,
+        "t_rollup": d_rollup, "t_spatial": t4 - t2, "t_store": t5 - t4,
+        "t_total": t4 - t0,
         "pages_per_sec": m_pages["total_rows"] / max(t4 - t0, 1e-9),
     }
 

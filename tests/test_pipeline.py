@@ -73,6 +73,8 @@ def test_manifest_write_resume(spark, tmp_path):
 
 
 def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    import hashlib
+
     wd = str(tmp_path)
     m = pipeline.run_pipeline(spark, wd, n=2000, partitions=4)
     assert m["pages"] == 2000
@@ -81,14 +83,34 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     for stage in ("pages", "points", "joined", "rollup"):
         assert table.verify_counts(spark, os.path.join(wd, stage))
 
+    # the MERGE-maintained store holds exactly one row per distinct url
+    store_name = "geotile_store_" + hashlib.sha256(
+        os.path.abspath(wd).encode()).hexdigest()[:10]
+    pts = table.read_stage(spark, os.path.join(wd, "points"))
+    n_urls = pts.select("url").distinct().count()
+    assert m["store"] == n_urls
+    assert spark.table(store_name).count() == n_urls
+
     # resume: delete the joined stage only; rerun redoes just that stage
     mtime_points = os.path.getmtime(os.path.join(wd, "points", table.MANIFEST))
+    mtime_store = os.path.getmtime(os.path.join(wd, "store", table.MANIFEST))
     os.remove(os.path.join(wd, "joined", table.MANIFEST))
     m2 = pipeline.run_pipeline(spark, wd, n=2000, partitions=4)
     assert m2["pages"] == m["pages"] and m2["joined"] == m["joined"]
     assert os.path.getmtime(os.path.join(wd, "points", table.MANIFEST)) == mtime_points
-    # completed stages were skipped (fast)
-    assert m2["t_pages"] < 1.0 and m2["t_points"] < 1.0
+    # completed stages were skipped (fast) — including the MERGE store
+    assert os.path.getmtime(os.path.join(wd, "store", table.MANIFEST)) == mtime_store
+    assert m2["t_pages"] < 1.0 and m2["t_points"] < 1.0 and m2["t_store"] < 1.0
+
+    # kill mid-merge: simulate a crash between merge_into's DROP and
+    # RENAME (target gone, stage table holding the data), invalidate the
+    # store manifest -> the next pipeline run self-heals and recommits
+    spark.sql(f"ALTER TABLE {store_name} RENAME TO {store_name}__merge_stage")
+    os.remove(os.path.join(wd, "store", table.MANIFEST))
+    m3 = pipeline.run_pipeline(spark, wd, n=2000, partitions=4)
+    assert m3["store"] == n_urls
+    assert spark.table(store_name).count() == n_urls
+    assert not spark.catalog.tableExists(f"{store_name}__merge_stage")
 
 
 def test_join_rows_identical_across_parallelism(spark, tmp_path):

@@ -94,7 +94,9 @@ def main() -> None:
         "q89_heavy_hitters", "q90_scalar_quantize",
         "q91_stream_dedup", "q92_stream_radius_join",
         "q93_session_trips", "q94_bigram_logprob", "q95_table_stats",
-        "q96_json_extract",
+        "q96_json_extract", "q97_crossface_hex_disk",
+        "q98_triangle_counts_skew", "q99_bigram_logprob_floored",
+        "q100_ws_class_tokens",
     ]
     from geotile import cache, textops
 
@@ -173,6 +175,47 @@ def main() -> None:
     timings["graph_cc_longpath"] = round(time.time() - t0, 3)
     assert chain_roots == 1, "long-path chain must resolve to ONE component"
 
+    # triangle-orientation skew stress: a MID-ID hub (worst case for id
+    # orientation — the ordered wedge pivots on the middle vertex, so a
+    # hub with half its neighbors below and half above yields (d/2)^2
+    # wedge rows under ONE key) vs degree orientation (hub ranks above
+    # all leaves -> zero hub wedges).  Wedge counts are computed exactly
+    # from degree aggregates — the bounded-fan-out claim is a measured
+    # number, not a docstring
+    hub = n_docs // 2
+    star98 = (docs_ids.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") != hub))
+              .select(F.lit(hub).cast("long").alias("a"), F.col("doc_id").alias("b")))
+    ed98 = rand_edges.unionByName(star98).where(F.col("a") != F.col("b"))
+    und98 = (ed98.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+             .distinct().persist())
+    lo98 = und98.groupBy(F.col("v").alias("n")).agg(F.count("*").alias("c_lo"))
+    hi98 = und98.groupBy(F.col("u").alias("n")).agg(F.count("*").alias("c_hi"))
+    wedges_id = int(lo98.join(hi98, "n")
+                    .agg(F.sum(F.col("c_lo") * F.col("c_hi"))).first()[0] or 0)
+    deg98 = (und98.select(F.col("u").alias("n")).unionByName(und98.select(F.col("v").alias("n")))
+             .groupBy("n").agg(F.count("*").alias("d")))
+    du98 = deg98.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv98 = deg98.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lo_first98 = (F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+                  < F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+    out98 = (und98.join(du98, "u").join(dv98, "v")
+             .select(F.when(lo_first98, F.col("u")).otherwise(F.col("v")).alias("a"))
+             .groupBy("a").agg(F.count("*").alias("od")))
+    wedges_deg = int(out98.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long")).first()[0] or 0)
+    t0 = time.time()
+    tri_id = graph.triangle_counts(und98, "u", "v")
+    rows_id = sorted((r["node"], r["n_tri"]) for r in tri_id.collect())
+    cache.release(tri_id)
+    timings["tri_skew_id_oriented"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    tri_deg = graph.triangle_counts_oriented(und98, "u", "v")
+    rows_deg = sorted((r["node"], r["n_tri"]) for r in tri_deg.collect())
+    cache.release(tri_deg)
+    timings["tri_skew_degree_oriented"] = round(time.time() - t0, 3)
+    assert rows_id == rows_deg, "orientation changed triangle counts"
+    und98.unpersist()
+
     # streaming upsert throughput: N position updates over 4 micro-batch
     # files -> availableNow upsert_stream (LWW merge + snapshot commit
     # per batch) — measured, not asserted
@@ -229,6 +272,8 @@ def main() -> None:
         "skew_minhash_pairs_rows": int(n_mp),
         "graph_cc_nodes": int(n_cc_nodes),
         "graph_cc_rounds": int(cc_rounds),
+        "tri_skew_wedges_id": wedges_id,
+        "tri_skew_wedges_degree": wedges_deg,
         "cpus": CPUS,
     }
     print(json.dumps(out))

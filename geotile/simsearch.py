@@ -157,8 +157,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.8, nbits: int = 12
     all-pairs).  Candidates DEDUP WHILE SLIM — (a, b) id pairs of two
     longs, before vectors attach — then the exact cosine (a NATIVE
     zip_with/aggregate expression) refines once per unique pair.  This
-    inverts the usual filter-before-dedup pair-operator rule
-    (CLAUDE.md) deliberately: here the verify needs the vector payload,
+    inverts the engine's usual filter-before-dedup pair-operator rule
+    deliberately: here the verify needs the vector payload,
     so deduping the slim ids FIRST is what keeps that payload out of
     the hot-bucket candidate stream.  Recall rises with n_tables at
     linear cost — the classical LSH recall/cost dial.  Returns

@@ -340,6 +340,37 @@ def main() -> None:
             "broadcast back — the join side is 64 rows, never a shuffle of "
             "the vectors"))
 
+    # round-5 operators
+    from geotile.kernel import hex_np as _hex
+
+    rad97 = 2.5 * 3.0 ** 0.5 * _hex._res_size(2)
+    cells97 = _hex.disk_geodesic(10.8123, 58.2825, 2, rad97)
+    ddf97 = spark.createDataFrame([(0, int(c)) for c in cells97],
+                                  "query_id long, h2 long")
+    posh = points.withColumn("h2", _udfs.hex_cell_udf(2)(F.col("lat"), F.col("lon")))
+    sections.append(summarize(
+        posh.join(F.broadcast(ddf97), "h2")
+        .groupBy("query_id").agg(F.count("*").alias("n")),
+        "crossface_hex_disk (q97 shape): driver-built geodesic disk BROADCAST "
+        "to the hex-binned positions — the points table never shuffles; Python "
+        "only in the binning kernel (one Arrow pass)"))
+
+    tri_o = graph_mod.triangle_counts_oriented(ed_tri)
+    sections.append(summarize(
+        tri_o,
+        "triangle_counts_oriented: degree-rank orientation — same wedge/close "
+        "join core as triangle_counts, but per-key fan-out is the ORIENTED "
+        "out-degree, bounded O(sqrt m) under any hub skew (bench records the "
+        "wedge counts under both orientations)"))
+
+    blp2 = textops.bigram_logprob(docs_tbl, min_count=2)
+    sections.append(summarize(
+        blp2,
+        "bigram_logprob(min_count=2): identical plan plus ONE Filter on the "
+        "stats aggregate — at corpus scale the floored model table is bounded "
+        "and broadcastable"))
+    _cache2.release(blp2)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

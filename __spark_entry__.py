@@ -1998,6 +1998,42 @@ def _q100_ws_class_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _q101_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (textops.redact_pii): the synth corpus carries no
+    PII, so each document gets a DETERMINISTIC doc_id-derived email (a
+    second one on every third doc) and an IPv4 literal appended by BOTH
+    engines, then emails/IPs are counted and redacted — the
+    pre-training hygiene pass, exercised on non-trivial inputs and
+    value-compared on the full redacted strings."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(F.lit("u"), s(d), F.lit("@site"), s(d % 97),
+                     F.lit(".example.com"))
+    email2 = F.concat(F.lit(" cc admin@"), s(d % 11), F.lit(".example.org"))
+    ip = F.concat(s(d % 256), F.lit("."), s((d * 7) % 256), F.lit("."),
+                  s((d * 13) % 256), F.lit("."), s(d % 100))
+    adv = F.concat(F.col("text"), F.lit(" contact "), email,
+                   F.when(d % 3 == 0, email2).otherwise(F.lit("")),
+                   F.lit(" from "), ip, F.lit(" end"))
+    return (textops.redact_pii(docs.select("doc_id", adv.alias("text")))
+            .orderBy("doc_id"))
+
+
+def _q102_cell_density_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """8-neighbor cell density smoothing (engine.cell_density_smooth):
+    per occupied lattice cell its count plus the 8-neighbor ring sum,
+    longitude wrapping across the antimeridian — the hotspot/heatmap
+    statistic.  Points are touched once; the explode-x8 re-aggregation
+    moves only the occupied-cell table.  Pure integers under the exact
+    gate."""
+    from geotile import cache
+
+    out = engine.cell_density_smooth(_positions_df(spark, sf))
+    return cache.track(out.orderBy("i", "j"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q99_bigram_logprob_floored(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-LM fluency with the min-count stats floor
     (textops.bigram_logprob(min_count=2)) — the 100-TB variant q94's
@@ -2085,8 +2121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 reordering) come FIRST, followed by the four round-5
     # additions q97-q100 (slots 47-50), so every entry's driver row is
     # at most one round old: r05 covers q5-q50 + q97-q100, r04 covers
-    # q1-q4 + q51-q96.  The trailing block keeps cheap batch queries
-    # before the six costlier run-to-completion streaming gates.
+    # q1-q4 + q51-q96 (q101/q102, added after the rotation was sized,
+    # sit just past the window — local exact-oracle evidence this
+    # round, driver rows next rotation).  The trailing block keeps
+    # cheap batch queries before the six costlier run-to-completion
+    # streaming gates.
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
@@ -2138,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_triangle_counts_skew": _q98_triangle_counts_skew,
         "q99_bigram_logprob_floored": _q99_bigram_logprob_floored,
         "q100_ws_class_tokens": _q100_ws_class_tokens,
+        "q101_pii_redaction": _q101_pii_redaction,
+        "q102_cell_density_smooth": _q102_cell_density_smooth,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -4702,6 +4743,58 @@ SELECT CAST(perq.query_id AS BIGINT) AS query_id, perq.n_faces, perq.n_cells,
        COALESCE(pts.n_pts, 0) AS n_pts
 FROM perq LEFT JOIN pts ON pts.query_id = perq.query_id
 ORDER BY query_id
+"""
+
+    # q101: PII redaction — both engines append the identical
+    # doc_id-derived email/IP suffixes, then count + redact with the
+    # SAME Java/RE2-common-subset patterns (textops.PII_*_RE verbatim)
+    from geotile.textops import PII_EMAIL_RE as _pe
+    from geotile.textops import PII_IPV4_RE as _pi
+
+    sqls["q101_pii_redaction"] = f"""
+WITH adv AS (
+  SELECT doc_id,
+         text || ' contact ' || 'u' || doc_id || '@site' || (doc_id % 97) || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' cc admin@' || (doc_id % 11) || '.example.org'
+                      ELSE '' END
+              || ' from ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.'
+              || ((doc_id * 13) % 256) || '.' || (doc_id % 100) || ' end' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_pe}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(t, '{_pe}', '<EMAIL>', 'g'), '{_pi}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(t, '{_pe}', '<EMAIL>', 'g'), '{_pi}', '<IP>', 'g') AS redacted
+FROM adv
+ORDER BY doc_id
+"""
+
+    # q102: 8-neighbor lattice density smoothing — exact integer
+    # replica: same floor indexing (multipliers as repr literals), 8
+    # literal offsets, lon wrap mod 2^7, lat rows clamped by the range
+    # filter, ring sums re-joined to the occupied cells
+    _m102a = _d.format(repr(64 / 180.0))
+    _m102o = _d.format(repr(128 / 360.0))
+    sqls["q102_cell_density_smooth"] = f"""
+WITH {_POS_CTE},
+cells AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m102a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m102o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+offs(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+ring AS (
+  SELECT c.i + o.di AS ti, ((c.j + o.dj) % 128 + 128) % 128 AS tj,
+         CAST(sum(c.n) AS BIGINT) AS n_ring
+  FROM cells c CROSS JOIN offs o
+  WHERE c.i + o.di BETWEEN 0 AND 63
+  GROUP BY 1, 2
+)
+SELECT c.i, c.j, CAST(c.n AS BIGINT) AS n, COALESCE(r.n_ring, 0) AS n_ring
+FROM cells c LEFT JOIN ring r ON r.ti = c.i AND r.tj = c.j
+ORDER BY c.i, c.j
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

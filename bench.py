@@ -96,7 +96,8 @@ def main() -> None:
         "q93_session_trips", "q94_bigram_logprob", "q95_table_stats",
         "q96_json_extract", "q97_crossface_hex_disk",
         "q98_triangle_counts_skew", "q99_bigram_logprob_floored",
-        "q100_ws_class_tokens",
+        "q100_ws_class_tokens", "q101_pii_redaction",
+        "q102_cell_density_smooth",
     ]
     from geotile import cache, textops
 

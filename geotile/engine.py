@@ -1106,6 +1106,52 @@ def salted_cell_counts(df: DataFrame, cell_col: str = "geohash", nsalt: int = 16
     return level1.groupBy(cell_col).agg(F.sum("_c").alias("n"))
 
 
+def cell_density_smooth(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                        lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """8-neighbor cell density smoothing — the Getis-Ord-style local
+    hotspot screen over the integer geohash lattice: per occupied cell
+    ``(i, j)`` its own count ``n`` plus ``n_ring``, the sum of the 8
+    lattice neighbors' counts (longitude wraps mod 2^lon_bits across
+    the antimeridian; latitude rows beyond the poles simply don't
+    exist, so polar cells sum fewer neighbors).  A cell whose n_ring
+    dwarfs n (or vice versa) is a density edge — the cheap spatial
+    smoothing every heatmap / anomaly layer needs.
+
+    Scale shape: the POINTS table is touched exactly once (one count
+    aggregate); the occupied-CELL table (bounded by 2^(lat_bits +
+    lon_bits), tiny next to the data) then explodes x8 toward its
+    neighbors and re-aggregates — both remaining shuffles move
+    cell-sized frames.  All integer arithmetic; exact under the q102
+    oracle.  Returns ``(i, j, n, n_ring)``, NULL-free."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    contrib = (cells.select("i", "j", "n", F.explode(offs).alias("o"))
+               .select((F.col("i") + F.col("o.di")).alias("ti"),
+                       F.pmod(F.col("j") + F.col("o.dj"), F.lit(nj)).alias("tj"),
+                       "n")
+               .where((F.col("ti") >= 0) & (F.col("ti") < ni)))
+    ring = (contrib.groupBy("ti", "tj").agg(F.sum("n").alias("n_ring")))
+    out = (cells.join(ring, (cells["i"] == ring["ti"]) & (cells["j"] == ring["tj"]),
+                      "left")
+           .select("i", "j", "n",
+                   F.coalesce(F.col("n_ring"), F.lit(0).cast("long")).alias("n_ring")))
+    return cache.track(out, [cells])
+
+
 def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
                            key_col: str = "event_id",
                            cell_col: str = "geohash",

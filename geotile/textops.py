@@ -634,6 +634,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                         .otherwise(0.0)))
 
 
+# PII patterns restricted to the Java-regex / RE2 COMMON SUBSET (ASCII
+# classes, non-capturing groups, \b ASCII word boundary) so the exact
+# oracle can replay them verbatim (q101)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing pass (the pre-training hygiene step every web
+    corpus gets): count and redact email addresses and IPv4 literals,
+    returning ``(id_col, n_emails, n_ipv4, redacted)`` with emails
+    replaced by ``<EMAIL>`` and IPs by ``<IP>``.
+
+    Map-only: two native regexp_count + a regexp_replace chain, zero
+    Python, zero shuffle — at 100 TB this fuses into whatever scan
+    feeds it.  Patterns stay inside the Java/RE2 common subset so the
+    DuckDB oracle replays them character for character (emails first,
+    then IPs, so an IP inside a redacted email is counted once)."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>").alias("redacted"))
+
+
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace + BPE-ish subword estimate: whitespace tokens plus an
     extra token per 6 chars of long words (a cheap, deterministic proxy

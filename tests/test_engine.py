@@ -696,3 +696,41 @@ def test_salted_topn_identical_results(spark):
     base = skew.salted_topn(df, ["g"], order, [F.col("id")], 10, salt_mod=0)
     salted = skew.salted_topn(df, ["g"], order, [F.col("id")], 10, salt_mod=8)
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_cell_density_smooth_matches_brute_force(spark):
+    import itertools
+
+    from geotile import cache, engine
+
+    # points around the antimeridian (lon wrap) and near a pole (row
+    # clamp) plus a dense cluster
+    pts = [(89.9, 179.9), (89.9, -179.9), (-89.9, 0.0),
+           (0.1, 0.1), (0.2, 0.2), (0.3, 0.3), (10.0, 10.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = engine.cell_density_smooth(df, lat_bits=6, lon_bits=7)
+    got = {(r["i"], r["j"]): (r["n"], r["n_ring"]) for r in out.collect()}
+    cache.release(out)
+
+    def idx(v, lo, span, bits):
+        import math
+        return max(0, min((1 << bits) - 1, math.floor((v - lo) * ((1 << bits) / span))))
+
+    counts = {}
+    for la, lo in pts:
+        key = (idx(la, -90.0, 180.0, 6), idx(lo, -180.0, 360.0, 7))
+        counts[key] = counts.get(key, 0) + 1
+    want = {}
+    for (i, j), n in counts.items():
+        ring = 0
+        for di, dj in itertools.product((-1, 0, 1), repeat=2):
+            if (di, dj) == (0, 0):
+                continue
+            ti, tj = i + di, (j + dj) % 128
+            if 0 <= ti < 64:
+                ring += counts.get((ti, tj), 0)
+        want[(i, j)] = (n, ring)
+    assert got == want
+    # the two antimeridian points must see each other through the wrap
+    ks = sorted(k for k in got if k[0] == 63)
+    assert len(ks) == 2 and got[ks[0]][1] >= 1 and got[ks[1]][1] >= 1

@@ -624,3 +624,18 @@ def test_bigram_logprob_min_count_floor(spark):
     assert got2[1] == (3, 2 * t_ab + t_ba)
     assert got2[2] == (2, t_ab + t_ba)   # (a c) no longer modeled
     assert got2[3] == (0, 0)
+
+
+def test_redact_pii_counts_and_strings(spark):
+    from geotile import textops
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@my-site.co.uk or 10.0.0.1 ok"),
+         (2, "no pii here, just 1234 and a.dot."),
+         (3, "a@b.io b@c.org 255.255.255.255 1.2.3.4")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["redacted"])
+           for r in textops.redact_pii(df).collect()}
+    assert got[1] == (1, 1, "mail me at <EMAIL> or <IP> ok")
+    assert got[2] == (0, 0, "no pii here, just 1234 and a.dot.")
+    assert got[3] == (2, 2, "<EMAIL> <EMAIL> <IP> <IP>")

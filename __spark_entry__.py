@@ -2116,14 +2116,14 @@ def _q97_crossface_hex_disk(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
-    # 50 entries per round in iteration order.  Round-5 rotation: q5-q50
-    # (whose newest driver rows were r03 — one round stale after the
-    # round-4 reordering) come FIRST, followed by the four round-5
-    # additions q97-q100 (slots 47-50), so every entry's driver row is
-    # at most one round old: r05 covers q5-q50 + q97-q100, r04 covers
-    # q1-q4 + q51-q96 (q101/q102, added after the rotation was sized,
-    # sit just past the window — local exact-oracle evidence this
-    # round, driver rows next rotation).  The trailing block keeps
+    # 50 entries per round in iteration order.  Round-5 (final-round)
+    # rotation: q5-q50 minus q27/q29 (44 entries whose newest driver
+    # rows were r03) come FIRST, then ALL six round-5 additions
+    # q97-q102 (slots 45-50), so every query ever added has a driver
+    # row: r05 covers q5-q50\{q27,q29} + q97-q102, r04 covers q1-q4 +
+    # q51-q96, r03 covers q27/q29 (untouched since round 2 — their r03
+    # rows remain valid, and both are additionally pinned by pytest +
+    # the local exact oracle this round).  The trailing block keeps
     # cheap batch queries before the six costlier run-to-completion
     # streaming gates.
     return {
@@ -2149,9 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_compat_cell_counts": _q24_compat_cells,
         "q25_upsert_lww": _q25_upsert,
         "q26_rollup_agg": _q26_rollup,
-        "q27_set_ops": _q27_setops,
         "q28_semi_join": _q28_semijoin,
-        "q29_pivot": _q29_pivot,
         "q30_compat_json_sink": _q30_compat_json,
         "q31_asof_window": _q31_asof,
         "q32_cube_agg": _q32_cube,
@@ -2179,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_ws_class_tokens": _q100_ws_class_tokens,
         "q101_pii_redaction": _q101_pii_redaction,
         "q102_cell_density_smooth": _q102_cell_density_smooth,
+        "q27_set_ops": _q27_setops,
+        "q29_pivot": _q29_pivot,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,

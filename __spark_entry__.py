@@ -2114,6 +2114,53 @@ def _q97_crossface_hex_disk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+_Q103_NGRAM = 3       # real pipelines use 8-13; 3 makes the sf0.01 gate
+                      # non-trivial (the synth vocab is ~30 words, so
+                      # 8-grams would never collide and every count
+                      # would be 0)
+_Q103_BENCH_MOD = 29  # doc_id % 29 == 0 -> the held-out "benchmark"
+
+
+def _q103_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (textops.decontaminate): docs with
+    doc_id % 29 == 0 play the held-out eval set; every remaining
+    training doc gets its distinct shared-token-trigram count against
+    the eval set and a 0/1 contaminated flag.  The eval gram set is
+    broadcast, so the corpus side never shuffles; the oracle replays
+    the identical WS_CLASS tokenize -> n-gram -> distinct -> join ->
+    countDistinct chain in SQL.  Exact integers throughout."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % _Q103_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % _Q103_BENCH_MOD != 0)
+    return (textops.decontaminate(train, bench, n=_Q103_NGRAM)
+            .orderBy("doc_id"))
+
+
+_Q104_THRESHOLD = 0.35  # synth embeddings are near-orthogonal (max
+                        # pairwise cosine ~0.51 at sf0.01); 0.35 yields
+                        # a few hundred global pairs so the component
+                        # stage has real work
+
+
+def _q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic keep-one dedup (simsearch.semdedup):
+    k-means buckets (the q35 IVF recipe — deterministic driver sample,
+    8 centroids), within-bucket exact cosine pairs at threshold 0.35,
+    connected components, minimum vec_id survives.  The oracle
+    replicates the whole chain: centroid literals from the shared
+    numpy kmeans, the q35 first-argmin CASE assignment, within-cluster
+    pair join, and the q61 recursive reachability CTE.  Iterative
+    k-means + CC, yet still value-exact cross-engine (cosine threshold
+    ULP risk is the documented q48 measure-zero)."""
+    from geotile import cache
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.semdedup(emb, threshold=_Q104_THRESHOLD,
+                             n_centroids=8, sample=512)
+    return cache.track(out.orderBy("vec_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2179,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_cell_density_smooth": _q102_cell_density_smooth,
         "q27_set_ops": _q27_setops,
         "q29_pivot": _q29_pivot,
+        "q103_decontaminate": _q103_decontaminate,
+        "q104_semdedup": _q104_semdedup,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -2694,6 +2743,48 @@ cand AS (
 SELECT DISTINCT a, b, round(cosine, 4) AS cos4
 FROM cand WHERE cosine >= 0.3
 ORDER BY a, b
+"""
+
+        # q104: SemDeDup replica — the q35 k-means assignment (same
+        # `cents` literals + first-argmin CASE chain), within-cluster
+        # pair join with the q48 per-id-norm cosine, components via
+        # the q61 recursive reachability CTE, min-id keep-one.
+        sqls["q104_semdedup"] = f"""
+WITH RECURSIVE sd AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+sdd AS (
+  SELECT vec_id, emb64,
+         {dist_cols}
+  FROM sd
+),
+sda AS (
+  SELECT vec_id, emb64,
+         sqrt(list_inner_product(emb64, emb64)) AS nrm,
+         CASE {whens} ELSE 7 END AS cl
+  FROM sdd
+),
+sdp AS MATERIALIZED (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM sda l JOIN sda r ON l.cl = r.cl AND l.vec_id < r.vec_id
+  WHERE l.nrm > 0 AND r.nrm > 0
+    AND list_inner_product(l.emb64, r.emb64) / (l.nrm * r.nrm)
+        >= CAST('{_Q104_THRESHOLD!r}' AS DOUBLE)
+),
+sde AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM sdp UNION SELECT b AS u, a AS v FROM sdp
+),
+sdr AS (
+  SELECT u AS node, u AS lbl FROM sde
+  UNION
+  SELECT e.v AS node, r.lbl AS lbl FROM sdr r JOIN sde e ON e.u = r.node
+),
+sdc AS (SELECT node, min(lbl) AS cluster_id FROM sdr GROUP BY node)
+SELECT s.vec_id,
+       CAST(coalesce(c.cluster_id, s.vec_id) AS BIGINT) AS canon_id,
+       CAST(coalesce(c.cluster_id, s.vec_id) = s.vec_id AS INTEGER) AS keep
+FROM sd s LEFT JOIN sdc c ON c.node = s.vec_id
+ORDER BY s.vec_id
 """
     except Exception:
         pass  # no embeddings parquet available -> rows-only check
@@ -4795,6 +4886,37 @@ ring AS (
 SELECT c.i, c.j, CAST(c.n AS BIGINT) AS n, COALESCE(r.n_ring, 0) AS n_ring
 FROM cells c LEFT JOIN ring r ON r.ti = c.i AND r.tj = c.j
 ORDER BY c.i, c.j
+"""
+
+    # q103: benchmark decontamination — identical WS_CLASS tokenize,
+    # n-token shingles (DuckDB list slice is 1-based INCLUSIVE:
+    # w[i:i+n-1] is n tokens, matching Spark's slice(toks, i+1, n)),
+    # distinct eval grams, join, per-doc countDistinct.  Exact ints.
+    _n103 = _Q103_NGRAM
+    sqls["q103_decontaminate"] = rf"""
+WITH t103 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+g103 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {_n103} + 2),
+                               i -> array_to_string(w[i:i+{_n103 - 1}], ' '))) AS g
+  FROM t103
+),
+b103 AS (SELECT DISTINCT g FROM g103 WHERE doc_id % {_Q103_BENCH_MOD} = 0),
+h103 AS (
+  SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+  FROM g103 g JOIN b103 b ON b.g = g.g
+  WHERE g.doc_id % {_Q103_BENCH_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN h103 h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_Q103_BENCH_MOD} <> 0
+ORDER BY d.doc_id
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

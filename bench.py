@@ -97,7 +97,8 @@ def main() -> None:
         "q96_json_extract", "q97_crossface_hex_disk",
         "q98_triangle_counts_skew", "q99_bigram_logprob_floored",
         "q100_ws_class_tokens", "q101_pii_redaction",
-        "q102_cell_density_smooth",
+        "q102_cell_density_smooth", "q103_decontaminate",
+        "q104_semdedup",
     ]
     from geotile import cache, textops
 

@@ -300,3 +300,64 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
                     / (F.col("_mx") - F.col("_mn")) * levels))))
     return (exploded.join(F.broadcast(rng), "i")
             .select(id_col, "i", q.cast("long").alias("q")))
+
+
+def semdedup(df: DataFrame, threshold: float = 0.9, n_centroids: int = 8,
+             sample: int = 512, iters: int = 10, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embedding space, compare
+    cosines ONLY within a bucket, resolve near-dup pairs into connected
+    components, keep the minimum id per component.  This is the
+    embedding-space member of the keep-one dedup family
+    (textops.near_dup_clusters is the token-space one).
+
+    Returns one row per input id: ``(id_col, canon_id, keep)`` —
+    ``canon_id`` the component minimum (itself for singletons and for
+    zero-norm vectors, whose cosine is undefined), ``keep`` 1 for the
+    canonical survivor, 0 for duplicates to drop.
+
+    Scale shape: the coarse quantizer is the IVF recipe
+    (:func:`train_centroids`: driver-side deterministic sample,
+    distributed assignment); the quadratic pair stage is bucketed by
+    cluster, so total pair cost is sum of n_c^2 over clusters — bounded
+    by raising ``n_centroids`` until buckets fit an executor (the
+    SemDeDup paper runs 50k clusters over 5B embeddings).  Each
+    within-bucket pair is generated exactly once (one equi-join on the
+    cluster id, ``a < b``), so there is no multi-table candidate
+    dedup, and the vector payload ships once per join side.
+    Components via graph.connected_components (O(log^2 n)
+    star-contraction, per-round lineage truncation).  Nothing is ever
+    all-pairs across buckets.
+    """
+    from . import cache, graph
+
+    cents = train_centroids(df.orderBy(id_col), n_centroids, sample,
+                            iters, seed, vec_col)
+    vecs = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v64"))
+            .withColumn("_nrm", F.sqrt(F.aggregate(
+                F.transform("_v64", lambda a: a * a),
+                F.lit(0.0), lambda acc, v: acc + v))))
+    clustered = (with_ivf_cluster(vecs.where(F.col("_nrm") > 0.0), cents,
+                                  vec_col="_v64", out="_cl")
+                 .persist())
+    a = clustered.select(F.col(id_col).alias("a"), "_cl",
+                         F.col("_v64").alias("_va"), F.col("_nrm").alias("_na"))
+    b = clustered.select(F.col(id_col).alias("b"), "_cl",
+                         F.col("_v64").alias("_vb"), F.col("_nrm").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    pairs = (a.join(b, "_cl")
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b",
+                     (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+             .where(F.col("cosine") >= threshold))
+    cc = graph.connected_components(pairs.select("a", "b"), "a", "b")
+    canon = F.coalesce("cluster_id", F.col(id_col))
+    out = (df.select(id_col)
+           .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+           .select(id_col, canon.alias("canon_id"),
+                   (canon == F.col(id_col)).cast("int").alias("keep")))
+    return cache.track(out, [clustered,
+                             *getattr(cc, "_geotile_persisted", [])])

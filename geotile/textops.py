@@ -1218,3 +1218,55 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                    F.coalesce("lp_micro", F.lit(0)).alias("lp_micro")))
     return cache.track(out, [stats])
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any token ``n``-gram with an evaluation set — the GPT-3/PaLM-style
+    eval-overlap hygiene pass every web-scale training pipeline runs
+    before a corpus ships (the reference engine has no text surface at
+    all; this extends the dedup family with its eval-side dual).
+
+    Both sides tokenize on the shared explicit :data:`WS_CLASS` (the
+    q100 cross-engine tie rule) and form n-token shingles with native
+    ``split -> transform/slice/array_join`` — no Python anywhere.
+
+    Scale shape: the benchmark's DISTINCT gram set is BROADCAST (eval
+    benchmarks are a few MB by definition, and stay broadcastable at
+    any corpus scale); the corpus side is a map-only explode + broadcast
+    semi-join — the corpus itself NEVER shuffles.  Only matched grams
+    reach the per-doc countDistinct (contamination is rare, so that
+    exchange is tiny), and the per-doc hit counts — one row per
+    CONTAMINATED doc only — broadcast back onto the id spine.  If
+    contamination were somehow pervasive, drop the second broadcast
+    hint and let AQE pick; if the gram set ever outgrew broadcast,
+    the same join becomes a Bloom-filter scan predicate.
+
+    Returns ``(id_col, n_hits, contaminated)``: distinct shared grams
+    per document and a 0/1 flag, one row per input document (clean
+    docs get an explicit 0 — no NULLs, per the gate convention).
+    """
+    def _grams(col):
+        toks = F.split(F.trim(col), WS_CLASS)
+        # guard: sequence(0, size-n) would run DESCENDING when
+        # size < n (Spark sequence semantics) and slice would then
+        # see start 0 — emit the empty gram set instead, matching
+        # the oracle's empty range()
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (bench.select(F.explode(_grams(F.col(text_col))).alias("g"))
+                   .distinct())
+    hits = (df.select(F.col(id_col), F.explode(_grams(F.col(text_col))).alias("g"))
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy(id_col).agg(F.count_distinct("g").alias("_nh")))
+    return (df.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(id_col,
+                    F.coalesce("_nh", F.lit(0)).cast("long").alias("n_hits"),
+                    (F.coalesce("_nh", F.lit(0)) > 0).cast("int")
+                    .alias("contaminated")))

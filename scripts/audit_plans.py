@@ -371,6 +371,29 @@ def main() -> None:
         "and broadcastable"))
     _cache2.release(blp2)
 
+    sections.append(summarize(
+        textops.decontaminate(
+            docs_tbl.where(F.col("doc_id") % 29 != 0),
+            docs_tbl.where(F.col("doc_id") % 29 == 0), n=3),
+        "decontaminate: eval gram set BROADCAST, corpus side map-only explode "
+        "+ broadcast semi-join — the corpus NEVER shuffles; the only exchange "
+        "is the per-doc countDistinct over MATCHED grams, and the hit counts "
+        "broadcast back onto the id spine"))
+
+    if emb_tbl is not None:
+        sdd = _ss.semdedup(emb_tbl, threshold=0.35, n_centroids=8, sample=512)
+        sections.append(summarize(
+            sdd,
+            "semdedup: k-means bucket assignment (one Arrow pass), "
+            "within-bucket pair join on the cluster id (quadratic cost "
+            "bounded per bucket — raise n_centroids at scale, never "
+            "all-pairs), components via star-contraction; the spine "
+            "joins are deliberately UNHINTED SortMergeJoins — the dup "
+            "population can be corpus-scale (SemDeDup drops ~50%), so "
+            "AQE decides at runtime from the checkpointed CC output's "
+            "real size, converting to broadcast when it is small"))
+        _cache.release(sdd)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -260,3 +260,64 @@ def test_scalar_quantize_brute_force(spark):
                 q = min(255.0, max(0.0, math.floor(
                     (v - mins[i]) / (maxs[i] - mins[i]) * 255.0)))
                 assert got[(vid, i)] == int(q)
+
+
+def test_semdedup_brute_force(spark):
+    """semdedup == brute-force reference: all-pairs cosine within the
+    SAME cluster assignment, transitive closure, min-id keep-one."""
+    import numpy as np
+
+    from geotile import cache, simsearch
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    # plant near-duplicate groups: rows 12..15 are tiny perturbations
+    # of rows 0/0/3/3 -> cosines ~1 inside each pair/triple
+    vecs = np.vstack([base,
+                      base[0] + 1e-3, base[0] - 1e-3,
+                      base[3] + 1e-3, base[3] - 1e-3])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    thr = 0.99
+    out = simsearch.semdedup(df, threshold=thr, n_centroids=3, sample=64)
+    got = {r["vec_id"]: (r["canon_id"], r["keep"]) for r in out.collect()}
+    cache.release(out)
+
+    # brute-force reference with the identical centroids/assignment
+    cents = simsearch.train_centroids(df, n_centroids=3, sample=64)
+    cl = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    n = len(vecs)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nrm = np.sqrt((vecs ** 2).sum(axis=1))
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cl[i] == cl[j] and nrm[i] > 0 and nrm[j] > 0 \
+                    and vecs[i] @ vecs[j] / (nrm[i] * nrm[j]) >= thr:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    want = {i: (find(i), int(find(i) == i)) for i in range(n)}
+    assert got == want
+    # the planted duplicates actually collapsed (non-trivial test)
+    assert sum(1 for _, k in got.values() if k == 0) >= 3
+
+
+def test_semdedup_all_output_no_nulls(spark):
+    """Every input id appears exactly once; singletons keep themselves;
+    a zero-norm vector is an implicit singleton, never a pair member."""
+    from geotile import cache, simsearch
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.semdedup(df, threshold=0.5, n_centroids=1, sample=8)
+    got = sorted((r["vec_id"], r["canon_id"], r["keep"]) for r in out.collect())
+    cache.release(out)
+    assert got == [(0, 0, 1), (1, 1, 1), (2, 2, 1)]

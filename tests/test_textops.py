@@ -639,3 +639,37 @@ def test_redact_pii_counts_and_strings(spark):
     assert got[1] == (1, 1, "mail me at <EMAIL> or <IP> ok")
     assert got[2] == (0, 0, "no pii here, just 1234 and a.dot.")
     assert got[3] == (2, 2, "<EMAIL> <EMAIL> <IP> <IP>")
+
+
+def test_decontaminate_exact_counts(spark):
+    from geotile import textops
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e"),       # shares gram 'a b c' and 'b c d'
+         (1, "x y z w"),         # clean
+         (2, "c d e a b c"),     # shares 'c d e' and 'a b c'
+         (3, "a b")],            # shorter than n -> no grams -> clean
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e q r s")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in textops.decontaminate(train, bench, n=3).collect()}
+    assert got == {0: (3, 1), 1: (0, 0), 2: (2, 1), 3: (0, 0)}
+
+
+def test_decontaminate_never_shuffles_corpus(spark):
+    """The corpus-side plan must show only broadcast joins — no
+    shuffle Exchange sourced from the training table."""
+    from geotile import textops
+
+    train = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "tok1 tok2 tok3")], "doc_id long, text string")
+    out = textops.decontaminate(train, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # docs 0 and 1 both contain the bench trigram 'tok1 tok2 tok3'
+    assert sum(1 for r in out.collect() if r["contaminated"]) == 2

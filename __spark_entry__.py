@@ -2161,6 +2161,20 @@ def _q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q105_morans_i(spark: SparkSession, sf: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (engine.morans_i) over
+    the q102 lattice: ONE row of exact integers — occupied-cell count,
+    8-neighbor adjacency weight sum, the centered cross/self products
+    (z' = N*n - S, the N^2 cancels in Moran's ratio), and the
+    micro-unit quotient from one fixed-shape double expression.  The
+    corpus-level clustering statistic on top of the q102 hotspot
+    screen."""
+    from geotile import cache
+
+    out = engine.morans_i(_positions_df(spark, sf))
+    return cache.track(out, getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2228,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_pivot": _q29_pivot,
         "q103_decontaminate": _q103_decontaminate,
         "q104_semdedup": _q104_semdedup,
+        "q105_morans_i": _q105_morans_i,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -4917,6 +4932,42 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN h103 h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {_Q103_BENCH_MOD} <> 0
 ORDER BY d.doc_id
+"""
+
+    # q105: global Moran's I — exact integer replica of the q102
+    # lattice binning, centered values z' = N*n - S, 8-neighbor
+    # adjacency among occupied cells, and the ONE fixed-shape double
+    # expression for the micro-unit quotient (identical op tree:
+    # 1e6 * ((N*num) / (W*den)), every factor cast to DOUBLE first)
+    _m105a = _d.format(repr(64 / 180.0))
+    _m105o = _d.format(repr(128 / 360.0))
+    sqls["q105_morans_i"] = f"""
+WITH {_POS_CTE},
+c105 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m105a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m105o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+s105 AS (SELECT count(*) AS n_cells, sum(n) AS s_pts FROM c105),
+z105 AS (SELECT i, j, (s105.n_cells * n - s105.s_pts) AS z FROM c105, s105),
+o105(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+e105 AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM z105 a CROSS JOIN o105 o
+  JOIN z105 b ON b.i = a.i + o.di AND b.j = ((a.j + o.dj) % 128 + 128) % 128
+),
+g105 AS (SELECT count(*) AS w_sum, coalesce(sum(za * zb), 0) AS num FROM e105),
+d105 AS (SELECT coalesce(sum(z * z), 0) AS den FROM z105)
+SELECT CAST(s105.n_cells AS BIGINT) AS n_cells,
+       CAST(g105.w_sum AS BIGINT) AS w_sum,
+       CAST(g105.num AS BIGINT) AS num,
+       CAST(d105.den AS BIGINT) AS den,
+       CASE WHEN g105.w_sum > 0 AND d105.den <> 0 THEN
+         CAST(floor(1000000.0 * ((CAST(s105.n_cells AS DOUBLE) * CAST(g105.num AS DOUBLE))
+              / (CAST(g105.w_sum AS DOUBLE) * CAST(d105.den AS DOUBLE)))) AS BIGINT)
+       ELSE 0 END AS i_micro
+FROM s105, g105, d105
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

@@ -1152,6 +1152,80 @@ def cell_density_smooth(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return cache.track(out, [cells])
 
 
+def morans_i(df: DataFrame, lat: str = "lat", lon: str = "lon",
+             lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the occupied
+    integer lattice — the corpus-level companion to the per-cell
+    :func:`cell_density_smooth` screen: one number saying whether
+    density clusters (I > 0, hotspots), disperses (I < 0), or is
+    spatially random (I ~ 0).  Weights are binary 8-neighbor adjacency
+    among OCCUPIED cells (longitude wraps across the antimeridian,
+    latitude rows clamp at the poles), the same ring as q102.
+
+    Exactness: with N occupied cells and S total points, the centered
+    value per cell is kept as the EXACT integer ``z' = N*n - S``
+    (= N * (n - mean)); the N^2 factors cancel in Moran's ratio, so
+    ``I = (N / W) * num / den`` with ``num = sum over neighbor pairs
+    of z'_a * z'_b`` and ``den = sum of z'^2`` — all exact BIGINTs
+    under the oracle gate (ANSI overflow-checks the products; bound:
+    |z'| <= N * max_n, fine up to ~10^9 points on this lattice —
+    switch to doubles beyond, where exactness stops mattering).
+    ``i_micro = floor(1e6 * (N*num)/(W*den))`` is derived in ONE
+    fixed-shape double expression (identical op tree in the oracle),
+    0 when W or den is 0.
+
+    Scale shape: identical to cell_density_smooth — points touched
+    once by the count aggregate; everything after moves occupied-CELL
+    frames bounded by 2^(lat_bits+lon_bits), and the corpus stats
+    attach as 1-row broadcasts.  Returns ONE row
+    ``(n_cells, w_sum, num, den, i_micro)``, NULL-free."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    st = cells.agg(F.count("*").alias("n_cells"), F.sum("n").alias("s_pts"))
+    z = (cells.crossJoin(F.broadcast(st))
+         .select("i", "j",
+                 (F.col("n_cells") * F.col("n") - F.col("s_pts")).alias("z")))
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    a = (z.select("i", "j", "z", F.explode(offs).alias("o"))
+         .select((F.col("i") + F.col("o.di")).alias("ti"),
+                 F.pmod(F.col("j") + F.col("o.dj"), F.lit(nj)).alias("tj"),
+                 F.col("z").alias("za"))
+         .where((F.col("ti") >= 0) & (F.col("ti") < ni)))
+    b = z.select(F.col("i").alias("ti"), F.col("j").alias("tj"),
+                 F.col("z").alias("zb"))
+    ed = a.join(b, ["ti", "tj"]).agg(
+        F.count("*").alias("w_sum"),
+        F.sum(F.col("za") * F.col("zb")).alias("num"))
+    dn = z.agg(F.sum(F.col("z") * F.col("z")).alias("den"))
+    w_sum = F.coalesce("w_sum", F.lit(0).cast("long"))
+    num = F.coalesce("num", F.lit(0).cast("long"))
+    den = F.coalesce("den", F.lit(0).cast("long"))
+    i_micro = F.when(
+        (w_sum > 0) & (den != 0),
+        F.floor(F.lit(1000000.0)
+                * ((F.col("n_cells").cast("double") * num.cast("double"))
+                   / (w_sum.cast("double") * den.cast("double"))))
+    ).otherwise(F.lit(0)).cast("long")
+    out = (st.crossJoin(ed).crossJoin(dn)
+           .select(F.col("n_cells").cast("long").alias("n_cells"),
+                   w_sum.alias("w_sum"), num.alias("num"), den.alias("den"),
+                   i_micro.alias("i_micro")))
+    return cache.track(out, [cells])
+
+
 def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
                            key_col: str = "event_id",
                            cell_col: str = "geohash",

@@ -372,6 +372,13 @@ def main() -> None:
     _cache2.release(blp2)
 
     sections.append(summarize(
+        engine.morans_i(points.select("lat", "lon")),
+        "morans_i: points touched ONCE by the lattice count; all later "
+        "frames are occupied-cell-sized; corpus stats attach as 1-row "
+        "broadcasts (the BroadcastNestedLoopJoins are constant attaches, "
+        "not predicate joins)"))
+
+    sections.append(summarize(
         textops.decontaminate(
             docs_tbl.where(F.col("doc_id") % 29 != 0),
             docs_tbl.where(F.col("doc_id") % 29 == 0), n=3),

@@ -734,3 +734,65 @@ def test_cell_density_smooth_matches_brute_force(spark):
     # the two antimeridian points must see each other through the wrap
     ks = sorted(k for k in got if k[0] == 63)
     assert len(ks) == 2 and got[ks[0]][1] >= 1 and got[ks[1]][1] >= 1
+
+
+def test_morans_i_matches_brute_force(spark):
+    import itertools
+
+    from geotile import cache, engine
+
+    # clustered block (positive autocorrelation), an antimeridian
+    # straddle, and isolated singletons
+    pts = ([(0.1 + 2.8 * a, 0.1 + 2.8 * b) for a in range(3) for b in range(3)
+            for _ in range(3)]
+           + [(45.0, 179.9), (45.0, -179.9), (-60.0, 30.0), (70.0, -100.0)])
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = engine.morans_i(df, lat_bits=6, lon_bits=7)
+    row = out.collect()
+    cache.release(out)
+    assert len(row) == 1
+    got = (row[0]["n_cells"], row[0]["w_sum"], row[0]["num"],
+           row[0]["den"], row[0]["i_micro"])
+
+    def idx(v, lo, span, bits):
+        import math
+        return max(0, min((1 << bits) - 1,
+                          math.floor((v - lo) * ((1 << bits) / span))))
+
+    counts = {}
+    for la, lo in pts:
+        key = (idx(la, -90.0, 180.0, 6), idx(lo, -180.0, 360.0, 7))
+        counts[key] = counts.get(key, 0) + 1
+    n_cells, s_pts = len(counts), sum(counts.values())
+    z = {k: n_cells * v - s_pts for k, v in counts.items()}
+    w_sum, num = 0, 0
+    for (i, j), za in z.items():
+        for di, dj in itertools.product((-1, 0, 1), repeat=2):
+            if (di, dj) == (0, 0):
+                continue
+            ti, tj = i + di, (j + dj) % 128
+            if 0 <= ti < 64 and (ti, tj) in z:
+                w_sum += 1
+                num += za * z[(ti, tj)]
+    den = sum(v * v for v in z.values())
+    import math
+    i_micro = math.floor(
+        1000000.0 * ((float(n_cells) * float(num))
+                     / (float(w_sum) * float(den))))
+    assert got == (n_cells, w_sum, num, den, i_micro)
+    # the clustered block must push the statistic clearly positive
+    assert got[4] > 100000
+
+
+def test_morans_i_degenerate_no_neighbors(spark):
+    """Isolated cells only: W = 0 -> i_micro sentinel 0, exact parts
+    still populated (den > 0 because counts differ)."""
+    from geotile import cache, engine
+
+    pts = [(0.0, 0.0), (0.0, 0.0), (40.0, 40.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = engine.morans_i(df)
+    r = out.collect()[0]
+    cache.release(out)
+    assert (r["n_cells"], r["w_sum"], r["i_micro"]) == (2, 0, 0)
+    assert r["den"] > 0 and r["num"] == 0

@@ -2175,6 +2175,23 @@ def _q105_morans_i(spark: SparkSession, sf: str) -> DataFrame:
     return cache.track(out, getattr(out, "_geotile_persisted", []))
 
 
+def _q106_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk kNN-graph construction (simsearch.knn_graph): every
+    vector's 5 nearest same-IVF-bucket neighbors by cosine, rank by
+    (cosine desc, id asc) — the batch dual of the q35 per-query probe.
+    The oracle replays the q35 centroid assignment, the q48 per-id-norm
+    cosine on within-bucket pairs, and the identical ROW_NUMBER
+    window."""
+    from geotile import cache
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.knn_graph(emb, k=5, n_centroids=8, sample=512)
+    return cache.track(
+        out.select("a", "b", "rank", F.round("cosine", 4).alias("cos4"))
+        .orderBy("a", "rank"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2243,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_decontaminate": _q103_decontaminate,
         "q104_semdedup": _q104_semdedup,
         "q105_morans_i": _q105_morans_i,
+        "q106_knn_graph": _q106_knn_graph,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -2800,6 +2818,40 @@ SELECT s.vec_id,
        CAST(coalesce(c.cluster_id, s.vec_id) = s.vec_id AS INTEGER) AS keep
 FROM sd s LEFT JOIN sdc c ON c.node = s.vec_id
 ORDER BY s.vec_id
+"""
+
+        # q106: bulk kNN graph — q35 assignment + q48 pair cosine +
+        # the identical ROW_NUMBER window (rank ties broken by b asc
+        # on both engines)
+        sqls["q106_knn_graph"] = f"""
+WITH kg AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+kgd AS (
+  SELECT vec_id, emb64,
+         {dist_cols}
+  FROM kg
+),
+kga AS (
+  SELECT vec_id, emb64,
+         sqrt(list_inner_product(emb64, emb64)) AS nrm,
+         CASE {whens} ELSE 7 END AS cl
+  FROM kgd
+),
+kgp AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_inner_product(l.emb64, r.emb64) / (l.nrm * r.nrm) AS cosine
+  FROM kga l JOIN kga r ON l.cl = r.cl AND l.vec_id <> r.vec_id
+  WHERE l.nrm > 0 AND r.nrm > 0
+),
+kgr AS (
+  SELECT a, b, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rnk
+  FROM kgp
+)
+SELECT a, b, CAST(rnk AS BIGINT) AS rank, round(cosine, 4) AS cos4
+FROM kgr WHERE rnk <= 5
+ORDER BY a, rank
 """
     except Exception:
         pass  # no embeddings parquet available -> rows-only check

@@ -98,7 +98,7 @@ def main() -> None:
         "q98_triangle_counts_skew", "q99_bigram_logprob_floored",
         "q100_ws_class_tokens", "q101_pii_redaction",
         "q102_cell_density_smooth", "q103_decontaminate",
-        "q104_semdedup", "q105_morans_i",
+        "q104_semdedup", "q105_morans_i", "q106_knn_graph",
     ]
     from geotile import cache, textops
 

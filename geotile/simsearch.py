@@ -302,6 +302,73 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
             .select(id_col, "i", q.cast("long").alias("q")))
 
 
+def _clustered_vecs(df: DataFrame, n_centroids: int, sample: int, iters: int,
+                    seed: int, vec_col: str, id_col: str):
+    """Shared scaffolding for the bucketed bulk operators (semdedup,
+    knn_graph): deterministic k-means centroids (the IVF recipe), then
+    one Arrow pass assigning every positive-norm vector its cluster.
+    Returns the PERSISTED (id, _v64, _nrm, _cl) frame — caller owns
+    release."""
+    cents = train_centroids(df.orderBy(id_col), n_centroids, sample,
+                            iters, seed, vec_col)
+    vecs = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v64"))
+            .withColumn("_nrm", F.sqrt(F.aggregate(
+                F.transform("_v64", lambda a: a * a),
+                F.lit(0.0), lambda acc, v: acc + v)))
+            .where(F.col("_nrm") > 0.0))
+    return with_ivf_cluster(vecs, cents, vec_col="_v64", out="_cl").persist()
+
+
+def _pair_cosine():
+    return F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v) \
+        / (F.col("_na") * F.col("_nb"))
+
+
+def knn_graph(df: DataFrame, k: int = 5, n_centroids: int = 8,
+              sample: int = 512, iters: int = 10, seed: int = 42,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Bulk kNN-graph construction over an embedding column: for EVERY
+    vector, its k nearest same-bucket neighbors by cosine — the
+    batch-mode dual of :func:`ivf_topk`'s per-query probe, and the
+    precursor to graph clustering, label propagation, and kNN
+    classification over a corpus.  Buckets are the IVF coarse
+    quantizer; candidates are the vector's OWN list (nprobe=1 — recall
+    rises by also probing adjacent lists at linear cost, the same dial
+    as ivf_topk; the within-bucket graph is what SemDeDup-style
+    pipelines consume).
+
+    Returns ``(a, b, rank, cosine)``: rank 1..k by (cosine desc, id
+    asc); vectors alone in their bucket emit no rows; zero-norm
+    vectors are excluded (cosine undefined).
+
+    Scale shape: one Arrow assignment pass; the quadratic candidate
+    stage is bucketed by cluster (cost = sum of n_c^2, bounded by
+    raising ``n_centroids``); the per-vector top-k is a bucket-local
+    window whose sort operand is one vector's candidate list — never
+    a global sort."""
+    from pyspark.sql import Window
+
+    from . import cache
+
+    clustered = _clustered_vecs(df, n_centroids, sample, iters, seed,
+                                vec_col, id_col)
+    a = clustered.select(F.col(id_col).alias("a"), "_cl",
+                         F.col("_v64").alias("_va"), F.col("_nrm").alias("_na"))
+    b = clustered.select(F.col(id_col).alias("b"), "_cl",
+                         F.col("_v64").alias("_vb"), F.col("_nrm").alias("_nb"))
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    out = (a.join(b, "_cl")
+           .where(F.col("a") != F.col("b"))
+           .select("a", "b", _pair_cosine().alias("cosine"))
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("a", "b", F.col("rank").cast("long").alias("rank"),
+                   "cosine"))
+    return cache.track(out, [clustered])
+
+
 def semdedup(df: DataFrame, threshold: float = 0.9, n_centroids: int = 8,
              sample: int = 512, iters: int = 10, seed: int = 42,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -332,26 +399,15 @@ def semdedup(df: DataFrame, threshold: float = 0.9, n_centroids: int = 8,
     """
     from . import cache, graph
 
-    cents = train_centroids(df.orderBy(id_col), n_centroids, sample,
-                            iters, seed, vec_col)
-    vecs = (df.select(F.col(id_col),
-                      F.col(vec_col).cast("array<double>").alias("_v64"))
-            .withColumn("_nrm", F.sqrt(F.aggregate(
-                F.transform("_v64", lambda a: a * a),
-                F.lit(0.0), lambda acc, v: acc + v))))
-    clustered = (with_ivf_cluster(vecs.where(F.col("_nrm") > 0.0), cents,
-                                  vec_col="_v64", out="_cl")
-                 .persist())
+    clustered = _clustered_vecs(df, n_centroids, sample, iters, seed,
+                                vec_col, id_col)
     a = clustered.select(F.col(id_col).alias("a"), "_cl",
                          F.col("_v64").alias("_va"), F.col("_nrm").alias("_na"))
     b = clustered.select(F.col(id_col).alias("b"), "_cl",
                          F.col("_v64").alias("_vb"), F.col("_nrm").alias("_nb"))
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
     pairs = (a.join(b, "_cl")
              .where(F.col("a") < F.col("b"))
-             .select("a", "b",
-                     (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+             .select("a", "b", _pair_cosine().alias("cosine"))
              .where(F.col("cosine") >= threshold))
     cc = graph.connected_components(pairs.select("a", "b"), "a", "b")
     canon = F.coalesce("cluster_id", F.col(id_col))

@@ -399,6 +399,14 @@ def main() -> None:
             "population can be corpus-scale (SemDeDup drops ~50%), so "
             "AQE decides at runtime from the checkpointed CC output's "
             "real size, converting to broadcast when it is small"))
+        kg = _ss.knn_graph(emb_tbl, k=5)
+        sections.append(summarize(
+            kg,
+            "knn_graph: bucketed candidate join (never all-pairs), "
+            "per-vector top-k via a bucket-local ROW_NUMBER window — "
+            "the sort operand is one vector's candidate list, no "
+            "global sort"))
+        _cache.release(kg)
         _cache.release(sdd)
 
     header = """# PLANS — audited physical plans for the core operators

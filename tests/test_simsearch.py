@@ -321,3 +321,33 @@ def test_semdedup_all_output_no_nulls(spark):
     got = sorted((r["vec_id"], r["canon_id"], r["keep"]) for r in out.collect())
     cache.release(out)
     assert got == [(0, 0, 1), (1, 1, 1), (2, 2, 1)]
+
+
+def test_knn_graph_brute_force(spark):
+    """knn_graph == numpy within-bucket top-k with the identical
+    centroids/assignment and (cosine desc, id asc) tie rule."""
+    import numpy as np
+
+    from geotile import cache, simsearch
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    k = 3
+    out = simsearch.knn_graph(df, k=k, n_centroids=2, sample=64)
+    got = [(r["a"], r["b"], r["rank"]) for r in
+           out.orderBy("a", "rank").collect()]
+    cache.release(out)
+
+    cents = simsearch.train_centroids(df, n_centroids=2, sample=64)
+    cl = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    nrm = np.sqrt((vecs ** 2).sum(axis=1))
+    want = []
+    for a in range(len(vecs)):
+        cands = [(-(vecs[a] @ vecs[b] / (nrm[a] * nrm[b])), b)
+                 for b in range(len(vecs)) if b != a and cl[b] == cl[a]]
+        for rank, (_, b) in enumerate(sorted(cands)[:k], start=1):
+            want.append((a, b, rank))
+    assert got == want

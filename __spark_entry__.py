@@ -1195,7 +1195,7 @@ def _q55_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
 def _shm_checkpoint(sink: str) -> str:
     """Per-invocation streaming checkpoint on tmpfs: the default temp
     checkpoint lands on disk-backed /tmp; state-store + offset-log
-    commits are the per-batch fixed cost of the six streaming gates,
+    commits are the per-batch fixed cost of the seven streaming gates,
     so keep them in memory (same /dev/shm scratch policy as BENCH)."""
     import os
     import shutil
@@ -1244,6 +1244,25 @@ def _stream_events(spark: SparkSession, sf: str, copies: int = 1):
     return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(d)
 
 
+_DOCS_STREAM_SCHEMA = ("doc_id long, text string, lang string, "
+                       "source string, n_chars long")
+
+
+def _stream_docs(spark: SparkSession, sf: str):
+    """File-source stream over the documents table (same symlink-dir
+    trick as _stream_events — the file source needs a directory)."""
+    import hashlib
+    import os
+
+    d = ("/tmp/geotile_stream_docs_"
+         + hashlib.md5(sf.encode()).hexdigest()[:10])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf}/documents.parquet", link)
+    return spark.readStream.schema(_DOCS_STREAM_SCHEMA).parquet(d)
+
+
 def _stream_positions(ev: DataFrame) -> DataFrame:
     """The _positions_df lat/lon synthesis (_LAT_SQL/_LON_SQL) applied
     to the events STREAM — one definition for both batch and stream so
@@ -1259,7 +1278,7 @@ def _stream_positions(ev: DataFrame) -> DataFrame:
 
 def _run_stream_to_table(df: DataFrame, spark: SparkSession, prefix: str,
                          mode: str) -> DataFrame:
-    """Shared sink scaffold for the six streaming gates: unique memory
+    """Shared sink scaffold for the seven streaming gates: unique memory
     sink, tmpfs checkpoint, availableNow to completion (stop a stream
     that outlives the timeout BEFORE removing its checkpoint), cleanup,
     return the materialized sink table."""
@@ -2192,6 +2211,26 @@ def _q106_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         getattr(out, "_geotile_persisted", []))
 
 
+def _q107_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Seventh streaming query under the exact gate: hygiene at ingest
+    (streaming.decontaminate_stream) — the documents STREAM is checked
+    against the static q103 benchmark gram set as it arrives
+    (stream-static broadcast join, zero join state; count state
+    bounded by contaminated docs), run to completion in complete mode.
+    The oracle states the batch occurrence-count equivalent (distinct
+    aggregates are forbidden on streams — documented semantics
+    difference vs the batch q103 distinct-gram count)."""
+    from geotile import streaming
+
+    docs = (_stream_docs(spark, sf)
+            .where(F.col("doc_id") % _Q103_BENCH_MOD != 0))
+    bench = (spark.read.parquet(f"{sf}/documents.parquet")
+             .where(F.col("doc_id") % _Q103_BENCH_MOD == 0))
+    out = streaming.decontaminate_stream(docs, bench, n=_Q103_NGRAM)
+    return (_run_stream_to_table(out, spark, "q107_decon_sink", "complete")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2202,7 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q51-q96, r03 covers q27/q29 (untouched since round 2 — their r03
     # rows remain valid, and both are additionally pinned by pytest +
     # the local exact oracle this round).  The trailing block keeps
-    # cheap batch queries before the six costlier run-to-completion
+    # cheap batch queries before the seven costlier run-to-completion
     # streaming gates.
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
@@ -2311,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q91_stream_dedup": _q91_stream_dedup,
         "q92_stream_radius_join": _q92_stream_radius_join,
+        "q107_stream_decontaminate": _q107_stream_decontaminate,
     }
 
 
@@ -5020,6 +5060,31 @@ SELECT CAST(s105.n_cells AS BIGINT) AS n_cells,
               / (CAST(g105.w_sum AS DOUBLE) * CAST(d105.den AS DOUBLE)))) AS BIGINT)
        ELSE 0 END AS i_micro
 FROM s105, g105, d105
+"""
+
+    # q107: streaming decontamination — the batch occurrence-count
+    # equivalent of the run-to-completion stream (same tokenize/gram
+    # chain as q103; count(*) not count(DISTINCT): Structured
+    # Streaming forbids distinct aggregates, so the operator counts
+    # gram occurrences — contaminated docs only, as the stream's
+    # inner join emits no row for clean docs)
+    sqls["q107_stream_decontaminate"] = rf"""
+WITH t107 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+g107 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {_n103} + 2),
+                               i -> array_to_string(w[i:i+{_n103 - 1}], ' '))) AS g
+  FROM t107
+),
+b107 AS (SELECT DISTINCT g FROM g107 WHERE doc_id % {_Q103_BENCH_MOD} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g107 g JOIN b107 b ON b.g = g.g
+WHERE g.doc_id % {_Q103_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
 """
 
     # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):

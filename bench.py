@@ -99,6 +99,7 @@ def main() -> None:
         "q100_ws_class_tokens", "q101_pii_redaction",
         "q102_cell_density_smooth", "q103_decontaminate",
         "q104_semdedup", "q105_morans_i", "q106_knn_graph",
+        "q107_stream_decontaminate",
     ]
     from geotile import cache, textops
 

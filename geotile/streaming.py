@@ -242,3 +242,33 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
             & (rw[right_ts] >= lw[left_ts])
             & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")))
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def decontaminate_stream(docs: DataFrame, bench: DataFrame, n: int = 8,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Hygiene at ingest: the streaming form of
+    :func:`geotile.textops.decontaminate` — every incoming document is
+    checked against a STATIC benchmark's token n-gram set as it
+    arrives, so contaminated pages never reach the corpus at all
+    (batch decontamination scans what ingest already admitted).
+
+    The stream side is a map-only explode (token_ngrams, native) plus
+    a stream-static BROADCAST inner join — zero stream-side shuffle
+    and ZERO join state (the static gram set is just a lookup).  The
+    only stateful operator is the per-doc hit count, whose state is
+    bounded by the number of CONTAMINATED documents (clean docs never
+    produce a row).  Emits ``(id_col, n_hits)`` — n_hits counts gram
+    OCCURRENCES (Structured Streaming forbids distinct aggregates;
+    the batch operator's distinct-gram count is the dedup-exact
+    variant), complete output mode."""
+    from . import textops
+
+    bench_grams = (bench.select(
+        F.explode(textops.token_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct())
+    hits = (docs.select(F.col(id_col),
+                        F.explode(textops.token_ngrams(F.col(text_col), n))
+                        .alias("g"))
+            .join(F.broadcast(bench_grams), "g"))
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))

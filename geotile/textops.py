@@ -1220,6 +1220,21 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     return cache.track(out, [stats])
 
 
+def token_ngrams(col, n: int):
+    """Array Column of the n-token shingles of ``col``, tokenized on
+    the shared explicit :data:`WS_CLASS` (the q100 cross-engine tie
+    rule) — native split -> transform/slice/array_join, no Python.
+    Guard: sequence(0, size-n) would run DESCENDING when size < n
+    (Spark sequence semantics) and slice would then see start 0 — emit
+    the empty gram set instead, matching the oracle's empty range()."""
+    toks = F.split(F.trim(col), WS_CLASS)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def decontaminate(df: DataFrame, bench: DataFrame, n: int = 8,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Benchmark decontamination: flag training documents that share
@@ -1247,21 +1262,10 @@ def decontaminate(df: DataFrame, bench: DataFrame, n: int = 8,
     per document and a 0/1 flag, one row per input document (clean
     docs get an explicit 0 — no NULLs, per the gate convention).
     """
-    def _grams(col):
-        toks = F.split(F.trim(col), WS_CLASS)
-        # guard: sequence(0, size-n) would run DESCENDING when
-        # size < n (Spark sequence semantics) and slice would then
-        # see start 0 — emit the empty gram set instead, matching
-        # the oracle's empty range()
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-        ).otherwise(F.array().cast("array<string>"))
-
-    bench_grams = (bench.select(F.explode(_grams(F.col(text_col))).alias("g"))
-                   .distinct())
-    hits = (df.select(F.col(id_col), F.explode(_grams(F.col(text_col))).alias("g"))
+    bench_grams = (bench.select(
+        F.explode(token_ngrams(F.col(text_col), n)).alias("g")).distinct())
+    hits = (df.select(F.col(id_col),
+                      F.explode(token_ngrams(F.col(text_col), n)).alias("g"))
             .join(F.broadcast(bench_grams), "g")
             .groupBy(id_col).agg(F.count_distinct("g").alias("_nh")))
     return (df.select(id_col)

@@ -268,3 +268,41 @@ def test_interval_join_stream(spark, tmp_path):
                       & (br["r_ts"] >= bl["l_ts"])
                       & (br["r_ts"] <= bl["l_ts"] + F.expr("INTERVAL 15 minutes"))).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_decontaminate_stream_matches_batch_occurrences(spark, tmp_path):
+    """Stream-static decontamination == batch occurrence counts: the
+    stream's inner join emits only contaminated docs, and the complete
+    sink holds each doc's gram-occurrence hit count."""
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckptd")
+    os.makedirs(docs_dir)
+    rows = [(0, "a b c d e"),       # 'a b c' + 'b c d' -> 2 hits
+            (1, "x y z w"),         # clean -> no row
+            (2, "a b c a b c d"),   # 'a b c' x2 + 'b c d' (+ 'c a b'?) -> count occurrences
+            (3, "a b")]             # shorter than n -> clean
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(docs_dir, "b0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(docs_dir + "/b*"))
+    bench = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    out = streaming.decontaminate_stream(stream, bench, n=3)
+    q = (out.writeStream.format("memory").queryName("decon_t")
+         .option("checkpointLocation", ckpt)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in spark.table("decon_t").collect()}
+    # batch reference with the same gram builder
+    from geotile import textops as t
+
+    bg = set(r["g"] for r in bench.select(
+        F.explode(t.token_ngrams(F.col("text"), 3)).alias("g")).collect())
+    want = {}
+    for did, txt in rows:
+        hits = sum(1 for g in [" ".join(txt.split()[i:i + 3])
+                               for i in range(max(0, len(txt.split()) - 2))]
+                   if g in bg)
+        if hits:
+            want[did] = hits
+    assert got == want and 0 in got and 1 not in got and 3 not in got

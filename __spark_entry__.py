@@ -5087,6 +5087,7 @@ GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
 
-    # q16/q17 (MinHash/SimHash signatures), q33 (winnowing signatures):
-    # not ANSI-SQL-expressible yet -> driver rows-only checks.
+    # Every queries() entry above has an exact oracle — including the
+    # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64
+    # replicas, q16/q17/q33) that earlier rounds left as rows-only.
     return sqls

@@ -2231,6 +2231,28 @@ def _q107_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# q108 geofence: 20 2-char geohash prefixes (a literal multi-region
+# fence, the covering-cell form engine.radius_search also uses);
+# prefix nesting makes membership one substring test on the 5-char fix
+# cell in BOTH engines.
+_Q108_FENCE = ["2e", "66", "6g", "9q", "9v", "c2", "dr", "f2", "gc", "k3",
+               "r3", "r6", "s0", "sv", "t1", "u0", "u1", "wt", "wx", "xn"]
+
+
+def _q108_geofence_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Geofence enter/exit alerting (trajectory.geofence_transitions):
+    per-user lag window over the position log, one row per boundary
+    crossing of the literal 20-prefix fence.  One per-key shuffle,
+    native substring membership; the oracle replays the identical
+    closed-form 5-char geohash + lag window in DuckDB."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_positions_df(spark, sf), nchars=5)
+    pos = pos.withColumn("ep", F.unix_timestamp("ts"))
+    out = trajectory.geofence_transitions(pos, _Q108_FENCE, nchars=2)
+    return out.orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2300,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_semdedup": _q104_semdedup,
         "q105_morans_i": _q105_morans_i,
         "q106_knn_graph": _q106_knn_graph,
+        "q108_geofence_transitions": _q108_geofence_transitions,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -5085,6 +5108,31 @@ FROM g107 g JOIN b107 b ON b.g = g.g
 WHERE g.doc_id % {_Q103_BENCH_MOD} <> 0
 GROUP BY g.doc_id
 ORDER BY g.doc_id
+"""
+
+    # q108: geofence transitions — identical closed-form 5-char
+    # geohash, substring-prefix membership against the literal fence,
+    # and the same (ep, event_id)-ordered lag window
+    _f108 = ", ".join(f"'{c}'" for c in _Q108_FENCE)
+    sqls["q108_geofence_transitions"] = f"""
+WITH {_POS_CTE},
+g108 AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         substr({gh5}, 1, 2) AS cell2
+  FROM pos
+),
+l108 AS (
+  SELECT user_id, event_id, ep, cell2,
+         (cell2 IN ({_f108})) AS ins,
+         lag(cell2 IN ({_f108})) OVER (
+           PARTITION BY user_id ORDER BY ep, event_id) AS pins
+  FROM g108
+)
+SELECT user_id, event_id, ep, cell2 AS cell,
+       CASE WHEN ins THEN 'enter' ELSE 'exit' END AS transition
+FROM l108
+WHERE pins IS NOT NULL AND pins <> ins
+ORDER BY event_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -274,3 +274,41 @@ def session_trip_stats(df: DataFrame, gap_s: int = 3600,
                  F.sum("_leg").alias("n_legs"),
                  F.sum("_mm").alias("dist_mm"),
                  (F.max(ts) - F.min(ts)).alias("duration_s")))
+
+
+def geofence_transitions(df: DataFrame, fence: "list[str]", nchars: int = 2,
+                         key: str = "user_id", ts: str = "ep",
+                         order_col: str = "event_id",
+                         cell_col: str = "geohash") -> DataFrame:
+    """Geofence enter/exit detection over keyed position logs: one
+    transition row whenever consecutive fixes of a key cross the
+    boundary of the fence.  The fence is a set of geohash PREFIXES of
+    length ``nchars`` — geohash prefixes nest, so membership of a fix
+    whose ``cell_col`` is any longer hash is a single substring test
+    against a tiny literal set (no spatial join, no polygon math at
+    transition time; cover the fence polygon with cells ONCE up front,
+    the way the reference covers radius queries, mapinfo.cpp:229-262).
+
+    The standard alerting primitive over AddPos-style timelines
+    (delivery zones, airport perimeters, campus presence): emits
+    ``(key, order_col, ts, cell, transition)`` with transition in
+    ('enter', 'exit'), ``cell`` the fence-resolution prefix of the fix.
+    A key's first fix never transitions; output is NULL-free.
+
+    Scale shape: ONE shuffle (the per-key lag window — same exchange
+    every other trajectory operator rides); membership and the
+    transition flag are native column expressions inside whole-stage
+    codegen, and the typically <<1% transition rows are filtered before
+    anything downstream.  100-TB note: the window partitions by key, so
+    skewed devices (fleet trackers) bound a partition — the same
+    exposure as speed_filter, use salted_topn-style pre-thin only if a
+    single key exceeds an executor's sort buffer."""
+    pref = F.substring(F.col(cell_col), 1, nchars)
+    inside = pref.isin(*[str(c) for c in fence])
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_in", inside)
+         .withColumn("_pin", F.lag("_in").over(w)))
+    return (d.where(F.col("_pin").isNotNull() & (F.col("_pin") != F.col("_in")))
+            .select(key, order_col, ts, pref.alias("cell"),
+                    F.when(F.col("_in"), F.lit("enter"))
+                    .otherwise(F.lit("exit")).alias("transition")))

@@ -190,3 +190,23 @@ def test_session_trip_stats_brute_force(spark):
     expect = {k: (v[0], v[1], v[2], max(v[3]) - min(v[3]))
               for k, v in sess.items()}
     assert out == expect
+
+
+def test_geofence_transitions_enter_exit(spark):
+    # user 1 walks: outside -> inside -> inside -> outside; user 2
+    # stays inside (no transition after the first fix); user 3 has a
+    # single fix (never transitions).  Fence = the 2-char cell of
+    # (10, 20) = 's1'.
+    fence_cell = str(gh.encode(np.array([10.0]), np.array([20.0]), 2)[0])
+    rows = [(0, 1, 0, -40.0, -60.0), (1, 1, 100, 10.0, 20.0),
+            (2, 1, 200, 10.1, 20.1), (3, 1, 300, -40.0, -60.0),
+            (4, 2, 0, 10.0, 20.0), (5, 2, 100, 10.2, 20.2),
+            (6, 3, 0, -40.0, -60.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    out = trajectory.geofence_transitions(
+        engine.with_cell(df, nchars=5), [fence_cell], nchars=2).collect()
+    got = sorted((r["user_id"], r["event_id"], r["transition"], r["cell"])
+                 for r in out)
+    assert got == [(1, 1, "enter", fence_cell), (1, 3, "exit", "68")]
+    assert all(r["ep"] in (100, 300) for r in out)

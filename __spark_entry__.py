@@ -2253,6 +2253,21 @@ def _q108_geofence_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def _q109_quadkey_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bing quadkey tiling (engine.with_quadkey): zoom-8 base-4 tile
+    keys from unrolled native shift/concat expressions, counted per
+    key, with the zoom-4 ancestor read straight off the string prefix
+    (quadkey prefixes nest — the property that makes one sorted column
+    serve every pyramid level).  The oracle replays the q55-proven
+    Mercator doubles and the same integer digit extraction."""
+    pos = engine.with_quadkey(_positions_df(spark, sf), zoom=8)
+    return (pos.groupBy("quadkey").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 3)
+            .select(F.col("quadkey"), F.substring("quadkey", 1, 4).alias("parent4"),
+                    F.col("n"))
+            .orderBy("quadkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2323,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_morans_i": _q105_morans_i,
         "q106_knn_graph": _q106_knn_graph,
         "q108_geofence_transitions": _q108_geofence_transitions,
+        "q109_quadkey_rollup": _q109_quadkey_rollup,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -5133,6 +5149,27 @@ SELECT user_id, event_id, ep, cell2 AS cell,
 FROM l108
 WHERE pins IS NOT NULL AND pins <> ins
 ORDER BY event_id
+"""
+
+    # q109: quadkey rollup — the q55-proven Mercator base (x0, y0) at
+    # zoom 8 (_pn = 256), digits by integer shift/mod, ancestor by
+    # string prefix
+    _digs109 = " || ".join(
+        f"CAST(((y0 // {1 << s}) % 2) * 2 + ((x0 // {1 << s}) % 2) AS VARCHAR)"
+        for s in range(7, -1, -1))
+    sqls["q109_quadkey_rollup"] = f"""
+WITH {_POS_CTE},
+base AS (
+  SELECT LEAST(GREATEST(CAST({_xr} AS BIGINT), 0), {_pn - 1}) AS x0,
+         LEAST(GREATEST(CAST({_yr} AS BIGINT), 0), {_pn - 1}) AS y0
+  FROM pos
+),
+qk AS (SELECT ({_digs109}) AS quadkey FROM base)
+SELECT quadkey, substr(quadkey, 1, 4) AS parent4, count(*) AS n
+FROM qk
+GROUP BY quadkey
+HAVING count(*) >= 3
+ORDER BY quadkey
 """
 
     # Every queries() entry above has an exact oracle — including the

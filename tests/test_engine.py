@@ -796,3 +796,29 @@ def test_morans_i_degenerate_no_neighbors(spark):
     cache.release(out)
     assert (r["n_cells"], r["w_sum"], r["i_micro"]) == (2, 0, 0)
     assert r["den"] > 0 and r["num"] == 0
+
+
+def test_with_quadkey_matches_kernel(spark):
+    import numpy as np
+
+    from geotile.kernel import tiles_np
+
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-88, 88, 200)
+    lons = rng.uniform(-180, 180, 200)
+    df = spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(zip(lats, lons))],
+        "pid long, lat double, lon double")
+    got = {r["pid"]: r["quadkey"]
+           for r in engine.with_quadkey(df, zoom=8).collect()}
+    x, y = tiles_np.tile_xy(lats, lons, 8)
+    for i in range(200):
+        want = "".join(str(((int(y[i]) >> s) & 1) * 2 + ((int(x[i]) >> s) & 1))
+                       for s in range(7, -1, -1))
+        assert got[i] == want, (i, got[i], want)
+    # prefix nesting: the zoom-4 ancestor is the 4-char prefix
+    x4, y4 = tiles_np.tile_xy(lats, lons, 4)
+    for i in range(200):
+        w4 = "".join(str(((int(y4[i]) >> s) & 1) * 2 + ((int(x4[i]) >> s) & 1))
+                     for s in range(3, -1, -1))
+        assert got[i][:4] == w4

@@ -2268,6 +2268,18 @@ def _q109_quadkey_rollup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("quadkey"))
 
 
+def _q110_boilerplate_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate template screen
+    (textops.boilerplate_ngrams): a 3-gram occurring in >= ceil(5% of
+    a source's docs) distinct documents of that source is template;
+    per doc, total gram positions vs template-covered positions — the
+    C4/CCNet boilerplate-removal statistic.  Native gram chain, two
+    corpus shuffles, broadcast boiler set; exact integers."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.boilerplate_ngrams(docs, n=3, df_frac=0.05, min_docs=10)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2339,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_knn_graph": _q106_knn_graph,
         "q108_geofence_transitions": _q108_geofence_transitions,
         "q109_quadkey_rollup": _q109_quadkey_rollup,
+        "q110_boilerplate_screen": _q110_boilerplate_screen,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -5170,6 +5183,45 @@ FROM qk
 GROUP BY quadkey
 HAVING count(*) >= 3
 ORDER BY quadkey
+"""
+
+    # q110: boilerplate screen — same gram chain as q103/q107, df per
+    # (source, gram) over distinct docs, threshold ceil(0.05 * nd)
+    # with the frac as a STRING-cast double (bare 0.05 would type as
+    # DECIMAL), totals re-attached to the full doc spine
+    sqls["q110_boilerplate_screen"] = r"""
+WITH t110 AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+g110 AS (
+  SELECT source, doc_id,
+         unnest(list_transform(range(1, len(w) - 3 + 2),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM t110
+),
+nd110 AS (SELECT source, count(DISTINCT doc_id) AS nd FROM documents GROUP BY 1),
+gdf110 AS (SELECT source, g, count(DISTINCT doc_id) AS gdf FROM g110 GROUP BY 1, 2),
+b110 AS (
+  SELECT d.source, d.g
+  FROM gdf110 d JOIN nd110 n USING (source)
+  WHERE n.nd >= 10
+    AND d.gdf >= CAST(ceil(CAST('0.05' AS DOUBLE) * n.nd) AS BIGINT)
+),
+pd110 AS (SELECT source, doc_id, count(*) AS ng FROM g110 GROUP BY 1, 2),
+h110 AS (
+  SELECT g.source, g.doc_id, count(*) AS nb
+  FROM g110 g JOIN b110 b ON b.source = g.source AND b.g = g.g
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(p.ng, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boiler
+FROM documents d
+LEFT JOIN pd110 p ON p.source = d.source AND p.doc_id = d.doc_id
+LEFT JOIN h110 h ON h.source = d.source AND h.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

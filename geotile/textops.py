@@ -1274,3 +1274,47 @@ def decontaminate(df: DataFrame, bench: DataFrame, n: int = 8,
                     F.coalesce("_nh", F.lit(0)).cast("long").alias("n_hits"),
                     (F.coalesce("_nh", F.lit(0)) > 0).cast("int")
                     .alias("contaminated")))
+
+
+def boilerplate_ngrams(df: DataFrame, n: int = 3, df_frac: float = 0.05,
+                       min_docs: int = 10, group: str = "source",
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source boilerplate n-gram screen — the C4/CCNet-style
+    template detector: a token n-gram is *boilerplate within a source*
+    when it occurs in at least ``ceil(df_frac * n_docs(source))``
+    distinct documents of that source (nav bars, cookie banners,
+    licence footers — text repeated across a site is template, not
+    content).  Sources with fewer than ``min_docs`` documents are never
+    screened (too small to establish "common").  Per document, returns
+    how much of it is template: ``(id_col, group, n_grams, n_boiler)``
+    — total n-gram positions and positions covered by a boilerplate
+    gram — one NULL-free row per input document (docs shorter than
+    ``n`` tokens report 0/0).
+
+    Scale shape: tokenization and gram forming are the same native
+    ``split -> transform/slice`` chain as :func:`decontaminate` (no
+    Python).  The corpus-sized gram frame shuffles twice — once
+    de-duplicated per (source, gram, doc) for document frequency, once
+    per (source, doc) for the totals; the BOILERPLATE set (grams above
+    the df threshold — tiny by construction: high-df template strings)
+    joins back by broadcast, so the corpus never shuffles a third time.
+    The per-source doc counts attach as a broadcast of |sources| rows."""
+    grams = df.select(F.col(group), F.col(id_col),
+                      F.explode(token_ngrams(F.col(text_col), n)).alias("g"))
+    nd = df.groupBy(group).agg(F.count_distinct(id_col).alias("_nd"))
+    gdf = (grams.select(group, "g", id_col).distinct()
+           .groupBy(group, "g").agg(F.count("*").alias("_gdf")))
+    boiler = (gdf.join(F.broadcast(nd), group)
+              .where((F.col("_nd") >= min_docs)
+                     & (F.col("_gdf")
+                        >= F.ceil(F.lit(df_frac) * F.col("_nd"))))
+              .select(group, "g"))
+    per_doc = grams.groupBy(group, id_col).agg(F.count("*").alias("_ng"))
+    hit = (grams.join(F.broadcast(boiler), [group, "g"])
+           .groupBy(group, id_col).agg(F.count("*").alias("_nb")))
+    return (df.select(F.col(id_col), F.col(group))
+            .join(per_doc, [group, id_col], "left")
+            .join(hit, [group, id_col], "left")
+            .select(id_col, group,
+                    F.coalesce("_ng", F.lit(0)).cast("long").alias("n_grams"),
+                    F.coalesce("_nb", F.lit(0)).cast("long").alias("n_boiler")))

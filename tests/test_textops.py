@@ -673,3 +673,29 @@ def test_decontaminate_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in plan
     # docs 0 and 1 both contain the bench trigram 'tok1 tok2 tok3'
     assert sum(1 for r in out.collect() if r["contaminated"]) == 2
+
+
+def test_boilerplate_ngrams_known_counts(spark):
+    # source A (12 docs, screened): 10 docs end with the same 4-token
+    # footer ("all rights reserved here" -> two 3-grams), 2 docs are
+    # clean; source B (2 docs < min_docs): identical docs, never
+    # screened.
+    rows = []
+    for i in range(10):
+        rows.append((i, "A", f"unique{i} words body{i} all rights reserved here"))
+    rows.append((10, "A", "totally clean document body text"))
+    rows.append((11, "A", "short"))
+    rows.extend([(12, "B", "same text twice over"), (13, "B", "same text twice over")])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_boiler"]) for r in
+           textops.boilerplate_ngrams(df, n=3, df_frac=0.5, min_docs=10).collect()}
+    assert len(out) == 14
+    # footer docs: 7 tokens -> 5 grams; boiler grams are the two footer
+    # 3-grams ("all rights reserved", "rights reserved here"), df=10 >=
+    # ceil(0.5*12)=6
+    for i in range(10):
+        assert out[i] == (5, 2), (i, out[i])
+    assert out[10] == (3, 0)      # 5 tokens -> 3 grams, none template
+    assert out[11] == (0, 0)      # 1 token < n -> empty gram set
+    # source B: df=2 >= ceil(0.5*2)=1 but nd=2 < min_docs -> unscreened
+    assert out[12] == (2, 0) and out[13] == (2, 0)

@@ -2283,15 +2283,20 @@ def _q110_boilerplate_screen(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
-    # rotation: q5-q50 minus q27/q29 (44 entries whose newest driver
-    # rows were r03) come FIRST, then ALL six round-5 additions
-    # q97-q102 (slots 45-50), so every query ever added has a driver
-    # row: r05 covers q5-q50\{q27,q29} + q97-q102, r04 covers q1-q4 +
-    # q51-q96, r03 covers q27/q29 (untouched since round 2 — their r03
-    # rows remain valid, and both are additionally pinned by pytest +
-    # the local exact oracle this round).  The trailing block keeps
-    # cheap batch queries before the seven costlier run-to-completion
-    # streaming gates.
+    # rotation: ALL fourteen round-5 additions (q97-q110, never
+    # driver-verified before) sit inside the window, padded with 36 of
+    # the 44 q5-q50 entries whose newest driver rows were r03.  The
+    # eight pushed past the window to make room — q23/q24/q30/q37/
+    # q39-q42 — are exactly the compat-kernel queries that carry
+    # byte-exact FIXTURES.md golden-vector coverage in pytest on top of
+    # their r03 driver rows, so they lose the least from a stale row.
+    # Net: r05 covers q5-q50\{q23,q24,q27,q29,q30,q37,q39..q42} +
+    # q97-q110; r04 covers q1-q4 + q51-q96; r03 covers the ten pushed
+    # out (all untouched since and pinned by pytest + the local exact
+    # oracle).  The trailing block keeps cheap batch queries before the
+    # costlier run-to-completion streaming gates (q107, the one
+    # streaming gate needing a first-ever driver row, closes the
+    # window).
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
@@ -2311,24 +2316,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_lsh_ann_topk": _q20_lsh_ann,
         "q21_radius_join": _q21_radius_join,
         "q22_raster_vector_join": _q22_raster,
-        "q23_pool_state": _q23_pool_state,
-        "q24_compat_cell_counts": _q24_compat_cells,
         "q25_upsert_lww": _q25_upsert,
         "q26_rollup_agg": _q26_rollup,
         "q28_semi_join": _q28_semijoin,
-        "q30_compat_json_sink": _q30_compat_json,
         "q31_asof_window": _q31_asof,
         "q32_cube_agg": _q32_cube,
         "q33_winnow_pairs": _q33_winnow,
         "q34_frame_sample": _q34_frames,
         "q35_ivf_ann_topk": _q35_ivf,
         "q36_hex_cells": _q36_hex_cells,
-        "q37_decode_bounds": _q37_decode,
         "q38_knn_join_bulk": _q38_knn_bulk,
-        "q39_compat_neighbors": _q39_compat_neighbors,
-        "q40_compat_distance": _q40_compat_distance,
-        "q41_compat_bbox": _q41_compat_bbox,
-        "q42_compat_candidates": _q42_compat_candidates,
         "q43_dedup_verified": _q43_dedup_verified,
         "q44_sessionize": _q44_sessionize,
         "q45_percentiles": _q45_percentiles,
@@ -2343,8 +2340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_ws_class_tokens": _q100_ws_class_tokens,
         "q101_pii_redaction": _q101_pii_redaction,
         "q102_cell_density_smooth": _q102_cell_density_smooth,
-        "q27_set_ops": _q27_setops,
-        "q29_pivot": _q29_pivot,
         "q103_decontaminate": _q103_decontaminate,
         "q104_semdedup": _q104_semdedup,
         "q105_morans_i": _q105_morans_i,
@@ -2352,6 +2347,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_geofence_transitions": _q108_geofence_transitions,
         "q109_quadkey_rollup": _q109_quadkey_rollup,
         "q110_boilerplate_screen": _q110_boilerplate_screen,
+        "q107_stream_decontaminate": _q107_stream_decontaminate,
+        "q23_pool_state": _q23_pool_state,
+        "q24_compat_cell_counts": _q24_compat_cells,
+        "q27_set_ops": _q27_setops,
+        "q29_pivot": _q29_pivot,
+        "q30_compat_json_sink": _q30_compat_json,
+        "q37_decode_bounds": _q37_decode,
+        "q39_compat_neighbors": _q39_compat_neighbors,
+        "q40_compat_distance": _q40_compat_distance,
+        "q41_compat_bbox": _q41_compat_bbox,
+        "q42_compat_candidates": _q42_compat_candidates,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -2402,7 +2408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q91_stream_dedup": _q91_stream_dedup,
         "q92_stream_radius_join": _q92_stream_radius_join,
-        "q107_stream_decontaminate": _q107_stream_decontaminate,
     }
 
 

@@ -99,7 +99,8 @@ def main() -> None:
         "q100_ws_class_tokens", "q101_pii_redaction",
         "q102_cell_density_smooth", "q103_decontaminate",
         "q104_semdedup", "q105_morans_i", "q106_knn_graph",
-        "q107_stream_decontaminate",
+        "q107_stream_decontaminate", "q108_geofence_transitions",
+        "q109_quadkey_rollup", "q110_boilerplate_screen",
     ]
     from geotile import cache, textops
 

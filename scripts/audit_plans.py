@@ -409,6 +409,35 @@ def main() -> None:
         _cache.release(kg)
         _cache.release(sdd)
 
+    # round-5 late additions (q108-q110)
+    fence = ["9q", "9r"]
+    sections.append(summarize(
+        trajectory.geofence_transitions(
+            engine.with_cell(traj, nchars=6), fence, nchars=2, ts="tts"),
+        "geofence_transitions (q108): membership = substring-isin against a "
+        "tiny literal prefix set (geohash prefixes nest — no spatial join at "
+        "transition time); ONE per-key window shuffle, transition filter "
+        "before anything downstream"))
+
+    qk = engine.with_quadkey(traj, zoom=8)
+    sections.append(summarize(
+        qk.groupBy(F.substring("quadkey", 1, 4).alias("qk4"))
+        .agg(F.count("*").alias("n")),
+        "quadkey rollup (q109): base-4 Mercator key is unrolled native "
+        "shift/concat expressions (zero Python, zero shuffle to tile); the "
+        "zoom-4 ancestor is substring, so every pyramid level is a map over "
+        "the same column + one aggregate"))
+
+    sections.append(summarize(
+        textops.boilerplate_ngrams(
+            docs_tbl.withColumn("source",
+                                (F.col("doc_id") % 7).cast("string"))),
+        "boilerplate_ngrams (q110): per-source gram df via one distinct "
+        "shuffle, the df-thresholded BOILERPLATE set (template-sized, tiny) "
+        "joins back by BROADCAST — the corpus gram frame never shuffles a "
+        "third time; per-source doc counts attach as a |sources|-row "
+        "broadcast"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -2280,22 +2280,59 @@ def _q110_boilerplate_screen(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q111_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (textops.pack_sequences): the
+    canonical LLM-pretraining step — per source, documents concatenate
+    in doc_id order and the WS_CLASS token stream cuts into 512-token
+    context windows; per doc, its running offset, first/last chunk and
+    whether a chunk boundary splits it.  One per-source window
+    shuffle; chunk indices are integer DIV — exact end to end."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.pack_sequences(docs, ctx=512).orderBy("doc_id")
+
+
+def _q112_mixing_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-resampled source mixing weights
+    (textops.source_mixing_weights, alpha=0.5): sampling weight per
+    source proportional to sqrt(n_docs) in exact ppm integers — sqrt
+    is IEEE-correctly-rounded in BOTH engines, so floor(sqrt(n)*1e6)
+    is cross-engine exact and everything downstream is BIGINT DIV."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.source_mixing_weights(docs, alpha=0.5).orderBy("source")
+
+
+def _q113_bearing_sectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user movement-direction histogram
+    (trajectory.bearing_sectors): initial great-circle bearing of each
+    consecutive-fix leg over the global random positions, floored into
+    8 compass sectors — counts are exact ints; the rad<->deg
+    conversions use the explicit x/180*pi and x*180/pi op sequences
+    on BOTH engines (their builtin radians()/degrees() round
+    differently on ~28% of lattice values)."""
+    from geotile import trajectory
+
+    pos = _positions_df(spark, sf).withColumn("ep", F.unix_timestamp("ts"))
+    return (trajectory.bearing_sectors(pos, nsect=8)
+            .orderBy("user_id", "sector"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
-    # rotation: ALL fourteen round-5 additions (q97-q110, never
-    # driver-verified before) sit inside the window, padded with 36 of
+    # rotation: ALL seventeen round-5 additions (q97-q113, never
+    # driver-verified before) sit inside the window, padded with 33 of
     # the 44 q5-q50 entries whose newest driver rows were r03.  The
-    # eight pushed past the window to make room — q23/q24/q30/q37/
-    # q39-q42 — are exactly the compat-kernel queries that carry
-    # byte-exact FIXTURES.md golden-vector coverage in pytest on top of
-    # their r03 driver rows, so they lose the least from a stale row.
-    # Net: r05 covers q5-q50\{q23,q24,q27,q29,q30,q37,q39..q42} +
-    # q97-q110; r04 covers q1-q4 + q51-q96; r03 covers the ten pushed
-    # out (all untouched since and pinned by pytest + the local exact
-    # oracle).  The trailing block keeps cheap batch queries before the
-    # costlier run-to-completion streaming gates (q107, the one
-    # streaming gate needing a first-ever driver row, closes the
+    # eleven pushed past the window to make room — q23/q24/q27/q29/
+    # q30/q37/q39-q42 (compat-kernel queries with byte-exact
+    # FIXTURES.md golden-vector pytest coverage) plus q11/q34/q36
+    # (s2 / multimodal / hex queries whose kernels carry dedicated
+    # pytest suites) — lose the least from a stale row.  Net: r05
+    # covers q5-q50\{q11,q23,q24,q27,q29,q30,q34,q36,q37,q39..q42} +
+    # q97-q113; r04 covers q1-q4 + q51-q96; r03 covers the thirteen
+    # pushed out (all untouched since and pinned by pytest + the local
+    # exact oracle).  The trailing block keeps cheap batch queries
+    # before the costlier run-to-completion streaming gates (q107, the
+    # one streaming gate needing a first-ever driver row, closes the
     # window).
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
@@ -2304,7 +2341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_knn_join": _q8_knn,
         "q9_pip_join": _q9_pip,
         "q10_tile_assign": _q10_tiles,
-        "q11_s2_cells": _q11_s2,
         "q12_dedup_exact": _q12_dedup_exact,
         "q13_quality_features": _q13_quality,
         "q14_token_count": _q14_tokens,
@@ -2322,9 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_asof_window": _q31_asof,
         "q32_cube_agg": _q32_cube,
         "q33_winnow_pairs": _q33_winnow,
-        "q34_frame_sample": _q34_frames,
         "q35_ivf_ann_topk": _q35_ivf,
-        "q36_hex_cells": _q36_hex_cells,
         "q38_knn_join_bulk": _q38_knn_bulk,
         "q43_dedup_verified": _q43_dedup_verified,
         "q44_sessionize": _q44_sessionize,
@@ -2347,7 +2381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_geofence_transitions": _q108_geofence_transitions,
         "q109_quadkey_rollup": _q109_quadkey_rollup,
         "q110_boilerplate_screen": _q110_boilerplate_screen,
+        "q111_pack_sequences": _q111_pack_sequences,
+        "q112_mixing_weights": _q112_mixing_weights,
+        "q113_bearing_sectors": _q113_bearing_sectors,
         "q107_stream_decontaminate": _q107_stream_decontaminate,
+        "q11_s2_cells": _q11_s2,
         "q23_pool_state": _q23_pool_state,
         "q24_compat_cell_counts": _q24_compat_cells,
         "q27_set_ops": _q27_setops,
@@ -2358,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_compat_distance": _q40_compat_distance,
         "q41_compat_bbox": _q41_compat_bbox,
         "q42_compat_candidates": _q42_compat_candidates,
+        "q34_frame_sample": _q34_frames,
+        "q36_hex_cells": _q36_hex_cells,
         "q1_pricing_summary": _q1_pricing,
         "q2_latest_position_per_key": _q2_latest,
         "q3_delete_antijoin": _q3_delete,
@@ -5227,6 +5267,86 @@ FROM documents d
 LEFT JOIN pd110 p ON p.source = d.source AND p.doc_id = d.doc_id
 LEFT JOIN h110 h ON h.source = d.source AND h.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # q111: sequence packing — the q14/q100-proven WS_CLASS token count,
+    # an exclusive running sum per source (DuckDB sum(BIGINT) widens to
+    # HUGEINT — cast back), chunk indices by integer //
+    sqls["q111_pack_sequences"] = r"""
+WITH t111 AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c111 AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t111
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       start_tok // 512 AS chunk_first,
+       (start_tok + GREATEST(n_tokens - 1, 0)) // 512 AS chunk_last,
+       ((start_tok + GREATEST(n_tokens - 1, 0)) // 512) > (start_tok // 512) AS split_doc
+FROM c111
+ORDER BY doc_id
+"""
+
+    # q112: temperature mixing weights — sqrt is IEEE correctly rounded
+    # (identical double both engines), floor(*1e6) snaps to BIGINT, the
+    # rest is integer //; DuckDB sum() widens to HUGEINT — cast back
+    sqls["q112_mixing_weights"] = r"""
+WITH c112 AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS pow_micro
+  FROM documents
+  GROUP BY source
+),
+t112 AS (
+  SELECT CAST(sum(pow_micro) AS BIGINT) AS tp,
+         CAST(sum(n_docs) AS BIGINT) AS tn
+  FROM c112
+)
+SELECT source, n_docs, pow_micro,
+       (pow_micro * 1000000) // tp AS weight_ppm,
+       (((pow_micro * 1000000) // tp) * tn) // 1000000 AS docs_per_epoch
+FROM c112, t112
+ORDER BY source
+"""
+
+    # q113: bearing sectors — deg<->rad spelled as the EXPLICIT
+    # x / 180 * pi() and x * 180 / pi() op sequences (Java's
+    # toRadians/toDegrees; each engine's builtin radians()/degrees()
+    # rounds differently), fmod-normalized to [0,360), snapped to the
+    # sector INTEGER before counting (the engine double discipline)
+    sqls["q113_bearing_sectors"] = f"""
+WITH {_POS_CTE},
+l113 AS (
+  SELECT user_id,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lat, lon
+  FROM (SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep, lat, lon
+        FROM pos)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+b113 AS (
+  SELECT user_id,
+         atan2(sin(lon / 180.0 * pi() - plon / 180.0 * pi()) * cos(lat / 180.0 * pi()),
+               cos(plat / 180.0 * pi()) * sin(lat / 180.0 * pi())
+               - sin(plat / 180.0 * pi()) * cos(lat / 180.0 * pi())
+                 * cos(lon / 180.0 * pi() - plon / 180.0 * pi()))
+         * 180.0 / pi() AS theta
+  FROM l113
+  WHERE plat IS NOT NULL
+)
+SELECT user_id,
+       LEAST(CAST(floor(fmod(fmod(theta, 360.0) + 360.0, 360.0) / 45.0) AS BIGINT), 7) AS sector,
+       count(*) AS n_legs
+FROM b113
+GROUP BY 1, 2
+ORDER BY user_id, sector
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1318,3 +1318,82 @@ def boilerplate_ngrams(df: DataFrame, n: int = 3, df_frac: float = 0.05,
             .select(id_col, group,
                     F.coalesce("_ng", F.lit(0)).cast("long").alias("n_grams"),
                     F.coalesce("_nb", F.lit(0)).cast("long").alias("n_boiler")))
+
+
+def pack_sequences(df: DataFrame, ctx: int = 512, group: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing — the canonical LLM-pretraining
+    step: documents of a shard are concatenated in a deterministic order
+    (``id_col`` ascending) and the token stream is cut into fixed
+    ``ctx``-token context windows.  Per document, returns WHERE it lands:
+    ``(id_col, group, n_tokens, start_tok, chunk_first, chunk_last,
+    split_doc)`` — the exclusive running token offset, the first/last
+    chunk index the document touches, and whether a chunk boundary cuts
+    through it (the packing-loss diagnostic: fraction of docs split is
+    what you tune ctx/shuffling against).  Tokens are WS_CLASS
+    whitespace tokens (the engine-wide tokenizer parity rule).
+
+    The shard is ``group`` — packing is per-source, never global: a
+    single global concatenation order would serialize the corpus
+    through one partition, which is exactly the anti-pattern this
+    shape avoids.  Scale shape: ONE shuffle (the per-group window);
+    the cumulative sum is a running aggregate inside the window pass,
+    chunk indices are integer DIV expressions in whole-stage codegen.
+    100-TB note: the window partitions by source, so a single
+    mega-source bounds a partition — pre-split such sources into
+    (source, shard_no) upstream, the semantics are per-shard anyway."""
+    if ctx < 1:
+        raise ValueError("need ctx >= 1")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), WS_CLASS)).cast("long")
+    d = df.select(F.col(group), F.col(id_col), n_tok.alias("n_tokens"))
+    w = (Window.partitionBy(group).orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "start_tok",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")))
+    # integer DIV end to end: float division's rounding never touches
+    # the chunk indices (and matches DuckDB's // in the oracle exactly)
+    d = d.withColumn("_end", F.col("start_tok") + F.greatest(
+        F.col("n_tokens") - F.lit(1), F.lit(0)))
+    first = F.expr(f"start_tok DIV {int(ctx)}").cast("long")
+    last = F.expr(f"_end DIV {int(ctx)}").cast("long")
+    return d.select(
+        id_col, group, "n_tokens", "start_tok",
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (last > first).alias("split_doc"))
+
+
+def source_mixing_weights(df: DataFrame, alpha: float = 0.5,
+                          group: str = "source") -> DataFrame:
+    """Temperature-resampled corpus mixing weights (the multilingual /
+    multi-source balancing rule of XLM-R and the LLaMA data recipe):
+    source s gets sampling weight proportional to ``n_docs(s)**alpha``
+    — alpha < 1 upweights small sources, alpha = 1 is natural
+    frequency.  Returns one row per source: ``(group, n_docs,
+    pow_micro, weight_ppm, docs_per_epoch)`` — the alpha-powered count
+    in exact integer MICRO-units, the mix weight in parts-per-million,
+    and the expected document draw per epoch of the mixed corpus.
+
+    Exactness: ``alpha=0.5`` (the default and the gated path) uses
+    sqrt, which IEEE 754 requires to be CORRECTLY rounded — Spark and
+    DuckDB produce the identical double, so ``floor(sqrt(n) * 1e6)``
+    is cross-engine exact; every downstream step is integer
+    arithmetic (BIGINT DIV).  Other alphas go through pow(), which
+    Java only guarantees to 1 ulp — documented last-ulp exposure, not
+    gated.  Scale shape: one count aggregate (map-side partials), then
+    everything operates on the |sources|-row frame; the corpus totals
+    attach as a 1-row broadcast (a constant attach, not a predicate
+    join)."""
+    counts = df.groupBy(group).agg(F.count("*").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    powered = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    c = counts.withColumn(
+        "pow_micro", F.floor(powered * F.lit(1000000.0)).cast("long"))
+    tot = c.agg(F.sum("pow_micro").alias("_tp"),
+                F.sum("n_docs").alias("_tn"))
+    return (c.join(F.broadcast(tot))
+            .select(group, "n_docs", "pow_micro",
+                    F.expr("pow_micro * 1000000 DIV _tp").alias("weight_ppm"),
+                    F.expr("(pow_micro * 1000000 DIV _tp) * _tn DIV 1000000")
+                    .alias("docs_per_epoch")))

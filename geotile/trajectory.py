@@ -312,3 +312,51 @@ def geofence_transitions(df: DataFrame, fence: "list[str]", nchars: int = 2,
             .select(key, order_col, ts, pref.alias("cell"),
                     F.when(F.col("_in"), F.lit("enter"))
                     .otherwise(F.lit("exit")).alias("transition")))
+
+
+def bearing_sectors(df: DataFrame, nsect: int = 8,
+                    key: str = "user_id", ts: str = "ep",
+                    order_col: str = "event_id",
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Movement-direction histogram: the initial great-circle bearing
+    of every consecutive-fix leg, binned into ``nsect`` equal compass
+    sectors, counted per key — the standard flow-orientation /
+    map-matching prior over AddPos-style timelines (which way does
+    traffic through a cell actually move).  Returns one NULL-free row
+    per (key, sector) with ``n_legs``.
+
+    Bearing: theta = atan2(sin dlon * cos lat2,
+    cos lat1 * sin lat2 - sin lat1 * cos lat2 * cos dlon), normalized
+    to [0, 360) degrees; sector = theta DIV (360/nsect).  Cross-engine
+    exactness rests on snapping to the sector INTEGER before counting
+    (the engine-wide double discipline): a last-ulp trig difference
+    flips a sector only when a bearing sits exactly on a boundary —
+    and the reachable exact boundaries (due-north 0 via sin(0)=0,
+    due-south via atan2(+-0, x<0) = +-pi) are IEEE-mandated identical
+    in both engines.  The rad->deg conversion is the EXPLICIT
+    ``theta * 180.0 / pi`` op sequence on BOTH sides (never each
+    engine's degrees(): one multiplies by a precomputed 180/pi, the
+    other divides — a genuinely different rounding).  Scale shape:
+    ONE per-key window shuffle (the
+    same exchange every trajectory operator rides) + one (key, sector)
+    aggregate that partial-aggregates map-side; all expressions native
+    inside whole-stage codegen — no Python anywhere."""
+    if nsect < 1 or 360 % nsect != 0:
+        raise ValueError("need nsect >= 1 dividing 360")
+    d = _lagged(df, key, ts, order_col, lat, lon).where(
+        F.col("_plat").isNotNull())
+    la1, lo1 = F.radians("_plat"), F.radians("_plon")
+    la2, lo2 = F.radians(lat), F.radians(lon)
+    dl = lo2 - lo1
+    import math as _math
+
+    theta = F.atan2(
+        F.sin(dl) * F.cos(la2),
+        F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dl)
+    ) * F.lit(180.0) / F.lit(_math.pi)
+    norm = (theta % F.lit(360.0) + F.lit(360.0)) % F.lit(360.0)
+    width = 360 // nsect
+    sector = F.least(F.floor(norm / F.lit(float(width))).cast("long"),
+                     F.lit(nsect - 1))
+    return (d.select(F.col(key), sector.alias("sector"))
+            .groupBy(key, "sector").agg(F.count("*").alias("n_legs")))

@@ -699,3 +699,50 @@ def test_boilerplate_ngrams_known_counts(spark):
     assert out[11] == (0, 0)      # 1 token < n -> empty gram set
     # source B: df=2 >= ceil(0.5*2)=1 but nd=2 < min_docs -> unscreened
     assert out[12] == (2, 0) and out[13] == (2, 0)
+
+
+def test_pack_sequences_known_layout(spark):
+    # source A stream: 3 + 4 + 1 tokens, ctx=4 -> doc 2 straddles the
+    # first chunk boundary; source B packs independently; empty text
+    # tokenizes to one empty token (split('') -> [''] — the engine-wide
+    # q14/q100 tokenizer convention).
+    rows = [(1, "A", "a b c"), (2, "A", "d e f g"), (3, "A", "h"),
+            (4, "B", "x y z w"), (5, "B", "")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["start_tok"], r["chunk_first"],
+                         r["chunk_last"], r["split_doc"])
+           for r in textops.pack_sequences(df, ctx=4).collect()}
+    assert out == {1: (3, 0, 0, 0, False),
+                   2: (4, 3, 0, 1, True),
+                   3: (1, 7, 1, 1, False),
+                   4: (4, 0, 0, 0, False),
+                   5: (1, 4, 1, 1, False)}
+
+
+def test_pack_sequences_ctx1_splits_every_multitoken_doc(spark):
+    rows = [(1, "A", "a b c"), (2, "A", "d")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["split_doc"]
+           for r in textops.pack_sequences(df, ctx=1).collect()}
+    assert out == {1: True, 2: False}
+    with pytest.raises(ValueError):
+        textops.pack_sequences(df, ctx=0)
+
+
+def test_source_mixing_weights_exact_ppm(spark):
+    rows = [(i, "A", "t") for i in range(9)] + [(100 + i, "B", "t") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           textops.source_mixing_weights(df, alpha=0.5).collect()}
+    # sqrt(9)=3, sqrt(4)=2 exactly -> pow_micro 3e6 / 2e6, tp 5e6
+    assert (out["A"]["n_docs"], out["A"]["pow_micro"]) == (9, 3_000_000)
+    assert (out["B"]["n_docs"], out["B"]["pow_micro"]) == (4, 2_000_000)
+    assert out["A"]["weight_ppm"] == 600_000 and out["B"]["weight_ppm"] == 400_000
+    # tn = 13 -> floor(0.6*13) = 7, floor(0.4*13) = 5
+    assert out["A"]["docs_per_epoch"] == 7 and out["B"]["docs_per_epoch"] == 5
+    # alpha=1 (pow path) degenerates to natural frequency
+    nat = {r["source"]: r["weight_ppm"] for r in
+           textops.source_mixing_weights(df, alpha=1.0).collect()}
+    assert nat == {"A": 9_000_000 * 1_000_000 // 13_000_000,
+                   "B": 4_000_000 * 1_000_000 // 13_000_000}
+    assert sum(nat.values()) <= 1_000_000

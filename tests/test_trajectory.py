@@ -210,3 +210,49 @@ def test_geofence_transitions_enter_exit(spark):
                  for r in out)
     assert got == [(1, 1, "enter", fence_cell), (1, 3, "exit", "68")]
     assert all(r["ep"] in (100, 300) for r in out)
+
+
+def test_bearing_sectors_brute_force(spark):
+    import collections
+    import math
+
+    out = {(r["user_id"], r["sector"]): r["n_legs"]
+           for r in trajectory.bearing_sectors(_df(spark), nsect=8).collect()}
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    prev = {}
+    expect = collections.Counter()
+    for eid, u, t, la, lo in rows:
+        if u in prev:
+            pla, plo = prev[u]
+            la1, lo1 = pla / 180.0 * math.pi, plo / 180.0 * math.pi
+            la2, lo2 = la / 180.0 * math.pi, lo / 180.0 * math.pi
+            dl = lo2 - lo1
+            th = math.atan2(
+                math.sin(dl) * math.cos(la2),
+                math.cos(la1) * math.sin(la2)
+                - math.sin(la1) * math.cos(la2) * math.cos(dl)) * 180.0 / math.pi
+            norm = math.fmod(math.fmod(th, 360.0) + 360.0, 360.0)
+            expect[(u, min(int(math.floor(norm / 45.0)), 7))] += 1
+        prev[u] = (la, lo)
+    assert out == dict(expect)
+
+
+def test_bearing_sectors_cardinal_directions(spark):
+    # due north / back south for user 1; due east / back west along the
+    # equator for user 2 — the four IEEE-exact bearing boundaries
+    rows = [(0, 1, 0, 0.0, 0.0), (1, 1, 100, 10.0, 0.0),
+            (2, 1, 200, 0.0, 0.0),
+            (3, 2, 0, 0.0, 0.0), (4, 2, 100, 0.0, 10.0),
+            (5, 2, 200, 0.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    out = {(r["user_id"], r["sector"]): r["n_legs"]
+           for r in trajectory.bearing_sectors(df, nsect=8).collect()}
+    assert out == {(1, 0): 1, (1, 4): 1, (2, 2): 1, (2, 6): 1}
+
+
+def test_bearing_sectors_validates_nsect(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        trajectory.bearing_sectors(_df(spark), nsect=7)

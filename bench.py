@@ -101,6 +101,8 @@ def main() -> None:
         "q104_semdedup", "q105_morans_i", "q106_knn_graph",
         "q107_stream_decontaminate", "q108_geofence_transitions",
         "q109_quadkey_rollup", "q110_boilerplate_screen",
+        "q111_pack_sequences", "q112_mixing_weights",
+        "q113_bearing_sectors",
     ]
     from geotile import cache, textops
 

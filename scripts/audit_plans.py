@@ -438,6 +438,33 @@ def main() -> None:
         "third time; per-source doc counts attach as a |sources|-row "
         "broadcast"))
 
+    sections.append(summarize(
+        textops.pack_sequences(
+            docs_tbl.withColumn("source",
+                                (F.col("doc_id") % 7).cast("string")),
+            ctx=512),
+        "pack_sequences (q111): ONE per-source window shuffle carries the "
+        "running token offset; token count and both chunk indices are "
+        "native expressions (size/split, integer DIV) inside whole-stage "
+        "codegen — no second pass, no Python"))
+
+    sections.append(summarize(
+        textops.source_mixing_weights(
+            docs_tbl.withColumn("source",
+                                (F.col("doc_id") % 7).cast("string")),
+            alpha=0.5),
+        "source_mixing_weights (q112): one count aggregate (map-side "
+        "partials) collapses the corpus to a |sources|-row frame; the "
+        "corpus totals attach as a 1-row BROADCAST, every weight is "
+        "integer arithmetic on that micro-frame"))
+
+    sections.append(summarize(
+        trajectory.bearing_sectors(traj, nsect=8, ts="tts"),
+        "bearing_sectors (q113): the SAME single per-key window exchange "
+        "every trajectory operator rides (lag lat/lon), bearing + sector "
+        "all native trig expressions, then a (key, sector) aggregate that "
+        "partial-aggregates map-side — zero Python"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

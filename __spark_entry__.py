@@ -2316,6 +2316,33 @@ def _q113_bearing_sectors(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id", "sector"))
 
 
+def _q114_covisit_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """User co-visitation similarity (trajectory.covisit_jaccard):
+    exact integer-ppm Jaccard over each user's DISTINCT 2-char visited
+    cell set — inverted-index posting self-join with the df cap and
+    the min-shared filter BEFORE the size joins; the oracle replays
+    the closed-form geohash, the capped posting join, and the BIGINT
+    ppm division in DuckDB."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_positions_df(spark, sf), nchars=5)
+    out = trajectory.covisit_jaccard(pos, nchars=2, max_cell_users=1000,
+                                     min_shared=8)
+    return out.orderBy("a", "b")
+
+
+def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius of gyration per user (trajectory.radius_of_gyration):
+    RMS great-circle distance from the milli-degree-integer centroid,
+    distances floored to meters pre-square so every aggregate operand
+    is an exact int64 — the Gonzalez et al. 2008 mobility-range
+    statistic, cross-engine exact end to end."""
+    from geotile import trajectory
+
+    return (trajectory.radius_of_gyration(_positions_df(spark, sf))
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -2448,6 +2475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q91_stream_dedup": _q91_stream_dedup,
         "q92_stream_radius_join": _q92_stream_radius_join,
+        # Past the driver window by design (the window already holds
+        # every round-5 first-run query): exact local-oracle + pytest
+        # evidence via scripts/check_oracle.py.
+        "q114_covisit_jaccard": _q114_covisit_jaccard,
+        "q115_radius_gyration": _q115_radius_gyration,
     }
 
 
@@ -5347,6 +5379,59 @@ SELECT user_id,
 FROM b113
 GROUP BY 1, 2
 ORDER BY user_id, sector
+"""
+
+    # q114: co-visitation Jaccard — identical closed-form 2-char cells,
+    # capped posting self-join, BIGINT ppm division
+    sqls["q114_covisit_jaccard"] = f"""
+WITH {_POS_CTE},
+v114 AS (SELECT DISTINCT user_id AS k, substr({gh5}, 1, 2) AS cell FROM pos),
+sz114 AS (SELECT cell, count(*) AS _n FROM v114 GROUP BY cell),
+kept114 AS (
+  SELECT v.k, v.cell FROM v114 v JOIN sz114 s USING (cell) WHERE s._n <= 1000
+),
+nk114 AS (SELECT k, count(*) AS n_cells FROM kept114 GROUP BY k),
+p114 AS (
+  SELECT a.k AS a, b.k AS b, count(*) AS shared
+  FROM kept114 a JOIN kept114 b ON a.cell = b.cell AND a.k < b.k
+  GROUP BY 1, 2
+  HAVING count(*) >= 8
+)
+SELECT p.a, p.b, p.shared, na.n_cells AS n_a, nb.n_cells AS n_b,
+       (p.shared * 1000000) // (na.n_cells + nb.n_cells - p.shared) AS jac_ppm
+FROM p114 p
+JOIN nk114 na ON na.k = p.a
+JOIN nk114 nb ON nb.k = p.b
+ORDER BY a, b
+"""
+
+    # q115: radius of gyration — milli-degree integer centroid (exact
+    # int sums, two correctly-rounded double divisions), haversine
+    # floored to meters pre-square, floor(sqrt(sum/n)); DuckDB sum()
+    # widens to HUGEINT — cast through DOUBLE identically to Spark's
+    # long->double
+    _c115lat = "((CAST(c.slat AS DOUBLE) / CAST(c.n_fixes AS DOUBLE)) / 1000.0)"
+    _c115lon = "((CAST(c.slon AS DOUBLE) / CAST(c.n_fixes AS DOUBLE)) / 1000.0)"
+    _hav115 = hav.format(lat1=_c115lat, lon1=_c115lon, lat2="p.lat", lon2="p.lon")
+    sqls["q115_radius_gyration"] = f"""
+WITH {_POS_CTE},
+c115 AS (
+  SELECT user_id, count(*) AS n_fixes,
+         CAST(sum(CAST(floor(lat * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slat,
+         CAST(sum(CAST(floor(lon * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slon
+  FROM pos GROUP BY user_id
+),
+j115 AS (
+  SELECT p.user_id, c.n_fixes,
+         CAST(floor({_hav115}) AS BIGINT) AS d
+  FROM pos p JOIN c115 c USING (user_id)
+)
+SELECT user_id, n_fixes,
+       CAST(floor(sqrt(CAST(sum(d * d) AS DOUBLE) / CAST(n_fixes AS DOUBLE)))
+            AS BIGINT) AS rg_m
+FROM j115
+GROUP BY user_id, n_fixes
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

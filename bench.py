@@ -102,7 +102,8 @@ def main() -> None:
         "q107_stream_decontaminate", "q108_geofence_transitions",
         "q109_quadkey_rollup", "q110_boilerplate_screen",
         "q111_pack_sequences", "q112_mixing_weights",
-        "q113_bearing_sectors",
+        "q113_bearing_sectors", "q114_covisit_jaccard",
+        "q115_radius_gyration",
     ]
     from geotile import cache, textops
 

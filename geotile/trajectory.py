@@ -360,3 +360,108 @@ def bearing_sectors(df: DataFrame, nsect: int = 8,
                      F.lit(nsect - 1))
     return (d.select(F.col(key), sector.alias("sector"))
             .groupBy(key, "sector").agg(F.count("*").alias("n_legs")))
+
+
+def covisit_jaccard(df: DataFrame, nchars: int = 2,
+                    max_cell_users: int = 1000, min_shared: int = 2,
+                    key: str = "user_id",
+                    cell_col: str = "geohash") -> DataFrame:
+    """User-user co-visitation similarity: EXACT Jaccard over each
+    key's distinct visited cell-prefix set — the location-profile
+    analog of document MinHash (users as documents, visited cells as
+    tokens), the primitive behind friend-suggestion / same-household
+    detection over AddPos-style timelines.  Pairs sharing at least
+    ``min_shared`` cells are emitted as ``(a, b, shared, n_a, n_b,
+    jac_ppm)`` with a < b; ``jac_ppm`` is exact integer
+    parts-per-million (shared * 1e6 DIV union — no doubles anywhere).
+
+    Scale shape — the inverted-index / LSH-pairs discipline applied to
+    space: collapse to DISTINCT (key, cell) map-side (a key pinging
+    100x in one cell is one posting), DROP cells visited by more than
+    ``max_cell_users`` keys (an airport cell carries no similarity
+    signal and fans out quadratically — the df cap; dropped cells are
+    NOT silent: they ride on the result as the lazy
+    ``_geotile_dropped_cells_df``, same honesty trade as
+    colocation_pairs), posting-list self-join per cell, ONE (a, b)
+    count aggregate, and the ``min_shared`` filter runs BEFORE the
+    per-key set sizes attach by two slim key joins (the
+    filter-before-pair-shuffle rule).  Set sizes are computed over the
+    SAME capped visit table, so both Jaccard operands see identical
+    sets.  The visit table is persisted (it feeds the cap guard, both
+    join sides, and the size table); callers release via
+    ``geotile.cache.release``."""
+    from . import cache
+
+    v = (df.select(F.col(key).alias("k"),
+                   F.substring(F.col(cell_col), 1, nchars).alias("cell"))
+         .distinct().persist())
+    sizes = v.groupBy("cell").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_cell_users).select("cell")
+    kept = v.join(ok, ["cell"]).persist()
+    n_per_key = kept.groupBy("k").agg(F.count("*").alias("n_cells"))
+    pairs = (kept.select("cell", F.col("k").alias("a"))
+             .join(kept.select("cell", F.col("k").alias("b")), ["cell"])
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("shared"))
+             .where(F.col("shared") >= int(min_shared)))
+    out = (pairs
+           .join(n_per_key.select(F.col("k").alias("a"),
+                                  F.col("n_cells").alias("n_a")), "a")
+           .join(n_per_key.select(F.col("k").alias("b"),
+                                  F.col("n_cells").alias("n_b")), "b")
+           .select("a", "b", "shared", "n_a", "n_b",
+                   F.expr("shared * 1000000 DIV (n_a + n_b - shared)")
+                   .alias("jac_ppm")))
+    out = cache.track(out, [v, kept])
+    out._geotile_dropped_cells_df = sizes.where(  # type: ignore[attr-defined]
+        F.col("_n") > max_cell_users)
+    return out
+
+
+def radius_of_gyration(df: DataFrame, key: str = "user_id",
+                       lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Radius of gyration per key (Gonzalez/Hidalgo/Barabasi 2008): the
+    RMS great-circle distance of a key's fixes from their centroid —
+    THE standard mobility-range statistic (commuter vs traveler
+    separation, anomaly baselining).  Returns one row per key:
+    ``(key, n_fixes, rg_m)``.
+
+    Exactness discipline (the engine-wide double rule: snap to
+    integers before any order-dependent aggregate): the centroid is
+    the mean of milli-degree INTEGER snaps (floor(x*1000+0.5) — exact
+    int sums commute under any partial-agg order; the mean's two
+    double divisions are IEEE-correctly-rounded, identical in both
+    engines), each fix's haversine distance to it is floored to
+    integer METERS before squaring (d^2 <= 4e14 — no int64 overflow
+    even at antipodes; the SUM overflows int64 only past ~23k
+    antipodal-range fixes per key, where ANSI mode fails LOUD rather
+    than wrapping — pre-aggregate per (key, cell) or snap to
+    decameters upstream for such keys), and rg = floor(sqrt(sum/n)).
+    Scale shape: one
+    keyed centroid aggregate, one key join to re-attach centroids
+    (both sides hash on the key — co-partitioned under AQE), one keyed
+    final aggregate; haversine is the native column expression, zero
+    Python."""
+    from . import udfs
+
+    mlat = F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    mlon = F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    cent = (df.groupBy(key)
+            .agg(F.count("*").alias("n_fixes"),
+                 F.sum(mlat).alias("_slat"),
+                 F.sum(mlon).alias("_slon")))
+    clat = (F.col("_slat").cast("double") / F.col("n_fixes").cast("double")
+            ) / F.lit(1000.0)
+    clon = (F.col("_slon").cast("double") / F.col("n_fixes").cast("double")
+            ) / F.lit(1000.0)
+    j = df.select(F.col(key), F.col(lat), F.col(lon)).join(
+        cent.select(key, "n_fixes", clat.alias("_clat"),
+                    clon.alias("_clon")), key)
+    d = F.floor(udfs.haversine_col(
+        F.col("_clat"), F.col("_clon"), F.col(lat), F.col(lon))).cast("long")
+    return (j.select(F.col(key), F.col("n_fixes"), (d * d).alias("_d2"))
+            .groupBy(key, "n_fixes").agg(F.sum("_d2").alias("_s"))
+            .select(key, "n_fixes",
+                    F.floor(F.sqrt(F.col("_s").cast("double")
+                                   / F.col("n_fixes").cast("double")))
+                    .cast("long").alias("rg_m")))

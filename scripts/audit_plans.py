@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEYS = ("FileScan", "Exchange", "BroadcastHashJoin", "SortMergeJoin",
         "BroadcastNestedLoopJoin", "ArrowEvalPython", "FlatMapGroupsInPandas",
-        "HashAggregate", "Window", "Filter")
+        "HashAggregate", "Window", "Filter", "InMemoryTableScan")
 
 
 def summarize(df, title: str) -> str:
@@ -464,6 +464,32 @@ def main() -> None:
         "every trajectory operator rides (lag lat/lon), bearing + sector "
         "all native trig expressions, then a (key, sector) aggregate that "
         "partial-aggregates map-side — zero Python"))
+
+    # trivial-lineage input so the op counts show the OPERATOR's shape,
+    # not the audit fixture's upstream expressions
+    visits = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("user_id"),
+        F.concat(F.lit("g"), (F.col("id") % 300).cast("string"))
+        .alias("geohash"))
+    cj = trajectory.covisit_jaccard(visits, nchars=4, max_cell_users=100,
+                                    min_shared=2)
+    sections.append(summarize(
+        cj,
+        "covisit_jaccard (q114): DISTINCT (key, cell) collapse map-side "
+        "then persisted — the cap guard, both posting-join sides, and the "
+        "size table all read the ONE materialized visit frame at runtime "
+        "(EXPLAIN reprints the cached lineage under each reference, so "
+        "raw op counts here overstate the executed plan); df-capped "
+        "posting self-join (never all-pairs — fan-out per cell bounded "
+        "by the cap), min_shared filter BEFORE the two slim size-attach "
+        "joins"))
+    _cache.release(cj)
+
+    sections.append(summarize(
+        trajectory.radius_of_gyration(traj),
+        "radius_of_gyration (q115): one keyed centroid aggregate, one "
+        "same-key join to re-attach centroids, one keyed final aggregate — "
+        "haversine native, every aggregate operand an exact int64"))
 
     header = """# PLANS — audited physical plans for the core operators
 

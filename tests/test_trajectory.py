@@ -256,3 +256,69 @@ def test_bearing_sectors_validates_nsect(spark):
 
     with pytest.raises(ValueError):
         trajectory.bearing_sectors(_df(spark), nsect=7)
+
+
+def test_covisit_jaccard_known_sets(spark):
+    # kept visit sets after the df cap drops the ubiquitous 'zz' cell
+    # (df=3 > cap 2): u1 {aa,bb,cc}, u2 {bb,cc,dd}, u3 {aa}; only
+    # (1,2) reaches min_shared=2 -> jac = 2/(3+3-2) = 500000 ppm
+    rows = [(1, "aa"), (1, "aa"), (1, "bb"), (1, "cc"), (1, "zz"),
+            (2, "bb"), (2, "cc"), (2, "dd"), (2, "zz"),
+            (3, "aa"), (3, "zz")]
+    df = spark.createDataFrame(rows, "user_id long, geohash string")
+    out = trajectory.covisit_jaccard(df, nchars=2, max_cell_users=2,
+                                     min_shared=2)
+    got = [(r["a"], r["b"], r["shared"], r["n_a"], r["n_b"], r["jac_ppm"])
+           for r in out.collect()]
+    assert got == [(1, 2, 2, 3, 3, 500_000)]
+    dropped = [(r["cell"], r["_n"])
+               for r in out._geotile_dropped_cells_df.collect()]
+    assert dropped == [("zz", 3)]
+    from geotile import cache
+    cache.release(out)
+
+
+def test_covisit_jaccard_dedups_repeat_visits(spark):
+    # 100 pings in one shared cell are ONE posting each: shared=1,
+    # below min_shared=2 -> no pair
+    rows = [(1, "aa")] * 100 + [(2, "aa")] * 100
+    df = spark.createDataFrame(rows, "user_id long, geohash string")
+    out = trajectory.covisit_jaccard(df, nchars=2, max_cell_users=10,
+                                     min_shared=2)
+    assert out.count() == 0
+    from geotile import cache
+    cache.release(out)
+
+
+def test_radius_of_gyration_brute_force(spark):
+    import math
+
+    out = {r["user_id"]: (r["n_fixes"], r["rg_m"]) for r in
+           trajectory.radius_of_gyration(_df(spark)).collect()}
+    import collections
+    byu = collections.defaultdict(list)
+    for eid, u, t, la, lo in _traj_rows():
+        byu[u].append((la, lo))
+    expect = {}
+    for u, fixes in byu.items():
+        n = len(fixes)
+        slat = sum(math.floor(la * 1000.0 + 0.5) for la, lo in fixes)
+        slon = sum(math.floor(lo * 1000.0 + 0.5) for la, lo in fixes)
+        clat = (slat / n) / 1000.0
+        clon = (slon / n) / 1000.0
+        s = 0
+        for la, lo in fixes:
+            d = math.floor(float(gh.haversine_m(
+                np.array([clat]), np.array([clon]),
+                np.array([la]), np.array([lo]))[0]))
+            s += d * d
+        expect[u] = (n, math.floor(math.sqrt(s / n)))
+    assert out == expect
+
+
+def test_radius_of_gyration_single_fix_is_zero(spark):
+    df = spark.createDataFrame([(0, 7, 0, 12.345, -67.89)],
+                               "event_id long, user_id long, ep long, "
+                               "lat double, lon double")
+    out = trajectory.radius_of_gyration(df).collect()
+    assert [(r["user_id"], r["n_fixes"], r["rg_m"]) for r in out] == [(7, 1, 0)]

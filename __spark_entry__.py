@@ -2331,6 +2331,18 @@ def _q114_covisit_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("a", "b")
 
 
+def _q116_visit_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user location entropy (trajectory.visit_entropy): Shannon
+    entropy of the 2-char visited-cell frequency distribution in exact
+    integer nano-bits — the q84 char-entropy discipline applied to
+    mobility (Song et al. 2010 random entropy); the oracle replays the
+    closed-form cells, the count chain, and floor(p*log2(p)*1e9)."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_positions_df(spark, sf), nchars=5)
+    return trajectory.visit_entropy(pos, nchars=2).orderBy("user_id")
+
+
 def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
     """Radius of gyration per user (trajectory.radius_of_gyration):
     RMS great-circle distance from the milli-degree-integer centroid,
@@ -2346,21 +2358,23 @@ def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
-    # rotation: ALL seventeen round-5 additions (q97-q113, never
-    # driver-verified before) sit inside the window, padded with 33 of
+    # rotation: ALL twenty round-5 additions (q97-q116, never
+    # driver-verified before) sit inside the window, padded with 30 of
     # the 44 q5-q50 entries whose newest driver rows were r03.  The
-    # eleven pushed past the window to make room — q23/q24/q27/q29/
+    # fourteen pushed past the window to make room — q23/q24/q27/q29/
     # q30/q37/q39-q42 (compat-kernel queries with byte-exact
-    # FIXTURES.md golden-vector pytest coverage) plus q11/q34/q36
+    # FIXTURES.md golden-vector pytest coverage), q11/q34/q36
     # (s2 / multimodal / hex queries whose kernels carry dedicated
-    # pytest suites) — lose the least from a stale row.  Net: r05
-    # covers q5-q50\{q11,q23,q24,q27,q29,q30,q34,q36,q37,q39..q42} +
-    # q97-q113; r04 covers q1-q4 + q51-q96; r03 covers the thirteen
-    # pushed out (all untouched since and pinned by pytest + the local
-    # exact oracle).  The trailing block keeps cheap batch queries
-    # before the costlier run-to-completion streaming gates (q107, the
-    # one streaming gate needing a first-ever driver row, closes the
-    # window).
+    # pytest suites), and q18/q25/q49 (verify-kernel / LWW-upsert /
+    # hash-split queries each pinned by dedicated pytest and semantics
+    # shared with in-window q43/q2/q75) — lose the least from a stale
+    # row.  Net: r05 covers q5-q50\{q11,q18,q23..q25,q27,q29,q30,q34,
+    # q36,q37,q39..q42,q49} + q97-q116; r04 covers q1-q4 + q51-q96;
+    # r03 covers the sixteen pushed out (all untouched since and
+    # pinned by pytest + the local exact oracle).  The trailing block
+    # keeps cheap batch queries before the costlier run-to-completion
+    # streaming gates (q107, the one streaming gate needing a
+    # first-ever driver row, closes the window).
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
@@ -2374,12 +2388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_lang_id": _q15_langid,
         "q16_minhash_lsh_pairs": _q16_minhash,
         "q17_simhash_pairs": _q17_simhash,
-        "q18_ngram_jaccard": _q18_ngram_jaccard,
         "q19_embed_topk": _q19_embed_topk,
         "q20_lsh_ann_topk": _q20_lsh_ann,
         "q21_radius_join": _q21_radius_join,
         "q22_raster_vector_join": _q22_raster,
-        "q25_upsert_lww": _q25_upsert,
         "q26_rollup_agg": _q26_rollup,
         "q28_semi_join": _q28_semijoin,
         "q31_asof_window": _q31_asof,
@@ -2393,7 +2405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_range_join": _q46_range_join,
         "q47_kmv_distinct": _q47_kmv_distinct,
         "q48_cosine_near_dup": _q48_cosine_near_dup,
-        "q49_deterministic_sample": _q49_deterministic_sample,
         "q50_top_tokens": _q50_top_tokens,
         "q97_crossface_hex_disk": _q97_crossface_hex_disk,
         "q98_triangle_counts_skew": _q98_triangle_counts_skew,
@@ -2411,12 +2422,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_pack_sequences": _q111_pack_sequences,
         "q112_mixing_weights": _q112_mixing_weights,
         "q113_bearing_sectors": _q113_bearing_sectors,
+        "q114_covisit_jaccard": _q114_covisit_jaccard,
+        "q115_radius_gyration": _q115_radius_gyration,
+        "q116_visit_entropy": _q116_visit_entropy,
         "q107_stream_decontaminate": _q107_stream_decontaminate,
         "q11_s2_cells": _q11_s2,
         "q23_pool_state": _q23_pool_state,
         "q24_compat_cell_counts": _q24_compat_cells,
         "q27_set_ops": _q27_setops,
         "q29_pivot": _q29_pivot,
+        "q18_ngram_jaccard": _q18_ngram_jaccard,
+        "q25_upsert_lww": _q25_upsert,
+        "q49_deterministic_sample": _q49_deterministic_sample,
         "q30_compat_json_sink": _q30_compat_json,
         "q37_decode_bounds": _q37_decode,
         "q39_compat_neighbors": _q39_compat_neighbors,
@@ -2475,11 +2492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q91_stream_dedup": _q91_stream_dedup,
         "q92_stream_radius_join": _q92_stream_radius_join,
-        # Past the driver window by design (the window already holds
-        # every round-5 first-run query): exact local-oracle + pytest
-        # evidence via scripts/check_oracle.py.
-        "q114_covisit_jaccard": _q114_covisit_jaccard,
-        "q115_radius_gyration": _q115_radius_gyration,
     }
 
 
@@ -5431,6 +5443,29 @@ SELECT user_id, n_fixes,
             AS BIGINT) AS rg_m
 FROM j115
 GROUP BY user_id, n_fixes
+ORDER BY user_id
+"""
+
+    # q116: visit entropy — the q84 nano-bit floor discipline over the
+    # closed-form 2-char cells; BIGINT/BIGINT '/' is double division in
+    # BOTH engines, log2 the q84-established builtin pair
+    sqls["q116_visit_entropy"] = f"""
+WITH {_POS_CTE},
+v116 AS (SELECT user_id, substr({gh5}, 1, 2) AS cell FROM pos),
+c116 AS (SELECT user_id, cell, count(*) AS c FROM v116 GROUP BY 1, 2),
+t116 AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_fixes, count(*) AS n_cells
+  FROM c116 GROUP BY user_id
+),
+terms116 AS (
+  SELECT c.user_id, t.n_fixes, t.n_cells,
+         CAST(floor(((c.c / t.n_fixes) * log2(c.c / t.n_fixes))
+              * 1000000000.0) AS BIGINT) AS term
+  FROM c116 c JOIN t116 t USING (user_id)
+)
+SELECT user_id, n_fixes, n_cells, CAST(-sum(term) AS BIGINT) AS ent_nano
+FROM terms116
+GROUP BY user_id, n_fixes, n_cells
 ORDER BY user_id
 """
 

@@ -103,7 +103,7 @@ def main() -> None:
         "q109_quadkey_rollup", "q110_boilerplate_screen",
         "q111_pack_sequences", "q112_mixing_weights",
         "q113_bearing_sectors", "q114_covisit_jaccard",
-        "q115_radius_gyration",
+        "q115_radius_gyration", "q116_visit_entropy",
     ]
     from geotile import cache, textops
 

@@ -465,3 +465,36 @@ def radius_of_gyration(df: DataFrame, key: str = "user_id",
                     F.floor(F.sqrt(F.col("_s").cast("double")
                                    / F.col("n_fixes").cast("double")))
                     .cast("long").alias("rg_m")))
+
+
+def visit_entropy(df: DataFrame, nchars: int = 2, key: str = "user_id",
+                  cell_col: str = "geohash") -> DataFrame:
+    """Per-key location entropy (the random-entropy term of Song et
+    al. 2010, "Limits of Predictability in Human Mobility"): Shannon
+    entropy of the key's visit-frequency distribution over cell
+    prefixes, in exact integer NANO-BITS — ``ent_nano = -sum_cell
+    floor(p * log2(p) * 1e9)`` — the mobility-diversity screen
+    (commuter vs explorer separation, bot detection) that pairs with
+    :func:`radius_of_gyration`'s spatial range.  Returns one row per
+    key: ``(key, n_fixes, n_cells, ent_nano)``.
+
+    Exactness and scale shape mirror textops.char_entropy: the
+    (key, cell) count partial-aggregates map-side so the first shuffle
+    operand is key x distinct-cells (tiny next to the fix log); totals
+    ride a second keyed aggregate over that collapsed frame and
+    re-attach by a slim same-key join; each cell's nano-bit term
+    floors to an integer BEFORE the final sum, making the result
+    independent of partial-aggregation order and engine-exact (a raw
+    double entropy sum varies in the last ulp with the add order)."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    cnts = (df.select(F.col(key), cell.alias("_cell"))
+            .groupBy(key, "_cell").agg(F.count("*").alias("c")))
+    tot = cnts.groupBy(key).agg(F.sum("c").alias("n_fixes"),
+                                F.count("*").alias("n_cells"))
+    j = cnts.join(tot, key)
+    p = F.col("c") / F.col("n_fixes")
+    term = F.floor(p * F.log2(p) * F.lit(1000000000.0)).cast("long")
+    return (j.select(F.col(key), F.col("n_fixes"), F.col("n_cells"),
+                     term.alias("_t"))
+            .groupBy(key, "n_fixes", "n_cells")
+            .agg((-F.sum("_t")).cast("long").alias("ent_nano")))

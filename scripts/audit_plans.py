@@ -491,6 +491,13 @@ def main() -> None:
         "same-key join to re-attach centroids, one keyed final aggregate — "
         "haversine native, every aggregate operand an exact int64"))
 
+    sections.append(summarize(
+        trajectory.visit_entropy(visits, nchars=4),
+        "visit_entropy (q116): the (key, cell) count partial-aggregates "
+        "map-side (first shuffle operand = key x distinct-cells, not the "
+        "fix log); totals re-attach by a slim same-key join; nano-bit "
+        "terms floor to ints before the order-independent final sum"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -746,3 +746,27 @@ def test_source_mixing_weights_exact_ppm(spark):
     assert nat == {"A": 9_000_000 * 1_000_000 // 13_000_000,
                    "B": 4_000_000 * 1_000_000 // 13_000_000}
     assert sum(nat.values()) <= 1_000_000
+
+
+def test_pack_sequences_conservation(docs):
+    # chunk accounting over the real corpus: per source the stream is
+    # gapless (max(start_tok + n_tokens) == sum(n_tokens)), chunk
+    # indices are consistent with the offsets, and split_doc is
+    # exactly "spans a boundary"
+    out = textops.pack_sequences(docs, ctx=256).collect()
+    import collections
+    per = collections.defaultdict(list)
+    for r in out:
+        per[r["source"]].append(r)
+        assert r["chunk_first"] == r["start_tok"] // 256
+        end = r["start_tok"] + max(r["n_tokens"] - 1, 0)
+        assert r["chunk_last"] == end // 256
+        assert r["split_doc"] == (r["chunk_last"] > r["chunk_first"])
+    for rows in per.values():
+        total = sum(r["n_tokens"] for r in rows)
+        assert max(r["start_tok"] + r["n_tokens"] for r in rows) == total
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rows:
+            assert r["start_tok"] == run
+            run += r["n_tokens"]

@@ -322,3 +322,31 @@ def test_radius_of_gyration_single_fix_is_zero(spark):
                                "lat double, lon double")
     out = trajectory.radius_of_gyration(df).collect()
     assert [(r["user_id"], r["n_fixes"], r["rg_m"]) for r in out] == [(7, 1, 0)]
+
+
+def test_visit_entropy_known_distributions(spark):
+    import math
+
+    # u1: 2+2 fixes over two cells -> exactly 1 bit; u2: single cell
+    # -> 0; u3: 3/1 split -> the floored 0.811-bit sum
+    rows = [(1, "aa"), (1, "aa"), (1, "bb"), (1, "bb"),
+            (2, "cc"),
+            (3, "aa"), (3, "aa"), (3, "aa"), (3, "bb")]
+    df = spark.createDataFrame(rows, "user_id long, geohash string")
+    out = {r["user_id"]: (r["n_fixes"], r["n_cells"], r["ent_nano"])
+           for r in trajectory.visit_entropy(df, nchars=2).collect()}
+    exp3 = -(math.floor(0.75 * math.log2(0.75) * 1e9)
+             + math.floor(0.25 * math.log2(0.25) * 1e9))
+    assert out == {1: (4, 2, 1_000_000_000), 2: (1, 1, 0), 3: (4, 2, exp3)}
+
+
+def test_visit_entropy_bounds(spark):
+    import math
+
+    # 0 <= H <= log2(n_cells) (+1 nano-bit per cell of floor slack)
+    out = trajectory.visit_entropy(
+        engine.with_cell(_df(spark), nchars=5), nchars=4).collect()
+    assert out
+    for r in out:
+        hi = math.log2(r["n_cells"]) * 1e9 + r["n_cells"]
+        assert 0 <= r["ent_nano"] <= hi

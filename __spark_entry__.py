@@ -2343,6 +2343,36 @@ def _q116_visit_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.visit_entropy(pos, nchars=2).orderBy("user_id")
 
 
+def _q118_getis_ord(spark: SparkSession, sf: str) -> DataFrame:
+    """Getis-Ord Gi* local hotspot z-scores (engine.getis_ord) over
+    the q102 lattice — the per-cell significance statistic completing
+    the smoothing (q102) / global-autocorrelation (q105) chain:
+    exact BIGINT building blocks (scaled numerator, N^2-variance,
+    weight term), micro-unit z-score from ONE fixed-shape double
+    expression, structural weights 9/6 (polar rows lose 3 neighbors,
+    longitude wraps).  The oracle replays the lattice, ring, moment,
+    and quotient chains with the identical op tree."""
+    from geotile import cache
+
+    out = engine.getis_ord(_positions_df(spark, sf))
+    return cache.track(out.orderBy("i", "j"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q117_anchor_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Home/work anchor inference (trajectory.anchor_cells) over the
+    hub walk: per user the most-visited 4-char cell in the night
+    [0,6) and working [9,17) UTC-hour windows with visit counts —
+    pure integer hour arithmetic (ep % 86400 DIV 3600), lexicographic
+    tie-break, ('', 0) sentinels for a missing side.  The oracle
+    replays the closed-form geohash, the (key, part, cell) count
+    chain, and the identical ROW_NUMBER argmax + conditional pivot."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf), nchars=5)
+    return trajectory.anchor_cells(pos, nchars=4).orderBy("user_id")
+
+
 def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
     """Radius of gyration per user (trajectory.radius_of_gyration):
     RMS great-circle distance from the milli-degree-integer centroid,
@@ -2358,23 +2388,27 @@ def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
-    # rotation: ALL twenty round-5 additions (q97-q116, never
-    # driver-verified before) sit inside the window, padded with 30 of
+    # rotation: ALL twenty-two round-5 additions (q97-q118, never
+    # driver-verified before) sit inside the window, padded with 28 of
     # the 44 q5-q50 entries whose newest driver rows were r03.  The
-    # fourteen pushed past the window to make room — q23/q24/q27/q29/
+    # sixteen pushed past the window to make room — q23/q24/q27/q29/
     # q30/q37/q39-q42 (compat-kernel queries with byte-exact
     # FIXTURES.md golden-vector pytest coverage), q11/q34/q36
     # (s2 / multimodal / hex queries whose kernels carry dedicated
-    # pytest suites), and q18/q25/q49 (verify-kernel / LWW-upsert /
+    # pytest suites), q18/q25/q49 (verify-kernel / LWW-upsert /
     # hash-split queries each pinned by dedicated pytest and semantics
-    # shared with in-window q43/q2/q75) — lose the least from a stale
-    # row.  Net: r05 covers q5-q50\{q11,q18,q23..q25,q27,q29,q30,q34,
-    # q36,q37,q39..q42,q49} + q97-q116; r04 covers q1-q4 + q51-q96;
-    # r03 covers the sixteen pushed out (all untouched since and
-    # pinned by pytest + the local exact oracle).  The trailing block
-    # keeps cheap batch queries before the costlier run-to-completion
-    # streaming gates (q107, the one streaming gate needing a
-    # first-ever driver row, closes the window).
+    # shared with in-window q43/q2/q75), q44 (sessionize — its
+    # engine.sessionize kernel also drives the q57 streaming gate,
+    # driver-green in r04), and q47 (KMV sketch — same sketch kernel
+    # as q74_kmv_merge, driver-green in r04, plus dedicated pytest) —
+    # lose the least from a stale row.  Net: r05 covers
+    # q5-q50\{q11,q18,q23..q25,q27,q29,q30,q34,q36,q37,q39..q42,q44,
+    # q47,q49} + q97-q118; r04 covers q1-q4 + q51-q96; r03 covers the
+    # eighteen pushed out (all untouched since and pinned by pytest +
+    # the local exact oracle).  The trailing block keeps cheap batch
+    # queries before the costlier run-to-completion streaming gates
+    # (q107, the one streaming gate needing a first-ever driver row,
+    # closes the window).
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
@@ -2400,10 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ivf_ann_topk": _q35_ivf,
         "q38_knn_join_bulk": _q38_knn_bulk,
         "q43_dedup_verified": _q43_dedup_verified,
-        "q44_sessionize": _q44_sessionize,
         "q45_percentiles": _q45_percentiles,
         "q46_range_join": _q46_range_join,
-        "q47_kmv_distinct": _q47_kmv_distinct,
         "q48_cosine_near_dup": _q48_cosine_near_dup,
         "q50_top_tokens": _q50_top_tokens,
         "q97_crossface_hex_disk": _q97_crossface_hex_disk,
@@ -2425,6 +2457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_covisit_jaccard": _q114_covisit_jaccard,
         "q115_radius_gyration": _q115_radius_gyration,
         "q116_visit_entropy": _q116_visit_entropy,
+        "q117_anchor_cells": _q117_anchor_cells,
+        "q118_getis_ord": _q118_getis_ord,
         "q107_stream_decontaminate": _q107_stream_decontaminate,
         "q11_s2_cells": _q11_s2,
         "q23_pool_state": _q23_pool_state,
@@ -2433,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_pivot": _q29_pivot,
         "q18_ngram_jaccard": _q18_ngram_jaccard,
         "q25_upsert_lww": _q25_upsert,
+        "q44_sessionize": _q44_sessionize,
+        "q47_kmv_distinct": _q47_kmv_distinct,
         "q49_deterministic_sample": _q49_deterministic_sample,
         "q30_compat_json_sink": _q30_compat_json,
         "q37_decode_bounds": _q37_decode,
@@ -5467,6 +5503,84 @@ SELECT user_id, n_fixes, n_cells, CAST(-sum(term) AS BIGINT) AS ent_nano
 FROM terms116
 GROUP BY user_id, n_fixes, n_cells
 ORDER BY user_id
+"""
+
+    # q117: home/work anchors — integer UTC hours over POSITIVE epochs
+    # ('%' agrees cross-engine only for non-negative operands), the
+    # same ROW_NUMBER argmax both sides, '' / 0 sentinels so the gate's
+    # pandas fetch never sees a nullable column
+    _wgh117 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q117_anchor_cells"] = f"""
+WITH {_WALK_CTE},
+v117 AS (
+  SELECT user_id, {_wgh117} AS cell,
+         CASE WHEN (ep % 86400) // 3600 >= 0 AND (ep % 86400) // 3600 < 6
+              THEN 'home'
+              WHEN (ep % 86400) // 3600 >= 9 AND (ep % 86400) // 3600 < 17
+              THEN 'work' END AS p
+  FROM walk
+),
+c117 AS (
+  SELECT user_id, p, cell, count(*) AS n
+  FROM v117 WHERE p IS NOT NULL GROUP BY 1, 2, 3
+),
+r117 AS (
+  SELECT user_id, p, cell, n,
+         row_number() OVER (PARTITION BY user_id, p
+                            ORDER BY n DESC, cell ASC) AS rn
+  FROM c117
+)
+SELECT user_id,
+       COALESCE(max(CASE WHEN p = 'home' THEN cell END), '') AS home_cell,
+       CAST(COALESCE(max(CASE WHEN p = 'home' THEN n END), 0) AS BIGINT) AS home_n,
+       COALESCE(max(CASE WHEN p = 'work' THEN cell END), '') AS work_cell,
+       CAST(COALESCE(max(CASE WHEN p = 'work' THEN n END), 0) AS BIGINT) AS work_n
+FROM r117 WHERE rn = 1
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+    # q118: Getis-Ord Gi* — q102's lattice/ring CTEs + exact BIGINT
+    # moments; the micro z-score's double op tree (cast, *, /, sqrt,
+    # floor) is IDENTICAL on both sides; N = 8192 lattice cells
+    _m118a = _d.format(repr(64 / 180.0))
+    _m118o = _d.format(repr(128 / 360.0))
+    _num118 = "8192 * (b.n + b.n_ring) - b.w * b.s_pts"
+    sqls["q118_getis_ord"] = f"""
+WITH {_POS_CTE},
+c118 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m118a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m118o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+o118(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+r118 AS (
+  SELECT c.i + o.di AS ti, ((c.j + o.dj) % 128 + 128) % 128 AS tj,
+         CAST(sum(c.n) AS BIGINT) AS n_ring
+  FROM c118 c CROSS JOIN o118 o
+  WHERE c.i + o.di BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+s118 AS (SELECT CAST(sum(n) AS BIGINT) AS s_pts,
+                CAST(sum(n * n) AS BIGINT) AS ss FROM c118),
+b118 AS (
+  SELECT c.i, c.j, CAST(c.n AS BIGINT) AS n, COALESCE(r.n_ring, 0) AS n_ring,
+         CAST(CASE WHEN c.i > 0 AND c.i < 63 THEN 9 ELSE 6 END AS BIGINT) AS w,
+         s.s_pts, s.ss
+  FROM c118 c LEFT JOIN r118 r ON r.ti = c.i AND r.tj = c.j
+  CROSS JOIN s118 s
+)
+SELECT b.i, b.j, b.n, b.n_ring, b.w,
+       CAST({_num118} AS BIGINT) AS num,
+       CASE WHEN (8192 * b.ss - b.s_pts * b.s_pts) > 0 THEN
+         CAST(floor(1000000.0 * (CAST({_num118} AS DOUBLE)
+              / sqrt((CAST(8192 * b.ss - b.s_pts * b.s_pts AS DOUBLE)
+                      * CAST(8192 * b.w - b.w * b.w AS DOUBLE)) / 8191.0)))
+              AS BIGINT)
+       ELSE 0 END AS gi_micro
+FROM b118 b
+ORDER BY b.i, b.j
 """
 
     # Every queries() entry above has an exact oracle — including the

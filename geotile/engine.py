@@ -1261,6 +1261,62 @@ def morans_i(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return cache.track(out, [cells])
 
 
+def getis_ord(df: DataFrame, lat: str = "lat", lon: str = "lon",
+              lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot z-scores over the integer lattice —
+    the per-cell SIGNIFICANCE statistic completing the q102/q105
+    spatial-stats chain (smoothing tells you the ring sum, Moran's I
+    whether the corpus clusters at all; Gi* says WHICH cells are
+    hotspots and how strongly): for each occupied cell, the z-score of
+    its self-plus-8-ring count sum against the all-lattice mean, with
+    binary weights over the structural neighborhood (self + ring;
+    longitude wraps across the antimeridian, so ``w = 9`` interior and
+    ``6`` on the two polar rows, where 3 neighbors fall off the
+    lattice).  Empty lattice cells carry x = 0 — they contribute
+    nothing to any ring sum but DO count in N and in the mean, exactly
+    as Getis & Ord 1992 defines the statistic; only occupied cells are
+    EMITTED (an empty cell's own Gi* is derivable but all-noise).
+
+    Exactness: with N = 2^(lat_bits+lon_bits) lattice cells, S total
+    points and SS the sum of squared cell counts, every building block
+    is an exact BIGINT — ``num = N*(n + n_ring) - w*S`` (the numerator
+    scaled by N), ``A = N*SS - S^2`` (N^2 * variance), ``B = N*w -
+    w^2`` — and ``Gi* = num / sqrt(A*B/(N-1))`` exactly (the N's
+    cancel), derived as ``gi_micro = floor(1e6 * ...)`` in ONE
+    fixed-shape double expression mirrored in the oracle; 0 when A = 0
+    (constant lattice).  ANSI bound: N*SS needs SS < ~1.1e15 — fine to
+    ~3e7 points in ONE cell / far more spread out; switch the moments
+    to doubles beyond, where exactness stops mattering.
+
+    Scale shape: inherits :func:`cell_density_smooth` (points touched
+    once, every later shuffle moves occupied-CELL frames bounded by
+    N); the corpus moments attach as a 1-row broadcast.  Returns
+    ``(i, j, n, n_ring, w, num, gi_micro)``, NULL-free."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    nlat = ni * nj
+    base = cell_density_smooth(df, lat, lon, lat_bits, lon_bits).persist()
+    st = base.agg(F.sum("n").alias("s_pts"),
+                  F.sum(F.col("n") * F.col("n")).alias("ss"))
+    w = (F.when((F.col("i") > 0) & (F.col("i") < ni - 1), F.lit(9))
+         .otherwise(F.lit(6))).cast("long")
+    big_n = F.lit(nlat).cast("long")
+    jn = base.crossJoin(F.broadcast(st)).withColumn("w", w)
+    num = big_n * (F.col("n") + F.col("n_ring")) - F.col("w") * F.col("s_pts")
+    aa = big_n * F.col("ss") - F.col("s_pts") * F.col("s_pts")
+    bb = big_n * F.col("w") - F.col("w") * F.col("w")
+    gi = (F.when(aa > 0,
+                 F.floor(F.lit(1000000.0)
+                         * (num.cast("double")
+                            / F.sqrt((aa.cast("double") * bb.cast("double"))
+                                     / F.lit(float(nlat - 1))))))
+          .otherwise(F.lit(0))).cast("long")
+    out = jn.select("i", "j", "n", "n_ring", "w",
+                    num.alias("num"), gi.alias("gi_micro"))
+    return cache.track(out, [base] + getattr(base, "_geotile_persisted", []))
+
+
 def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
                            key_col: str = "event_id",
                            cell_col: str = "geohash",

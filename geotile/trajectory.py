@@ -467,6 +467,51 @@ def radius_of_gyration(df: DataFrame, key: str = "user_id",
                     .cast("long").alias("rg_m")))
 
 
+def anchor_cells(df: DataFrame, nchars: int = 4, key: str = "user_id",
+                 ts: str = "ep", cell_col: str = "geohash",
+                 night: "tuple[int, int]" = (0, 6),
+                 work: "tuple[int, int]" = (9, 17)) -> DataFrame:
+    """Home/work anchor inference — the classic two-anchor reduction
+    of an AddPos timeline (mapinfo.cpp:151-215 stores the raw log;
+    this answers "where does the key LIVE / WORK"): per key, the most-
+    visited ``nchars``-prefix cell during night hours is ``home`` and
+    during working hours is ``work``, with visit counts.  Ties break
+    to the lexicographically smallest cell; keys with fixes in neither
+    window drop; a missing side carries ``('', 0)`` sentinels rather
+    than NULLs (the oracle gate's pandas fetch turns nullable columns
+    into NaN — dtype-mismatch).  Hours are pure integer UTC arithmetic
+    ``(ep % 86400) DIV 3600`` on POSITIVE epochs (no timezone/calendar
+    builtins — identical in any engine); half-open ranges
+    ``[night), [work)``.
+
+    Scale shape: the fix log is touched once by a (key, daypart, cell)
+    count that partial-aggregates map-side, so the window shuffle
+    operand is the collapsed count frame (key x 2 x distinct-cells),
+    not the log; the argmax is one row_number window; the two-column
+    pivot is a second keyed aggregate of the ≤2-rows-per-key winners.
+    Returns ``(key, home_cell, home_n, work_cell, work_n)``."""
+    hour = F.expr(f"({ts} % 86400) DIV 3600")
+    part = (F.when((hour >= night[0]) & (hour < night[1]), F.lit("home"))
+            .when((hour >= work[0]) & (hour < work[1]), F.lit("work")))
+    c = (df.select(F.col(key), part.alias("_p"),
+                   F.substring(F.col(cell_col), 1, nchars).alias("_cell"))
+         .where(F.col("_p").isNotNull())
+         .groupBy(key, "_p", "_cell").agg(F.count("*").alias("n")))
+    w = Window.partitionBy(key, "_p").orderBy(F.col("n").desc(),
+                                              F.col("_cell").asc())
+    top = c.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    side = {p: (F.max(F.when(F.col("_p") == p, F.col("_cell"))),
+                F.max(F.when(F.col("_p") == p, F.col("n"))))
+            for p in ("home", "work")}
+    return (top.groupBy(key)
+            .agg(F.coalesce(side["home"][0], F.lit("")).alias("home_cell"),
+                 F.coalesce(side["home"][1],
+                            F.lit(0).cast("long")).alias("home_n"),
+                 F.coalesce(side["work"][0], F.lit("")).alias("work_cell"),
+                 F.coalesce(side["work"][1],
+                            F.lit(0).cast("long")).alias("work_n")))
+
+
 def visit_entropy(df: DataFrame, nchars: int = 2, key: str = "user_id",
                   cell_col: str = "geohash") -> DataFrame:
     """Per-key location entropy (the random-entropy term of Song et

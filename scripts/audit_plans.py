@@ -498,6 +498,24 @@ def main() -> None:
         "fix log); totals re-attach by a slim same-key join; nano-bit "
         "terms floor to ints before the order-independent final sum"))
 
+    sections.append(summarize(
+        trajectory.anchor_cells(
+            visits.withColumn("ep", (F.col("user_id") * 7919) % 86400),
+            nchars=4),
+        "anchor_cells (q117): the fix log is touched once by a "
+        "(key, daypart, cell) count that partial-aggregates map-side; "
+        "the row_number argmax and the two-column pivot shuffle only "
+        "the collapsed count frame"))
+
+    go = engine.getis_ord(points.select("lat", "lon"))
+    sections.append(summarize(
+        go,
+        "getis_ord (q118): inherits cell_density_smooth's shape — points "
+        "touched once by the lattice count, every later shuffle moves "
+        "occupied-cell frames bounded by 2^13; the corpus moments attach "
+        "as a 1-row broadcast"))
+    _cache.release(go)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -822,3 +822,46 @@ def test_with_quadkey_matches_kernel(spark):
         w4 = "".join(str(((int(y4[i]) >> s) & 1) * 2 + ((int(x4[i]) >> s) & 1))
                      for s in range(3, -1, -1))
         assert got[i][:4] == w4
+
+
+def test_getis_ord_brute_force(spark):
+    import math
+    from collections import Counter
+
+    # a 6-point hotspot, scattered singles, and a polar-row (i=0) cell
+    pts = ([(10.37, 20.41)] * 4 + [(10.38, 20.40), (10.36, 20.42)]
+           + [(12.9, 20.41), (10.37, 23.2), (-45.3, -170.9),
+              (-89.4, 5.7), (-89.2, 8.9), (55.1, 179.9), (55.2, -179.8)])
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts],
+                               "lat double, lon double")
+    out = {(r["i"], r["j"]): r for r in engine.getis_ord(df).collect()}
+
+    cells = Counter()
+    for la, lo in pts:
+        i = min(max(math.floor((la + 90.0) * (64 / 180.0)), 0), 63)
+        j = min(max(math.floor((lo + 180.0) * (128 / 360.0)), 0), 127)
+        cells[(i, j)] += 1
+    assert set(out) == set(cells)
+    N, S = 8192, sum(cells.values())
+    SS = sum(v * v for v in cells.values())
+    A = N * SS - S * S
+    gis = {}
+    for (i, j), n in cells.items():
+        ring = sum(cells.get((i + di, (j + dj) % 128), 0)
+                   for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                   if not (di == 0 and dj == 0) and 0 <= i + di <= 63)
+        w = 9 if 0 < i < 63 else 6
+        num = N * (n + ring) - w * S
+        B = N * w - w * w
+        gi = (math.floor(1000000.0 * (float(num)
+                                      / math.sqrt((float(A) * float(B))
+                                                  / 8191.0)))
+              if A > 0 else 0)
+        gis[(i, j)] = gi
+        r = out[(i, j)]
+        assert (r["n"], r["n_ring"], r["w"], r["num"], r["gi_micro"]) \
+            == (n, ring, w, num, gi)
+    # the statistic separates: the hotspot is the max, isolated singles
+    # sit below it, and at least one polar cell exercised w = 6
+    assert gis[max(cells, key=cells.get)] == max(gis.values())
+    assert any(r["w"] == 6 for r in out.values())

@@ -350,3 +350,43 @@ def test_visit_entropy_bounds(spark):
     for r in out:
         hi = math.log2(r["n_cells"]) * 1e9 + r["n_cells"]
         assert 0 <= r["ent_nano"] <= hi
+
+
+def test_anchor_cells_known_timeline(spark):
+    # user 1: night fixes 2x in 'aaaa', 1x in 'bbbb'; work fixes 1x in
+    # 'cccc' -> home=aaaa(2), work=cccc(1).  user 2: only evening
+    # (hour 20) fixes -> dropped.  user 3: night tie 1-1 -> lexico
+    # smallest cell; no work fixes -> ('', 0) sentinels.
+    h = 3600
+    rows = [(1, 1 * h, "aaaax"), (1, 86400 + 2 * h, "aaaay"),
+            (1, 3 * h, "bbbbx"), (1, 10 * h, "ccccx"),
+            (2, 20 * h, "ddddx"),
+            (3, 0 * h, "ffffx"), (3, 5 * h, "eeeex")]
+    df = spark.createDataFrame(rows, "user_id long, ep long, geohash string")
+    out = {r["user_id"]: (r["home_cell"], r["home_n"],
+                          r["work_cell"], r["work_n"])
+           for r in trajectory.anchor_cells(df, nchars=4).collect()}
+    assert out == {1: ("aaaa", 2, "cccc", 1), 3: ("eeee", 1, "", 0)}
+
+
+def test_anchor_cells_counts_conserve(spark):
+    # over the synthetic walk: each side's count never exceeds the
+    # user's fixes in that hour window, and anchors are non-empty iff
+    # the window had fixes
+    df = engine.with_cell(_df(spark), nchars=5)
+    fixes = {}
+    for _, u, t, _, _ in _traj_rows():
+        hr = (t % 86400) // 3600
+        part = "home" if 0 <= hr < 6 else ("work" if 9 <= hr < 17 else None)
+        if part:
+            fixes[(u, part)] = fixes.get((u, part), 0) + 1
+    out = trajectory.anchor_cells(df, nchars=4).collect()
+    assert {r["user_id"] for r in out} == {u for (u, _) in fixes}
+    for r in out:
+        for part, cell, n in (("home", r["home_cell"], r["home_n"]),
+                              ("work", r["work_cell"], r["work_n"])):
+            total = fixes.get((r["user_id"], part), 0)
+            assert 0 <= n <= total
+            assert (cell != "") == (total > 0)
+            if total:
+                assert len(cell) == 4

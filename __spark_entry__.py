@@ -2343,6 +2343,22 @@ def _q116_visit_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.visit_entropy(pos, nchars=2).orderBy("user_id")
 
 
+def _q119_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (simsearch.train_pq / pq_codes /
+    pq_adc_topk — Jegou et al. 2011, the FAISS IVFPQ fine quantizer):
+    4 subspaces x 8 sub-centroids trained per block on the q35
+    deterministic sample, one Arrow encoding pass, then a map-only
+    asymmetric-distance scan whose per-vector score is m literal-LUT
+    lookups summed in FIXED left-associative order — bit-exact across
+    engines.  The oracle retrains the identical per-block kmeans from
+    the same pyarrow sample, replays the first-argmin CASE encoding,
+    and indexes the same literal LUTs."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = simsearch.train_pq(emb, m=4, ksub=8, sample=512, iters=10,
+                               seed=42)
+    return simsearch.pq_adc_topk(emb, _embedding_query(sf), cents, topk=10)
+
+
 def _q118_getis_ord(spark: SparkSession, sf: str) -> DataFrame:
     """Getis-Ord Gi* local hotspot z-scores (engine.getis_ord) over
     the q102 lattice — the per-cell significance statistic completing
@@ -2388,10 +2404,10 @@ def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
-    # rotation: ALL twenty-two round-5 additions (q97-q118, never
-    # driver-verified before) sit inside the window, padded with 28 of
+    # rotation: ALL twenty-three round-5 additions (q97-q119, never
+    # driver-verified before) sit inside the window, padded with 27 of
     # the 44 q5-q50 entries whose newest driver rows were r03.  The
-    # sixteen pushed past the window to make room — q23/q24/q27/q29/
+    # seventeen pushed past the window to make room — q23/q24/q27/q29/
     # q30/q37/q39-q42 (compat-kernel queries with byte-exact
     # FIXTURES.md golden-vector pytest coverage), q11/q34/q36
     # (s2 / multimodal / hex queries whose kernels carry dedicated
@@ -2399,16 +2415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-split queries each pinned by dedicated pytest and semantics
     # shared with in-window q43/q2/q75), q44 (sessionize — its
     # engine.sessionize kernel also drives the q57 streaming gate,
-    # driver-green in r04), and q47 (KMV sketch — same sketch kernel
-    # as q74_kmv_merge, driver-green in r04, plus dedicated pytest) —
-    # lose the least from a stale row.  Net: r05 covers
-    # q5-q50\{q11,q18,q23..q25,q27,q29,q30,q34,q36,q37,q39..q42,q44,
-    # q47,q49} + q97-q118; r04 covers q1-q4 + q51-q96; r03 covers the
-    # eighteen pushed out (all untouched since and pinned by pytest +
-    # the local exact oracle).  The trailing block keeps cheap batch
-    # queries before the costlier run-to-completion streaming gates
-    # (q107, the one streaming gate needing a first-ever driver row,
-    # closes the window).
+    # driver-green in r04), q47 (KMV sketch — same sketch kernel as
+    # q74_kmv_merge, driver-green in r04, plus dedicated pytest), and
+    # q20 (hyperplane-LSH ANN — its bucketing kernel is shared with
+    # in-window q48 and pinned by pytest) — lose the least from a
+    # stale row.  Net: r05 covers q5-q50\{q11,q18,q20,q23..q25,q27,
+    # q29,q30,q34,q36,q37,q39..q42,q44,q47,q49} + q97-q119; r04
+    # covers q1-q4 + q51-q96; r03 covers the nineteen pushed out (all
+    # untouched since and pinned by pytest + the local exact oracle).
+    # The trailing block keeps cheap batch queries before the costlier
+    # run-to-completion streaming gates (q107, the one streaming gate
+    # needing a first-ever driver row, closes the window).
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,
@@ -2423,7 +2440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_minhash_lsh_pairs": _q16_minhash,
         "q17_simhash_pairs": _q17_simhash,
         "q19_embed_topk": _q19_embed_topk,
-        "q20_lsh_ann_topk": _q20_lsh_ann,
         "q21_radius_join": _q21_radius_join,
         "q22_raster_vector_join": _q22_raster,
         "q26_rollup_agg": _q26_rollup,
@@ -2459,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_visit_entropy": _q116_visit_entropy,
         "q117_anchor_cells": _q117_anchor_cells,
         "q118_getis_ord": _q118_getis_ord,
+        "q119_pq_adc_topk": _q119_pq_adc_topk,
         "q107_stream_decontaminate": _q107_stream_decontaminate,
         "q11_s2_cells": _q11_s2,
         "q23_pool_state": _q23_pool_state,
@@ -2466,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_set_ops": _q27_setops,
         "q29_pivot": _q29_pivot,
         "q18_ngram_jaccard": _q18_ngram_jaccard,
+        "q20_lsh_ann_topk": _q20_lsh_ann,
         "q25_upsert_lww": _q25_upsert,
         "q44_sessionize": _q44_sessionize,
         "q47_kmv_distinct": _q47_kmv_distinct,
@@ -3069,6 +3087,66 @@ kgr AS (
 SELECT a, b, CAST(rnk AS BIGINT) AS rank, round(cosine, 4) AS cos4
 FROM kgr WHERE rnk <= 5
 ORDER BY a, rank
+"""
+        # q119: PQ ADC — per-block kmeans retrained from the SAME
+        # pyarrow sample (_x), first-argmin CASE encoding per block
+        # (q35 discipline), literal LUTs indexed and summed in the
+        # identical left-associative order
+        _pq_m, _pq_k, _pq_db = 4, 8, _x.shape[1] // 4
+        _pq_cents = np.stack([
+            simsearch.kmeans(_x[:, b * _pq_db:(b + 1) * _pq_db],
+                             n_centroids=_pq_k, iters=10, seed=42 + b)
+            for b in range(_pq_m)])
+        _pq_dist_cols = []
+        _pq_case = []
+        for b in range(_pq_m):
+            sub = (f"list_slice(emb64, {b * _pq_db + 1}, "
+                   f"{(b + 1) * _pq_db})")
+            for c in range(_pq_k):
+                cent = _vec_literal_sql([float(x) for x in _pq_cents[b, c]])
+                _pq_dist_cols.append(
+                    f"list_sum(list_transform(range(1, {_pq_db + 1}), "
+                    f"j -> pow({sub}[j] - ({cent})[j], 2))) AS d{b}_{c}")
+            whens = " ".join(
+                "WHEN " + " AND ".join(f"d{b}_{c} <= d{b}_{j}"
+                                       for j in range(c + 1, _pq_k))
+                + f" THEN {c}"
+                for c in range(_pq_k - 1))
+            _pq_case.append(f"CASE {whens} ELSE {_pq_k - 1} END AS c{b}")
+        _pq_q = np.asarray(qv, dtype=np.float64)
+        _pq_luts = []
+        for b in range(_pq_m):
+            vals = [float(((_pq_q[b * _pq_db:(b + 1) * _pq_db]
+                            - _pq_cents[b, c]) ** 2).sum())
+                    for c in range(_pq_k)]
+            _pq_luts.append(
+                "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+                + "]")
+        _pq_adc = (f"((({_pq_luts[0]}[c0 + 1] + {_pq_luts[1]}[c1 + 1]) "
+                   f"+ {_pq_luts[2]}[c2 + 1]) + {_pq_luts[3]}[c3 + 1])")
+        _pq_dist_sql = (",\n         ").join(_pq_dist_cols)
+        sqls["q119_pq_adc_topk"] = f"""
+WITH pqb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+pqd AS (
+  SELECT vec_id,
+         {_pq_dist_sql}
+  FROM pqb
+),
+pqa AS (
+  SELECT vec_id, {", ".join(_pq_case)} FROM pqd
+),
+pqs AS (
+  SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+         CAST(c2 AS BIGINT) AS c2, CAST(c3 AS BIGINT) AS c3,
+         {_pq_adc} AS adc
+  FROM pqa
+)
+SELECT vec_id, c0, c1, c2, c3, round(adc, 6) AS adc6
+FROM pqs
+ORDER BY adc ASC, vec_id ASC
+LIMIT 10
 """
     except Exception:
         pass  # no embeddings parquet available -> rows-only check

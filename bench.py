@@ -104,7 +104,7 @@ def main() -> None:
         "q111_pack_sequences", "q112_mixing_weights",
         "q113_bearing_sectors", "q114_covisit_jaccard",
         "q115_radius_gyration", "q116_visit_entropy",
-        "q117_anchor_cells", "q118_getis_ord",
+        "q117_anchor_cells", "q118_getis_ord", "q119_pq_adc_topk",
     ]
     from geotile import cache, textops
 

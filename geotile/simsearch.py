@@ -417,3 +417,81 @@ def semdedup(df: DataFrame, threshold: float = 0.9, n_centroids: int = 8,
                    (canon == F.col(id_col)).cast("int").alias("keep")))
     return cache.track(out, [clustered,
                              *getattr(cc, "_geotile_persisted", [])])
+
+
+def train_pq(df: DataFrame, m: int = 4, ksub: int = 8, sample: int = 512,
+             iters: int = 10, seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> np.ndarray:
+    """Product-quantizer codebooks (Jegou et al. 2011, the FAISS PQ
+    fine quantizer): split the vector into ``m`` contiguous subspaces
+    and k-means each INDEPENDENTLY on the same deterministic
+    driver-side sample as :func:`train_centroids` (sorted by id, first
+    ``sample`` rows; per-block seed ``seed + b`` so blocks decorrelate)
+    — training is tiny, encoding is distributed.  Returns the
+    ``(m, ksub, dim//m)`` float64 codebook tensor; requires
+    ``dim % m == 0``."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    db = x.shape[1] // m
+    return np.stack([kmeans(x[:, b * db:(b + 1) * db], ksub, iters, seed + b)
+                     for b in range(m)])
+
+
+def pq_codes(df: DataFrame, cents: np.ndarray, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """PQ encoding: per vector, the ``m``-entry code array (argmin
+    sub-centroid per block) — a 64x storage compression of a 64-dim
+    float32 column at m=4/ksub=8 (3 bits a block).  ONE narrow Arrow
+    pass, all m argmins vectorized per batch over the broadcast
+    codebook (m*ksub*dim/m doubles — bytes); no shuffle.  np.argmin
+    ties go to the FIRST minimum, replicated by the oracle's
+    first-argmin CASE chain (q35 discipline)."""
+    c = cents.copy()
+    m, _, db = c.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _enc(vec: pd.Series) -> pd.Series:
+        x = np.stack(vec.to_numpy()).astype(np.float64)
+        codes = np.empty((x.shape[0], m), dtype=np.int64)
+        for b in range(m):
+            d = ((x[:, None, b * db:(b + 1) * db] - c[None, b]) ** 2).sum(axis=2)
+            codes[:, b] = d.argmin(axis=1)
+        return pd.Series(codes.tolist())
+
+    return df.select(F.col(id_col),
+                     _enc(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_adc_topk(df: DataFrame, query: "list[float]", cents: np.ndarray,
+                topk: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    squared distance to every sub-centroid is a driver-side LITERAL
+    lookup table (m x ksub doubles), so scoring a vector is m array
+    lookups + a FIXED left-associative sum of m doubles — bit-exact in
+    any engine, no per-row Python, no shuffle until TakeOrdered.  This
+    is how a 100-TB ANN serving scan works: the codes table is ~64x
+    smaller than the raw vectors, the LUT broadcasts in a constant,
+    and the scan is map-only.  Returns the ``topk`` rows
+    ``(id, c0..c{{m-1}}, adc6)`` by (adc asc, id asc); ADC approximates
+    squared L2, so smaller = nearer."""
+    m, ksub, db = cents.shape
+    q = np.asarray(query, dtype=np.float64)
+    codes = pq_codes(df, cents, vec_col, id_col)
+    luts = [[float(((q[b * db:(b + 1) * db] - cents[b, c]) ** 2).sum())
+             for c in range(ksub)] for b in range(m)]
+    adc = None
+    for b in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in luts[b]]),
+                            F.col("pq_codes")[b] + 1)
+        adc = term if adc is None else adc + term
+    scored = codes.select(
+        F.col(id_col),
+        *[F.col("pq_codes")[b].cast("long").alias(f"c{b}") for b in range(m)],
+        adc.alias("_adc"))
+    return (scored.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+            .limit(topk)
+            .select(id_col, *[f"c{b}" for b in range(m)],
+                    F.round("_adc", 6).alias("adc6")))

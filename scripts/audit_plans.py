@@ -409,6 +409,15 @@ def main() -> None:
         _cache.release(kg)
         _cache.release(sdd)
 
+        pq_cents = _ss.train_pq(emb_tbl, m=4, ksub=8, sample=128)
+        pq_q = [0.0] * (pq_cents.shape[0] * pq_cents.shape[2])
+        sections.append(summarize(
+            _ss.pq_adc_topk(emb_tbl, pq_q, pq_cents, topk=10),
+            "pq_adc_topk (q119): one narrow Arrow encoding pass, then a "
+            "map-only literal-LUT scan (no join, no shuffle) feeding "
+            "TakeOrdered — the codes table is ~64x smaller than the raw "
+            "vectors at scale"))
+
     # round-5 late additions (q108-q110)
     fence = ["9q", "9r"]
     sections.append(summarize(

@@ -351,3 +351,46 @@ def test_knn_graph_brute_force(spark):
         for rank, (_, b) in enumerate(sorted(cands)[:k], start=1):
             want.append((a, b, rank))
     assert got == want
+
+
+def test_pq_codes_match_numpy(emb, emb_np):
+    ids, x = emb_np
+    cents = simsearch.train_pq(emb, m=4, ksub=8, sample=256)
+    assert cents.shape == (4, 8, x.shape[1] // 4)
+    got = {r["vec_id"]: list(r["pq_codes"])
+           for r in simsearch.pq_codes(emb, cents).collect()}
+    db = x.shape[1] // 4
+    for n, vid in enumerate(ids):
+        want = [int(((x[n, b * db:(b + 1) * db] - cents[b]) ** 2)
+                    .sum(axis=1).argmin()) for b in range(4)]
+        assert got[int(vid)] == want
+    assert all(0 <= c < 8 for cs in got.values() for c in cs)
+
+
+def test_pq_adc_topk_matches_numpy(emb, emb_np):
+    import math
+
+    ids, x = emb_np
+    cents = simsearch.train_pq(emb, m=4, ksub=8, sample=256)
+    q = [float(v) for v in x[ids.argmin()]]
+    out = [(r["vec_id"], r["adc6"]) for r in
+           simsearch.pq_adc_topk(emb, q, cents, topk=10).collect()]
+    # numpy replica: encode, LUT, fixed left-assoc sum
+    db = x.shape[1] // 4
+    qv = np.asarray(q)
+    rep = []
+    for n, vid in enumerate(ids):
+        adc = 0.0
+        for b in range(4):
+            c = int(((x[n, b * db:(b + 1) * db] - cents[b]) ** 2)
+                    .sum(axis=1).argmin())
+            adc = adc + float(((qv[b * db:(b + 1) * db]
+                                - cents[b, c]) ** 2).sum())
+        rep.append((int(vid), adc))
+    rep.sort(key=lambda t: (t[1], t[0]))
+    want = [(v, float(np.round(a, 6))) for v, a in rep[:10]]
+    assert [v for v, _ in out] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(out, want):
+        assert math.isclose(a, b, rel_tol=0, abs_tol=5e-7)
+    # the query's own vector quantizes to distance <= any other
+    assert out[0][0] == int(ids.min()) or out[0][1] <= out[1][1]

@@ -81,6 +81,40 @@ def _gh_sql(lat_expr: str, lon_expr: str, strict_gt: bool = False) -> str:
     return "(" + " || ".join(chars) + ")"
 
 
+def _hilbert_cte_sql(order: int = 8) -> str:
+    """Unroll the Hilbert xy2d quadrant-rotation walk (the exact loop
+    of kernel/hilbert_np.hilbert_xy2d) into chained CTE projections
+    h1..h{order} over a caller-provided h0(..., x0, y0, d0).
+
+    Each level is a plain projection over the PREVIOUS level's stored
+    columns — linear cost, unlike nesting the recurrence into one
+    expression (which duplicates subtrees exponentially).  Bit tests
+    spell as integer arithmetic ((v // s) % 2 — s is a power of two)
+    so the SQL needs no bit operators; every quantity is BIGINT."""
+    n = 1 << order
+    parts = []
+    for k in range(1, order + 1):
+        s = 1 << (order - k)  # level k consumes bit s = n/2, n/4, ...
+        px, py, pd = f"x{k-1}", f"y{k-1}", f"d{k-1}"
+        rx = f"(({px} // {s}) % 2)"
+        ry = f"(({py} // {s}) % 2)"
+        quad = (f"CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+                f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END")
+        xk = (f"CASE WHEN {ry} = 0 THEN "
+              f"(CASE WHEN {rx} = 1 THEN {n - 1} - {py} ELSE {py} END) "
+              f"ELSE {px} END")
+        yk = (f"CASE WHEN {ry} = 0 THEN "
+              f"(CASE WHEN {rx} = 1 THEN {n - 1} - {px} ELSE {px} END) "
+              f"ELSE {py} END")
+        parts.append(
+            f"h{k} AS (\n  SELECT event_id, ix, iy,\n"
+            f"         {xk} AS x{k},\n"
+            f"         {yk} AS y{k},\n"
+            f"         {pd} + {s * s} * ({quad}) AS d{k}\n"
+            f"  FROM h{k-1}\n)")
+    return ",\n".join(parts)
+
+
 _HAVERSINE_SQL = (
     "2.0 * 6372797.560856 * asin(sqrt(LEAST(1.0, "
     "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
@@ -2359,6 +2393,70 @@ def _q119_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.pq_adc_topk(emb, _embedding_query(sf), cents, topk=10)
 
 
+def _q120_cell_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell characteristic terms by tf-idf (textops.cell_top_terms)
+    — the geo x text fusion query: documents get deterministic
+    positions (the events-table integer-mixing recipe keyed on
+    doc_id), land in precision-1 geohash cells, and each cell's top-5
+    terms by tf * floor(ln(N_cells/df)*1e9) surface what distinguishes
+    that region's pages.  One corpus-token shuffle; the idf floor
+    snaps the q63-proven ln parity to exact int64."""
+    from geotile import udfs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    located = docs.select(
+        "text",
+        udfs.geohash_udf(1)(
+            (((F.col("doc_id") * 7919 + 11) % 160000) / F.lit(1000.0) - 80.0),
+            (((F.col("doc_id") * 104729 + 5) % 340000) / F.lit(1000.0) - 170.0),
+        ).alias("cell"))
+    from geotile import cache
+
+    out = textops.cell_top_terms(located, cell_col="cell", k=5)
+    return cache.track(out.orderBy("cell", "rank"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q121_hilbert_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert space-filling-curve index (kernel/hilbert_np.py via
+    udfs.hilbert_udf): positions quantize to a 256x256 grid with EXACT
+    integer arithmetic (the lat mixer's 160000 range divides by 625;
+    the lon mixer scales by 256 before the DIV — no float touches the
+    grid), then one Arrow pass computes the order-8 Hilbert index.
+    ``curve_bucket = hilbert_d DIV 256`` is the file-layout key: at
+    100 TB, clustering parquet by it gives every bucket a spatially
+    CONNECTED footprint (unit-step curve adjacency, proven in
+    tests/test_hilbert.py), so rectangle queries prune to O(perimeter)
+    buckets — tighter than the q109 Z-order whose ranges fragment at
+    quadrant seams.  The oracle unrolls the identical quadrant-rotation
+    walk into 8 chained CTE projections (linear, no expression
+    blow-up)."""
+    from geotile import udfs
+
+    pos = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.expr("((user_id * 7919 + event_id * 13) % 160000) DIV 625").alias("ix"),
+        F.expr("(((user_id * 104729 + event_id * 7) % 340000) * 256) DIV 340000")
+        .alias("iy"))
+    return (pos.withColumn("hilbert_d", udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
+            .withColumn("curve_bucket", F.expr("hilbert_d DIV 256"))
+            .orderBy("event_id"))
+
+
+def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus blend
+    (textops.source_kl_drift) — the data-mixing drift diagnostic.
+    Every KL term is one fixed-shape double expression over exact
+    int64 counts, floored to nano-nats before the order-independent
+    per-source sum (the q63/q84 exactness pattern)."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.source_kl_drift(docs)
+    return cache.track(out.orderBy("source"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q118_getis_ord(spark: SparkSession, sf: str) -> DataFrame:
     """Getis-Ord Gi* local hotspot z-scores (engine.getis_ord) over
     the q102 lattice — the per-cell significance statistic completing
@@ -2546,6 +2644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stream_interval_join": _q65_stream_interval_join,
         "q91_stream_dedup": _q91_stream_dedup,
         "q92_stream_radius_join": _q92_stream_radius_join,
+        # Round-5 late additions: past the 50-entry driver window BY
+        # DESIGN (evicting any of the above would cost a fresher row);
+        # their correctness evidence is the same local exact oracle
+        # (scripts/check_oracle.py, value+dtype) plus pytest.
+        "q120_cell_top_terms": _q120_cell_top_terms,
+        "q121_hilbert_locality": _q121_hilbert_locality,
+        "q122_source_kl_drift": _q122_source_kl_drift,
     }
 
 
@@ -5659,6 +5764,95 @@ SELECT b.i, b.j, b.n, b.n_ring, b.w,
        ELSE 0 END AS gi_micro
 FROM b118 b
 ORDER BY b.i, b.j
+"""
+
+    # q120: per-cell tf-idf top terms — doc-keyed position mixing,
+    # precision-1 geohash (first char of the proven gh5 SQL), the
+    # q63-pattern floored-ln idf, integer score, row_number ties
+    # (score desc, tf desc, term asc) on both engines
+    gh120 = _gh_sql("lat", "lon", strict_gt=False)
+    sqls["q120_cell_top_terms"] = rf"""
+WITH loc120 AS (
+  SELECT text,
+         ((doc_id * 7919 + 11) % 160000) / 1000.0 - 80.0 AS lat,
+         ((doc_id * 104729 + 5) % 340000) / 1000.0 - 170.0 AS lon
+  FROM documents
+),
+tok120 AS (
+  SELECT substr({gh120}, 1, 1) AS cell,
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+  FROM loc120
+),
+tf120 AS (SELECT cell, t, count(*) AS tf FROM tok120 GROUP BY 1, 2),
+df120 AS (SELECT t, count(*) AS df_t FROM tf120 GROUP BY 1),
+nc120 AS (SELECT count(DISTINCT cell) AS n_cells FROM tf120),
+sc120 AS (
+  SELECT f.cell, f.t, f.tf, d.df_t,
+         f.tf * CAST(floor(ln(CAST(n.n_cells AS DOUBLE) / CAST(d.df_t AS DOUBLE))
+                           * 1e9 + 0.5) AS BIGINT) AS score_nano
+  FROM tf120 f JOIN df120 d ON d.t = f.t CROSS JOIN nc120 n
+),
+rk120 AS (
+  SELECT cell, t, tf, df_t, score_nano,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY score_nano DESC, tf DESC, t ASC) AS rank
+  FROM sc120
+)
+SELECT cell, rank, t, tf, df_t, score_nano
+FROM rk120 WHERE rank <= 5
+ORDER BY cell, rank
+"""
+
+    # q121: Hilbert locality index — the identical quadrant-rotation
+    # walk unrolled into 8 chained CTE projections (each level is a
+    # plain projection over stored columns: linear, no expression
+    # blow-up; unique x{k}/y{k}/d{k} names so DuckDB's lateral column
+    # aliases can never shadow the previous level)
+    sqls["q121_hilbert_locality"] = f"""
+WITH h0 AS (
+  SELECT event_id,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS ix,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS iy,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS x0,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS y0,
+         CAST(0 AS BIGINT) AS d0
+  FROM events
+),
+{_hilbert_cte_sql(order=8)}
+SELECT event_id, ix, iy, d8 AS hilbert_d, d8 // 256 AS curve_bucket
+FROM h8
+ORDER BY event_id
+"""
+
+    # q122: per-source unigram KL drift — the q63-pattern fixed-shape
+    # double term over exact BIGINT counts, floored to nano-nats
+    # before the order-independent sum (DuckDB sum widens to HUGEINT
+    # — cast back)
+    sqls["q122_source_kl_drift"] = r"""
+WITH tok122 AS (
+  SELECT source AS src,
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+cst122 AS (SELECT src, t, count(*) AS c_st FROM tok122 GROUP BY 1, 2),
+ct122 AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst122 GROUP BY 1),
+ts122 AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS t_s FROM cst122 GROUP BY 1),
+tt122 AS (SELECT CAST(sum(c_t) AS BIGINT) AS tt FROM ct122),
+term122 AS (
+  SELECT c.src,
+         CAST(floor((CAST(c.c_st AS DOUBLE) / CAST(s.t_s AS DOUBLE))
+              * ln(CAST(c.c_st * g.tt AS DOUBLE)
+                   / CAST(s.t_s * o.c_t AS DOUBLE))
+              * 1e9 + 0.5) AS BIGINT) AS n
+  FROM cst122 c
+  JOIN ct122 o ON o.t = c.t
+  JOIN ts122 s ON s.src = c.src
+  CROSS JOIN tt122 g
+)
+SELECT src AS source, count(*) AS n_terms, CAST(sum(n) AS BIGINT) AS kl_nano
+FROM term122
+GROUP BY src
+ORDER BY source
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -105,6 +105,8 @@ def main() -> None:
         "q113_bearing_sectors", "q114_covisit_jaccard",
         "q115_radius_gyration", "q116_visit_entropy",
         "q117_anchor_cells", "q118_getis_ord", "q119_pq_adc_topk",
+        "q120_cell_top_terms", "q121_hilbert_locality",
+        "q122_source_kl_drift",
     ]
     from geotile import cache, textops
 

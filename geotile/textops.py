@@ -1397,3 +1397,96 @@ def source_mixing_weights(df: DataFrame, alpha: float = 0.5,
                     F.expr("pow_micro * 1000000 DIV _tp").alias("weight_ppm"),
                     F.expr("(pow_micro * 1000000 DIV _tp) * _tn DIV 1000000")
                     .alias("docs_per_epoch")))
+
+
+def cell_top_terms(df: DataFrame, cell_col: str = "cell",
+                   text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-cell characteristic terms by tf-idf — the geo x text fusion
+    operator: treat each spatial cell as one "document" of the corpus,
+    score every (cell, term) by tf * idf and keep the top-k terms per
+    cell (what makes THIS place's pages different — the primitive
+    behind regional topic maps and geo-faceted corpus exploration).
+
+    idf is the classic ln(N_cells / df_t), floored to integer
+    nano-units BEFORE the tf multiply (the q63/q94-proven cross-engine
+    ln pattern: identical double in, floor snaps the last-ulp
+    exposure); score = tf * idf_nano is then pure int64.  Ties break
+    (score desc, tf desc, term asc) — total order, cross-engine exact.
+
+    Scale shape: ONE corpus-token shuffle builds the (cell, term) tf
+    frame (count partial-aggregates map-side, so the exchange carries
+    cell x distinct-terms, not raw tokens); df_t and N_cells derive
+    from that collapsed frame (second tiny aggregate); the per-cell
+    top-k windows only the collapsed frame.  int64 headroom: idf_nano
+    <= ln(N_cells)*1e9 (~6e10 at 1e12 cells), so tf up to ~1.5e8
+    tokens-per-term-per-cell before overflow — at web scale cap tf or
+    drop to DECIMAL first (ANSI mode makes any breach loud, not
+    silent)."""
+    from . import cache
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(F.col(cell_col).alias("cell"),
+                     F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS)).alias("t"))
+    # tf feeds THREE consumers (score join, df_t, N_cells) — persist so
+    # the corpus is tokenized and shuffled exactly once, not per branch
+    tf = toks.groupBy("cell", "t").agg(F.count("*").alias("tf")).persist()
+    dft = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    ncells = tf.select("cell").distinct().agg(F.count("*").alias("n_cells"))
+    idf_nano = F.floor(
+        F.log(F.col("n_cells").cast("double") / F.col("df_t").cast("double"))
+        * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = (tf.join(dft, "t").crossJoin(F.broadcast(ncells))
+              .select("cell", "t", "tf", "df_t",
+                      (F.col("tf") * idf_nano).alias("score_nano")))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("score_nano").desc(), F.col("tf").desc(), F.col("t").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .where(F.col("rank") <= k)
+           .select("cell", "rank", "t", "tf", "df_t", "score_nano"))
+    return cache.track(out, [tf])
+
+
+def source_kl_drift(df: DataFrame, group: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the data-mixing diagnostic (which sources are distributionally
+    far from the blend they feed): KL(P_s || P_corpus) =
+    sum_t (c_st/T_s) * ln((c_st * T) / (T_s * c_t)).
+
+    Each term is ONE double expression evaluated identically in Spark
+    and DuckDB (exact int64 products feed the divisions), floored to
+    integer NANO-nats before the per-source sum — the aggregate is
+    order-independent, so partial-aggregation order can never move the
+    value (the q63/q84 exactness pattern).  Terms may be negative
+    (under-represented tokens); floor is used on both engines.
+
+    Scale shape: one corpus-token shuffle builds the (source, token)
+    count frame; corpus token counts and per-source totals derive from
+    that collapsed frame (map-side partials); the token-keyed re-join
+    is collapsed-frame x vocab — a shuffle join of two token-sized
+    frames, never the raw corpus.  int64 headroom: c_st * T overflows
+    past ~3e9 tokens per (source, token) x corpus — at web scale the
+    products need DECIMAL(38) first; ANSI mode makes a breach loud."""
+    from . import cache
+
+    toks = df.select(F.col(group).alias("src"),
+                     F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS)).alias("t"))
+    # c_st feeds THREE consumers (c_t, t_s, the term join) — persist so
+    # the corpus-token shuffle happens exactly once
+    c_st = toks.groupBy("src", "t").agg(F.count("*").alias("c_st")).persist()
+    c_t = c_st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    t_s = c_st.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    tot = c_t.agg(F.sum("c_t").alias("tt"))
+    term = (c_st.join(c_t, "t")
+            .join(F.broadcast(t_s), "src")
+            .crossJoin(F.broadcast(tot)))
+    val = ((F.col("c_st").cast("double") / F.col("t_s").cast("double"))
+           * F.log((F.col("c_st") * F.col("tt")).cast("double")
+                   / (F.col("t_s") * F.col("c_t")).cast("double")))
+    nano = F.floor(val * F.lit(1e9) + F.lit(0.5)).cast("long")
+    out = (term.select("src", nano.alias("_n"))
+           .groupBy("src")
+           .agg(F.count("*").alias("n_terms"), F.sum("_n").alias("kl_nano"))
+           .withColumnRenamed("src", group))
+    return cache.track(out, [c_st])

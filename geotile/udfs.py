@@ -341,6 +341,22 @@ def tile_udf(zoom: int = 12):
     return _tile
 
 
+def hilbert_udf(order: int = 8):
+    """(ix, iy) -> Hilbert curve index at the given order (one numpy
+    pass per Arrow batch; exact int64, see kernel/hilbert_np.py).  The
+    coordinates are pre-quantized integers so the UDF is pure bit
+    arithmetic — the float->grid quantization stays a native column
+    expression at the call site (exact integer DIV at the gate)."""
+    from .kernel import hilbert_np
+
+    @pandas_udf("long")
+    def _hd(ix: pd.Series, iy: pd.Series) -> pd.Series:
+        d = hilbert_np.hilbert_xy2d(ix.to_numpy(np.int64), iy.to_numpy(np.int64), order)
+        return pd.Series(d)
+
+    return _hd
+
+
 def register(spark: SparkSession) -> None:
     """Register the kernel for spark.sql use (UDF registry = the engine's
     extension surface)."""
@@ -357,3 +373,4 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_s2_cell10", s2_cell_udf(10))
     spark.udf.register("gh_hex_cell6", hex_cell_udf(6))
     spark.udf.register("gh_tile12", tile_udf(12))
+    spark.udf.register("gh_hilbert8", hilbert_udf(8))

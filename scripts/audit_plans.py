@@ -525,6 +525,53 @@ def main() -> None:
         "as a 1-row broadcast"))
     _cache.release(go)
 
+    # round-5 final additions (q120-q122)
+    from geotile import udfs as _udfs
+
+    docs_cells = synth.synth_docs_skew(spark, 2000, partitions=8).select(
+        "text",
+        _udfs.geohash_udf(1)(
+            (((F.col("doc_id") * 7919 + 11) % 160000) / F.lit(1000.0) - 80.0),
+            (((F.col("doc_id") * 104729 + 5) % 340000) / F.lit(1000.0) - 170.0),
+        ).alias("cell"))
+    ctt = textops.cell_top_terms(docs_cells, k=5)
+    sections.append(summarize(
+        ctt,
+        "cell_top_terms (q120): ONE corpus-token shuffle builds the "
+        "(cell, term) tf frame (count partial-aggregates map-side), "
+        "PERSISTED — its three consumers (score join, df_t, N_cells) "
+        "read the materialized frame at runtime (EXPLAIN reprints the "
+        "cached lineage under each reference, so raw op counts here "
+        "overstate the executed plan); the idf join is collapsed-frame "
+        "x vocab and the top-k window sorts only the collapsed frame"))
+    _cache.release(ctt)
+
+    sections.append(summarize(
+        points.select(
+            F.expr("CAST(floor((lat + 90.0) * (256.0/180.0)) AS BIGINT) AS ix"),
+            F.expr("CAST(floor((lon + 180.0) * (256.0/360.0)) AS BIGINT) AS iy"))
+        .withColumn("hd", _udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
+        .withColumn("curve_bucket", F.expr("hd DIV 256")),
+        "hilbert_locality (q121): map-only — native integer quantization "
+        "feeds one Arrow pass (the bit-interleave kernel family), bucket "
+        "key a native DIV; NO exchange anywhere.  At 100 TB the index is "
+        "written as a sort/cluster key so rectangle queries prune to "
+        "O(perimeter) contiguous bucket ranges"))
+
+    klo = textops.source_kl_drift(
+        synth.synth_docs_skew(spark, 2000, partitions=8).withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string"))))
+    sections.append(summarize(
+        klo,
+        "source_kl_drift (q122): ONE corpus-token shuffle builds the "
+        "(source, token) count frame, PERSISTED — corpus totals, "
+        "per-source totals, and the term join all read the materialized "
+        "frame at runtime (EXPLAIN reprints cached lineage; raw op "
+        "counts overstate the executed plan); the token-keyed re-join "
+        "moves two vocab-sized frames, never the corpus; per-source sum "
+        "of int64 nano-nat terms"))
+    _cache.release(klo)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

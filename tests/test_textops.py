@@ -748,6 +748,61 @@ def test_source_mixing_weights_exact_ppm(spark):
     assert sum(nat.values()) <= 1_000_000
 
 
+def test_cell_top_terms_known_scores(spark):
+    import math
+
+    rows = [("c1", "a a b"), ("c2", "a c")]
+    df = spark.createDataFrame(rows, "cell string, text string")
+    out = {(r["cell"], r["rank"]): (r["t"], r["tf"], r["df_t"], r["score_nano"])
+           for r in textops.cell_top_terms(df, k=2).collect()}
+    ln2 = int(math.floor(math.log(2.0) * 1e9 + 0.5))  # idf of a 1-of-2-cells term
+    assert out == {("c1", 1): ("b", 1, 1, ln2),
+                   ("c1", 2): ("a", 2, 2, 0),   # idf ln(2/2)=0; beats nothing else
+                   ("c2", 1): ("c", 1, 1, ln2),
+                   ("c2", 2): ("a", 1, 2, 0)}
+    with pytest.raises(ValueError):
+        textops.cell_top_terms(df, k=0)
+
+
+def test_source_kl_drift_zero_for_identical_sources(spark):
+    rows = [(1, "A", "a a b"), (2, "B", "a a b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: (r["n_terms"], r["kl_nano"])
+           for r in textops.source_kl_drift(df).collect()}
+    # both sources match the corpus distribution exactly -> every ln
+    # term is ln(1)=0 -> floor(0.5)=0
+    assert out == {"A": (2, 0), "B": (2, 0)}
+
+
+def test_source_kl_drift_matches_reference_formula(spark):
+    import math
+
+    rows = [(1, "A", "a a a b"), (2, "B", "b b c"), (3, "B", "c a")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r["kl_nano"]
+           for r in textops.source_kl_drift(df).collect()}
+    # brute-force the identical floored-nano formula
+    toks = {"A": "a a a b".split(), "B": ("b b c".split() + "c a".split())}
+    c_t: dict[str, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            c_t[w] = c_t.get(w, 0) + 1
+    tt = sum(c_t.values())
+    want = {}
+    for s, ws in toks.items():
+        c_st: dict[str, int] = {}
+        for w in ws:
+            c_st[w] = c_st.get(w, 0) + 1
+        t_s = len(ws)
+        want[s] = sum(
+            math.floor((c / t_s) * math.log((c * tt) / (t_s * c_t[w])) * 1e9 + 0.5)
+            for w, c in c_st.items())
+    assert got == want
+    # true KL is >= 0; the per-term floor can move the sum by < 0.5
+    # nano-nats per term only
+    assert all(v >= -len(set(toks[s])) for s, v in got.items())
+
+
 def test_pack_sequences_conservation(docs):
     # chunk accounting over the real corpus: per source the stream is
     # gapless (max(start_tok + n_tokens) == sum(n_tokens)), chunk

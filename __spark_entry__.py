@@ -2523,7 +2523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # untouched since and pinned by pytest + the local exact oracle).
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
-    # needing a first-ever driver row, closes the window).
+    # needing a first-ever driver row, closes the window).  The final
+    # late additions q120-q122 were added AFTER this rotation was
+    # driver-verified and sit past the window by design (evicting an
+    # in-window query would cost a fresher row); their evidence is the
+    # local exact oracle + pytest.
     return {
         "q5_broadcast_join_agg": _q5_join_agg,
         "q6_cell_counts_salted": _q6_cell_counts,

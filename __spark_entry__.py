@@ -90,7 +90,14 @@ def _hilbert_cte_sql(order: int = 8) -> str:
     columns — linear cost, unlike nesting the recurrence into one
     expression (which duplicates subtrees exponentially).  Bit tests
     spell as integer arithmetic ((v // s) % 2 — s is a power of two)
-    so the SQL needs no bit operators; every quantity is BIGINT."""
+    so the SQL needs no bit operators; every quantity is BIGINT.
+
+    CAVEAT (measured, q123): DuckDB INLINES single-reference CTEs, so
+    a consumer that references d{order} many times (q123's 44-range
+    WHERE = 88 references) re-expands the whole chain per reference —
+    a >60 GB planner blow-up.  Any multi-reference consumer MUST read
+    the chain through an ``AS MATERIALIZED`` barrier CTE; a 1-2
+    reference SELECT (q121) is safe as-is."""
     n = 1 << order
     parts = []
     for k in range(1, order + 1):
@@ -2443,6 +2450,41 @@ def _q121_hilbert_locality(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+# q123 fixed query rectangle (grid coords, order-8 Hilbert): chosen
+# UNALIGNED to the curve's power-of-two structure so the range cover is
+# non-trivial (44 ranges; the same box costs Z-order 78 — the measured
+# locality superiority, tests/test_hilbert.py::test_ranges_beat_zorder)
+_Q123_BOX = (100, 140, 33, 87)
+
+
+def _q123_hilbert_range_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert range-cover scan (kernel hilbert_ranges + q121 index):
+    the query-side half of the locality-index story — a bbox becomes a
+    small set of contiguous hilbert_d ranges computed DRIVER-side from
+    the query literal (bounded by query area, never data), and the
+    scan filters on ``hilbert_d BETWEEN lo AND hi OR ...`` — exactly
+    the predicate that turns into min/max file skipping on a
+    Hilbert-clustered table at 100 TB.  The kernel guarantees the
+    cover is exact (pytest: range membership <=> bbox membership), so
+    no post-filter refine is needed."""
+    from functools import reduce
+    from operator import or_
+
+    from geotile import udfs
+    from geotile.kernel.hilbert_np import hilbert_ranges
+
+    ix0, ix1, iy0, iy1 = _Q123_BOX
+    ranges = hilbert_ranges(ix0, ix1, iy0, iy1, order=8)
+    pos = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.expr("((user_id * 7919 + event_id * 13) % 160000) DIV 625").alias("ix"),
+        F.expr("(((user_id * 104729 + event_id * 7) % 340000) * 256) DIV 340000")
+        .alias("iy"))
+    hd = pos.withColumn("hilbert_d", udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
+    cond = reduce(or_, [F.col("hilbert_d").between(lo, hi) for lo, hi in ranges])
+    return hd.where(cond).orderBy("event_id")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2524,7 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q122 were added AFTER this rotation was
+    # late additions q120-q123 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2655,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_cell_top_terms": _q120_cell_top_terms,
         "q121_hilbert_locality": _q121_hilbert_locality,
         "q122_source_kl_drift": _q122_source_kl_drift,
+        "q123_hilbert_range_scan": _q123_hilbert_range_scan,
     }
 
 
@@ -5857,6 +5900,31 @@ SELECT src AS source, count(*) AS n_terms, CAST(sum(n) AS BIGINT) AS kl_nano
 FROM term122
 GROUP BY src
 ORDER BY source
+"""
+
+    # q123: Hilbert range-cover scan — the q121 CTE chain plus the
+    # kernel-computed range literals (driver-side planning constants,
+    # the IVF-sample/hyperplane literal-injection convention)
+    from geotile.kernel.hilbert_np import hilbert_ranges as _hranges
+
+    _r123 = _hranges(*_Q123_BOX, order=8)
+    _cond123 = " OR ".join(f"(d8 BETWEEN {lo} AND {hi})" for lo, hi in _r123)
+    sqls["q123_hilbert_range_scan"] = f"""
+WITH h0 AS (
+  SELECT event_id,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS ix,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS iy,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS x0,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS y0,
+         CAST(0 AS BIGINT) AS d0
+  FROM events
+),
+{_hilbert_cte_sql(order=8)},
+hd123 AS MATERIALIZED (SELECT event_id, ix, iy, d8 FROM h8)
+SELECT event_id, ix, iy, d8 AS hilbert_d
+FROM hd123
+WHERE {_cond123}
+ORDER BY event_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -106,7 +106,7 @@ def main() -> None:
         "q115_radius_gyration", "q116_visit_entropy",
         "q117_anchor_cells", "q118_getis_ord", "q119_pq_adc_topk",
         "q120_cell_top_terms", "q121_hilbert_locality",
-        "q122_source_kl_drift",
+        "q122_source_kl_drift", "q123_hilbert_range_scan",
     ]
     from geotile import cache, textops
 

@@ -546,17 +546,31 @@ def main() -> None:
         "x vocab and the top-k window sorts only the collapsed frame"))
     _cache.release(ctt)
 
-    sections.append(summarize(
-        points.select(
-            F.expr("CAST(floor((lat + 90.0) * (256.0/180.0)) AS BIGINT) AS ix"),
-            F.expr("CAST(floor((lon + 180.0) * (256.0/360.0)) AS BIGINT) AS iy"))
+    hil = (points.select(
+        F.expr("CAST(floor((lat + 90.0) * (256.0/180.0)) AS BIGINT) AS ix"),
+        F.expr("CAST(floor((lon + 180.0) * (256.0/360.0)) AS BIGINT) AS iy"))
         .withColumn("hd", _udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
-        .withColumn("curve_bucket", F.expr("hd DIV 256")),
+        .withColumn("curve_bucket", F.expr("hd DIV 256")))
+    sections.append(summarize(
+        hil,
         "hilbert_locality (q121): map-only — native integer quantization "
         "feeds one Arrow pass (the bit-interleave kernel family), bucket "
         "key a native DIV; NO exchange anywhere.  At 100 TB the index is "
         "written as a sort/cluster key so rectangle queries prune to "
         "O(perimeter) contiguous bucket ranges"))
+
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+    from geotile.kernel.hilbert_np import hilbert_ranges as _hranges
+
+    _rng = _hranges(100, 140, 33, 87, order=8)
+    sections.append(summarize(
+        hil.where(_reduce(_or, [F.col("hd").between(a, b) for a, b in _rng])),
+        "hilbert_range_scan (q123): the q121 map-only plan plus a "
+        "driver-side literal range predicate (44 BETWEENs for this box "
+        "— bounded by query area, never data) — still zero exchanges; "
+        "on a Hilbert-clustered table the same predicate prunes files "
+        "by min/max stats before any row is read"))
 
     klo = textops.source_kl_drift(
         synth.synth_docs_skew(spark, 2000, partitions=8).withColumn(

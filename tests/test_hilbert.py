@@ -48,6 +48,51 @@ def test_round_trip_order8():
     assert (x2 == x).all() and (y2 == y).all()
 
 
+def test_ranges_exact_cover():
+    from geotile.kernel.hilbert_np import hilbert_ranges
+
+    # membership in the range cover <=> membership in the rectangle,
+    # for every grid cell (so the q123 scan needs no post-filter)
+    box = (100, 140, 33, 87)
+    ranges = hilbert_ranges(*box, order=8)
+    assert sum(b - a + 1 for a, b in ranges) == (140 - 100 + 1) * (87 - 33 + 1)
+    xs, ys = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    x, y = xs.ravel(), ys.ravel()
+    d = hilbert_xy2d(x, y, 8)
+    in_ranges = np.zeros(d.shape, dtype=bool)
+    for a, b in ranges:
+        in_ranges |= (d >= a) & (d <= b)
+    in_box = (x >= 100) & (x <= 140) & (y >= 33) & (y <= 87)
+    assert (in_ranges == in_box).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hilbert_ranges(10, 5, 0, 0, order=8)
+
+
+def test_ranges_beat_zorder():
+    from geotile.kernel.hilbert_np import hilbert_ranges
+
+    # the measured locality claim behind the q121/q123 file-layout
+    # story: on unaligned rectangles the Hilbert cover needs FEWER
+    # contiguous ranges than the Z-order cover of the same box
+    def z_nranges(ix0, ix1, iy0, iy1):
+        xs, ys = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1),
+                             indexing="ij")
+        x, y = xs.ravel(), ys.ravel()
+        z = np.zeros_like(x)
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        z = np.sort(z)
+        return 1 + int((np.diff(z) > 1).sum())
+
+    for box in [(37, 130, 90, 201), (13, 78, 55, 170),
+                (100, 140, 33, 87), (5, 250, 118, 140)]:
+        nh = len(hilbert_ranges(*box, order=8))
+        nz = z_nranges(*box)
+        assert nh < nz, (box, nh, nz)
+
+
 def test_udf_matches_kernel(spark):
     df = spark.range(2000).selectExpr(
         "id", "(id * 37) % 256 AS ix", "(id * 101 + 13) % 256 AS iy")

@@ -2485,6 +2485,20 @@ def _q123_hilbert_range_scan(spark: SparkSession, sf: str) -> DataFrame:
     return hd.where(cond).orderBy("event_id")
 
 
+def _q124_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (textops.dsir_weights, Xie et al.
+    2023): resampling weights toward the src0 seed set —
+    log p_target - log p_raw under two bigram LMs, each term the
+    q94-pattern floored micro-nat, docs scored on target-modeled
+    bigrams (base = corpus, so no OOV smoothing)."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.dsir_weights(docs, target=F.col("source") == "src0")
+    return cache.track(out.orderBy("doc_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2566,7 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q123 were added AFTER this rotation was
+    # late additions q120-q124 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2698,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_hilbert_locality": _q121_hilbert_locality,
         "q122_source_kl_drift": _q122_source_kl_drift,
         "q123_hilbert_range_scan": _q123_hilbert_range_scan,
+        "q124_dsir_weights": _q124_dsir_weights,
     }
 
 
@@ -5925,6 +5940,51 @@ SELECT event_id, ix, iy, d8 AS hilbert_d
 FROM hd123
 WHERE {_cond123}
 ORDER BY event_id
+"""
+
+    # q124: DSIR importance weights — the q94 bigram chain run twice
+    # (target = src0 seed, base = corpus), per-bigram term =
+    # floor(ln(Bt/Ut)*1e6) - floor(ln(Bb/Ub)*1e6), inner-join scoring
+    # on the target vocab, zero-coalesced doc spine
+    sqls["q124_dsir_weights"] = r"""
+WITH t124 AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+bg124 AS MATERIALIZED (
+  SELECT doc_id, source, w[j] AS w1, w[j + 1] AS w2
+  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS j
+        FROM t124 WHERE len(w) >= 2)
+),
+st124 AS (
+  SELECT w1, w2, count(*) AS bt FROM bg124 WHERE source = 'src0' GROUP BY w1, w2
+),
+sb124 AS (
+  SELECT w1, w2, count(*) AS bb FROM bg124 GROUP BY w1, w2
+),
+pt124 AS (SELECT w1, CAST(sum(bt) AS BIGINT) AS ut FROM st124 GROUP BY w1),
+pb124 AS (SELECT w1, CAST(sum(bb) AS BIGINT) AS ub FROM sb124 GROUP BY w1),
+tm124 AS (
+  SELECT s.w1, s.w2,
+         CAST(floor(ln(CAST(s.bt AS DOUBLE) / CAST(p.ut AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(b.bb AS DOUBLE) / CAST(q.ub AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS t
+  FROM st124 s
+  JOIN sb124 b ON b.w1 = s.w1 AND b.w2 = s.w2
+  JOIN pt124 p ON p.w1 = s.w1
+  JOIN pb124 q ON q.w1 = s.w1
+),
+sc124 AS (
+  SELECT g.doc_id, count(*) AS n_modeled, CAST(sum(t.t) AS BIGINT) AS lw
+  FROM bg124 g JOIN tm124 t ON t.w1 = g.w1 AND t.w2 = g.w2
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_modeled, 0) AS n_modeled,
+       coalesce(s.lw, 0) AS logw_micro
+FROM documents d LEFT JOIN sc124 s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1399,6 +1399,68 @@ def source_mixing_weights(df: DataFrame, alpha: float = 0.5,
                     .alias("docs_per_epoch")))
 
 
+def dsir_weights(df: DataFrame, target, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by ``log w(x) = log p_target(x) - log p_raw(x)`` so a
+    raw web corpus can be resampled toward an in-domain seed set.
+    ``target`` is a boolean Column marking the seed documents; both
+    LMs are bigram models (the q94 chain), and docs are scored on the
+    bigrams MODELED IN THE TARGET (base = full corpus, so every
+    target bigram has a base count — no OOV smoothing needed; the
+    paper's hashed-ngram trick serves the same purpose).
+
+    Exactness: each bigram contributes
+    ``floor(ln(Bt/Ut)*1e6) - floor(ln(Bb/Ub)*1e6)`` — two q94-pattern
+    floored micro-nat terms, so the per-doc sum is
+    order-independent.  Returns ``(doc_id, n_modeled, logw_micro)``
+    with 0/0 for docs sharing no bigram with the seed (NULL-free).
+
+    Scale shape: the bigram explode is a NARROW recompute per consumer
+    (q94 discipline — split + transform, no shuffle, cheaper than
+    caching a corpus-sized frame); the full-corpus stats table is the
+    one persisted intermediate (feeds its prefix totals AND the
+    target-vocab join); the term table is target-vocab-sized — a seed
+    set's bigrams — so at 100 TB it broadcasts into the scoring join."""
+    from . import cache
+
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    bg = df.select(
+        F.col(id_col), target.alias("_is_t"),
+        F.explode(F.when(F.size(w) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(F.element_at(w, i + 1).alias("w1"),
+                               F.element_at(w, i + 2).alias("w2"))))
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>")))
+        .alias("b"))
+    bg = bg.select(id_col, "_is_t",
+                   F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    stats_t = bg.where("_is_t").groupBy("w1", "w2").agg(F.count("*").alias("_bt"))
+    stats_b = bg.groupBy("w1", "w2").agg(F.count("*").alias("_bb")).persist()
+    prefix_t = stats_t.groupBy("w1").agg(F.sum("_bt").alias("_ut"))
+    prefix_b = stats_b.groupBy("w1").agg(F.sum("_bb").alias("_ub"))
+
+    def _micro(num, den):
+        return F.floor(F.log(F.col(num).cast("double") / F.col(den).cast("double"))
+                       * F.lit(1000000.0)).cast("long")
+
+    terms = (stats_t.join(stats_b, ["w1", "w2"])
+             .join(prefix_t, "w1").join(prefix_b, "w1")
+             .select("w1", "w2",
+                     (_micro("_bt", "_ut") - _micro("_bb", "_ub")).alias("_t")))
+    scored = (bg.join(terms, ["w1", "w2"])
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_modeled"),
+                   F.sum("_t").alias("logw_micro")))
+    out = (df.select(id_col)
+           .join(scored, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_modeled", F.lit(0)).alias("n_modeled"),
+                   F.coalesce("logw_micro", F.lit(0)).alias("logw_micro")))
+    return cache.track(out, [stats_b])
+
+
 def cell_top_terms(df: DataFrame, cell_col: str = "cell",
                    text_col: str = "text", k: int = 5) -> DataFrame:
     """Per-cell characteristic terms by tf-idf — the geo x text fusion

@@ -586,6 +586,20 @@ def main() -> None:
         "of int64 nano-nat terms"))
     _cache.release(klo)
 
+    dsw = textops.dsir_weights(
+        synth.synth_docs_skew(spark, 2000, partitions=8).withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string"))),
+        target=F.col("source") == "s0")
+    sections.append(summarize(
+        dsw,
+        "dsir_weights (q124): the bigram explode is a NARROW recompute "
+        "per consumer (q94 discipline — cheaper than caching a "
+        "corpus-sized frame); the full-corpus stats table is the one "
+        "PERSISTED intermediate (EXPLAIN reprints cached lineage); the "
+        "term table is target-vocab-sized — a seed set's bigrams — so "
+        "at 100 TB it broadcasts into the scoring join"))
+    _cache.release(dsw)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

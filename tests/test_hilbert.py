@@ -93,6 +93,37 @@ def test_ranges_beat_zorder():
         assert nh < nz, (box, nh, nz)
 
 
+def test_range_predicate_pushes_to_clustered_scan(spark, tmp_path):
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import functions as F
+
+    from geotile.kernel.hilbert_np import hilbert_ranges
+
+    # the 100-TB layout claim, executed end to end at toy scale: write
+    # the table SORTED by hilbert_d (the cluster key), then the q123
+    # range predicate must reach the parquet scan as PushedFilters so
+    # row-group min/max stats can skip — not be evaluated post-scan
+    path = str(tmp_path / "hil")
+    (spark.range(20000)
+     .selectExpr("id", "(id * 37) % 256 AS ix", "(id * 101 + 13) % 256 AS iy")
+     .withColumn("hilbert_d", udfs.hilbert_udf(8)("ix", "iy"))
+     .sort("hilbert_d")
+     .write.mode("overwrite").parquet(path))
+    ranges = hilbert_ranges(100, 140, 33, 87, order=8)
+    df = spark.read.parquet(path)
+    cond = reduce(or_, [F.col("hilbert_d").between(a, b) for a, b in ranges])
+    plan = df.where(cond)._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "hilbert_d" in scan_line, scan_line
+    # and the filter selects exactly the bbox rows (cover exactness,
+    # this time through the real parquet read path)
+    got = df.where(cond).count()
+    want = df.where("ix BETWEEN 100 AND 140 AND iy BETWEEN 33 AND 87").count()
+    assert got == want and got > 0
+
+
 def test_udf_matches_kernel(spark):
     df = spark.range(2000).selectExpr(
         "id", "(id * 37) % 256 AS ix", "(id * 101 + 13) % 256 AS iy")

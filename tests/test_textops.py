@@ -803,6 +803,22 @@ def test_source_kl_drift_matches_reference_formula(spark):
     assert all(v >= -len(set(toks[s])) for s, v in got.items())
 
 
+def test_dsir_weights_known_values(spark):
+    import math
+
+    rows = [(1, "T", "a b a b"), (2, "T", "a b"),
+            (3, "R", "a b c"), (4, "R", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["n_modeled"], r["logw_micro"])
+           for r in textops.dsir_weights(df, target=F.col("source") == "T").collect()}
+    # target: Bt(a,b)=3 Ut(a)=3; Bt(b,a)=1 Ut(b)=1.  base: Bb(a,b)=4
+    # Ub(a)=4; Bb(b,a)=1 Ub(b)=2 ((b,c) exists in base but is not
+    # target vocab, so doc 3 scores only its (a,b) bigram).
+    # term(a,b) = 0 - 0; term(b,a) = 0 - floor(ln(0.5)*1e6)
+    lnhalf = math.floor(math.log(0.5) * 1e6)
+    assert out == {1: (3, -lnhalf), 2: (1, 0), 3: (1, 0), 4: (0, 0)}
+
+
 def test_pack_sequences_conservation(docs):
     # chunk accounting over the real corpus: per source the stream is
     # gapless (max(start_tok + n_tokens) == sum(n_tokens)), chunk

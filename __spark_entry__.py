@@ -2499,6 +2499,59 @@ def _q124_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q125_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog register tables (textops.hll_registers, p=6): the
+    sparse per-source partial sketches, the corpus sketch computed
+    DIRECTLY (second hash pass), and the corpus sketch computed by
+    MERGING the partials (max per bucket) — all three under one exact
+    gate, so merged == direct is value-proven, not asserted (the q74
+    discipline for the industry-standard cardinality sketch).  Every
+    register is an exact integer: shared Horner+splitmix token hash,
+    bucket by unsigned shift, rank via binary-string bit length."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    per_src = textops.hll_registers(docs, group="source").persist()
+    direct = (textops.hll_registers(
+        docs.withColumn("_g", F.lit("__all__")), group="_g")
+        .withColumnRenamed("_g", "source"))
+    merged = (per_src.groupBy("bucket").agg(F.max("reg").alias("reg"))
+              .select(F.lit("__merged__").alias("source"), "bucket", "reg"))
+    out = per_src.unionByName(direct).unionByName(merged)
+    return cache.track(out.orderBy("source", "bucket"), [per_src])
+
+
+def _q126_weighted_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source weighted shortest paths (graph.shortest_paths,
+    frontier-only Bellman-Ford, 8 rounds) over the q71 link graph with
+    deterministic integer edge weights 1..9 hashed from (src, dst).
+    Exact integer path costs put weighted relaxation under the SQL
+    gate; the oracle is a hop-bounded recursive CTE over the identical
+    HUGEINT xxhash64 edge + weight replicas, min(cost) per node."""
+    from geotile import graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct()
+        .withColumn("w", F.pmod(F.xxhash64(F.col("src") * F.lit(100003)
+                                           + F.col("dst")), F.lit(9)) + 1))
+    seeds = docs.where(F.col("doc_id") % 1000 == 0) \
+                .select(F.col("doc_id").alias("node"))
+    out = graph.shortest_paths(edges, seeds, max_rounds=8)
+    from geotile import cache
+    return cache.track(
+        out.select(F.col("node").alias("doc_id"), F.col("dist"))
+           .orderBy("doc_id"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2580,7 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q124 were added AFTER this rotation was
+    # late additions q120-q126 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2713,6 +2766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_source_kl_drift": _q122_source_kl_drift,
         "q123_hilbert_range_scan": _q123_hilbert_range_scan,
         "q124_dsir_weights": _q124_dsir_weights,
+        "q125_hll_registers": _q125_hll_registers,
+        "q126_weighted_paths": _q126_weighted_paths,
     }
 
 
@@ -5985,6 +6040,84 @@ SELECT d.doc_id, coalesce(s.n_modeled, 0) AS n_modeled,
        coalesce(s.lw, 0) AS logw_micro
 FROM documents d LEFT JOIN sc124 s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # q125: HLL registers — the q47 Horner+splitmix token-hash replica,
+    # bucket = top 6 unsigned bits, rank = 59 - bit_length(58-bit
+    # suffix) via minimal-length bin() (1 for suffix 0 on both engines,
+    # special-cased to 59 identically); '__all__' (Spark: second direct
+    # hash pass) and '__merged__' (Spark: max-merge of the per-source
+    # partials) are the SAME aggregate here — that identity is exactly
+    # the mergeability the gate proves
+    _sfx125 = 1 << 58
+    sqls["q125_hll_registers"] = f"""
+WITH htoks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+htokh AS (
+  SELECT source,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM htoks
+),
+{_splitmix_cte_sql("htokh", "h0", "hu", "hl")},
+hr125 AS (
+  SELECT source, CAST(hu >> 58 AS BIGINT) AS bucket,
+         CASE WHEN hu % {_sfx125} = 0 THEN 59
+              ELSE 59 - length(bin(CAST(hu % {_sfx125} AS HUGEINT))) END AS r
+  FROM hld
+),
+regs125 AS (
+  SELECT source, bucket, CAST(max(r) AS INTEGER) AS reg
+  FROM hr125 GROUP BY source, bucket
+)
+SELECT source, bucket, reg FROM (
+  SELECT source, bucket, reg FROM regs125
+  UNION ALL
+  SELECT '__all__' AS source, bucket, CAST(max(reg) AS INTEGER) AS reg
+  FROM regs125 GROUP BY bucket
+  UNION ALL
+  SELECT '__merged__' AS source, bucket, CAST(max(reg) AS INTEGER) AS reg
+  FROM regs125 GROUP BY bucket
+)
+ORDER BY source, bucket
+"""
+
+    # q126: weighted shortest paths — the q71 xxhash64 edge replica
+    # plus a second xxhash64 chain for the (src, dst) -> weight 1..9
+    # map, then a hop-bounded recursive CTE taking min path cost
+    sp_sig = _signed64_sql("xh")
+    spw_sig = _signed64_sql("wh")
+    sqls["q126_weighted_paths"] = f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+l126 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l126", "z0", "xh", "x126")},
+e126a AS (
+  SELECT doc_id AS src, ((({sp_sig} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x126f CROSS JOIN nn
+),
+e126b AS (SELECT DISTINCT src, dst FROM e126a WHERE dst <> src),
+e126c AS (
+  SELECT src, dst, CAST(src * 100003 + dst AS HUGEINT) AS z0 FROM e126b
+),
+{_xxhash64_cte_sql("e126c", "z0", "wh", "w126")},
+e126 AS MATERIALIZED (
+  SELECT src, dst, (({spw_sig} % 9) + 9) % 9 + 1 AS w FROM w126f
+),
+reach126 AS (
+  SELECT CAST(doc_id AS HUGEINT) AS node, CAST(0 AS HUGEINT) AS d, 0 AS hops
+  FROM documents WHERE doc_id % 1000 = 0
+  UNION
+  SELECT e.dst AS node, r.d + e.w AS d, r.hops + 1 AS hops
+  FROM reach126 r JOIN e126 e ON e.src = r.node
+  WHERE r.hops < 8
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(d) AS BIGINT) AS dist
+FROM reach126 GROUP BY node ORDER BY doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -107,7 +107,7 @@ def main() -> None:
         "q117_anchor_cells", "q118_getis_ord", "q119_pq_adc_topk",
         "q120_cell_top_terms", "q121_hilbert_locality",
         "q122_source_kl_drift", "q123_hilbert_range_scan",
-        "q124_dsir_weights",
+        "q124_dsir_weights", "q125_hll_registers", "q126_weighted_paths",
     ]
     from geotile import cache, textops
 

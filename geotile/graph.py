@@ -299,3 +299,59 @@ def triangle_counts_oriented(edges: DataFrame, src: str = "src",
                                         F.col("yn"))).alias("node"))
            .groupBy("node").agg(F.count("*").alias("n_tri")))
     return cache.track(out, [und, orient])
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   max_rounds: int = 10, src: str = "src",
+                   dst: str = "dst", weight: str = "w",
+                   source_col: str = "node") -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (non-negative integer edge
+    weights) by frontier-only Bellman-Ford relaxation — the weighted
+    dual of :func:`bfs_hops`.  Returns ``(node, dist)`` for every
+    reached node (sources at 0); after round r the table holds the
+    exact minimum cost over paths of <= r edges, so a run capped at
+    ``max_rounds`` is deterministic and SQL-gateable (q126's oracle is
+    a recursive CTE bounded by the same hop count) whether or not it
+    has converged; early exit when a round improves nothing (at which
+    point the distances are the true shortest).
+
+    Scale shape: each round joins only the IMPROVED frontier — nodes
+    whose distance just dropped — against the persisted edge list
+    (shuffle proportional to the frontier's out-edge count, never the
+    visited set), takes the per-node min candidate map-side, and
+    anti-join-replaces improved rows in the distance table.  Frontier /
+    distance micro-frames are coalesced and lineage-truncated per round
+    (the bfs_hops discipline).  Integer distances make every comparison
+    exact.  At 100 TB the refinement is delta-stepping (Meyer &
+    Sanders 2003): bucket the frontier by dist DIV delta so cheap
+    edges settle within a bucket before expensive ones ship — same
+    join shape, fewer rounds on weighted-diameter-heavy graphs."""
+    ed = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                       F.col(weight).cast("long").alias("w"))
+          .persist())
+    ed.count()
+    nparts = max(2, int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 8)
+    dist = (sources.select(F.col(source_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .coalesce(nparts)
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (frontier.join(ed, frontier["node"] == ed["u"])
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("_d"))
+                .groupBy("node").agg(F.min("_d").alias("_d")))
+        improved = (cand.join(dist, "node", "left")
+                    .where(F.col("dist").isNull() | (F.col("_d") < F.col("dist")))
+                    .select("node", F.col("_d").alias("dist"))
+                    .coalesce(nparts)
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved, "node", "left_anti")
+                .unionByName(improved)
+                .coalesce(nparts)
+                .localCheckpoint(eager=True))
+        frontier = improved
+    return cache.track(dist, [ed])

@@ -1042,6 +1042,66 @@ def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
     return agg.withColumn("est_distinct", est)
 
 
+def hll_registers(df: DataFrame, group: str = "source",
+                  text_col: str = "text", p: int = 6) -> DataFrame:
+    """HyperLogLog register table per group (Flajolet et al. 2007) —
+    the industry-standard mergeable distinct-token sketch, in its
+    SPARSE row form: ``(group, bucket, reg)`` where ``bucket`` is the
+    top ``p`` hash bits and ``reg`` the max over the bucket's hashes of
+    (leading zeros of the remaining ``64-p`` bits) + 1.  Buckets never
+    observed are absent (reg 0 implicitly) — the form partial sketches
+    ship in at corpus scale, and what Spark's own approx_count_distinct
+    keeps per task.  Merging partials is an exact ``max`` per bucket
+    (see q125's merged == direct proof), so per-partition / per-day
+    sketches combine associatively without re-reading raw data.
+
+    Everything is exact integers under the SQL gate: the shared
+    Horner+splitmix token hash (cross-engine replicable), bucket by
+    unsigned shift, and rank via the BINARY-STRING bit length
+    (``conv(suffix, 10, 2)`` / DuckDB ``bin``) — no floating log2, so
+    no misrounding near powers of two.  One narrow hash pass, one
+    partially-aggregated (group, bucket) max — the shuffle operand
+    collapses map-side to at most groups x 2^p rows per task.
+
+    The estimate (alpha_m * m^2 / sum 2^-reg, linear counting below
+    2.5m) is a driver-side closed form over the <= 2^p register rows —
+    see :func:`hll_estimate`; it is pytest-pinned against a numpy
+    replica rather than oracle-gated (IEEE division), while the
+    registers themselves are value-exact cross-engine."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    sfx_bits = 64 - p
+    ex = df.select(F.col(group),
+                   F.explode(token_hash_udf()(F.col(text_col))).alias("h"))
+    sfx = F.col("h").bitwiseAND(F.lit((1 << sfx_bits) - 1))
+    blen = F.length(F.conv(sfx.cast("string"), 10, 2))
+    rank = F.when(sfx == 0, F.lit(sfx_bits + 1)) \
+            .otherwise(F.lit(sfx_bits + 1) - blen).cast("int")
+    return (ex.select(F.col(group),
+                      F.shiftrightunsigned("h", sfx_bits).alias("bucket"),
+                      rank.alias("_r"))
+            .groupBy(group, "bucket").agg(F.max("_r").alias("reg")))
+
+
+def hll_estimate(registers, p: int = 6) -> float:
+    """Closed-form HLL cardinality estimate from a sparse register
+    list of (bucket, reg) pairs (python side — the register table is
+    <= 2^p rows by construction, a contractually tiny collect).
+    Standard small-range correction: linear counting when the raw
+    estimate is below 2.5m and empty buckets exist."""
+    import math
+
+    m = 1 << p
+    regs = dict(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / z
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / float(zeros))
+    return est
+
+
 def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
                           text_col: str = "text", id_col: str = "doc_id",
                           pct: int = 95) -> DataFrame:

@@ -600,6 +600,40 @@ def main() -> None:
         "at 100 TB it broadcasts into the scoring join"))
     _cache.release(dsw)
 
+    hll = textops.hll_registers(
+        synth.synth_docs_skew(spark, 2000, partitions=8).withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string"))),
+        group="source")
+    sections.append(summarize(
+        hll,
+        "hll_registers (q125): ONE narrow Arrow hash pass then ONE "
+        "partially-aggregated shuffle whose operand collapses map-side "
+        "to <= groups x 64 register rows per task — the mergeable-sketch "
+        "minimum; rank via native conv() bit length, no UDF after the "
+        "shared token hash"))
+
+    from geotile import graph as _graph
+    _docs_g = synth.synth_docs_skew(spark, 2000, partitions=8) \
+        .select("doc_id")
+    _edges_g = _docs_g.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * 3), F.lit(2000)).alias("dst")) \
+        .where(F.col("src") != F.col("dst")) \
+        .withColumn("w", F.pmod(F.xxhash64(F.col("src") + F.col("dst")),
+                                F.lit(9)) + 1)
+    ssp = _graph.shortest_paths(
+        _edges_g, _docs_g.where(F.col("doc_id") % 500 == 0)
+        .select(F.col("doc_id").alias("node")), max_rounds=4)
+    sections.append(summarize(
+        ssp,
+        "shortest_paths (q126): frontier-only Bellman-Ford — per round "
+        "the shuffle is the IMPROVED frontier's out-edges joined against "
+        "the persisted edge list (InMemoryTableScan), min-candidate "
+        "collapsed map-side, micro-frames coalesced + lineage-truncated "
+        "(the bfs_hops discipline); the printed plan is the final-round "
+        "checkpoint scan, which is the point — no O(rounds) lineage"))
+    _cache.release(ssp)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

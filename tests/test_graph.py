@@ -229,3 +229,62 @@ def test_oriented_star_alone_has_no_triangles(spark):
     out = graph.triangle_counts_oriented(df)
     assert out.count() == 0
     cache.release(out)
+
+
+def _run_sssp(spark, edges, sources, rounds):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(s,) for s in sources], "node long")
+    out = graph.shortest_paths(df, srcs, max_rounds=rounds)
+    rows = {r["node"]: r["dist"] for r in out.collect()}
+    cache.release(out)
+    return rows
+
+
+def _sssp_local(edges, sources, rounds):
+    # Bellman-Ford bounded at `rounds` edges per path
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # 0->2 direct costs 10; 0->1->2 costs 3: weighted answer differs
+    # from BFS hop counts
+    edges = [(0, 2, 10), (0, 1, 1), (1, 2, 2)]
+    assert _run_sssp(spark, edges, [0], 5) == {0: 0, 1: 1, 2: 3}
+
+
+def test_sssp_round_cap_is_edge_count_bound(spark):
+    # cheap path needs 3 edges; with cap 2 only the expensive 2-edge
+    # path is admissible — dist must be the <=2-edge minimum (the
+    # q126 oracle's recursion-depth semantics)
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 4, 5), (4, 3, 5)]
+    assert _run_sssp(spark, edges, [0], 2)[3] == 10
+    assert _run_sssp(spark, edges, [0], 3)[3] == 3
+
+
+def test_sssp_multi_source_and_early_stop(spark):
+    # 6-cycle with unit weights, seeds at 0 and 3: everything within
+    # distance 1; a generous cap must early-exit, not loop
+    edges = [(i, (i + 1) % 6, 1) for i in range(6)] + \
+            [((i + 1) % 6, i, 1) for i in range(6)]
+    got = _run_sssp(spark, edges, [0, 3], 50)
+    assert got == {0: 0, 3: 0, 1: 1, 2: 1, 4: 1, 5: 1}
+
+
+def test_sssp_matches_local_on_random_graphs(spark):
+    rng = random.Random(29)
+    for _ in range(3):
+        n = 40
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(80)})
+        edges = [(u, v, 1 + ((u * 7 + v) % 9)) for u, v in edges if u != v]
+        expect = _sssp_local(edges, [0, 11], 5)
+        assert _run_sssp(spark, edges, [0, 11], 5) == expect

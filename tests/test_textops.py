@@ -841,3 +841,55 @@ def test_pack_sequences_conservation(docs):
         for r in rows:
             assert r["start_tok"] == run
             run += r["n_tokens"]
+
+
+def test_hll_registers_match_numpy_replica(spark):
+    rows = [(i, f"s{i % 3}", f"tok{i} tok{i % 7} shared word{i % 11}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source"], r["bucket"]): r["reg"]
+           for r in textops.hll_registers(df, group="source", p=6).collect()}
+    # numpy replica: same Horner+splitmix hash, bucket = top 6 bits,
+    # rank = leading zeros of the 58-bit suffix + 1
+    expect = {}
+    for g in ("s0", "s1", "s2"):
+        texts = pd.Series([t for i, s, t in rows if s == g])
+        hs, _ = textops._token_hashes_flat(texts)
+        for h in hs:
+            h = int(h)
+            bucket, sfx = h >> 58, h & ((1 << 58) - 1)
+            rank = 59 - sfx.bit_length() if sfx else 59
+            k = (g, bucket)
+            expect[k] = max(expect.get(k, 0), rank)
+    assert got == expect
+
+
+def test_hll_merge_equals_direct(docs):
+    per_src = textops.hll_registers(docs, group="source", p=6)
+    merged = {(r["bucket"]): r["reg"]
+              for r in per_src.groupBy("bucket")
+              .agg(F.max("reg").alias("reg")).collect()}
+    direct = {(r["bucket"]): r["reg"]
+              for r in textops.hll_registers(
+                  docs.withColumn("_g", F.lit("x")), group="_g", p=6).collect()}
+    assert merged == direct
+
+
+def test_hll_estimate_tracks_true_distinct(spark):
+    # 500 distinct tokens, one per doc, p=8 (m=256): HLL standard
+    # error is ~1.04/sqrt(m) ~ 6.5%; assert a loose 3-sigma band
+    df = spark.createDataFrame(
+        [(i, f"u{i:04d}") for i in range(500)], "doc_id long, text string")
+    regs = [(r["bucket"], r["reg"])
+            for r in textops.hll_registers(
+                df.withColumn("_g", F.lit("x")), group="_g", p=8).collect()]
+    est = textops.hll_estimate(regs, p=8)
+    assert 500 * 0.8 <= est <= 500 * 1.2
+    # tiny range exercises linear counting exactly
+    df2 = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    regs2 = [(r["bucket"], r["reg"])
+             for r in textops.hll_registers(
+                 df2.withColumn("_g", F.lit("x")), group="_g", p=8).collect()]
+    import math
+    assert textops.hll_estimate(regs2, p=8) == pytest.approx(
+        256 * math.log(256 / 253.0))

@@ -2552,6 +2552,50 @@ def _q126_weighted_paths(spark: SparkSession, sf: str) -> DataFrame:
         getattr(out, "_geotile_persisted", []))
 
 
+def _q127_stream_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Eighth streaming query under the exact gate: HyperLogLog
+    register maintenance AT INGEST — the documents stream feeds the
+    SAME textops.hll_registers definition the batch q125 uses (one
+    definition, so stream and batch cannot drift apart), run to
+    completion in complete mode.  The register table is the canonical
+    stream-safe aggregate: per-bucket MAX is associative, commutative,
+    and idempotent, so state is bounded at 2^p rows forever and
+    micro-batch boundaries cannot change the answer — on a finite
+    stream the final state must equal the batch registers, which is
+    exactly what the oracle computes.  Cardinality-at-ingest is the
+    100-TB crawl monitor: distinct-token (or distinct-URL) telemetry
+    with O(1) state instead of a distinct aggregate streams forbid."""
+    docs = _stream_docs(spark, sf)
+    out = textops.hll_registers(
+        docs.withColumn("_g", F.lit("__stream__")), group="_g")
+    return (_run_stream_to_table(out, spark, "q127_hll_sink", "complete")
+            .withColumnRenamed("_g", "source")
+            .orderBy("bucket"))
+
+
+def _q128_polygon_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon area / centroid / point density
+    (engine.polygon_measures + the q9 pip_join): sinusoidal
+    equal-area shoelace with hectare-floored edge terms (exact
+    integer fold), vertex-mean centroid in micro-degrees, and
+    points-per-megahectare by integer division over the q9 PIP
+    counts.  Map-only native expressions over the vertex arrays —
+    the polygon-measure dual of q9's polygon predicate."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"]) for p in (_POLY_TRI, _POLY_QUAD)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    meas = engine.polygon_measures(polys)
+    counts = (engine.pip_join(pos, polys)
+              .groupBy("poly_id").agg(F.count("*").alias("n_points")))
+    return (meas.join(counts, "poly_id", "left")
+            .withColumn("n_points", F.coalesce("n_points", F.lit(0)))
+            .withColumn("pts_per_mha",
+                        F.expr("(n_points * CAST(1000000 AS BIGINT))"
+                               " div area_ha"))
+            .orderBy("poly_id"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2633,7 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q126 were added AFTER this rotation was
+    # late additions q120-q128 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2768,6 +2812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_dsir_weights": _q124_dsir_weights,
         "q125_hll_registers": _q125_hll_registers,
         "q126_weighted_paths": _q126_weighted_paths,
+        "q127_stream_hll": _q127_stream_hll,
+        "q128_polygon_measures": _q128_polygon_measures,
     }
 
 
@@ -6118,6 +6164,87 @@ reach126 AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(d) AS BIGINT) AS dist
 FROM reach126 GROUP BY node ORDER BY doc_id
+"""
+
+    # q127: the streaming HLL final state must equal the batch corpus
+    # registers — the q125 hash/bucket/rank replica with one group
+    sqls["q127_stream_hll"] = f"""
+WITH stoks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+stokh AS (
+  SELECT list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM stoks
+),
+{_splitmix_cte_sql("stokh", "h0", "hu", "sh")},
+sr127 AS (
+  SELECT CAST(hu >> 58 AS BIGINT) AS bucket,
+         CASE WHEN hu % {_sfx125} = 0 THEN 59
+              ELSE 59 - length(bin(CAST(hu % {_sfx125} AS HUGEINT))) END AS r
+  FROM shd
+)
+SELECT '__stream__' AS source, bucket, CAST(max(r) AS INTEGER) AS reg
+FROM sr127 GROUP BY bucket ORDER BY bucket
+"""
+
+    # q128: polygon measures — the engine's sinusoidal shoelace /
+    # vertex-mean arithmetic replayed per literal polygon with the
+    # IDENTICAL op sequence (string-cast literals per the DECIMAL
+    # trap), hectare-floored integer edge terms, plus the q9 ray-cast
+    # predicate for the point counts
+    def _poly_measure_sql(poly: dict) -> str:
+        import math as _math
+        _d_rad = f"CAST('{_math.pi / 180.0!r}' AS DOUBLE)"
+        _d_r = f"CAST('{gh.EARTH_RADIUS_M!r}' AS DOUBLE)"
+        lats, lons = poly["lat"], poly["lon"]
+        nv = len(lats)
+
+        def _dd(v: float) -> str:
+            return f"CAST('{v!r}' AS DOUBLE)"
+
+        def _px(i: int) -> str:
+            return (f"(({_dd(lons[i])} * {_d_rad}) * {_d_r})"
+                    f" * cos({_dd(lats[i])} * {_d_rad})")
+
+        def _py(i: int) -> str:
+            return f"(({_dd(lats[i])} * {_d_rad}) * {_d_r})"
+
+        terms = []
+        for i in range(nv):
+            j = (i + 1) % nv
+            terms.append(
+                f"CAST(floor(((({_px(i)}) * ({_py(j)}))"
+                f" - (({_px(j)}) * ({_py(i)})))"
+                f" * CAST('5e-05' AS DOUBLE)) AS BIGINT)")
+        area = "abs(" + " + ".join(terms) + ")"
+        sla, slo = "0.0", "0.0"
+        for v in lats:
+            sla = f"({sla} + {_dd(v)})"
+        for v in lons:
+            slo = f"({slo} + {_dd(v)})"
+        clat = (f"CAST(floor((({sla}) / CAST('{float(nv)!r}' AS DOUBLE))"
+                f" * 1000000.0) AS BIGINT)")
+        clon = (f"CAST(floor((({slo}) / CAST('{float(nv)!r}' AS DOUBLE))"
+                f" * 1000000.0) AS BIGINT)")
+        return (f"SELECT CAST({poly['poly_id']} AS BIGINT) AS poly_id,"
+                f" {nv} AS n_vertices, {area} AS area_ha,"
+                f" {clat} AS clat_micro, {clon} AS clon_micro,"
+                f" (SELECT count(*) FROM pos WHERE {_pip_pred(poly)})"
+                f" AS n_points")
+
+    sqls["q128_polygon_measures"] = f"""
+WITH {_POS_CTE},
+pm128 AS (
+  {_poly_measure_sql(_POLY_TRI)}
+  UNION ALL
+  {_poly_measure_sql(_POLY_QUAD)}
+)
+SELECT poly_id, CAST(n_vertices AS INTEGER) AS n_vertices, area_ha,
+       clat_micro, clon_micro, n_points,
+       (n_points * 1000000) // area_ha AS pts_per_mha
+FROM pm128 ORDER BY poly_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -659,6 +659,60 @@ def pip_join(points: DataFrame, polygons: DataFrame, nchars: int = DEFAULT_NCHAR
             .drop("_inside"))
 
 
+def polygon_measures(polygons: DataFrame, poly_id: str = "poly_id",
+                     poly_lat: str = "poly_lat",
+                     poly_lon: str = "poly_lon") -> DataFrame:
+    """Per-polygon area and centroid — the polygon-MEASURE dual of
+    pip_join's polygon PREDICATE.  Returns ``(poly_id, n_vertices,
+    area_ha, clat_micro, clon_micro)``.
+
+    Semantics (documented, deliberately projection-explicit): area is
+    the planar shoelace in the SINUSOIDAL equal-area projection
+    (x = R*lon_rad*cos(lat_rad), y = R*lat_rad) with straight planar
+    edges — exact for the projection, a good spherical approximation
+    for region-scale polygons away from the poles; centroid is the
+    vertex mean.  Each half-cross-product edge term is floored to
+    integer HECTARES before the fold-sum, so the result is exact
+    integer arithmetic whose only cross-engine exposure is a libm
+    cos() last-ulp landing within ~0.005 m^2 of a 10^4 m^2 boundary
+    (the q113 bearing-sectors discipline; the q128 oracle replays the
+    identical op sequence from string-cast literals).
+
+    Scale shape: pure map-only native column expressions over the
+    vertex ARRAYS — no UDF, no shuffle, no collect; a table of a
+    billion polygons streams through whole-stage codegen.  The fold is
+    ``aggregate`` over ``transform``, fixed left-associative order."""
+    rad = F.lit(_RAD_PER_DEG)
+    r_m = F.lit(gh.EARTH_RADIUS_M)
+    la, lo = F.col(poly_lat), F.col(poly_lon)
+    n = F.size(la)
+
+    def _x(i):  # i is a 0-based Column; element_at is 1-based
+        return (F.element_at(lo, i + 1) * rad) * r_m \
+            * F.cos(F.element_at(la, i + 1) * rad)
+
+    def _y(i):
+        return (F.element_at(la, i + 1) * rad) * r_m
+
+    terms = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.floor(((_x(i) * _y((i + 1) % n))
+                           - (_x((i + 1) % n) * _y(i)))
+                          * F.lit(5e-05)).cast("long"))
+    area = F.abs(F.aggregate(terms, F.lit(0).cast("long"),
+                             lambda a, t: a + t))
+    mean_la = F.aggregate(la, F.lit(0.0), lambda a, e: a + e) \
+        / n.cast("double")
+    mean_lo = F.aggregate(lo, F.lit(0.0), lambda a, e: a + e) \
+        / n.cast("double")
+    return polygons.select(
+        poly_id,
+        n.cast("int").alias("n_vertices"),
+        area.alias("area_ha"),
+        F.floor(mean_la * F.lit(1000000.0)).cast("long").alias("clat_micro"),
+        F.floor(mean_lo * F.lit(1000000.0)).cast("long").alias("clon_micro"))
+
+
 _RAD_PER_DEG = math.pi / 180.0
 
 

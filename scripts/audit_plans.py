@@ -634,6 +634,17 @@ def main() -> None:
         "checkpoint scan, which is the point — no O(rounds) lineage"))
     _cache.release(ssp)
 
+    pmeas = engine.polygon_measures(spark.createDataFrame(
+        [(i, [10.0 + i, 20.0 + i, 10.5 + i], [40.0, 45.0, 50.0])
+         for i in range(200)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>"))
+    sections.append(summarize(
+        pmeas,
+        "polygon_measures (q128): MAP-ONLY — zero exchanges, zero "
+        "UDFs; the shoelace fold is native transform/aggregate over "
+        "the vertex arrays inside whole-stage codegen, so a "
+        "billion-polygon table streams through scan-project"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -865,3 +865,63 @@ def test_getis_ord_brute_force(spark):
     # sit below it, and at least one polar cell exercised w = 6
     assert gis[max(cells, key=cells.get)] == max(gis.values())
     assert any(r["w"] == 6 for r in out.values())
+
+
+def _measure_local(lats, lons):
+    # numpy replica of polygon_measures' documented semantics
+    import math
+    rad = math.pi / 180.0
+    r_m = gh.EARTH_RADIUS_M
+    nv = len(lats)
+    x = [((lons[i] * rad) * r_m) * math.cos(lats[i] * rad) for i in range(nv)]
+    y = [(lats[i] * rad) * r_m for i in range(nv)]
+    terms = [math.floor(((x[i] * y[(i + 1) % nv]) - (x[(i + 1) % nv] * y[i]))
+                        * 5e-05) for i in range(nv)]
+    sla = 0.0
+    for v in lats:
+        sla += v
+    slo = 0.0
+    for v in lons:
+        slo += v
+    return (abs(sum(terms)),
+            math.floor((sla / nv) * 1e6), math.floor((slo / nv) * 1e6))
+
+
+def _run_measures(spark, polys):
+    df = spark.createDataFrame(
+        polys, "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    return {r["poly_id"]: (r["area_ha"], r["clat_micro"], r["clon_micro"],
+                           r["n_vertices"])
+            for r in engine.polygon_measures(df).collect()}
+
+
+def test_polygon_measures_match_replica_and_analytic(spark):
+    # 1x1 degree square on the equator plus an off-lattice pentagon
+    sq = ([-0.50021, -0.50021, 0.49979, 0.49979],
+          [9.49983, 10.49983, 10.49983, 9.49983])
+    pent = ([20.00037, 25.10063, 28.30011, 24.70049, 20.90027],
+            [110.00031, 109.20017, 113.50023, 117.80041, 116.10013])
+    got = _run_measures(spark, [(0, *sq), (1, *pent)])
+    for pid, (lats, lons) in enumerate([sq, pent]):
+        area, clat, clon = _measure_local(lats, lons)
+        assert got[pid] == (area, clat, clon, len(lats))
+    # analytic check: the equatorial 1-deg square's sinusoidal area is
+    # R^2 * dlon_rad * (sin(lat2) - sin(lat1)) within the straight-edge
+    # approximation (<0.01% here)
+    import math
+    rad = math.pi / 180.0
+    exact = (gh.EARTH_RADIUS_M ** 2 * (1.0 * rad)
+             * (math.sin(0.49979 * rad) - math.sin(-0.50021 * rad))) / 1e4
+    assert abs(got[0][0] - exact) / exact < 1e-4
+
+
+def test_polygon_measures_orientation_and_scale(spark):
+    # reversing vertex order flips every term's sign: |area| agrees to
+    # within nv hectares (floor(-t) = -floor(t) only at exact ints);
+    # doubling linear size quadruples area (equal-area projection)
+    tri = ([10.00037, 20.00071, 10.00049], [40.00031, 45.00017, 50.00023])
+    tri_rev = (tri[0][::-1], tri[1][::-1])
+    tri2 = ([10.00037, 30.00105, 10.00061], [40.00031, 50.00003, 60.00015])
+    got = _run_measures(spark, [(0, *tri), (1, *tri_rev), (2, *tri2)])
+    assert abs(got[0][0] - got[1][0]) <= 3
+    assert got[2][0] / got[0][0] == pytest.approx(4.0, rel=0.05)

@@ -2596,6 +2596,32 @@ def _q128_polygon_measures(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("poly_id"))
 
 
+def _q129_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter incremental-ingest prefilter (textops.bloom_build /
+    bloom_member, m=4096 bits, k=4): the historical corpus (doc_id %
+    5 != 0) builds a 64-word bitset; EVERY document probes it as an
+    incoming batch, next to the exact-membership truth — so the gate
+    value-proves the no-false-negative guarantee (bloom_hit >=
+    exact_dup row by row) and pins the deterministic false-positive
+    behavior.  At 100 TB the words table broadcasts to skip the
+    anti-join shuffle for bloom-negative rows (the guaranteed-safe
+    skip); content keys are md5-derived so the oracle needs no string
+    hash replica."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    words = textops.bloom_build(corpus).persist()
+    hits = textops.bloom_member(docs, words)
+    ctext = corpus.select("text").distinct().withColumn("_e", F.lit(1))
+    exact = (docs.join(F.broadcast(ctext), "text", "left")
+             .select("doc_id",
+                     F.coalesce("_e", F.lit(0)).alias("exact_dup")))
+    out = hits.join(exact, "doc_id").select(
+        "doc_id", "bloom_hit", "exact_dup").orderBy("doc_id")
+    return cache.track(out, [words])
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2677,7 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q128 were added AFTER this rotation was
+    # late additions q120-q129 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2814,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_weighted_paths": _q126_weighted_paths,
         "q127_stream_hll": _q127_stream_hll,
         "q128_polygon_measures": _q128_polygon_measures,
+        "q129_bloom_prefilter": _q129_bloom_prefilter,
     }
 
 
@@ -6245,6 +6272,58 @@ SELECT poly_id, CAST(n_vertices AS INTEGER) AS n_vertices, area_ha,
        clat_micro, clon_micro, n_points,
        (n_points * 1000000) // area_ha AS pts_per_mha
 FROM pm128 ORDER BY poly_id
+"""
+
+    # q129: Bloom prefilter — md5-derived key (no string-hash replica
+    # needed), k=4 xxhash64 HUGEINT chains over seed-XORed keys,
+    # wrap-safe HUGEINT shift into signed words, bit_or build,
+    # broadcast-probe min, next to the exact-membership truth
+    _bloom_seeds = (0, 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
+    _bloom_pos_ctes = ",\n".join(
+        f"""k129_{i} AS (
+  SELECT doc_id, in_corpus,
+         CAST(xor(key, {s}) AS HUGEINT) AS z0 FROM key129
+),
+{_xxhash64_cte_sql(f"k129_{i}", "z0", "h", f"b129_{i}")},
+p129_{i} AS (
+  SELECT doc_id, in_corpus,
+         ((({_signed64_sql("h")} % 4096) + 4096) % 4096) AS pos
+  FROM b129_{i}f
+)""" for i, s in enumerate(_bloom_seeds))
+    _bloom_word = _signed64_sql(
+        "(CAST(1 AS HUGEINT) << CAST(pos % 64 AS INTEGER))"
+        f" % {_W64}")
+    sqls["q129_bloom_prefilter"] = f"""
+WITH key129 AS (
+  SELECT doc_id, text, (doc_id % 5 <> 0) AS in_corpus,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS key
+  FROM documents
+),
+{_bloom_pos_ctes},
+pos129 AS (
+  SELECT doc_id, in_corpus, pos FROM p129_0
+  UNION ALL SELECT doc_id, in_corpus, pos FROM p129_1
+  UNION ALL SELECT doc_id, in_corpus, pos FROM p129_2
+  UNION ALL SELECT doc_id, in_corpus, pos FROM p129_3
+),
+words129 AS (
+  SELECT pos // 64 AS word_idx, bit_or({_bloom_word}) AS bits
+  FROM pos129 WHERE in_corpus GROUP BY 1
+),
+hit129 AS (
+  SELECT p.doc_id,
+         min(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & {_bloom_word}) <> 0
+             THEN 1 ELSE 0 END) AS bloom_hit
+  FROM pos129 p LEFT JOIN words129 w ON w.word_idx = p.pos // 64
+  GROUP BY p.doc_id
+)
+SELECT k.doc_id, h.bloom_hit,
+       CASE WHEN EXISTS (SELECT 1 FROM key129 c
+                         WHERE c.in_corpus AND c.text = k.text)
+            THEN 1 ELSE 0 END AS exact_dup
+FROM key129 k JOIN hit129 h ON h.doc_id = k.doc_id
+ORDER BY k.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -108,7 +108,7 @@ def main() -> None:
         "q120_cell_top_terms", "q121_hilbert_locality",
         "q122_source_kl_drift", "q123_hilbert_range_scan",
         "q124_dsir_weights", "q125_hll_registers", "q126_weighted_paths",
-        "q127_stream_hll", "q128_polygon_measures",
+        "q127_stream_hll", "q128_polygon_measures", "q129_bloom_prefilter",
     ]
     from geotile import cache, textops
 

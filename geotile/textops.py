@@ -1102,6 +1102,76 @@ def hll_estimate(registers, p: int = 6) -> float:
     return est
 
 
+# Kirsch-Mitzenmacher would derive k positions from two hashes via
+# h1 + i*h2, but ANSI mode overflow-checks the long MULTIPLY; k
+# independent xxhash64 calls over seed-XORed keys are native, wrap-free,
+# and each is exactly replicable by the oracle's HUGEINT chain
+_BLOOM_SEEDS = (0, 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
+
+
+def bloom_key(text_col) -> "F.Column":
+    """64-bit-safe content key: the first 15 hex chars of md5(text) as
+    a BIGINT (60 bits, always positive) — md5 is byte-identical across
+    engines, so the key needs no hash replica in the oracle."""
+    return F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10).cast("long")
+
+
+def _bloom_positions(text_col, m_bits: int, k: int):
+    key = bloom_key(text_col)
+    return F.array(*[
+        F.pmod(F.xxhash64(key.bitwiseXOR(F.lit(s))), F.lit(m_bits))
+        for s in _BLOOM_SEEDS[:k]])
+
+
+def bloom_build(df: DataFrame, text_col: str = "text",
+                m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Build a Bloom filter over document CONTENT as a ``(word_idx,
+    bits)`` table of ``m_bits/64`` int64 words — the fourth canonical
+    sketch next to KMV (q47), HLL (q125), and Misra-Gries (q89), and
+    the classic shuffle-avoidance primitive: broadcast the words table
+    to prefilter an expensive anti-join (incremental-ingest dedup
+    against a historical corpus touches only bloom-positive rows; the
+    guaranteed-no-false-negative property makes the skip SAFE).
+
+    Everything is exact integer arithmetic under the SQL gate: the key
+    is md5-derived (byte-identical cross-engine), positions are k
+    native xxhash64 calls (seed-XORed keys, no ANSI-checked multiply),
+    and the bitset is built with wrap-safe shifts + a ``bit_or``
+    aggregate whose shuffle operand collapses map-side to at most
+    ``m_bits/64`` rows per task — the HLL register discipline.  Like
+    all Bloom filters the words table is also MERGEABLE (bit_or per
+    word_idx) across partial builds."""
+    if not 1 <= k <= len(_BLOOM_SEEDS):
+        raise ValueError(f"k must be in [1, {len(_BLOOM_SEEDS)}]")
+    rows = df.select(F.explode(_bloom_positions(F.col(text_col),
+                                                m_bits, k)).alias("pos"))
+    return (rows.select(
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("_w"))
+        .groupBy("word_idx").agg(F.bit_or("_w").alias("bits")))
+
+
+def bloom_member(df: DataFrame, words: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", m_bits: int = 4096,
+                 k: int = 4) -> DataFrame:
+    """Probe a :func:`bloom_build` words table: returns ``(id_col,
+    bloom_hit)`` with hit = 1 iff ALL k bits are set.  The words table
+    (<= m_bits/64 rows) broadcasts, so the probe side never shuffles —
+    a map-side k-row explode, broadcast lookup, and per-doc min."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(text_col), m_bits, k)).alias("pos"))
+    j = ex.join(F.broadcast(words),
+                F.shiftright(ex["pos"], 6) == words["word_idx"], "left")
+    hit_i = F.when(
+        F.col("bits").isNotNull()
+        & (F.expr("(bits & shiftleft(CAST(1 AS BIGINT),"
+                  " CAST(pos % 64 AS INT))) != 0")),
+        1).otherwise(0)
+    return j.groupBy(id_col).agg(F.min(hit_i).alias("bloom_hit"))
+
+
 def winsorize_doc_lengths(df: DataFrame, group_col: str = "source",
                           text_col: str = "text", id_col: str = "doc_id",
                           pct: int = 95) -> DataFrame:

@@ -645,6 +645,19 @@ def main() -> None:
         "the vertex arrays inside whole-stage codegen, so a "
         "billion-polygon table streams through scan-project"))
 
+    bdocs = synth.synth_docs_skew(spark, 2000, partitions=8)
+    bwords = textops.bloom_build(bdocs.where(F.col("doc_id") % 2 == 0))
+    bwords.persist().count()
+    bm = textops.bloom_member(bdocs, bwords)
+    sections.append(summarize(
+        bm,
+        "bloom_member (q129): the words table (<= m/64 rows) BROADCASTS "
+        "(BroadcastHashJoin) so the probe side never shuffles for the "
+        "lookup — one map-side k-row explode and a per-doc min; "
+        "bloom_build itself is one bit_or aggregate whose exchange "
+        "operand is <= m/64 rows per task"))
+    bwords.unpersist()
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -893,3 +893,35 @@ def test_hll_estimate_tracks_true_distinct(spark):
     import math
     assert textops.hll_estimate(regs2, p=8) == pytest.approx(
         256 * math.log(256 / 253.0))
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    corpus_rows = [(i, f"doc body {i} alpha beta") for i in range(200)]
+    new_rows = [(1000 + i, f"unseen text {i} gamma") for i in range(200)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    probes = spark.createDataFrame(corpus_rows + new_rows,
+                                   "doc_id long, text string")
+    words = textops.bloom_build(corpus, m_bits=4096, k=4)
+    got = {r["doc_id"]: r["bloom_hit"]
+           for r in textops.bloom_member(probes, words).collect()}
+    # the Bloom guarantee: every member hits
+    assert all(got[i] == 1 for i in range(200))
+    # false positives exist in principle but must be rare at this load
+    # (n*k/m ~ 0.2 -> fp ~ 1e-3); allow a small deterministic handful
+    assert sum(got[1000 + i] for i in range(200)) <= 3
+    # mergeability: bit_or of two partial builds == the whole build
+    half_a = textops.bloom_build(corpus.where("doc_id < 100"))
+    half_b = textops.bloom_build(corpus.where("doc_id >= 100"))
+    merged = {r["word_idx"]: r["bits"]
+              for r in half_a.unionByName(half_b)
+              .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+              .collect()}
+    whole = {r["word_idx"]: r["bits"] for r in words.collect()}
+    assert merged == whole
+
+
+def test_bloom_key_is_md5_prefix(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    got = df.select(textops.bloom_key(F.col("text")).alias("k")).first()["k"]
+    import hashlib
+    assert got == int(hashlib.md5(b"abc").hexdigest()[:15], 16)

@@ -2622,6 +2622,34 @@ def _q129_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     return cache.track(out, [words])
 
 
+def _q130_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-proportion stratified train/val/test split
+    (textops.stratified_split, 80/10/10 by source): per-stratum
+    xxhash64-rank thresholds in pure integer arithmetic — each source
+    gets EXACTLY floor-proportional counts (q49's Bernoulli split is
+    the shuffle-free approximate alternative).  The oracle replays the
+    identical HUGEINT hash order and integer-div cuts."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.stratified_split(docs, seed=7)
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+def _q131_emerging_hotspots(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell Mann-Kendall activity trend (engine.emerging_hotspots,
+    gh3 cells, daily bins) — the temporal leg of the q102/q105/q118
+    spatial-stats chain: exact-integer S = sum of sign(c_j - c_i) over
+    day pairs, computed on the COLLAPSED (cell, day) count frame.  The
+    oracle replays the closed-form geohash, integer day bins, and the
+    pair self-join verbatim."""
+    from geotile import cache
+
+    pos = engine.with_cell(_positions_df(spark, sf)) \
+        .withColumn("ep", F.unix_timestamp("ts"))
+    out = engine.emerging_hotspots(pos)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2841,6 +2869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_stream_hll": _q127_stream_hll,
         "q128_polygon_measures": _q128_polygon_measures,
         "q129_bloom_prefilter": _q129_bloom_prefilter,
+        "q130_stratified_split": _q130_stratified_split,
+        "q131_emerging_hotspots": _q131_emerging_hotspots,
     }
 
 
@@ -6324,6 +6354,57 @@ SELECT k.doc_id, h.bloom_hit,
             THEN 1 ELSE 0 END AS exact_dup
 FROM key129 k JOIN hit129 h ON h.doc_id = k.doc_id
 ORDER BY k.doc_id
+"""
+
+    # q130: stratified split — the q49 xxhash64 HUGEINT replica on
+    # (doc_id + 7), per-source unsigned-hash rank, integer-div cuts
+    sqls["q130_stratified_split"] = f"""
+WITH s130 AS (
+  SELECT doc_id, source, CAST(doc_id + 7 AS HUGEINT) AS z0 FROM documents
+),
+{_xxhash64_cte_sql("s130", "z0", "hu", "x130")},
+r130 AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hu ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM x130f
+)
+SELECT doc_id, source,
+       CASE WHEN rn <= (n * 800000) // 1000000 THEN 'train'
+            WHEN rn <= (n * 900000) // 1000000 THEN 'val'
+            ELSE 'test' END AS split
+FROM r130 ORDER BY doc_id
+"""
+
+    # q131: Mann-Kendall emerging hotspots — closed-form gh3 cell +
+    # integer day bins, pair self-join over the collapsed count frame,
+    # exact sign sums
+    sqls["q131_emerging_hotspots"] = f"""
+WITH {_POS_CTE},
+c131 AS (
+  SELECT substr({gh5}, 1, 3) AS cell,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+s131 AS (
+  SELECT a.cell,
+         CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s_mk
+  FROM c131 a JOIN c131 b ON b.cell = a.cell AND a.day < b.day
+  GROUP BY a.cell
+),
+d131 AS (
+  SELECT cell, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total
+  FROM c131 GROUP BY cell
+)
+SELECT d.cell, d.n_days, d.total,
+       CAST(coalesce(s.s_mk, 0) AS BIGINT) AS s_mk,
+       CASE WHEN coalesce(s.s_mk, 0) > 0 THEN 'rising'
+            WHEN coalesce(s.s_mk, 0) < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM d131 d LEFT JOIN s131 s ON s.cell = d.cell
+ORDER BY d.cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1371,6 +1371,54 @@ def getis_ord(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return cache.track(out, [base] + getattr(base, "_geotile_persisted", []))
 
 
+def emerging_hotspots(df: DataFrame, t: str = "ep", nchars: int = 3,
+                      cell_col: str = "geohash") -> DataFrame:
+    """Per-cell Mann-Kendall trend over DAILY activity counts — the
+    temporal leg completing the spatial-stats chain (q102 smoothing,
+    q105 global autocorrelation, q118 Gi* hotspots answer "where is
+    hot NOW"; this answers "where is activity RISING or FALLING" —
+    ArcGIS calls the combination emerging-hot-spot analysis).  For
+    each cell with >= 2 observed days, ``S = sum over day pairs i < j
+    of sign(c_j - c_i)`` — the exact-integer nonparametric trend
+    statistic (Mann 1945 / Kendall), monotone-robust and immune to
+    outlier days.  Days with zero activity are ABSENT, not zero (the
+    statistic is over observed days; a web corpus has no calendar
+    entitlement), documented semantics.  Returns ``(cell, n_days,
+    total, s_mk, trend)`` with trend = rising / falling / flat by the
+    sign of S.
+
+    Scale shape: raw events collapse to the (cell, day) count frame in
+    ONE partially-aggregated shuffle; the pair self-join runs on that
+    COLLAPSED frame, with per-cell fan-out bounded by days^2/2 — a
+    few hundred rows per cell for a month window, independent of how
+    many billions of events the cell saw.  All integers, ties exact
+    (sign(0) = 0), so the q131 oracle replays it verbatim."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    counts = (df.select(cell.alias("cell"),
+                        F.expr(f"{t} div 86400").alias("day"))
+              .groupBy("cell", "day").agg(F.count("*").alias("n"))
+              .persist())
+    a = counts.select(F.col("cell"), F.col("day").alias("di"),
+                      F.col("n").alias("ni"))
+    b = counts.select(F.col("cell").alias("cellb"),
+                      F.col("day").alias("dj"), F.col("n").alias("nj"))
+    pairs = a.join(b, (a["cell"] == b["cellb"]) & (a["di"] < b["dj"]))
+    s_mk = (pairs.groupBy("cell")
+            .agg(F.sum(F.signum(F.col("nj") - F.col("ni")).cast("long"))
+                 .alias("s_mk")))
+    per_cell = counts.groupBy("cell").agg(
+        F.count("*").alias("n_days"), F.sum("n").alias("total"))
+    out = (per_cell.join(s_mk, "cell", "left")
+           .withColumn("s_mk", F.coalesce("s_mk", F.lit(0)))
+           .withColumn("trend",
+                       F.when(F.col("s_mk") > 0, F.lit("rising"))
+                       .when(F.col("s_mk") < 0, F.lit("falling"))
+                       .otherwise(F.lit("flat"))))
+    return cache.track(out, [counts])
+
+
 def cell_stratified_sample(df: DataFrame, per_cell: int = 5, nchars: int = 3,
                            key_col: str = "event_id",
                            cell_col: str = "geohash",

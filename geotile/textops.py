@@ -1102,6 +1102,50 @@ def hll_estimate(registers, p: int = 6) -> float:
     return est
 
 
+def stratified_split(df: DataFrame, splits=None, group: str = "source",
+                     key_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """EXACT-proportion train/val/test assignment per stratum — the
+    deterministic complement of :func:`deterministic_sample`: Bernoulli
+    hash splits give each doc an independent coin flip (shuffle-free,
+    but realized proportions wander ~1/sqrt(n) and are wrong for small
+    strata), while this ranks each stratum's docs in xxhash64 order and
+    cuts at integer thresholds ``n_k = n * cum_ppm_k div 10^6`` — every
+    stratum gets EXACTLY floor-proportional counts, and membership is
+    still a pure function of (key, seed): stable across runs and
+    partitionings as long as the stratum's membership is unchanged.
+
+    ``splits``: ordered list of (name, ppm) summing to 1,000,000.
+    Returns ``df`` + a ``split`` column.  All arithmetic is integer
+    (counts x ppm div 10^6 — no doubles anywhere), and ties are
+    impossible (the rank orders by (hash, key) with unique keys), so
+    the q130 oracle replays it exactly.
+
+    Scale shape: one window shuffle on the stratum key (rank in hash
+    order) + a broadcast of the per-stratum counts — the q72/q88
+    windowed-rank discipline.  The exact-count contract is what costs
+    the sort; when approximate proportions suffice, q49's map-only
+    Bernoulli split is the shuffle-free path."""
+    if splits is None:
+        splits = [("train", 800000), ("val", 100000), ("test", 100000)]
+    if sum(p for _, p in splits) != 1000000:
+        raise ValueError("split ppm must sum to 1000000")
+    ub = F.xxhash64(F.col(key_col).cast("long") + F.lit(seed)) \
+        .bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy(group).orderBy(ub.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w)) \
+               .withColumn("_n", F.count("*").over(Window.partitionBy(group)))
+    cum = 0
+    expr = None
+    for name, ppm in splits[:-1]:
+        cum += ppm
+        cond = F.col("_rn") <= F.expr(f"(_n * CAST({cum} AS BIGINT))"
+                                      f" div 1000000")
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(splits[-1][0]))
+    return ranked.withColumn("split", expr).drop("_rn", "_n")
+
+
 # Kirsch-Mitzenmacher would derive k positions from two hashes via
 # h1 + i*h2, but ANSI mode overflow-checks the long MULTIPLY; k
 # independent xxhash64 calls over seed-XORed keys are native, wrap-free,

@@ -925,3 +925,33 @@ def test_polygon_measures_orientation_and_scale(spark):
     got = _run_measures(spark, [(0, *tri), (1, *tri_rev), (2, *tri2)])
     assert abs(got[0][0] - got[1][0]) <= 3
     assert got[2][0] / got[0][0] == pytest.approx(4.0, rel=0.05)
+
+
+def test_emerging_hotspots_known_trends(spark):
+    # cell A: strictly rising daily counts -> S = C(4,2) = 6
+    # cell B: strictly falling -> S = -6; cell C: constant -> 0 (ties)
+    # cell D: one day -> no pairs, S = 0, flat
+    rows = []
+    eid = 0
+    for day, n in enumerate([1, 2, 3, 4]):        # A at (10.1, 10.1)
+        for _ in range(n):
+            rows.append((eid, 10.1, 10.1, day)); eid += 1
+    for day, n in enumerate([4, 3, 2, 1]):        # B at (-20.1, 50.1)
+        for _ in range(n):
+            rows.append((eid, -20.1, 50.1, day)); eid += 1
+    for day in range(3):                          # C at (30.1, -60.1)
+        rows.append((eid, 30.1, -60.1, day)); eid += 1
+    rows.append((eid, -70.1, 120.1, 0))           # D
+    df = spark.createDataFrame(rows, "event_id long, lat double, lon double, day long")
+    df = engine.with_cell(df).withColumn("ep", F.col("day") * 86400 + 7)
+    out = {r["cell"]: (r["n_days"], r["total"], r["s_mk"], r["trend"])
+           for r in engine.emerging_hotspots(df).collect()}
+    from geotile.kernel import geohash_np as ghk
+
+    def cell_of(lat, lon):
+        return ghk.encode(np.array([lat]), np.array([lon]))[0][:3]
+
+    assert out[cell_of(10.1, 10.1)] == (4, 10, 6, "rising")
+    assert out[cell_of(-20.1, 50.1)] == (4, 10, -6, "falling")
+    assert out[cell_of(30.1, -60.1)] == (3, 3, 0, "flat")
+    assert out[cell_of(-70.1, 120.1)] == (1, 1, 0, "flat")

@@ -925,3 +925,35 @@ def test_bloom_key_is_md5_prefix(spark):
     got = df.select(textops.bloom_key(F.col("text")).alias("k")).first()["k"]
     import hashlib
     assert got == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+
+
+def test_stratified_split_exact_proportions_and_stability(spark):
+    rows = [(i, f"s{i % 4}", f"text {i}") for i in range(437)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.stratified_split(df, seed=3)
+    got = out.groupBy("source", "split").count().collect()
+    by = {(r["source"], r["split"]): r["count"] for r in got}
+    from collections import Counter
+    n_per = Counter(s for _, s, _ in rows)
+    for s, n in n_per.items():
+        n_train, n_hold = n * 800000 // 1000000, n * 900000 // 1000000
+        assert by.get((s, "train"), 0) == n_train
+        assert by.get((s, "val"), 0) == n_hold - n_train
+        assert by.get((s, "test"), 0) == n - n_hold
+    # membership is a pure function of (key, seed): a reshuffled frame
+    # assigns identically
+    re = textops.stratified_split(df.repartition(13), seed=3)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in re.collect()}
+    assert a == b
+    # different seed produces a different (but equally exact) split
+    c = {r["doc_id"]: r["split"]
+         for r in textops.stratified_split(df, seed=4).collect()}
+    assert c != a
+
+
+def test_stratified_split_validates_ppm(spark):
+    df = spark.createDataFrame([(0, "s", "t")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        textops.stratified_split(df, splits=[("a", 500000), ("b", 400000)])

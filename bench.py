@@ -109,6 +109,7 @@ def main() -> None:
         "q122_source_kl_drift", "q123_hilbert_range_scan",
         "q124_dsir_weights", "q125_hll_registers", "q126_weighted_paths",
         "q127_stream_hll", "q128_polygon_measures", "q129_bloom_prefilter",
+        "q130_stratified_split", "q131_emerging_hotspots",
     ]
     from geotile import cache, textops
 

@@ -2650,6 +2650,52 @@ def _q131_emerging_hotspots(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q132_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture between two LWW position snapshots
+    (table.snapshot_diff — the read-side dual of the MERGE INTO path):
+    old = latest fix per user over even events, new = latest over
+    non-multiple-of-3 events (both directions of churn occur), diffed
+    on the gh5 cell.  One co-partitioned full-outer shuffle; absent
+    sides surface as '' strings (never nullable numerics — the pandas
+    fetch gotcha).  The oracle replays both LWW windows and the
+    full-outer CASE verbatim."""
+    from geotile import table
+
+    pos = engine.with_cell(_positions_df(spark, sf))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def lww(df: DataFrame) -> DataFrame:
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("user_id", F.col("geohash").alias("cell")))
+
+    out = table.snapshot_diff(
+        lww(pos.where(F.col("event_id") % 2 == 0)),
+        lww(pos.where(F.col("event_id") % 3 != 0)),
+        "user_id", ["cell"])
+    return out.orderBy("user_id")
+
+
+def _q133_hausdorff_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory-shape similarity: symmetric Hausdorff distance in
+    exact integer meters between the grid-cell-center point sets of
+    every user pair sharing >= 1 cell (trajectory.hausdorff_pairs,
+    1/16-degree cells) over a thinned hub walk (user_id % 3 == 0,
+    event_id % 2 == 0 — gate scoping only; the operator takes any
+    frame).  Raw fixes collapse to distinct (user, cell) first, so
+    per-pair cost is |cells_A| x |cells_B|, independent of fix count.
+    The oracle replays the floor quantization, the candidate join and
+    both directed max-min ladders over floored-meter haversines."""
+    from geotile import cache, trajectory
+
+    pos = _walk_df(spark, sf).where(
+        (F.col("user_id") % 3 == 0) & (F.col("event_id") % 2 == 0))
+    out = trajectory.hausdorff_pairs(pos, key="user_id", scale=16)
+    return cache.track(out.orderBy("key_a", "key_b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2731,7 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q131 were added AFTER this rotation was
+    # late additions q120-q133 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2871,6 +2917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_bloom_prefilter": _q129_bloom_prefilter,
         "q130_stratified_split": _q130_stratified_split,
         "q131_emerging_hotspots": _q131_emerging_hotspots,
+        "q132_snapshot_diff": _q132_snapshot_diff,
+        "q133_hausdorff_pairs": _q133_hausdorff_pairs,
     }
 
 
@@ -6405,6 +6453,85 @@ SELECT d.cell, d.n_days, d.total,
             ELSE 'flat' END AS trend
 FROM d131 d LEFT JOIN s131 s ON s.cell = d.cell
 ORDER BY d.cell
+"""
+
+    # q132: CDC snapshot diff — both LWW windows + the full-outer CASE
+    sqls["q132_snapshot_diff"] = f"""
+WITH {_POS_CTE},
+o132 AS (
+  SELECT user_id, {gh5} AS cell,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM pos WHERE event_id % 2 = 0
+),
+n132 AS (
+  SELECT user_id, {gh5} AS cell,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM pos WHERE event_id % 3 <> 0
+),
+oo AS (SELECT user_id, cell FROM o132 WHERE rn = 1),
+nn AS (SELECT user_id, cell FROM n132 WHERE rn = 1),
+d132 AS (
+  SELECT coalesce(oo.user_id, nn.user_id) AS user_id,
+         CASE WHEN oo.user_id IS NULL THEN 'insert'
+              WHEN nn.user_id IS NULL THEN 'delete'
+              WHEN oo.cell <> nn.cell THEN 'update' END AS change,
+         coalesce(oo.cell, '') AS old_cell,
+         coalesce(nn.cell, '') AS new_cell
+  FROM oo FULL OUTER JOIN nn ON nn.user_id = oo.user_id
+)
+SELECT user_id, change, old_cell, new_cell
+FROM d132 WHERE change IS NOT NULL ORDER BY user_id
+"""
+
+    # q133: grid-cell Hausdorff — floor quantization, shared-cell
+    # candidates, two directed max-min ladders over floored-meter
+    # haversines between cell centers (all-integer after the floor)
+    _d133 = _thav.format(
+        lat1="((CAST(alat AS DOUBLE) + 0.5) / 16.0)",
+        lon1="((CAST(alon AS DOUBLE) + 0.5) / 16.0)",
+        lat2="((CAST(blat AS DOUBLE) + 0.5) / 16.0)",
+        lon2="((CAST(blon AS DOUBLE) + 0.5) / 16.0)")
+    sqls["q133_hausdorff_pairs"] = f"""
+WITH {_WALK_CTE},
+c133 AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(floor(lat * 16.0) AS BIGINT) AS ilat,
+         CAST(floor(lon * 16.0) AS BIGINT) AS ilon
+  FROM walk WHERE user_id % 3 = 0 AND event_id % 2 = 0
+),
+p133 AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM c133 a JOIN c133 b
+    ON b.ilat = a.ilat AND b.ilon = a.ilon AND a.k < b.k
+),
+x133 AS (
+  SELECT p.ka, p.kb, ca.ilat AS alat, ca.ilon AS alon,
+         cb.ilat AS blat, cb.ilon AS blon,
+         CAST(floor({_d133}) AS BIGINT) AS d
+  FROM p133 p
+  JOIN c133 ca ON ca.k = p.ka
+  JOIN c133 cb ON cb.k = p.kb
+),
+hab AS (
+  SELECT ka, kb, max(dm) AS h_ab FROM (
+    SELECT ka, kb, alat, alon, min(d) AS dm
+    FROM x133 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2
+),
+hba AS (
+  SELECT ka, kb, max(dm) AS h_ba FROM (
+    SELECT ka, kb, blat, blon, min(d) AS dm
+    FROM x133 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2
+),
+sz AS (SELECT k, count(*) AS nc FROM c133 GROUP BY 1)
+SELECT hab.ka AS key_a, hab.kb AS key_b,
+       sa.nc AS n_cells_a, sb.nc AS n_cells_b,
+       greatest(hab.h_ab, hba.h_ba) AS hausdorff_m
+FROM hab JOIN hba ON hba.ka = hab.ka AND hba.kb = hab.kb
+JOIN sz sa ON sa.k = hab.ka
+JOIN sz sb ON sb.k = hab.kb
+ORDER BY key_a, key_b
 """
 
     # Every queries() entry above has an exact oracle — including the

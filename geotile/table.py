@@ -400,3 +400,50 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "column string, n_rows long, n_null long, n_distinct long, "
               "min double, max double")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  cols: Sequence[str]) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table —
+    the read-side dual of :func:`merge_into` (which APPLIES changes,
+    this EXTRACTS them; Delta/Iceberg expose the same thing as CDF /
+    changelog scans).  Classifies every key as ``insert`` (new only),
+    ``delete`` (old only) or ``update`` (present in both with any
+    compared column differing, null-safely); unchanged keys are
+    dropped.  Compared columns are emitted as STRINGS with ``''`` for
+    the absent side — no nullable numeric output, so the result
+    survives the pandas fetch intact (NaN-coercion gotcha).
+
+    Scale shape: ONE co-partitioned full-outer shuffle on the key —
+    with both snapshots bucketed by the key
+    (:func:`write_bucketed`), the sort-merge join runs with zero
+    Exchange exactly like the MERGE path (same plan assertion).  The
+    output is the CHANGE SET (bounded by churn, not table size), so
+    downstream incremental consumers never rescan the snapshots.
+    """
+    # plain USING-join on the (non-null by keyed-table contract) key:
+    # an eqNullSafe join key would hash on (coalesce(k), isnull(k)) and
+    # the planner DISABLES bucket co-partitioning for it — presence is
+    # carried by indicator columns instead
+    o = old.select(F.col(key),
+                   *[F.col(c).alias(f"_o_{c}") for c in cols],
+                   F.lit(True).alias("_in_o"))
+    n = new.select(F.col(key),
+                   *[F.col(c).alias(f"_n_{c}") for c in cols],
+                   F.lit(True).alias("_in_n"))
+    in_old = F.coalesce(F.col("_in_o"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_n"), F.lit(False))
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (F.when(~in_old, F.lit("insert"))
+              .when(~in_new, F.lit("delete"))
+              .when(changed, F.lit("update")))
+    sel = [F.col(key), change.alias("change")]
+    for c in cols:
+        sel.append(F.coalesce(F.col(f"_o_{c}").cast("string"), F.lit(""))
+                   .alias(f"old_{c}"))
+        sel.append(F.coalesce(F.col(f"_n_{c}").cast("string"), F.lit(""))
+                   .alias(f"new_{c}"))
+    return (o.join(n, key, "full_outer")
+            .select(*sel).where(F.col("change").isNotNull()))

@@ -543,3 +543,76 @@ def visit_entropy(df: DataFrame, nchars: int = 2, key: str = "user_id",
                      term.alias("_t"))
             .groupBy(key, "n_fixes", "n_cells")
             .agg((-F.sum("_t")).cast("long").alias("ent_nano")))
+
+
+def hausdorff_pairs(df: DataFrame, key: str = "user_id",
+                    lat: str = "lat", lon: str = "lon",
+                    scale: int = 16) -> DataFrame:
+    """Symmetric Hausdorff distance between every pair of keys whose
+    trajectories share at least one grid cell — the trajectory-
+    SIMILARITY measure completing the mobility family (q82 answers
+    "who was in the same place at the same TIME"; this answers "whose
+    paths trace the same SHAPE", the standard metric for co-travel /
+    duplicate-device detection and GPS-track dedup).
+
+    A trajectory is collapsed to its DISTINCT grid-cell set
+    (``floor(lat*scale), floor(lon*scale)`` — 1/scale-degree cells,
+    ~7 km at scale=16) and the Hausdorff runs between the two CELL-
+    CENTER point sets: ``H = max(h(A,B), h(B,A))`` with ``h(A,B) =
+    max over a of min over b of dist(a, b)``.  Candidate pairs are the
+    keys sharing >= 1 exact cell (the q82 co-location discipline:
+    containment-gated, not all-pairs); each pointwise distance floors
+    to integer METERS before the min/max ladder, so the result is an
+    exact BIGINT the q133 oracle replays verbatim (min/max over
+    integers is order-independent; a raw double would vary in the last
+    ulp only through the haversine itself, which both engines compute
+    with the identical op sequence).
+
+    Scale shape: raw fixes collapse to the distinct (key, cell) frame
+    in ONE partially-aggregated shuffle (the q131 discipline) —
+    per-key size is bounded by the activity AREA, independent of fix
+    count.  The candidate self-join runs on that collapsed frame; the
+    per-pair cross frame is |cells_A| x |cells_B| rows, persisted once
+    and aggregated twice (one directed max-min per orientation).
+    Returns ``(key_a, key_b, n_cells_a, n_cells_b, hausdorff_m)``.
+    """
+    from . import cache
+
+    s = float(scale)
+    cells = (df.select(F.col(key).alias("k"),
+                       F.floor(F.col(lat) * s).cast("long").alias("ilat"),
+                       F.floor(F.col(lon) * s).cast("long").alias("ilon"))
+             .distinct().persist())
+    a = cells.select(F.col("k").alias("ka"), "ilat", "ilon")
+    b = cells.select(F.col("k").alias("kb"), F.col("ilat").alias("blat"),
+                     F.col("ilon").alias("blon"))
+    pairs = (a.join(b, (a["ilat"] == b["blat"]) & (a["ilon"] == b["blon"])
+                    & (a["ka"] < b["kb"]))
+             .select("ka", "kb").distinct())
+    ca = cells.select(F.col("k").alias("ka"), F.col("ilat").alias("alat"),
+                      F.col("ilon").alias("alon"))
+    cb = cells.select(F.col("k").alias("kb"), F.col("ilat").alias("blat"),
+                      F.col("ilon").alias("blon"))
+    cross = pairs.join(ca, "ka").join(cb, "kb")
+    d = F.floor(udfs.haversine_col(
+        (F.col("alat") + F.lit(0.5)) / F.lit(s),
+        (F.col("alon") + F.lit(0.5)) / F.lit(s),
+        (F.col("blat") + F.lit(0.5)) / F.lit(s),
+        (F.col("blon") + F.lit(0.5)) / F.lit(s))).cast("long")
+    cross = cross.withColumn("d", d).persist()
+    h_ab = (cross.groupBy("ka", "kb", "alat", "alon")
+            .agg(F.min("d").alias("dm"))
+            .groupBy("ka", "kb").agg(F.max("dm").alias("h_ab")))
+    h_ba = (cross.groupBy("ka", "kb", "blat", "blon")
+            .agg(F.min("d").alias("dm"))
+            .groupBy("ka", "kb").agg(F.max("dm").alias("h_ba")))
+    sizes = cells.groupBy("k").agg(F.count("*").alias("nc"))
+    out = (h_ab.join(h_ba, ["ka", "kb"])
+           .join(sizes.select(F.col("k").alias("ka"),
+                              F.col("nc").alias("n_cells_a")), "ka")
+           .join(sizes.select(F.col("k").alias("kb"),
+                              F.col("nc").alias("n_cells_b")), "kb")
+           .select(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"),
+                   "n_cells_a", "n_cells_b",
+                   F.greatest("h_ab", "h_ba").alias("hausdorff_m")))
+    return cache.track(out, [cells, cross])

@@ -326,3 +326,47 @@ def test_column_stats_exact(spark):
            for r in table.column_stats(df, ["k", "v"]).collect()}
     assert got["k"] == (4, 0, 3, 1.0, 3.0)
     assert got["v"] == (4, 1, 2, 5.0, 7.5)
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "aaa", 10), (2, "bbb", 20), (3, "ccc", 30), (4, None, 40)],
+        "k long, cell string, v long")
+    new = spark.createDataFrame(
+        [(2, "bbb", 20), (3, "cc2", 30), (4, None, 40), (5, "eee", 50)],
+        "k long, cell string, v long")
+    got = {r["k"]: (r["change"], r["old_cell"], r["new_cell"])
+           for r in table.snapshot_diff(old, new, "k", ["cell", "v"]).collect()}
+    assert got[1] == ("delete", "aaa", "")
+    assert got[3] == ("update", "ccc", "cc2")
+    assert got[5] == ("insert", "", "eee")
+    # unchanged keys dropped — including the NULL == NULL (null-safe) one
+    assert 2 not in got and 4 not in got
+    # a NULL -> value transition is an update, not a false 'same'
+    got2 = {r["k"]: r["change"] for r in table.snapshot_diff(
+        old, new.withColumn("cell", F.when(F.col("k") == 4, "now")
+                            .otherwise(F.col("cell"))),
+        "k", ["cell"]).collect()}
+    assert got2[4] == "update"
+
+
+def test_snapshot_diff_bucketed_zero_exchange(spark):
+    # with both snapshots bucketed by the key, the full-outer sort-merge
+    # join needs NO Exchange — the same plan claim as the MERGE path
+    old = spark.createDataFrame([(i, f"c{i}") for i in range(100)],
+                                "k long, cell string")
+    new = spark.createDataFrame([(i, f"c{i + (i % 7 == 0)}")
+                                 for i in range(100)], "k long, cell string")
+    table.write_bucketed(old, "sd_old", "k", n_buckets=4)
+    table.write_bucketed(new, "sd_new", "k", n_buckets=4)
+    try:
+        o = spark.table("sd_old")
+        n = spark.table("sd_new")
+        out = table.snapshot_diff(o, n, "k", ["cell"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        changed = {r["k"] for r in out.collect()}
+        assert changed == {i for i in range(100) if i % 7 == 0}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sd_old")
+        spark.sql("DROP TABLE IF EXISTS sd_new")

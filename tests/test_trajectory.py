@@ -390,3 +390,48 @@ def test_anchor_cells_counts_conserve(spark):
             assert (cell != "") == (total > 0)
             if total:
                 assert len(cell) == 4
+
+
+def test_hausdorff_pairs_known_geometry(spark):
+    # users 1 and 2 share cell (0, 0) at scale=16; user 1 also visits
+    # (0, 1), user 2 also visits (0, 4).  user 3 never shares a cell.
+    def fix(eid, uid, ilat, ilon):
+        return (eid, uid, 0, (ilat + 0.25) / 16.0, (ilon + 0.25) / 16.0)
+
+    rows = [fix(0, 1, 0, 0), fix(1, 1, 0, 1), fix(2, 1, 0, 1),  # dup cell
+            fix(3, 2, 0, 0), fix(4, 2, 0, 4),
+            fix(5, 3, 40, 40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = trajectory.hausdorff_pairs(df, scale=16).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["key_a"], r["key_b"]) == (1, 2)
+    assert (r["n_cells_a"], r["n_cells_b"]) == (2, 2)
+    # hand-computed: h(A,B) = min-dist of A's cell (0,1) to B = 3 cells
+    # of longitude at the equator; h(B,A) = B's (0,4) to A's (0,1) =
+    # 3 cells too -> symmetric; centers at (0.5/16, (j+0.5)/16)
+    ctr = 0.5 / 16.0
+    exp = int(np.floor(gh.haversine_m(
+        np.array([ctr]), np.array([1.5 / 16.0]),
+        np.array([ctr]), np.array([4.5 / 16.0]))[0]))
+    assert r["hausdorff_m"] == exp
+    # the distance is symmetric by construction here; sanity: nonzero
+    assert r["hausdorff_m"] > 10000
+
+
+def test_hausdorff_pairs_subset_property(spark):
+    # identical trajectories -> Hausdorff 0; containment A within B ->
+    # h(A,B) = 0 but h(B,A) > 0 (asymmetry handled by the greatest)
+    def fix(eid, uid, ilat, ilon):
+        return (eid, uid, 0, (ilat + 0.75) / 16.0, (ilon + 0.75) / 16.0)
+
+    rows = [fix(0, 1, 5, 5), fix(1, 1, 5, 6),
+            fix(2, 2, 5, 5), fix(3, 2, 5, 6),          # identical to 1
+            fix(4, 4, 5, 5)]                           # subset of 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = {(r["key_a"], r["key_b"]): r["hausdorff_m"]
+           for r in trajectory.hausdorff_pairs(df, scale=16).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 4)] > 0 and got[(2, 4)] == got[(1, 4)]

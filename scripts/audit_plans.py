@@ -50,7 +50,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from geotile import engine, extract, synth
+    from geotile import engine, extract, synth, table
     from geotile.session import get_spark
 
     spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
@@ -657,6 +657,55 @@ def main() -> None:
         "bloom_build itself is one bit_or aggregate whose exchange "
         "operand is <= m/64 rows per task"))
     bwords.unpersist()
+
+    strat = textops.stratified_split(
+        synth.synth_docs_skew(spark, 2000, partitions=8).withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 8)
+                               .cast("string"))), seed=3)
+    sections.append(summarize(
+        strat,
+        "stratified_split (q130): ONE window shuffle on the stratum key "
+        "— rank in xxhash order plus the per-stratum count ride the SAME "
+        "window exchange; the exact-count contract is what buys the "
+        "sort, and membership stays a pure function of (key, seed) so "
+        "repartitioning never moves a doc (q49's Bernoulli split is the "
+        "shuffle-free approximate dual)"))
+
+    eh = engine.emerging_hotspots(
+        engine.with_cell(traj).withColumn("ep", F.col("tts")))
+    sections.append(summarize(
+        eh,
+        "emerging_hotspots (q131): raw fixes collapse to the (cell, day) "
+        "count frame in ONE partially-aggregated shuffle; the Mann-"
+        "Kendall pair self-join runs on that persisted COLLAPSED frame "
+        "(InMemoryTableScan x2) with per-cell fan-out days^2 — "
+        "independent of how many billions of events a cell saw"))
+    _cache.release(eh)
+
+    sd_old = traj.select("user_id", F.col("tts").alias("ts"),
+                         F.col("lat").cast("string").alias("cell")) \
+        .groupBy("user_id").agg(F.max("cell").alias("cell"))
+    sd_new = sd_old.withColumn(
+        "cell", F.when(F.col("user_id") % 7 == 0, F.lit("moved"))
+        .otherwise(F.col("cell")))
+    sections.append(summarize(
+        table.snapshot_diff(sd_old, sd_new, "user_id", ["cell"]),
+        "snapshot_diff (q132): ONE co-partitioned full-outer shuffle on "
+        "the key (plain USING-join — an eqNullSafe key would disable "
+        "bucket co-partitioning); with both snapshots bucketed the SMJ "
+        "runs with ZERO Exchange (plan-asserted in test_pipeline), and "
+        "the output is churn-sized, never table-sized"))
+
+    hp = trajectory.hausdorff_pairs(traj, scale=16)
+    sections.append(summarize(
+        hp,
+        "hausdorff_pairs (q133): fixes collapse to DISTINCT (key, cell) "
+        "first (persisted — the q131 discipline), so the candidate self-"
+        "join and the |A|x|B| cross frame are bounded by activity AREAS, "
+        "not fix counts; the cross frame persists once and feeds both "
+        "directed max-min ladders; distances are native haversine over "
+        "cell centers, floored to exact integer meters"))
+    _cache.release(hp)
 
     header = """# PLANS — audited physical plans for the core operators
 

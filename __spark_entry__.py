@@ -2696,6 +2696,23 @@ def _q133_hausdorff_pairs(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q134_map_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Map matching: snap every position within 200 km of the q51
+    route network to its SINGLE nearest segment (engine.map_match) —
+    argmin with segment identity + snap parameter t, the route-
+    reconstruction primitive the proximity join deliberately omits.
+    One struct-min aggregate (map-side combining, no window shuffle);
+    vertex-equidistance ties break by (line_id, seg).  The oracle
+    brute-forces all (point, segment) pairs with the IDENTICAL equirect
+    doubles and replays the tie order via row_number."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    lines = spark.createDataFrame(
+        _POLYLINES, "line_id long, line_lat array<double>, line_lon array<double>")
+    out = engine.map_match(pos, lines, radius_m=_ROUTE_RADIUS_M,
+                           id_cols=["event_id"])
+    return out.orderBy("event_id")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2777,7 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q133 were added AFTER this rotation was
+    # late additions q120-q134 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2919,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_emerging_hotspots": _q131_emerging_hotspots,
         "q132_snapshot_diff": _q132_snapshot_diff,
         "q133_hausdorff_pairs": _q133_hausdorff_pairs,
+        "q134_map_match": _q134_map_match,
     }
 
 
@@ -6532,6 +6550,56 @@ FROM hab JOIN hba ON hba.ka = hab.ka AND hba.kb = hab.kb
 JOIN sz sa ON sa.k = hab.ka
 JOIN sz sb ON sb.k = hab.kb
 ORDER BY key_a, key_b
+"""
+
+    # q134: map matching — the q51 brute-force pair scan, but keeping
+    # the SEGMENT identity and snap t, argmin replayed via row_number
+    # over the raw-double distance with the (line_id, seg) tie order
+    seg_vals134 = []
+    for lid, las, los in _POLYLINES:
+        for s in range(len(las) - 1):
+            mid = (las[s] + las[s + 1]) / 2.0
+            seg_vals134.append(
+                f"({lid}, {s}, CAST('{las[s]!r}' AS DOUBLE), "
+                f"CAST('{los[s]!r}' AS DOUBLE), "
+                f"CAST('{las[s + 1]!r}' AS DOUBLE), "
+                f"CAST('{los[s + 1]!r}' AS DOUBLE), "
+                f"CAST('{mid!r}' AS DOUBLE))")
+    sqls["q134_map_match"] = f"""
+WITH {_POS_CTE},
+segs134(line_id, seg, a_lat, a_lon, b_lat, b_lon, mid_lat) AS
+  (VALUES {", ".join(seg_vals134)}),
+calc134 AS (
+  SELECT s.line_id, s.seg, pos.event_id,
+         (pos.lon - s.a_lon) * (cos(radians(s.mid_lat)) * {_mlit}) AS x,
+         (pos.lat - s.a_lat) * {_mlit} AS y,
+         (s.b_lon - s.a_lon) * (cos(radians(s.mid_lat)) * {_mlit}) AS xb,
+         (s.b_lat - s.a_lat) * {_mlit} AS yb
+  FROM pos CROSS JOIN segs134 s
+),
+tt134 AS (
+  SELECT line_id, seg, event_id,
+         LEAST(GREATEST(CASE WHEN xb * xb + yb * yb > 0.0
+                             THEN (x * xb + y * yb) / (xb * xb + yb * yb)
+                             ELSE 0.0 END, 0.0), 1.0) AS t,
+         x, y, xb, yb
+  FROM calc134
+),
+dd134 AS (
+  SELECT line_id, seg, event_id, t,
+         sqrt(pow(x - t * xb, 2) + pow(y - t * yb, 2)) AS d
+  FROM tt134
+),
+rk134 AS (
+  SELECT event_id, line_id, seg, t, d,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d ASC, line_id ASC, seg ASC) AS rn
+  FROM dd134 WHERE d <= 200000.0
+)
+SELECT event_id, CAST(line_id AS BIGINT) AS line_id,
+       CAST(seg AS BIGINT) AS seg,
+       round(t, 6) AS t, round(d, 6) AS dist_m
+FROM rk134 WHERE rn = 1 ORDER BY event_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -110,7 +110,7 @@ def main() -> None:
         "q124_dsir_weights", "q125_hll_registers", "q126_weighted_paths",
         "q127_stream_hll", "q128_polygon_measures", "q129_bloom_prefilter",
         "q130_stratified_split", "q131_emerging_hotspots",
-        "q132_snapshot_diff", "q133_hausdorff_pairs",
+        "q132_snapshot_diff", "q133_hausdorff_pairs", "q134_map_match",
     ]
     from geotile import cache, textops
 

@@ -817,6 +817,71 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
     """
     if model not in ("equirect", "greatcircle"):
         raise ValueError(f"unknown distance model {model!r}")
+    j = _segment_candidates(points, lines, radius_m, nchars, cell_col,
+                            line_id, line_lat, line_lon)
+    if j is None:
+        # same projected schema as the normal path: (line_id, *pt_cols,
+        # dist_m) — an all-point-columns empty frame would break
+        # unionByName in downstream consumers when id_cols is given
+        empty_pt_cols = list(id_cols) if id_cols else list(points.columns)
+        return (points.where(F.lit(False))
+                .withColumn(line_id, F.lit(None).cast("long"))
+                .withColumn("dist_m", F.lit(None).cast("double"))
+                .select(line_id, *empty_pt_cols, "dist_m"))
+    if model == "equirect":
+        dist = _equirect_seg_dist(lat, lon)
+    else:
+        dist = _greatcircle_seg_dist(
+            F.col(lat), F.col(lon), F.col("a_lat"), F.col("a_lon"),
+            F.col("b_lat"), F.col("b_lon"))
+    # min over segments per (line, point): group on the caller's point
+    # key when given (narrow shuffle rows), else on all point columns
+    pt_cols = list(id_cols) if id_cols else [c for c in points.columns]
+    return (j.withColumn("_d", dist)
+            .groupBy(line_id, *pt_cols)
+            .agg(F.min("_d").alias("dist_m"))
+            .where(F.col("dist_m") <= radius_m))
+
+
+def _equirect_seg_dist(lat: str, lon: str):
+    """Point-to-segment meters in the segment's local equirectangular
+    frame (anchored at mid_lat) — expects the `_segment_candidates`
+    columns (a_lat, a_lon, b_lat, b_lon, mid_lat) in scope."""
+    kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
+    x = (F.col(lon) - F.col("a_lon")) * kx
+    y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    bx = (F.col("b_lon") - F.col("a_lon")) * kx
+    by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    denom = bx * bx + by * by
+    t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    return F.sqrt(F.pow(x - t * bx, 2) + F.pow(y - t * by, 2))
+
+
+def _equirect_seg_t(lat: str, lon: str):
+    """The clamped projection parameter t of the same refine — where
+    along [A, B] the snap lands (0 = A, 1 = B)."""
+    kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
+    x = (F.col(lon) - F.col("a_lon")) * kx
+    y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    bx = (F.col("b_lon") - F.col("a_lon")) * kx
+    by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
+    denom = bx * bx + by * by
+    t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
+    return F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+
+
+def _segment_candidates(points: DataFrame, lines: DataFrame, radius_m: float,
+                        nchars: int, cell_col: str, line_id: str,
+                        line_lat: str, line_lon: str) -> DataFrame | None:
+    """Shared filter stage of the polyline joins: per-SEGMENT radius-
+    expanded bbox covers (adaptive precision, driver-side — lines are
+    the small dim side by contract), broadcast to the points table via
+    a prefix equi-join on its cell column.  Returns the candidate frame
+    with the point columns + (line_id, seg, a_lat, a_lon, b_lat, b_lon,
+    mid_lat), one row per (point, candidate segment) — each segment's
+    cover cells are distinct and a point has ONE cell, so a (point,
+    segment) pair never duplicates.  None when there are no segments."""
     spark = points.sparkSession
     lrows = lines.select(line_id, line_lat, line_lon).collect()
     by_n: dict[int, list[tuple]] = {}
@@ -847,42 +912,65 @@ def polyline_proximity_join(points: DataFrame, lines: DataFrame, radius_m: float
         pp = _prefix_pruning(points, [r[2] for r in rows])
         if pp is not None:
             side = side.where(pp)
-        parts.append(side.join(_maybe_broadcast(cov, len(rows), "polyline_proximity_join cover"), key == cov["cell"], "inner").drop("cell"))
+        parts.append(side.join(_maybe_broadcast(cov, len(rows), "polyline cover"), key == cov["cell"], "inner").drop("cell"))
     if not parts:
-        # same projected schema as the normal path: (line_id, *pt_cols,
-        # dist_m) — an all-point-columns empty frame would break
-        # unionByName in downstream consumers when id_cols is given
-        empty_pt_cols = list(id_cols) if id_cols else list(points.columns)
-        return (points.where(F.lit(False))
-                .withColumn(line_id, F.lit(None).cast("long"))
-                .withColumn("dist_m", F.lit(None).cast("double"))
-                .select(line_id, *empty_pt_cols, "dist_m"))
+        return None
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)
-    if model == "equirect":
-        # native point-to-segment distance in the segment's local
-        # equirectangular frame (kx = meters per lon degree at mid_lat)
-        kx = F.cos(F.radians(F.col("mid_lat"))) * F.lit(_M_PER_DEG)
-        x = (F.col(lon) - F.col("a_lon")) * kx
-        y = (F.col(lat) - F.col("a_lat")) * F.lit(_M_PER_DEG)
-        bx = (F.col("b_lon") - F.col("a_lon")) * kx
-        by = (F.col("b_lat") - F.col("a_lat")) * F.lit(_M_PER_DEG)
-        denom = bx * bx + by * by
-        t_raw = F.when(denom > 0.0, (x * bx + y * by) / denom).otherwise(F.lit(0.0))
-        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-        dist = F.sqrt(F.pow(x - t * bx, 2) + F.pow(y - t * by, 2))
-    else:
-        dist = _greatcircle_seg_dist(
-            F.col(lat), F.col(lon), F.col("a_lat"), F.col("a_lon"),
-            F.col("b_lat"), F.col("b_lon"))
-    # min over segments per (line, point): group on the caller's point
-    # key when given (narrow shuffle rows), else on all point columns
-    pt_cols = list(id_cols) if id_cols else [c for c in points.columns]
-    return (j.withColumn("_d", dist)
-            .groupBy(line_id, *pt_cols)
-            .agg(F.min("_d").alias("dist_m"))
-            .where(F.col("dist_m") <= radius_m))
+    return j
+
+
+def map_match(points: DataFrame, lines: DataFrame, radius_m: float,
+              nchars: int = DEFAULT_NCHARS, cell_col: str = "geohash",
+              lat: str = "lat", lon: str = "lon",
+              line_id: str = "line_id", line_lat: str = "line_lat",
+              line_lon: str = "line_lon",
+              id_cols: Sequence[str] = ("event_id",)) -> DataFrame:
+    """Map matching (snap-to-nearest-segment): assign each point within
+    ``radius_m`` of the line network its SINGLE nearest segment — the
+    "which road is this GPS fix on" primitive that q51/q60's proximity
+    join deliberately does not answer (those keep every nearby line;
+    this keeps the argmin WITH the segment identity and the snap
+    parameter t along it, the inputs to route reconstruction).
+
+    Same filter-refine shape as the proximity join (shared
+    `_segment_candidates` cover): segments broadcast, the points table
+    prefix-equi-joins on its cell column with a pruned scan, and the
+    refine is the identical native equirect point-to-segment formula.
+    The argmin is ONE struct-min aggregate ``min(struct(d, line, seg,
+    t))`` on the point key — it partial-aggregates map-side (each
+    task combines its own candidates first), so no window shuffle and
+    the exchange operand is one row per point.  Ties (a point exactly
+    past a shared vertex is equidistant to both adjacent segments)
+    break deterministically by (line_id, seg) — the struct's field
+    order — replayed verbatim by the q134 oracle's row_number.
+
+    Returns ``(*id_cols, line_id, seg, t, dist_m)``, t and dist
+    rounded to 6 dp AFTER the argmin (selection compares raw doubles).
+    Points with no segment within the radius are absent (containment
+    semantics, like the proximity join)."""
+    j = _segment_candidates(points, lines, radius_m, nchars, cell_col,
+                            line_id, line_lat, line_lon)
+    pt_cols = list(id_cols)
+    if j is None:
+        base = points.where(F.lit(False))
+        for c, typ in ((line_id, "long"), ("seg", "long"),
+                       ("t", "double"), ("dist_m", "double")):
+            base = base.withColumn(c, F.lit(None).cast(typ))
+        return base.select(*pt_cols, line_id, "seg", "t", "dist_m")
+    best = (j.withColumn("_d", _equirect_seg_dist(lat, lon))
+            .withColumn("_t", _equirect_seg_t(lat, lon))
+            .where(F.col("_d") <= radius_m)
+            .groupBy(*pt_cols)
+            .agg(F.min(F.struct(
+                F.col("_d").alias("d"), F.col(line_id).alias("l"),
+                F.col("seg").alias("s"), F.col("_t").alias("t")))
+                .alias("_b")))
+    return best.select(
+        *pt_cols, F.col("_b.l").alias(line_id), F.col("_b.s").alias("seg"),
+        F.round(F.col("_b.t"), 6).alias("t"),
+        F.round(F.col("_b.d"), 6).alias("dist_m"))
 
 
 # ---------------------------------------------------------------------------

@@ -696,6 +696,19 @@ def main() -> None:
         "runs with ZERO Exchange (plan-asserted in test_pipeline), and "
         "the output is churn-sized, never table-sized"))
 
+    mm_lines = spark.createDataFrame(
+        [(0, [10.0, 10.5, 11.0], [20.0, 20.5, 20.0]),
+         (1, [-30.0, -30.5], [40.0, 40.5])],
+        "line_id long, line_lat array<double>, line_lon array<double>")
+    sections.append(summarize(
+        engine.map_match(engine.with_cell(traj), mm_lines, radius_m=20000.0),
+        "map_match (q134): the q51 broadcast-cover prefix join "
+        "(BroadcastHashJoin, pruned scan — segments are the small dim "
+        "side by contract), native equirect refine, then ONE struct-min "
+        "aggregate on the point key — partial-aggregates map-side, so "
+        "the exchange operand is one row per matched point and there is "
+        "NO window shuffle anywhere"))
+
     hp = trajectory.hausdorff_pairs(traj, scale=16)
     sections.append(summarize(
         hp,

@@ -955,3 +955,42 @@ def test_emerging_hotspots_known_trends(spark):
     assert out[cell_of(-20.1, 50.1)] == (4, 10, -6, "falling")
     assert out[cell_of(30.1, -60.1)] == (3, 3, 0, "flat")
     assert out[cell_of(-70.1, 120.1)] == (1, 1, 0, "flat")
+
+
+def test_map_match_known_geometry(spark):
+    # one 2-segment L-shaped line along the equator then north
+    lines = spark.createDataFrame(
+        [(7, [0.0, 0.0, 2.0], [0.0, 2.0, 2.0])],
+        "line_id long, line_lat array<double>, line_lon array<double>")
+    pts = spark.createDataFrame(
+        [(0, 0.1, 1.0),     # above seg 0 -> t=0.5 on seg 0
+         (1, 1.0, 2.1),     # right of seg 1 -> t=0.5 on seg 1
+         (2, -0.1, -0.1),   # past vertex A -> seg 0, t=0
+         (3, 0.0, 50.0)],   # far away -> absent
+        "event_id long, lat double, lon double")
+    pts = engine.with_cell(pts)
+    got = {r["event_id"]: r for r in engine.map_match(
+        pts, lines, radius_m=50000.0).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["line_id"], got[0]["seg"]) == (7, 0)
+    assert abs(got[0]["t"] - 0.5) < 1e-6
+    assert (got[1]["line_id"], got[1]["seg"]) == (7, 1)
+    assert got[2]["seg"] == 0 and got[2]["t"] == 0.0
+    # snapped distance matches the proximity join's min for the line
+    prox = {r["event_id"]: r["dist_m"] for r in engine.polyline_proximity_join(
+        pts, lines, radius_m=50000.0, id_cols=["event_id"]).collect()}
+    for e in (0, 1, 2):
+        assert abs(got[e]["dist_m"] - prox[e]) < 1e-6
+
+
+def test_map_match_vertex_tie_breaks_to_lower_seg(spark):
+    # a point due south of the SHARED vertex (0, 2) is equidistant to
+    # seg 0 (t=1 endpoint) and seg 1 (t=0 endpoint): the struct argmin
+    # must deterministically keep the LOWER (line, seg)
+    lines = spark.createDataFrame(
+        [(1, [0.0, 0.0, 2.0], [0.0, 2.0, 2.0])],
+        "line_id long, line_lat array<double>, line_lon array<double>")
+    pts = engine.with_cell(spark.createDataFrame(
+        [(0, -0.5, 2.0)], "event_id long, lat double, lon double"))
+    r = engine.map_match(pts, lines, radius_m=100000.0).collect()[0]
+    assert r["seg"] == 0 and r["t"] == 1.0

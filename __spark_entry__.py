@@ -2713,6 +2713,19 @@ def _q134_map_match(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def _q135_route_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-corridor mining over the hub walk: 3-cell sequences of
+    consecutive DISTINCT gh4 cells (trajectory.route_ngrams — the
+    sequence dual of q81's OD matrix; dwell collapses first so parked
+    devices emit nothing).  One per-key window shuffle + one
+    partial-aggregated corridor count.  The oracle replays the
+    dwell-collapse lag and both leads verbatim."""
+    from geotile import trajectory
+
+    out = trajectory.route_ngrams(engine.with_cell(_walk_df(spark, sf)))
+    return out.orderBy("c1", "c2", "c3")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2794,7 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q134 were added AFTER this rotation was
+    # late additions q120-q135 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2937,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_snapshot_diff": _q132_snapshot_diff,
         "q133_hausdorff_pairs": _q133_hausdorff_pairs,
         "q134_map_match": _q134_map_match,
+        "q135_route_ngrams": _q135_route_ngrams,
     }
 
 
@@ -6600,6 +6614,34 @@ SELECT event_id, CAST(line_id AS BIGINT) AS line_id,
        CAST(seg AS BIGINT) AS seg,
        round(t, 6) AS t, round(d, 6) AS dist_m
 FROM rk134 WHERE rn = 1 ORDER BY event_id
+"""
+
+    # q135: route trigrams — dwell-collapse lag + two leads, replayed
+    # over the closed-form gh4 cells of the hub walk
+    sqls["q135_route_ngrams"] = f"""
+WITH {_WALK_CTE},
+p135 AS (
+  SELECT user_id, ep, event_id, substr({gh5}, 1, 4) AS c FROM walk
+),
+m135 AS (
+  SELECT user_id, ep, event_id, c,
+         lag(c) OVER (PARTITION BY user_id
+                      ORDER BY ep ASC, event_id ASC) AS pc
+  FROM p135
+),
+f135 AS (
+  SELECT user_id, ep, event_id, c FROM m135
+  WHERE pc IS NULL OR pc <> c
+),
+t135 AS (
+  SELECT c AS c1, lead(c, 1) OVER w AS c2, lead(c, 2) OVER w AS c3
+  FROM f135
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+)
+SELECT c1, c2, c3, count(*) AS n
+FROM t135 WHERE c3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+ORDER BY c1, c2, c3
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -616,3 +616,39 @@ def hausdorff_pairs(df: DataFrame, key: str = "user_id",
                    "n_cells_a", "n_cells_b",
                    F.greatest("h_ab", "h_ba").alias("hausdorff_m")))
     return cache.track(out, [cells, cross])
+
+
+def route_ngrams(df: DataFrame, key: str = "user_id", ts: str = "ep",
+                 order_col: str = "event_id", cell_col: str = "geohash",
+                 nchars: int = 4, min_count: int = 2) -> DataFrame:
+    """Common-corridor mining: count every 3-cell SEQUENCE (trigram of
+    consecutive DISTINCT cells along a key's time-ordered fix stream)
+    across all keys — the sequence-pattern dual of q81's OD matrix
+    (which counts single transitions; three cells is the shortest
+    n-gram that captures a TURN, the unit of route reconstruction).
+    Dwell is collapsed first (consecutive repeats of one cell emit
+    nothing), so a parked device contributes no corridors.
+
+    Scale shape: ONE per-key window shuffle does everything — the
+    dwell-collapse lag, then two leads over the collapsed stream; the
+    trigram count partial-aggregates map-side, so the second exchange
+    moves the (c1, c2, c3) count frame (corridor-vocabulary sized, not
+    fix sized).  All string/integer ops — the q135 oracle replays the
+    windows verbatim.  Returns ``(c1, c2, c3, n)`` with n >= min_count.
+    """
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    moved = (df.select(F.col(key), F.col(ts), F.col(order_col),
+                       cell.alias("_c"))
+             .withColumn("_prev", F.lag("_c").over(w))
+             .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("_c"))))
+    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                         F.col(order_col).asc())
+    tri = (moved.withColumn("_c2", F.lead("_c", 1).over(w2))
+           .withColumn("_c3", F.lead("_c", 2).over(w2))
+           .where(F.col("_c3").isNotNull()))
+    return (tri.groupBy(F.col("_c").alias("c1"), F.col("_c2").alias("c2"),
+                        F.col("_c3").alias("c3"))
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= min_count))

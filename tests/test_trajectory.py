@@ -435,3 +435,24 @@ def test_hausdorff_pairs_subset_property(spark):
            for r in trajectory.hausdorff_pairs(df, scale=16).collect()}
     assert got[(1, 2)] == 0
     assert got[(1, 4)] > 0 and got[(2, 4)] == got[(1, 4)]
+
+
+def test_route_ngrams_collapses_dwell_and_counts(spark):
+    # two users drive A->B->C->D (one shared corridor); user 1 dwells
+    # in B (repeat fixes collapse); user 3 only does A->B (too short)
+    A, B, C, D = (10.0, 20.0), (10.0, 20.5), (10.5, 20.5), (10.5, 21.0)
+    rows = []
+    for uid, path in ((1, [A, B, B, B, C, D]), (2, [A, B, C, D]),
+                      (3, [A, B])):
+        for i, (la, lo) in enumerate(path):
+            rows.append((uid * 100 + i, uid, i * 60, la, lo))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"))
+    got = {(r["c1"], r["c2"], r["c3"]): r["n"]
+           for r in trajectory.route_ngrams(df, min_count=2).collect()}
+
+    def c4(p):
+        return gh.encode(np.array([p[0]]), np.array([p[1]]))[0][:4]
+
+    # both users produce A->B->C and B->C->D; nothing else reaches 2
+    assert got == {(c4(A), c4(B), c4(C)): 2, (c4(B), c4(C), c4(D)): 2}

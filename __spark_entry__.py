@@ -1236,7 +1236,7 @@ def _q55_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
 def _shm_checkpoint(sink: str) -> str:
     """Per-invocation streaming checkpoint on tmpfs: the default temp
     checkpoint lands on disk-backed /tmp; state-store + offset-log
-    commits are the per-batch fixed cost of the seven streaming gates,
+    commits are the per-batch fixed cost of the nine streaming gates,
     so keep them in memory (same /dev/shm scratch policy as BENCH)."""
     import os
     import shutil
@@ -1319,7 +1319,7 @@ def _stream_positions(ev: DataFrame) -> DataFrame:
 
 def _run_stream_to_table(df: DataFrame, spark: SparkSession, prefix: str,
                          mode: str) -> DataFrame:
-    """Shared sink scaffold for the seven streaming gates: unique memory
+    """Shared sink scaffold for the nine streaming gates: unique memory
     sink, tmpfs checkpoint, availableNow to completion (stop a stream
     that outlives the timeout BEFORE removing its checkpoint), cleanup,
     return the materialized sink table."""
@@ -2726,6 +2726,25 @@ def _q135_route_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("c1", "c2", "c3")
 
 
+def _q136_stream_map_match(spark: SparkSession, sf: str) -> DataFrame:
+    """NINTH streaming gate: map matching at ingest
+    (streaming.map_match_stream — the IDENTICAL engine.map_match plan
+    on the positions stream: static segment cover broadcast into a
+    stream-static join, struct-min argmin as the one stateful
+    aggregate, complete output over the finite stream).  min() is
+    associative/commutative/idempotent, so the final table must equal
+    batch q134 row-for-row — the oracle IS q134's."""
+    from geotile import streaming
+
+    pos = _stream_positions(_stream_events(spark, sf)).drop("event_time")
+    lines = spark.createDataFrame(
+        _POLYLINES, "line_id long, line_lat array<double>, line_lon array<double>")
+    j = streaming.map_match_stream(pos, lines, radius_m=_ROUTE_RADIUS_M,
+                                   id_cols=["event_id"])
+    return (_run_stream_to_table(j, spark, "q136_mm_sink", "complete")
+            .orderBy("event_id"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2807,7 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q135 were added AFTER this rotation was
+    # late additions q120-q136 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2951,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_hausdorff_pairs": _q133_hausdorff_pairs,
         "q134_map_match": _q134_map_match,
         "q135_route_ngrams": _q135_route_ngrams,
+        "q136_stream_map_match": _q136_stream_map_match,
     }
 
 
@@ -6643,6 +6663,11 @@ FROM t135 WHERE c3 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING count(*) >= 2
 ORDER BY c1, c2, c3
 """
+
+    # q136: streaming map matching must converge to the batch answer —
+    # the oracle IS q134's (one operator definition, two engines, one
+    # truth; the q127 streaming-HLL discipline)
+    sqls["q136_stream_map_match"] = sqls["q134_map_match"]
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

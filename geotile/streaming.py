@@ -272,3 +272,23 @@ def decontaminate_stream(docs: DataFrame, bench: DataFrame, n: int = 8,
                         .alias("g"))
             .join(F.broadcast(bench_grams), "g"))
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
+def map_match_stream(updates: DataFrame, lines: DataFrame, radius_m: float,
+                     **kw) -> DataFrame:
+    """Map matching AT INGEST: the IDENTICAL engine.map_match plan on a
+    position stream — one operator definition for batch and stream so
+    the argmin semantics cannot drift (the q125/q127 HLL discipline).
+    The segment cover is computed driver-side from the static lines
+    table and BROADCASTS into a stream-static join (no stream state in
+    the filter stage); the struct-min argmin is the ONE stateful
+    aggregate.  min() is associative + commutative + idempotent, so
+    the finite-stream final table must equal batch map_match
+    row-for-row — the q136 run-to-completion gate.  Aggregate state is
+    one struct per matched point id within the aggregation scope; a
+    production deployment bounds it by watermark-windowing the
+    aggregate on event time (points arrive once, so a window never
+    splits a point's candidate set)."""
+    from .engine import map_match, with_cell
+
+    return map_match(with_cell(updates), lines, radius_m, **kw)

@@ -306,3 +306,32 @@ def test_decontaminate_stream_matches_batch_occurrences(spark, tmp_path):
         if hits:
             want[did] = hits
     assert got == want and 0 in got and 1 not in got and 3 not in got
+
+
+def test_map_match_stream_equals_batch(spark, tmp_path):
+    """The streamed struct-min argmin must converge to batch map_match
+    exactly — candidates for one point arrive across the broadcast
+    cover parts, min() merges them idempotently."""
+    from geotile import engine
+
+    updates_dir = str(tmp_path / "updates")
+    os.makedirs(updates_dir)
+    rows = [("a", 0.1, 1.0, 100), ("b", 1.0, 2.1, 200),
+            ("c", 57.0, 10.0, 300)]                     # c: no match
+    _write_batch(spark, updates_dir, rows, 0)
+    lines = spark.createDataFrame(
+        [(7, [0.0, 0.0, 2.0], [0.0, 2.0, 2.0])],
+        "line_id long, line_lat array<double>, line_lon array<double>")
+    stream = spark.readStream.schema(streaming.POS_SCHEMA) \
+        .parquet(updates_dir + "/b*")
+    mm = streaming.map_match_stream(stream, lines, radius_m=50000.0,
+                                    id_cols=["msisdn"])
+    q = (mm.writeStream.format("memory").queryName("mm_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("mm_sink").collect())
+    batch = engine.map_match(
+        engine.with_cell(spark.createDataFrame(rows, streaming.POS_SCHEMA)),
+        lines, radius_m=50000.0, id_cols=["msisdn"])
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert got == exp and len(got) == 2

@@ -2745,6 +2745,19 @@ def _q136_stream_map_match(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def _q137_od_travel_times(spark: SparkSession, sf: str) -> DataFrame:
+    """Travel-time OD matrix over the hub walk
+    (trajectory.od_travel_times): q81's flows keeping each transition's
+    integer elapsed seconds — n/total/min/max per directed cell pair,
+    all exact BIGINTs (the q86 integer-stats discipline).  One per-key
+    window + one partial-aggregated (o, d) aggregate.  The oracle
+    replays the lag pair verbatim."""
+    from geotile import trajectory
+
+    out = trajectory.od_travel_times(engine.with_cell(_walk_df(spark, sf)))
+    return out.orderBy("o_cell", "d_cell")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2826,7 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q136 were added AFTER this rotation was
+    # late additions q120-q137 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2971,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_map_match": _q134_map_match,
         "q135_route_ngrams": _q135_route_ngrams,
         "q136_stream_map_match": _q136_stream_map_match,
+        "q137_od_travel_times": _q137_od_travel_times,
     }
 
 
@@ -6668,6 +6682,29 @@ ORDER BY c1, c2, c3
     # the oracle IS q134's (one operator definition, two engines, one
     # truth; the q127 streaming-HLL discipline)
     sqls["q136_stream_map_match"] = sqls["q134_map_match"]
+
+    # q137: travel-time OD matrix — the q81 lag pair, keeping the
+    # integer second deltas (dwell excluded by lagging RAW fixes)
+    sqls["q137_od_travel_times"] = f"""
+WITH {_WALK_CTE},
+c137 AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS d FROM walk
+),
+l137 AS (
+  SELECT user_id, d,
+         lag(d) OVER w AS o,
+         CAST(ep - lag(ep) OVER w AS BIGINT) AS dt
+  FROM c137
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+)
+SELECT o AS o_cell, d AS d_cell, count(*) AS n_trips,
+       CAST(sum(dt) AS BIGINT) AS total_s,
+       min(dt) AS min_s, max(dt) AS max_s
+FROM l137
+WHERE o IS NOT NULL AND o <> d
+GROUP BY o, d
+ORDER BY o_cell, d_cell
+"""
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

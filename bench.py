@@ -111,7 +111,7 @@ def main() -> None:
         "q127_stream_hll", "q128_polygon_measures", "q129_bloom_prefilter",
         "q130_stratified_split", "q131_emerging_hotspots",
         "q132_snapshot_diff", "q133_hausdorff_pairs", "q134_map_match",
-        "q135_route_ngrams", "q136_stream_map_match",
+        "q135_route_ngrams", "q136_stream_map_match", "q137_od_travel_times",
     ]
     from geotile import cache, textops
 

@@ -652,3 +652,33 @@ def route_ngrams(df: DataFrame, key: str = "user_id", ts: str = "ep",
                         F.col("_c3").alias("c3"))
             .agg(F.count("*").alias("n"))
             .where(F.col("n") >= min_count))
+
+
+def od_travel_times(df: DataFrame, nchars: int = 4, key: str = "user_id",
+                    ts: str = "ep", order_col: str = "event_id",
+                    cell_col: str = "geohash") -> DataFrame:
+    """Travel-TIME matrix: q81's OD flows, keeping the elapsed seconds
+    of each transition — the ETA / routing-cost primitive (the flow
+    count says how many went o->d; this says how long o->d takes).
+    Each consecutive fix pair whose cell changed contributes its
+    integer time delta ``ts - lag(ts)`` (the last fix in the origin
+    run to the first fix in the destination run, so dwell at the
+    origin is excluded by construction).  Output per directed (o, d):
+    ``(o_cell, d_cell, n_trips, total_s, min_s, max_s)`` — all exact
+    BIGINTs (consumers divide for the mean; a double avg would vary in
+    the last ulp with partial-agg order, the q86 discipline).
+
+    Scale shape: identical to od_matrix — ONE per-key window (lag x2
+    in the same frame) then one (o, d) aggregate that partial-
+    aggregates map-side to the occupied-cell-pair frame."""
+    c = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_d", c)
+         .withColumn("_o", F.lag("_d").over(w))
+         .withColumn("_dt", (F.col(ts) - F.lag(ts).over(w)).cast("long")))
+    return (d.where(F.col("_o").isNotNull() & (F.col("_o") != F.col("_d")))
+            .groupBy(F.col("_o").alias("o_cell"), F.col("_d").alias("d_cell"))
+            .agg(F.count("*").alias("n_trips"),
+                 F.sum("_dt").alias("total_s"),
+                 F.min("_dt").alias("min_s"),
+                 F.max("_dt").alias("max_s")))

@@ -456,3 +456,26 @@ def test_route_ngrams_collapses_dwell_and_counts(spark):
 
     # both users produce A->B->C and B->C->D; nothing else reaches 2
     assert got == {(c4(A), c4(B), c4(C)): 2, (c4(B), c4(C), c4(D)): 2}
+
+
+def test_od_travel_times_excludes_dwell(spark):
+    # user dwells at A (t=0..100), moves to B at t=160, back to A at
+    # t=400: A->B takes 60 s (from the LAST A fix), B->A takes 240 s
+    A, B = (10.0, 20.0), (10.0, 21.0)
+    rows = [(0, 1, 0, *A), (1, 1, 100, *A), (2, 1, 160, *B),
+            (3, 1, 400, *A)]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"))
+    got = {(r["o_cell"], r["d_cell"]):
+           (r["n_trips"], r["total_s"], r["min_s"], r["max_s"])
+           for r in trajectory.od_travel_times(df).collect()}
+
+    def c4(p):
+        return gh.encode(np.array([p[0]]), np.array([p[1]]))[0][:4]
+
+    assert got == {(c4(A), c4(B)): (1, 60, 60, 60),
+                   (c4(B), c4(A)): (1, 240, 240, 240)}
+    # flow counts agree with od_matrix on the same frame
+    flows = {(r["o_cell"], r["d_cell"]): r["n_flows"]
+             for r in trajectory.od_matrix(df).collect()}
+    assert {k: v[0] for k, v in got.items()} == flows

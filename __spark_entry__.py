@@ -2758,6 +2758,18 @@ def _q137_od_travel_times(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("o_cell", "d_cell")
 
 
+def _q138_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram quantiles of doc length per source
+    (textops.hist_quantiles) — the quantile SKETCH completing the
+    family (KMV q47, HLL q125, Misra-Gries q89, Bloom q129): true rank
+    sketches are compaction-order dependent, a fixed-bin histogram is
+    deterministic + mergeable with error bounded by one bin width.
+    One partial-agg shuffle to <= sources x 256 rows; the oracle
+    replays the integer binning and ceil-rank cut verbatim."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.hist_quantiles(docs).orderBy("source")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2839,7 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q137 were added AFTER this rotation was
+    # late additions q120-q138 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2985,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_route_ngrams": _q135_route_ngrams,
         "q136_stream_map_match": _q136_stream_map_match,
         "q137_od_travel_times": _q137_od_travel_times,
+        "q138_hist_quantiles": _q138_hist_quantiles,
     }
 
 
@@ -6704,6 +6717,29 @@ FROM l137
 WHERE o IS NOT NULL AND o <> d
 GROUP BY o, d
 ORDER BY o_cell, d_cell
+"""
+
+    # q138: histogram quantiles — integer binning + ceil-rank cut on
+    # the cumulative counts, all integer arithmetic
+    sqls["q138_hist_quantiles"] = """
+WITH b138 AS (
+  SELECT source, LEAST(n_chars // 16, 255) AS bin, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+c138 AS (
+  SELECT source, bin, c,
+         sum(c) OVER (PARTITION BY source ORDER BY bin ASC) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM b138
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST((min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) + 1)
+            * 16 AS BIGINT) AS p50_ub,
+       CAST((min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) + 1)
+            * 16 AS BIGINT) AS p95_ub,
+       CAST((min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) + 1)
+            * 16 AS BIGINT) AS p99_ub
+FROM c138 GROUP BY source ORDER BY source
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1726,3 +1726,45 @@ def source_kl_drift(df: DataFrame, group: str = "source",
            .agg(F.count("*").alias("n_terms"), F.sum("_n").alias("kl_nano"))
            .withColumnRenamed("src", group))
     return cache.track(out, [c_st])
+
+
+def hist_quantiles(df: DataFrame, val_col: str = "n_chars",
+                   group: str = "source", bin_w: int = 16,
+                   n_bins: int = 256, qs=(50, 95, 99)) -> DataFrame:
+    """MERGEABLE quantiles via a fixed-width histogram — the sketch
+    class still missing next to KMV/HLL/Misra-Gries/Bloom (q47/q125/
+    q89/q129): true rank sketches (t-digest, KLL) are compaction-order
+    dependent and cannot sit under a cross-engine exact gate, but a
+    fixed-bin histogram is deterministic, mergeable (counts add), and
+    its quantile error is bounded by ONE bin width — the honest
+    100-TB alternative to q88's exact per-group window percentile
+    (which must SORT each group).
+
+    ``bin = least(val div bin_w, n_bins - 1)``; quantile q%% is the
+    UPPER BOUND of the smallest bin whose cumulative count reaches
+    ``ceil(q * n / 100)`` — all integer arithmetic, so the q138 oracle
+    replays it verbatim.  Returns ``(group, n, p{q}_ub...)``.
+
+    Scale shape: ONE partially-aggregated shuffle collapses the corpus
+    to <= groups x n_bins count rows; the cumulative window and the
+    quantile argmin run on that sketch-sized frame.  Histograms from
+    disjoint shards merge by adding counts — the property that lets a
+    1000-executor scan emit 256-row partials."""
+    b = F.least(F.floor(F.col(val_col) / F.lit(bin_w)),
+                F.lit(n_bins - 1)).cast("long")
+    cnt = (df.groupBy(F.col(group), b.alias("bin"))
+           .agg(F.count("*").alias("c")))
+    wcum = (Window.partitionBy(group).orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(group)
+    cum = (cnt.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wall)))
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        # ceil(q*n/100) in pure INTEGER arithmetic — a double divide
+        # could misround the rank at petabyte-scale n
+        need = F.expr(f"(n * {int(q)} + 99) div 100")
+        hit = F.when(F.col("cum") >= need, F.col("bin"))
+        aggs.append(((F.min(hit) + 1) * bin_w).cast("long")
+                    .alias(f"p{q}_ub"))
+    return cum.groupBy(group).agg(*aggs)

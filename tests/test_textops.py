@@ -957,3 +957,28 @@ def test_stratified_split_validates_ppm(spark):
                                "doc_id long, source string, text string")
     with pytest.raises(ValueError):
         textops.stratified_split(df, splits=[("a", 500000), ("b", 400000)])
+
+
+def test_hist_quantiles_bounds_and_merge_property(spark):
+    # 100 docs with n_chars = 0..99 in one source: p50 falls in bin
+    # floor(v/16)=3 (cum reaches 50 at v=49 -> bin 3, ub 64); p99 needs
+    # cum >= 99 -> bin 6 (v=96..99), ub 112
+    rows = [(i, "s0", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = textops.hist_quantiles(df).collect()[0]
+    assert (r["n"], r["p50_ub"], r["p99_ub"]) == (100, 64, 112)
+    # exact-quantile sandwich: the true p50 (49.5-ish) lies within
+    # one bin width below the reported upper bound
+    assert r["p50_ub"] - 16 <= 50 <= r["p50_ub"]
+    # merge property: histogram of a union == union of histograms
+    # (counts add), so the quantile of two disjoint shards together
+    # equals the quantile computed on the concatenated frame
+    rows2 = [(1000 + i, "s0", 5000 + i) for i in range(50)]  # past range
+    both = spark.createDataFrame(rows + rows2,
+                                 "doc_id long, source string, n_chars long")
+    rb = textops.hist_quantiles(both).collect()[0]
+    assert rb["n"] == 150
+    # all 50 out-of-range values clamp into the LAST bin: ub 4096
+    assert rb["p99_ub"] == 256 * 16
+    # p50 of the union needs cum >= 75 -> still inside the 0..99 block
+    assert rb["p50_ub"] == 80

@@ -2770,6 +2770,27 @@ def _q138_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return textops.hist_quantiles(docs).orderBy("source")
 
 
+def _q139_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN majority-vote classification (simsearch.knn_classify): every
+    25th vector is the eval probe set (broadcast — small by contract),
+    the rest the train corpus; k=10 vote on the INTEGER picocosine
+    with salt_mod=4 exercising the salted top-k pre-thin
+    (bit-identical by construction).  The oracle brute-forces the
+    cross join with the identical cosine, floor, rank, and
+    (votes desc, label asc) majority."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") % 25 == 0)
+    train = emb.where(F.col("vec_id") % 25 != 0)
+    out = simsearch.knn_classify(train, probes, k=10, salt_mod=4)
+    truth = probes.select(F.col("vec_id").alias("qid"),
+                          F.col("label").alias("true_label"))
+    return (out.join(truth, "qid")
+            .select("qid", "true_label", "pred_label", "n_votes",
+                    F.when(F.col("pred_label") == F.col("true_label"),
+                           F.lit(1)).otherwise(F.lit(0)).alias("correct"))
+            .orderBy("qid"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2851,7 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q138 were added AFTER this rotation was
+    # late additions q120-q139 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -2998,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_stream_map_match": _q136_stream_map_match,
         "q137_od_travel_times": _q137_od_travel_times,
         "q138_hist_quantiles": _q138_hist_quantiles,
+        "q139_knn_classify": _q139_knn_classify,
     }
 
 
@@ -6740,6 +6762,53 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST((min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) + 1)
             * 16 AS BIGINT) AS p99_ub
 FROM c138 GROUP BY source ORDER BY source
+"""
+
+    # q139: kNN classification — brute-force cross join, identical
+    # cosine fold (both engines sum a*b left-to-right), integer
+    # picocosine rank + (votes desc, label asc) majority
+    sqls["q139_knn_classify"] = """
+WITH e139 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+pr AS (
+  SELECT vec_id AS qid, label AS tl, v AS qv,
+         sqrt(list_inner_product(v, v)) AS qn
+  FROM e139 WHERE vec_id % 25 = 0
+    AND sqrt(list_inner_product(v, v)) > 0.0
+),
+tr AS (
+  SELECT vec_id AS tid, label AS lb, v AS tv,
+         sqrt(list_inner_product(v, v)) AS tn
+  FROM e139 WHERE vec_id % 25 <> 0
+    AND sqrt(list_inner_product(v, v)) > 0.0
+),
+cand AS (
+  SELECT pr.qid, tr.tid, tr.lb,
+         CAST(floor(list_inner_product(tv, qv) / (tn * qn)
+                    * 1000000000000.0) AS BIGINT) AS cosf
+  FROM tr CROSS JOIN pr
+),
+topk AS (
+  SELECT qid, lb,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosf DESC, tid ASC) AS rn
+  FROM cand
+),
+votes AS (
+  SELECT qid, lb, count(*) AS nv FROM topk WHERE rn <= 10 GROUP BY 1, 2
+),
+best AS (
+  SELECT qid, lb, nv,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY nv DESC, lb ASC) AS rb
+  FROM votes
+)
+SELECT b.qid, p.tl AS true_label, b.lb AS pred_label, b.nv AS n_votes,
+       CASE WHEN b.lb = p.tl THEN 1 ELSE 0 END AS correct
+FROM best b JOIN pr p ON p.qid = b.qid
+WHERE b.rb = 1 ORDER BY b.qid
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -495,3 +495,54 @@ def pq_adc_topk(df: DataFrame, query: "list[float]", cents: np.ndarray,
             .limit(topk)
             .select(id_col, *[f"c{b}" for b in range(m)],
                     F.round("_adc", 6).alias("adc6")))
+
+
+def knn_classify(train: DataFrame, probes: DataFrame, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label", salt_mod: int = 0) -> DataFrame:
+    """kNN majority-vote classification: predict each probe vector's
+    label from its k nearest TRAIN vectors by cosine — the eval
+    primitive on top of the search family (q19 exact, q20/q35 ANN,
+    q106 bulk graph): embedding-quality checks, label propagation,
+    weak supervision all reduce to this vote.
+
+    Probes are the SMALL side by contract (an eval set) and broadcast;
+    the train corpus streams through ONE narrow pass per probe batch —
+    no shuffle until the per-probe top-k (skew.salted_topn: pass
+    ``salt_mod > 1`` to bound any single probe's sort at corpus scale;
+    results are bit-identical either way).  Ranking and voting use the
+    INTEGER picocosine ``floor(cos * 1e12)`` with an id tie-break, so
+    selection and the (votes desc, label asc) majority are engine-exact
+    (raw-double ordering would hinge on summation ulps — the q86 floor
+    discipline applied to similarity).  Zero-norm vectors are excluded
+    (cosine undefined, the knn_graph rule).  Returns
+    ``(qid, pred_label, n_votes)``."""
+    from . import skew
+
+    qv = F.col(vec_col).cast("array<double>")
+    qn = F.aggregate(F.transform(qv, lambda a: a * a),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    p = (probes.select(F.col(id_col).alias("qid"), qv.alias("_qv"),
+                       F.sqrt(qn).alias("_qn"))
+         .where(F.col("_qn") > 0.0))
+    t = (train.select(F.col(id_col).alias("tid"),
+                      F.col(label_col).alias("_lb"),
+                      qv.alias("_tv"), F.sqrt(qn).alias("_tn"))
+         .where(F.col("_tn") > 0.0))
+    dot = F.aggregate(F.zip_with(F.col("_tv"), F.col("_qv"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    cosf = F.floor(dot / (F.col("_tn") * F.col("_qn")) * F.lit(1.0e12)) \
+        .cast("long")
+    cand = (t.crossJoin(F.broadcast(p))
+            .select("qid", "tid", "_lb", cosf.alias("cosf")))
+    top = skew.salted_topn(cand, ["qid"],
+                           [F.desc("cosf"), F.asc("tid")],
+                           [F.col("tid")], k, salt_mod)
+    votes = top.groupBy("qid", "_lb").agg(F.count("*").alias("nv"))
+    best = (votes.groupBy("qid")
+            .agg(F.max(F.struct(F.col("nv").alias("n"),
+                                (-F.col("_lb")).alias("ng"))).alias("_b")))
+    return best.select("qid",
+                       (-F.col("_b.ng")).cast("int").alias("pred_label"),
+                       F.col("_b.n").alias("n_votes"))

@@ -394,3 +394,34 @@ def test_pq_adc_topk_matches_numpy(emb, emb_np):
         assert math.isclose(a, b, rel_tol=0, abs_tol=5e-7)
     # the query's own vector quantizes to distance <= any other
     assert out[0][0] == int(ids.min()) or out[0][1] <= out[1][1]
+
+
+def test_knn_classify_majority_and_ties(spark):
+    # train: two tight clusters on orthogonal axes, labels 0 and 1,
+    # with one mislabeled point in each cluster (majority still wins)
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.01 * i, 0.0], 0 if i < 4 else 1))
+    for i in range(5):
+        rows.append((10 + i, [0.0, 0.01 * i, 1.0], 1 if i < 4 else 0))
+    train = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0], -1), (101, [0.0, 0.02, 1.0], -1)],
+        "vec_id long, embedding array<float>, label int")
+    got = {r["qid"]: (r["pred_label"], r["n_votes"])
+           for r in simsearch.knn_classify(train, probes, k=5).collect()}
+    assert got[100] == (0, 4) and got[101] == (1, 4)
+    # salted pre-thin is bit-identical
+    salted = {r["qid"]: (r["pred_label"], r["n_votes"])
+              for r in simsearch.knn_classify(train, probes, k=5,
+                                              salt_mod=4).collect()}
+    assert salted == got
+    # vote tie (k=2: one vote per label) resolves to the SMALLER label
+    tie_train = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [1.0, 0.0], 3)],
+        "vec_id long, embedding array<float>, label int")
+    tie_probe = spark.createDataFrame(
+        [(9, [1.0, 0.0], -1)], "vec_id long, embedding array<float>, label int")
+    r = simsearch.knn_classify(tie_train, tie_probe, k=2).collect()[0]
+    assert (r["pred_label"], r["n_votes"]) == (3, 1)

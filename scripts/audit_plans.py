@@ -720,6 +720,50 @@ def main() -> None:
         "cell centers, floored to exact integer meters"))
     _cache.release(hp)
 
+    sections.append(summarize(
+        trajectory.route_ngrams(engine.with_cell(traj), ts="tts", min_count=1),
+        "route_ngrams (q135): ONE per-key window shuffle carries the "
+        "dwell-collapse lag AND both leads (same partitioning reused — "
+        "no second exchange between the windows); the trigram count "
+        "partial-aggregates map-side to the corridor vocabulary"))
+
+    sections.append(summarize(
+        trajectory.od_travel_times(engine.with_cell(traj), ts="tts"),
+        "od_travel_times (q137): identical shape to od_matrix — one "
+        "per-key window (lag x2 in the same frame), then one (o, d) "
+        "aggregate whose exchange operand has already collapsed "
+        "map-side to the occupied-cell-pair frame"))
+
+    sections.append(summarize(
+        textops.hist_quantiles(synth.synth_docs_skew(spark, 2000,
+                                                     partitions=8)
+                               .withColumn("source",
+                                           F.concat(F.lit("s"),
+                                                    (F.col("doc_id") % 8)
+                                                    .cast("string")))
+                               .withColumn("n_chars", F.length("text"))),
+        "hist_quantiles (q138): ONE partially-aggregated shuffle "
+        "collapses the corpus to <= groups x 256 bin counts; the "
+        "cumulative window and ceil-rank argmin run on that sketch-"
+        "sized frame — disjoint shards merge by adding counts"))
+
+    from geotile import simsearch as _ss
+    emb_a = spark.range(0, 2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64(F.col("id") + i), F.lit(1000))
+                   / 500.0 - 1.0) for i in range(8)]).alias("embedding"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("label"))
+    sections.append(summarize(
+        _ss.knn_classify(emb_a.where(F.col("vec_id") % 25 != 0),
+                         emb_a.where(F.col("vec_id") % 25 == 0),
+                         k=10, salt_mod=4),
+        "knn_classify (q139): probes BROADCAST (BroadcastNestedLoop on "
+        "the tiny eval side is the intended cross join — the train "
+        "corpus never shuffles for scoring); the per-probe top-k runs "
+        "through salted_topn's two-level pre-thin so no single probe "
+        "sorts the corpus; votes and majority aggregate the k-row "
+        "frame"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

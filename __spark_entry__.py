@@ -2791,6 +2791,22 @@ def _q139_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("qid"))
 
 
+def _q140_cell_occupancy(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak simultaneous occupancy per gh4 cell over the hub walk
+    (trajectory.cell_occupancy): gaps-and-islands visit collapse, then
+    the classic sweep line (+1 at visit start, -1 at end+1, running
+    sum per cell) — the capacity/load statistic the flow queries
+    (q81/q137) can't answer.  One fix-sized window shuffle, then the
+    whole sweep runs on the visit-BOUNDARY frame; every output column
+    is an exact BIGINT (peak epoch via struct-argmax over (occ, -ep)),
+    so the oracle replays the identical windows verbatim."""
+    from geotile import cache, trajectory
+
+    out = trajectory.cell_occupancy(engine.with_cell(_walk_df(spark, sf)))
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2872,7 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q139 were added AFTER this rotation was
+    # late additions q120-q140 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3020,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_od_travel_times": _q137_od_travel_times,
         "q138_hist_quantiles": _q138_hist_quantiles,
         "q139_knn_classify": _q139_knn_classify,
+        "q140_cell_occupancy": _q140_cell_occupancy,
     }
 
 
@@ -6809,6 +6826,65 @@ SELECT b.qid, p.tl AS true_label, b.lb AS pred_label, b.nv AS n_votes,
        CASE WHEN b.lb = p.tl THEN 1 ELSE 0 END AS correct
 FROM best b JOIN pr p ON p.qid = b.qid
 WHERE b.rb = 1 ORDER BY b.qid
+"""
+
+    # q140: cell occupancy — gaps-and-islands visit collapse, then the
+    # sweep line (+1 at start, -1 at end+1, running sum = concurrency);
+    # all integer arithmetic, the peak epoch replayed as min(ep) at the
+    # per-cell max (the struct-argmax (occ, -ep) tie rule)
+    sqls["q140_cell_occupancy"] = f"""
+WITH {_WALK_CTE},
+c140 AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS c FROM walk
+),
+m140 AS (
+  SELECT user_id, ep, event_id, c,
+         CASE WHEN lag(c) OVER w IS NULL OR lag(c) OVER w <> c
+              THEN 1 ELSE 0 END AS nw
+  FROM c140
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+r140 AS (
+  SELECT user_id, ep, c,
+         sum(nw) OVER (PARTITION BY user_id
+                       ORDER BY ep ASC, event_id ASC) AS run
+  FROM m140
+),
+v140 AS (
+  SELECT user_id, c, run, min(ep) AS s, max(ep) AS e
+  FROM r140 GROUP BY 1, 2, 3
+),
+d140 AS (
+  SELECT c AS cell, ep, CAST(sum(d) AS BIGINT) AS dd
+  FROM (SELECT c, s AS ep, 1 AS d FROM v140
+        UNION ALL
+        SELECT c, e + 1 AS ep, -1 AS d FROM v140)
+  GROUP BY 1, 2
+),
+o140 AS (
+  SELECT cell, ep,
+         CAST(sum(dd) OVER (PARTITION BY cell ORDER BY ep ASC) AS BIGINT)
+           AS occ
+  FROM d140
+),
+s140 AS (
+  SELECT c AS cell, count(*) AS n_visits,
+         CAST(sum(e - s) AS BIGINT) AS total_dwell_s
+  FROM v140 GROUP BY 1
+),
+p140 AS (
+  SELECT cell, max(occ) AS max_concurrent FROM o140 GROUP BY 1
+),
+pe140 AS (
+  SELECT o.cell, CAST(min(o.ep) AS BIGINT) AS peak_ep
+  FROM o140 o JOIN p140 p
+    ON o.cell = p.cell AND o.occ = p.max_concurrent
+  GROUP BY 1
+)
+SELECT s.cell, s.n_visits, s.total_dwell_s, p.max_concurrent, pe.peak_ep
+FROM s140 s JOIN p140 p ON s.cell = p.cell
+JOIN pe140 pe ON s.cell = pe.cell
+ORDER BY s.cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -682,3 +682,68 @@ def od_travel_times(df: DataFrame, nchars: int = 4, key: str = "user_id",
                  F.sum("_dt").alias("total_s"),
                  F.min("_dt").alias("min_s"),
                  F.max("_dt").alias("max_s")))
+
+
+def cell_occupancy(df: DataFrame, nchars: int = 4, key: str = "user_id",
+                   ts: str = "ep", order_col: str = "event_id",
+                   cell_col: str = "geohash") -> DataFrame:
+    """Peak simultaneous occupancy per cell — the LOAD question the
+    visit-count queries can't answer (q81/q137 count transitions, q86
+    counts trips; capacity planning needs "how many keys were inside
+    AT ONCE, and when").  A key's consecutive fixes in one cell
+    collapse to a VISIT interval ``[first_ep, last_ep]`` (inclusive;
+    gaps-and-islands run ids), then the classic sweep line runs per
+    cell: +1 at start, -1 at ``end+1`` (so back-to-back visits that
+    touch at one epoch DO overlap), deltas summed per epoch and
+    cumulated in epoch order — the running sum IS the concurrency.
+
+    All exact integers: occupancy counts, dwell seconds, and the peak
+    epoch (earliest epoch attaining the max, struct-argmax over
+    ``(occ, -ep)``) survive any partial-agg order, so the oracle
+    replays the identical windows.  Returns ``(cell, n_visits,
+    total_dwell_s, max_concurrent, peak_ep)``.
+
+    Scale shape: ONE fix-sized shuffle (the per-key window; the
+    visit groupBy reuses its hash partitioning — user_id is a subset
+    of the grouping key, no second exchange), then everything runs on
+    the visit-BOUNDARY frame (2 rows per visit): one cell-keyed
+    shuffle for the sweep, and the per-cell window + both final
+    aggregates reuse that partitioning.  A hot cell costs its visit
+    count, never its fix count.  The visits frame feeds two branches
+    (sweep + dwell stats), so it persists; callers release via
+    geotile.cache.track."""
+    from . import cache
+
+    c = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_o").asc())
+    runs = (df.select(F.col(key).alias("_k"), F.col(ts).alias("_t"),
+                      F.col(order_col).alias("_o"), c.alias("_c"))
+            .withColumn("_prev", F.lag("_c").over(w))
+            .withColumn("_new", F.when(F.col("_prev").isNull()
+                                       | (F.col("_prev") != F.col("_c")),
+                                       F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("_run", F.sum("_new").over(w)))
+    visits = (runs.groupBy("_k", "_c", "_run")
+              .agg(F.min("_t").alias("_s"), F.max("_t").alias("_e"))
+              .persist())
+    deltas = (visits.select(
+        F.col("_c").alias("cell"),
+        F.explode(F.array(
+            F.struct(F.col("_s").alias("ep"),
+                     F.lit(1).cast("long").alias("d")),
+            F.struct((F.col("_e") + F.lit(1)).alias("ep"),
+                     F.lit(-1).cast("long").alias("d")))).alias("e"))
+        .select("cell", F.col("e.ep").alias("ep"), F.col("e.d").alias("d"))
+        .groupBy("cell", "ep").agg(F.sum("d").alias("dd")))
+    occ = deltas.withColumn(
+        "occ", F.sum("dd").over(
+            Window.partitionBy("cell").orderBy(F.col("ep").asc())))
+    peak = (occ.groupBy("cell")
+            .agg(F.max(F.struct(F.col("occ"), (-F.col("ep")).alias("nep")))
+                 .alias("m"))
+            .select("cell", F.col("m.occ").alias("max_concurrent"),
+                    (-F.col("m.nep")).alias("peak_ep")))
+    stats = (visits.groupBy(F.col("_c").alias("cell"))
+             .agg(F.count("*").alias("n_visits"),
+                  F.sum(F.col("_e") - F.col("_s")).alias("total_dwell_s")))
+    return cache.track(stats.join(peak, "cell"), [visits])

@@ -734,6 +734,17 @@ def main() -> None:
         "aggregate whose exchange operand has already collapsed "
         "map-side to the occupied-cell-pair frame"))
 
+    co = trajectory.cell_occupancy(engine.with_cell(traj), ts="tts")
+    sections.append(summarize(
+        co,
+        "cell_occupancy (q140): ONE fix-sized shuffle (the per-key "
+        "window; the visit groupBy reuses its hash partitioning — "
+        "user_id is a subset of the grouping key); the sweep deltas, "
+        "per-cell running sum, and both final aggregates all run on "
+        "the visit-BOUNDARY frame (2 rows per visit), so a hot cell "
+        "costs its visit count, never its fix count"))
+    _cache.release(co)
+
     sections.append(summarize(
         textops.hist_quantiles(synth.synth_docs_skew(spark, 2000,
                                                      partitions=8)

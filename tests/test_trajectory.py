@@ -458,6 +458,30 @@ def test_route_ngrams_collapses_dwell_and_counts(spark):
     assert got == {(c4(A), c4(B), c4(C)): 2, (c4(B), c4(C), c4(D)): 2}
 
 
+def test_cell_occupancy_sweep_and_peak(spark):
+    # cell A: user 1 visits [0, 100], user 2 visits [100, 200] (touch
+    # at ep=100 -> overlap of 2), user 3 single fix at 300; user 1
+    # leaves A for B at 150 then returns at 400 (second A visit).
+    A, B = (10.0, 20.0), (10.0, 21.0)
+    rows = [(0, 1, 0, *A), (1, 1, 100, *A),      # visit A [0,100]
+            (2, 1, 150, *B),                      # visit B [150,150]
+            (3, 1, 400, *A),                      # visit A [400,400]
+            (10, 2, 100, *A), (11, 2, 200, *A),   # visit A [100,200]
+            (20, 3, 300, *A)]                     # visit A [300,300]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"))
+    got = {r["cell"]: (r["n_visits"], r["total_dwell_s"],
+                       r["max_concurrent"], r["peak_ep"])
+           for r in trajectory.cell_occupancy(df).collect()}
+
+    def c4(p):
+        return gh.encode(np.array([p[0]]), np.array([p[1]]))[0][:4]
+
+    # A: 4 visits (1 twice, 2, 3), dwell 100+100+0+0, peak 2 users at
+    # the inclusive-touch epoch 100; B: one zero-length visit.
+    assert got == {c4(A): (4, 200, 2, 100), c4(B): (1, 0, 1, 150)}
+
+
 def test_od_travel_times_excludes_dwell(spark):
     # user dwells at A (t=0..100), moves to B at t=160, back to A at
     # t=400: A->B takes 60 s (from the LAST A fix), B->A takes 240 s

@@ -2807,6 +2807,36 @@ def _q140_cell_occupancy(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q141_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier URL dedup (textops.canonical_url + url_dedup):
+    raw fetch URLs synthesized deterministically from doc_id — six
+    spelling variants per canonical resource (fragment, WWW. prefix,
+    upper-case host, explicit :443, a utm_ tracking param, trailing
+    slash) — then canonicalized by native regexp/higher-order
+    expressions only and collapsed per canonical identity.  ONE
+    partially-aggregated shuffle; the oracle replays every regexp,
+    list-filter, sort, and join step verbatim in DuckDB."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    u = (F.col("doc_id") % 300).cast("long")
+    v = ((F.col("doc_id") * 11 + F.expr("doc_id div 300")) % 6).cast("long")
+    h = F.concat(F.lit("site"), (u % 50).cast("string"),
+                 F.lit(".example.com"))
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(v == 1, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(v == 2, F.upper(h)).otherwise(h),
+        F.when(v == 3, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/a/"), (u % 97).cast("string"),
+        F.when(v == 5, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(v == 4, F.concat(F.lit("utm_source=feed&id="),
+                                u.cast("string")))
+        .otherwise(F.concat(F.lit("id="), u.cast("string"))),
+        F.when(v == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return (textops.url_dedup(docs.select("doc_id", raw.alias("url")))
+            .orderBy("canonical_url"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2888,7 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q140 were added AFTER this rotation was
+    # late additions q120-q141 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3037,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_hist_quantiles": _q138_hist_quantiles,
         "q139_knn_classify": _q139_knn_classify,
         "q140_cell_occupancy": _q140_cell_occupancy,
+        "q141_url_dedup": _q141_url_dedup,
     }
 
 
@@ -6885,6 +6916,76 @@ SELECT s.cell, s.n_visits, s.total_dwell_s, p.max_concurrent, pe.peak_ep
 FROM s140 s JOIN p140 p ON s.cell = p.cell
 JOIN pe140 pe ON s.cell = pe.cell
 ORDER BY s.cell
+"""
+
+    # q141: URL canonicalization + dedup — the identical regexp /
+    # list-filter / sort chain replayed in DuckDB (RE2 and Java regex
+    # agree on this anchored, class-free subset; substr-prefix tests
+    # instead of LIKE dodge the _ wildcard)
+    sqls["q141_url_dedup"] = r"""
+WITH r141 AS (
+  SELECT doc_id, doc_id % 300 AS u,
+         (doc_id * 11 + doc_id // 300) % 6 AS v
+  FROM documents
+),
+raw141 AS (
+  SELECT doc_id,
+    'https://'
+    || CASE WHEN v = 1 THEN 'WWW.' ELSE '' END
+    || CASE WHEN v = 2 THEN upper('site' || (u % 50) || '.example.com')
+            ELSE 'site' || (u % 50) || '.example.com' END
+    || CASE WHEN v = 3 THEN ':443' ELSE '' END
+    || '/a/' || (u % 97)
+    || CASE WHEN v = 5 THEN '/' ELSE '' END
+    || '?' || CASE WHEN v = 4 THEN 'utm_source=feed&id=' || u
+                   ELSE 'id=' || u END
+    || CASE WHEN v = 0 THEN '#frag' ELSE '' END AS url
+  FROM r141
+),
+c141 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)',
+                           1)), '^www\.', '') AS bare,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+      AS nohost
+  FROM raw141
+),
+d141 AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'https' THEN regexp_replace(bare, ':443$', '')
+         WHEN scheme = 'http' THEN regexp_replace(bare, ':80$', '')
+         ELSE bare END AS host,
+    regexp_replace(nohost, '#.*$', '') AS pq
+  FROM c141
+),
+e141 AS (
+  SELECT doc_id, url, scheme, host,
+    CASE WHEN regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
+                             '/+$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
+                             '/+$', '') END AS path,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+      p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+        AND substr(p, 1, 6) <> 'gclid='
+        AND substr(p, 1, 7) <> 'fbclid=')), '&') AS q
+  FROM d141
+),
+f141 AS (
+  SELECT doc_id, url,
+    scheme || '://' || host || path
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+  FROM e141
+)
+SELECT canonical_url, count(*) AS n_raw,
+       count(DISTINCT url) AS n_variants,
+       min(doc_id) AS keep_id
+FROM f141 GROUP BY 1 HAVING count(*) >= 2
+ORDER BY canonical_url
 """
 
     # Every queries() entry above has an exact oracle — including the

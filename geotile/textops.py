@@ -1768,3 +1768,73 @@ def hist_quantiles(df: DataFrame, val_col: str = "n_chars",
         aggs.append(((F.min(hit) + 1) * bin_w).cast("long")
                     .alias(f"p{q}_ub"))
     return cum.groupBy(group).agg(*aggs)
+
+
+def canonical_url(url):
+    """Canonical form of a raw URL — the crawl-side identity every
+    web-scale pipeline dedups on (two fetches of one resource must
+    collapse even when the link text differed; the reference engine
+    keys its records on opaque strings, mapinfo.cpp key columns, and
+    never normalizes — a web graft must).  Steps, all native string /
+    higher-order-function expressions (zero Python, stays in codegen):
+
+    1. scheme + host lowercased (ONLY those — query values keep case),
+    2. leading ``www.`` stripped off the host,
+    3. default port stripped (``:443`` for https, ``:80`` for http),
+    4. fragment dropped,
+    5. trailing slashes collapsed off the path (bare host -> ``/``),
+    6. query split on ``&``, tracking params dropped (``utm_*``,
+       ``gclid=``, ``fbclid=``), the survivors SORTED (binary order in
+       both engines) and rejoined; an emptied query drops its ``?``.
+
+    The q141 oracle replays every regexp/list step verbatim in DuckDB
+    (RE2 and Java regex agree on this anchored, class-free subset;
+    substr-prefix tests instead of LIKE dodge the ``_`` wildcard).
+    Takes and returns a Column."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    nohost = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    bare = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "https", F.regexp_replace(bare, r":443$", ""))
+            .when(scheme == "http", F.regexp_replace(bare, r":80$", ""))
+            .otherwise(bare))
+    pq = F.regexp_replace(nohost, r"#.*$", "")
+    path = F.regexp_replace(F.regexp_extract(pq, r"^([^?]*)", 1), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 6) != "gclid=")
+        & (F.substring(p, 1, 7) != "fbclid="))
+    qstr = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qstr == "", F.lit("")).otherwise(F.concat(F.lit("?"), qstr)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id", min_n: int = 2) -> DataFrame:
+    """Collapse a crawl frontier / fetch log to canonical URLs: per
+    :func:`canonical_url` identity, how many raw rows it absorbed
+    (``n_raw``), how many DISTINCT raw spellings (``n_variants``), and
+    the deterministic keeper (``keep_id`` = min id — the q12/q68
+    keep-one rule).  Returns groups with ``n_raw >= min_n`` (the
+    dedup-actionable ones).
+
+    Scale shape: the canonicalizer is a map-only expression, so the
+    ONE shuffle is the canonical-key aggregate, partially aggregated
+    map-side (count/count-distinct/min all combine); no URL list is
+    ever collected.  count(DISTINCT raw) rewrites to the standard
+    two-phase expand — both phases key on the canonical URL, so a
+    hot canonical key costs its raw-variant count, never a sort."""
+    canon = canonical_url(url_col).alias("canonical_url")
+    return (df.select(canon, F.col(url_col).alias("_raw"),
+                      F.col(id_col).alias("_id"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_raw"),
+                 F.countDistinct("_raw").alias("n_variants"),
+                 F.min("_id").alias("keep_id"))
+            .where(F.col("n_raw") >= min_n))

@@ -746,6 +746,21 @@ def main() -> None:
     _cache.release(co)
 
     sections.append(summarize(
+        textops.url_dedup(
+            spark.range(0, 3000).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("https://s"), (F.col("id") % 40),
+                         F.lit(".ex.com/p/"), (F.col("id") % 7),
+                         F.lit("?id="), (F.col("id") % 280),
+                         F.when(F.col("id") % 3 == 0,
+                                F.lit("&utm_source=x"))
+                         .otherwise(F.lit(""))).alias("url"))),
+        "url_dedup (q141): the canonicalizer is ONE map-only projection "
+        "(regexp + higher-order list ops, no Python anywhere), so the "
+        "single Exchange is the canonical-key aggregate — count / "
+        "count-distinct / min all partial-aggregate map-side"))
+
+    sections.append(summarize(
         textops.hist_quantiles(synth.synth_docs_skew(spark, 2000,
                                                      partitions=8)
                                .withColumn("source",

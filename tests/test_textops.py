@@ -982,3 +982,37 @@ def test_hist_quantiles_bounds_and_merge_property(spark):
     assert rb["p99_ub"] == 256 * 16
     # p50 of the union needs cum >= 75 -> still inside the 0..99 block
     assert rb["p50_ub"] == 80
+
+
+def test_canonical_url_normalization_rules(spark):
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=7&b=2#frag",
+         "https://ex.com/a/b?b=2&id=7"),
+        ("http://ex.com:80", "http://ex.com/"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default kept
+        ("https://ex.com/x///", "https://ex.com/x"),
+        ("https://ex.com/?utm_source=x&gclid=1&fbclid=2",
+         "https://ex.com/"),          # emptied query drops its '?'
+        ("https://ex.com/p?b=1&A=2", "https://ex.com/p?A=2&b=1"),  # binary sort
+        ("https://wwwex.com/", "https://wwwex.com/"),  # 'www.' needs the dot
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", textops.canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dedup_counts_variants_and_keeper(spark):
+    rows = [(1, "https://a.com/x?id=1"),
+            (2, "https://WWW.A.com:443/x?id=1#z"),   # same canonical
+            (3, "https://a.com/x?id=1"),             # exact repeat
+            (4, "https://a.com/x?id=2")]             # different resource
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = textops.url_dedup(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["canonical_url"], r["n_raw"], r["n_variants"], r["keep_id"]) \
+        == ("https://a.com/x?id=1", 3, 2, 1)

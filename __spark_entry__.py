@@ -2837,6 +2837,24 @@ def _q141_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("canonical_url"))
 
 
+def _q142_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table
+    (simsearch.kmeans_lloyd, k=4, 2 iterations): vectors quantized
+    once to int64 micro-units, centroids seeded from vec_id < k,
+    assignment by integer squared-L2 argmin (cluster-id tie-break),
+    centroid update by exact floor division — the whole trajectory is
+    deterministic, so the oracle unrolls BOTH iterations verbatim
+    (cross join + row_number argmin + per-dim integer sums).  Per
+    iteration: one narrow literal-centroid scoring pass + one k x d
+    partial-agg shuffle collected to the driver."""
+    from geotile import cache
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.kmeans_lloyd(emb, k=4, iters=2)
+    return cache.track(out.orderBy("cluster"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2918,7 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q141 were added AFTER this rotation was
+    # late additions q120-q142 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3068,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_knn_classify": _q139_knn_classify,
         "q140_cell_occupancy": _q140_cell_occupancy,
         "q141_url_dedup": _q141_url_dedup,
+        "q142_kmeans": _q142_kmeans,
     }
 
 
@@ -6986,6 +7005,82 @@ SELECT canonical_url, count(*) AS n_raw,
        min(doc_id) AS keep_id
 FROM f141 GROUP BY 1 HAVING count(*) >= 2
 ORDER BY canonical_url
+"""
+
+    # q142: Lloyd k-means, BOTH iterations unrolled — integer micro-
+    # unit vectors make every distance/sum exact (64-dim sums < 2^53,
+    # so DuckDB's double list_inner_product is exact too); the centroid
+    # floor-division is exact because a non-integer quotient sits
+    # >= 1/n from any integer, far beyond double rounding
+    km_cte = []
+    prev = "c0"
+    for t in (1, 2):
+        km_cte.append(f"""
+d{t} AS (
+  SELECT v.vec_id, v.a, v.aa, c.c,
+         v.aa + c.cc - 2 * CAST(list_inner_product(v.a, c.cv) AS BIGINT)
+           AS d
+  FROM ea142 v CROSS JOIN {prev} c
+),
+m{t} AS (
+  SELECT vec_id, a, aa, c, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, c ASC) AS rn
+    FROM d{t})
+  WHERE rn = 1
+),
+s{t} AS (
+  SELECT m.c, dd.i, CAST(sum(m.a[dd.i]) AS BIGINT) AS s, count(*) AS n
+  FROM m{t} m CROSS JOIN dims142 dd GROUP BY 1, 2
+),
+u{t} AS (
+  SELECT c, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cv
+  FROM s{t} GROUP BY c
+),
+c{t} AS (
+  SELECT p.c, COALESCE(u{t}.cv, p.cv) AS cv,
+         CAST(list_inner_product(COALESCE(u{t}.cv, p.cv),
+                                 COALESCE(u{t}.cv, p.cv)) AS BIGINT) AS cc
+  FROM {prev} p LEFT JOIN u{t} ON p.c = u{t}.c
+)""")
+        prev = f"c{t}"
+    sqls["q142_kmeans"] = f"""
+WITH e142 AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS a
+  FROM embeddings
+),
+ea142 AS (
+  SELECT vec_id, a, CAST(list_inner_product(a, a) AS BIGINT) AS aa
+  FROM e142
+),
+dims142 AS (
+  SELECT unnest(range(1, (SELECT max(len(a)) FROM e142) + 1)) AS i
+),
+c0 AS (
+  SELECT vec_id AS c, a AS cv,
+         CAST(list_inner_product(a, a) AS BIGINT) AS cc
+  FROM e142 WHERE vec_id < 4
+),{','.join(km_cte)},
+df142 AS (
+  SELECT v.vec_id, v.aa, c.c,
+         v.aa + c.cc - 2 * CAST(list_inner_product(v.a, c.cv) AS BIGINT)
+           AS d
+  FROM ea142 v CROSS JOIN {prev} c
+),
+mf142 AS (
+  SELECT vec_id, c, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, c ASC) AS rn
+    FROM df142)
+  WHERE rn = 1
+)
+SELECT m.c AS cluster, count(*) AS n_members,
+       CAST(sum(m.d) AS BIGINT) AS inertia,
+       max(cx.cc) AS centroid_norm
+FROM mf142 m JOIN {prev} cx ON m.c = cx.c
+GROUP BY m.c ORDER BY cluster
 """
 
     # Every queries() entry above has an exact oracle — including the

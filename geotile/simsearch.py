@@ -546,3 +546,91 @@ def knn_classify(train: DataFrame, probes: DataFrame, k: int = 10,
     return best.select("qid",
                        (-F.col("_b.ng")).cast("int").alias("pred_label"),
                        F.col("_b.n").alias("n_votes"))
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 scale: float = 1.0e6) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the
+    clustering iterative completing the family next to PageRank / BFS /
+    connected components / Bellman-Ford (q69/q71/q61/q126), and the
+    honest build step behind q35's IVF lists (which samples to the
+    driver; this is what replaces it when the corpus won't sample).
+
+    Every quantity is integer-exact so the q142 oracle can replay the
+    FULL iteration unrolled: vectors quantize once to micro-units
+    (``floor(x * scale)`` int64), distances are
+    ``aa + cc - 2*a.c`` in int64 (|dims| <= 1e6 -> every product
+    <= 1e12 and the 64-dim sums < 2^53, exact in either engine's
+    arithmetic), assignment is argmin with a cluster-id tie-break
+    (struct array_min), and the centroid update is exact FLOOR
+    division (sum div n; DuckDB's ``floor(s/n)`` equals exact floor
+    here because a non-integer quotient sits >= 1/n from any integer
+    — far beyond double rounding).  Clusters are SEEDED from the k
+    smallest ids (``vec_id < k``) and keep their centroid when
+    emptied, so the trajectory is fully deterministic.
+
+    Scale shape: the canonical broadcast-Lloyd — per iteration ONE
+    narrow map pass scores k literal centroids (no join, no shuffle)
+    and ONE partially-aggregated shuffle collapses to k x d per-dim
+    sums, collected to the driver (k*d rows — contractually tiny).
+    The quantized vector frame persists across the iters+1 passes.
+    Returns ``(cluster, n_members, inertia, centroid_norm)`` — the
+    inertia of the FINAL assignment against the final (updated)
+    centroids, all BIGINT."""
+    from . import cache
+
+    a = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(scale)).cast("long"))
+    aa = F.aggregate(F.transform(F.col("a"), lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    vecs = (df.select(F.col(id_col).alias("_id"), a.alias("a"))
+            .withColumn("aa", aa).persist())
+
+    cents = {int(r["_id"]): [int(v) for v in r["a"]]
+             for r in vecs.where(F.col("_id") < k)
+             .select("_id", "a").collect()}
+
+    def _assign(cmap):
+        structs = []
+        for c in sorted(cmap):
+            cv = cmap[c]
+            cc = sum(x * x for x in cv)
+            # one ArrayType Literal node, not d CreateArray children —
+            # cuts analyzer/codegen cost ~4x on 64-dim centroids
+            lit_arr = F.lit(cv).cast("array<long>")
+            dot = F.aggregate(F.zip_with(F.col("a"), lit_arr,
+                                         lambda x, y: x * y),
+                              F.lit(0).cast("long"),
+                              lambda acc, v: acc + v)
+            d = (F.col("aa") + F.lit(cc).cast("long")
+                 - F.lit(2).cast("long") * dot)
+            structs.append(F.struct(d.alias("d"),
+                                    F.lit(c).cast("long").alias("c")))
+        m = F.array_min(F.array(*structs))
+        return vecs.select("a", "aa", m["d"].alias("d"), m["c"].alias("c"))
+
+    for _ in range(iters):
+        sums = (_assign(cents)
+                .select("c", F.posexplode("a").alias("i", "v"))
+                .groupBy("c", "i")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        upd: dict[int, list[int]] = {}
+        for r in sums:
+            upd.setdefault(int(r["c"]), [0] * len(next(iter(cents.values()))))
+            upd[int(r["c"])][int(r["i"])] = int(r["s"]) // int(r["n"])
+        for c, cv in upd.items():
+            cents[c] = cv  # emptied clusters keep their old centroid
+
+    norms = {c: sum(x * x for x in cv) for c, cv in cents.items()}
+    norm_col = F.lit(None).cast("long")
+    for c in sorted(norms):
+        norm_col = F.when(F.col("cluster") == c,
+                          F.lit(norms[c]).cast("long")).otherwise(norm_col)
+    out = (_assign(cents)
+           .groupBy(F.col("c").alias("cluster"))
+           .agg(F.count("*").alias("n_members"),
+                F.sum("d").alias("inertia"))
+           .withColumn("centroid_norm", norm_col))
+    return cache.track(out, [vecs])

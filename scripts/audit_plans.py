@@ -745,6 +745,23 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    from geotile import simsearch as _ss_mod
+
+    km = _ss_mod.kmeans_lloyd(
+        spark.range(0, 400).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id") + i), F.lit(1000))
+                       / 500.0 - 1.0) for i in range(8)]).alias("embedding")),
+        k=3, iters=1)
+    sections.append(summarize(
+        km,
+        "kmeans_lloyd (q142): the final assignment pass — centroids are "
+        "LITERAL arrays (no join, no broadcast, no shuffle to score), so "
+        "the only Exchange is the k-row output aggregate; each training "
+        "iteration adds one k x d partial-agg collect, never a "
+        "vector-frame shuffle"))
+    _cache.release(km)
+
     sections.append(summarize(
         textops.url_dedup(
             spark.range(0, 3000).select(

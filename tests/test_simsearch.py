@@ -425,3 +425,47 @@ def test_knn_classify_majority_and_ties(spark):
         [(9, [1.0, 0.0], -1)], "vec_id long, embedding array<float>, label int")
     r = simsearch.knn_classify(tie_train, tie_probe, k=2).collect()[0]
     assert (r["pred_label"], r["n_votes"]) == (3, 1)
+
+
+def test_kmeans_lloyd_matches_pure_python_reference(spark):
+    import math
+
+    # deterministic pseudo-random 6-dim vectors; ids 0..k-1 seed
+    vs = [[math.sin(i * 7 + j * 3) for j in range(6)] for i in range(40)]
+    a = [[math.floor(x * 1e6) for x in v] for v in vs]
+    k, iters = 3, 2
+    cents = {i: list(a[i]) for i in range(k)}
+
+    def assign(c):
+        out = []
+        for v in a:
+            best = None
+            for ci in sorted(c):
+                d = sum((x - y) ** 2 for x, y in zip(v, c[ci]))
+                if best is None or (d, ci) < best:
+                    best = (d, ci)
+            out.append(best)
+        return out
+
+    for _ in range(iters):
+        upd = {}
+        for (d, ci), v in zip(assign(cents), a):
+            u = upd.setdefault(ci, [[0] * len(v), 0])
+            u[0] = [s + x for s, x in zip(u[0], v)]
+            u[1] += 1
+        for ci, (s, n) in upd.items():
+            cents[ci] = [x // n for x in s]
+    want = {}
+    for d, ci in assign(cents):
+        r = want.setdefault(ci, [0, 0])
+        r[0] += 1
+        r[1] += d
+    want = {ci: (n, inert, sum(x * x for x in cents[ci]))
+            for ci, (n, inert) in want.items()}
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<double>")
+    got = {r["cluster"]: (r["n_members"], r["inertia"], r["centroid_norm"])
+           for r in simsearch.kmeans_lloyd(df, k=k, iters=iters).collect()}
+    assert got == want

@@ -2855,6 +2855,22 @@ def _q142_kmeans(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q143_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document-quality skyline (engine.skyline): the
+    Pareto frontier of (n_chars, distinct WS_CLASS tokens), both
+    maximized — the SKYLINE OF operator of Börzsönyi et al. 2001 as
+    two window functions over ONE group exchange (strict-greater-x
+    range frame + exact-x tie max).  The oracle is the textbook
+    NOT EXISTS dominance anti-join — an independent formulation, so
+    the gate actually checks the window algebra."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.size(F.array_distinct(
+        F.split(F.trim(F.col("text")), textops.WS_CLASS))).cast("long")
+    d = docs.select("source", "doc_id", "n_chars", toks.alias("n_utoks"))
+    return (engine.skyline(d, "n_chars", "n_utoks", group="source")
+            .orderBy("source", "doc_id"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2936,7 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q142 were added AFTER this rotation was
+    # late additions q120-q143 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3087,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_cell_occupancy": _q140_cell_occupancy,
         "q141_url_dedup": _q141_url_dedup,
         "q142_kmeans": _q142_kmeans,
+        "q143_skyline": _q143_skyline,
     }
 
 
@@ -7081,6 +7098,26 @@ SELECT m.c AS cluster, count(*) AS n_members,
        max(cx.cc) AS centroid_norm
 FROM mf142 m JOIN {prev} cx ON m.c = cx.c
 GROUP BY m.c ORDER BY cluster
+"""
+
+    # q143: skyline — the oracle is the NOT EXISTS dominance anti-join
+    # (independent of the Spark side's window formulation); tokenizer
+    # is the shared explicit WS class (q100 discipline)
+    sqls["q143_skyline"] = r"""
+WITH t143 AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(list_distinct(regexp_split_to_array(
+           trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS n_utoks
+  FROM documents
+)
+SELECT d1.source, d1.doc_id, d1.n_chars, d1.n_utoks
+FROM t143 d1
+WHERE NOT EXISTS (
+  SELECT 1 FROM t143 d2
+  WHERE d2.source = d1.source
+    AND d2.n_chars >= d1.n_chars AND d2.n_utoks >= d1.n_utoks
+    AND (d2.n_chars > d1.n_chars OR d2.n_utoks > d1.n_utoks))
+ORDER BY d1.source, d1.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

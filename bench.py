@@ -113,7 +113,7 @@ def main() -> None:
         "q132_snapshot_diff", "q133_hausdorff_pairs", "q134_map_match",
         "q135_route_ngrams", "q136_stream_map_match", "q137_od_travel_times",
         "q138_hist_quantiles", "q139_knn_classify", "q140_cell_occupancy",
-        "q141_url_dedup", "q142_kmeans",
+        "q141_url_dedup", "q142_kmeans", "q143_skyline",
     ]
     from geotile import cache, textops
 

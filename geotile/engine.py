@@ -1617,3 +1617,39 @@ def format_positions_json(df: DataFrame, key: str = "msisdn", lat: str = "lat",
     return df.select(F.format_string(
         '{"Msisdn":"%s","Latitude":"%f","Longitude":"%f","CurrTime":"%d"}',
         F.col(key), F.col(lat), F.col(lon), F.col(ts).cast("long")).alias("json"))
+
+
+def skyline(df: DataFrame, x: str, y: str, group=None) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001 —
+    the SKYLINE OF operator): keep a row iff NO other row in its group
+    dominates it, where domination is ``x' >= x AND y' >= y AND
+    (x' > x OR y' > y)`` (both dims maximized; ties on BOTH dims are
+    mutually non-dominating and all kept).  The data-mix use: the
+    frontier of (length, distinct-token) document quality — everything
+    off the frontier is majorized by a strictly better document.
+
+    Window form (no self-join): sort each group by x desc; a row
+    survives iff  (a) max(y) over rows with STRICTLY greater x is
+    below its y — the range frame ``(unbounded, -1)`` on integer x —
+    and  (b) it holds the max y within its exact-x tie group.  The
+    q143 oracle is the textbook NOT EXISTS dominance anti-join — an
+    INDEPENDENT formulation, so agreement actually checks the window
+    algebra.  x and y must be integer-valued (the -1 range bound).
+
+    Scale shape: ONE exchange on the group key serves both windows
+    (the (group, x) tie window reuses the partitioning with a local
+    re-sort).  A single group costs one sort of its rows — the
+    standard window-skyline trade; at 100 TB pre-thin with any
+    per-partition LOCAL skyline first (a locally dominated row is
+    globally dominated), which this operator composes with by simply
+    running it twice: once per-partition-salted, once global."""
+    groups = ([group] if isinstance(group, str) else list(group or []))
+    w1 = (Window.partitionBy(*groups).orderBy(F.col(x).desc())
+          .rangeBetween(Window.unboundedPreceding, -1))
+    w2 = Window.partitionBy(*groups, x)
+    m1 = F.max(y).over(w1)
+    m2 = F.max(y).over(w2)
+    return (df.withColumn("_m1", m1).withColumn("_m2", m2)
+            .where((F.col("_m1").isNull() | (F.col("_m1") < F.col(y)))
+                   & (F.col(y) == F.col("_m2")))
+            .drop("_m1", "_m2"))

@@ -745,6 +745,19 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    sections.append(summarize(
+        engine.skyline(
+            spark.range(0, 5000).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 4).cast("string").alias("source"),
+                F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+                F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1000)).alias("y")),
+            "x", "y", group="source"),
+        "skyline (q143): BOTH windows (strict-greater-x range frame + "
+        "exact-x tie max) ride ONE Exchange on the group key — the "
+        "second window is a partition-local re-sort, never a second "
+        "shuffle, and there is no self-join anywhere"))
+
     from geotile import simsearch as _ss_mod
 
     km = _ss_mod.kmeans_lloyd(

@@ -994,3 +994,26 @@ def test_map_match_vertex_tie_breaks_to_lower_seg(spark):
         [(0, -0.5, 2.0)], "event_id long, lat double, lon double"))
     r = engine.map_match(pts, lines, radius_m=100000.0).collect()[0]
     assert r["seg"] == 0 and r["t"] == 1.0
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    import itertools
+    import random
+
+    rng = random.Random(143)
+    rows = [(i, "g%d" % (i % 2), rng.randrange(0, 8), rng.randrange(0, 8))
+            for i in range(60)]
+    # force exact-duplicate (x, y) pairs on the frontier: mutually
+    # non-dominating, BOTH must survive
+    rows += [(100, "g0", 9, 9), (101, "g0", 9, 9)]
+    df = spark.createDataFrame(rows, "id long, g string, x long, y long")
+
+    def dominated(r, everyone):
+        return any(o[1] == r[1] and o[2] >= r[2] and o[3] >= r[3]
+                   and (o[2] > r[2] or o[3] > r[3]) for o in everyone)
+
+    want = sorted(r[0] for r in rows if not dominated(r, rows))
+    got = sorted(r["id"] for r in
+                 engine.skyline(df, "x", "y", group="g").collect())
+    assert got == want
+    assert 100 in got and 101 in got

@@ -2871,6 +2871,21 @@ def _q143_skyline(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "doc_id"))
 
 
+def _q144_resample_track(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-grid trajectory resampling over the hub walk
+    (trajectory.resample_track, step 600 s, max_gap 3600 s): linear
+    interpolation at grid ticks inside gap-bounded fix pairs —
+    integer micro-degree endpoints, one fixed-shape
+    ``pla + floor(dla * (g - pe) / dt)`` per output row, so both
+    engines are bit-identical with zero aggregation-order exposure.
+    One per-key window shuffle + a map-only bounded sequence-explode;
+    the oracle replays the lag and the generate_series verbatim."""
+    from geotile import trajectory
+
+    out = trajectory.resample_track(_walk_df(spark, sf))
+    return out.orderBy("user_id", "tick_ep")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2952,7 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q143 were added AFTER this rotation was
+    # late additions q120-q144 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3104,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_url_dedup": _q141_url_dedup,
         "q142_kmeans": _q142_kmeans,
         "q143_skyline": _q143_skyline,
+        "q144_resample_track": _q144_resample_track,
     }
 
 
@@ -7118,6 +7134,42 @@ WHERE NOT EXISTS (
     AND d2.n_chars >= d1.n_chars AND d2.n_utoks >= d1.n_utoks
     AND (d2.n_chars > d1.n_chars OR d2.n_utoks > d1.n_utoks))
 ORDER BY d1.source, d1.doc_id
+"""
+
+    # q144: trajectory resampling — lag + generate_series + the same
+    # fixed-shape interpolation expression (integer products, one
+    # double divide + floor); range()'s exclusive stop gets +1
+    sqls["q144_resample_track"] = f"""
+WITH {_WALK_CTE},
+i144 AS (
+  SELECT user_id, ep, event_id,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS la,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS lo
+  FROM walk
+),
+l144 AS (
+  SELECT user_id, ep, la, lo,
+         lag(ep) OVER w AS pe, lag(la) OVER w AS pla,
+         lag(lo) OVER w AS plo
+  FROM i144
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+s144 AS (
+  SELECT * FROM l144
+  WHERE pe IS NOT NULL AND ep - pe > 0 AND ep - pe <= 3600
+),
+g144 AS (
+  SELECT user_id, ep, la, lo, pe, pla, plo,
+         unnest(range(pe - (pe % 600) + 600, ep - (ep % 600) + 1, 600))
+           AS g
+  FROM s144
+)
+SELECT user_id, g AS tick_ep,
+       CAST(pla + floor((la - pla) * (g - pe) / (ep - pe)) AS BIGINT)
+         AS ilat6,
+       CAST(plo + floor((lo - plo) * (g - pe) / (ep - pe)) AS BIGINT)
+         AS ilon6
+FROM g144 ORDER BY user_id, tick_ep
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -747,3 +747,55 @@ def cell_occupancy(df: DataFrame, nchars: int = 4, key: str = "user_id",
              .agg(F.count("*").alias("n_visits"),
                   F.sum(F.col("_e") - F.col("_s")).alias("total_dwell_s")))
     return cache.track(stats.join(peak, "cell"), [visits])
+
+
+def resample_track(df: DataFrame, step: int = 600, max_gap: int = 3600,
+                   key: str = "user_id", ts: str = "ep",
+                   order_col: str = "event_id",
+                   lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Fixed-grid trajectory resampling: linearly interpolate each
+    key's track at every ``step``-second grid tick that falls INSIDE a
+    consecutive-fix gap no wider than ``max_gap`` — the densification
+    primitive map matching / stay detection / training-sequence
+    builders all want (irregular GPS goes in, a uniform time series
+    comes out; gaps wider than ``max_gap`` are NOT bridged, the
+    standard rule — interpolating across a signal outage fabricates a
+    straight-line teleport).
+
+    Exactness: coordinates quantize to integer micro-degrees up front;
+    each interpolated value is ``pla + floor(dla * (g - pe) / dt)`` —
+    one fixed-shape expression per output row (exact int64 products,
+    one double divide + floor), so both engines compute bit-identical
+    results with no aggregation-order exposure (the q134 doubles
+    discipline).  Ticks are the multiples of ``step`` in ``(pe, ce]``;
+    zero-length gaps are skipped (no divide by zero, deterministic
+    under the (ts, order) ordering).
+
+    Scale shape: ONE per-key window shuffle (the lag), then a map-only
+    sequence-explode whose fan-out is the caller's densification
+    choice (``<= max_gap/step`` rows per fix pair, a constant).
+    Returns ``(key, tick_ep, ilat6, ilon6)``."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.select(F.col(key), F.col(ts), F.col(order_col),
+                   F.floor(F.col(lat) * 1e6).cast("long").alias("_la"),
+                   F.floor(F.col(lon) * 1e6).cast("long").alias("_lo"))
+         .withColumn("_pla", F.lag("_la").over(w))
+         .withColumn("_plo", F.lag("_lo").over(w))
+         .withColumn("_pe", F.lag(ts).over(w)))
+    dt = F.col(ts) - F.col("_pe")
+    seg = d.where(F.col("_pe").isNotNull() & (dt > 0) & (dt <= max_gap))
+    st = F.lit(int(step)).cast("long")
+    gstart = F.col("_pe") - (F.col("_pe") % st) + st
+    gstop = F.col(ts) - (F.col(ts) % st)
+    ticks = seg.select(
+        F.col(key), F.col(ts), "_pe", "_pla", "_plo", "_la", "_lo",
+        F.explode(F.when(gstart <= gstop, F.sequence(gstart, gstop, st))
+                  .otherwise(F.array().cast("array<long>"))).alias("g"))
+    ila = (F.col("_pla") + F.floor((F.col("_la") - F.col("_pla"))
+                                   * (F.col("g") - F.col("_pe"))
+                                   / (F.col(ts) - F.col("_pe")))).cast("long")
+    ilo = (F.col("_plo") + F.floor((F.col("_lo") - F.col("_plo"))
+                                   * (F.col("g") - F.col("_pe"))
+                                   / (F.col(ts) - F.col("_pe")))).cast("long")
+    return ticks.select(F.col(key), F.col("g").alias("tick_ep"),
+                        ila.alias("ilat6"), ilo.alias("ilon6"))

@@ -746,6 +746,13 @@ def main() -> None:
     _cache.release(co)
 
     sections.append(summarize(
+        trajectory.resample_track(traj, ts="tts"),
+        "resample_track (q144): ONE per-key window shuffle (the lag), "
+        "then the grid-tick sequence-explode and the interpolation are "
+        "map-only — fan-out bounded by max_gap/step per fix pair, the "
+        "caller's densification knob, never data-dependent blowup"))
+
+    sections.append(summarize(
         engine.skyline(
             spark.range(0, 5000).select(
                 F.col("id").alias("doc_id"),

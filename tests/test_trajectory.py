@@ -503,3 +503,32 @@ def test_od_travel_times_excludes_dwell(spark):
     flows = {(r["o_cell"], r["d_cell"]): r["n_flows"]
              for r in trajectory.od_matrix(df).collect()}
     assert {k: v[0] for k, v in got.items()} == flows
+
+
+def test_resample_track_grid_and_gap_rules(spark):
+    import math
+
+    rows = [(0, 1, 100, 10.0, 20.0), (1, 1, 1300, 10.0012, 20.0006),
+            (2, 1, 9000, 11.0, 21.0),   # 7700 s gap > max_gap: no ticks
+            (3, 2, 600, 5.0, 6.0), (4, 2, 1200, 5.0006, 6.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = {(r["user_id"], r["tick_ep"]): (r["ilat6"], r["ilon6"])
+           for r in trajectory.resample_track(df).collect()}
+
+    def q(x):
+        return math.floor(x * 1e6)
+
+    def interp(p, c, pe, ce, g):
+        return p + math.floor((c - p) * (g - pe) / (ce - pe))
+
+    want = {
+        # ticks strictly after pe=100, <= ce=1300 -> 600, 1200
+        (1, 600): (interp(q(10.0), q(10.0012), 100, 1300, 600),
+                   interp(q(20.0), q(20.0006), 100, 1300, 600)),
+        (1, 1200): (interp(q(10.0), q(10.0012), 100, 1300, 1200),
+                    interp(q(20.0), q(20.0006), 100, 1300, 1200)),
+        # tick at exactly ce reproduces the fix; tick at pe excluded
+        (2, 1200): (q(5.0006), q(6.0)),
+    }
+    assert got == want

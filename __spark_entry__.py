@@ -2886,6 +2886,23 @@ def _q144_resample_track(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("user_id", "tick_ep")
 
 
+def _q145_token_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Bursty-token detection over a deterministic 14-day calendar
+    (day = doc_id % 14; textops.token_bursts): a token bursts when its
+    day share beats 3/2 x its corpus share — pure DECIMAL(38,0)
+    cross-multiplication, no division or log anywhere, so the oracle
+    replays the identical integer test in HUGEINT.  One token explode
+    + one persisted (token, day) sketch; day totals broadcast; corpus
+    total is a #days-row driver sum."""
+    from geotile import cache
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .withColumn("day", (F.col("doc_id") % 14).cast("long")))
+    out = textops.token_bursts(docs)
+    return cache.track(out.orderBy("day", "token"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2967,7 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q144 were added AFTER this rotation was
+    # late additions q120-q145 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3120,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_kmeans": _q142_kmeans,
         "q143_skyline": _q143_skyline,
         "q144_resample_track": _q144_resample_track,
+        "q145_token_bursts": _q145_token_bursts,
     }
 
 
@@ -7170,6 +7188,35 @@ SELECT user_id, g AS tick_ep,
        CAST(plo + floor((lo - plo) * (g - pe) / (ep - pe)) AS BIGINT)
          AS ilon6
 FROM g144 ORDER BY user_id, tick_ep
+"""
+
+    # q145: token bursts — identical WS_CLASS tokenizer, identical
+    # integer cross-multiply test (HUGEINT stands in for DECIMAL(38,0))
+    sqls["q145_token_bursts"] = r"""
+WITH tok145 AS (
+  SELECT doc_id % 14 AS d,
+         unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+tk AS (SELECT d, t FROM tok145 WHERE t <> ''),
+td145 AS (SELECT t, d, count(*) AS n_day FROM tk GROUP BY 1, 2),
+tt145 AS (SELECT t, CAST(sum(n_day) AS BIGINT) AS n_token
+          FROM td145 GROUP BY 1),
+dd145 AS (SELECT d, CAST(sum(n_day) AS BIGINT) AS day_total
+          FROM td145 GROUP BY 1),
+nn145 AS (SELECT CAST(sum(n_day) AS BIGINT) AS n FROM td145)
+SELECT td145.d AS day, td145.t AS token, td145.n_day,
+       tt145.n_token, dd145.day_total
+FROM td145
+JOIN tt145 ON td145.t = tt145.t
+JOIN dd145 ON td145.d = dd145.d
+CROSS JOIN nn145
+WHERE td145.n_day >= 3
+  AND CAST(td145.n_day AS HUGEINT) * CAST(nn145.n AS HUGEINT) * 2
+      > 3 * CAST(tt145.n_token AS HUGEINT)
+          * CAST(dd145.day_total AS HUGEINT)
+ORDER BY day, token
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1838,3 +1838,48 @@ def url_dedup(df: DataFrame, url_col: str = "url",
                  F.countDistinct("_raw").alias("n_variants"),
                  F.min("_id").alias("keep_id"))
             .where(F.col("n_raw") >= min_n))
+
+
+def token_bursts(df: DataFrame, day_col: str = "day",
+                 text_col: str = "text", factor_num: int = 3,
+                 factor_den: int = 2, min_count: int = 3) -> DataFrame:
+    """Bursty-token detection (Kleinberg-style trending, rate-ratio
+    form): a token BURSTS on a day when its share of that day's tokens
+    exceeds ``factor_num/factor_den`` times its corpus-wide share — the temporal
+    drift diagnostic next to q122's per-source KL (what changed in the
+    crawl TODAY; new-event / spam-campaign / template-rollout signal).
+
+    The test is the pure integer cross-multiplication
+    ``n_day * N * factor_den > factor_num * n_token * day_total`` in
+    DECIMAL(38,0)
+    (the q73 collocations headroom discipline — no division, no log,
+    nothing for an engine to round), with ``n_day >= min_count``
+    suppressing one-off noise.  Tokens are the shared explicit
+    WS_CLASS split (q100 discipline), empties dropped.
+
+    Scale shape: one token explode feeding ONE partially-aggregated
+    (token, day) count — the persisted sketch everything else derives
+    from: token totals re-aggregate it (vocabulary-sized exchange),
+    day totals collapse to #days rows (broadcast back), the corpus
+    total is their driver-side sum (#days-row collect).  Returns
+    ``(day, token, n_day, n_token, day_total)``."""
+    from . import cache
+
+    toks = (df.select(F.col(day_col).alias("d"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    td = toks.groupBy("t", "d").agg(F.count("*").alias("n_day")).persist()
+    tt = td.groupBy("t").agg(F.sum("n_day").alias("n_token"))
+    dd = td.groupBy("d").agg(F.sum("n_day").alias("day_total"))
+    n_total = sum(r["day_total"] for r in dd.collect())
+    dec = "decimal(38,0)"
+    lhs = (F.col("n_day").cast(dec) * F.lit(int(n_total)).cast(dec)
+           * F.lit(int(factor_den)).cast(dec))
+    rhs = (F.lit(int(factor_num)).cast(dec) * F.col("n_token").cast(dec)
+           * F.col("day_total").cast(dec))
+    out = (td.join(tt, "t").join(F.broadcast(dd), "d")
+           .where((F.col("n_day") >= min_count) & (lhs > rhs))
+           .select(F.col("d").alias("day"), F.col("t").alias("token"),
+                   "n_day", "n_token", "day_total"))
+    return cache.track(out, [td])

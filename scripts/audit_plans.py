@@ -745,6 +745,18 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    tb = textops.token_bursts(
+        synth.synth_docs_skew(spark, 2000, partitions=8)
+        .withColumn("day", (F.col("doc_id") % 14).cast("long")))
+    sections.append(summarize(
+        tb,
+        "token_bursts (q145): one token explode into ONE partially-"
+        "aggregated (token, day) sketch (persisted); token totals "
+        "re-aggregate the sketch, day totals broadcast back, and the "
+        "burst test is a map-side DECIMAL(38,0) cross-multiply — the "
+        "corpus never shuffles twice"))
+    _cache.release(tb)
+
     sections.append(summarize(
         trajectory.resample_track(traj, ts="tts"),
         "resample_track (q144): ONE per-key window shuffle (the lag), "

@@ -1016,3 +1016,20 @@ def test_url_dedup_counts_variants_and_keeper(spark):
     r = out[0]
     assert (r["canonical_url"], r["n_raw"], r["n_variants"], r["keep_id"]) \
         == ("https://a.com/x?id=1", 3, 2, 1)
+
+
+def test_token_bursts_integer_rate_test(spark):
+    # 10 days of uniform background ("a b c" x 3 per day) + day 7 gets
+    # an extra doc spamming "zzz" 6 times: zzz's day-7 share is 6/15
+    # vs corpus share 6/96 -> ratio 6.4 >> 3/2; background tokens stay
+    # at ratio ~1 and must NOT flag
+    rows = []
+    for d in range(10):
+        rows.append((d, d, "a b c a b c a b c"))
+    rows.append((100, 7, "zzz zzz zzz zzz zzz zzz"))
+    df = spark.createDataFrame(rows, "doc_id long, day long, text string")
+    out = {(r["day"], r["token"]): (r["n_day"], r["n_token"], r["day_total"])
+           for r in textops.token_bursts(df).collect()}
+    assert out == {(7, "zzz"): (6, 6, 15)}
+    # the exact integer inequality the operator encodes (N = 96 tokens)
+    assert 6 * 96 * 2 > 3 * 6 * 15

@@ -2903,6 +2903,24 @@ def _q145_token_bursts(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+_BOOL_QUERIES = [(1, "table"), (1, "hash"), (2, "spark"), (2, "merge"),
+                 (2, "window"), (3, "slow"), (3, "fast"),
+                 (4, "zzzmissing"), (4, "table")]
+
+
+def _q146_boolean_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive boolean retrieval (textops.boolean_search): four
+    literal term-set queries over the corpus inverted index — ALL
+    terms must appear (query 4 carries a vocabulary miss and must
+    return nothing).  Broadcast query terms filter the postings
+    BEFORE the (query, doc) aggregate; the oracle replays the same
+    VALUES table, tokenizer, and count-equality rule."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q = spark.createDataFrame(_BOOL_QUERIES, "query_id long, term string")
+    return (textops.boolean_search(docs, q)
+            .orderBy("query_id", "doc_id"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -2984,7 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q145 were added AFTER this rotation was
+    # late additions q120-q146 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3138,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_skyline": _q143_skyline,
         "q144_resample_track": _q144_resample_track,
         "q145_token_bursts": _q145_token_bursts,
+        "q146_boolean_search": _q146_boolean_search,
     }
 
 
@@ -7217,6 +7236,37 @@ WHERE td145.n_day >= 3
       > 3 * CAST(tt145.n_token AS HUGEINT)
           * CAST(dd145.day_total AS HUGEINT)
 ORDER BY day, token
+"""
+
+    # q146: conjunctive boolean retrieval — same VALUES query table,
+    # same tokenizer, same |matched| = |query| rule
+    q146_vals = ", ".join(f"({i}, '{t}')" for i, t in _BOOL_QUERIES)
+    sqls["q146_boolean_search"] = f"""
+WITH q146 AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {q146_vals}) AS v(query_id, term)
+),
+tok146 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+tf146 AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM tok146 WHERE t <> '' GROUP BY 1, 2
+),
+qn146 AS (SELECT query_id, count(*) AS nq FROM q146 GROUP BY 1),
+h146 AS (
+  SELECT q.query_id, tf.doc_id, count(*) AS nh,
+         CAST(sum(tf.tf) AS BIGINT) AS tf_sum
+  FROM tf146 tf JOIN q146 q ON tf.t = q.term
+  GROUP BY 1, 2
+)
+SELECT h.query_id, h.doc_id, h.tf_sum
+FROM h146 h JOIN qn146 n ON h.query_id = n.query_id
+WHERE h.nh = n.nq
+ORDER BY h.query_id, h.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

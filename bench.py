@@ -114,7 +114,7 @@ def main() -> None:
         "q135_route_ngrams", "q136_stream_map_match", "q137_od_travel_times",
         "q138_hist_quantiles", "q139_knn_classify", "q140_cell_occupancy",
         "q141_url_dedup", "q142_kmeans", "q143_skyline",
-        "q144_resample_track", "q145_token_bursts",
+        "q144_resample_track", "q145_token_bursts", "q146_boolean_search",
     ]
     from geotile import cache, textops
 

@@ -1883,3 +1883,36 @@ def token_bursts(df: DataFrame, day_col: str = "day",
            .select(F.col("d").alias("day"), F.col("t").alias("token"),
                    "n_day", "n_token", "day_total"))
     return cache.track(out, [td])
+
+
+def boolean_search(df: DataFrame, queries: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Conjunctive boolean retrieval (posting-list intersection): for
+    each query — a set of terms in ``queries (query_id, term)`` —
+    return the documents containing ALL of its terms, with the summed
+    term frequency as a tie-signal.  The unranked complement of q63's
+    BM25 (filters and candidate generation want exact AND semantics,
+    not scores); the WS_CLASS tokenizer (q100 discipline).
+
+    Scale shape: the inverted-index frame is ONE partially-aggregated
+    (doc, token) shuffle; the query term set is broadcast and filters
+    the postings BEFORE the (query, doc) aggregate, so the exchange
+    moves only matching postings (query-vocabulary sized, never the
+    corpus).  The ALL-terms rule is ``count(matched terms) = |query|``
+    against a broadcast per-query cardinality — duplicate query terms
+    are collapsed first so the count can't double-hit.  Returns
+    ``(query_id, doc_id, tf_sum)``."""
+    q = queries.select("query_id", "term").distinct()
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("_tf"))
+    qn = q.groupBy("query_id").agg(F.count("*").alias("_nq"))
+    hits = (tf.join(F.broadcast(q), tf["t"] == q["term"])
+            .groupBy("query_id", id_col)
+            .agg(F.count("*").alias("_nh"), F.sum("_tf").alias("tf_sum")))
+    return (hits.join(F.broadcast(qn), "query_id")
+            .where(F.col("_nh") == F.col("_nq"))
+            .select("query_id", id_col, "tf_sum"))

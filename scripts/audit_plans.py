@@ -745,6 +745,16 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    sections.append(summarize(
+        textops.boolean_search(
+            synth.synth_docs_skew(spark, 2000, partitions=8),
+            spark.createDataFrame([(1, "the"), (1, "of"), (2, "zz")],
+                                  "query_id long, term string")),
+        "boolean_search (q146): the broadcast query-term join filters "
+        "the inverted-index frame BEFORE the (query, doc) Exchange — "
+        "only matching postings shuffle, never the corpus; both "
+        "BroadcastHashJoins, zero sort"))
+
     tb = textops.token_bursts(
         synth.synth_docs_skew(spark, 2000, partitions=8)
         .withColumn("day", (F.col("doc_id") % 14).cast("long")))

@@ -1033,3 +1033,17 @@ def test_token_bursts_integer_rate_test(spark):
     assert out == {(7, "zzz"): (6, 6, 15)}
     # the exact integer inequality the operator encodes (N = 96 tokens)
     assert 6 * 96 * 2 > 3 * 6 * 15
+
+
+def test_boolean_search_all_terms_rule(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a b"), (3, "a")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "a"), (1, "b"),          # hits d1 (tf 2) and d2 (tf 3)
+         (2, "a"), (2, "zzz"),        # vocabulary miss -> nothing
+         (3, "a"), (3, "a"), (3, "b")],  # dup terms collapse, = query 1
+        "query_id long, term string")
+    out = {(r["query_id"], r["doc_id"]): r["tf_sum"]
+           for r in textops.boolean_search(docs, qs).collect()}
+    assert out == {(1, 1): 2, (1, 2): 3, (3, 1): 2, (3, 2): 3}

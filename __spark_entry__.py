@@ -2921,6 +2921,21 @@ def _q146_boolean_search(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "doc_id"))
 
 
+def _q147_polygon_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon rasterization to the half-degree lattice
+    (engine.polygon_fill, scale=2): every cell whose center passes the
+    even-odd ray cast, vertices inlined as literals — the polygon->
+    cells dual of q9 (geofence materialization / partition-pruning
+    lists).  ZERO exchanges: one spark.range per polygon bbox, div/mod
+    to 2-D, map-only native predicate, union.  The oracle reuses q9's
+    _pip_pred SQL verbatim over the same generated lattice."""
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"]) for p in (_POLY_TRI, _POLY_QUAD)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    return (engine.polygon_fill(polys, scale=2)
+            .orderBy("poly_id", "ilat", "ilon"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3002,7 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q146 were added AFTER this rotation was
+    # late additions q120-q147 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3157,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_resample_track": _q144_resample_track,
         "q145_token_bursts": _q145_token_bursts,
         "q146_boolean_search": _q146_boolean_search,
+        "q147_polygon_fill": _q147_polygon_fill,
     }
 
 
@@ -7268,6 +7284,30 @@ FROM h146 h JOIN qn146 n ON h.query_id = n.query_id
 WHERE h.nh = n.nq
 ORDER BY h.query_id, h.doc_id
 """
+
+    # q147: polygon fill — q9's _pip_pred verbatim over the generated
+    # half-degree lattice (cell centers at clean .25/.75 doubles, far
+    # from any edge crossing — the q9 off-lattice-vertex discipline)
+    import math as _math
+
+    fill_parts = []
+    for p in (_POLY_TRI, _POLY_QUAD):
+        la0 = _math.floor(min(p["lat"]) * 2.0)
+        la1 = _math.floor(max(p["lat"]) * 2.0)
+        lo0 = _math.floor(min(p["lon"]) * 2.0)
+        lo1 = _math.floor(max(p["lon"]) * 2.0)
+        fill_parts.append(f"""
+  SELECT CAST({p['poly_id']} AS BIGINT) AS poly_id, g.ilat, g.ilon
+  FROM (SELECT CAST(la.i AS BIGINT) AS ilat, CAST(lo.i AS BIGINT) AS ilon,
+               (CAST(la.i AS BIGINT) + 0.5) / 2.0 AS lat,
+               (CAST(lo.i AS BIGINT) + 0.5) / 2.0 AS lon
+        FROM (SELECT unnest(range({la0}, {la1 + 1})) AS i) la
+        CROSS JOIN (SELECT unnest(range({lo0}, {lo1 + 1})) AS i) lo) g
+  WHERE {_pip_pred(p)}""")
+    sqls["q147_polygon_fill"] = (
+        "SELECT poly_id, ilat, ilon FROM ("
+        + " UNION ALL ".join(fill_parts)
+        + ") ORDER BY poly_id, ilat, ilon")
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

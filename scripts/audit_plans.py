@@ -746,6 +746,19 @@ def main() -> None:
     _cache.release(co)
 
     sections.append(summarize(
+        engine.polygon_fill(
+            spark.createDataFrame(
+                [(0, [20.00037, 60.00071, 20.00049],
+                  [90.00031, 120.00017, 150.00023])],
+                "poly_id long, poly_lat array<double>,"
+                " poly_lon array<double>"),
+            scale=2),
+        "polygon_fill (q147): ZERO Exchange — each polygon is one "
+        "spark.range over its bbox lattice (div/mod to 2-D) filtered "
+        "by the literal-vertex ray cast entirely inside "
+        "whole-stage codegen; parts union without a shuffle"))
+
+    sections.append(summarize(
         textops.boolean_search(
             synth.synth_docs_skew(spark, 2000, partitions=8),
             spark.createDataFrame([(1, "the"), (1, "of"), (2, "zz")],

@@ -1017,3 +1017,34 @@ def test_skyline_matches_bruteforce_dominance(spark):
                  engine.skyline(df, "x", "y", group="g").collect())
     assert got == want
     assert 100 in got and 101 in got
+
+
+def test_polygon_fill_matches_numpy_kernel(spark):
+    import math
+
+    import numpy as np
+
+    from geotile.kernel import geohash_np as gh
+
+    polys = [(0, [20.00037, 60.00071, 20.00049],
+              [90.00031, 120.00017, 150.00023]),
+             (1, [-10.00033, -10.00019, 5.00027],
+              [-40.00029, -20.00013, -30.00037])]
+    df = spark.createDataFrame(
+        polys, "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    got = {(r["poly_id"], r["ilat"], r["ilon"])
+           for r in engine.polygon_fill(df, scale=1).collect()}
+
+    want = set()
+    for pid, plat, plon in polys:
+        la0, la1 = math.floor(min(plat)), math.floor(max(plat))
+        lo0, lo1 = math.floor(min(plon)), math.floor(max(plon))
+        ii, jj = np.meshgrid(np.arange(la0, la1 + 1),
+                             np.arange(lo0, lo1 + 1), indexing="ij")
+        lat = ii.ravel() + 0.5
+        lon = jj.ravel() + 0.5
+        ins = gh.point_in_polygon(lat, lon, np.asarray(plat),
+                                  np.asarray(plon))
+        for k in np.nonzero(ins)[0]:
+            want.add((pid, int(ii.ravel()[k]), int(jj.ravel()[k])))
+    assert got == want and len(want) > 100

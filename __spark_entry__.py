@@ -2936,6 +2936,21 @@ def _q147_polygon_fill(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("poly_id", "ilat", "ilon"))
 
 
+def _q148_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch probed against exact truth (textops.count_min,
+    4 x 1024 md5-derived counters): every probe row value-proves the
+    no-underestimate guarantee (cm_est >= true_count) under the exact
+    gate — the q129 Bloom discipline applied to the frequency sketch.
+    One exact (token, n) shuffle; the 4096-counter sketch broadcasts
+    to the probe join."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.count_min(docs)
+    return cache.track(out.orderBy("token"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3017,7 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q147 were added AFTER this rotation was
+    # late additions q120-q148 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3173,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_token_bursts": _q145_token_bursts,
         "q146_boolean_search": _q146_boolean_search,
         "q147_polygon_fill": _q147_polygon_fill,
+        "q148_count_min": _q148_count_min,
     }
 
 
@@ -7308,6 +7324,33 @@ ORDER BY h.query_id, h.doc_id
         "SELECT poly_id, ilat, ilon FROM ("
         + " UNION ALL ".join(fill_parts)
         + ") ORDER BY poly_id, ilat, ilon")
+
+    # q148: count-min — identical md5-substr hashing (no string-hash
+    # replica needed), identical min-over-rows estimate
+    sqls["q148_count_min"] = r"""
+WITH tok148 AS (
+  SELECT unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+tc148 AS (
+  SELECT t, count(*) AS n FROM tok148 WHERE t <> '' GROUP BY 1
+),
+h148 AS (
+  SELECT t, n, r,
+         CAST(CAST('0x' || substr(md5(t || '#' || r), 1, 15) AS BIGINT)
+              % 1024 AS BIGINT) AS b
+  FROM tc148 CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+),
+sk148 AS (
+  SELECT r, b, CAST(sum(n) AS BIGINT) AS c FROM h148 GROUP BY 1, 2
+),
+pr148 AS (SELECT t, n, r, b FROM h148 WHERE n >= 20)
+SELECT pr148.t AS token, pr148.n AS true_count,
+       CAST(min(sk148.c) AS BIGINT) AS cm_est
+FROM pr148 JOIN sk148 ON pr148.r = sk148.r AND pr148.b = sk148.b
+GROUP BY 1, 2 ORDER BY token
+"""
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

@@ -1916,3 +1916,54 @@ def boolean_search(df: DataFrame, queries: DataFrame,
     return (hits.join(F.broadcast(qn), "query_id")
             .where(F.col("_nh") == F.col("_nq"))
             .select("query_id", id_col, "tf_sum"))
+
+
+def count_min(df: DataFrame, text_col: str = "text", depth: int = 4,
+              width: int = 1024, min_probe: int = 20) -> DataFrame:
+    """Count-min sketch over corpus tokens, probed against exact truth
+    — the mergeable COUNT estimator next to the membership (Bloom,
+    q129), cardinality (HLL, q125), heavy-hitter (MG, q89), sample
+    (KMV, q47) and quantile (histogram, q138) sketches: ``depth``
+    hash rows x ``width`` counters, point estimate = min over rows —
+    never an underestimate, which the q148 gate VALUE-PROVES row by
+    row (cm_est >= true_count for every probe) alongside exact
+    engine parity.
+
+    Hashes are md5-derived (``conv(substr(md5(token '#' row), 1, 15),
+    16, 10) % width`` — the q129 Bloom discipline: both engines ship
+    bit-identical md5, so the oracle needs no string-hash replica).
+    Counters are plain sums — sketches from disjoint shards MERGE by
+    adding counters, the property that makes this the 100-TB
+    frequency monitor.
+
+    Scale shape: one token explode -> ONE partially-aggregated exact
+    (token, n) frame (persisted; the probe truth reads it too), then
+    the sketch collapses to <= depth x width rows and BROADCASTS to
+    the probe join; no corpus-sized shuffle after the first.
+    Returns ``(token, true_count, cm_est)`` for tokens with
+    ``true_count >= min_probe``."""
+    from . import cache
+
+    toks = (df.select(F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    tc = toks.groupBy("t").agg(F.count("*").alias("n")).persist()
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+
+    def bucket(tcol, rcol):
+        h = F.md5(F.concat(tcol, F.lit("#"), rcol.cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % F.lit(int(width)))
+
+    hashed = (tc.select("t", "n", rows)
+              .withColumn("b", bucket(F.col("t"), F.col("r"))))
+    sketch = hashed.groupBy("r", "b").agg(F.sum("n").alias("c"))
+    probes = (tc.where(F.col("n") >= min_probe)
+              .select("t", F.col("n").alias("true_count"), rows)
+              .withColumn("b", bucket(F.col("t"), F.col("r"))))
+    est = (probes.join(F.broadcast(sketch), ["r", "b"])
+           .groupBy("t", "true_count")
+           .agg(F.min("c").alias("cm_est")))
+    return cache.track(
+        est.select(F.col("t").alias("token"), "true_count", "cm_est"),
+        [tc])

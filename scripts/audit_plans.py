@@ -745,6 +745,15 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    cm = textops.count_min(synth.synth_docs_skew(spark, 2000, partitions=8))
+    sections.append(summarize(
+        cm,
+        "count_min (q148): one exact (token, n) partial-agg shuffle "
+        "(persisted — truth and sketch both read it); the <= depth x "
+        "width counter table BROADCASTS into the probe join, so "
+        "estimation never shuffles the vocabulary again"))
+    _cache.release(cm)
+
     sections.append(summarize(
         engine.polygon_fill(
             spark.createDataFrame(

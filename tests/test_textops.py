@@ -1047,3 +1047,24 @@ def test_boolean_search_all_terms_rule(spark):
     out = {(r["query_id"], r["doc_id"]): r["tf_sum"]
            for r in textops.boolean_search(docs, qs).collect()}
     assert out == {(1, 1): 2, (1, 2): 3, (3, 1): 2, (3, 2): 3}
+
+
+def test_count_min_overestimates_and_degenerates(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta beta gamma gamma gamma") for i in range(10)],
+        "doc_id long, text string")
+    from geotile import cache
+
+    # wide sketch: 3 tokens in 4x4096 counters -> no collisions, exact
+    out = textops.count_min(docs, width=4096, min_probe=1)
+    got = {r["token"]: (r["true_count"], r["cm_est"]) for r in out.collect()}
+    cache.release(out)
+    assert got == {"alpha": (10, 10), "beta": (20, 20),
+                   "gamma": (30, 30)}
+
+    # width=1 forces total collision: every estimate = corpus total,
+    # still >= truth (the guarantee the q148 gate value-proves)
+    out1 = textops.count_min(docs, width=1, min_probe=1)
+    got1 = {r["token"]: r["cm_est"] for r in out1.collect()}
+    cache.release(out1)
+    assert got1 == {"alpha": 60, "beta": 60, "gamma": 60}

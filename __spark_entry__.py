@@ -2951,6 +2951,20 @@ def _q148_count_min(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q149_k_anonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial k-anonymity over the hub walk
+    (engine.k_anonymize_cells, k=5, gh5->gh2 ladder): each fix
+    publishes at the finest precision whose cell holds >= 5 distinct
+    users, else suppresses — the location-privacy gate next to q101's
+    text PII redaction.  Ladder support tables are DISTINCT
+    partial-aggs broadcast into one streaming pass; the oracle
+    replays the ladder with per-precision LEFT JOINs and the same
+    coalesce rule."""
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (engine.k_anonymize_cells(pos, k=5)
+            .orderBy("anon_cell"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3032,7 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q148 were added AFTER this rotation was
+    # late additions q120-q149 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3189,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_boolean_search": _q146_boolean_search,
         "q147_polygon_fill": _q147_polygon_fill,
         "q148_count_min": _q148_count_min,
+        "q149_k_anonymize": _q149_k_anonymize,
     }
 
 
@@ -7350,6 +7365,42 @@ SELECT pr148.t AS token, pr148.n AS true_count,
        CAST(min(sk148.c) AS BIGINT) AS cm_est
 FROM pr148 JOIN sk148 ON pr148.r = sk148.r AND pr148.b = sk148.b
 GROUP BY 1, 2 ORDER BY token
+"""
+
+    # q149: spatial k-anonymity — per-precision DISTINCT-user support
+    # tables, left-join ladder, identical coalesce/suppression rule
+    sqls["q149_k_anonymize"] = f"""
+WITH {_WALK_CTE},
+f149 AS (
+  SELECT user_id, {gh5} AS gh FROM walk
+),
+c5_149 AS (SELECT c, count(*) AS n FROM (
+  SELECT DISTINCT substr(gh, 1, 5) AS c, user_id FROM f149) GROUP BY 1),
+c4_149 AS (SELECT c, count(*) AS n FROM (
+  SELECT DISTINCT substr(gh, 1, 4) AS c, user_id FROM f149) GROUP BY 1),
+c3_149 AS (SELECT c, count(*) AS n FROM (
+  SELECT DISTINCT substr(gh, 1, 3) AS c, user_id FROM f149) GROUP BY 1),
+c2_149 AS (SELECT c, count(*) AS n FROM (
+  SELECT DISTINCT substr(gh, 1, 2) AS c, user_id FROM f149) GROUP BY 1),
+j149 AS (
+  SELECT f.user_id,
+         CASE WHEN c5_149.n >= 5 THEN substr(f.gh, 1, 5)
+              WHEN c4_149.n >= 5 THEN substr(f.gh, 1, 4)
+              WHEN c3_149.n >= 5 THEN substr(f.gh, 1, 3)
+              WHEN c2_149.n >= 5 THEN substr(f.gh, 1, 2)
+              ELSE '*' END AS anon_cell
+  FROM f149 f
+  LEFT JOIN c5_149 ON substr(f.gh, 1, 5) = c5_149.c
+  LEFT JOIN c4_149 ON substr(f.gh, 1, 4) = c4_149.c
+  LEFT JOIN c3_149 ON substr(f.gh, 1, 3) = c3_149.c
+  LEFT JOIN c2_149 ON substr(f.gh, 1, 2) = c2_149.c
+)
+SELECT anon_cell,
+       CAST(CASE WHEN anon_cell = '*' THEN 0
+                 ELSE length(anon_cell) END AS BIGINT) AS plen,
+       count(*) AS n_fixes,
+       count(DISTINCT user_id) AS n_users
+FROM j149 GROUP BY 1 ORDER BY anon_cell
 """
 
     # Every queries() entry above has an exact oracle — including the

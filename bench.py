@@ -115,7 +115,7 @@ def main() -> None:
         "q138_hist_quantiles", "q139_knn_classify", "q140_cell_occupancy",
         "q141_url_dedup", "q142_kmeans", "q143_skyline",
         "q144_resample_track", "q145_token_bursts", "q146_boolean_search",
-        "q147_polygon_fill", "q148_count_min",
+        "q147_polygon_fill", "q148_count_min", "q149_k_anonymize",
     ]
     from geotile import cache, textops
 

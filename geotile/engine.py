@@ -1720,3 +1720,48 @@ def polygon_fill(polygons: DataFrame, scale: int = 2,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymize_cells(df: DataFrame, k: int = 5,
+                      precisions=(5, 4, 3, 2),
+                      cell_col: str = "geohash",
+                      key: str = "user_id") -> DataFrame:
+    """Spatial k-anonymity generalization (Gruteser & Grunwald 2003,
+    cell-ladder form): publish each fix at the FINEST geohash
+    precision whose cell contains >= k distinct keys; a fix that can't
+    reach k even at the coarsest precision is SUPPRESSED (``'*'``) —
+    the location-privacy gate a training-data pipeline runs before any
+    mobility table leaves the enclave (the spatial complement of
+    q101's text PII redaction).
+
+    This is cell-level k-anonymity (every published cell name is
+    shared by >= k keys); it does not add l-diversity or temporal
+    cloaking — those compose on top.
+
+    Scale shape: one DISTINCT (cell_p, key) partial-agg per ladder
+    rung builds that rung's support table (occupied-cell sized, far
+    smaller than fixes — broadcast here; at scales where a rung
+    outgrows the broadcast threshold the join falls back to a
+    prefix-keyed shuffle and the plan stays correct), then the fixes
+    stream ONCE through the chained broadcast joins and ONE aggregate
+    groups the published cells.  All counts exact integers.  Returns
+    ``(anon_cell, plen, n_fixes, n_users)``; every non-suppressed row
+    has ``n_users >= k`` by construction — the invariant the q149
+    gate value-checks."""
+    out = df.select(F.col(cell_col).alias("_gh"), F.col(key).alias("_k"))
+    for p in precisions:
+        cnt = (df.select(F.substring(F.col(cell_col), 1, p).alias(f"_c{p}"),
+                         F.col(key).alias("_k")).distinct()
+               .groupBy(f"_c{p}").agg(F.count("*").alias(f"_n{p}")))
+        out = (out.withColumn(f"_c{p}", F.substring(F.col("_gh"), 1, p))
+               .join(F.broadcast(cnt), f"_c{p}", "left"))
+    anon = F.coalesce(*[F.when(F.col(f"_n{p}") >= k, F.col(f"_c{p}"))
+                        for p in precisions], F.lit("*"))
+    return (out.withColumn("anon_cell", anon)
+            .groupBy("anon_cell")
+            .agg(F.count("*").alias("n_fixes"),
+                 F.countDistinct("_k").alias("n_users"))
+            .withColumn("plen",
+                        F.when(F.col("anon_cell") == "*", F.lit(0))
+                        .otherwise(F.length("anon_cell")).cast("long"))
+            .select("anon_cell", "plen", "n_fixes", "n_users"))

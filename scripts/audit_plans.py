@@ -745,6 +745,14 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    sections.append(summarize(
+        engine.k_anonymize_cells(engine.with_cell(traj), k=5),
+        "k_anonymize_cells (q149): each ladder rung is one DISTINCT "
+        "(cell_p, user) partial-agg collapsed to an occupied-cell "
+        "support table that BROADCASTS; the fixes stream ONCE through "
+        "the chained BroadcastHashJoins and one aggregate groups the "
+        "published cells — no fix-sized shuffle after the rungs"))
+
     cm = textops.count_min(synth.synth_docs_skew(spark, 2000, partitions=8))
     sections.append(summarize(
         cm,

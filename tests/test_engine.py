@@ -1048,3 +1048,27 @@ def test_polygon_fill_matches_numpy_kernel(spark):
         for k in np.nonzero(ins)[0]:
             want.add((pid, int(ii.ravel()[k]), int(jj.ravel()[k])))
     assert got == want and len(want) > 100
+
+
+def test_k_anonymize_ladder_and_suppression(spark):
+    # 5 users share one exact gh5 cell (publish at plen 5); 3 users
+    # share another (publish coarser only if the coarser cell reaches
+    # 5 via neighbors -- here it can't, all else is far away, so they
+    # climb to '*'); 1 hermit in the antipodes suppresses too
+    rows = []
+    for u in range(1, 6):
+        rows.append((len(rows), u, 10.0001, 20.0001))
+    for u in range(6, 9):
+        rows.append((len(rows), u, -45.0001, -120.0001))
+    rows.append((len(rows), 9, 70.0001, 150.0001))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"))
+    out = {r["anon_cell"]: (r["plen"], r["n_fixes"], r["n_users"])
+           for r in engine.k_anonymize_cells(df, k=5).collect()}
+    assert out["*"] == (0, 4, 4)          # 3 + 1 suppressed fixes
+    pub = {c: v for c, v in out.items() if c != "*"}
+    assert len(pub) == 1
+    (cell, (plen, n_fixes, n_users)), = pub.items()
+    assert plen == 5 and n_fixes == 5 and n_users == 5
+    # the k invariant on every published cell
+    assert all(v[2] >= 5 for v in pub.values())

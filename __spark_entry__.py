@@ -2965,6 +2965,20 @@ def _q149_k_anonymize(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("anon_cell"))
 
 
+def _q150_stream_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """TENTH streaming gate: count-min maintenance AT INGEST — the
+    documents stream feeds textops.cm_sketch (the q148 counter-table
+    definition) as one complete-mode stateful count over <= 4 x 1024
+    keys.  Counts are associative + commutative, so the finite
+    stream's final table must equal the batch sketch row for row —
+    the oracle IS q148's sketch CTE.  Bounded state forever: the
+    crawl frequency monitor next to q127's cardinality monitor."""
+    docs = _stream_docs(spark, sf)
+    out = textops.cm_sketch(docs)
+    return (_run_stream_to_table(out, spark, "q150_cm_sink", "complete")
+            .orderBy("r", "b"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3046,7 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q149 were added AFTER this rotation was
+    # late additions q120-q150 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3204,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_polygon_fill": _q147_polygon_fill,
         "q148_count_min": _q148_count_min,
         "q149_k_anonymize": _q149_k_anonymize,
+        "q150_stream_count_min": _q150_stream_count_min,
     }
 
 
@@ -7401,6 +7416,28 @@ SELECT anon_cell,
        count(*) AS n_fixes,
        count(DISTINCT user_id) AS n_users
 FROM j149 GROUP BY 1 ORDER BY anon_cell
+"""
+
+    # q150: streaming count-min must converge to the batch sketch —
+    # the oracle IS q148's sketch construction (one definition, two
+    # engines AND two execution modes, one truth)
+    sqls["q150_stream_count_min"] = r"""
+WITH tok150 AS (
+  SELECT unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+tc150 AS (
+  SELECT t, count(*) AS n FROM tok150 WHERE t <> '' GROUP BY 1
+),
+h150 AS (
+  SELECT t, n, r,
+         CAST(CAST('0x' || substr(md5(t || '#' || r), 1, 15) AS BIGINT)
+              % 1024 AS BIGINT) AS b
+  FROM tc150 CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+)
+SELECT r, b, CAST(sum(n) AS BIGINT) AS c
+FROM h150 GROUP BY 1, 2 ORDER BY r, b
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1918,6 +1918,20 @@ def boolean_search(df: DataFrame, queries: DataFrame,
             .select("query_id", id_col, "tf_sum"))
 
 
+def _cm_rows(depth: int):
+    return F.explode(F.array(*[F.lit(r).cast("long")
+                               for r in range(depth)])).alias("r")
+
+
+def _cm_bucket(tcol, rcol, width: int):
+    """Shared count-min hash: md5(token '#' row) -> 15 hex chars ->
+    int64 -> mod width (the q129 Bloom discipline: both engines ship
+    bit-identical md5, no string-hash replica needed)."""
+    h = F.md5(F.concat(tcol, F.lit("#"), rcol.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(int(width)))
+
+
 def count_min(df: DataFrame, text_col: str = "text", depth: int = 4,
               width: int = 1024, min_probe: int = 20) -> DataFrame:
     """Count-min sketch over corpus tokens, probed against exact truth
@@ -1948,22 +1962,37 @@ def count_min(df: DataFrame, text_col: str = "text", depth: int = 4,
                                         WS_CLASS)).alias("t"))
             .where(F.col("t") != ""))
     tc = toks.groupBy("t").agg(F.count("*").alias("n")).persist()
-    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
-
-    def bucket(tcol, rcol):
-        h = F.md5(F.concat(tcol, F.lit("#"), rcol.cast("string")))
-        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-                % F.lit(int(width)))
+    rows = _cm_rows(depth)
 
     hashed = (tc.select("t", "n", rows)
-              .withColumn("b", bucket(F.col("t"), F.col("r"))))
+              .withColumn("b", _cm_bucket(F.col("t"), F.col("r"), width)))
     sketch = hashed.groupBy("r", "b").agg(F.sum("n").alias("c"))
     probes = (tc.where(F.col("n") >= min_probe)
               .select("t", F.col("n").alias("true_count"), rows)
-              .withColumn("b", bucket(F.col("t"), F.col("r"))))
+              .withColumn("b", _cm_bucket(F.col("t"), F.col("r"), width)))
     est = (probes.join(F.broadcast(sketch), ["r", "b"])
            .groupBy("t", "true_count")
            .agg(F.min("c").alias("cm_est")))
     return cache.track(
         est.select(F.col("t").alias("token"), "true_count", "cm_est"),
         [tc])
+
+
+def cm_sketch(df: DataFrame, text_col: str = "text", depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-min COUNTER TABLE straight from the raw token stream —
+    the batch/stream-SHARED definition (q148 derives the identical
+    table from the exact vocabulary counts; this form runs unchanged
+    on a readStream because it is one stateful count aggregate over
+    <= depth x width keys).  Counts are associative and commutative,
+    so on a finite stream the complete-mode table must equal the
+    batch table row for row — which is exactly what the q150 oracle
+    (the q148 sketch CTE) checks.  State is bounded at depth x width
+    rows forever: the 100-TB frequency monitor at ingest.  Returns
+    ``(r, b, c)``."""
+    toks = (df.select(F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    hashed = (toks.select("t", _cm_rows(depth))
+              .withColumn("b", _cm_bucket(F.col("t"), F.col("r"), width)))
+    return hashed.groupBy("r", "b").agg(F.count("*").alias("c"))

@@ -1068,3 +1068,21 @@ def test_count_min_overestimates_and_degenerates(spark):
     got1 = {r["token"]: r["cm_est"] for r in out1.collect()}
     cache.release(out1)
     assert got1 == {"alpha": 60, "beta": 60, "gamma": 60}
+
+
+def test_cm_sketch_merges_by_adding_counters(spark):
+    a = spark.createDataFrame([(1, "x y y"), (2, "z")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(3, "y z z z")], "doc_id long, text string")
+
+    def sk(df):
+        return {(r["r"], r["b"]): r["c"]
+                for r in textops.cm_sketch(df, width=64).collect()}
+
+    ska, skb, skab = sk(a), sk(b), sk(a.unionByName(b))
+    merged = dict(ska)
+    for k, v in skb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert skab == merged
+    # every counter row-set has exactly `depth` entries per token path
+    assert all(0 <= r < 4 and 0 <= bkt < 64 for r, bkt in skab)

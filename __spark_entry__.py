@@ -2979,6 +2979,19 @@ def _q150_stream_count_min(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("r", "b"))
 
 
+def _q151_cell_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell OLS trend of daily fix counts over the hub walk
+    (trajectory.cell_trend) — the parametric twin of q131's
+    Mann-Kendall: slope emitted as the exact BIGINT rational
+    (n*Sxy - Sx*Sy, n*Sx2 - Sx^2) plus a floored micro-slope; two
+    partially-aggregated shuffles, five integer sums, nothing
+    iterates.  The oracle replays the sums verbatim."""
+    from geotile import trajectory
+
+    return (trajectory.cell_trend(engine.with_cell(_walk_df(spark, sf)))
+            .orderBy("cell"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3060,7 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q150 were added AFTER this rotation was
+    # late additions q120-q151 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3219,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_count_min": _q148_count_min,
         "q149_k_anonymize": _q149_k_anonymize,
         "q150_stream_count_min": _q150_stream_count_min,
+        "q151_cell_trend": _q151_cell_trend,
     }
 
 
@@ -7438,6 +7452,30 @@ h150 AS (
 )
 SELECT r, b, CAST(sum(n) AS BIGINT) AS c
 FROM h150 GROUP BY 1, 2 ORDER BY r, b
+"""
+
+    # q151: per-cell OLS trend — the five integer sums and the
+    # identical floored micro-slope (long->double conversion and the
+    # divide share one op tree cross-engine)
+    sqls["q151_cell_trend"] = f"""
+WITH {_WALK_CTE},
+c151 AS (
+  SELECT substr({gh5}, 1, 4) AS cell, ep // 86400 AS d FROM walk
+),
+d151 AS (SELECT cell, d, count(*) AS y FROM c151 GROUP BY 1, 2),
+g151 AS (
+  SELECT cell, count(*) AS n,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(d * y) AS BIGINT) AS sxy,
+         CAST(sum(d * d) AS BIGINT) AS sx2
+  FROM d151 GROUP BY 1
+)
+SELECT cell, n AS n_days, sy AS sum_y,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den,
+       CAST(floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE)
+                  / (n * sx2 - sx * sx)) AS BIGINT) AS slope_micro
+FROM g151 WHERE n >= 2 ORDER BY cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -799,3 +799,43 @@ def resample_track(df: DataFrame, step: int = 600, max_gap: int = 3600,
                                    / (F.col(ts) - F.col("_pe")))).cast("long")
     return ticks.select(F.col(key), F.col("g").alias("tick_ep"),
                         ila.alias("ilat6"), ilo.alias("ilon6"))
+
+
+def cell_trend(df: DataFrame, nchars: int = 4, ts: str = "ep",
+               cell_col: str = "geohash") -> DataFrame:
+    """Per-cell OLS trend of daily fix counts — the parametric twin of
+    q131's Mann-Kendall (MK answers "is there a monotone trend";
+    this answers "how steep"): regress daily count y on epoch-day x
+    and emit the slope as the EXACT rational
+    ``slope_num / slope_den = (n*Sxy - Sx*Sy) / (n*Sx2 - Sx*Sx)``
+    (all BIGINT sums — partial-agg order can't move them), plus the
+    floored micro-slope for human eyes (identical double op tree both
+    engines).  Cells observed on < 2 distinct days are dropped (the
+    denominator would be 0).
+
+    Scale shape: one (cell, day) partial-agg collapses the fixes,
+    one (cell) aggregate collapses the days; the regression is five
+    integer sums — nothing iterates, nothing sorts.  At corpus scales
+    where n*Sxy outgrows int64 (~1e18), switch the sums to
+    DECIMAL(38,0) (the q73 discipline).  Returns ``(cell, n_days,
+    sum_y, slope_num, slope_den, slope_micro)``."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    daily = (df.groupBy(cell.alias("cell"),
+                        F.expr(f"{ts} div 86400").alias("d"))
+             .agg(F.count("*").alias("y")))
+    g = (daily.groupBy("cell")
+         .agg(F.count("*").alias("n_days"),
+              F.sum("d").alias("_sx"),
+              F.sum("y").alias("sum_y"),
+              F.sum(F.col("d") * F.col("y")).alias("_sxy"),
+              F.sum(F.col("d") * F.col("d")).alias("_sx2")))
+    num = F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("sum_y")
+    den = F.col("n_days") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    return (g.where(F.col("n_days") >= 2)
+            .withColumn("slope_num", num.cast("long"))
+            .withColumn("slope_den", den.cast("long"))
+            .withColumn("slope_micro",
+                        F.floor(F.col("slope_num") * F.lit(1000000)
+                                / F.col("slope_den")).cast("long"))
+            .select("cell", "n_days", "sum_y", "slope_num", "slope_den",
+                    "slope_micro"))

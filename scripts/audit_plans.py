@@ -746,6 +746,13 @@ def main() -> None:
     _cache.release(co)
 
     sections.append(summarize(
+        trajectory.cell_trend(engine.with_cell(traj), ts="tts"),
+        "cell_trend (q151): one (cell, day) partial-agg collapses the "
+        "fixes, one (cell) aggregate collapses the days; the OLS "
+        "slope is five integer sums in the same aggregate — no "
+        "window, no sort, no iteration"))
+
+    sections.append(summarize(
         engine.k_anonymize_cells(engine.with_cell(traj), k=5),
         "k_anonymize_cells (q149): each ladder rung is one DISTINCT "
         "(cell_p, user) partial-agg collapsed to an occupied-cell "

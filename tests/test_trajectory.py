@@ -532,3 +532,29 @@ def test_resample_track_grid_and_gap_rules(spark):
         (2, 1200): (q(5.0006), q(6.0)),
     }
     assert got == want
+
+
+def test_cell_trend_matches_closed_form(spark):
+    # one cell with a clean +2/day trend (days 10..13: 1,3,5,7 fixes),
+    # one single-day cell (dropped: denominator undefined)
+    A, B = (10.0, 20.0), (-30.0, 40.0)
+    rows = []
+    for i, day in enumerate(range(10, 14)):
+        for k in range(1 + 2 * i):
+            rows.append((len(rows), 1, day * 86400 + k, *A))
+    rows.append((len(rows), 2, 5 * 86400, *B))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"))
+    out = {r["cell"]: r for r in trajectory.cell_trend(df).collect()}
+    assert len(out) == 1
+    r = next(iter(out.values()))
+    xs, ys = [10, 11, 12, 13], [1, 3, 5, 7]
+    n, sx, sy = 4, sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2 = sum(x * x for x in xs)
+    assert (r["n_days"], r["sum_y"]) == (4, 16)
+    assert (r["slope_num"], r["slope_den"]) == (n * sxy - sx * sy,
+                                                n * sx2 - sx * sx)
+    # exact rational = 2 fixes/day
+    assert r["slope_num"] * 1 == 2 * r["slope_den"]
+    assert r["slope_micro"] == 2000000

@@ -2992,6 +2992,49 @@ def _q151_cell_trend(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def _q152_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV + JSONL source/sink roundtrip under the exact gate — the
+    file-format surface the reference never had (SURVEY §2.4 "no file
+    formats"): a deterministic events subset is WRITTEN to headered
+    CSV and to JSONL (tmpfs), read back schema-on-read, and aggregated
+    per (format, event_type).  The oracle aggregates the parquet
+    DIRECTLY, so any loss in either path — double shortest-repr
+    round-trip, quoting, header, type coercion — breaks value parity.
+    Doubles survive because both writers emit shortest-round-trip
+    decimals (Java Double.toString / Jackson) that parse back to the
+    identical bits; the micro-floored SUM would move on any ulp
+    drift."""
+    import os
+    import shutil
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    work = os.path.join(base, f"geotile_q152_{os.path.basename(sf.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .where(F.col("event_id") % 3 == 0)
+          .select("event_id", "user_id", "event_type", "value",
+                  F.unix_timestamp("ts").alias("ep")))
+    csv_p, json_p = f"{work}/csv", f"{work}/jsonl"
+    ev.write.mode("overwrite").option("header", True).csv(csv_p)
+    ev.write.mode("overwrite").json(json_p)
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, ep long")
+    c = (spark.read.schema(schema).option("header", True).csv(csv_p)
+         .withColumn("src", F.lit("csv")))
+    j = (spark.read.schema(schema).json(json_p)
+         .withColumn("src", F.lit("jsonl")))
+    return (c.unionByName(j)
+            .groupBy("src", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+                 .alias("value_micro_sum"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("ep").alias("max_ep"))
+            .orderBy("src", "event_type"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3073,7 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q151 were added AFTER this rotation was
+    # late additions q120-q152 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3233,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_k_anonymize": _q149_k_anonymize,
         "q150_stream_count_min": _q150_stream_count_min,
         "q151_cell_trend": _q151_cell_trend,
+        "q152_file_roundtrip": _q152_file_roundtrip,
     }
 
 
@@ -7476,6 +7520,28 @@ SELECT cell, n AS n_days, sy AS sum_y,
        CAST(floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE)
                   / (n * sx2 - sx * sx)) AS BIGINT) AS slope_micro
 FROM g151 WHERE n >= 2 ORDER BY cell
+"""
+
+    # q152: file roundtrip — the oracle reads the PARQUET directly;
+    # parity proves the CSV/JSONL hop was lossless
+    sqls["q152_file_roundtrip"] = """
+WITH e152 AS (
+  SELECT event_type, user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events WHERE event_id % 3 = 0
+),
+a152 AS (
+  SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS value_micro_sum,
+         min(event_id) AS min_id, max(ep) AS max_ep
+  FROM e152 GROUP BY 1
+)
+SELECT 'csv' AS src, * FROM a152
+UNION ALL
+SELECT 'jsonl' AS src, * FROM a152
+ORDER BY src, event_type
 """
 
     # Every queries() entry above has an exact oracle — including the

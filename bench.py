@@ -116,7 +116,7 @@ def main() -> None:
         "q141_url_dedup", "q142_kmeans", "q143_skyline",
         "q144_resample_track", "q145_token_bursts", "q146_boolean_search",
         "q147_polygon_fill", "q148_count_min", "q149_k_anonymize",
-        "q150_stream_count_min", "q151_cell_trend",
+        "q150_stream_count_min", "q151_cell_trend", "q152_file_roundtrip",
     ]
     from geotile import cache, textops
 

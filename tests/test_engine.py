@@ -1072,3 +1072,27 @@ def test_k_anonymize_ladder_and_suppression(spark):
     assert plen == 5 and n_fixes == 5 and n_users == 5
     # the k invariant on every published cell
     assert all(v[2] >= 5 for v in pub.values())
+
+
+def test_csv_jsonl_roundtrip_is_bit_lossless(spark, tmp_path):
+    import math
+
+    rows = [(1, 0.1 + 0.2, "a"), (2, 1e-300, "b"), (3, -1.5e17, "c"),
+            (4, math.pi, "d"), (5, -0.0, "e")]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        r = spark.read.schema("id long, v double, s string")
+        if fmt == "csv":
+            w.option("header", True).csv(p)
+            back = r.option("header", True).csv(p)
+        else:
+            w.json(p)
+            back = r.json(p)
+        got = sorted((x["id"], x["v"], x["s"]) for x in back.collect())
+        for (gi, gv, gs), (wi, wv, ws) in zip(got, rows):
+            assert gi == wi and gs == ws
+            # bit-identical doubles, including the sign of -0.0
+            assert math.copysign(1.0, gv) == math.copysign(1.0, wv)
+            assert gv == wv

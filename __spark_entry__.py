@@ -3035,6 +3035,22 @@ def _q152_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("src", "event_type"))
 
 
+def _q153_edit_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs
+    (textops.edit_verified_pairs): q16's banded-MinHash candidates
+    verified by the NATIVE levenshtein both engines ship — the
+    character-level second opinion next to q43's exact-Jaccard
+    verify.  Verify-stage-only cost (the q18 discipline); slim pairs
+    dedup first, text attaches once per pair.  The oracle reuses
+    q16's candidate CTE verbatim + DuckDB's levenshtein."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.edit_verified_pairs(docs)
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3116,7 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q152 were added AFTER this rotation was
+    # late additions q120-q153 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3277,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_stream_count_min": _q150_stream_count_min,
         "q151_cell_trend": _q151_cell_trend,
         "q152_file_roundtrip": _q152_file_roundtrip,
+        "q153_edit_dedup": _q153_edit_dedup,
     }
 
 
@@ -7542,6 +7559,19 @@ SELECT 'csv' AS src, * FROM a152
 UNION ALL
 SELECT 'jsonl' AS src, * FROM a152
 ORDER BY src, event_type
+"""
+
+    # q153: edit-verified near dups — q16's candidate CTE + the native
+    # levenshtein (no replica needed; ASCII corpus, identical counting)
+    sqls["q153_edit_dedup"] = f"""
+WITH {_minhash_cand_cte(0.35)}
+SELECT c.a, c.b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+FROM mh_cand c
+JOIN documents da ON c.a = da.doc_id
+JOIN documents db ON c.b = db.doc_id
+WHERE levenshtein(da.text, db.text) <= 100
+ORDER BY c.a, c.b
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1996,3 +1996,33 @@ def cm_sketch(df: DataFrame, text_col: str = "text", depth: int = 4,
     hashed = (toks.select("t", _cm_rows(depth))
               .withColumn("b", _cm_bucket(F.col("t"), F.col("r"), width)))
     return hashed.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+
+def edit_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_dist: int = 100,
+                        threshold: float = 0.35) -> DataFrame:
+    """Near-duplicate pairs verified by EXACT edit distance — the
+    character-level verify mode next to q43's exact-Jaccard verify
+    (Jaccard is order-blind set overlap; Levenshtein catches
+    insertions/reorderings token sets miss, the standard second
+    opinion for template-with-substitutions dedup).  Candidates come
+    from the q16 banded-MinHash generator (never all-pairs); the
+    verify is the NATIVE ``levenshtein`` both engines ship, so the
+    q153 oracle replays it with no replica.
+
+    Cost note (the q18 discipline): Levenshtein is O(|a| x |b|) per
+    pair — verify-stage-only by design, run on the deduplicated slim
+    candidate pairs with text attached once per pair.  Character
+    semantics: both engines count ASCII/BMP characters identically;
+    astral-plane codepoints differ (UTF-16 units vs codepoints) —
+    the corpus is ASCII.  Returns ``(a, b, lev)`` with
+    ``lev <= max_dist``."""
+    cand = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                             threshold=threshold)
+    ta = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    out = (cand.select("a", "b").join(ta, "a").join(tb, "b")
+           .withColumn("lev", F.levenshtein("_ta", "_tb").cast("long"))
+           .where(F.col("lev") <= max_dist)
+           .select("a", "b", "lev"))
+    return _track_persisted(out, getattr(cand, "_geotile_persisted", []))

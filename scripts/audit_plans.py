@@ -745,6 +745,17 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    ed = textops.edit_verified_pairs(
+        synth.synth_docs_skew(spark, 1500, partitions=8), max_dist=150)
+    sections.append(summarize(
+        ed,
+        "edit_verified_pairs (q153): the banded-MinHash generator "
+        "produces slim deduped (a, b) candidates FIRST; text attaches "
+        "once per unique pair and the native levenshtein verify is "
+        "map-side — the O(|a| x |b|) cost never touches a non-"
+        "candidate pair"))
+    _cache.release(ed)
+
     sections.append(summarize(
         trajectory.cell_trend(engine.with_cell(traj), ts="tts"),
         "cell_trend (q151): one (cell, day) partial-agg collapses the "

@@ -1086,3 +1086,31 @@ def test_cm_sketch_merges_by_adding_counters(spark):
     assert skab == merged
     # every counter row-set has exactly `depth` entries per token path
     assert all(0 <= r < 4 and 0 <= bkt < 64 for r, bkt in skab)
+
+
+def test_edit_verified_pairs_exact_distances(spark):
+    from geotile import cache
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("quick", "quicker")       # +2 chars per hit
+    far = " ".join(sorted(base.split()))          # same tokens, reordered
+    df = spark.createDataFrame([(1, base.strip()), (2, near.strip()),
+                                (3, far)], "doc_id long, text string")
+    out = textops.edit_verified_pairs(df, max_dist=60, threshold=0.3)
+    got = {(r["a"], r["b"]): r["lev"] for r in out.collect()}
+    cache.release(out)
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want_12 = lev(base.strip(), near.strip())
+    assert got.get((1, 2)) == want_12 and want_12 <= 60
+    # the token-preserving reorder is NOT an edit near-dup
+    assert (1, 3) not in got and (2, 3) not in got

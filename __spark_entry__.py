@@ -3051,6 +3051,19 @@ def _q153_edit_dedup(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q154_revisit_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Revisitation / geo-retention per gh4 cell over the hub walk
+    (trajectory.revisit_rates, gap >= 1 day): the spatial twin of
+    q76's cohort retention, on the q140 shared visit collapse — one
+    fix-sized window, then interval-frame windows/aggregates only.
+    All exact integers; the oracle replays the run collapse and the
+    per-(user, cell) lag verbatim."""
+    from geotile import trajectory
+
+    return (trajectory.revisit_rates(engine.with_cell(_walk_df(spark, sf)))
+            .orderBy("cell"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3132,7 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q153 were added AFTER this rotation was
+    # late additions q120-q154 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3294,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_cell_trend": _q151_cell_trend,
         "q152_file_roundtrip": _q152_file_roundtrip,
         "q153_edit_dedup": _q153_edit_dedup,
+        "q154_revisit_rates": _q154_revisit_rates,
     }
 
 
@@ -7572,6 +7586,49 @@ JOIN documents da ON c.a = da.doc_id
 JOIN documents db ON c.b = db.doc_id
 WHERE levenshtein(da.text, db.text) <= 100
 ORDER BY c.a, c.b
+"""
+
+    # q154: revisit rates — the q140 run collapse + one more lag over
+    # the visit intervals, identical 1-day return rule
+    sqls["q154_revisit_rates"] = f"""
+WITH {_WALK_CTE},
+c154 AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS c FROM walk
+),
+m154 AS (
+  SELECT user_id, ep, event_id, c,
+         CASE WHEN lag(c) OVER w IS NULL OR lag(c) OVER w <> c
+              THEN 1 ELSE 0 END AS nw
+  FROM c154
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+r154 AS (
+  SELECT user_id, ep, c,
+         sum(nw) OVER (PARTITION BY user_id
+                       ORDER BY ep ASC, event_id ASC) AS run
+  FROM m154
+),
+v154 AS (
+  SELECT user_id, c, run, min(ep) AS s, max(ep) AS e
+  FROM r154 GROUP BY 1, 2, 3
+),
+l154 AS (
+  SELECT user_id, c, s, e,
+         lag(e) OVER (PARTITION BY user_id, c
+                      ORDER BY s ASC, run ASC) AS pe
+  FROM v154
+),
+f154 AS (
+  SELECT user_id, c,
+         CASE WHEN pe IS NOT NULL AND s - pe >= 86400
+              THEN 1 ELSE 0 END AS isret
+  FROM l154
+)
+SELECT c AS cell, count(DISTINCT user_id) AS n_visitors,
+       count(DISTINCT CASE WHEN isret = 1 THEN user_id END)
+         AS n_returners,
+       CAST(sum(isret) AS BIGINT) AS n_returns
+FROM f154 GROUP BY 1 ORDER BY cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -684,6 +684,26 @@ def od_travel_times(df: DataFrame, nchars: int = 4, key: str = "user_id",
                  F.max("_dt").alias("max_s")))
 
 
+def _visit_frame(df: DataFrame, nchars: int, key: str, ts: str,
+                 order_col: str, cell_col: str) -> DataFrame:
+    """Gaps-and-islands VISIT collapse shared by cell_occupancy (q140)
+    and revisit_rates (q154): a key's consecutive fixes in one cell
+    become one ``(_k, _c, _run, _s, _e)`` interval row.  ONE fix-sized
+    shuffle (the per-key window; the groupBy reuses its hash
+    partitioning — key is a subset of the grouping key)."""
+    c = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_o").asc())
+    runs = (df.select(F.col(key).alias("_k"), F.col(ts).alias("_t"),
+                      F.col(order_col).alias("_o"), c.alias("_c"))
+            .withColumn("_prev", F.lag("_c").over(w))
+            .withColumn("_new", F.when(F.col("_prev").isNull()
+                                       | (F.col("_prev") != F.col("_c")),
+                                       F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("_run", F.sum("_new").over(w)))
+    return (runs.groupBy("_k", "_c", "_run")
+            .agg(F.min("_t").alias("_s"), F.max("_t").alias("_e")))
+
+
 def cell_occupancy(df: DataFrame, nchars: int = 4, key: str = "user_id",
                    ts: str = "ep", order_col: str = "event_id",
                    cell_col: str = "geohash") -> DataFrame:
@@ -714,18 +734,7 @@ def cell_occupancy(df: DataFrame, nchars: int = 4, key: str = "user_id",
     geotile.cache.track."""
     from . import cache
 
-    c = F.substring(F.col(cell_col), 1, nchars)
-    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_o").asc())
-    runs = (df.select(F.col(key).alias("_k"), F.col(ts).alias("_t"),
-                      F.col(order_col).alias("_o"), c.alias("_c"))
-            .withColumn("_prev", F.lag("_c").over(w))
-            .withColumn("_new", F.when(F.col("_prev").isNull()
-                                       | (F.col("_prev") != F.col("_c")),
-                                       F.lit(1)).otherwise(F.lit(0)))
-            .withColumn("_run", F.sum("_new").over(w)))
-    visits = (runs.groupBy("_k", "_c", "_run")
-              .agg(F.min("_t").alias("_s"), F.max("_t").alias("_e"))
-              .persist())
+    visits = _visit_frame(df, nchars, key, ts, order_col, cell_col).persist()
     deltas = (visits.select(
         F.col("_c").alias("cell"),
         F.explode(F.array(
@@ -839,3 +848,34 @@ def cell_trend(df: DataFrame, nchars: int = 4, ts: str = "ep",
                                 / F.col("slope_den")).cast("long"))
             .select("cell", "n_days", "sum_y", "slope_num", "slope_den",
                     "slope_micro"))
+
+
+def revisit_rates(df: DataFrame, gap_s: int = 86400, nchars: int = 4,
+                  key: str = "user_id", ts: str = "ep",
+                  order_col: str = "event_id",
+                  cell_col: str = "geohash") -> DataFrame:
+    """Revisitation / geo-retention per cell: of the keys that ever
+    visited, how many came BACK — a later visit starting at least
+    ``gap_s`` after their previous visit to the same cell ended (the
+    habit-vs-transit split behind place ranking; the spatial twin of
+    q76's cohort retention).  Counts are exact integers; the rate is
+    the exact rational (n_returners, n_visitors) — consumers divide.
+
+    Scale shape: the shared q140 visit collapse (one fix-sized window
+    shuffle), then ONE (key, cell) window over the visit frame (lag
+    of the previous visit's end) and one per-cell aggregate — both on
+    interval rows, never fixes.  Returns ``(cell, n_visitors,
+    n_returners, n_returns)``."""
+    visits = _visit_frame(df, nchars, key, ts, order_col, cell_col)
+    w = Window.partitionBy("_k", "_c").orderBy(F.col("_s").asc(),
+                                               F.col("_run").asc())
+    v = (visits.withColumn("_pe", F.lag("_e").over(w))
+         .withColumn("_isret", F.col("_pe").isNotNull()
+                     & (F.col("_s") - F.col("_pe") >= gap_s)))
+    return (v.groupBy(F.col("_c").alias("cell"))
+            .agg(F.countDistinct("_k").alias("n_visitors"),
+                 F.countDistinct(F.when(F.col("_isret"), F.col("_k")))
+                 .alias("n_returners"),
+                 F.sum(F.when(F.col("_isret"), F.lit(1))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("n_returns")))

@@ -745,6 +745,13 @@ def main() -> None:
         "costs its visit count, never its fix count"))
     _cache.release(co)
 
+    sections.append(summarize(
+        trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
+        "revisit_rates (q154): the shared q140 visit collapse (one "
+        "fix-sized window shuffle), then the return-gap lag and the "
+        "per-cell aggregate run on INTERVAL rows — a cell's cost is "
+        "its visit count, never its fix count"))
+
     ed = textops.edit_verified_pairs(
         synth.synth_docs_skew(spark, 1500, partitions=8), max_dist=150)
     sections.append(summarize(

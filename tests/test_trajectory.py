@@ -558,3 +558,26 @@ def test_cell_trend_matches_closed_form(spark):
     # exact rational = 2 fixes/day
     assert r["slope_num"] * 1 == 2 * r["slope_den"]
     assert r["slope_micro"] == 2000000
+
+
+def test_revisit_rates_gap_rule(spark):
+    A, B = (10.0, 20.0), (10.0, 21.0)
+    day = 86400
+    rows = [
+        # user 1: A, away to B, back to A after 2 days -> one return
+        (0, 1, 0, *A), (1, 1, 100, *B), (2, 1, 2 * day, *A),
+        # user 2: A, away, back after only 1 hour -> NOT a return
+        (10, 2, 0, *A), (11, 2, 100, *B), (12, 2, 3700, *A),
+        # user 3: visits A once
+        (20, 3, 50, *A),
+    ]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"))
+    got = {r["cell"]: (r["n_visitors"], r["n_returners"], r["n_returns"])
+           for r in trajectory.revisit_rates(df).collect()}
+
+    def c4(p):
+        return gh.encode(np.array([p[0]]), np.array([p[1]]))[0][:4]
+
+    assert got[c4(A)] == (3, 1, 1)
+    assert got[c4(B)] == (2, 0, 0)

@@ -3064,6 +3064,22 @@ def _q154_revisit_rates(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def _q155_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Pearson correlation between doc length and distinct
+    WS_CLASS token count (textops.feature_corr) — exact BIGINT
+    moments (corr_num, den_x, den_y are the rational; r^2 = num^2 /
+    (den_x * den_y)) plus a floored micro-r from one fixed-shape
+    double expression.  ONE partially-aggregated shuffle; the oracle
+    replays the five sums and the sqrt quotient verbatim."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.size(F.array_distinct(
+        F.split(F.trim(F.col("text")), textops.WS_CLASS))).cast("long")
+    d = docs.select("source", F.col("n_chars").alias("x"),
+                    toks.alias("y"))
+    return (textops.feature_corr(d, "x", "y", group="source")
+            .orderBy("source"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3145,7 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q154 were added AFTER this rotation was
+    # late additions q120-q155 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3308,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_file_roundtrip": _q152_file_roundtrip,
         "q153_edit_dedup": _q153_edit_dedup,
         "q154_revisit_rates": _q154_revisit_rates,
+        "q155_feature_corr": _q155_feature_corr,
     }
 
 
@@ -7629,6 +7646,35 @@ SELECT c AS cell, count(DISTINCT user_id) AS n_visitors,
          AS n_returners,
        CAST(sum(isret) AS BIGINT) AS n_returns
 FROM f154 GROUP BY 1 ORDER BY cell
+"""
+
+    # q155: per-source Pearson r — five exact sums, the identical
+    # sqrt-per-factor quotient (den_x * den_y would overflow int64)
+    sqls["q155_feature_corr"] = r"""
+WITH t155 AS (
+  SELECT source, n_chars AS x,
+         CAST(len(list_distinct(regexp_split_to_array(
+           trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS y
+  FROM documents
+),
+g155 AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM t155 GROUP BY 1
+)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+       CAST(n * sx2 - sx * sx AS BIGINT) AS den_x,
+       CAST(n * sy2 - sy * sy AS BIGINT) AS den_y,
+       CAST(floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE)
+                  / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)))
+            AS BIGINT) AS r_micro
+FROM g155
+WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+ORDER BY source
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -117,7 +117,7 @@ def main() -> None:
         "q144_resample_track", "q145_token_bursts", "q146_boolean_search",
         "q147_polygon_fill", "q148_count_min", "q149_k_anonymize",
         "q150_stream_count_min", "q151_cell_trend", "q152_file_roundtrip",
-        "q153_edit_dedup", "q154_revisit_rates",
+        "q153_edit_dedup", "q154_revisit_rates", "q155_feature_corr",
     ]
     from geotile import cache, textops
 

@@ -2026,3 +2026,41 @@ def edit_verified_pairs(df: DataFrame, id_col: str = "doc_id",
            .where(F.col("lev") <= max_dist)
            .select("a", "b", "lev"))
     return _track_persisted(out, getattr(cand, "_geotile_persisted", []))
+
+
+def feature_corr(df: DataFrame, x_col: str, y_col: str,
+                 group: str = "source") -> DataFrame:
+    """Per-group Pearson correlation between two INTEGER features —
+    the second-moment completion of q151's OLS slope (slope says how
+    y moves with x; r says how tightly).  All five sums are exact
+    BIGINTs; the emitted moments ``corr_num = n*Sxy - Sx*Sy``,
+    ``den_x = n*Sx2 - Sx^2``, ``den_y = n*Sy2 - Sy^2`` are the exact
+    rationals (r^2 = num^2 / (den_x * den_y) — consumers compute),
+    plus a floored micro-r from ONE fixed-shape double expression
+    (``num * 1e6 / (sqrt(den_x) * sqrt(den_y))`` — sqrt per factor,
+    the int64-safe form: den_x * den_y would overflow where the
+    factors alone don't).  Degenerate groups (a constant feature,
+    den = 0) are dropped.
+
+    Scale shape: ONE partially-aggregated shuffle; five sums, no
+    window, no sort.  Returns ``(group, n, corr_num, den_x, den_y,
+    r_micro)``."""
+    x, y = F.col(x_col), F.col(y_col)
+    g = (df.groupBy(group)
+         .agg(F.count("*").alias("n"),
+              F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+              F.sum(x * y).alias("_sxy"),
+              F.sum(x * x).alias("_sx2"), F.sum(y * y).alias("_sy2")))
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    denx = (F.col("n") * F.col("_sx2") - F.col("_sx") * F.col("_sx"))
+    deny = (F.col("n") * F.col("_sy2") - F.col("_sy") * F.col("_sy"))
+    out = (g.withColumn("corr_num", num.cast("long"))
+           .withColumn("den_x", denx.cast("long"))
+           .withColumn("den_y", deny.cast("long"))
+           .where((F.col("den_x") > 0) & (F.col("den_y") > 0))
+           .withColumn("r_micro",
+                       F.floor(F.col("corr_num") * F.lit(1000000)
+                               / (F.sqrt(F.col("den_x"))
+                                  * F.sqrt(F.col("den_y"))))
+                       .cast("long")))
+    return out.select(group, "n", "corr_num", "den_x", "den_y", "r_micro")

@@ -746,6 +746,17 @@ def main() -> None:
     _cache.release(co)
 
     sections.append(summarize(
+        textops.feature_corr(
+            spark.range(0, 5000).select(
+                (F.col("id") % 6).cast("string").alias("source"),
+                F.pmod(F.xxhash64("id"), F.lit(500)).alias("x"),
+                F.pmod(F.xxhash64(F.col("id") + 9), F.lit(500)).alias("y")),
+            "x", "y"),
+        "feature_corr (q155): ONE partially-aggregated Exchange "
+        "carries all five moment sums; the rational moments and the "
+        "micro-r are map-side projections over the k-group frame"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

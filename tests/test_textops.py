@@ -1114,3 +1114,23 @@ def test_edit_verified_pairs_exact_distances(spark):
     assert got.get((1, 2)) == want_12 and want_12 <= 60
     # the token-preserving reorder is NOT an edit near-dup
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_feature_corr_exact_moments(spark):
+    # perfectly correlated group (r = +1), anti-correlated (r = -1),
+    # constant-y group (degenerate, dropped)
+    rows = ([("a", x, 2 * x + 3) for x in (1, 2, 3, 4)]
+            + [("b", x, 10 - x) for x in (1, 2, 3)]
+            + [("c", x, 7) for x in (1, 2, 3)])
+    df = spark.createDataFrame(rows, "source string, x long, y long")
+    got = {r["source"]: r for r in
+           textops.feature_corr(df, "x", "y").collect()}
+    assert set(got) == {"a", "b"}
+    ra, rb = got["a"], got["b"]
+    # r = +1: num^2 == den_x * den_y and micro-r == 1e6 (or 1e6 - 1
+    # from the floor of a quotient epsilon under 1.0)
+    assert ra["corr_num"] ** 2 == ra["den_x"] * ra["den_y"]
+    assert ra["r_micro"] in (999999, 1000000)
+    assert rb["corr_num"] < 0
+    assert rb["corr_num"] ** 2 == rb["den_x"] * rb["den_y"]
+    assert rb["r_micro"] in (-1000000, -1000001)

@@ -3080,6 +3080,22 @@ def _q155_feature_corr(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q156_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (HRW) shard placement movement matrix
+    (engine.rendezvous_shards, 8 -> 9 shards) over the documents keys:
+    every key scores each shard by native xxhash64((key << 8) ^ s)
+    and lands on the UNSIGNED argmax (ties to the larger s); growing
+    the fleet moves a key ONLY to the added shard (old != new  =>
+    new = 8 in every output row — the minimal ~1/9 churn law a 100-TB
+    bucket layout relies on, vs mod-N which remaps ~8/9 of ALL keys).
+    Map-only literal-array scoring, ONE 8x9-key aggregate; the oracle
+    replays the shared bit-exact XXH64 replica with the identical
+    (h desc, s desc) argmax rule."""
+    keys = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    return (engine.rendezvous_shards(keys, key="doc_id", n_old=8, n_new=9)
+            .orderBy("old_shard", "new_shard"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3161,7 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q155 were added AFTER this rotation was
+    # late additions q120-q156 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3325,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_edit_dedup": _q153_edit_dedup,
         "q154_revisit_rates": _q154_revisit_rates,
         "q155_feature_corr": _q155_feature_corr,
+        "q156_rendezvous_shards": _q156_rendezvous_shards,
     }
 
 
@@ -7675,6 +7692,40 @@ SELECT source, n,
 FROM g155
 WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
 ORDER BY source
+"""
+
+    # q156: rendezvous (HRW) reshard movement matrix — per (key, shard)
+    # score via the shared bit-exact XXH64 replica (HUGEINT order IS
+    # the unsigned order Spark's flipped-sign-bit struct-max uses),
+    # argmax with the identical (h desc, s desc) tie rule, 8-shard vs
+    # 9-shard assignment joined per key.
+    sqls["q156_rendezvous_shards"] = f"""
+WITH p156 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s,
+         xor((CAST(doc_id AS HUGEINT) * 256) % {_W64},
+             CAST(s AS HUGEINT)) AS z0
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s)
+),
+{_xxhash64_cte_sql("p156", "z0", "xh", "r156")},
+o156 AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS old_shard
+  FROM (SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY xh DESC, s DESC) AS rn
+        FROM r156f WHERE s < 8)
+  WHERE rn = 1
+),
+n156 AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS new_shard
+  FROM (SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY xh DESC, s DESC) AS rn
+        FROM r156f)
+  WHERE rn = 1
+)
+SELECT old_shard, new_shard, count(*) AS n_keys
+FROM o156 JOIN n156 USING (doc_id)
+GROUP BY 1, 2 ORDER BY old_shard, new_shard
 """
 
     # Every queries() entry above has an exact oracle — including the

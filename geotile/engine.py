@@ -1765,3 +1765,39 @@ def k_anonymize_cells(df: DataFrame, k: int = 5,
                         F.when(F.col("anon_cell") == "*", F.lit(0))
                         .otherwise(F.length("anon_cell")).cast("long"))
             .select("anon_cell", "plen", "n_fixes", "n_users"))
+
+
+def rendezvous_shards(keys: DataFrame, key: str = "doc_id",
+                      n_old: int = 8, n_new: int = 9) -> DataFrame:
+    """Rendezvous / highest-random-weight placement (Thaler & Ravishankar
+    1998) with a reshard movement matrix: every key scores each shard s
+    by ``xxhash64((key << 8) ^ s)`` and lands on the UNSIGNED argmax
+    (ties break to the larger s).  Growing the fleet n_old -> n_new can
+    move a key ONLY to one of the added shards — each surviving shard's
+    score set is unchanged, so a key moves iff a new shard's score beats
+    its old winner.  That minimal ~1/n_new expected churn is why HRW is
+    the standard placement rule for 100-TB file/bucket layouts (mod-N
+    resharding moves ~(n_new-1)/n_new of ALL keys and re-clusters the
+    whole store).
+
+    Scale shape: scoring is a literal n_new-element array_max over
+    native xxhash64 columns — map-only, no join, no explode, no
+    per-row Python — and the only exchange is the final
+    n_old x n_new-key aggregate.  Returns ``(old_shard, new_shard,
+    n_keys)``; the HRW invariant is ``old_shard != new_shard  =>
+    new_shard >= n_old``, which the gate value-checks."""
+    if not (0 < n_old <= n_new <= 256):
+        raise ValueError("need 0 < n_old <= n_new <= 256")
+
+    def _assign(n: int):
+        cands = [F.struct(
+            F.xxhash64(F.shiftleft(F.col(key), 8)
+                       .bitwiseXOR(F.lit(s).cast("long")))
+            .bitwiseXOR(F.lit(-(1 << 63))).alias("h"),
+            F.lit(s).cast("int").alias("s")) for s in range(n)]
+        return F.array_max(F.array(*cands))["s"]
+
+    return (keys.select(_assign(n_old).alias("old_shard"),
+                        _assign(n_new).alias("new_shard"))
+            .groupBy("old_shard", "new_shard")
+            .agg(F.count("*").alias("n_keys")))

@@ -757,6 +757,14 @@ def main() -> None:
         "micro-r are map-side projections over the k-group frame"))
 
     sections.append(summarize(
+        engine.rendezvous_shards(
+            spark.range(0, 5000).withColumnRenamed("id", "doc_id")),
+        "rendezvous_shards (q156): the HRW scoring is a literal "
+        "9-element array_max over native xxhash64 columns — map-only, "
+        "no join, no explode; the ONLY Exchange is the final "
+        "8x9-key movement-matrix aggregate"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

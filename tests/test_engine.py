@@ -1096,3 +1096,31 @@ def test_csv_jsonl_roundtrip_is_bit_lossless(spark, tmp_path):
             # bit-identical doubles, including the sign of -0.0
             assert math.copysign(1.0, gv) == math.copysign(1.0, wv)
             assert gv == wv
+
+
+def test_rendezvous_shards_minimal_movement(spark):
+    keys = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = engine.rendezvous_shards(keys, n_old=8, n_new=9).collect()
+    assert sum(r["n_keys"] for r in out) == 3000
+    moved = [r for r in out if r["old_shard"] != r["new_shard"]]
+    # HRW law: a key can only move TO the added shard
+    assert moved and all(r["new_shard"] == 8 for r in moved)
+    n_moved = sum(r["n_keys"] for r in moved)
+    # expected churn 1/9 ~ 333; generous band
+    assert 150 <= n_moved <= 600
+    # every original shard keeps the bulk of its keys
+    stay = {r["old_shard"]: r["n_keys"] for r in out
+            if r["old_shard"] == r["new_shard"]}
+    assert set(stay) == set(range(8)) and all(v > 100 for v in stay.values())
+    # independent per-key replay through the Python XXH64 replica
+    from geotile import textops
+    w64 = (1 << 64) - 1
+
+    def assign(k, n):
+        return max(range(n), key=lambda s: (
+            textops.xxhash64_long(((k << 8) ^ s) & w64) % (1 << 64), s))
+
+    from collections import Counter
+    exp = Counter((assign(k, 8), assign(k, 9)) for k in range(3000))
+    got = {(r["old_shard"], r["new_shard"]): r["n_keys"] for r in out}
+    assert got == dict(exp)

@@ -3096,6 +3096,22 @@ def _q156_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("old_shard", "new_shard"))
 
 
+def _q157_turn_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user turn-direction profile over the hub walk
+    (trajectory.turn_stats): each consecutive fix triple classifies
+    as left / right / collinear by the INTEGER cross product of the
+    two micro-degree displacement vectors — the relative-heading
+    complement of q116's absolute bearing_sectors, a tortuosity /
+    GPS-jitter screen with no trigonometry, so every operand is exact
+    int64 end to end.  ONE per-key window shuffle (two lags) + one
+    partially-aggregated per-key rollup; the oracle replays the
+    floor(x*1e6+0.5) snap, both lags, and the cross-product sign
+    rule verbatim."""
+    from geotile import trajectory
+
+    return trajectory.turn_stats(_walk_df(spark, sf)).orderBy("user_id")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3177,7 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q156 were added AFTER this rotation was
+    # late additions q120-q157 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3342,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_revisit_rates": _q154_revisit_rates,
         "q155_feature_corr": _q155_feature_corr,
         "q156_rendezvous_shards": _q156_rendezvous_shards,
+        "q157_turn_stats": _q157_turn_stats,
     }
 
 
@@ -7726,6 +7743,39 @@ n156 AS (
 SELECT old_shard, new_shard, count(*) AS n_keys
 FROM o156 JOIN n156 USING (doc_id)
 GROUP BY 1, 2 ORDER BY old_shard, new_shard
+"""
+
+    # q157: turn-direction profile — the identical micro-degree snap,
+    # double lag, and integer cross-product sign rule over the shared
+    # walk CTE.
+    sqls["q157_turn_stats"] = f"""
+WITH {_WALK_CTE},
+t157 AS (
+  SELECT user_id, ep, event_id,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS y,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS x
+  FROM walk
+),
+l157 AS (
+  SELECT user_id, y, x,
+         lag(y, 1) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS y1,
+         lag(x, 1) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS x1,
+         lag(y, 2) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS y2,
+         lag(x, 2) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS x2
+  FROM t157
+),
+c157 AS (
+  SELECT user_id,
+         (x1 - x2) * (y - y1) - (y1 - y2) * (x - x1) AS c
+  FROM l157 WHERE y2 IS NOT NULL
+)
+SELECT user_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+       CAST(sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+       CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS net_lr
+FROM c157 GROUP BY 1 ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -879,3 +879,52 @@ def revisit_rates(df: DataFrame, gap_s: int = 86400, nchars: int = 4,
                  F.sum(F.when(F.col("_isret"), F.lit(1))
                        .otherwise(F.lit(0))).cast("long")
                  .alias("n_returns")))
+
+
+def turn_stats(df: DataFrame, key: str = "user_id", ts: str = "ep",
+               order_col: str = "event_id",
+               lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Per-key turn-direction profile: for every consecutive fix
+    triple (p0, p1, p2) the INTEGER cross product of the two
+    micro-degree displacement vectors classifies the turn — positive
+    = left, negative = right, zero = collinear (straight or exact
+    reversal) — and one aggregate counts each class per key.  The
+    relative-heading complement of ``bearing_sectors`` (absolute
+    compass flow): a tortuosity / GPS-jitter screen (a pedestrian
+    track turns constantly, a highway track barely) with NO
+    trigonometry anywhere, so cross-engine exactness is free.
+
+    Coordinates snap ONCE to integer micro-degrees via the engine-wide
+    floor(x * 1e6 + 0.5) tie rule; every downstream operand (deltas,
+    cross products, counts, the net left-right balance) is exact
+    int64 (micro-degree deltas < 2e6, products < 4e12 — no ANSI
+    overflow).  Scale shape: ONE per-key window shuffle (two lags
+    over the shared trajectory exchange) + one per-key aggregate that
+    partial-aggregates map-side; all native expressions inside
+    whole-stage codegen.  Returns ``(key, n_turns, n_left, n_right,
+    n_straight, net_lr)`` with n_turns = the triple count."""
+    ila = F.floor(F.col(lat) * F.lit(1000000.0) + F.lit(0.5))
+    ilo = F.floor(F.col(lon) * F.lit(1000000.0) + F.lit(0.5))
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    d = (df.select(F.col(key), F.col(ts), F.col(order_col),
+                   ila.alias("_y"), ilo.alias("_x"))
+         .withColumn("_y1", F.lag("_y", 1).over(w))
+         .withColumn("_x1", F.lag("_x", 1).over(w))
+         .withColumn("_y2", F.lag("_y", 2).over(w))
+         .withColumn("_x2", F.lag("_x", 2).over(w))
+         .where(F.col("_y2").isNotNull()))
+    cross = ((F.col("_x1") - F.col("_x2")) * (F.col("_y") - F.col("_y1"))
+             - (F.col("_y1") - F.col("_y2")) * (F.col("_x") - F.col("_x1")))
+    d = d.select(F.col(key), cross.alias("_c"))
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (d.groupBy(key)
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.when(F.col("_c") > 0, one).otherwise(zero))
+                 .alias("n_left"),
+                 F.sum(F.when(F.col("_c") < 0, one).otherwise(zero))
+                 .alias("n_right"),
+                 F.sum(F.when(F.col("_c") == 0, one).otherwise(zero))
+                 .alias("n_straight"))
+            .withColumn("net_lr", F.col("n_left") - F.col("n_right")))

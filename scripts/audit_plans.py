@@ -765,6 +765,13 @@ def main() -> None:
         "8x9-key movement-matrix aggregate"))
 
     sections.append(summarize(
+        trajectory.turn_stats(traj, ts="tts"),
+        "turn_stats (q157): ONE per-key window shuffle carries both "
+        "lags; the integer cross product and its sign classes are "
+        "map-side projections and the per-key rollup partial-"
+        "aggregates — no trig, no Python, no second exchange"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

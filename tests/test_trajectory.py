@@ -581,3 +581,21 @@ def test_revisit_rates_gap_rule(spark):
 
     assert got[c4(A)] == (3, 1, 1)
     assert got[c4(B)] == (2, 0, 0)
+
+
+def test_turn_stats_classifies_by_cross_sign(spark):
+    # user 1: E, then N (left), then E (right), then E again (straight)
+    # points: (0,0) (0,1) (1,1) (1,2) (1,3) -> triples: L, R, S
+    rows = [(i, 1, 1000 + i, float(la), float(lo))
+            for i, (la, lo) in enumerate(
+                [(0, 0), (0, 1), (1, 1), (1, 2), (1, 3)])]
+    # user 2: exact reversal is collinear -> straight
+    rows += [(10 + i, 2, 2000 + i, 0.0, float(lo))
+             for i, lo in enumerate([0, 1, 0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = {r["user_id"]: (r["n_turns"], r["n_left"], r["n_right"],
+                          r["n_straight"], r["net_lr"])
+           for r in trajectory.turn_stats(df).collect()}
+    assert got[1] == (3, 1, 1, 1, 0)
+    assert got[2] == (1, 0, 0, 1, 0)

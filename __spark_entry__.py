@@ -3112,6 +3112,44 @@ def _q157_turn_stats(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.turn_stats(_walk_df(spark, sf)).orderBy("user_id")
 
 
+_POLICY_RULES = [
+    (1, "site1.example.com/", "allow"),
+    (2, "site1.example.com/static/", "deny"),
+    (3, "site1.example.com/static/img/3", "allow"),
+    (4, "site2.example.com/user/", "throttle"),
+    (5, "site3.example.com/a/1", "deny"),
+    (6, "site4.example.com/", "deny"),
+    (7, "site19.example.com/user/4/profile", "deny"),
+]
+
+
+def _q158_prefix_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-policy gate by longest-prefix match (textops.prefix_policy,
+    robots.txt raw-prefix semantics) over urls synthesized from doc_id
+    (20 hosts x 3 path families): seven literal rules at four depths —
+    a deny nested under an allow nested under a host rule (LPM
+    override), a raw prefix that deliberately catches /a/1 AND /a/17,
+    an exact-url rule, and a default for the unmatched rest.  The rule
+    set compiles to one literal map per prefix length probed
+    longest-first — ZERO joins/explodes, map-only until the final
+    rule-count aggregate; the oracle is the INDEPENDENT formulation
+    (substr equi-join + row_number argmax over prefix length)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    m3 = F.col("doc_id") % 3
+    path = (F.when(m3 == 0, F.concat(
+                F.lit("/a/"), (F.col("doc_id") % 97).cast("string")))
+            .when(m3 == 1, F.concat(
+                F.lit("/static/img/"), (F.col("doc_id") % 11).cast("string")))
+            .otherwise(F.concat(
+                F.lit("/user/"), (F.col("doc_id") % 5).cast("string"),
+                F.lit("/profile"))))
+    urls = docs.select(F.concat(host, path).alias("url"))
+    return (textops.prefix_policy(urls, _POLICY_RULES)
+            .orderBy("rule_id", "action"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3193,7 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q157 were added AFTER this rotation was
+    # late additions q120-q158 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3359,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_feature_corr": _q155_feature_corr,
         "q156_rendezvous_shards": _q156_rendezvous_shards,
         "q157_turn_stats": _q157_turn_stats,
+        "q158_prefix_policy": _q158_prefix_policy,
     }
 
 
@@ -7776,6 +7815,47 @@ SELECT user_id, count(*) AS n_turns,
        CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)
             - sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS net_lr
 FROM c157 GROUP BY 1 ORDER BY user_id
+"""
+
+    # q158: longest-prefix-match crawl policy — the INDEPENDENT
+    # formulation (substr equi-join + row_number argmax over prefix
+    # length) against Spark's literal map-per-length coalesce chain.
+    rule_rows = ",\n  ".join(
+        f"(CAST({rid} AS BIGINT), '{pref}', '{act}')"
+        for rid, pref, act in _POLICY_RULES)
+    sqls["q158_prefix_policy"] = f"""
+WITH u158 AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' ||
+         CASE WHEN doc_id % 3 = 0
+                THEN '/a/' || CAST(doc_id % 97 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+                THEN '/static/img/' || CAST(doc_id % 11 AS VARCHAR)
+              ELSE '/user/' || CAST(doc_id % 5 AS VARCHAR) || '/profile'
+         END AS url
+  FROM documents
+),
+r158(rule_id, prefix, action) AS (VALUES
+  {rule_rows}
+),
+j158 AS (
+  SELECT u.doc_id, r.rule_id, r.action,
+         CAST(length(r.prefix) AS BIGINT) AS plen,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY length(r.prefix) DESC) AS rn
+  FROM u158 u JOIN r158 r
+    ON substr(u.url, 1, length(r.prefix)) = r.prefix
+),
+b158 AS (
+  SELECT u.doc_id,
+         COALESCE(j.rule_id, CAST(-1 AS BIGINT)) AS rule_id,
+         COALESCE(j.action, 'default') AS action,
+         COALESCE(j.plen, CAST(0 AS BIGINT)) AS matched_len
+  FROM u158 u
+  LEFT JOIN (SELECT * FROM j158 WHERE rn = 1) j USING (doc_id)
+)
+SELECT rule_id, action, matched_len, count(*) AS n_urls
+FROM b158 GROUP BY 1, 2, 3 ORDER BY rule_id, action
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -118,7 +118,7 @@ def main() -> None:
         "q147_polygon_fill", "q148_count_min", "q149_k_anonymize",
         "q150_stream_count_min", "q151_cell_trend", "q152_file_roundtrip",
         "q153_edit_dedup", "q154_revisit_rates", "q155_feature_corr",
-        "q156_rendezvous_shards", "q157_turn_stats",
+        "q156_rendezvous_shards", "q157_turn_stats", "q158_prefix_policy",
     ]
     from geotile import cache, textops
 

@@ -1840,6 +1840,53 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             .where(F.col("n_raw") >= min_n))
 
 
+def prefix_policy(df: DataFrame, rules, url_col: str = "url") -> DataFrame:
+    """Longest-prefix-match URL policy (robots.txt raw string-prefix
+    semantics: a rule matches ANY url it is a character prefix of,
+    deepest rule wins): classify every url by the matching rule of
+    maximal prefix length, ``('default', -1, 0)`` when nothing
+    matches, and count urls per (rule_id, action, matched_len) — the
+    crawl allow/deny/throttle gate a frontier runs before fetch.
+
+    ``rules`` is a contractually SMALL ``(rule_id, prefix, action)``
+    sequence (policy sets are KBs — the q8/q35 literal-side contract);
+    prefixes must be unique, so LPM is unambiguous and needs no
+    tie rule.  Scale shape: rules compile into one literal
+    Spark MAP PER DISTINCT PREFIX LENGTH, probed longest-first by
+    ``try_element_at(map_L, substr(url, 1, L))`` and coalesced — the
+    IP-route trick (match by length class) as pure map-side
+    expressions: ZERO joins, ZERO explode, no per-row Python; the
+    only exchange is the final rule-count aggregate.  At rule-set
+    sizes past literal-plan comfort (~10^4) the same length-class
+    substrings become an equi-join key against a broadcast rules
+    table — the plan keeps its shape."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    by_len: dict[int, dict[str, tuple]] = {}
+    for rid, pref, act in rules:
+        by_len.setdefault(len(pref), {})[pref] = (rid, act)
+    if sum(len(v) for v in by_len.values()) != len(rules):
+        raise ValueError("rule prefixes must be unique")
+    hits = []
+    for plen in sorted(by_len, reverse=True):
+        entries = []
+        for pref, (rid, act) in sorted(by_len[plen].items()):
+            entries.append(F.lit(pref))
+            entries.append(F.struct(
+                F.lit(rid).cast("long").alias("rule_id"),
+                F.lit(act).alias("action"),
+                F.lit(plen).cast("long").alias("matched_len")))
+        hits.append(F.try_element_at(
+            F.create_map(*entries), F.substring(F.col(url_col), 1, plen)))
+    dflt = F.struct(F.lit(-1).cast("long").alias("rule_id"),
+                    F.lit("default").alias("action"),
+                    F.lit(0).cast("long").alias("matched_len"))
+    return (df.select(F.coalesce(*hits, dflt).alias("_m"))
+            .select("_m.rule_id", "_m.action", "_m.matched_len")
+            .groupBy("rule_id", "action", "matched_len")
+            .agg(F.count("*").alias("n_urls")))
+
+
 def token_bursts(df: DataFrame, day_col: str = "day",
                  text_col: str = "text", factor_num: int = 3,
                  factor_den: int = 2, min_count: int = 3) -> DataFrame:

@@ -772,6 +772,18 @@ def main() -> None:
         "aggregates — no trig, no Python, no second exchange"))
 
     sections.append(summarize(
+        textops.prefix_policy(
+            spark.range(0, 5000).select(
+                F.concat(F.lit("h"), (F.col("id") % 9).cast("string"),
+                         F.lit(".com/p/"),
+                         (F.col("id") % 13).cast("string")).alias("url")),
+            [(1, "h1.com/", "allow"), (2, "h1.com/p/3", "deny"),
+             (3, "h2.com/p/", "throttle")]),
+        "prefix_policy (q158): the LPM probe is literal maps per "
+        "prefix length coalesced longest-first — ZERO joins, ZERO "
+        "explode, map-only until the single rule-count aggregate"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

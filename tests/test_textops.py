@@ -1134,3 +1134,23 @@ def test_feature_corr_exact_moments(spark):
     assert rb["corr_num"] < 0
     assert rb["corr_num"] ** 2 == rb["den_x"] * rb["den_y"]
     assert rb["r_micro"] in (-1000000, -1000001)
+
+
+def test_prefix_policy_lpm_and_default(spark):
+    rules = [(1, "a.com/", "allow"), (2, "a.com/x/", "deny"),
+             (3, "a.com/x/1", "allow"), (4, "b.com/q", "throttle")]
+    urls = spark.createDataFrame(
+        [("a.com/y",), ("a.com/x/2",), ("a.com/x/1",), ("a.com/x/10",),
+         ("b.com/q?z",), ("c.com/",)], "url string")
+    got = {(r["rule_id"], r["action"], r["matched_len"]): r["n_urls"]
+           for r in textops.prefix_policy(urls, rules).collect()}
+    assert got == {
+        (1, "allow", 6): 1,        # a.com/y -> host rule
+        (2, "deny", 8): 1,         # a.com/x/2 -> deeper deny wins
+        (3, "allow", 9): 2,        # exact AND raw-prefix catch of /x/10
+        (4, "throttle", 7): 1,     # query string still prefix-matches
+        (-1, "default", 0): 1,     # c.com unmatched
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.prefix_policy(urls, rules + [(9, "a.com/", "deny")])

@@ -3150,6 +3150,19 @@ def _q158_prefix_policy(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("rule_id", "action"))
 
 
+def _q159_kwic(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context concordance (textops.kwic) for two corpus
+    terms with 2-token contexts — the quality-audit / snippet surface
+    over the documents table.  ZERO exchanges: map-side posexplode of
+    the WS_CLASS token array filtered by a literal term array, context
+    via native slice/array_join on the same array (no self-join, no
+    window, no Python).  The oracle replays the split, the 1-based
+    clamped list slices, and the join verbatim."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.kwic(docs, ["merge", "scan"], window=2)
+            .orderBy("doc_id", "pos"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3231,7 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q158 were added AFTER this rotation was
+    # late additions q120-q159 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3398,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_rendezvous_shards": _q156_rendezvous_shards,
         "q157_turn_stats": _q157_turn_stats,
         "q158_prefix_policy": _q158_prefix_policy,
+        "q159_kwic": _q159_kwic,
     }
 
 
@@ -7856,6 +7870,30 @@ b158 AS (
 )
 SELECT rule_id, action, matched_len, count(*) AS n_urls
 FROM b158 GROUP BY 1, 2, 3 ORDER BY rule_id, action
+"""
+
+    # q159: KWIC concordance — identical WS_CLASS split, 0-based
+    # positions, clamped 1-based list slices, space re-join.
+    sqls["q159_kwic"] = r"""
+WITH t159 AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS l
+  FROM documents
+),
+i159 AS (
+  SELECT doc_id, l, CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS i
+  FROM t159
+),
+h159 AS (
+  SELECT doc_id, l, i, l[i] AS term
+  FROM i159 WHERE l[i] IN ('merge', 'scan')
+)
+SELECT doc_id, i - 1 AS pos, term,
+       COALESCE(array_to_string(l[GREATEST(1, i - 2):i - 1], ' '), '')
+         AS left_ctx,
+       COALESCE(array_to_string(l[i + 1:LEAST(len(l), i + 2)], ' '), '')
+         AS right_ctx
+FROM h159 ORDER BY doc_id, pos
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1887,6 +1887,40 @@ def prefix_policy(df: DataFrame, rules, url_col: str = "url") -> DataFrame:
             .agg(F.count("*").alias("n_urls")))
 
 
+def kwic(df: DataFrame, terms, window: int = 2,
+         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword-in-context concordance (the corpus-linguistics KWIC
+    view): every occurrence of a query term with up to ``window``
+    tokens of left and right context — the human-inspection surface
+    behind quality audits ("show me how the corpus actually uses
+    this word") and the retrieval-snippet primitive.  Tokenization is
+    the engine-wide explicit ``WS_CLASS`` split (q100 gates the
+    class), positions 0-based over the token array.
+
+    Scale shape: ZERO exchanges — one map-side posexplode of the
+    token array filtered by a literal term array (explode output is
+    corpus-token-sized but never shuffles; Tungsten pipelines it
+    straight into the filter), context via native slice/array_join on
+    the SAME array (no self-join, no window function, no Python).
+    Returns ``(doc_id, pos, term, left_ctx, right_ctx)``; empty
+    contexts at document edges are ``''``, never NULL."""
+    if not terms:
+        raise ValueError("need at least one term")
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    d = (df.select(F.col(id_col), toks.alias("_t"))
+         .select(id_col, "_t", F.posexplode("_t").alias("_p", "term"))
+         .where(F.array_contains(term_arr, F.col("term"))))
+    w = F.lit(window)
+    start = F.greatest(F.lit(1), F.col("_p") + 1 - w)
+    left = F.array_join(
+        F.slice(F.col("_t"), start, F.least(w, F.col("_p"))), " ")
+    right = F.array_join(F.slice(F.col("_t"), F.col("_p") + 2, w), " ")
+    return d.select(F.col(id_col), F.col("_p").cast("long").alias("pos"),
+                    "term", left.alias("left_ctx"),
+                    right.alias("right_ctx"))
+
+
 def token_bursts(df: DataFrame, day_col: str = "day",
                  text_col: str = "text", factor_num: int = 3,
                  factor_den: int = 2, min_count: int = 3) -> DataFrame:

@@ -784,6 +784,17 @@ def main() -> None:
         "explode, map-only until the single rule-count aggregate"))
 
     sections.append(summarize(
+        textops.kwic(
+            spark.range(0, 3000).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("alpha beta hit gamma "),
+                         (F.col("id") % 7).cast("string")).alias("text")),
+            ["hit"]),
+        "kwic (q159): ZERO Exchange — posexplode of the token array "
+        "pipelines into the literal-term filter; contexts are native "
+        "slice/array_join on the same array, no self-join, no window"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

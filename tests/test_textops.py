@@ -1154,3 +1154,17 @@ def test_prefix_policy_lpm_and_default(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textops.prefix_policy(urls, rules + [(9, "a.com/", "deny")])
+
+
+def test_kwic_contexts_and_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "hit a b hit c"), (2, "x y z hit"), (3, "hit"), (4, "no match")],
+        "doc_id long, text string")
+    got = sorted((r["doc_id"], r["pos"], r["left_ctx"], r["right_ctx"])
+                 for r in textops.kwic(docs, ["hit"], window=2).collect())
+    assert got == [
+        (1, 0, "", "a b"),          # doc start: empty left
+        (1, 3, "a b", "c"),         # clamped right
+        (2, 3, "y z", ""),          # doc end: empty right
+        (3, 0, "", ""),             # single-token doc
+    ]

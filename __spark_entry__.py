@@ -3163,6 +3163,36 @@ def _q159_kwic(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "pos"))
 
 
+_OVERLAY_POLYS = [
+    {"poly_id": 0,
+     "lat": [0.00037, 0.00029, 30.00071, 30.00013],
+     "lon": [0.00031, 40.00017, 40.00041, 0.00023]},
+    {"poly_id": 1,
+     "lat": [15.00033, 15.00047, 45.00019, 45.00061],
+     "lon": [20.00029, 60.00013, 60.00037, 20.00011]},
+    {"poly_id": 2,
+     "lat": [25.00027, 55.00041, 25.00013],
+     "lon": [-20.00037, 10.00021, 25.00023]},
+]
+
+
+def _q160_polygon_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Rasterized polygon-overlay matrix (engine.polygon_overlap) over
+    three literal AOIs whose every pair intersects — two axis-ish
+    quads plus a triangle crossing both: exact intersection /
+    per-polygon cell counts on the q147 half-degree lattice and the
+    floor-divided micro-IoU.  The fill is zero-exchange map-side; the
+    overlay is ONE cell-keyed equi-join (the 100-TB raster-overlay
+    shuffle, never geometry x geometry) + a broadcast size table.  The
+    oracle reuses q147's _pip_pred lattice SQL per polygon and joins
+    the fills pairwise."""
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"]) for p in _OVERLAY_POLYS],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    return (engine.polygon_overlap(polys, scale=2)
+            .orderBy("poly_a", "poly_b"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3244,7 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q159 were added AFTER this rotation was
+    # late additions q120-q160 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3412,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_turn_stats": _q157_turn_stats,
         "q158_prefix_policy": _q158_prefix_policy,
         "q159_kwic": _q159_kwic,
+        "q160_polygon_overlap": _q160_polygon_overlap,
     }
 
 
@@ -7894,6 +7925,40 @@ SELECT doc_id, i - 1 AS pos, term,
        COALESCE(array_to_string(l[i + 1:LEAST(len(l), i + 2)], ' '), '')
          AS right_ctx
 FROM h159 ORDER BY doc_id, pos
+"""
+
+    # q160: polygon overlay — q147's _pip_pred lattice fill per overlay
+    # polygon, then the pairwise cell join, size counts, and the
+    # identical floor-divided micro-IoU.
+    ov_parts = []
+    for p in _OVERLAY_POLYS:
+        la0 = _math.floor(min(p["lat"]) * 2.0)
+        la1 = _math.floor(max(p["lat"]) * 2.0)
+        lo0 = _math.floor(min(p["lon"]) * 2.0)
+        lo1 = _math.floor(max(p["lon"]) * 2.0)
+        ov_parts.append(f"""
+  SELECT CAST({p['poly_id']} AS BIGINT) AS poly_id, g.ilat, g.ilon
+  FROM (SELECT CAST(la.i AS BIGINT) AS ilat, CAST(lo.i AS BIGINT) AS ilon,
+               (CAST(la.i AS BIGINT) + 0.5) / 2.0 AS lat,
+               (CAST(lo.i AS BIGINT) + 0.5) / 2.0 AS lon
+        FROM (SELECT unnest(range({la0}, {la1 + 1})) AS i) la
+        CROSS JOIN (SELECT unnest(range({lo0}, {lo1 + 1})) AS i) lo) g
+  WHERE {_pip_pred(p)}""")
+    sqls["q160_polygon_overlap"] = f"""
+WITH f160 AS ({" UNION ALL ".join(ov_parts)}),
+s160 AS (SELECT poly_id, count(*) AS n FROM f160 GROUP BY 1),
+i160 AS (
+  SELECT a.poly_id AS poly_a, b.poly_id AS poly_b, count(*) AS n_inter
+  FROM f160 a JOIN f160 b
+    ON a.ilat = b.ilat AND a.ilon = b.ilon AND a.poly_id < b.poly_id
+  GROUP BY 1, 2
+)
+SELECT poly_a, poly_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       n_inter * 1000000 // (sa.n + sb.n - n_inter) AS iou_micro
+FROM i160
+JOIN s160 sa ON sa.poly_id = poly_a
+JOIN s160 sb ON sb.poly_id = poly_b
+ORDER BY poly_a, poly_b
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -795,6 +795,19 @@ def main() -> None:
         "slice/array_join on the same array, no self-join, no window"))
 
     sections.append(summarize(
+        engine.polygon_overlap(
+            spark.createDataFrame(
+                [(0, [0.01, 0.01, 10.01, 10.01], [0.01, 10.01, 10.01, 0.01]),
+                 (1, [5.01, 5.01, 15.01, 15.01], [5.01, 15.01, 15.01, 5.01])],
+                "poly_id long, poly_lat array<double>,"
+                " poly_lon array<double>"),
+            scale=2),
+        "polygon_overlap (q160): the fills are zero-exchange generated "
+        "lattices; the overlay shuffles on the CELL key only (one "
+        "equi-join + one pair aggregate) and the size table broadcasts "
+        "— geometry never joins geometry"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

@@ -1124,3 +1124,18 @@ def test_rendezvous_shards_minimal_movement(spark):
     exp = Counter((assign(k, 8), assign(k, 9)) for k in range(3000))
     got = {(r["old_shard"], r["new_shard"]): r["n_keys"] for r in out}
     assert got == dict(exp)
+
+
+def test_polygon_overlap_axis_aligned_squares(spark):
+    # A: lat/lon (0.01, 10.01)^2 -> 20x20 half-degree cells = 400
+    # B: lat/lon (5.01, 15.01)^2 -> 400; intersection 10x10 = 100
+    polys = spark.createDataFrame(
+        [(0, [0.01, 0.01, 10.01, 10.01], [0.01, 10.01, 10.01, 0.01]),
+         (1, [5.01, 5.01, 15.01, 15.01], [5.01, 15.01, 15.01, 5.01])],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    rows = engine.polygon_overlap(polys, scale=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["poly_a"], r["poly_b"]) == (0, 1)
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (400, 400, 100)
+    assert r["iou_micro"] == 100 * 1000000 // 700

@@ -3193,6 +3193,19 @@ def _q160_polygon_overlap(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("poly_a", "poly_b"))
 
 
+def _q161_postings_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index postings compression audit
+    (textops.postings_compression): exact delta-gap + varint byte cost
+    vs raw int64 postings per floor(log2 df) bucket — the index-layout
+    planning op, all integer (threshold CASEs, no float log).  Every
+    exchange keys on the token (distinct collapse, lag window,
+    per-token agg) then a <= 21-row bucket rollup; the oracle replays
+    the gap rule, the 7-bit-group CASE, and the bucket thresholds
+    verbatim."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.postings_compression(docs).orderBy("df_bucket")
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3274,7 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q160 were added AFTER this rotation was
+    # late additions q120-q161 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3443,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_prefix_policy": _q158_prefix_policy,
         "q159_kwic": _q159_kwic,
         "q160_polygon_overlap": _q160_polygon_overlap,
+        "q161_postings_compression": _q161_postings_compression,
     }
 
 
@@ -7959,6 +7973,44 @@ FROM i160
 JOIN s160 sa ON sa.poly_id = poly_a
 JOIN s160 sb ON sb.poly_id = poly_b
 ORDER BY poly_a, poly_b
+"""
+
+    # q161: postings compression — identical gap rule, varint CASE,
+    # and power-of-two bucket thresholds.
+    bucket_case = ("CASE " + " ".join(
+        f"WHEN df < {1 << (e + 1)} THEN {e}" for e in range(20))
+        + " ELSE 20 END")
+    sqls["q161_postings_compression"] = f"""
+WITH p161 AS (
+  SELECT DISTINCT t, d FROM (
+    SELECT doc_id AS d,
+           unnest(regexp_split_to_array(trim(text),
+                                        '[ \t\n\x0B\f\r]+')) AS t
+    FROM documents) WHERE t <> ''
+),
+g161 AS (
+  SELECT t, COALESCE(d - lag(d) OVER (PARTITION BY t ORDER BY d),
+                     d + 1) AS gap
+  FROM p161
+),
+v161 AS (
+  SELECT t, CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                 WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                 ELSE 5 END AS vb
+  FROM g161
+),
+t161 AS (
+  SELECT t, count(*) AS df, CAST(sum(vb) AS BIGINT) AS b
+  FROM v161 GROUP BY 1
+)
+SELECT CAST({bucket_case} AS BIGINT) AS df_bucket,
+       count(*) AS n_tokens,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+       CAST(sum(b) AS BIGINT) AS varint_bytes,
+       CAST(sum(b) AS BIGINT) * 1000000
+         // (CAST(sum(df) AS BIGINT) * 8) AS savings_micro
+FROM t161 GROUP BY 1 ORDER BY df_bucket
 """
 
     # Every queries() entry above has an exact oracle — including the

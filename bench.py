@@ -119,7 +119,7 @@ def main() -> None:
         "q150_stream_count_min", "q151_cell_trend", "q152_file_roundtrip",
         "q153_edit_dedup", "q154_revisit_rates", "q155_feature_corr",
         "q156_rendezvous_shards", "q157_turn_stats", "q158_prefix_policy",
-        "q159_kwic", "q160_polygon_overlap",
+        "q159_kwic", "q160_polygon_overlap", "q161_postings_compression",
     ]
     from geotile import cache, textops
 

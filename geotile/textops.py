@@ -1921,6 +1921,55 @@ def kwic(df: DataFrame, terms, window: int = 2,
                     right.alias("right_ctx"))
 
 
+_VARINT_STEPS = [(1 << 7, 1), (1 << 14, 2), (1 << 21, 3), (1 << 28, 4)]
+
+
+def postings_compression(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index postings compression audit: per document-
+    frequency bucket (floor(log2 df) via an explicit threshold CASE —
+    no float log anywhere), the exact byte cost of delta-gap + varint
+    encoding the postings lists vs raw int64 postings — the
+    index-layout planning question (which df band pays for
+    compression, what the projected index size is) answered from the
+    corpus itself.  Gap rule: first posting stores doc_id + 1 (keeps
+    every encoded value >= 1), then strictly-positive deltas over the
+    doc_id-sorted list; varint cost is the standard 7-bit-group CASE
+    (1..5 bytes).
+
+    Scale shape: everything keys on the token — one distinct
+    (token, doc) collapse, one per-token window for the lag gaps
+    (both partial-aggregate/sort on the SAME key family), one
+    per-token aggregate, then the bucket rollup is a <= 21-row
+    exchange.  All operands exact int64; ``savings_micro = varint *
+    1e6 div raw``.  Returns ``(df_bucket, n_tokens, n_postings,
+    raw_bytes, varint_bytes, savings_micro)``."""
+    post = (df.select(F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"),
+                      F.col(id_col).alias("_d"))
+            .where(F.col("t") != "").distinct())
+    w = Window.partitionBy("t").orderBy("_d")
+    gap = F.coalesce(F.col("_d") - F.lag("_d").over(w),
+                     F.col("_d") + F.lit(1))
+    vb = F.lit(5)
+    for bound, nb in reversed(_VARINT_STEPS):
+        vb = F.when(gap < F.lit(bound), F.lit(nb)).otherwise(vb)
+    tok = (post.select("t", vb.cast("long").alias("_vb"))
+           .groupBy("t")
+           .agg(F.count("*").alias("_df"), F.sum("_vb").alias("_b")))
+    bucket = F.lit(20)
+    for e in range(19, -1, -1):
+        bucket = F.when(F.col("_df") < F.lit(1 << (e + 1)), F.lit(e))                   .otherwise(bucket)
+    return (tok.select(bucket.cast("long").alias("df_bucket"), "_df", "_b")
+            .groupBy("df_bucket")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("_df").alias("n_postings"),
+                 (F.sum("_df") * F.lit(8)).alias("raw_bytes"),
+                 F.sum("_b").alias("varint_bytes"))
+            .withColumn("savings_micro",
+                        F.expr("varint_bytes * 1000000 div raw_bytes")))
+
+
 def token_bursts(df: DataFrame, day_col: str = "day",
                  text_col: str = "text", factor_num: int = 3,
                  factor_den: int = 2, min_count: int = 3) -> DataFrame:

@@ -808,6 +808,16 @@ def main() -> None:
         "— geometry never joins geometry"))
 
     sections.append(summarize(
+        textops.postings_compression(
+            spark.range(0, 4000).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("tok"), (F.col("id") % 700).cast("string"),
+                         F.lit(" common")).alias("text"))),
+        "postings_compression (q161): distinct collapse, lag window, "
+        "and per-token aggregate ALL key on the token; the bucket "
+        "rollup exchanges <= 21 rows — no float log, no Python"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

@@ -1168,3 +1168,22 @@ def test_kwic_contexts_and_edges(spark):
         (2, 3, "y z", ""),          # doc end: empty right
         (3, 0, "", ""),             # single-token doc
     ]
+
+
+def test_postings_compression_exact_bytes(spark):
+    rows = [(0, "a b"), (1, "b"), (5, "a"), (17, "solo"), (300, "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["df_bucket"]: r for r in
+           textops.postings_compression(docs).collect()}
+    # bucket 0 (df=1): 'solo' -> first-posting gap 18 = 1 varint byte
+    b0 = got[0]
+    assert (b0["n_tokens"], b0["n_postings"], b0["raw_bytes"],
+            b0["varint_bytes"]) == (1, 1, 8, 1)
+    assert b0["savings_micro"] == 1 * 1000000 // 8
+    # bucket 1 (df in [2,4)): 'a' gaps 1,5,295 -> 1+1+2 bytes;
+    # 'b' gaps 1,1 -> 2 bytes
+    b1 = got[1]
+    assert (b1["n_tokens"], b1["n_postings"], b1["raw_bytes"],
+            b1["varint_bytes"]) == (2, 5, 40, 6)
+    assert b1["savings_micro"] == 6 * 1000000 // 40
+    assert set(got) == {0, 1}

@@ -3206,6 +3206,36 @@ def _q161_postings_compression(spark: SparkSession, sf: str) -> DataFrame:
     return textops.postings_compression(docs).orderBy("df_bucket")
 
 
+def _q162_parse_latlon(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw coordinate-string ingest gate (engine.parse_latlon): freeform
+    "lat,lon" strings synthesized integer-exactly from event_id (four
+    ok variants incl. padded fractions and boundary +-90/+-180 spills,
+    a semicolon bad_format family, out-of-range lat and lon families),
+    parsed map-only (regexp + try_cast + CASE — ANSI-safe, zero
+    exchanges) and rolled up per error class with exact micro-degree
+    checksums over the ok rows.  The oracle replays the string
+    synthesis, the [ \\t]-explicit regex, TRY_CAST, the class CASE, and
+    the floor(x*1e6+0.5) snap verbatim."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id")
+    v = F.col("event_id") % 7
+    la_i = F.when(v == 5, (F.col("event_id") % 60) + 91) \
+            .otherwise((F.col("event_id") % 181) - 90)
+    lo_i = F.when(v == 6, (F.col("event_id") % 60) + 181) \
+            .otherwise((F.col("event_id") % 361) - 180)
+    raw = F.concat(
+        la_i.cast("string"), F.lit("."),
+        F.lpad((F.col("event_id") % 97).cast("string"), 2, "0"),
+        F.when(v == 4, F.lit(";")).otherwise(F.lit(",")),
+        lo_i.cast("string"), F.lit("."),
+        F.lpad((F.col("event_id") % 89).cast("string"), 2, "0"))
+    out = engine.parse_latlon(ev.select(raw.alias("raw")))
+    return (out.groupBy("error_class")
+            .agg(F.count("*").alias("n"),
+                 F.sum("lat_micro").alias("sum_lat_micro"),
+                 F.sum("lon_micro").alias("sum_lon_micro"))
+            .orderBy("error_class"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3287,7 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q161 were added AFTER this rotation was
+    # late additions q120-q162 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3457,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_kwic": _q159_kwic,
         "q160_polygon_overlap": _q160_polygon_overlap,
         "q161_postings_compression": _q161_postings_compression,
+        "q162_parse_latlon": _q162_parse_latlon,
     }
 
 
@@ -8011,6 +8042,46 @@ SELECT CAST({bucket_case} AS BIGINT) AS df_bucket,
        CAST(sum(b) AS BIGINT) * 1000000
          // (CAST(sum(df) AS BIGINT) * 8) AS savings_micro
 FROM t161 GROUP BY 1 ORDER BY df_bucket
+"""
+
+    # q162: coordinate-string ingest gate — identical synthesis, regex,
+    # TRY_CAST, class CASE, and micro-degree snap.  DuckDB single-quoted
+    # strings keep backslashes literal, so the regex embeds verbatim.
+    ll_re = (r"^[ \t]*(-?[0-9]+(?:\.[0-9]+)?)[ \t]*,"
+             r"[ \t]*(-?[0-9]+(?:\.[0-9]+)?)[ \t]*$")
+    sqls["q162_parse_latlon"] = f"""
+WITH r162 AS (
+  SELECT CAST(CASE WHEN event_id % 7 = 5 THEN (event_id % 60) + 91
+              ELSE (event_id % 181) - 90 END AS VARCHAR)
+         || '.' || lpad(CAST(event_id % 97 AS VARCHAR), 2, '0')
+         || CASE WHEN event_id % 7 = 4 THEN ';' ELSE ',' END
+         || CAST(CASE WHEN event_id % 7 = 6 THEN (event_id % 60) + 181
+                 ELSE (event_id % 361) - 180 END AS VARCHAR)
+         || '.' || lpad(CAST(event_id % 89 AS VARCHAR), 2, '0') AS raw
+  FROM events
+),
+p162 AS (
+  SELECT TRY_CAST(regexp_extract(raw, '{ll_re}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(raw, '{ll_re}', 2) AS DOUBLE) AS lon,
+         regexp_extract(raw, '{ll_re}', 1) AS lat_s
+  FROM r162
+),
+c162 AS (
+  SELECT CASE WHEN lat_s = '' THEN 'bad_format'
+              WHEN abs(lat) > 90.0 THEN 'lat_range'
+              WHEN abs(lon) > 180.0 THEN 'lon_range'
+              ELSE 'ok' END AS error_class,
+         lat, lon
+  FROM p162
+)
+SELECT error_class, count(*) AS n,
+       CAST(sum(CASE WHEN error_class = 'ok'
+                THEN CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_lat_micro,
+       CAST(sum(CASE WHEN error_class = 'ok'
+                THEN CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_lon_micro
+FROM c162 GROUP BY 1 ORDER BY error_class
 """
 
     # Every queries() entry above has an exact oracle — including the

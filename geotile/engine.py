@@ -1838,3 +1838,43 @@ def polygon_overlap(polygons: DataFrame, scale: int = 2,
             .select("poly_a", "poly_b", "n_inter", "n_a", "n_b",
                     F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
                     .alias("iou_micro")))
+
+
+_LATLON_RE = (r"^[ \t]*(-?[0-9]+(?:\.[0-9]+)?)[ \t]*,"
+              r"[ \t]*(-?[0-9]+(?:\.[0-9]+)?)[ \t]*$")
+
+
+def parse_latlon(df: DataFrame, col: str = "raw") -> DataFrame:
+    """Freeform ``"lat,lon"`` string ingest gate: parse + validate raw
+    coordinate strings into exact integer micro-degrees with a
+    per-row error class — the schema-on-read quality screen a raw GPS /
+    geotag feed passes before any spatial operator sees it.  Classes:
+    ``ok``, ``bad_format`` (regex reject), ``lat_range`` (|lat| > 90),
+    ``lon_range`` (|lon| > 180, checked after lat).  Non-ok rows carry
+    0 sentinels (NULL-free by the gate discipline); ok rows snap via
+    the engine-wide floor(x * 1e6 + 0.5) tie rule.
+
+    Cross-engine notes: the regex uses an explicit ``[ \\t]`` class
+    (never ``\\s`` — the q100/WS_CLASS dialect lesson) and digit
+    classes valid in both Java regex and RE2; numeric conversion is
+    ``try_cast(s AS DOUBLE)`` (ANSI-safe — a plain cast of a rejected
+    string would throw before the CASE can route it), and IEEE strtod
+    of the same decimal string is bit-identical in both engines.
+    Scale shape: map-only — regexp_extract + try_cast + CASE, zero
+    exchanges, no Python."""
+    lat_s = F.regexp_extract(F.col(col), _LATLON_RE, 1)
+    lon_s = F.regexp_extract(F.col(col), _LATLON_RE, 2)
+    lat = lat_s.try_cast("double")
+    lon = lon_s.try_cast("double")
+    cls = (F.when(lat_s == "", F.lit("bad_format"))
+           .when(F.abs(lat) > 90.0, F.lit("lat_range"))
+           .when(F.abs(lon) > 180.0, F.lit("lon_range"))
+           .otherwise(F.lit("ok")))
+    ok = cls == "ok"
+    zero = F.lit(0).cast("long")
+    return df.select(
+        "*", cls.alias("error_class"),
+        F.when(ok, F.floor(lat * F.lit(1000000.0) + F.lit(0.5)))
+        .otherwise(zero).alias("lat_micro"),
+        F.when(ok, F.floor(lon * F.lit(1000000.0) + F.lit(0.5)))
+        .otherwise(zero).alias("lon_micro"))

@@ -818,6 +818,17 @@ def main() -> None:
         "rollup exchanges <= 21 rows — no float log, no Python"))
 
     sections.append(summarize(
+        engine.parse_latlon(
+            spark.range(0, 4000).select(
+                F.concat((F.col("id") % 200 - 100).cast("string"),
+                         F.lit(".5,"),
+                         (F.col("id") % 400 - 200).cast("string"),
+                         F.lit(".25")).alias("raw"))),
+        "parse_latlon (q162): ZERO Exchange — regexp_extract, "
+        "try_cast, the class CASE, and the micro-degree snap are all "
+        "map-side native expressions"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

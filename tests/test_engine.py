@@ -1139,3 +1139,20 @@ def test_polygon_overlap_axis_aligned_squares(spark):
     assert (r["poly_a"], r["poly_b"]) == (0, 1)
     assert (r["n_a"], r["n_b"], r["n_inter"]) == (400, 400, 100)
     assert r["iou_micro"] == 100 * 1000000 // 700
+
+
+def test_parse_latlon_classes_and_snap(spark):
+    df = spark.createDataFrame(
+        [("12.345,-67.89",), (" 1.5 , 2.5 ",), ("95.1,10",), ("10,190.5",),
+         ("N/A",), ("1.5;2.5",), ("-0.25,-179.999999",), ("abc,def",)],
+        "raw string")
+    got = {r["raw"]: (r["error_class"], r["lat_micro"], r["lon_micro"])
+           for r in engine.parse_latlon(df).collect()}
+    assert got["12.345,-67.89"] == ("ok", 12345000, -67890000)
+    assert got[" 1.5 , 2.5 "] == ("ok", 1500000, 2500000)   # padding ok
+    assert got["-0.25,-179.999999"] == ("ok", -250000, -179999999)
+    assert got["95.1,10"] == ("lat_range", 0, 0)
+    assert got["10,190.5"] == ("lon_range", 0, 0)
+    assert got["N/A"] == ("bad_format", 0, 0)
+    assert got["1.5;2.5"] == ("bad_format", 0, 0)
+    assert got["abc,def"] == ("bad_format", 0, 0)

@@ -3236,6 +3236,24 @@ def _q162_parse_latlon(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("error_class"))
 
 
+def _q163_dup_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-content share screen (textops.dup_chunk_ratio,
+    CCNet-style): per document the exact fraction of 5-token chunks
+    whose value occurs >= 2 times corpus-wide — boilerplate planted
+    deterministically (docs with doc_id % 4 == 0 get a shared
+    terms-of-service preamble) so the multiplicity join has real work.
+    One chunk-keyed multiplicity aggregate + same-key join back + one
+    per-doc rollup, all exact int64; the oracle reuses q68's chunk
+    CTE and replays the >= 2 rule and the floor-divided micro ratio."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    boiler = F.when(F.col("doc_id") % 4 == 0,
+                    F.concat(F.lit("terms of service apply to all "),
+                             F.col("text"))).otherwise(F.col("text"))
+    return (textops.dup_chunk_ratio(
+                docs.select("doc_id", boiler.alias("text")))
+            .orderBy("doc_id"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3317,7 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q162 were added AFTER this rotation was
+    # late additions q120-q163 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3488,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_polygon_overlap": _q160_polygon_overlap,
         "q161_postings_compression": _q161_postings_compression,
         "q162_parse_latlon": _q162_parse_latlon,
+        "q163_dup_chunk_ratio": _q163_dup_chunk_ratio,
     }
 
 
@@ -8082,6 +8101,42 @@ SELECT error_class, count(*) AS n,
                 THEN CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS sum_lon_micro
 FROM c162 GROUP BY 1 ORDER BY error_class
+"""
+
+    # q163: duplicated-content share — q68's chunk CTE over the
+    # boilerplate-planted corpus, multiplicity >= 2, micro floor-div.
+    sqls["q163_dup_chunk_ratio"] = r"""
+WITH d163 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'terms of service apply to all ' || text
+              ELSE text END AS text
+  FROM documents
+),
+t163 AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM d163
+),
+ch163 AS (
+  SELECT doc_id, array_to_string(w[(j*5+1):(j*5+5)], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS j
+        FROM t163)
+),
+m163 AS (
+  SELECT chunk, count(*) AS m FROM ch163 GROUP BY 1
+),
+a163 AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN m.m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+  FROM ch163 c JOIN m163 m ON c.chunk = m.chunk
+  GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_dup,
+       n_dup * 1000000 // n_chunks AS dup_ratio_micro
+FROM a163 ORDER BY doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1970,6 +1970,41 @@ def postings_compression(df: DataFrame, text_col: str = "text",
                         F.expr("varint_bytes * 1000000 div raw_bytes")))
 
 
+def dup_chunk_ratio(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style duplicated-content share screen: per document, the
+    exact fraction of its n-token chunks whose chunk VALUE occurs >= 2
+    times anywhere in the corpus (cross-doc boilerplate AND within-doc
+    repetition both count) — the filter statistic a training-data
+    pipeline thresholds on BEFORE deciding to drop, where
+    :func:`chunk_dedup` instead rewrites survivors.  A doc full of
+    popular boilerplate scores high even when it was the FIRST to
+    carry it — dup share, not keep-first.
+
+    Scale shape: the same chunk explode as chunk_dedup, ONE
+    chunk-keyed multiplicity aggregate (group sizes = duplication
+    factor), one chunk-keyed join back (same key family), one per-doc
+    rollup.  All exact int64; ``dup_ratio_micro = n_dup * 1e6 div
+    n_chunks``.  Returns ``(doc_id, n_chunks, n_dup,
+    dup_ratio_micro)``."""
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    nch = F.ceil(F.size(w) / F.lit(n)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nch - 1),
+        lambda j: F.concat_ws(" ", F.slice(w, (j * n + 1).cast("int"), n)))
+    base = df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    mult = base.groupBy("chunk").agg(F.count("*").alias("_m"))
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (base.join(mult, "chunk")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("_m") >= 2, one).otherwise(zero))
+                 .alias("n_dup"))
+            .withColumn("dup_ratio_micro",
+                        F.expr("n_dup * 1000000 div n_chunks")))
+
+
 def token_bursts(df: DataFrame, day_col: str = "day",
                  text_col: str = "text", factor_num: int = 3,
                  factor_den: int = 2, min_count: int = 3) -> DataFrame:

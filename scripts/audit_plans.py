@@ -829,6 +829,14 @@ def main() -> None:
         "map-side native expressions"))
 
     sections.append(summarize(
+        textops.dup_chunk_ratio(synth.synth_docs_skew(
+            spark, 1500, partitions=8)),
+        "dup_chunk_ratio (q163): chunk multiplicity and the join back "
+        "share the chunk key (group sizes = duplication factor); the "
+        "per-doc rollup is the only other exchange — no Python, no "
+        "collect"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

@@ -1187,3 +1187,19 @@ def test_postings_compression_exact_bytes(spark):
             b1["varint_bytes"]) == (2, 5, 40, 6)
     assert b1["savings_micro"] == 6 * 1000000 // 40
     assert set(got) == {0, 1}
+
+
+def test_dup_chunk_ratio_counts_shared_and_repeated(spark):
+    boiler = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [(0, boiler + " u1 u2 u3 u4 u5"),
+         (1, boiler + " v1 v2 v3 v4 v5"),
+         (2, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"),   # within-doc repeat
+         (3, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dup"], r["dup_ratio_micro"])
+           for r in textops.dup_chunk_ratio(docs, n=5).collect()}
+    assert got[0] == (2, 1, 500000)    # shared boilerplate chunk
+    assert got[1] == (2, 1, 500000)
+    assert got[2] == (2, 2, 1000000)   # self-repeat counts
+    assert got[3] == (1, 0, 0)

@@ -3254,6 +3254,22 @@ def _q163_dup_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q164_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust length-outlier screen per source (textops.mad_outliers,
+    Hampel rule k=3) over doc lengths with a deterministic planted
+    heavy tail (doc_id % 97 == 0 inflates n_chars x5): integer LOW
+    medians — an actual data value, no interpolation doubles — for
+    both the center and the MAD, then the exact |x-med| > 3*MAD count.
+    Every exchange keys on the source; the oracle replays both
+    row_number medians and the rule verbatim."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    x = F.when(F.col("doc_id") % 97 == 0,
+               F.col("n_chars") * 5).otherwise(F.col("n_chars"))
+    return (textops.mad_outliers(
+                docs.select("source", x.alias("x")), x="x", group="source")
+            .orderBy("source"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3335,7 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q163 were added AFTER this rotation was
+    # late additions q120-q164 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3507,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_postings_compression": _q161_postings_compression,
         "q162_parse_latlon": _q162_parse_latlon,
         "q163_dup_chunk_ratio": _q163_dup_chunk_ratio,
+        "q164_mad_outliers": _q164_mad_outliers,
     }
 
 
@@ -8137,6 +8154,42 @@ a163 AS (
 SELECT doc_id, n_chunks, n_dup,
        n_dup * 1000000 // n_chunks AS dup_ratio_micro
 FROM a163 ORDER BY doc_id
+"""
+
+    # q164: MAD outliers — identical planted tail, both low medians by
+    # sorted position, and the Hampel count.
+    sqls["q164_mad_outliers"] = r"""
+WITH d164 AS (
+  SELECT source,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN n_chars * 5
+              ELSE n_chars END AS BIGINT) AS x
+  FROM documents
+),
+r164 AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d164
+),
+m164 AS (SELECT source, x AS med FROM r164 WHERE rn = (n + 1) // 2),
+a164 AS (
+  SELECT d.source, d.x, m.med, abs(d.x - m.med) AS adev
+  FROM d164 d JOIN m164 m USING (source)
+),
+q164r2 AS (
+  SELECT source, adev,
+         row_number() OVER (PARTITION BY source ORDER BY adev) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM a164
+),
+md164 AS (SELECT source, adev AS mad FROM q164r2 WHERE rn = (n + 1) // 2)
+SELECT a.source, count(*) AS n,
+       CAST(max(a.med) AS BIGINT) AS med,
+       CAST(max(m.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN a.adev > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM a164 a JOIN md164 m USING (source)
+GROUP BY 1 ORDER BY a.source
 """
 
     # Every queries() entry above has an exact oracle — including the

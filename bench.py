@@ -120,7 +120,7 @@ def main() -> None:
         "q153_edit_dedup", "q154_revisit_rates", "q155_feature_corr",
         "q156_rendezvous_shards", "q157_turn_stats", "q158_prefix_policy",
         "q159_kwic", "q160_polygon_overlap", "q161_postings_compression",
-        "q162_parse_latlon", "q163_dup_chunk_ratio",
+        "q162_parse_latlon", "q163_dup_chunk_ratio", "q164_mad_outliers",
     ]
     from geotile import cache, textops
 

@@ -2005,6 +2005,50 @@ def dup_chunk_ratio(df: DataFrame, n: int = 5, id_col: str = "doc_id",
                         F.expr("n_dup * 1000000 div n_chunks")))
 
 
+def mad_outliers(df: DataFrame, x: str = "x", group: str = "source",
+                 k: int = 3) -> DataFrame:
+    """Robust outlier screen via median absolute deviation (the
+    Hampel / robust-z rule, integer-exact form): per group the LOW
+    median of x (element at sorted position (n+1) div 2 — the true
+    median for odd n, the lower middle for even, so the statistic is
+    an actual data value and both engines agree without interpolation
+    doubles), the low median of |x - med| (MAD), and the count of
+    rows with |x - med| > k * MAD — the heavy-tail screen winsorize
+    (q88, mean/stddev-free) pairs with when the metric itself is
+    skewed.  NOTE mad = 0 (over half the group at one value) flags
+    every deviating row — the standard degenerate-MAD behavior,
+    deliberately kept.
+
+    Scale shape: every exchange keys on the group — two sort windows
+    (rank for each median), two join-backs of one-row-per-group
+    medians, one rollup; all operands exact int64.  Returns
+    ``(group, n, med, mad, n_outliers)``."""
+    gcol = F.col(group)
+
+    def _low_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        ow = Window.partitionBy(group).orderBy(F.col(col).asc())
+        cw = Window.partitionBy(group)
+        return (frame
+                .withColumn("_rn", F.row_number().over(ow))
+                .withColumn("_n", F.count("*").over(cw))
+                .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+                .select(gcol, F.col(col).alias(out)))
+
+    d = df.select(gcol, F.col(x).cast("long").alias("_x"))
+    med = _low_median(d, "_x", "med")
+    dd = (d.join(med, group)
+          .withColumn("_adev", F.abs(F.col("_x") - F.col("med"))))
+    mad = _low_median(dd, "_adev", "mad")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (dd.join(mad, group)
+            .groupBy(group)
+            .agg(F.count("*").alias("n"),
+                 F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.sum(F.when(F.col("_adev") > F.lit(k) * F.col("mad"),
+                              one).otherwise(zero)).alias("n_outliers")))
+
+
 def token_bursts(df: DataFrame, day_col: str = "day",
                  text_col: str = "text", factor_num: int = 3,
                  factor_den: int = 2, min_count: int = 3) -> DataFrame:

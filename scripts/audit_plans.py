@@ -837,6 +837,15 @@ def main() -> None:
         "collect"))
 
     sections.append(summarize(
+        textops.mad_outliers(
+            spark.range(0, 5000).select(
+                (F.col("id") % 6).cast("string").alias("source"),
+                F.pmod(F.xxhash64("id"), F.lit(900)).alias("x"))),
+        "mad_outliers (q164): every exchange keys on the group — two "
+        "rank windows for the low medians, two one-row-per-group join "
+        "backs, one rollup; no interpolation, no Python"))
+
+    sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "
         "fix-sized window shuffle), then the return-gap lag and the "

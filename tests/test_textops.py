@@ -1203,3 +1203,18 @@ def test_dup_chunk_ratio_counts_shared_and_repeated(spark):
     assert got[1] == (2, 1, 500000)
     assert got[2] == (2, 2, 1000000)   # self-repeat counts
     assert got[3] == (1, 0, 0)
+
+
+def test_mad_outliers_low_median_rule(spark):
+    # group g: x = [1,2,3,4,100] -> med (pos 3) = 3, adev = [2,1,0,1,97]
+    # sorted adev [0,1,1,2,97] -> mad (pos 3) = 1; outliers: adev > 3 -> 97
+    # group h (even n): x = [10,20,30,40] -> low med (pos 2) = 20,
+    # adev = [10,0,10,20] sorted [0,10,10,20] -> mad (pos 2) = 10;
+    # outliers: adev > 30 -> none
+    rows = [("g", v) for v in (1, 2, 3, 4, 100)] + \
+           [("h", v) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    got = {r["source"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+           for r in textops.mad_outliers(df).collect()}
+    assert got["g"] == (5, 3, 1, 1)
+    assert got["h"] == (4, 20, 10, 0)

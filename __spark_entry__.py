@@ -3270,6 +3270,42 @@ def _q164_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q165_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned layout roundtrip under the exact gate: events
+    written ``partitionBy(bucket)`` (bucket = event_id % 8, tmpfs),
+    read back with a 3-bucket IN filter — the directory-pruning
+    contract every 100-TB table layout rests on (the filter prunes
+    PARTITION DIRECTORIES, never scanning the other five; the
+    companion pytest asserts PartitionFilters in the physical plan
+    and partition-column type resurrection).  The oracle aggregates
+    the source parquet directly with the same modulo filter, so any
+    loss in the write/read path — partition-value encoding, double
+    bits, the int-vs-long partition-type inference trap (cast back to
+    long explicitly) — breaks value parity."""
+    import os
+    import shutil
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    work = os.path.join(
+        base, f"geotile_q165_{os.path.basename(sf.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_id", "user_id", "event_type", "value",
+                  (F.col("event_id") % 8).alias("bucket")))
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(work)
+    back = (spark.read.parquet(work)
+            .where(F.col("bucket").isin(1, 3, 6)))
+    return (back.groupBy(F.col("bucket").cast("long").alias("bucket"),
+                         "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+                 .alias("value_micro_sum"),
+                 F.min("event_id").alias("min_id"))
+            .orderBy("bucket", "event_type"))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3351,7 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q164 were added AFTER this rotation was
+    # late additions q120-q165 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3524,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_parse_latlon": _q162_parse_latlon,
         "q163_dup_chunk_ratio": _q163_dup_chunk_ratio,
         "q164_mad_outliers": _q164_mad_outliers,
+        "q165_partition_pruned_scan": _q165_partition_pruned_scan,
     }
 
 
@@ -8190,6 +8227,21 @@ SELECT a.source, count(*) AS n,
             AS BIGINT) AS n_outliers
 FROM a164 a JOIN md164 m USING (source)
 GROUP BY 1 ORDER BY a.source
+"""
+
+    # q165: partition-pruned scan — the oracle reads the SOURCE parquet
+    # with the same modulo filter; parity proves the partitioned
+    # write/read path lossless end to end.
+    sqls["q165_partition_pruned_scan"] = r"""
+SELECT CAST(event_id % 8 AS BIGINT) AS bucket, event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micro_sum,
+       min(event_id) AS min_id
+FROM events
+WHERE event_id % 8 IN (1, 3, 6)
+GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
     # Every queries() entry above has an exact oracle — including the

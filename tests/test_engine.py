@@ -1156,3 +1156,22 @@ def test_parse_latlon_classes_and_snap(spark):
     assert got["N/A"] == ("bad_format", 0, 0)
     assert got["1.5;2.5"] == ("bad_format", 0, 0)
     assert got["abc,def"] == ("bad_format", 0, 0)
+
+
+def test_partition_pruned_scan_prunes_directories(spark, tmp_path):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("event_id"), (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 2).alias("v"))
+    p = str(tmp_path / "part")
+    df.write.partitionBy("bucket").parquet(p)
+    back = spark.read.parquet(p).where(F.col("bucket").isin(1, 3))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in PartitionFilters (directory pruning),
+    # not as a post-scan data filter
+    assert "PartitionFilters" in plan
+    assert "PartitionFilters: []" not in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == 200
+    # partition-type inference resurrects the column as an int type —
+    # the q165 entry casts back to long for the gate
+    assert dict(back.dtypes)["bucket"] in ("int", "bigint")

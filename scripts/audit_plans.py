@@ -845,6 +845,22 @@ def main() -> None:
         "rank windows for the low medians, two one-row-per-group join "
         "backs, one rollup; no interpolation, no Python"))
 
+    import shutil as _sh
+    import tempfile as _tf
+    _pdir = os.path.join(_tf.gettempdir(), "geotile_audit_q165")
+    _sh.rmtree(_pdir, ignore_errors=True)
+    spark.range(0, 2000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 8).alias("bucket")).write.partitionBy(
+        "bucket").parquet(_pdir)
+    sections.append(summarize(
+        spark.read.parquet(_pdir).where(F.col("bucket").isin(1, 3, 6))
+        .groupBy("bucket").agg(F.count("*").alias("n")),
+        "partition_pruned_scan (q165): the bucket IN filter lands in "
+        "PartitionFilters — directory pruning, five of eight "
+        "partitions never scanned (see the scan line below)"))
+    _sh.rmtree(_pdir, ignore_errors=True)
+
     sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "

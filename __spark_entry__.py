@@ -3306,6 +3306,35 @@ def _q165_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("bucket", "event_type"))
 
 
+def _q166_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, 3 rounds) over q69's hash-synthesized
+    link graph, symmetrized — community detection joining the
+    CC/PageRank/BFS/Bellman-Ford family: each node adopts its
+    neighbors' majority label under the exact (count desc, label asc)
+    vote, isolated nodes keep their own.  One edge-keyed join + one
+    vote aggregate + one argmin-struct pick per round; the oracle
+    unrolls all 3 rounds over the same xxhash64 HUGEINT replica."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.label_propagation(
+        docs.select(F.col("doc_id").alias("node")), edges, iters=3)
+    return cache.track(
+        out.select(F.col("node").alias("doc_id"), "label")
+        .orderBy("doc_id"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def _q122_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus blend
     (textops.source_kl_drift) — the data-mixing drift diagnostic.
@@ -3387,7 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The trailing block keeps cheap batch queries before the costlier
     # run-to-completion streaming gates (q107, the one streaming gate
     # needing a first-ever driver row, closes the window).  The final
-    # late additions q120-q165 were added AFTER this rotation was
+    # late additions q120-q166 were added AFTER this rotation was
     # driver-verified and sit past the window by design (evicting an
     # in-window query would cost a fresher row); their evidence is the
     # local exact oracle + pytest.
@@ -3561,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_dup_chunk_ratio": _q163_dup_chunk_ratio,
         "q164_mad_outliers": _q164_mad_outliers,
         "q165_partition_pruned_scan": _q165_partition_pruned_scan,
+        "q166_label_propagation": _q166_label_propagation,
     }
 
 
@@ -8242,6 +8272,54 @@ SELECT CAST(event_id % 8 AS BIGINT) AS bucket, event_type,
 FROM events
 WHERE event_id % 8 IN (1, 3, 6)
 GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+    # q166: label propagation — the q69 edge synthesis symmetrized,
+    # then all 3 synchronous vote rounds unrolled with the identical
+    # (count desc, label asc) rule and keep-own fallback.
+    lp_iters = []
+    lp_prev = "lb0"
+    for i in range(1, 4):
+        lp_iters.append(f"""v{i}66 AS (
+  SELECT u.a, l.label, count(*) AS c
+  FROM u166 u JOIN {lp_prev} l ON l.node = u.b
+  GROUP BY 1, 2
+),
+p{i}66 AS (
+  SELECT a AS node, label FROM (
+    SELECT a, label,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}66) WHERE rn = 1
+),
+lb{i} AS (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM {lp_prev} l LEFT JOIN p{i}66 p ON p.node = l.node
+)""")
+        lp_prev = f"lb{i}"
+    sqls["q166_label_propagation"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l166 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l166", "z0", "xh", "x166")},
+e166a AS (
+  SELECT doc_id AS src, ((({_signed64_sql("xh")} % nn.n) + nn.n) % nn.n)
+         AS dst
+  FROM x166f CROSS JOIN nn
+),
+e166 AS (SELECT DISTINCT src, dst FROM e166a WHERE dst <> src),
+u166 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e166
+    UNION ALL SELECT dst AS a, src AS b FROM e166)
+  WHERE a <> b
+),
+lb0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{",".join(lp_iters)}
+SELECT node AS doc_id, CAST(label AS BIGINT) AS label
+FROM lb3 ORDER BY doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

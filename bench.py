@@ -121,7 +121,7 @@ def main() -> None:
         "q156_rendezvous_shards", "q157_turn_stats", "q158_prefix_policy",
         "q159_kwic", "q160_polygon_overlap", "q161_postings_compression",
         "q162_parse_latlon", "q163_dup_chunk_ratio", "q164_mad_outliers",
-        "q165_partition_pruned_scan",
+        "q165_partition_pruned_scan", "q166_label_propagation",
     ]
     from geotile import cache, textops
 

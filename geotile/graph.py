@@ -355,3 +355,45 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
                 .localCheckpoint(eager=True))
         frontier = improved
     return cache.track(dist, [ed])
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame, iters: int = 3,
+                      node_col: str = "node", src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    exactly reproducible: labels start as node ids; each round every
+    node adopts the most frequent label among its (symmetrized,
+    deduped) neighbors with the deterministic ``(count desc, label
+    asc)`` tie rule — the deterministic twin of the usual async
+    random-order sweep, so the whole trajectory is SQL-replicable and
+    an isolated
+    node simply keeps its label.  Fixed ``iters`` rounds (community
+    detection's usual 3-5 sweeps), no convergence test — the gate
+    checks the exact trajectory, not a fixpoint.
+
+    Scale shape: per round ONE neighbor-label join (edge-keyed) + one
+    (node, label) vote aggregate + one argmin-struct pick — the same
+    one-shuffle-per-round budget as pagerank/bfs; the symmetrized
+    edge list is persisted once and re-read every round, labels are
+    localCheckpoint-ed to truncate lineage (checkpoint() on reliable
+    storage at cluster scale).  Returns ``(node, label)``."""
+    nd = nodes.select(F.col(node_col).alias("node"))
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct().persist())
+    und.count()
+    labels = nd.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        votes = (und.join(labels.withColumnRenamed("node", "b"), "b")
+                 .groupBy("a", "label").agg(F.count("*").alias("_c")))
+        pick = (votes.groupBy("a")
+                .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                    F.col("label").alias("l"))).alias("_m"))
+                .select(F.col("a").alias("node"),
+                        F.col("_m")["l"].alias("_new")))
+        labels = (labels.join(pick, "node", "left")
+                  .select("node", F.coalesce("_new", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return cache.track(labels, [und])

@@ -861,6 +861,22 @@ def main() -> None:
         "partitions never scanned (see the scan line below)"))
     _sh.rmtree(_pdir, ignore_errors=True)
 
+    from geotile import graph as _lp_graph
+
+    _lp_nodes = spark.range(0, 3000).select(F.col("id").alias("node"))
+    _lp_edges = spark.range(0, 3000).select(
+        F.col("id").alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(3000)).alias("dst")).where(
+        F.col("src") != F.col("dst"))
+    _lp = _lp_graph.label_propagation(_lp_nodes, _lp_edges, iters=3)
+    sections.append(summarize(
+        _lp,
+        "label_propagation (q166): one edge-keyed join + one vote "
+        "aggregate + one argmin-struct pick per round — the "
+        "pagerank/bfs one-shuffle-per-round budget; edges persisted "
+        "once, labels lineage-truncated"))
+    _cache.release(_lp)
+
     sections.append(summarize(
         trajectory.revisit_rates(engine.with_cell(traj), ts="tts"),
         "revisit_rates (q154): the shared q140 visit collapse (one "

@@ -288,3 +288,17 @@ def test_sssp_matches_local_on_random_graphs(spark):
         edges = [(u, v, 1 + ((u * 7 + v) % 9)) for u, v in edges if u != v]
         expect = _sssp_local(edges, [0, 11], 5)
         assert _run_sssp(spark, edges, [0, 11], 5) == expect
+
+
+def test_label_propagation_converges_on_cliques(spark):
+    # two disjoint triangles + one isolated node
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(v,) for v in (0, 1, 2, 10, 11, 12, 99)], "node long")
+    out = graph.label_propagation(nodes, edges, iters=3)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    from geotile import cache
+    cache.release(out)
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 99: 99}

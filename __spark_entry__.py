@@ -3391,6 +3391,149 @@ def _q115_radius_gyration(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q167_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov next-cell transition model
+    (trajectory.markov_transitions) over the gh4 walk: every
+    consecutive fix pair — self-loops INCLUDED, carrying the dwell
+    mass q81's flow matrix deliberately drops — counted per directed
+    (origin, destination) pair with the exact floor-division
+    micro-probability ``n * 1e6 DIV total_from_origin`` and the
+    per-origin rank (count desc, destination asc), so rank 1 reads as
+    the next-location prediction.  One lag window + one pair count +
+    one per-origin window over the collapsed pair table; the oracle
+    replays the closed-form geohash and all three stages verbatim."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (trajectory.markov_transitions(pos, nchars=4)
+            .orderBy("o_cell", "d_cell"))
+
+
+def _q168_time_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Trapezoidal time-weighted average of events.value per user
+    (behavior.time_weighted_avg): the step-integral mean of an
+    irregularly sampled signal — where plain AVG over-weights burst
+    periods — in exact int64 milli-units over unix-second epochs
+    (values snap once via floor(v*1000); trapezoid numerators and the
+    final floor division are pure integer ops).  Zero-span users are
+    dropped rather than emitted as NULL.  One lag window + one per-key
+    aggregate; the oracle replays the identical lag/sum/DIV chain."""
+    from geotile import behavior
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep"), "value")
+    return behavior.time_weighted_avg(ev).orderBy("user_id")
+
+
+_RRF_QDOC = 0   # q169 dense leg queries with doc 0's embedding counts
+_RRF_K = 60     # the standard RRF constant (Cormack et al. 2009)
+
+
+def _rrf_query_counts(sf_dir: str) -> list[int]:
+    """q169's dense query vector: the hashed-token bucket counts of
+    doc ``_RRF_QDOC``'s text, computed DRIVER-side from the one row
+    (pyarrow predicate read — never a corpus collect) through the
+    same Horner+splitmix pipeline as textops.hashed_token_counts."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", _RRF_QDOC)])
+    text = t.to_pandas().iloc[0]["text"]
+    hs, _ = textops._token_hashes_flat(pd.Series([text]))
+    h2 = textops._splitmix64(hs + np.uint64(_EMB_SEED))
+    idx = (h2 % np.uint64(_EMB_DIM)).astype(np.int64)
+    sign = np.where((h2 >> np.uint64(63)).astype(bool), -1, 1)
+    vec = np.bincount(idx, weights=sign, minlength=_EMB_DIM).astype(np.int64)
+    return [int(x) for x in vec]
+
+
+def _q169_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval under the exact gate: the q63
+    BM25 scorer ranks the top-50 keyword matches, a dense cosine leg
+    ranks the top-50 neighbours of doc 0's hashing-trick embedding,
+    and reciprocal-rank fusion (textops.rrf_fuse, k=60) combines them
+    into integer scores ``sum(1e9 DIV (60 + rank))``.  The dense leg
+    scores from EXACT integer building blocks
+    (textops.hashed_token_counts): the dot product and both squared
+    norms are order-independent int64 sums, the cosine ONE double
+    division — so the dense rank order is cross-engine exact with no
+    rounding crutch.  Scale shape: the corpus sees one narrow Arrow
+    pass (counts) + one TakeOrdered; rank lists are 50-row sides, so
+    the fusion join is trivially broadcastable."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bm = textops.bm25_topk(docs, _BM25_TERMS, k=50)
+    # 50-row frame: the unpartitioned window is a deliberate 1-task sort
+    wsp = Window.orderBy(F.col("score_nano").desc(), F.col("doc_id").asc())
+    sparse = bm.select("doc_id",
+                       F.row_number().over(wsp).cast("long").alias("rnk"))
+
+    qc = _rrf_query_counts(sf)
+    sq = sum(x * x for x in qc)
+    cnt = textops.hashed_token_counts(
+        docs.select("doc_id", "text"), dim=_EMB_DIM, seed=_EMB_SEED)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qc])
+    dot = F.aggregate(F.zip_with(F.col("counts"), qlit, lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    se = F.aggregate(F.transform(F.col("counts"), lambda a: a * a),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cos = (dot.cast("double")
+           / (F.sqrt(se.cast("double")) * F.sqrt(F.lit(float(sq)))))
+    scored = (cnt.select("doc_id", se.alias("_se"), cos.alias("_cos"))
+              .where((F.col("doc_id") != _RRF_QDOC) & (F.col("_se") > 0)))
+    top = (scored.orderBy(F.col("_cos").desc(), F.col("doc_id").asc())
+           .limit(50))
+    wdn = Window.orderBy(F.col("_cos").desc(), F.col("doc_id").asc())
+    dense = top.select("doc_id",
+                       F.row_number().over(wdn).cast("long").alias("rnk"))
+    return textops.rrf_fuse(sparse, dense, k=_RRF_K, topk=20)
+
+
+def _q170_curve_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Space-filling-curve locality, MEASURED as a gated fact instead
+    of asserted: the q121 256x256 grid indexed by BOTH the order-8
+    Hilbert curve (udfs.hilbert_udf) and Morton/Z-order
+    (udfs.morton_col — one native bit-spread expression, no UDF),
+    bucketed ``d DIV 100``, then per curve the bucket-footprint stats
+    (sum and max over buckets of the bbox area ``(xspan+1)*(yspan+1)``).
+    The bucket width is deliberately NOT a power of 4: at aligned
+    widths (256 = 4^4) every bucket of EITHER curve is an exact
+    quadrant square and the curves are indistinguishable (measured:
+    identical footprints at DIV 256) — but real file clustering splits
+    by target file size, landing buckets on arbitrary curve offsets,
+    and there Hilbert's unit-step adjacency keeps partial buckets
+    contiguous while Morton jumps quadrant seams (sf0.01: sum_area
+    67,648 vs 132,402; max 192 vs 2,560).  All integer; the oracle
+    unrolls the Hilbert CTE chain and replays the Morton spread with
+    shift-free arithmetic."""
+    from geotile import udfs
+
+    pos = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.expr("((user_id * 7919 + event_id * 13) % 160000) DIV 625")
+        .alias("ix"),
+        F.expr("(((user_id * 104729 + event_id * 7) % 340000) * 256) "
+               "DIV 340000").alias("iy"))
+    hil = pos.withColumn("d", udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
+    mor = pos.withColumn("d", udfs.morton_col(F.col("ix"), F.col("iy")))
+    outs = []
+    for curve, df in (("hilbert", hil), ("morton", mor)):
+        b = (df.groupBy(F.expr("d DIV 100").alias("bucket"))
+             .agg((F.max("ix") - F.min("ix")).alias("nx"),
+                  (F.max("iy") - F.min("iy")).alias("ny"),
+                  F.count("*").alias("n")))
+        area = (F.col("nx") + 1) * (F.col("ny") + 1)
+        outs.append(
+            b.agg(F.count("*").alias("n_buckets"),
+                  F.sum(area).alias("sum_area"),
+                  F.max(area).alias("max_area"),
+                  F.sum("n").alias("n_points"))
+            .select(F.lit(curve).alias("curve"), "n_buckets", "sum_area",
+                    "max_area", "n_points"))
+    return outs[0].unionByName(outs[1]).orderBy("curve")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -3591,6 +3734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_mad_outliers": _q164_mad_outliers,
         "q165_partition_pruned_scan": _q165_partition_pruned_scan,
         "q166_label_propagation": _q166_label_propagation,
+        "q167_markov_transitions": _q167_markov_transitions,
+        "q168_time_weighted_value": _q168_time_weighted_value,
+        "q169_hybrid_rrf": _q169_hybrid_rrf,
+        "q170_curve_compare": _q170_curve_compare,
     }
 
 
@@ -8320,6 +8467,210 @@ lb0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
 {",".join(lp_iters)}
 SELECT node AS doc_id, CAST(label AS BIGINT) AS label
 FROM lb3 ORDER BY doc_id
+"""
+
+    # q167: Markov transitions — the q81 walk/geohash chain with
+    # self-loops kept, plus the per-origin total/rank window
+    _wgh167 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q167_markov_transitions"] = f"""
+WITH {_WALK_CTE},
+c167 AS (
+  SELECT user_id, ep, event_id, {_wgh167} AS d
+  FROM walk
+),
+l167 AS (
+  SELECT d,
+         lag(d) OVER (PARTITION BY user_id
+                      ORDER BY ep ASC, event_id ASC) AS o
+  FROM c167
+),
+f167 AS (
+  SELECT o AS o_cell, d AS d_cell, count(*) AS n
+  FROM l167 WHERE o IS NOT NULL GROUP BY 1, 2
+),
+t167 AS (
+  SELECT o_cell, d_cell, n,
+         sum(n) OVER (PARTITION BY o_cell) AS tot,
+         row_number() OVER (PARTITION BY o_cell
+                            ORDER BY n DESC, d_cell ASC) AS rnk
+  FROM f167
+)
+SELECT o_cell, d_cell, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // tot AS BIGINT) AS p_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM t167 ORDER BY o_cell, d_cell
+"""
+
+    # q168: trapezoidal time-weighted average — identical lag/sum/DIV
+    # chain over floor(value*1000) milli-units and unix-second epochs
+    sqls["q168_time_weighted_value"] = r"""
+WITH e168 AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+l168 AS (
+  SELECT user_id, ep, v,
+         lag(v) OVER (PARTITION BY user_id
+                      ORDER BY ep ASC, event_id ASC) AS pv,
+         lag(ep) OVER (PARTITION BY user_id
+                       ORDER BY ep ASC, event_id ASC) AS pt
+  FROM e168
+),
+a168 AS (
+  SELECT user_id, count(*) AS n_fixes,
+         max(ep) - min(ep) AS span_s,
+         CAST(sum(CASE WHEN pv IS NULL THEN 0
+                  ELSE (v + pv) * (ep - pt) END) AS BIGINT) AS num
+  FROM l168 GROUP BY user_id
+)
+SELECT user_id, CAST(n_fixes AS BIGINT) AS n_fixes,
+       CAST(span_s AS BIGINT) AS span_s,
+       CAST(num // (2 * span_s) AS BIGINT) AS twa_milli
+FROM a168 WHERE span_s > 0 ORDER BY user_id
+"""
+
+    # q169: hybrid RRF — the q63 BM25 CTEs at LIMIT 50 + the q52
+    # embedding chain reduced to INTEGER counts (dot and norms are
+    # exact BIGINT sums; the cosine is one double division), fused
+    # with integer reciprocal-rank contributions
+    rrf_terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    sqls["q169_hybrid_rrf"] = rf"""
+WITH q169(t) AS (VALUES {rrf_terms}),
+toks169 AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+stats169 AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT DISTINCT doc_id, dl FROM toks169)
+),
+tf169 AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM toks169
+  WHERE t IN (SELECT t FROM q169)
+  GROUP BY doc_id, t, dl
+),
+dft169 AS (SELECT t, count(*) AS df_t FROM tf169 GROUP BY t),
+contrib169 AS (
+  SELECT f.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * s.n_docs) / s.sum_dl))
+           * 1e9 + 0.5) AS BIGINT) AS c
+  FROM tf169 f JOIN dft169 d ON d.t = f.t CROSS JOIN stats169 s
+),
+bm169 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_nano
+  FROM contrib169 GROUP BY doc_id
+  ORDER BY score_nano DESC, doc_id LIMIT 50
+),
+sp169 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_nano DESC, doc_id ASC) AS r_sparse
+  FROM bm169
+),
+{_text_emb_cte_sql(_EMB_DIM, _EMB_SEED)},
+qc169 AS (
+  SELECT i, CAST(c AS BIGINT) AS qc FROM fullg WHERE doc_id = {_RRF_QDOC}
+),
+dot169 AS (
+  SELECT f.doc_id,
+         CAST(sum(CAST(f.c AS BIGINT) * q.qc) AS BIGINT) AS dot,
+         CAST(sum(CAST(f.c AS BIGINT) * CAST(f.c AS BIGINT)) AS BIGINT) AS se
+  FROM fullg f JOIN qc169 q USING (i)
+  WHERE f.doc_id <> {_RRF_QDOC}
+  GROUP BY f.doc_id
+),
+sq169 AS (SELECT CAST(sum(qc * qc) AS BIGINT) AS sq FROM qc169),
+cos169 AS (
+  SELECT doc_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(se AS DOUBLE)) * sqrt(CAST(sq AS DOUBLE))) AS cs
+  FROM dot169 CROSS JOIN sq169
+  WHERE se > 0
+),
+top169 AS (
+  SELECT doc_id, cs FROM cos169 ORDER BY cs DESC, doc_id ASC LIMIT 50
+),
+dn169 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS r_dense
+  FROM top169
+),
+fuse169 AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(s.r_sparse, 0) AS r_sparse,
+         COALESCE(d.r_dense, 0) AS r_dense,
+         (CASE WHEN s.r_sparse IS NULL THEN 0
+               ELSE 1000000000 // ({_RRF_K} + s.r_sparse) END
+          + CASE WHEN d.r_dense IS NULL THEN 0
+                 ELSE 1000000000 // ({_RRF_K} + d.r_dense) END) AS rrf
+  FROM sp169 s FULL OUTER JOIN dn169 d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(r_sparse AS BIGINT) AS r_sparse,
+       CAST(r_dense AS BIGINT) AS r_dense,
+       CAST(rrf AS BIGINT) AS rrf_score
+FROM fuse169 ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+    # q170: curve locality comparison — the q121 Hilbert CTE chain +
+    # the Morton spread replayed with shift-free arithmetic (x<<k =
+    # x*2^k; & and | agree with Spark's bitwiseAND/OR on BIGINT)
+    sqls["q170_curve_compare"] = f"""
+WITH h0 AS (
+  SELECT event_id,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS ix,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS iy,
+         ((user_id * 7919 + event_id * 13) % 160000) // 625 AS x0,
+         (((user_id * 104729 + event_id * 7) % 340000) * 256) // 340000 AS y0,
+         CAST(0 AS BIGINT) AS d0
+  FROM events
+),
+{_hilbert_cte_sql(order=8)},
+hb170 AS (SELECT d8 // 100 AS bucket, ix, iy FROM h8),
+m0170 AS (
+  SELECT (ix | (ix * 16)) & 3855 AS ax,
+         (iy | (iy * 16)) & 3855 AS ay, ix, iy
+  FROM h0
+),
+m1170 AS (
+  SELECT (ax | (ax * 4)) & 13107 AS bx,
+         (ay | (ay * 4)) & 13107 AS sy, ix, iy
+  FROM m0170
+),
+m2170 AS (
+  SELECT (bx | (bx * 2)) & 21845 AS cx,
+         (sy | (sy * 2)) & 21845 AS cy, ix, iy
+  FROM m1170
+),
+mb170 AS (SELECT (cx | (cy * 2)) // 100 AS bucket, ix, iy FROM m2170),
+hs170 AS (
+  SELECT bucket, max(ix) - min(ix) AS nx, max(iy) - min(iy) AS ny,
+         count(*) AS n
+  FROM hb170 GROUP BY bucket
+),
+ms170 AS (
+  SELECT bucket, max(ix) - min(ix) AS nx, max(iy) - min(iy) AS ny,
+         count(*) AS n
+  FROM mb170 GROUP BY bucket
+)
+SELECT 'hilbert' AS curve, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum((nx + 1) * (ny + 1)) AS BIGINT) AS sum_area,
+       CAST(max((nx + 1) * (ny + 1)) AS BIGINT) AS max_area,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM hs170
+UNION ALL
+SELECT 'morton' AS curve, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum((nx + 1) * (ny + 1)) AS BIGINT) AS sum_area,
+       CAST(max((nx + 1) * (ny + 1)) AS BIGINT) AS max_area,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM ms170
+ORDER BY curve
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -122,6 +122,8 @@ def main() -> None:
         "q159_kwic", "q160_polygon_overlap", "q161_postings_compression",
         "q162_parse_latlon", "q163_dup_chunk_ratio", "q164_mad_outliers",
         "q165_partition_pruned_scan", "q166_label_propagation",
+        "q167_markov_transitions", "q168_time_weighted_value",
+        "q169_hybrid_rrf", "q170_curve_compare",
     ]
     from geotile import cache, textops
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,43 @@ def funnel(events: DataFrame, steps: Sequence[str], ts_col: str = "ep",
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def time_weighted_avg(events: DataFrame, val_col: str = "value",
+                      ts_col: str = "ep", key_col: str = "user_id",
+                      order_col: str = "event_id",
+                      scale: int = 1000) -> DataFrame:
+    """Trapezoidal time-weighted average of an irregularly sampled
+    value stream per key: ``twa = sum((v_i + v_{i-1}) * dt_i) / (2 *
+    span)`` — the correct mean of a step-interpolated signal, where the
+    plain AVG over-weights burst periods.  Values snap once to integer
+    ``scale``-units (``floor(v * scale)``); every downstream operand —
+    trapezoid numerators, the final floor division — is exact int64,
+    so the result is cross-engine exact with NO float accumulation.
+
+    The milli default bounds the sum: v_milli < 1e6, dt < 3e6 s and
+    ~1e3 segments/key keep the per-key numerator < 1e16 under ANSI
+    overflow checks.  Values must be non-negative (integer DIV is
+    truncation, not floor, for negative operands — documented, not
+    hidden).  Keys with a zero time span (single fix or all-equal
+    timestamps) are dropped rather than emitted as NULL/sentinel.
+
+    Scale shape: ONE per-key window shuffle (lag) + one per-key
+    aggregate that partial-aggregates map-side; all native."""
+    v = F.floor(F.col(val_col) * F.lit(float(scale))).cast("long")
+    w = Window.partitionBy(key_col).orderBy(F.col("_t").asc(),
+                                            F.col(order_col).asc())
+    d = (events.select(F.col(key_col), F.col(ts_col).cast("long").alias("_t"),
+                       F.col(order_col), v.alias("_v"))
+         .withColumn("_pv", F.lag("_v").over(w))
+         .withColumn("_pt", F.lag("_t").over(w)))
+    seg = F.when(F.col("_pv").isNotNull(),
+                 (F.col("_v") + F.col("_pv")) * (F.col("_t") - F.col("_pt"))
+                 ).otherwise(F.lit(0)).cast("long")
+    agg = (d.groupBy(key_col)
+           .agg(F.count("*").alias("n_fixes"),
+                (F.max("_t") - F.min("_t")).alias("span_s"),
+                F.sum(seg).alias("_num")))
+    return (agg.where(F.col("span_s") > 0)
+            .select(key_col, "n_fixes", "span_s",
+                    F.expr("_num DIV (2 * span_s)").alias("twa_milli")))

@@ -2273,3 +2273,65 @@ def feature_corr(df: DataFrame, x_col: str, y_col: str,
                                   * F.sqrt(F.col("den_y"))))
                        .cast("long")))
     return out.select(group, "n", "corr_num", "den_x", "den_y", "r_micro")
+
+
+def hashed_token_counts(df: DataFrame, text_col: str = "text", dim: int = 64,
+                        seed: int = 11, out: str = "counts") -> DataFrame:
+    """Raw signed bucket counts of the hashing-trick embedding — the
+    integer numerators :func:`text_embedding` L2-normalizes away.
+    Emitting them as ``array<long>`` lets a consumer form the cosine
+    from EXACT integer building blocks: ``dot = sum(c_l[i]*c_r[i])``
+    and the squared norms are order-independent int64 sums, so the
+    cosine is ONE double expression (int/÷(sqrt*sqrt)) that any SQL
+    engine reproduces bit-for-bit — no float accumulation to drift.
+    Same Horner+splitmix token pipeline and seed-mix as
+    :func:`text_embedding` (a doc's counts ARE its embedding numerators
+    at the same (dim, seed)).  One narrow Arrow pass, map-only."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cnt(text: pd.Series) -> pd.Series:
+        n = len(text)
+        hs, per_doc = _token_hashes_flat(text)
+        h2 = _splitmix64(hs + np.uint64(seed))
+        idx = (h2 % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h2 >> np.uint64(63)).astype(bool), -1, 1)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        vec = np.bincount(doc_of * dim + idx, weights=sign,
+                          minlength=n * dim).astype(np.int64).reshape(n, dim)
+        return pd.Series(vec.tolist())
+
+    return df.withColumn(out, _cnt.asNondeterministic()(F.col(text_col)))
+
+
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, id_col: str = "doc_id",
+             k: int = 60, topk: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (the standard hybrid
+    sparse+dense retrieval combiner, Cormack et al. 2009): each input
+    carries (``id_col``, ``rnk`` 1-based); a document's fused score is
+    the sum over lists of ``floor(1e9 / (k + rnk))`` — integer
+    contributions, so the fusion is exact and order-independent.
+    Documents absent from a list contribute 0 and surface with the 0
+    rank sentinel (never NULL: the gate's pandas fetch must not see a
+    nullable column).  Returns the fused top-``topk`` by (score desc,
+    id asc).
+
+    Scale shape: rank lists are top-N sides (bounded by N, not the
+    corpus), so the outer join is a trivially small exchange; at
+    cluster scale both sides broadcast."""
+    s = sparse.select(F.col(id_col), F.col("rnk").alias("r_sparse"))
+    d = dense.select(F.col(id_col), F.col("rnk").alias("r_dense"))
+    j = s.join(d, id_col, "outer")
+    contrib = (
+        F.when(F.col("r_sparse").isNotNull(),
+               F.expr(f"1000000000 DIV ({k} + r_sparse)")).otherwise(F.lit(0))
+        + F.when(F.col("r_dense").isNotNull(),
+                 F.expr(f"1000000000 DIV ({k} + r_dense)")).otherwise(F.lit(0))
+    ).cast("long")
+    return (j.select(F.col(id_col),
+                     F.coalesce("r_sparse", F.lit(0)).cast("long")
+                     .alias("r_sparse"),
+                     F.coalesce("r_dense", F.lit(0)).cast("long")
+                     .alias("r_dense"),
+                     contrib.alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(topk))

@@ -928,3 +928,39 @@ def turn_stats(df: DataFrame, key: str = "user_id", ts: str = "ep",
                  F.sum(F.when(F.col("_c") == 0, one).otherwise(zero))
                  .alias("n_straight"))
             .withColumn("net_lr", F.col("n_left") - F.col("n_right")))
+
+
+def markov_transitions(df: DataFrame, nchars: int = 4, key: str = "user_id",
+                       ts: str = "ep", order_col: str = "event_id",
+                       cell_col: str = "geohash") -> DataFrame:
+    """First-order Markov next-cell transition model: every consecutive
+    fix pair of a key contributes one (origin, destination) observation
+    — INCLUDING self-loops, which carry the dwell probability that
+    :func:`od_matrix` (flows only) deliberately drops.  Output per
+    directed cell pair: the transition count ``n``, the exact
+    floor-division probability ``p_micro = n * 1e6 DIV total_from_o``
+    (integer micro-units — no float ever touches the model), and the
+    per-origin rank ``rnk`` (count desc, destination asc) so a
+    next-location predictor reads rank 1 directly.
+
+    Scale shape: one per-key window (lag) on the shared trajectory
+    exchange, one (o, d) count that partial-aggregates map-side, then
+    one per-ORIGIN window over the collapsed pair table (bounded by
+    occupied cell pairs, tiny next to the fixes).  All native
+    expressions; the per-origin window's groups are at most the
+    per-cell fan-out (destinations reachable in one step), so no skew
+    salting is needed even for hub cells."""
+    c = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_d", c)
+         .withColumn("_o", F.lag("_d").over(w))
+         .where(F.col("_o").isNotNull()))
+    flows = (d.groupBy(F.col("_o").alias("o_cell"), F.col("_d").alias("d_cell"))
+             .agg(F.count("*").alias("n")))
+    wo = Window.partitionBy("o_cell")
+    wr = Window.partitionBy("o_cell").orderBy(F.col("n").desc(),
+                                              F.col("d_cell").asc())
+    return (flows.withColumn("_tot", F.sum("n").over(wo))
+            .withColumn("p_micro", F.expr("n * 1000000 DIV _tot"))
+            .withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .drop("_tot"))

@@ -374,3 +374,26 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("gh_hex_cell6", hex_cell_udf(6))
     spark.udf.register("gh_tile12", tile_udf(12))
     spark.udf.register("gh_hilbert8", hilbert_udf(8))
+
+
+def morton_col(ix, iy, bits: int = 8):
+    """Morton / Z-order interleave of two ``bits``-bit grid coordinates
+    as ONE native column expression (the shift-or bit spread — no UDF,
+    stays inside whole-stage codegen).  The Z-order counterpart of
+    :func:`hilbert_udf`: cheaper to compute (pure bit mixing, no
+    quadrant rotations) but with strictly worse bucket locality —
+    quadrant seams fragment ranges — which q170 measures as a gated
+    fact rather than asserting.  Only ``bits=8`` masks are unrolled
+    (the 256x256 locality grid the Hilbert index uses)."""
+    if bits != 8:
+        raise ValueError("morton_col unrolls masks for bits=8 only")
+    from pyspark.sql import functions as F
+
+    def spread(c):
+        x = c.cast("long")
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555))
+        return x
+
+    return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1)).cast("long")

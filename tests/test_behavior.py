@@ -77,3 +77,61 @@ def test_funnel_matches_local_on_random(spark):
     out = behavior.funnel(_ev(spark, rows), steps).collect()
     got = [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])]
     assert got == _local_funnel(rows, steps)
+
+
+def _evv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ep long, value double")
+
+
+def test_time_weighted_avg_hand_case(spark):
+    # u1: value 10 for 100 s then 20 for 100 s -> twa = 15
+    # (trapezoid of the step pairs: (10+20)*100 + (20+20)*0 ... exact)
+    rows = [(1, 0, 0, 10.0), (1, 1, 100, 20.0), (1, 2, 200, 20.0)]
+    out = {r["user_id"]: r for r in
+           behavior.time_weighted_avg(_evv(spark, rows)).collect()}
+    r = out[1]
+    assert r["n_fixes"] == 3 and r["span_s"] == 200
+    # num = (10000+20000)*100 + (20000+20000)*100 = 7_000_000
+    assert r["twa_milli"] == 7_000_000 // (2 * 200)
+
+
+def test_time_weighted_avg_drops_zero_span(spark):
+    rows = [(1, 0, 50, 10.0),              # single fix -> dropped
+            (2, 1, 10, 1.0), (2, 2, 10, 9.0),  # all-equal ts -> dropped
+            (3, 3, 0, 5.0), (3, 4, 10, 5.0)]
+    out = {r["user_id"]: r for r in
+           behavior.time_weighted_avg(_evv(spark, rows)).collect()}
+    assert set(out) == {3}
+    assert out[3]["twa_milli"] == 5000  # constant signal -> itself
+
+
+def test_time_weighted_avg_matches_local_on_random(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for _ in range(rng.randrange(2, 30)):
+            rows.append((u, eid, rng.randrange(0, 5000), rng.uniform(0, 400)))
+            eid += 1
+    got = {r["user_id"]: (r["n_fixes"], r["span_s"], r["twa_milli"])
+           for r in behavior.time_weighted_avg(_evv(spark, rows)).collect()}
+    import math
+
+    by_user = {}
+    for u, e, t, v in rows:
+        by_user.setdefault(u, []).append((t, e, math.floor(v * 1000)))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        ts = [t for t, _, _ in evs]
+        vs = [v for _, _, v in evs]
+        span = max(ts) - min(ts)
+        if span <= 0:
+            continue
+        num = sum((vs[i] + vs[i - 1]) * (ts[i] - ts[i - 1])
+                  for i in range(1, len(vs)))
+        want[u] = (len(evs), span, num // (2 * span))
+    assert got == want

@@ -131,3 +131,57 @@ def test_udf_matches_kernel(spark):
            .orderBy("id").toPandas())
     want = hilbert_xy2d(out["ix"].to_numpy(), out["iy"].to_numpy(), 8)
     assert (out["hd"].to_numpy() == want).all()
+
+
+def test_morton_col_matches_reference(spark):
+    """Native bit-spread Morton vs the textbook per-bit interleave."""
+    from pyspark.sql import functions as F
+
+    from geotile import udfs
+
+    def ref(x, y):
+        m = 0
+        for b in range(8):
+            m |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    pts = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 11)]
+    pts += [(0, 0), (255, 255), (255, 0), (0, 255), (170, 85)]
+    df = spark.createDataFrame(pts, "ix long, iy long")
+    got = {(r["ix"], r["iy"]): r["m"]
+           for r in df.withColumn(
+               "m", udfs.morton_col(F.col("ix"), F.col("iy"))).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_hilbert_buckets_tighter_than_morton(spark):
+    """The q170 gated fact as a module-level invariant, on a dense
+    deterministic 60%-filled grid (sparse sf0.001 data is too noisy to
+    separate the curves): with a NON-power-of-4 bucket width (file-
+    size-driven splits land on arbitrary curve offsets), Hilbert's
+    summed and max bucket-footprint areas are strictly smaller than
+    Morton's.  At aligned widths (4^k) both curves give identical
+    quadrant squares — q170's docstring states that measured caveat."""
+    from pyspark.sql import functions as F
+
+    from geotile import udfs
+
+    grid = (spark.range(256 * 256)
+            .select((F.col("id") % 256).alias("ix"),
+                    (F.col("id") / 256).cast("long").alias("iy"))
+            .where((F.col("ix") * 31 + F.col("iy") * 17) % 10 < 6))
+    hil = grid.withColumn("d", udfs.hilbert_udf(8)(F.col("ix"), F.col("iy")))
+    mor = grid.withColumn("d", udfs.morton_col(F.col("ix"), F.col("iy")))
+    stats = {}
+    for curve, df in (("hilbert", hil), ("morton", mor)):
+        b = (df.groupBy(F.expr("d DIV 100").alias("b"))
+             .agg(((F.max("ix") - F.min("ix") + 1)
+                   * (F.max("iy") - F.min("iy") + 1)).alias("area")))
+        r = b.agg(F.sum("area").alias("s"), F.max("area").alias("m"),
+                  F.count("*").alias("nb")).collect()[0]
+        stats[curve] = r
+    assert stats["hilbert"]["nb"] == stats["morton"]["nb"]
+    # measured: 87,543 vs 182,177 summed; 192 vs 3,072 max
+    assert stats["hilbert"]["s"] < stats["morton"]["s"]
+    assert stats["hilbert"]["m"] < stats["morton"]["m"]

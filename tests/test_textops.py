@@ -1218,3 +1218,48 @@ def test_mad_outliers_low_median_rule(spark):
            for r in textops.mad_outliers(df).collect()}
     assert got["g"] == (5, 3, 1, 1)
     assert got["h"] == (4, 20, 10, 0)
+
+
+def test_hashed_token_counts_are_embedding_numerators(spark):
+    """counts / ||counts|| must reproduce text_embedding bit-for-bit
+    (same (dim, seed) pipeline), and the counts are exact ints."""
+    import numpy as np
+
+    rows = [(i, f"alpha beta gamma doc{i} token{i % 7} the the")
+            for i in range(25)] + [(25, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {r["doc_id"]: np.asarray(r["embedding"])
+           for r in textops.text_embedding(df, dim=32, seed=11).collect()}
+    cnt = {r["doc_id"]: np.asarray(r["counts"], dtype=np.int64)
+           for r in textops.hashed_token_counts(df, dim=32, seed=11).collect()}
+    assert set(emb) == set(cnt)
+    for d, c in cnt.items():
+        norm = np.sqrt(float(c @ c))
+        want = c / (norm if norm > 0 else 1.0)
+        assert np.array_equal(emb[d], want)
+
+
+def test_rrf_fuse_hand_case(spark):
+    # sparse ranks: a=1, b=2; dense ranks: b=1, c=2
+    sp = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rnk long")
+    dn = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rnk long")
+    out = {r["doc_id"]: r for r in
+           textops.rrf_fuse(sp, dn, k=60, topk=10).collect()}
+    c = lambda r: 1_000_000_000 // (60 + r)
+    assert out[10]["rrf_score"] == c(1)
+    assert out[20]["rrf_score"] == c(2) + c(1)
+    assert out[30]["rrf_score"] == c(2)
+    # sentinel 0 for a missing list, never NULL
+    assert out[10]["r_dense"] == 0 and out[30]["r_sparse"] == 0
+    # doc 20 (both lists) outranks the single-list docs
+    rows = textops.rrf_fuse(sp, dn, k=60, topk=10).collect()
+    assert rows[0]["doc_id"] == 20
+
+
+def test_rrf_fuse_topk_and_ties(spark):
+    # equal scores tie-break by id asc; topk truncates
+    sp = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rnk long")
+    dn = spark.createDataFrame([(7, 1), (9, 2)], "doc_id long, rnk long")
+    rows = textops.rrf_fuse(sp, dn, k=60, topk=2).collect()
+    # rank-1 contributions tie (docs 5 and 7): id asc wins
+    assert [r["doc_id"] for r in rows] == [5, 7]

@@ -599,3 +599,48 @@ def test_turn_stats_classifies_by_cross_sign(spark):
            for r in trajectory.turn_stats(df).collect()}
     assert got[1] == (3, 1, 1, 1, 0)
     assert got[2] == (1, 0, 0, 1, 0)
+
+
+def test_markov_transitions_brute_force(spark):
+    cells = engine.with_cell(_df(spark), nchars=5)
+    got = {(r["o_cell"], r["d_cell"]): (r["n"], r["p_micro"], r["rnk"])
+           for r in trajectory.markov_transitions(cells, nchars=4).collect()}
+    # local ground truth: lag per user on (ep, event_id), 4-char cells,
+    # self-loops included
+    rows = sorted(_traj_rows(), key=lambda r: (r[1], r[2], r[0]))
+    by_user = {}
+    for eid, u, t, la, lo in rows:
+        c = gh.encode(np.array([la]), np.array([lo]), nchars=5)[0][:4]
+        by_user.setdefault(u, []).append(c)
+    counts = {}
+    for seq in by_user.values():
+        for o, d in zip(seq, seq[1:]):
+            counts[(o, d)] = counts.get((o, d), 0) + 1
+    assert set(got) == set(counts)
+    tot = {}
+    for (o, _d), n in counts.items():
+        tot[o] = tot.get(o, 0) + n
+    for (o, d), n in counts.items():
+        gn, gp, _ = got[(o, d)]
+        assert gn == n
+        assert gp == n * 1000000 // tot[o]
+    # ranks: within each origin, 1..k by (n desc, d asc), rank 1 = argmax
+    for o in tot:
+        dests = sorted(((d, n) for (oo, d), n in counts.items() if oo == o),
+                       key=lambda x: (-x[1], x[0]))
+        for rk, (d, _n) in enumerate(dests, start=1):
+            assert got[(o, d)][2] == rk
+
+
+def test_markov_self_loops_dominate_dwell(spark):
+    # a user who never leaves one cell: exactly one transition row,
+    # a self-loop with probability 1.0 (1e6 micro) and rank 1
+    rows = [(i, 9, i * 100, 10.0 + i * 1e-6, 20.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    out = trajectory.markov_transitions(
+        engine.with_cell(df, nchars=5), nchars=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["o_cell"] == r["d_cell"]
+    assert (r["n"], r["p_micro"], r["rnk"]) == (4, 1000000, 1)

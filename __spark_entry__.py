@@ -3534,6 +3534,74 @@ def _q170_curve_compare(spark: SparkSession, sf: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).orderBy("curve")
 
 
+_PHRASES = ["hash value", "row scan", "fast merge batch"]
+
+
+def _q171_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase retrieval (textops.phrase_search): exact
+    2- and 3-token phrase hits per document, resolved on the
+    positional inverted index — postings filter to the phrase
+    vocabulary map-side, then L-1 equi-joins on (doc, pos+offset).
+    The IR capability q146's bag-of-terms boolean search cannot
+    express.  The oracle replays the token-position lattice with
+    adjacent-subscript tests per phrase."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.phrase_search(docs, _PHRASES)
+    return cache.track(out.orderBy("phrase", "doc_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q172_adaptive_cover(spark: SparkSession, sf: str) -> DataFrame:
+    """Density-adaptive quadtree tiling (engine.adaptive_cover): hub
+    cells of the walk refine to gh4 while sparse regions stay coarse
+    (threshold 100, precisions 1-4) — the refinement dual of q70's
+    cover compaction, and the layout decision a 100-TB tile store
+    makes per region.  Every point lands in exactly one cover cell
+    (conservation is pytest-pinned); the points shuffle once at the
+    finest precision, coarser levels roll up from the collapsed cell
+    table.  The oracle replays the count cascade and the
+    overflow-reachability walk level by level."""
+    pos = engine.with_cell(_walk_df(spark, sf), nchars=4)
+    return (engine.adaptive_cover(pos, threshold=100, p_min=1, p_max=4)
+            .orderBy("precision", "cell"))
+
+
+def _q173_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration (textops.minhash_calibration):
+    per LSH candidate pair the 64-hash estimated Jaccard vs the exact
+    word-trigram Jaccard with the signed error, zero-overlap candidates
+    kept via COALESCE — the measured estimator-drift audit a dedup
+    deployment reads before picking thresholds.  est_micro is exactly
+    k*15625 (1e6/64 integral); jac/err are floor-division integers.
+    The oracle composes the q16 candidate CTE with the q43-style
+    verify join plus the left-join zero-overlap keep."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.minhash_calibration(docs, candidate_threshold=0.2)
+    from geotile import cache
+
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q174_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (textops.containment_pairs): the
+    quote/subset duplication Jaccard misses — winnowing-fingerprint
+    candidates (the q33 df-capped pipeline, doc_id < 300 slice) then
+    EXACT per-side word-trigram containment |A∩B|/|A|, |A∩B|/|B| as
+    floored micro-integers, kept where either side clears 0.5.  The
+    oracle replays the full winnow chain (HUGEINT Horner+splitmix,
+    window minima, df cap) and the containment arithmetic."""
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .where(F.col("doc_id") < 300))
+    out = textops.containment_pairs(docs, cont_threshold=0.5)
+    from geotile import cache
+
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -3738,6 +3806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_time_weighted_value": _q168_time_weighted_value,
         "q169_hybrid_rrf": _q169_hybrid_rrf,
         "q170_curve_compare": _q170_curve_compare,
+        "q171_phrase_search": _q171_phrase_search,
+        "q172_adaptive_cover": _q172_adaptive_cover,
+        "q173_minhash_calibration": _q173_minhash_calibration,
+        "q174_containment_pairs": _q174_containment_pairs,
     }
 
 
@@ -8671,6 +8743,166 @@ SELECT 'morton' AS curve, CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(n) AS BIGINT) AS n_points
 FROM ms170
 ORDER BY curve
+"""
+
+    # q171: positional phrase search — adjacent-subscript tests over
+    # the token-position lattice, one UNION ALL branch per phrase
+    ph_branches = []
+    for p in _PHRASES:
+        ws = p.split()
+        conds = " AND ".join(
+            [f"i + {len(ws) - 1} <= len(l)"]
+            + [f"l[i + {k}] = '{w}'" for k, w in enumerate(ws)])
+        ph_branches.append(
+            f"SELECT '{p}' AS phrase, doc_id FROM i171 WHERE {conds}")
+    ph_union = "\n  UNION ALL\n  ".join(ph_branches)
+    sqls["q171_phrase_search"] = rf"""
+WITH t171 AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS l
+  FROM documents
+),
+i171 AS (
+  SELECT doc_id, l, CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS i
+  FROM t171
+),
+hits171 AS (
+  {ph_union}
+)
+SELECT phrase, doc_id, count(*) AS n_hits
+FROM hits171 GROUP BY 1, 2 ORDER BY phrase, doc_id
+"""
+
+    # q172: adaptive cover — count cascade c4->c1 by substring rollup,
+    # then the overflow-reachability walk (keep if fits or p=4; refine
+    # children of overflowing reachable cells)
+    _agh172 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q172_adaptive_cover"] = f"""
+WITH {_WALK_CTE},
+c4 AS (SELECT {_agh172} AS cell, count(*) AS n FROM walk GROUP BY 1),
+c3 AS (SELECT substr(cell, 1, 3) AS cell, CAST(sum(n) AS BIGINT) AS n
+       FROM c4 GROUP BY 1),
+c2 AS (SELECT substr(cell, 1, 2) AS cell, CAST(sum(n) AS BIGINT) AS n
+       FROM c3 GROUP BY 1),
+c1 AS (SELECT substr(cell, 1, 1) AS cell, CAST(sum(n) AS BIGINT) AS n
+       FROM c2 GROUP BY 1),
+k1 AS (SELECT cell, 1 AS precision, n FROM c1 WHERE n <= 100),
+o1 AS (SELECT cell FROM c1 WHERE n > 100),
+r2 AS (SELECT c.cell, c.n FROM c2 c JOIN o1 o ON substr(c.cell, 1, 1) = o.cell),
+k2 AS (SELECT cell, 2 AS precision, n FROM r2 WHERE n <= 100),
+o2 AS (SELECT cell FROM r2 WHERE n > 100),
+r3 AS (SELECT c.cell, c.n FROM c3 c JOIN o2 o ON substr(c.cell, 1, 2) = o.cell),
+k3 AS (SELECT cell, 3 AS precision, n FROM r3 WHERE n <= 100),
+o3 AS (SELECT cell FROM r3 WHERE n > 100),
+r4 AS (SELECT c.cell, c.n FROM c4 c JOIN o3 o ON substr(c.cell, 1, 3) = o.cell),
+cover172 AS (
+  SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3
+  UNION ALL SELECT cell, 4 AS precision, n FROM r4
+)
+SELECT cell, CAST(precision AS BIGINT) AS precision, CAST(n AS BIGINT) AS n
+FROM cover172 ORDER BY precision, cell
+"""
+
+    # q173: MinHash calibration — q16 candidate CTE + q43-style exact
+    # trigram verify, LEFT JOIN so zero-overlap candidates survive
+    sqls["q173_minhash_calibration"] = rf"""
+WITH {_minhash_cand_cte(0.2)},
+toks173 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+grams173 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks173
+),
+sizes173 AS (SELECT doc_id, count(*) AS ng FROM grams173 GROUP BY doc_id),
+inter173 AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM mh_cand c
+  JOIN grams173 ga ON ga.doc_id = c.a
+  JOIN grams173 gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY 1, 2
+),
+cal173 AS (
+  SELECT c.a, c.b,
+         CAST(floor(c.est_jaccard * 1000000 + 0.5) AS BIGINT) AS est_micro,
+         COALESCE(i.i, 0) AS i0, sa.ng AS na, sb.ng AS nb
+  FROM mh_cand c
+  LEFT JOIN inter173 i ON i.a = c.a AND i.b = c.b
+  JOIN sizes173 sa ON sa.doc_id = c.a
+  JOIN sizes173 sb ON sb.doc_id = c.b
+)
+SELECT a, b, est_micro,
+       CAST((i0 * 1000000) // (na + nb - i0) AS BIGINT) AS jac_micro,
+       CAST(est_micro - (i0 * 1000000) // (na + nb - i0) AS BIGINT)
+         AS err_micro
+FROM cal173 ORDER BY a, b
+"""
+
+    # q174: containment pairs — the q33 winnow candidate chain
+    # (doc_id < 300 slice) + exact per-side trigram containment
+    sqls["q174_containment_pairs"] = f"""
+WITH pg174 AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - {_wk} + 2, 1))) AS i
+  FROM documents WHERE doc_id < 300
+),
+raw174 AS (
+  SELECT doc_id, i, {_poly_hash_sql("text", "i", _wk)} AS h0 FROM pg174
+),
+{_splitmix_cte_sql("raw174", "h0", "hu", "sm174")},
+wins174 AS (
+  SELECT doc_id,
+         min(hu) OVER w AS mh,
+         count(*) OVER w AS cnt
+  FROM sm174d
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_ww - 1} FOLLOWING)
+),
+fps174 AS (
+  SELECT DISTINCT doc_id, {_signed64_sql("mh")} AS fp
+  FROM wins174 WHERE cnt = {_ww}
+),
+capped174 AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfreq FROM fps174)
+  WHERE dfreq <= {_wdf}
+),
+cand174 AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM capped174 l JOIN capped174 r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+toks174 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents WHERE doc_id < 300
+),
+grams174 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks174
+),
+sizes174 AS (SELECT doc_id, count(*) AS ng FROM grams174 GROUP BY doc_id),
+inter174 AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand174 c
+  JOIN grams174 ga ON ga.doc_id = c.a
+  JOIN grams174 gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       CAST((i.inter * 1000000) // sa.ng AS BIGINT) AS cont_a_micro,
+       CAST((i.inter * 1000000) // sb.ng AS BIGINT) AS cont_b_micro
+FROM inter174 i
+JOIN sizes174 sa ON sa.doc_id = i.a
+JOIN sizes174 sb ON sb.doc_id = i.b
+WHERE GREATEST((i.inter * 1000000) // sa.ng,
+               (i.inter * 1000000) // sb.ng) >= 500000
+ORDER BY i.a, i.b
 """
 
     # Every queries() entry above has an exact oracle — including the

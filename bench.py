@@ -124,6 +124,8 @@ def main() -> None:
         "q165_partition_pruned_scan", "q166_label_propagation",
         "q167_markov_transitions", "q168_time_weighted_value",
         "q169_hybrid_rrf", "q170_curve_compare",
+        "q171_phrase_search", "q172_adaptive_cover",
+        "q173_minhash_calibration", "q174_containment_pairs",
     ]
     from geotile import cache, textops
 

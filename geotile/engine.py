@@ -1878,3 +1878,57 @@ def parse_latlon(df: DataFrame, col: str = "raw") -> DataFrame:
         .otherwise(zero).alias("lat_micro"),
         F.when(ok, F.floor(lon * F.lit(1000000.0) + F.lit(0.5)))
         .otherwise(zero).alias("lon_micro"))
+
+
+def adaptive_cover(df: DataFrame, threshold: int, p_min: int = 1,
+                   p_max: int = 4, cell_col: str = "geohash") -> DataFrame:
+    """Adaptive quadtree-style tiling: starting from precision
+    ``p_min``, every cell whose point count exceeds ``threshold``
+    splits into its children at the next geohash precision, down to
+    ``p_max`` — the refinement DUAL of :func:`compact_cells` (which
+    merges full sibling sets upward).  The result is the
+    mixed-precision cover a density-adaptive tile index stores: dense
+    urban cells end up fine, empty ocean stays coarse, and every input
+    point lies in EXACTLY one cover cell (count conservation is the
+    pytest invariant).  A cell belongs to the cover iff every ancestor
+    overflowed and it either fits (`n <= threshold`) or sits at
+    ``p_max``.
+
+    Scale shape: the points shuffle ONCE (the ``p_max`` count); every
+    coarser level rolls up from that collapsed cell table by substring
+    (exchanges move only distinct cells, never points), and the
+    level-by-level reachability walk joins cell tables that shrink
+    with each refinement.  ``p_max - p_min`` is a small constant, so
+    the walk is a fixed pipeline, not a data-dependent loop.  Returns
+    ``(cell, precision, n)``."""
+    if not (1 <= p_min <= p_max):
+        raise ValueError("need 1 <= p_min <= p_max")
+    fine = (df.groupBy(F.substring(F.col(cell_col), 1, p_max).alias("cell"))
+            .agg(F.count("*").alias("n")))
+    counts = {p_max: fine}
+    for p in range(p_max - 1, p_min - 1, -1):
+        counts[p] = (counts[p + 1]
+                     .groupBy(F.substring("cell", 1, p).alias("cell"))
+                     .agg(F.sum("n").alias("n")))
+    keeps = []
+    reach = counts[p_min]
+    for p in range(p_min, p_max + 1):
+        if p == p_max:
+            keep = reach
+        else:
+            keep = reach.where(F.col("n") <= threshold)
+            over = (reach.where(F.col("n") > threshold)
+                    .select(F.col("cell").alias("_parent")))
+            # the overflow list is bounded by the occupied cells at p
+            # (<= 32^p, typically far fewer) — always broadcast-sized
+            reach = (counts[p + 1]
+                     .join(F.broadcast(over),
+                           F.substring(F.col("cell"), 1, p)
+                           == F.col("_parent"))
+                     .select("cell", "n"))
+        keeps.append(keep.select(
+            "cell", F.lit(p).cast("long").alias("precision"), "n"))
+    out = keeps[0]
+    for k in keeps[1:]:
+        out = out.unionByName(k)
+    return out

@@ -2335,3 +2335,151 @@ def rrf_fuse(sparse: DataFrame, dense: DataFrame, id_col: str = "doc_id",
                      contrib.alias("rrf_score"))
             .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
             .limit(topk))
+
+
+def phrase_search(df: DataFrame, phrases, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Positional phrase retrieval: exact multi-token phrase hits
+    resolved on the positional inverted index — the IR primitive
+    :func:`boolean_search` (bag-of-terms) cannot express.  Postings
+    are filtered to the query phrases' term vocabulary BEFORE any
+    exchange (the posexplode feeds a literal-array filter map-side, so
+    only matching postings ever shuffle), then a phrase of length L
+    resolves by L-1 equi-joins on ``(doc, position + offset)`` — each
+    join key is exact, no windows, no Python.  Returns ``(phrase,
+    doc_id, n_hits)`` for documents with at least one hit.
+
+    Scale shape: the filtered postings table is persisted once and
+    reused across phrase legs (released via geotile.cache); join keys
+    (doc, pos) are near-unique so skew cannot concentrate.  For a
+    FIXED literal phrase set a zero-shuffle array scan (the q159 KWIC
+    pattern) is also possible; the index-join form is the one that
+    generalizes to query workloads where phrases arrive as data."""
+    from . import cache
+
+    plists = [p.split() for p in phrases]
+    if not plists or min(len(p) for p in plists) < 2:
+        raise ValueError("phrases must each have >= 2 tokens")
+    vocab = sorted({w for p in plists for w in p})
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    varr = F.array(*[F.lit(w) for w in vocab])
+    post = (df.select(F.col(id_col), toks.alias("_t"))
+            .select(id_col, F.posexplode("_t").alias("pos", "term"))
+            .where(F.array_contains(varr, F.col("term")))
+            .persist())
+    legs = []
+    for p in plists:
+        cur = (post.where(F.col("term") == p[0])
+               .select(F.col(id_col), F.col("pos").alias("p0")))
+        for off, w in enumerate(p[1:], start=1):
+            nxt = (post.where(F.col("term") == w)
+                   .select(F.col(id_col), (F.col("pos") - off).alias("p0")))
+            cur = cur.join(nxt, [id_col, "p0"])
+        legs.append(cur.groupBy(id_col)
+                    .agg(F.count("*").alias("n_hits"))
+                    .select(F.lit(" ".join(p)).alias("phrase"),
+                            F.col(id_col), "n_hits"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return cache.track(out, [post])
+
+
+def minhash_calibration(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        candidate_threshold: float = 0.2,
+                        n_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 5) -> DataFrame:
+    """MinHash estimator CALIBRATION audit: for every LSH candidate
+    pair, the signature-estimated Jaccard next to the EXACT word-n-gram
+    Jaccard on the same pair, with the signed error — the measured
+    answer to "how far can the 64-hash estimate drift" that a dedup
+    deployment needs before picking thresholds.  Pairs whose exact
+    intersection is EMPTY are kept (COALESCE 0): an estimator's worst
+    failures are precisely high-estimate/zero-overlap pairs, and an
+    inner join would silently hide them.
+
+    All outputs are exact integers: est_micro = k/n_hashes scaled by
+    1e6 (1e6/64 = 15625, so the double is integral before the floor),
+    jac_micro = |A∩B|*1e6 DIV |A∪B|, err_micro = est - jac.  Plan:
+    the q16 candidate pipeline (banded bucket join) + the q43-style
+    verify join on candidates only; never all-pairs."""
+    cand_full = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands,
+                                  shingle_k, threshold=candidate_threshold)
+    est_micro = (F.floor(F.col("est_jaccard") * F.lit(1000000.0) + F.lit(0.5))
+                 .cast("long"))
+    cand = cand_full.select("a", "b", est_micro.alias("est_micro"))
+    toks = (df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
+            .where(F.size("w") >= n))
+    grams = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))).alias("g")) \
+        .distinct().persist()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("ng"))
+    ga = grams.select(F.col(id_col).alias("a"), "g")
+    gb = grams.select(F.col(id_col).alias("b2"), F.col("g").alias("gb"))
+    inter = (cand.select("a", "b").join(ga, "a")
+             .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("gb")))
+             .groupBy("a", "b").agg(F.count("*").alias("_i")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("ng").alias("nb"))
+    out = (cand.join(inter, ["a", "b"], "left")
+           .withColumn("_i0", F.coalesce("_i", F.lit(0)).cast("long"))
+           .join(sa, "a").join(sb, "b")
+           .withColumn("jac_micro",
+                       F.expr("_i0 * 1000000 DIV (na + nb - _i0)"))
+           .select("a", "b", "est_micro", "jac_micro",
+                   (F.col("est_micro") - F.col("jac_micro"))
+                   .alias("err_micro")))
+    return _track_persisted(
+        out, [grams, *getattr(cand_full, "_geotile_persisted", [])])
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      cont_threshold: float = 0.5,
+                      k: int = 7, window: int = 4, min_shared: int = 3,
+                      max_df: int = 16) -> DataFrame:
+    """Asymmetric near-duplicate CONTAINMENT pairs — the quote/subset
+    duplication symmetric Jaccard systematically misses (a short doc
+    embedded verbatim in a long one has low Jaccard but containment
+    ~1, which is why dedup literature screens both).  Candidates come
+    from winnowing fingerprints (:func:`winnow_pairs` — robust to size
+    asymmetry because fingerprints are local, and df-capped so never
+    all-pairs); the EXACT word-n-gram containment per side then runs
+    on candidates only: ``cont_a = |A∩B| / |A|`` as a floored
+    micro-integer, likewise ``cont_b``.  Returns ``(a, b, inter,
+    cont_a_micro, cont_b_micro)`` where the max containment clears the
+    threshold."""
+    thr = int(cont_threshold * 1000000)
+    cand_full = winnow_pairs(df, id_col=id_col, text_col=text_col, k=k,
+                             window=window, min_shared=min_shared,
+                             max_df=max_df)
+    cand = cand_full.select("a", "b")
+    toks = (df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
+            .where(F.size("w") >= n))
+    grams = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))).alias("g")) \
+        .distinct().persist()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("ng"))
+    ga = grams.select(F.col(id_col).alias("a"), "g")
+    gb = grams.select(F.col(id_col).alias("b2"), F.col("g").alias("gb"))
+    inter = (cand.join(ga, "a")
+             .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("gb")))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("ng").alias("nb"))
+    out = (inter.join(sa, "a").join(sb, "b")
+           .withColumn("cont_a_micro", F.expr("inter * 1000000 DIV na"))
+           .withColumn("cont_b_micro", F.expr("inter * 1000000 DIV nb"))
+           .where(F.greatest("cont_a_micro", "cont_b_micro") >= F.lit(thr))
+           .select("a", "b", "inter", "cont_a_micro", "cont_b_micro"))
+    return _track_persisted(
+        out, [grams, *getattr(cand_full, "_geotile_persisted", [])])

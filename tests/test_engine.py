@@ -1175,3 +1175,47 @@ def test_partition_pruned_scan_prunes_directories(spark, tmp_path):
     # partition-type inference resurrects the column as an int type —
     # the q165 entry casts back to long for the gate
     assert dict(back.dtypes)["bucket"] in ("int", "bigint")
+
+
+def test_adaptive_cover_partition_invariants(spark):
+    """Every point in exactly one cover cell: counts conserve, no cover
+    cell prefixes another, non-max-precision cells fit the threshold,
+    and every ancestor of a cover cell overflowed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    # a hot cluster (forces refinement) + a sparse scatter (stays coarse)
+    pts = [(i, 40.0 + rng.uniform(0, 0.01), -70.0 + rng.uniform(0, 0.01))
+           for i in range(300)]
+    pts += [(1000 + i, rng.uniform(-60, 60), rng.uniform(-150, 150))
+            for i in range(100)]
+    df = engine.with_cell(spark.createDataFrame(
+        pts, "event_id long, lat double, lon double"), nchars=4)
+    thr = 40
+    cover = engine.adaptive_cover(df, threshold=thr, p_min=1, p_max=4)
+    rows = cover.collect()
+    cells = [r["cell"] for r in rows]
+    assert len(set(cells)) == len(cells)
+    # disjoint: no cell is a strict prefix of another
+    s = set(cells)
+    for c in cells:
+        for k in range(1, len(c)):
+            assert c[:k] not in s
+    # conservation: cover counts sum to the point count
+    assert sum(r["n"] for r in rows) == df.count()
+    # threshold rule at leaves; overflow rule on ancestors
+    full = {r["cell"]: r["n"] for r in
+            df.groupBy(F.substring("geohash", 1, 4).alias("cell"))
+            .agg(F.count("*").alias("n")).collect()}
+
+    def count_prefix(p):
+        return sum(n for c, n in full.items() if c.startswith(p))
+
+    for r in rows:
+        if r["precision"] < 4:
+            assert r["n"] <= thr
+        assert r["n"] == count_prefix(r["cell"])
+        for k in range(1, len(r["cell"])):
+            assert count_prefix(r["cell"][:k]) > thr

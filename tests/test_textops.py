@@ -1263,3 +1263,68 @@ def test_rrf_fuse_topk_and_ties(spark):
     rows = textops.rrf_fuse(sp, dn, k=60, topk=2).collect()
     # rank-1 contributions tie (docs 5 and 7): id asc wins
     assert [r["doc_id"] for r in rows] == [5, 7]
+
+
+def test_phrase_search_hand_case(spark):
+    rows = [
+        (0, "a b a b a"),        # "a b" hits at 0 and 2; overlapping chain
+        (1, "a b c a b c"),      # "a b c" twice, "a b" twice
+        (2, "b a c"),            # no phrase
+        (3, "a  b"),             # double space: still adjacent tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.phrase_search(df, ["a b", "a b c"])
+    got = {(r["phrase"], r["doc_id"]): r["n_hits"] for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    assert got == {("a b", 0): 2, ("a b", 1): 2, ("a b", 3): 1,
+                   ("a b c", 1): 2}
+
+
+def test_phrase_search_rejects_single_token(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.phrase_search(df, ["x"])
+
+
+def test_minhash_calibration_exact_on_duplicates(spark):
+    base = " ".join(f"tok{i % 23} word{i % 7}" for i in range(120))
+    rows = [(0, base), (1, base),                       # exact dup pair
+            (2, base + " extra tail tokens here now"),  # near dup
+            (3, " ".join(f"zz{i}" for i in range(150)))]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.minhash_calibration(df, candidate_threshold=0.2)
+    rows_out = out.collect()
+    from geotile import cache
+
+    cache.release(out)
+    got = {(r["a"], r["b"]): r for r in rows_out}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r["est_micro"] == 1000000 and r["jac_micro"] == 1000000
+    assert r["err_micro"] == 0
+    for r in rows_out:  # err is exactly the signed difference, never NULL
+        assert r["err_micro"] == r["est_micro"] - r["jac_micro"]
+        assert r["jac_micro"] is not None
+
+
+def test_containment_pairs_detects_asymmetric_subset(spark):
+    short = " ".join(f"alpha{i} beta{i % 5} gamma{i % 3}" for i in range(30))
+    long_doc = ("preamble tokens " * 5) + short + (" trailing filler" * 40)
+    rows = [(0, short), (1, long_doc),
+            (2, " ".join(f"other{i}" for i in range(100)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.containment_pairs(df, cont_threshold=0.5)
+    rows_out = out.collect()
+    from geotile import cache
+
+    cache.release(out)
+    got = {(r["a"], r["b"]): r for r in rows_out}
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    # the short doc is (nearly) fully contained; the long one is not
+    assert r["cont_a_micro"] > 900000
+    assert r["cont_b_micro"] < r["cont_a_micro"]

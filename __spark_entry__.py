@@ -3602,6 +3602,105 @@ def _q174_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+_BACKTEST_SPLIT_EP = 1705795200  # 2024-01-21T00:00Z — ~2/3 train, 1/3 test
+
+
+def _q175_markov_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-cell prediction backtest (trajectory.markov_backtest):
+    the q167 Markov model trained on walk fixes before 2024-01-21,
+    scored out-of-sample on the transitions after — per-origin test
+    counts, correct counts, and the exact floor-division accuracy,
+    with the '' sentinel for origins unseen in training.  The model
+    side is a rank-1-per-origin broadcast table, so scoring never
+    shuffles the test fixes.  The oracle replays both halves' lag
+    chains, the train argmax, and the accuracy arithmetic."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (trajectory.markov_backtest(pos, _BACKTEST_SPLIT_EP, nchars=4)
+            .orderBy("o_cell"))
+
+
+_RECALL_NQ = 5  # q176 audits recall@10 for the 5 lowest vec_ids
+
+
+def _ann_query_vectors(sf_dir: str) -> "list[tuple[int, list[float]]]":
+    """q176's query set: the embeddings of the _RECALL_NQ lowest
+    vec_ids (pyarrow read, driver-side, contractually small)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    d = t.to_pandas().sort_values("vec_id").head(_RECALL_NQ)
+    return [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in d.itertuples()]
+
+
+def _q176_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN recall@10 audit: for each of 5 query vectors, the exact
+    cosine top-10 (q19 recipe) vs the multiprobe LSH top-10 (q20
+    recipe, nbits=10, probes<=2 flips), intersected by id — the
+    measured answer to "what does the bucketed index give up", per
+    query, as exact integers (recall_micro = hits*1e6 DIV 10).  The
+    gate makes the approximation LOSS itself a pinned, reproducible
+    quantity instead of a hand-waved claim.  The oracle replays both
+    pipelines per query with literal vectors/hyperplanes."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ex_parts, ap_parts = [], []
+    for qid, qv in _ann_query_vectors(sf):
+        ex_parts.append(
+            simsearch.brute_topk(emb, qv, k=10)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+        ap_parts.append(
+            simsearch.lsh_bucket_topk(emb, qv, k=10, nbits=10, multiprobe=2)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+    ex = ex_parts[0]
+    for p in ex_parts[1:]:
+        ex = ex.unionByName(p)
+    ap = ap_parts[0]
+    for p in ap_parts[1:]:
+        ap = ap.unionByName(p)
+    hits = (ex.join(ap, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("_h")))
+    napp = ap.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    return (ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(napp, "query_id")
+            .join(hits, "query_id", "left")
+            .withColumn("n_hit", F.coalesce("_h", F.lit(0)).cast("long"))
+            .withColumn("recall_micro", F.expr("n_hit * 1000000 DIV 10"))
+            .select("query_id", "n_exact", "n_approx", "n_hit",
+                    "recall_micro")
+            .orderBy("query_id"))
+
+
+def _q177_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peeling (graph.kcore_peel, k=5, 4 rounds) over
+    the q69/q166 hash-synthesized link graph, symmetrized: per node
+    the round it was peeled (0 = degree < 5 in the input, 4 =
+    survived the budget) — the coreness screen link-spam and hub
+    detection read.  One degree aggregate + semi-join per round over
+    the shrinking alive set.  The oracle unrolls all four peel rounds
+    over the same xxhash64 HUGEINT edge replica."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.kcore_peel(
+        docs.select(F.col("doc_id").alias("node")), edges, k=5, rounds=4)
+    return cache.track(
+        out.select(F.col("node").alias("doc_id"), "peel_round")
+        .orderBy("doc_id"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -3810,6 +3909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_adaptive_cover": _q172_adaptive_cover,
         "q173_minhash_calibration": _q173_minhash_calibration,
         "q174_containment_pairs": _q174_containment_pairs,
+        "q175_markov_backtest": _q175_markov_backtest,
+        "q176_ann_recall": _q176_ann_recall,
+        "q177_kcore": _q177_kcore,
     }
 
 
@@ -8903,6 +9005,172 @@ JOIN sizes174 sb ON sb.doc_id = i.b
 WHERE GREATEST((i.inter * 1000000) // sa.ng,
                (i.inter * 1000000) // sb.ng) >= 500000
 ORDER BY i.a, i.b
+"""
+
+    # q175: Markov backtest — both halves' lag chains, the train
+    # argmax, the left-join scoring, and the accuracy floor division
+    _wgh175 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q175_markov_backtest"] = f"""
+WITH {_WALK_CTE},
+c175 AS (
+  SELECT user_id, ep, event_id, {_wgh175} AS d FROM walk
+),
+tr175 AS (
+  SELECT d, lag(d) OVER (PARTITION BY user_id
+                         ORDER BY ep ASC, event_id ASC) AS o
+  FROM c175 WHERE ep < {_BACKTEST_SPLIT_EP}
+),
+tf175 AS (
+  SELECT o, d, count(*) AS n FROM tr175 WHERE o IS NOT NULL GROUP BY 1, 2
+),
+pk175 AS (
+  SELECT o AS o_cell, d AS predicted FROM (
+    SELECT o, d,
+           row_number() OVER (PARTITION BY o
+                              ORDER BY n DESC, d ASC) AS rn
+    FROM tf175) WHERE rn = 1
+),
+te175 AS (
+  SELECT d, lag(d) OVER (PARTITION BY user_id
+                         ORDER BY ep ASC, event_id ASC) AS o
+  FROM c175 WHERE ep >= {_BACKTEST_SPLIT_EP}
+),
+sc175 AS (
+  SELECT t.o, t.d, p.predicted
+  FROM te175 t LEFT JOIN pk175 p ON p.o_cell = t.o
+  WHERE t.o IS NOT NULL
+)
+SELECT o AS o_cell,
+       max(COALESCE(predicted, '')) AS predicted,
+       count(*) AS n_test,
+       CAST(sum(CASE WHEN d = predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST((sum(CASE WHEN d = predicted THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS acc_micro
+FROM sc175 GROUP BY o ORDER BY o_cell
+"""
+
+    # q176: ANN recall audit — per query the q19 exact-top-10 CTE and
+    # the q20 bucketed-probe CTE (literal vectors, hyperplanes, probe
+    # sets), intersected by id
+    try:
+        _nb176 = 10
+        _pl176 = simsearch._rand_unit((_nb176, 64), 42)
+        _bt176 = " + ".join(
+            f"(CASE WHEN list_inner_product(emb64, "
+            f"{_vec_literal_sql([float(x) for x in _pl176[i]])}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(_nb176))
+        _parts176 = []
+        for _qid, _qv176 in _ann_query_vectors(sf_dir):
+            _v = _vec_literal_sql(_qv176)
+            _cs = (f"list_inner_product(emb64, {_v}) / "
+                   f"(sqrt(list_inner_product(emb64, emb64)) * "
+                   f"sqrt(list_inner_product({_v}, {_v})))")
+            _qv64 = np.asarray(_qv176, dtype=np.float64)
+            _qb = int(((_qv64 @ _pl176.T >= 0).astype(np.uint64)
+                       << np.arange(_nb176, dtype=np.uint64)).sum())
+            _probes = simsearch._probe_buckets(_qb, _nb176, 2)
+            _parts176.append(f"""ex176_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id FROM (
+    SELECT vec_id, {_cs} AS c FROM b176
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+),
+ap176_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id FROM (
+    SELECT vec_id, {_cs} AS c FROM bk176
+    WHERE bucket IN ({", ".join(str(p) for p in _probes)})
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+)""")
+        _qids176 = [q for q, _ in _ann_query_vectors(sf_dir)]
+        _exu = "\n  UNION ALL\n  ".join(
+            f"SELECT * FROM ex176_{q}" for q in _qids176)
+        _apu = "\n  UNION ALL\n  ".join(
+            f"SELECT * FROM ap176_{q}" for q in _qids176)
+        sqls["q176_ann_recall"] = f"""
+WITH b176 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+bk176 AS (
+  SELECT vec_id, emb64, {_bt176} AS bucket FROM b176
+),
+{",".join(_parts176)},
+ex176 AS (
+  {_exu}
+),
+ap176 AS (
+  {_apu}
+),
+h176 AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM ex176 e JOIN ap176 a ON a.query_id = e.query_id
+                           AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(max(na.n) AS BIGINT) AS n_approx,
+       CAST(COALESCE(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(max(h.n_hit), 0) * 1000000) // 10 AS BIGINT)
+         AS recall_micro
+FROM ex176 e
+JOIN (SELECT query_id, count(*) AS n FROM ap176 GROUP BY 1) na
+  ON na.query_id = e.query_id
+LEFT JOIN h176 h ON h.query_id = e.query_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+    except Exception:
+        pass  # embeddings absent -> q176 falls back to rows-only
+
+    # q177: bounded k-core peel — the q166 edge synthesis, then all
+    # four synchronous peel rounds unrolled (alive sets a1..a4)
+    kc_parts = []
+    kc_prev = "a0177"
+    for r in range(1, 5):
+        kc_parts.append(f"""d{r}177 AS (
+  SELECT u.a, count(*) AS c
+  FROM u177 u
+  JOIN {kc_prev} x ON x.node = u.a
+  JOIN {kc_prev} y ON y.node = u.b
+  GROUP BY 1
+),
+a{r}177 AS (
+  SELECT x.node FROM {kc_prev} x
+  LEFT JOIN d{r}177 d ON d.a = x.node
+  WHERE COALESCE(d.c, 0) >= 5
+)""")
+        kc_prev = f"a{r}177"
+    kc_case = " ".join(
+        f"WHEN a{r}177.node IS NULL THEN {r - 1}" for r in range(1, 5))
+    kc_joins = "\n".join(
+        f"LEFT JOIN a{r}177 ON a{r}177.node = a0177.node"
+        for r in range(1, 5))
+    sqls["q177_kcore"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l177 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l177", "z0", "xh", "x177")},
+e177a AS (
+  SELECT doc_id AS src, ((({_signed64_sql("xh")} % nn.n) + nn.n) % nn.n)
+         AS dst
+  FROM x177f CROSS JOIN nn
+),
+e177 AS (SELECT DISTINCT src, dst FROM e177a WHERE dst <> src),
+u177 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e177
+    UNION ALL SELECT dst AS a, src AS b FROM e177)
+  WHERE a <> b
+),
+a0177 AS (SELECT doc_id AS node FROM documents),
+{",".join(kc_parts)}
+SELECT a0177.node AS doc_id,
+       CAST(CASE {kc_case} ELSE 4 END AS BIGINT) AS peel_round
+FROM a0177
+{kc_joins}
+ORDER BY doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -126,6 +126,7 @@ def main() -> None:
         "q169_hybrid_rrf", "q170_curve_compare",
         "q171_phrase_search", "q172_adaptive_cover",
         "q173_minhash_calibration", "q174_containment_pairs",
+        "q175_markov_backtest", "q176_ann_recall", "q177_kcore",
     ]
     from geotile import cache, textops
 

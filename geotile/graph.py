@@ -397,3 +397,56 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, iters: int = 3,
                   .select("node", F.coalesce("_new", "label").alias("label"))
                   .localCheckpoint(eager=True))
     return cache.track(labels, [und])
+
+
+def kcore_peel(nodes: DataFrame, edges: DataFrame, k: int = 5,
+               rounds: int = 4, node_col: str = "node",
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded synchronous k-core peeling: ``rounds`` rounds of
+    simultaneously removing every node whose degree in the SURVIVING
+    subgraph is below ``k`` — the standard coreness screen (spam-farm
+    and boilerplate-hub detection on link graphs).  A fixed round
+    budget keeps the whole trajectory SQL-replicable (the
+    label-propagation pattern) and IS the practical cluster form:
+    each round costs one degree aggregate plus one semi-join, and the
+    peel converges in few rounds on power-law graphs (survivors after
+    convergence are exactly the k-core).
+
+    Returns ``(node, peel_round)``: 0 = removed in the first round
+    (degree < k in the input graph), r = removed in round r+1,
+    ``rounds`` = survived the full budget.  Zero-degree and isolated
+    nodes peel in round 0 (degree COALESCEs to 0, never NULL).
+
+    Scale shape: the symmetrized edge list is persisted once; each
+    round's degree aggregate partial-aggregates map-side and the
+    shrinking alive set drives semi-joins — no round ever touches
+    more than the surviving edges.  Alive sets are
+    localCheckpoint-ed to truncate lineage (checkpoint() on reliable
+    storage at cluster scale)."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct().persist())
+    und.count()
+    alive = nodes.select(F.col(node_col).alias("node"))
+    outs = []
+    for r in range(rounds):
+        live_edges = (und
+                      .join(alive.withColumnRenamed("node", "a"), "a")
+                      .join(alive.withColumnRenamed("node", "b"), "b"))
+        deg = live_edges.groupBy("a").agg(F.count("*").alias("_deg"))
+        # one materialization per round feeds BOTH consumers (the dying
+        # rows in the output union and the next round's alive set)
+        scored = (alive.join(deg, alive["node"] == deg["a"], "left")
+                  .select("node", F.coalesce("_deg", F.lit(0)).alias("_deg"))
+                  .localCheckpoint(eager=True))
+        outs.append(scored.where(F.col("_deg") < k).select(
+            "node", F.lit(r).cast("long").alias("peel_round")))
+        alive = scored.where(F.col("_deg") >= k).select("node")
+    outs.append(alive.select(
+        "node", F.lit(rounds).cast("long").alias("peel_round")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return cache.track(out, [und])

@@ -964,3 +964,45 @@ def markov_transitions(df: DataFrame, nchars: int = 4, key: str = "user_id",
             .withColumn("p_micro", F.expr("n * 1000000 DIV _tot"))
             .withColumn("rnk", F.row_number().over(wr).cast("long"))
             .drop("_tot"))
+
+
+def markov_backtest(df: DataFrame, split_ep: int, nchars: int = 4,
+                    key: str = "user_id", ts: str = "ep",
+                    order_col: str = "event_id",
+                    cell_col: str = "geohash") -> DataFrame:
+    """Next-cell prediction BACKTEST: train the first-order Markov
+    model (:func:`markov_transitions`, rank-1 destination per origin)
+    on fixes BEFORE ``split_ep``, score it on transitions AFTER — the
+    out-of-sample accuracy audit that turns q167's model into a
+    measured claim.  Train and test halves lag independently (the one
+    boundary-crossing pair per key is deliberately dropped — cheaper
+    than a cross-half stitch and identical on both engines).  Origins
+    unseen in training predict the ``''`` sentinel (never NULL) and
+    score zero.  Returns per test origin: ``(o_cell, predicted,
+    n_test, n_correct, acc_micro)`` with the exact floor-division
+    accuracy.
+
+    Scale shape: the model is a rank-1-per-origin cell table —
+    broadcast-sized by construction — so the scoring join never
+    shuffles the test fixes; each half pays the one per-key window."""
+    train = df.where(F.col(ts) < F.lit(split_ep))
+    test = df.where(F.col(ts) >= F.lit(split_ep))
+    pred = (markov_transitions(train, nchars, key, ts, order_col, cell_col)
+            .where(F.col("rnk") == 1)
+            .select("o_cell", F.col("d_cell").alias("predicted")))
+    c = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    t = (test.withColumn("_d", c)
+         .withColumn("_o", F.lag("_d").over(w))
+         .where(F.col("_o").isNotNull()))
+    j = t.join(F.broadcast(pred), t["_o"] == pred["o_cell"], "left")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (j.groupBy(F.col("_o").alias("o_cell"))
+            .agg(F.max(F.coalesce("predicted", F.lit(""))).alias("predicted"),
+                 F.count("*").alias("n_test"),
+                 F.sum(F.when(F.col("_d") == F.col("predicted"), one)
+                       .otherwise(zero)).alias("n_correct"))
+            .withColumn("acc_micro",
+                        F.expr("n_correct * 1000000 DIV n_test")))

@@ -302,3 +302,36 @@ def test_label_propagation_converges_on_cliques(spark):
     from geotile import cache
     cache.release(out)
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_kcore_peel_clique_and_chain(spark):
+    from geotile import cache, graph
+
+    # clique on 6 nodes (degree 5 each -> survives k=5 forever) plus a
+    # chain 100-101-102 hanging off node 0 (peels from the tail in)
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    chain = [(0, 100), (100, 101), (101, 102)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)]
+                                  + [(100,), (101,), (102,)], "node long")
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = graph.kcore_peel(nodes, edges, k=5, rounds=4)
+    got = {r["node"]: r["peel_round"] for r in out.collect()}
+    cache.release(out)
+    # chain nodes have degree <= 2 -> all peel in round 0
+    assert got[100] == 0 and got[101] == 0 and got[102] == 0
+    # node 0 has degree 6 in round 0; after the chain dies it has 5 -> survives
+    assert all(got[i] == 4 for i in range(6))
+
+
+def test_kcore_peel_cascades(spark):
+    from geotile import cache, graph
+
+    # a 4-chain under k=2: endpoints die round 0, then the middle pair
+    # (degree 1 after the peel) dies round 1
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  "src long, dst long")
+    out = graph.kcore_peel(nodes, edges, k=2, rounds=3)
+    got = {r["node"]: r["peel_round"] for r in out.collect()}
+    cache.release(out)
+    assert got == {0: 0, 3: 0, 1: 1, 2: 1}

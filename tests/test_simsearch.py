@@ -469,3 +469,24 @@ def test_kmeans_lloyd_matches_pure_python_reference(spark):
     got = {r["cluster"]: (r["n_members"], r["inertia"], r["centroid_norm"])
            for r in simsearch.kmeans_lloyd(df, k=k, iters=iters).collect()}
     assert got == want
+
+
+def test_ann_recall_full_probe_is_exact(spark):
+    """With nbits=1 and multiprobe=1 the probe set covers BOTH buckets,
+    so the LSH top-k must equal the exact top-k (recall 1.0) — the
+    q176 audit's upper-bound sanity."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotile import simsearch
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    exact = [r["vec_id"] for r in
+             simsearch.brute_topk(df, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              simsearch.lsh_bucket_topk(df, qv, k=10, nbits=1,
+                                        multiprobe=1).collect()]
+    assert set(exact) == set(approx)

@@ -644,3 +644,44 @@ def test_markov_self_loops_dominate_dwell(spark):
     r = out[0]
     assert r["o_cell"] == r["d_cell"]
     assert (r["n"], r["p_micro"], r["rnk"]) == (4, 1000000, 1)
+
+
+def test_markov_backtest_hand_case(spark):
+    # cells: train teaches A->B (twice) and B->A (once);
+    # test holds A->B (correct), A->A (wrong), B->C (B predicts A: wrong)
+    # ts < 100 = train, >= 100 = test
+    A, B, C = (10.0, 20.0), (30.0, 40.0), (-30.0, -40.0)
+    seq = [(0, A), (10, B), (20, A), (30, B),          # train: A->B x2, B->A
+           (100, A), (110, B),                         # test: A->B correct
+           (120, A),                                   # B->A: B predicts A -> correct
+           (130, A),                                   # A->A: predicts B -> wrong
+           (140, B), (150, C)]                         # B->C: predicts A -> wrong
+    rows = [(i, 1, t, la, lo) for i, (t, (la, lo)) in enumerate(seq)]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    got = {r["o_cell"]: r for r in
+           trajectory.markov_backtest(df, split_ep=100, nchars=4).collect()}
+    cA = gh.encode(np.array([A[0]]), np.array([A[1]]), nchars=5)[0][:4]
+    cB = gh.encode(np.array([B[0]]), np.array([B[1]]), nchars=5)[0][:4]
+    assert got[cA]["predicted"] == cB
+    # test transitions from A: A->B, A->A, A->B (the 130->140 pair) = 2/3
+    assert (got[cA]["n_test"], got[cA]["n_correct"]) == (3, 2)
+    assert got[cA]["acc_micro"] == 2 * 1000000 // 3
+    # from B: B->A (correct), B->C (wrong)
+    assert (got[cB]["n_test"], got[cB]["n_correct"]) == (2, 1)
+
+
+def test_markov_backtest_unseen_origin_sentinel(spark):
+    # train has only A->A; test transitions start from B (unseen)
+    A, B = (10.0, 20.0), (30.0, 40.0)
+    rows = [(0, 1, 0, *A), (1, 1, 10, *A),
+            (2, 1, 100, *B), (3, 1, 110, *B)]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    got = {r["o_cell"]: r for r in
+           trajectory.markov_backtest(df, split_ep=100, nchars=4).collect()}
+    cB = gh.encode(np.array([B[0]]), np.array([B[1]]), nchars=5)[0][:4]
+    assert got[cB]["predicted"] == ""
+    assert got[cB]["n_correct"] == 0 and got[cB]["acc_micro"] == 0

@@ -127,6 +127,8 @@ def main() -> None:
         "q171_phrase_search", "q172_adaptive_cover",
         "q173_minhash_calibration", "q174_containment_pairs",
         "q175_markov_backtest", "q176_ann_recall", "q177_kcore",
+        "q178_textrank_keywords", "q179_source_js",
+        "q180_cell_changepoint",
     ]
     from geotile import cache, textops
 

@@ -2483,3 +2483,68 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
            .select("a", "b", "inter", "cont_a_micro", "cont_b_micro"))
     return _track_persisted(
         out, [grams, *getattr(cand_full, "_geotile_persisted", [])])
+
+
+def source_js_pairs(df: DataFrame, group: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the SYMMETRIC data-mixing distance completing
+    q122's one-vs-blend KL drift: which pairs of sources are
+    near-duplicates of each other's vocabulary and which are genuinely
+    diverse (the mixture-design question).  JS(P,Q) = (KL(P||M) +
+    KL(Q||M)) / 2 with M the even mixture.
+
+    Exactness: counts and totals are int64; every KL term is ONE
+    fixed-shape double expression over them —
+    ``p * ln(2p / (p + q))`` with p = c_a/tot_a, q = c_b/tot_b —
+    floored to nano-nats BEFORE the per-pair sum (order-independent),
+    and the final halving is integer DIV.  Tokens absent from the
+    other source contribute ``p * ln 2`` (q coalesces to 0), so no
+    smoothing constant pollutes the gate.
+
+    Scale shape: one (source, token) count shuffle; the per-source
+    totals are a broadcast; each pair's terms come from the count
+    table joined to the TINY source-pair list and left-joined back to
+    counts on (token, other) — fan-out is n_sources per token row,
+    quadratic only in the source COUNT (dozens), never in tokens."""
+    toks = df.select(F.col(group).alias("src"),
+                     F.explode(F.split(F.trim(F.col(text_col)),
+                                       WS_CLASS)).alias("t"))
+    cnt = toks.groupBy("src", "t").agg(F.count("*").alias("c")).persist()
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("tot"))
+    pr = (tot.alias("x").crossJoin(tot.alias("y"))
+          .where(F.col("x.src") < F.col("y.src"))
+          .select(F.col("x.src").alias("sa"), F.col("x.tot").alias("ta"),
+                  F.col("y.src").alias("sb"), F.col("y.tot").alias("tb")))
+
+    def _half(side_a: str, side_b: str):
+        # sum over tokens of side_a of floor(1e9 * p*ln(2p/(p+q)))
+        left = cnt.select(F.col("src").alias(side_a), "t",
+                          F.col("c").alias("ca"))
+        other = cnt.select(F.col("src").alias("_osrc"),
+                           F.col("t").alias("_ot"),
+                           F.col("c").alias("cb"))
+        j = (pr.join(left, side_a)
+             .join(other, (F.col(side_b) == F.col("_osrc"))
+                   & (F.col("t") == F.col("_ot")), "left")
+             .withColumn("cb0", F.coalesce("cb", F.lit(0))))
+        p = F.col("ca") / (F.col("ta") if side_a == "sa" else F.col("tb"))
+        q = F.col("cb0") / (F.col("tb") if side_a == "sa" else F.col("ta"))
+        term = F.floor(p * F.log(F.lit(2.0) * p / (p + q))
+                       * F.lit(1e9)).cast("long")
+        return (j.groupBy("sa", "sb")
+                .agg(F.sum(term).alias(f"kl_{side_a}")))
+
+    ka = _half("sa", "sb")
+    kb = _half("sb", "sa")
+    out = (ka.join(kb, ["sa", "sb"])
+           .select(F.col("sa").alias("a"), F.col("sb").alias("b"),
+                   F.col("kl_sa").alias("kl_a_nano"),
+                   F.col("kl_sb").alias("kl_b_nano"),
+                   # JS >= 0 mathematically; per-term floors can push the
+                   # sum a few nanos negative, and Spark DIV truncates
+                   # where DuckDB // floors — clamp BEFORE halving so the
+                   # operand is non-negative on both engines
+                   F.expr("greatest(0, kl_sa + kl_sb) DIV 2")
+                   .alias("js_nano")))
+    return _track_persisted(out, [cnt])

@@ -1006,3 +1006,60 @@ def markov_backtest(df: DataFrame, split_ep: int, nchars: int = 4,
                        .otherwise(zero)).alias("n_correct"))
             .withColumn("acc_micro",
                         F.expr("n_correct * 1000000 DIV n_test")))
+
+
+def cell_changepoint(df: DataFrame, day0: int, ndays: int, nchars: int = 4,
+                     cell_col: str = "geohash", ts: str = "ep") -> DataFrame:
+    """Pettitt-style changepoint detection per cell: over each cell's
+    DENSE daily count series (zero-filled from an explicit day window —
+    absence is signal), the Mann-Whitney-type statistic
+    ``U_t = sum over day pairs i <= t < j of sign(x_j - x_i)`` and the
+    change day that maximizes ``|U_t|`` (tie: earliest day) — "when
+    did this cell's traffic regime shift", the monitoring complement
+    of q131's monotone-trend test (Pettitt 1979 detects a LEVEL step,
+    Mann-Kendall a drift).  Every operand is int64: counts, signs,
+    the prefix sums, the argmax.
+
+    Cells whose series is CONSTANT (every day equal) carry no
+    changepoint signal and are absent from the output — a property,
+    not a bug (all U_t = 0).
+
+    Scale shape: the fixes shuffle once into (cell, day) counts; the
+    pair/prefix expansion is days^3 per cell — a CONSTANT of the
+    window (30 days -> <= 4,495 rows/cell) materialized map-side from
+    the collapsed table, never from the fixes; zero-sign pairs are
+    dropped before the explode.  Returns ``(cell, change_day, u_stat,
+    u_abs)``."""
+    c = F.substring(F.col(cell_col), 1, nchars)
+    daily = (df.select(c.alias("cell"),
+                       F.expr(f"{ts} DIV 86400").alias("day"))
+             .groupBy("cell", "day").agg(F.count("*").alias("x")))
+    grid = (daily.select("cell").distinct()
+            .select("cell",
+                    F.explode(F.sequence(F.lit(day0),
+                                         F.lit(day0 + ndays - 1)))
+                    .alias("day")))
+    dense = (grid.join(daily, ["cell", "day"], "left")
+             .select("cell", "day",
+                     F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    a = dense.alias("a")
+    b = dense.alias("b")
+    sgn = (F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+           .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+           .otherwise(F.lit(0)).cast("long"))
+    pairs = (a.join(b, (F.col("b.cell") == F.col("a.cell"))
+                    & (F.col("b.day") > F.col("a.day")))
+             .select(F.col("a.cell").alias("cell"),
+                     F.col("a.day").alias("di"), F.col("b.day").alias("dj"),
+                     sgn.alias("s"))
+             .where(F.col("s") != 0))
+    ex = pairs.select("cell", "s",
+                      F.explode(F.sequence(F.col("di"),
+                                           F.col("dj") - 1)).alias("t"))
+    u = ex.groupBy("cell", "t").agg(F.sum("s").alias("u_stat"))
+    w = Window.partitionBy("cell").orderBy(F.abs(F.col("u_stat")).desc(),
+                                           F.col("t").asc())
+    return (u.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("cell", F.col("t").alias("change_day"), "u_stat",
+                    F.abs("u_stat").alias("u_abs")))

@@ -1328,3 +1328,56 @@ def test_containment_pairs_detects_asymmetric_subset(spark):
     # the short doc is (nearly) fully contained; the long one is not
     assert r["cont_a_micro"] > 900000
     assert r["cont_b_micro"] < r["cont_a_micro"]
+
+
+def test_source_js_pairs_identical_and_disjoint(spark):
+    import math
+
+    # s0/s1 identical distributions -> JS ~ 0 (clamped >= 0, floor bias
+    # only); s0/s2 disjoint vocabularies -> JS = ln 2 exactly (in exact
+    # math; nano-floored per token term here)
+    base = "alpha beta beta gamma " * 10
+    rows = ([(i, "s0", base) for i in range(5)]
+            + [(10 + i, "s1", base) for i in range(5)]
+            + [(20 + i, "s2", "zeta eta eta theta " * 10) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.source_js_pairs(df)
+    got = {(r["a"], r["b"]): r for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    assert got[("s0", "s1")]["js_nano"] == 0
+    ln2n = math.log(2.0) * 1e9
+    assert abs(got[("s0", "s2")]["js_nano"] - ln2n) < 10
+    # symmetric pair: both one-sided KLs equal for identical marginals
+    assert got[("s0", "s2")]["kl_a_nano"] == got[("s1", "s2")]["kl_a_nano"]
+
+
+def test_textrank_star_hub_ranks_first(spark):
+    import __spark_entry__ as entrymod  # noqa: F401  (pattern only)
+    from geotile import cache, graph
+
+    # build the +-2-window graph by hand through the q178 construction:
+    # 'hub' co-occurs with every spoke, spokes only with hub/neighbors
+    docs = [(i, f"hub spoke{i} hub spoke{i} hub") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select(F.split(F.trim(F.col("text")), textops.WS_CLASS).alias("w"))
+    prs = []
+    for k in (1, 2):
+        a = F.slice(F.col("w"), 1, F.size("w") - k)
+        b = F.slice(F.col("w"), k + 1, F.size("w") - k)
+        prs.append(toks.where(F.size("w") > k)
+                   .select(F.explode(F.zip_with(
+                       a, b, lambda x, y: F.struct(x.alias("src"),
+                                                   y.alias("dst")))).alias("e"))
+                   .select("e.src", "e.dst"))
+    win = prs[0].unionByName(prs[1])
+    edges = (win.unionByName(win.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+             .where(F.col("src") != F.col("dst")).distinct())
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = graph.pagerank(nodes, edges, iters=3)
+    rows = ranks.orderBy(F.col("rank_nano").desc(), "node").collect()
+    cache.release(ranks)
+    assert rows[0]["node"] == "hub"
+    assert rows[0]["rank_nano"] > 2 * rows[1]["rank_nano"]

@@ -685,3 +685,37 @@ def test_markov_backtest_unseen_origin_sentinel(spark):
     cB = gh.encode(np.array([B[0]]), np.array([B[1]]), nchars=5)[0][:4]
     assert got[cB]["predicted"] == ""
     assert got[cB]["n_correct"] == 0 and got[cB]["acc_micro"] == 0
+
+
+def test_cell_changepoint_detects_planted_step(spark):
+    # one cell, 20-day window: 5 fixes/day for days 0-9, 1/day after
+    # -> U_t peaks (in magnitude) at t = day 9 with |U| = 100
+    day0 = 19723
+    rows = []
+    eid = 0
+    for d in range(20):
+        for _ in range(5 if d < 10 else 1):
+            rows.append((eid, 1, (day0 + d) * 86400 + eid % 1000,
+                         10.0, 20.0))
+            eid += 1
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    got = trajectory.cell_changepoint(df, day0=day0, ndays=20,
+                                      nchars=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["change_day"] == day0 + 9
+    assert r["u_stat"] == -100 and r["u_abs"] == 100
+
+
+def test_cell_changepoint_constant_series_absent(spark):
+    # a cell with the SAME count every day has no signal: absent
+    day0 = 19723
+    rows = [(d, 1, (day0 + d) * 86400 + 10, 10.0, 20.0) for d in range(20)]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    got = trajectory.cell_changepoint(df, day0=day0, ndays=20,
+                                      nchars=4).collect()
+    assert got == []

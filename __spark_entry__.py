@@ -3563,9 +3563,12 @@ def _q172_adaptive_cover(spark: SparkSession, sf: str) -> DataFrame:
     finest precision, coarser levels roll up from the collapsed cell
     table.  The oracle replays the count cascade and the
     overflow-reachability walk level by level."""
+    from geotile import cache
+
     pos = engine.with_cell(_walk_df(spark, sf), nchars=4)
-    return (engine.adaptive_cover(pos, threshold=100, p_min=1, p_max=4)
-            .orderBy("precision", "cell"))
+    out = engine.adaptive_cover(pos, threshold=100, p_min=1, p_max=4)
+    return cache.track(out.orderBy("precision", "cell"),
+                       getattr(out, "_geotile_persisted", []))
 
 
 def _q173_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
@@ -3768,12 +3771,13 @@ def _q180_cell_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     of q131's Mann-Kendall drift test, all int64.  Constant-series
     cells are absent by construction.  The oracle replays the dense
     grid, the sign pairs, the prefix explosion, and the argmax."""
-    from geotile import trajectory
+    from geotile import cache, trajectory
 
     pos = engine.with_cell(_walk_df(spark, sf))
-    return (trajectory.cell_changepoint(pos, day0=_DAY0, ndays=_NDAYS,
-                                        nchars=4)
-            .orderBy("cell"))
+    out = trajectory.cell_changepoint(pos, day0=_DAY0, ndays=_NDAYS,
+                                      nchars=4)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1903,8 +1903,13 @@ def adaptive_cover(df: DataFrame, threshold: int, p_min: int = 1,
     ``(cell, precision, n)``."""
     if not (1 <= p_min <= p_max):
         raise ValueError("need 1 <= p_min <= p_max")
+    # persist the finest count: every level rollup, keep branch, and
+    # reachability join derives from it — without the persist each of
+    # the ~3*(p_max-p_min) consumers re-scans the POINTS (plan-audited:
+    # 19 Arrow passes collapse to 1)
     fine = (df.groupBy(F.substring(F.col(cell_col), 1, p_max).alias("cell"))
-            .agg(F.count("*").alias("n")))
+            .agg(F.count("*").alias("n"))
+            .persist())
     counts = {p_max: fine}
     for p in range(p_max - 1, p_min - 1, -1):
         counts[p] = (counts[p + 1]
@@ -1931,4 +1936,6 @@ def adaptive_cover(df: DataFrame, threshold: int, p_min: int = 1,
     out = keeps[0]
     for k in keeps[1:]:
         out = out.unionByName(k)
-    return out
+    from . import cache
+
+    return cache.track(out, [fine])

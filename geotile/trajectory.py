@@ -1030,10 +1030,17 @@ def cell_changepoint(df: DataFrame, day0: int, ndays: int, nchars: int = 4,
     the collapsed table, never from the fixes; zero-sign pairs are
     dropped before the explode.  Returns ``(cell, change_day, u_stat,
     u_abs)``."""
+    from . import cache
+
     c = F.substring(F.col(cell_col), 1, nchars)
+    # persist the two collapsed frames: daily feeds both the grid and
+    # the zero-fill join, dense feeds BOTH sides of the pair self-join
+    # — without them every branch re-scans the fixes through the cell
+    # UDF (plan-audited: 8 Arrow passes collapse to 1)
     daily = (df.select(c.alias("cell"),
                        F.expr(f"{ts} DIV 86400").alias("day"))
-             .groupBy("cell", "day").agg(F.count("*").alias("x")))
+             .groupBy("cell", "day").agg(F.count("*").alias("x"))
+             .persist())
     grid = (daily.select("cell").distinct()
             .select("cell",
                     F.explode(F.sequence(F.lit(day0),
@@ -1041,7 +1048,8 @@ def cell_changepoint(df: DataFrame, day0: int, ndays: int, nchars: int = 4,
                     .alias("day")))
     dense = (grid.join(daily, ["cell", "day"], "left")
              .select("cell", "day",
-                     F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+                     F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+             .persist())
     a = dense.alias("a")
     b = dense.alias("b")
     sgn = (F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
@@ -1059,7 +1067,8 @@ def cell_changepoint(df: DataFrame, day0: int, ndays: int, nchars: int = 4,
     u = ex.groupBy("cell", "t").agg(F.sum("s").alias("u_stat"))
     w = Window.partitionBy("cell").orderBy(F.abs(F.col("u_stat")).desc(),
                                            F.col("t").asc())
-    return (u.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("cell", F.col("t").alias("change_day"), "u_stat",
-                    F.abs("u_stat").alias("u_abs")))
+    out = (u.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("cell", F.col("t").alias("change_day"), "u_stat",
+                   F.abs("u_stat").alias("u_abs")))
+    return cache.track(out, [daily, dense])

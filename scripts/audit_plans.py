@@ -1036,6 +1036,80 @@ def main() -> None:
         "sorts the corpus; votes and majority aggregate the k-row "
         "frame"))
 
+    from geotile import behavior as _bh
+    from geotile import graph as _gr
+    from geotile import trajectory as _tj
+
+    walk = spark.range(0, 20000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(200)).alias("user_id"),
+        (F.col("id") * 7).alias("ep"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(12000)) / 100.0 - 60.0)
+        .alias("lat"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(30000)) / 100.0 - 150.0)
+        .alias("lon"))
+    wcell = engine.with_cell(walk)
+
+    sections.append(summarize(
+        _tj.markov_transitions(wcell, nchars=4),
+        "markov_transitions (q167): one per-key window (lag) on the "
+        "trajectory exchange, one (o, d) count that partial-aggregates "
+        "map-side, then the per-origin total/rank window runs on the "
+        "COLLAPSED pair table — the fixes shuffle exactly once"))
+
+    sections.append(summarize(
+        _bh.time_weighted_avg(walk.select("user_id", "event_id", "ep",
+                                          (F.pmod(F.col("event_id"), F.lit(400))
+                                           / 2.0).alias("value"))),
+        "time_weighted_avg (q168): ONE per-key window shuffle + one "
+        "per-key aggregate; every operand an exact int64 — no Python, "
+        "no second exchange"))
+
+    sections.append(summarize(
+        textops.phrase_search(synth.synth_docs_skew(spark, 2000, partitions=8),
+                              ["the quick", "data point"]),
+        "phrase_search (q171): the posexplode feeds a literal-array "
+        "filter MAP-SIDE, so only query-term postings ever shuffle; "
+        "phrase legs join on (doc, pos+offset) — near-unique keys, no "
+        "skew; the filtered postings persist once across legs"))
+
+    sections.append(summarize(
+        engine.adaptive_cover(wcell, threshold=100),
+        "adaptive_cover (q172): the points shuffle ONCE into the finest "
+        "cell counts; every coarser level is a substring rollup of the "
+        "collapsed cell table and the overflow walk joins BROADCAST "
+        "parent lists (look for BroadcastHashJoin, no second "
+        "points-sized Exchange)"))
+
+    _edges = spark.range(0, 5000).select(
+        F.pmod(F.col("id") * 7, F.lit(1000)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("dst"))
+    sections.append(summarize(
+        _gr.kcore_peel(spark.range(0, 1000).select(F.col("id").alias("node")),
+                       _edges, k=5, rounds=2),
+        "kcore_peel (q177): per round one degree aggregate over the "
+        "surviving edges + semi-joins on the shrinking alive set; the "
+        "symmetrized edge list persists once (InMemoryTableScan), "
+        "alive sets localCheckpoint so no round re-reads the raw edges"))
+
+    sections.append(summarize(
+        textops.source_js_pairs(
+            synth.synth_docs_skew(spark, 2000, partitions=8)
+            .withColumn("source", F.concat(F.lit("s"),
+                                           (F.col("doc_id") % 10)
+                                           .cast("string")))),
+        "source_js_pairs (q179): one (source, token) count shuffle; the "
+        "pair list and totals are broadcast-sized; per-pair KL terms "
+        "come from the COLLAPSED count table joined to the tiny pair "
+        "frame — fan-out quadratic in sources only, never in tokens"))
+
+    sections.append(summarize(
+        _tj.cell_changepoint(wcell, day0=0, ndays=20, nchars=4),
+        "cell_changepoint (q180): the fixes shuffle once into (cell, "
+        "day) counts; the days^3-per-cell pair/prefix expansion is a "
+        "CONSTANT of the window, generated map-side from the collapsed "
+        "table; the argmax window sorts <= ndays rows per cell"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -3780,6 +3780,72 @@ def _q180_cell_changepoint(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+# q181 POIs: three hub-cluster centers from the walk (off-lattice
+# literals), 60 km catchment each
+_POI_SET = [(0, -22.9003, 13.0007, 60000.0),
+            (1, -47.6491, -95.6402, 60000.0),
+            (2, 1.8203, 121.7409, 60000.0)]
+
+
+def _q181_poi_visits(spark: SparkSession, sf: str) -> DataFrame:
+    """POI visit attribution (trajectory.poi_visits): q80's stay
+    points radius-joined to a broadcast 3-POI set — per POI the visit
+    count, distinct visitors, and exact dwell-second totals; a stay in
+    overlapping catchments attributes to both (radius-join
+    semantics).  The oracle replays the stay CTE chain, the literal
+    POI distance filter, and the integer dwell aggregates."""
+    from geotile import trajectory
+
+    return (trajectory.poi_visits(_walk_df(spark, sf), _POI_SET)
+            .orderBy("poi_id"))
+
+
+def _q182_session_sinuosity(spark: SparkSession, sf: str) -> DataFrame:
+    """Route-deviation screen (trajectory.session_sinuosity): per
+    gap-split session the path-length / endpoint-chord ratio in exact
+    micro units (legs and chord floored to integer millimeters before
+    any aggregate; one floor division) — detours and GPS drift score
+    high, direct runs sit near 1e6.  Chord-zero loops and single-fix
+    sessions are dropped, never NULL.  The oracle replays the session
+    window, the leg sums, the row_number endpoints, and the ratio."""
+    from geotile import trajectory
+
+    return (trajectory.session_sinuosity(_walk_df(spark, sf), gap_s=3600)
+            .orderBy("user_id", "session_id"))
+
+
+def _q183_decayed_heat(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness-weighted cell heat (trajectory.decayed_cell_heat):
+    each fix contributes 1e9 DIV 2^age_days (one-day half-life, exact
+    integer halving — no float decay), summed per gh4 cell as of the
+    window's last day — the recency-aware ranking a serving layer
+    reads where a plain count ranks stale hubs over rising ones.
+    Map-side weight + one cell aggregate.  The oracle replays the
+    shift-free power-of-two division."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (trajectory.decayed_cell_heat(pos, asof_day=_DAY0 + _NDAYS - 1,
+                                         nchars=4)
+            .orderBy("cell"))
+
+
+def _q184_source_syndication(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source syndication matrix (textops.source_syndication):
+    per source pair the distinct 5-token chunks published by both
+    (df-capped at 16 sources so ubiquitous boilerplate is excluded) —
+    the provenance map of content reuse across the corpus.  One
+    distinct (source, chunk) shuffle + bounded per-chunk pair
+    fan-out.  The oracle replays the chunk windows, the cap, and the
+    pair counts."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.source_syndication(docs)
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -3994,6 +4060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_textrank_keywords": _q178_textrank_keywords,
         "q179_source_js": _q179_source_js,
         "q180_cell_changepoint": _q180_cell_changepoint,
+        "q181_poi_visits": _q181_poi_visits,
+        "q182_session_sinuosity": _q182_session_sinuosity,
+        "q183_decayed_heat": _q183_decayed_heat,
+        "q184_source_syndication": _q184_source_syndication,
     }
 
 
@@ -9386,6 +9456,160 @@ pk180 AS (
 )
 SELECT cell, t AS change_day, u AS u_stat, abs(u) AS u_abs
 FROM pk180 WHERE rn = 1 ORDER BY cell
+"""
+
+    # q181: POI visits — the q80 stay chain + literal POI distance
+    # filter + integer dwell aggregates
+    _d181 = hav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    _poi_rows = ", ".join(f"({p}, {la!r}, {lo!r}, {r!r})"
+                          for p, la, lo, r in _POI_SET)
+    _dpoi = hav.format(lat1="clat", lon1="clon", lat2="plat2", lon2="plon2")
+    sqls["q181_poi_visits"] = f"""
+WITH {_WALK_CTE},
+l181 AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ep) OVER w AS pep
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+f181 AS (
+  SELECT event_id, user_id, ep, lat, lon,
+         CASE WHEN pep IS NULL OR {_d181} > 300.0 THEN 1 ELSE 0 END AS newrun
+  FROM l181
+),
+r181 AS (
+  SELECT user_id, ep, lat, lon,
+         CAST(sum(newrun) OVER (PARTITION BY user_id
+                                ORDER BY ep ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS stay_id
+  FROM f181
+),
+a181 AS (
+  SELECT user_id, stay_id, count(*) AS n_fixes,
+         min(ep) AS t_start, max(ep) AS t_end,
+         CAST(sum(CAST(round(lat * 10000.0) AS BIGINT)) AS BIGINT) AS slat,
+         CAST(sum(CAST(round(lon * 10000.0) AS BIGINT)) AS BIGINT) AS slon
+  FROM r181 GROUP BY user_id, stay_id
+),
+s181 AS (
+  SELECT user_id, t_end - t_start AS dwell,
+         CAST(slat AS DOUBLE) / (10000.0 * n_fixes) AS clat,
+         CAST(slon AS DOUBLE) / (10000.0 * n_fixes) AS clon
+  FROM a181
+  WHERE t_end - t_start >= 1800 AND n_fixes >= 2
+),
+p181(poi_id, plat2, plon2, pradius) AS (VALUES {_poi_rows})
+SELECT poi_id, count(*) AS n_visits,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(dwell) AS BIGINT) AS dwell_s_sum,
+       CAST(max(dwell) AS BIGINT) AS dwell_s_max
+FROM s181 CROSS JOIN p181
+WHERE {_dpoi} <= pradius
+GROUP BY poi_id ORDER BY poi_id
+"""
+
+    # q182: sinuosity — session window, mm-floored legs, row_number
+    # endpoints, one floor-divided ratio
+    _d182 = hav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    _d182c = hav.format(lat1="f.fla", lon1="f.flo", lat2="l.lla", lon2="l.llo")
+    sqls["q182_session_sinuosity"] = f"""
+WITH {_WALK_CTE},
+l182 AS (
+  SELECT user_id, ep, event_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ep) OVER w AS pts
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)
+),
+f182 AS (
+  SELECT user_id, ep, event_id, lat, lon, plat, plon,
+         CASE WHEN pts IS NULL OR ep - pts > 3600 THEN 1 ELSE 0 END AS newrun
+  FROM l182
+),
+s182 AS (
+  SELECT user_id, ep, event_id, lat, lon,
+         CASE WHEN newrun = 0
+              THEN CAST(floor({_d182} * 1000.0) AS BIGINT)
+              ELSE 0 END AS leg_mm,
+         CAST(sum(newrun) OVER (PARTITION BY user_id
+                                ORDER BY ep ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM f182
+),
+e182 AS (
+  SELECT user_id, session_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ep ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ep DESC, event_id DESC) AS rn_d,
+         count(*) OVER (PARTITION BY user_id, session_id) AS n_fixes,
+         CAST(sum(leg_mm) OVER (PARTITION BY user_id, session_id)
+              AS BIGINT) AS path_mm
+  FROM s182
+),
+fst182 AS (
+  SELECT user_id, session_id, n_fixes, path_mm, lat AS fla, lon AS flo
+  FROM e182 WHERE rn_a = 1
+),
+lst182 AS (
+  SELECT user_id, session_id, lat AS lla, lon AS llo
+  FROM e182 WHERE rn_d = 1
+),
+j182 AS (
+  SELECT f.user_id, f.session_id, CAST(f.n_fixes AS BIGINT) AS n_fixes,
+         f.path_mm,
+         CAST(floor({_d182c} * 1000.0) AS BIGINT) AS chord_mm
+  FROM fst182 f JOIN lst182 l
+    ON l.user_id = f.user_id AND l.session_id = f.session_id
+)
+SELECT user_id, session_id, n_fixes, path_mm, chord_mm,
+       CAST((path_mm * 1000000) // chord_mm AS BIGINT) AS sinuosity_micro
+FROM j182 WHERE n_fixes >= 2 AND chord_mm > 0
+ORDER BY user_id, session_id
+"""
+
+    # q183: decayed heat — shift-free power-of-two division per fix,
+    # one cell aggregate
+    _asof183 = _DAY0 + _NDAYS - 1
+    _wgh183 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q183_decayed_heat"] = f"""
+WITH {_WALK_CTE},
+w183 AS (
+  SELECT {_wgh183} AS cell,
+         CASE WHEN {_asof183} - ep // 86400 BETWEEN 0 AND 29
+              THEN 1000000000 // (CAST(1 AS BIGINT)
+                                  << CAST({_asof183} - ep // 86400 AS INT))
+              ELSE 0 END AS wgt
+  FROM walk
+)
+SELECT cell, count(*) AS n, CAST(sum(wgt) AS BIGINT) AS heat_nano
+FROM w183 GROUP BY cell ORDER BY cell
+"""
+
+    # q184: syndication matrix — the q163 chunk windows, distinct
+    # (source, chunk) postings, the df cap, bounded pair counts
+    sqls["q184_source_syndication"] = r"""
+WITH t184 AS (
+  SELECT source, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+ch184 AS (
+  SELECT DISTINCT source AS src,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+           j -> array_to_string(w[j*5+1:j*5+5], ' '))) AS chunk
+  FROM t184
+),
+cap184 AS (
+  SELECT src, chunk FROM (
+    SELECT src, chunk, count(*) OVER (PARTITION BY chunk) AS df FROM ch184)
+  WHERE df <= 16
+)
+SELECT l.src AS a, r.src AS b, count(*) AS n_shared
+FROM cap184 l JOIN cap184 r ON l.chunk = r.chunk AND l.src < r.src
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY a, b
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -128,7 +128,9 @@ def main() -> None:
         "q173_minhash_calibration", "q174_containment_pairs",
         "q175_markov_backtest", "q176_ann_recall", "q177_kcore",
         "q178_textrank_keywords", "q179_source_js",
-        "q180_cell_changepoint",
+        "q180_cell_changepoint", "q181_poi_visits",
+        "q182_session_sinuosity", "q183_decayed_heat",
+        "q184_source_syndication",
     ]
     from geotile import cache, textops
 

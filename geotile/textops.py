@@ -2548,3 +2548,42 @@ def source_js_pairs(df: DataFrame, group: str = "source",
                    F.expr("greatest(0, kl_sa + kl_sb) DIV 2")
                    .alias("js_nano")))
     return _track_persisted(out, [cnt])
+
+
+def source_syndication(df: DataFrame, n: int = 5, group: str = "source",
+                       text_col: str = "text", max_df: int = 16,
+                       min_shared: int = 2) -> DataFrame:
+    """Cross-source syndication matrix: per source PAIR the count of
+    distinct ``n``-token chunk values published by BOTH — which
+    sources republish each other's content, the provenance question a
+    mixing/dedup pipeline asks of a multi-source corpus (exact-hash
+    dup counts miss near-verbatim syndication; chunk grain catches
+    partial reuse).  Chunks are the same disjoint n-token windows as
+    :func:`dup_chunk_ratio`; chunks carried by more than ``max_df``
+    sources are ubiquitous boilerplate and are capped out (the winnow
+    rule — their absence is the documented guarantee loss).
+
+    Scale shape: one DISTINCT (source, chunk) shuffle, the df-cap
+    window on the SAME partitioning, then a bounded per-chunk pair
+    fan-out (<= max_df^2/2) — quadratic in sources per chunk, never in
+    documents.  Returns ``(a, b, n_shared)`` with a < b and
+    n_shared >= min_shared."""
+    w = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    nch = F.ceil(F.size(w) / F.lit(n)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nch - 1),
+        lambda j: F.concat_ws(" ", F.slice(w, (j * n + 1).cast("int"), n)))
+    post = (df.select(F.col(group).alias("src"),
+                      F.explode(chunks).alias("chunk"))
+            .distinct()
+            .withColumn("_df", F.count("*").over(Window.partitionBy("chunk")))
+            .where(F.col("_df") <= max_df).drop("_df")
+            .persist())
+    l = post.alias("l")
+    r = post.alias("r")
+    out = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                  & (F.col("l.src") < F.col("r.src")))
+           .groupBy(F.col("l.src").alias("a"), F.col("r.src").alias("b"))
+           .agg(F.count("*").alias("n_shared"))
+           .where(F.col("n_shared") >= min_shared))
+    return _track_persisted(out, [post])

@@ -1072,3 +1072,119 @@ def cell_changepoint(df: DataFrame, day0: int, ndays: int, nchars: int = 4,
            .select("cell", F.col("t").alias("change_day"), "u_stat",
                    F.abs("u_stat").alias("u_abs")))
     return cache.track(out, [daily, dense])
+
+
+def poi_visits(df: DataFrame, pois, radius_key: bool = True,
+               min_dwell_s: int = 1800, stay_radius_m: float = 300.0,
+               key: str = "user_id", ts: str = "ep",
+               order_col: str = "event_id", lat: str = "lat",
+               lon: str = "lon") -> DataFrame:
+    """POI visit attribution — the place-visits rollup: stay points
+    (:func:`stay_points`) whose snapped-grid centroid falls within a
+    POI's radius attribute one VISIT to that POI; per POI the visit
+    count, distinct visitors, and dwell-second totals (exact int64
+    sums over unix-second spans).  A stay inside two overlapping POIs
+    attributes to both (radius-join semantics, like the engine's
+    radius_join) — dedup-to-nearest is a caller policy, not silently
+    imposed.  ``pois`` is a small literal list of ``(poi_id, lat, lon,
+    radius_m)``.
+
+    Scale shape: stays are the collapsed dwell table (one window
+    shuffle, q80); the POI side is broadcast and the haversine refine
+    is a native column expression — the fixes never shuffle again.
+    Returns ``(poi_id, n_visits, n_users, dwell_s_sum, dwell_s_max)``
+    for POIs with at least one visit."""
+    stays = stay_points(df, radius_m=stay_radius_m,
+                        min_dwell_s=min_dwell_s, key=key, ts=ts,
+                        order_col=order_col, lat=lat, lon=lon)
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(int(p), float(la), float(lo), float(r)) for p, la, lo, r in pois],
+        "poi_id long, plat double, plon double, pradius double")
+    dist = udfs.haversine_col(F.col("clat"), F.col("clon"),
+                              F.col("plat"), F.col("plon"))
+    hits = (stays.crossJoin(F.broadcast(pdf))
+            .where(dist <= F.col("pradius")))
+    return (hits.groupBy("poi_id")
+            .agg(F.count("*").alias("n_visits"),
+                 F.countDistinct(key).alias("n_users"),
+                 F.sum(F.col("t_end") - F.col("t_start"))
+                 .alias("dwell_s_sum"),
+                 F.max(F.col("t_end") - F.col("t_start"))
+                 .alias("dwell_s_max")))
+
+
+def session_sinuosity(df: DataFrame, gap_s: int = 3600,
+                      key: str = "user_id", ts: str = "ep",
+                      order_col: str = "event_id", lat: str = "lat",
+                      lon: str = "lon") -> DataFrame:
+    """Route-deviation (sinuosity) per session: the ratio of the path
+    length (sum of leg great-circle distances) to the straight-line
+    great-circle distance between the session's first and last fix —
+    the detour/tortuosity screen (a delivery detour or GPS drift
+    scores high, a highway run sits near 1.0).  Sessions split on
+    ``gap_s`` silence like :func:`session_trip_stats`.
+
+    Exactness: legs and the endpoint chord floor to integer
+    millimeters before any aggregate; the ratio is one floor division
+    ``path_mm * 1e6 DIV chord_mm``.  Sessions whose endpoints coincide
+    (chord 0) or with < 2 fixes are dropped — a loop's sinuosity is
+    undefined, not infinite.  One per-key window shuffle + one
+    aggregate; first/last fixes resolve via struct-ordered min/max (no
+    second window)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    d = (df.withColumn("_plat", F.lag(lat).over(w))
+         .withColumn("_plon", F.lag(lon).over(w))
+         .withColumn("_pts", F.lag(ts).over(w))
+         .withColumn("_new",
+                     F.when(F.col("_pts").isNull()
+                            | (F.col(ts) - F.col("_pts") > gap_s),
+                            1).otherwise(0)))
+    ws = (Window.partitionBy(key)
+          .orderBy(F.col(ts).asc(), F.col(order_col).asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("session_id", F.sum("_new").over(ws))
+    leg = udfs.haversine_col(F.col("_plat"), F.col("_plon"),
+                             F.col(lat), F.col(lon))
+    leg_mm = (F.when(F.col("_new") == 0,
+                     F.floor(leg * F.lit(1000.0)))
+              .otherwise(F.lit(0))).cast("long")
+    ends = (d.groupBy(key, "session_id")
+            .agg(F.count("*").alias("n_fixes"),
+                 F.sum(leg_mm).alias("path_mm"),
+                 F.min(F.struct(F.col(ts), F.col(order_col),
+                                F.col(lat).alias("la"),
+                                F.col(lon).alias("lo"))).alias("_f"),
+                 F.max(F.struct(F.col(ts), F.col(order_col),
+                                F.col(lat).alias("la"),
+                                F.col(lon).alias("lo"))).alias("_l")))
+    chord = udfs.haversine_col(F.col("_f.la"), F.col("_f.lo"),
+                               F.col("_l.la"), F.col("_l.lo"))
+    return (ends.withColumn("chord_mm",
+                            F.floor(chord * F.lit(1000.0)).cast("long"))
+            .where((F.col("n_fixes") >= 2) & (F.col("chord_mm") > 0))
+            .select(key, "session_id", "n_fixes", "path_mm", "chord_mm",
+                    F.expr("path_mm * 1000000 DIV chord_mm")
+                    .alias("sinuosity_micro")))
+
+
+def decayed_cell_heat(df: DataFrame, asof_day: int, nchars: int = 4,
+                      cell_col: str = "geohash", ts: str = "ep") -> DataFrame:
+    """Freshness-weighted cell density: each fix contributes
+    ``1e9 DIV 2^age_days`` (one-day half-life, EXACT integer halving —
+    no float decay anywhere), summed per cell — the recency-aware heat
+    a serving layer ranks cells by, where a plain count ranks a
+    stale hub over a rising one.  Fixes older than 29 days contribute
+    0 (the integer weight underflows), which IS the retention horizon.
+    One map-side weight expression + one cell-keyed aggregate.
+    Returns ``(cell, n, heat_nano)``."""
+    age = F.lit(asof_day) - F.expr(f"{ts} DIV 86400")
+    wgt = (F.when((age >= 0) & (age <= 29),
+                  F.expr(f"1000000000 DIV shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({asof_day} - {ts} DIV 86400 AS INT))"))
+           .otherwise(F.lit(0))).cast("long")
+    return (df.select(F.substring(F.col(cell_col), 1, nchars).alias("cell"),
+                      wgt.alias("_w"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), F.sum("_w").alias("heat_nano")))

@@ -1381,3 +1381,27 @@ def test_textrank_star_hub_ranks_first(spark):
     cache.release(ranks)
     assert rows[0]["node"] == "hub"
     assert rows[0]["rank_nano"] > 2 * rows[1]["rank_nano"]
+
+
+def test_source_syndication_planted_and_capped(spark):
+    shared = "quick brown fox jumps high"          # one 5-token chunk
+    boiler = "common boiler plate chunk here"      # ubiquitous chunk
+    rows = []
+    did = 0
+    for s in ("sA", "sB"):
+        for _ in range(3):
+            rows.append((did, s, f"{shared} {boiler} u{did} v{did} w{did} x{did} y{did}"))
+            did += 1
+    # 20 more sources carrying ONLY the boilerplate -> df cap kills it
+    for k in range(20):
+        rows.append((did, f"s{k:02d}", f"{boiler} a{did} b{did} c{did} d{did} e{did}"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.source_syndication(df, max_df=16, min_shared=1)
+    got = {(r["a"], r["b"]): r["n_shared"] for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    # sA/sB share exactly the planted chunk; the boilerplate chunk (in
+    # 22 sources > cap) contributes nowhere
+    assert got == {("sA", "sB"): 1}

@@ -719,3 +719,62 @@ def test_cell_changepoint_constant_series_absent(spark):
     got = trajectory.cell_changepoint(df, day0=day0, ndays=20,
                                       nchars=4).collect()
     assert got == []
+
+
+def test_poi_visits_attribution_and_dwell(spark):
+    # user 1 dwells 2000 s at POI 0's center; user 2 dwells 2500 s
+    # there too; user 3 dwells far away (no POI)
+    rows = []
+    for i, (u, la, lo, dur) in enumerate([(1, 10.0, 20.0, 2000),
+                                          (2, 10.001, 20.001, 2500),
+                                          (3, -50.0, -100.0, 3000)]):
+        for k, t in enumerate((0, dur // 2, dur)):
+            rows.append((i * 10 + k, u, t, la + k * 1e-5, lo))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    out = {r["poi_id"]: r for r in trajectory.poi_visits(
+        df, [(7, 10.0005, 20.0005, 5000.0)], min_dwell_s=1800).collect()}
+    assert set(out) == {7}
+    r = out[7]
+    assert r["n_visits"] == 2 and r["n_users"] == 2
+    assert r["dwell_s_sum"] == 4500 and r["dwell_s_max"] == 2500
+
+
+def test_session_sinuosity_detour_vs_straight(spark):
+    # user 1: straight east run -> ratio ~ 1e6; user 2: out-and-back
+    # detour (path ~2x chord)
+    rows = [(0, 1, 0, 0.0, 0.0), (1, 1, 100, 0.0, 0.1),
+            (2, 1, 200, 0.0, 0.2),
+            (10, 2, 0, 10.0, 0.0), (11, 2, 100, 10.1, 0.05),
+            (12, 2, 200, 10.0, 0.1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = {r["user_id"]: r for r in
+           trajectory.session_sinuosity(df, gap_s=3600).collect()}
+    assert got[1]["sinuosity_micro"] <= 1000001  # floor can shave 1
+    assert got[1]["sinuosity_micro"] >= 999900
+    assert got[2]["sinuosity_micro"] > 1500000
+
+
+def test_session_sinuosity_drops_loops(spark):
+    rows = [(0, 1, 0, 5.0, 5.0), (1, 1, 100, 5.1, 5.1),
+            (2, 1, 200, 5.0, 5.0)]  # returns to start: chord 0
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    assert trajectory.session_sinuosity(df, gap_s=3600).collect() == []
+
+
+def test_decayed_cell_heat_halving(spark):
+    # 3 fixes today, 2 yesterday, 1 too old -> heat = 3*1e9 + 2*5e8
+    day = 20000
+    rows = ([(i, 1, day * 86400 + i, 10.0, 20.0) for i in range(3)]
+            + [(10 + i, 1, (day - 1) * 86400 + i, 10.0, 20.0)
+               for i in range(2)]
+            + [(20, 1, (day - 40) * 86400, 10.0, 20.0)])
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    got = trajectory.decayed_cell_heat(df, asof_day=day, nchars=4).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 6
+    assert got[0]["heat_nano"] == 3 * 1000000000 + 2 * 500000000

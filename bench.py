@@ -130,7 +130,9 @@ def main() -> None:
         "q178_textrank_keywords", "q179_source_js",
         "q180_cell_changepoint", "q181_poi_visits",
         "q182_session_sinuosity", "q183_decayed_heat",
-        "q184_source_syndication",
+        "q184_source_syndication", "q185_coverage_gaps",
+        "q186_quantile_normalize", "q187_mobility_rank",
+        "q188_best_snippet",
     ]
     from geotile import cache, textops
 

@@ -450,3 +450,45 @@ def kcore_peel(nodes: DataFrame, edges: DataFrame, k: int = 5,
     for o in outs[1:]:
         out = out.unionByName(o)
     return cache.track(out, [und])
+
+
+def pagerank_weighted(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+                      node_col: str = "node", src: str = "src",
+                      dst: str = "dst", w: str = "w",
+                      damping_pct: int = 85) -> DataFrame:
+    """Weighted fixed-point integer PageRank: like :func:`pagerank`
+    but each out-edge carries an integer weight and a node's mass
+    splits PROPORTIONALLY —
+
+        r'(v) = base + d% * sum_{u->v} ((r(u) * w_uv) DIV W_u)
+
+    with W_u the node's total out-weight, every operation 64-bit
+    integer (nano-unit ranks, the weight multiply BEFORE its divide,
+    rank*weight < 1e9 * flow counts — far inside int64).  The flow-
+    centrality form for OD graphs: a cell visited by heavy flows
+    outranks one touched by many trickles.  Same one-shuffle-per-round
+    plan as the unweighted version; out-weights attach to the edges
+    once (persisted), ranks localCheckpoint per round."""
+    nd = nodes.select(F.col(node_col).alias("node"))
+    n = nd.count()
+    tot = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.sum(F.col(w)).alias("W")))
+    ed = (edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"),
+                       F.col(w).alias("_w"))
+          .join(tot, "node")
+          .persist())
+    ed.count()
+    base = (100 - damping_pct) * 10**9 // (100 * n)
+    ranks = nd.withColumn("rank_nano", F.lit(10**9 // n).cast("long"))
+    for _ in range(iters):
+        sums = (ed.join(ranks, "node")
+                .select(F.col("_dst").alias("node"),
+                        F.expr("(rank_nano * _w) DIV W").alias("_c"))
+                .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (nd.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(base) +
+                          F.expr(f"({damping_pct} * coalesce(_s, 0)) DIV 100"))
+                         .cast("long").alias("rank_nano"))
+                 .localCheckpoint(eager=True))
+    return cache.track(ranks, [ed])

@@ -2587,3 +2587,84 @@ def source_syndication(df: DataFrame, n: int = 5, group: str = "source",
            .agg(F.count("*").alias("n_shared"))
            .where(F.col("n_shared") >= min_shared))
     return _track_persisted(out, [post])
+
+
+def quantile_normalize(df: DataFrame, val_col: str = "n_chars",
+                       group: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Quantile normalization across groups (the batch-effect
+    harmonizer): each row's value maps to the GLOBAL value at the
+    equivalent rank — within-group rank ``rn`` of ``n_g`` values maps
+    to the global sorted value at 1-based index ``ceil(rn * N / n_g)``
+    (exact integer ceil division) — so every group's normalized
+    distribution equals the corpus distribution.  The normalized value
+    is an ACTUAL corpus value, never an interpolation double.
+
+    Scale shape: one per-group rank window; the global side is NOT a
+    global row_number over N rows (a single-partition sort at corpus
+    scale) but a value-collapsed cumulative table — (value,
+    cum_count), bounded by DISTINCT values, broadcast into a non-equi
+    min-lookup.  Returns ``(id, group, x, rn, n_g, norm_x)``."""
+    base = df.select(F.col(id_col), F.col(group).alias("grp"),
+                     F.col(val_col).cast("long").alias("x"))
+    wg = Window.partitionBy("grp").orderBy(F.col("x").asc(),
+                                           F.col(id_col).asc())
+    ranked = (base.withColumn("rn", F.row_number().over(wg).cast("long"))
+              .withColumn("n_g", F.count("*")
+                          .over(Window.partitionBy("grp")).cast("long")))
+    vals = base.groupBy("x").agg(F.count("*").alias("_c"))
+    wv = Window.orderBy(F.col("x").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (vals.withColumn("cum", F.sum("_c").over(wv).cast("long"))
+           .select(F.col("x").alias("gx"), "cum"))
+    n_total = base.count()
+    tgt = F.expr(f"(rn * {n_total} + n_g - 1) DIV n_g")
+    hit = (ranked.withColumn("_k", tgt)
+           .join(F.broadcast(cum), F.col("cum") >= F.col("_k"))
+           .groupBy(id_col, "grp", "x", "rn", "n_g")
+           .agg(F.min("gx").alias("norm_x")))
+    return hit.select(F.col(id_col), F.col("grp").alias(group), "x", "rn",
+                      "n_g", "norm_x")
+
+
+def best_snippet(df: DataFrame, terms, window: int = 8,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Query-biased snippet extraction: per matching document the
+    ``window``-token span containing the MOST query-term hits (tie:
+    earliest start), returned as text — the serving-side presentation
+    step after retrieval (q63 BM25 / q146 boolean / q171 phrases),
+    using the classic optimality rule that a best window starts AT a
+    hit, so only hit positions are scored.
+
+    Scale shape: the posexplode feeds a literal-term filter MAP-SIDE
+    (the q171 postings discipline) so only hits ever shuffle; the
+    window scoring is a bounded per-doc self-join over the slim
+    (id, pos) hit list; winners join BACK to the documents so the
+    snippet slice is one map-side array op (the token arrays never
+    ride through the join chain).  Returns ``(id, win_start, n_hits,
+    snippet)`` for documents with at least one hit, win_start
+    0-based."""
+    if not terms:
+        raise ValueError("need at least one term")
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS)
+    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    hits = (df.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+            .where(F.array_contains(term_arr, F.col("term")))
+            .select(id_col, "pos")
+            .persist())
+    l = hits.select(F.col(id_col), F.col("pos").alias("s"))
+    r = hits.select(F.col(id_col).alias("_id2"), F.col("pos").alias("q"))
+    scored = (l.join(r, (F.col(id_col) == F.col("_id2"))
+                    & (F.col("q") >= F.col("s"))
+                    & (F.col("q") <= F.col("s") + (window - 1)))
+              .groupBy(id_col, "s").agg(F.count("*").alias("n_hits")))
+    wb = Window.partitionBy(id_col).orderBy(F.col("n_hits").desc(),
+                                            F.col("s").asc())
+    best = (scored.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") == 1).select(id_col, "s", "n_hits"))
+    out = (df.join(best, id_col)
+           .select(F.col(id_col), F.col("s").cast("long").alias("win_start"),
+                   F.col("n_hits"),
+                   F.concat_ws(" ", F.slice(toks, F.col("s") + 1,
+                                            window)).alias("snippet")))
+    return _track_persisted(out, [hits])

@@ -335,3 +335,22 @@ def test_kcore_peel_cascades(spark):
     got = {r["node"]: r["peel_round"] for r in out.collect()}
     cache.release(out)
     assert got == {0: 0, 3: 0, 1: 1, 2: 1}
+
+
+def test_pagerank_weighted_proportional_split(spark):
+    from geotile import cache, graph
+
+    # A(0) splits 9:1 to B(1) and C(2); B and C sink back to A
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame([(0, 1, 9), (0, 2, 1), (1, 0, 1),
+                                   (2, 0, 1)], "src long, dst long, w long")
+    out = graph.pagerank_weighted(nodes, edges, iters=1)
+    got = {r["node"]: r["rank_nano"] for r in out.collect()}
+    cache.release(out)
+    r0 = 10**9 // 3
+    base = 15 * 10**9 // (100 * 3)
+    assert got[1] == base + 85 * ((r0 * 9) // 10) // 100
+    assert got[2] == base + 85 * ((r0 * 1) // 10) // 100
+    assert got[0] == base + 85 * (r0 + r0) // 100
+    # heavy edge dominates
+    assert got[1] > 3 * got[2]

@@ -1405,3 +1405,53 @@ def test_source_syndication_planted_and_capped(spark):
     # sA/sB share exactly the planted chunk; the boilerplate chunk (in
     # 22 sources > cap) contributes nowhere
     assert got == {("sA", "sB"): 1}
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    rows = [(i, "s0", v) for i, v in enumerate([5, 9, 9, 12, 40, 40, 41])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["doc_id"]: r for r in textops.quantile_normalize(df).collect()}
+    for i, (_, _, v) in enumerate(rows):
+        assert got[i]["norm_x"] == v
+
+
+def test_quantile_normalize_maps_to_global_quantiles(spark):
+    # group A = small values, group B = large; each group's normalized
+    # multiset must match the exact ceil-rank picks from the GLOBAL
+    # sorted values
+    va = [1, 2, 3, 4]
+    vb = [100, 200, 300, 400, 500, 600, 700, 800]
+    rows = ([(i, "A", v) for i, v in enumerate(va)]
+            + [(100 + i, "B", v) for i, v in enumerate(vb)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["doc_id"]: r["norm_x"] for r in
+           textops.quantile_normalize(df).collect()}
+    gs = sorted(va + vb)
+    N = len(gs)
+    for grp, vals, off in (("A", va, 0), ("B", vb, 100)):
+        n_g = len(vals)
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], off + i))
+        for rnk, idx in enumerate(order, start=1):
+            k = -(-rnk * N // n_g)  # ceil
+            assert got[off + idx] == gs[k - 1]
+
+
+def test_best_snippet_window_choice_and_ties(spark):
+    rows = [
+        (0, "x join x x x x x x x x join window x"),  # dense cluster late
+        (1, "join x x x x x x x x x x x x x x x"),     # single early hit
+        (2, "no terms here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.best_snippet(df, ["join", "window"], window=8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    assert set(got) == {0, 1}
+    # doc 0: window starting at pos 10 ('join') covers 'join'+'window'
+    assert got[0]["win_start"] == 10 and got[0]["n_hits"] == 2
+    assert got[0]["snippet"] == "join window x"
+    # doc 1: the only window starts at the hit
+    assert got[1]["win_start"] == 0 and got[1]["n_hits"] == 1
+    assert got[1]["snippet"].startswith("join x")

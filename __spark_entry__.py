@@ -3927,6 +3927,72 @@ def _q188_best_snippet(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q189_cell_load_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-skew audit (engine.cell_load_gini): the exact integer
+    Gini coefficient of gh4 cell loads on the hub walk — the
+    one-number "does this key need salting" read (the quantified input
+    to the q6/q75 salting knobs).  One cell-count shuffle + a rank
+    window on the collapsed cell table; the oracle replays the rank
+    formula verbatim."""
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return engine.cell_load_gini(pos, nchars=4)
+
+
+def _q190_spacetime_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed space-time correlation join (engine.spacetime_join):
+    every purchase within 500 km and 3 days of a sampled signup —
+    eps-box cover cells x adjacent time buckets on the A side, stored
+    (cell, bucket) on the B side, ONE bucketed equi-join with native
+    haversine + |dt| refine, never all-pairs.  The oracle goes the
+    other way — brute-force A x B with the same predicates — so
+    parity PROVES the cover generates every qualifying pair."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pos = ev.select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("ep"),
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+    a = (pos.where((F.col("event_type") == "signup")
+                   & (F.col("event_id") % 11 == 0))
+         .select(F.col("event_id").alias("a_id"), "ep", "lat", "lon"))
+    b = (pos.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("b_id"), "ep", "lat", "lon"))
+    return (engine.spacetime_join(a, b, eps_m=500000.0, tau_s=259200,
+                                  nchars=2)
+            .orderBy("a_id", "b_id"))
+
+
+def _q191_cluster_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-cluster provenance (textops.cluster_provenance): per q61
+    near-dup cluster the member count, how many distinct sources it
+    spans, and the keeper's source — within-source re-posts vs
+    cross-source syndication, the attribution read after cluster
+    resolution.  The oracle wraps the full q61 recursive-CTE SQL as a
+    subquery and joins the corpus for the source rollup."""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.cluster_provenance(docs)
+    return cache.track(out.orderBy("cluster_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q192_event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type association lift (behavior.event_type_lift): per
+    type pair the users who did both, exact micro support, and exact
+    micro lift over the independence baseline — market-basket mining
+    on the event stream, integer throughout.  One (user, type)
+    distinct collapse + a type-bounded pair join; the oracle replays
+    the distinct/pair/lift chain."""
+    from geotile import behavior, cache
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = behavior.event_type_lift(ev)
+    return cache.track(out.orderBy("ta", "tb"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4149,6 +4215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_quantile_normalize": _q186_quantile_normalize,
         "q187_mobility_rank": _q187_mobility_rank,
         "q188_best_snippet": _q188_best_snippet,
+        "q189_cell_load_gini": _q189_cell_load_gini,
+        "q190_spacetime_join": _q190_spacetime_join,
+        "q191_cluster_provenance": _q191_cluster_provenance,
+        "q192_event_type_lift": _q192_event_type_lift,
     }
 
 
@@ -9825,6 +9895,90 @@ SELECT b.doc_id, CAST(b.s - 1 AS BIGINT) AS win_start,
        array_to_string(t.l[b.s:b.s + 7], ' ') AS snippet
 FROM bs188 b JOIN t188 t ON t.doc_id = b.doc_id
 WHERE b.rn = 1 ORDER BY b.doc_id
+"""
+
+    # q189: cell-load Gini — the ascending-rank integer formula over
+    # the collapsed cell table
+    _wgh189 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q189_cell_load_gini"] = f"""
+WITH {_WALK_CTE},
+ld189 AS (
+  SELECT {_wgh189} AS cell, count(*) AS x FROM walk GROUP BY 1
+),
+rk189 AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, cell ASC) AS BIGINT)
+         AS i
+  FROM ld189
+)
+SELECT count(*) AS n_cells,
+       CAST(sum(x) AS BIGINT) AS n_points,
+       CAST(max(x) AS BIGINT) AS max_load,
+       CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+            // (count(*) * sum(x)) AS BIGINT) AS gini_micro
+FROM rk189
+"""
+
+    # q190: space-time join — the oracle is the BRUTE-FORCE A x B with
+    # the identical refine predicates, so parity proves the Spark
+    # side's eps-box/bucket cover is complete
+    _d190 = hav.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+    sqls["q190_spacetime_join"] = f"""
+WITH {_POS_CTE},
+tp190 AS (
+  SELECT p.event_id, e.event_type,
+         CAST(floor(epoch(e.ts)) AS BIGINT) AS ep, p.lat, p.lon
+  FROM pos p JOIN events e ON e.event_id = p.event_id
+),
+a190 AS (
+  SELECT event_id AS a_id, ep, lat, lon FROM tp190
+  WHERE event_type = 'signup' AND event_id % 11 = 0
+),
+b190 AS (
+  SELECT event_id AS b_id, ep, lat, lon FROM tp190
+  WHERE event_type = 'purchase'
+)
+SELECT a.a_id, b.b_id,
+       CAST(floor({_d190}) AS BIGINT) AS dist_m,
+       b.ep - a.ep AS dt_s
+FROM a190 a JOIN b190 b
+  ON {_d190} <= 500000.0 AND abs(b.ep - a.ep) <= 259200
+ORDER BY a.a_id, b.b_id
+"""
+
+    # q191: cluster provenance — the full q61 SQL as a subquery plus
+    # the source rollup
+    sqls["q191_cluster_provenance"] = f"""
+SELECT c.cluster_id, count(*) AS n_docs,
+       count(DISTINCT d.source) AS n_sources,
+       max(CASE WHEN c.keep = 1 THEN d.source END) AS keeper_source
+FROM ({sqls["q61_dedup_clusters"]}) c
+JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY c.cluster_id ORDER BY c.cluster_id
+"""
+
+    # q192: event-type lift — distinct collapse, pair join, exact
+    # integer support/lift
+    sqls["q192_event_type_lift"] = r"""
+WITH ut192 AS (
+  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+),
+nn192 AS (SELECT count(DISTINCT u) AS N FROM ut192),
+nt192 AS (SELECT t, count(*) AS n_t FROM ut192 GROUP BY 1),
+p192 AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+  FROM ut192 a JOIN ut192 b ON b.u = a.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+       CAST((n_ab * 1000000) // nn192.N AS BIGINT) AS support_micro,
+       CAST((n_ab * nn192.N * 1000000) // (na.n_t * nb.n_t) AS BIGINT)
+         AS lift_micro
+FROM p192
+JOIN nt192 na ON na.t = p192.ta
+JOIN nt192 nb ON nb.t = p192.tb
+CROSS JOIN nn192
+ORDER BY ta, tb
 """
 
     # Every queries() entry above has an exact oracle — including the

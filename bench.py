@@ -132,7 +132,9 @@ def main() -> None:
         "q182_session_sinuosity", "q183_decayed_heat",
         "q184_source_syndication", "q185_coverage_gaps",
         "q186_quantile_normalize", "q187_mobility_rank",
-        "q188_best_snippet",
+        "q188_best_snippet", "q189_cell_load_gini",
+        "q190_spacetime_join", "q191_cluster_provenance",
+        "q192_event_type_lift",
     ]
     from geotile import cache, textops
 

@@ -111,3 +111,41 @@ def time_weighted_avg(events: DataFrame, val_col: str = "value",
     return (agg.where(F.col("span_s") > 0)
             .select(key_col, "n_fixes", "span_s",
                     F.expr("_num DIV (2 * span_s)").alias("twa_milli")))
+
+
+def event_type_lift(events: DataFrame, user_col: str = "user_id",
+                    type_col: str = "event_type") -> DataFrame:
+    """Association lift between event types (market-basket over the
+    event stream): for every type pair, how many users did BOTH, the
+    exact micro support ``n_ab * 1e6 DIV N``, and the exact micro lift
+    ``(n_ab * N * 1e6) DIV (n_a * n_b)`` — lift > 1e6 means the types
+    co-occur more than independence predicts (the cross-sell / funnel
+    prior).  Integer throughout (bounds: n_ab, N <= users; the triple
+    product stays far inside int64 for any realistic type cardinality).
+
+    Scale shape: one (user, type) DISTINCT collapse (the q76
+    discipline — the event stream never joins itself), then the pair
+    join runs on the collapsed frame keyed by user with fan-out
+    bounded by the TYPE cardinality squared; per-type totals
+    broadcast."""
+    ut = (events.select(F.col(user_col).alias("u"),
+                        F.col(type_col).alias("t"))
+          .distinct().persist())
+    n_users = ut.select("u").distinct().count()
+    nt = ut.groupBy("t").agg(F.count("*").alias("n_t"))
+    l = ut.select("u", F.col("t").alias("ta"))
+    r = ut.select(F.col("u").alias("u2"), F.col("t").alias("tb"))
+    pairs = (l.join(r, (F.col("u") == F.col("u2"))
+                    & (F.col("ta") < F.col("tb")))
+             .groupBy("ta", "tb").agg(F.count("*").alias("n_ab")))
+    na = nt.select(F.col("t").alias("ta"), F.col("n_t").alias("n_a"))
+    nb = nt.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))
+    out = (pairs.join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+           .select("ta", "tb", "n_ab", "n_a", "n_b",
+                   F.expr(f"n_ab * 1000000 DIV {n_users}")
+                   .alias("support_micro"),
+                   F.expr(f"(n_ab * {n_users} * 1000000) DIV (n_a * n_b)")
+                   .alias("lift_micro")))
+    from geotile.cache import track
+
+    return track(out, [ut])

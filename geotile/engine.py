@@ -1939,3 +1939,76 @@ def adaptive_cover(df: DataFrame, threshold: int, p_min: int = 1,
     from . import cache
 
     return cache.track(out, [fine])
+
+
+def spacetime_join(a_pts: DataFrame, b_pts: DataFrame, eps_m: float,
+                   tau_s: int, nchars: int = 2, id_a: str = "a_id",
+                   id_b: str = "b_id", ts: str = "ep", lat: str = "lat",
+                   lon: str = "lon") -> DataFrame:
+    """Typed space-time correlation join: every (a, b) pair where b
+    lies within ``eps_m`` meters AND ``tau_s`` seconds of a — "which
+    purchases happened near and around a signup", the spatiotemporal
+    correlation query colocation_pairs (same-cell/same-bucket
+    co-presence of ONE stream) cannot express across two typed
+    streams.
+
+    Plan shape: the A side explodes to its eps-box cover cells
+    (udfs.eps_cover_cells_udf — exact per row, pole/wrap safe) crossed
+    with the three adjacent time buckets (bucket width = tau_s, so a
+    |dt| <= tau_s pair differs by at most one bucket); the B side
+    carries its stored (cell, bucket) key — ONE bucketed equi-join,
+    never all-pairs, with the haversine + |dt| refine as native
+    map-side expressions (the q62 candidate discipline).  Returns
+    ``(a_id, b_id, dist_m, dt_s)`` with dist floored to integer meters
+    and dt signed (b after a is positive)."""
+    a = a_pts.select(F.col(id_a), F.col(ts).alias("_ats"),
+                     F.col(lat).alias("_alat"), F.col(lon).alias("_alon"))
+    a = (a.withColumn("geohash",
+                      F.explode(udfs.eps_cover_cells_udf(nchars, eps_m)(
+                          F.col("_alat"), F.col("_alon"))))
+         .withColumn("_tb", F.explode(F.array(
+             F.expr(f"_ats DIV {tau_s} - 1"),
+             F.expr(f"_ats DIV {tau_s}"),
+             F.expr(f"_ats DIV {tau_s} + 1")))))
+    b = with_cell(b_pts.select(F.col(id_b), F.col(ts).alias("_bts"),
+                               F.col(lat).alias("_blat"),
+                               F.col(lon).alias("_blon")),
+                  lat="_blat", lon="_blon", nchars=nchars)
+    b = b.withColumn("_tb", F.expr(f"_bts DIV {tau_s}"))
+    dist = udfs.haversine_col(F.col("_alat"), F.col("_alon"),
+                              F.col("_blat"), F.col("_blon"))
+    return (a.join(b, ["geohash", "_tb"])
+            .where((dist <= F.lit(float(eps_m)))
+                   & (F.abs(F.col("_bts") - F.col("_ats"))
+                      <= F.lit(int(tau_s))))
+            .select(id_a, id_b,
+                    F.floor(dist).cast("long").alias("dist_m"),
+                    (F.col("_bts") - F.col("_ats")).alias("dt_s"))
+            .distinct())
+
+
+def cell_load_gini(df: DataFrame, nchars: int = 4,
+                   cell_col: str = "geohash") -> DataFrame:
+    """Shuffle-balance audit: the Gini coefficient of per-cell loads —
+    the one-number answer to "how skewed is this partition key", read
+    before deciding whether a join needs salting (the q6/q75 knobs).
+    Exact integer form over ascending rank i of loads x_i:
+
+        gini_micro = (2*sum(i*x_i) - (n+1)*sum(x)) * 1e6 DIV (n*sum(x))
+
+    (non-negative for ascending order, so the floor DIV is safe).
+    One cell-count shuffle; the rank window runs on the COLLAPSED cell
+    table.  Returns one row ``(n_cells, n_points, max_load,
+    gini_micro)``."""
+    loads = (df.groupBy(F.substring(F.col(cell_col), 1, nchars)
+                        .alias("cell"))
+             .agg(F.count("*").alias("x")))
+    wr = Window.orderBy(F.col("x").asc(), F.col("cell").asc())
+    ranked = loads.withColumn("i", F.row_number().over(wr).cast("long"))
+    return (ranked.agg(F.count("*").alias("n_cells"),
+                       F.sum("x").alias("n_points"),
+                       F.max("x").alias("max_load"),
+                       F.sum(F.col("i") * F.col("x")).alias("_six"))
+            .select("n_cells", "n_points", "max_load",
+                    F.expr("(2 * _six - (n_cells + 1) * n_points) * 1000000"
+                           " DIV (n_cells * n_points)").alias("gini_micro")))

@@ -2668,3 +2668,23 @@ def best_snippet(df: DataFrame, terms, window: int = 8,
                    F.concat_ws(" ", F.slice(toks, F.col("s") + 1,
                                             window)).alias("snippet")))
     return _track_persisted(out, [hits])
+
+
+def cluster_provenance(df: DataFrame, id_col: str = "doc_id",
+                       group: str = "source", **cluster_kwargs) -> DataFrame:
+    """Provenance rollup of near-duplicate clusters: per cluster the
+    member count, how many distinct sources it spans, and the keeper's
+    source — "is this duplication WITHIN a source (re-posts) or ACROSS
+    sources (syndication)", the attribution question a dedup report
+    answers next after q61 resolves the clusters.  Pure composition:
+    :func:`near_dup_clusters` + one join back to the corpus for the
+    group column + one cluster rollup (clusters are tiny next to the
+    corpus)."""
+    cc = near_dup_clusters(df, id_col=id_col, **cluster_kwargs)
+    j = cc.join(df.select(F.col(id_col), F.col(group)), id_col)
+    out = (j.groupBy("cluster_id")
+           .agg(F.count("*").alias("n_docs"),
+                F.countDistinct(group).alias("n_sources"),
+                F.max(F.when(F.col("keep") == 1, F.col(group)))
+                .alias("keeper_source")))
+    return _track_persisted(out, getattr(cc, "_geotile_persisted", []))

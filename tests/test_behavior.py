@@ -135,3 +135,25 @@ def test_time_weighted_avg_matches_local_on_random(spark):
                   for i in range(1, len(vs)))
         want[u] = (len(evs), span, num // (2 * span))
     assert got == want
+
+
+def test_event_type_lift_exact(spark):
+    # users: 1 does {a,b}, 2 does {a,b}, 3 does {a}, 4 does {b,c}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+            (4, "b"), (4, "c"), (1, "a")]
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string")
+    out = behavior.event_type_lift(ev)
+    got = {(r["ta"], r["tb"]): r for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    r = got[("a", "b")]
+    # N=4, n_a=3, n_b=3, n_ab=2
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["support_micro"] == 2 * 1000000 // 4
+    assert r["lift_micro"] == (2 * 4 * 1000000) // 9
+    r2 = got[("b", "c")]
+    assert r2["n_ab"] == 1 and r2["lift_micro"] == (1 * 4 * 1000000) // 3
+    assert ("a", "c") not in got

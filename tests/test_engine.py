@@ -1219,3 +1219,57 @@ def test_adaptive_cover_partition_invariants(spark):
         assert r["n"] == count_prefix(r["cell"])
         for k in range(1, len(r["cell"])):
             assert count_prefix(r["cell"][:k]) > thr
+
+
+def test_cell_load_gini_uniform_vs_skewed(spark):
+    from pyspark.sql import functions as F
+
+    # 4 cells x 10 points each -> Gini 0
+    rows = []
+    centers = [(10.0, 20.0), (30.0, 40.0), (-30.0, -40.0), (50.0, 60.0)]
+    for c, (la, lo) in enumerate(centers):
+        for k in range(10):
+            rows.append((c * 100 + k, la + k * 1e-6, lo))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, lat double, lon double"), nchars=5)
+    r = engine.cell_load_gini(df, nchars=4).collect()[0]
+    assert (r["n_cells"], r["n_points"], r["max_load"]) == (4, 40, 10)
+    assert r["gini_micro"] == 0
+    # hot cell: loads [1, 1, 1, 37] -> exact formula value
+    rows2 = [(i, 10.0 + i * 1e-6, 20.0) for i in range(37)]
+    rows2 += [(100 + c, la, lo) for c, (la, lo) in enumerate(centers[1:])]
+    df2 = engine.with_cell(spark.createDataFrame(
+        rows2, "event_id long, lat double, lon double"), nchars=5)
+    r2 = engine.cell_load_gini(df2, nchars=4).collect()[0]
+    xs = sorted([1, 1, 1, 37])
+    n, s = len(xs), sum(xs)
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    assert r2["gini_micro"] == (2 * six - (n + 1) * s) * 1000000 // (n * s)
+    assert r2["gini_micro"] > 600000
+
+
+def test_spacetime_join_predicates_and_cover(spark):
+    # A at origin; B1 near in space+time, B2 near in space but late,
+    # B3 near in time but far, B4 just across a gh2 cell boundary
+    # (cover must still find it)
+    a = spark.createDataFrame([(1, 1000, 0.0, 0.0)],
+                              "a_id long, ep long, lat double, lon double")
+    b = spark.createDataFrame(
+        [(10, 1500, 0.1, 0.1),        # ~16 km, dt 500 -> match
+         (11, 99000, 0.1, 0.1),       # late -> no
+         (12, 1500, 40.0, 40.0),      # far -> no
+         (13, 900, 5.5, 0.0)],        # ~611 km away -> no at 300 km
+        "b_id long, ep long, lat double, lon double")
+    got = {(r["a_id"], r["b_id"]): r for r in
+           engine.spacetime_join(a, b, eps_m=300000.0, tau_s=3600,
+                                 nchars=2).collect()}
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)]["dt_s"] == 500
+    # boundary case: B at ~250 km north sits in a DIFFERENT gh2 cell;
+    # the eps-box cover must still produce the pair
+    b2 = spark.createDataFrame([(20, 1200, 2.2, 0.0)],
+                               "b_id long, ep long, lat double, lon double")
+    got2 = [(r["a_id"], r["b_id"]) for r in
+            engine.spacetime_join(a, b2, eps_m=300000.0, tau_s=3600,
+                                  nchars=2).collect()]
+    assert got2 == [(1, 20)]

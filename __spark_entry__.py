@@ -2953,13 +2953,14 @@ def _q148_count_min(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q149_k_anonymize(spark: SparkSession, sf: str) -> DataFrame:
     """Spatial k-anonymity over the hub walk
-    (engine.k_anonymize_cells, k=5, gh5->gh2 ladder): each fix
-    publishes at the finest precision whose cell holds >= 5 distinct
-    users, else suppresses — the location-privacy gate next to q101's
-    text PII redaction.  Ladder support tables are DISTINCT
-    partial-aggs broadcast into one streaming pass; the oracle
-    replays the ladder with per-precision LEFT JOINs and the same
-    coalesce rule."""
+    (engine.k_anonymize_cells, k=5, gh5->gh2 RESIDUAL ladder): each
+    fix publishes at the finest precision whose cell holds >= 5
+    distinct users AMONG THE STILL-UNPUBLISHED fixes, else suppresses
+    — the location-privacy gate next to q101's text PII redaction,
+    with ``n_users >= 5`` holding on every published output row by
+    construction (the naive full-population ladder leaks under-k
+    subsets at coarse rungs — measured and documented in the module).
+    The oracle replays the residual rungs and the coalesce rule."""
     pos = engine.with_cell(_walk_df(spark, sf))
     return (engine.k_anonymize_cells(pos, k=5)
             .orderBy("anon_cell"))
@@ -3993,6 +3994,79 @@ def _q192_event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q193_stream_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """ELEVENTH streaming gate: histogram-quantile maintenance AT
+    INGEST — the documents stream feeds textops.hist_bins (the q138
+    bin stage, aggregation-only: counts are associative + commutative,
+    state bounded at sources x 256 rows forever) in complete mode; the
+    shared finishing pass (hist_quantiles_from_bins) then cuts
+    quantiles on the materialized sink, so the streaming answer must
+    equal batch q138 row for row — and the oracle IS the q138 SQL.
+    Completes the streaming-sketch family next to HLL (q127) and
+    count-min (q150): cardinality, frequency, and now rank telemetry
+    with O(1) state at the crawl ingest point."""
+    docs = _stream_docs(spark, sf)
+    bins = textops.hist_bins(docs)
+    sink = _run_stream_to_table(bins, spark, "q193_hist_sink", "complete")
+    return (textops.hist_quantiles_from_bins(sink).orderBy("source"))
+
+
+def _q194_ann_probe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe-budget recall sweep: the q176 recall@10 audit at
+    multiprobe budgets 1/2/3 (probe sets of 11/56/176 of the 1024
+    hyperplane buckets) — the measured recall-vs-scan-cost CURVE an
+    ANN deployment tunes against, as gated integers instead of a
+    rule of thumb.  Monotone by construction (larger probe sets are
+    supersets — pytest pins it).  The oracle replays every
+    (query, budget) probe pipeline with literal vectors and planes."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ex_parts, ap_parts = [], []
+    for qid, qv in _ann_query_vectors(sf):
+        ex_parts.append(
+            simsearch.brute_topk(emb, qv, k=10)
+            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id"))
+        for mp in (1, 2, 3):
+            ap_parts.append(
+                simsearch.lsh_bucket_topk(emb, qv, k=10, nbits=10,
+                                          multiprobe=mp)
+                .select(F.lit(qid).cast("long").alias("query_id"),
+                        F.lit(mp).cast("long").alias("multiprobe"),
+                        "vec_id"))
+    ex = ex_parts[0]
+    for p in ex_parts[1:]:
+        ex = ex.unionByName(p)
+    ap = ap_parts[0]
+    for p in ap_parts[1:]:
+        ap = ap.unionByName(p)
+    hits = (ex.join(ap, ["query_id", "vec_id"])
+            .groupBy("query_id", "multiprobe")
+            .agg(F.count("*").alias("_h")))
+    napp = (ap.groupBy("query_id", "multiprobe")
+            .agg(F.count("*").alias("n_approx")))
+    return (napp.join(hits, ["query_id", "multiprobe"], "left")
+            .withColumn("n_hit", F.coalesce("_h", F.lit(0)).cast("long"))
+            .withColumn("recall_micro", F.expr("n_hit * 1000000 DIV 10"))
+            .select("query_id", "multiprobe", "n_approx", "n_hit",
+                    "recall_micro")
+            .orderBy("query_id", "multiprobe"))
+
+
+def _q195_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity generalization (engine.l_diversify_cells, l=3) over
+    the typed walk: each fix publishes at the finest geohash precision
+    whose cell spans >= 3 distinct event types among the
+    still-unpublished fixes (RESIDUAL ladder — ``n_vals >= 3`` holds
+    on every published output row by construction) — the
+    sensitive-attribute privacy gate composing on q149's k-anonymity
+    (a k-crowd that all share the secret still leaks).  The oracle
+    replays the residual rungs and the coalesce ladder."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pos = (engine.with_cell(_walk_df(spark, sf))
+           .join(ev.select("event_id", "event_type"), "event_id"))
+    return (engine.l_diversify_cells(pos, l_min=3)
+            .orderBy("anon_cell"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4219,6 +4293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_spacetime_join": _q190_spacetime_join,
         "q191_cluster_provenance": _q191_cluster_provenance,
         "q192_event_type_lift": _q192_event_type_lift,
+        "q193_stream_hist": _q193_stream_hist,
+        "q194_ann_probe_sweep": _q194_ann_probe_sweep,
+        "q195_l_diversity": _q195_l_diversity,
     }
 
 
@@ -8384,31 +8461,41 @@ GROUP BY 1, 2 ORDER BY token
 
     # q149: spatial k-anonymity — per-precision DISTINCT-user support
     # tables, left-join ladder, identical coalesce/suppression rule
+    # RESIDUAL ladder (matches engine.k_anonymize_cells): each rung's
+    # support counts only the fixes the finer rungs did not publish,
+    # so n_users >= k holds on every published OUTPUT row
     sqls["q149_k_anonymize"] = f"""
 WITH {_WALK_CTE},
 f149 AS (
   SELECT user_id, {gh5} AS gh FROM walk
 ),
-c5_149 AS (SELECT c, count(*) AS n FROM (
-  SELECT DISTINCT substr(gh, 1, 5) AS c, user_id FROM f149) GROUP BY 1),
-c4_149 AS (SELECT c, count(*) AS n FROM (
-  SELECT DISTINCT substr(gh, 1, 4) AS c, user_id FROM f149) GROUP BY 1),
-c3_149 AS (SELECT c, count(*) AS n FROM (
-  SELECT DISTINCT substr(gh, 1, 3) AS c, user_id FROM f149) GROUP BY 1),
-c2_149 AS (SELECT c, count(*) AS n FROM (
-  SELECT DISTINCT substr(gh, 1, 2) AS c, user_id FROM f149) GROUP BY 1),
+s5_149 AS (SELECT substr(gh, 1, 5) AS c FROM f149
+           GROUP BY 1 HAVING count(DISTINCT user_id) >= 5),
+r5_149 AS (SELECT * FROM f149
+           WHERE substr(gh, 1, 5) NOT IN (SELECT c FROM s5_149)),
+s4_149 AS (SELECT substr(gh, 1, 4) AS c FROM r5_149
+           GROUP BY 1 HAVING count(DISTINCT user_id) >= 5),
+r4_149 AS (SELECT * FROM r5_149
+           WHERE substr(gh, 1, 4) NOT IN (SELECT c FROM s4_149)),
+s3_149 AS (SELECT substr(gh, 1, 3) AS c FROM r4_149
+           GROUP BY 1 HAVING count(DISTINCT user_id) >= 5),
+r3_149 AS (SELECT * FROM r4_149
+           WHERE substr(gh, 1, 3) NOT IN (SELECT c FROM s3_149)),
+s2_149 AS (SELECT substr(gh, 1, 2) AS c FROM r3_149
+           GROUP BY 1 HAVING count(DISTINCT user_id) >= 5),
 j149 AS (
-  SELECT f.user_id,
-         CASE WHEN c5_149.n >= 5 THEN substr(f.gh, 1, 5)
-              WHEN c4_149.n >= 5 THEN substr(f.gh, 1, 4)
-              WHEN c3_149.n >= 5 THEN substr(f.gh, 1, 3)
-              WHEN c2_149.n >= 5 THEN substr(f.gh, 1, 2)
-              ELSE '*' END AS anon_cell
-  FROM f149 f
-  LEFT JOIN c5_149 ON substr(f.gh, 1, 5) = c5_149.c
-  LEFT JOIN c4_149 ON substr(f.gh, 1, 4) = c4_149.c
-  LEFT JOIN c3_149 ON substr(f.gh, 1, 3) = c3_149.c
-  LEFT JOIN c2_149 ON substr(f.gh, 1, 2) = c2_149.c
+  SELECT user_id,
+         COALESCE(
+           CASE WHEN substr(gh, 1, 5) IN (SELECT c FROM s5_149)
+                THEN substr(gh, 1, 5) END,
+           CASE WHEN substr(gh, 1, 4) IN (SELECT c FROM s4_149)
+                THEN substr(gh, 1, 4) END,
+           CASE WHEN substr(gh, 1, 3) IN (SELECT c FROM s3_149)
+                THEN substr(gh, 1, 3) END,
+           CASE WHEN substr(gh, 1, 2) IN (SELECT c FROM s2_149)
+                THEN substr(gh, 1, 2) END,
+           '*') AS anon_cell
+  FROM f149
 )
 SELECT anon_cell,
        CAST(CASE WHEN anon_cell = '*' THEN 0
@@ -9979,6 +10066,127 @@ JOIN nt192 na ON na.t = p192.ta
 JOIN nt192 nb ON nb.t = p192.tb
 CROSS JOIN nn192
 ORDER BY ta, tb
+"""
+
+    # q193: streaming histogram — a finite stream's complete-mode bin
+    # table must equal the batch bins, so the oracle IS q138's SQL
+    sqls["q193_stream_hist"] = sqls["q138_hist_quantiles"]
+
+    # q194: probe-budget sweep — per (query, budget) the q20 probe
+    # pipeline with literal planes/vectors, intersected with the exact
+    # top-10 per query
+    try:
+        _nb194 = 10
+        _pl194 = simsearch._rand_unit((_nb194, 64), 42)
+        _bt194 = " + ".join(
+            f"(CASE WHEN list_inner_product(emb64, "
+            f"{_vec_literal_sql([float(x) for x in _pl194[i]])}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(_nb194))
+        _parts194 = []
+        _leg194 = []
+        for _qid, _qv194 in _ann_query_vectors(sf_dir):
+            _v = _vec_literal_sql(_qv194)
+            _cs = (f"list_inner_product(emb64, {_v}) / "
+                   f"(sqrt(list_inner_product(emb64, emb64)) * "
+                   f"sqrt(list_inner_product({_v}, {_v})))")
+            _qv64 = np.asarray(_qv194, dtype=np.float64)
+            _qb = int(((_qv64 @ _pl194.T >= 0).astype(np.uint64)
+                       << np.arange(_nb194, dtype=np.uint64)).sum())
+            _parts194.append(f"""ex194_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id FROM (
+    SELECT vec_id, {_cs} AS c FROM b194
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+)""")
+            for _mp in (1, 2, 3):
+                _pr = simsearch._probe_buckets(_qb, _nb194, _mp)
+                _parts194.append(f"""ap194_{_qid}_{_mp} AS (
+  SELECT {_qid} AS query_id, {_mp} AS multiprobe, vec_id FROM (
+    SELECT vec_id, {_cs} AS c FROM bk194
+    WHERE bucket IN ({", ".join(str(p) for p in _pr)})
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+)""")
+                _leg194.append(f"SELECT * FROM ap194_{_qid}_{_mp}")
+        _q194_ids = [q for q, _ in _ann_query_vectors(sf_dir)]
+        _exu194 = "\n  UNION ALL\n  ".join(
+            f"SELECT * FROM ex194_{q}" for q in _q194_ids)
+        _apu194 = "\n  UNION ALL\n  ".join(_leg194)
+        sqls["q194_ann_probe_sweep"] = f"""
+WITH b194 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+bk194 AS (
+  SELECT vec_id, emb64, {_bt194} AS bucket FROM b194
+),
+{",".join(_parts194)},
+ex194 AS (
+  {_exu194}
+),
+ap194 AS (
+  {_apu194}
+),
+h194 AS (
+  SELECT a.query_id, a.multiprobe, count(*) AS n_hit
+  FROM ap194 a JOIN ex194 e ON e.query_id = a.query_id
+                           AND e.vec_id = a.vec_id
+  GROUP BY 1, 2
+)
+SELECT a.query_id, CAST(a.multiprobe AS BIGINT) AS multiprobe,
+       count(*) AS n_approx,
+       CAST(COALESCE(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(max(h.n_hit), 0) * 1000000) // 10 AS BIGINT)
+         AS recall_micro
+FROM ap194 a
+LEFT JOIN h194 h ON h.query_id = a.query_id AND h.multiprobe = a.multiprobe
+GROUP BY a.query_id, a.multiprobe
+ORDER BY a.query_id, a.multiprobe
+"""
+    except Exception:
+        pass  # embeddings absent -> q194 falls back to rows-only
+
+    # q195: l-diversity ladder — per-rung distinct-type counts, the
+    # coalesce ladder, the published rollup
+    _lgh = _gh_sql("lat", "lon")
+    sqls["q195_l_diversity"] = f"""
+WITH {_WALK_CTE},
+tw195 AS (
+  SELECT {_lgh} AS gh, e.event_type AS s
+  FROM walk w JOIN events e ON e.event_id = w.event_id
+),
+s5_195 AS (SELECT substr(gh, 1, 5) AS c FROM tw195
+           GROUP BY 1 HAVING count(DISTINCT s) >= 3),
+r5_195 AS (SELECT * FROM tw195
+           WHERE substr(gh, 1, 5) NOT IN (SELECT c FROM s5_195)),
+s4_195 AS (SELECT substr(gh, 1, 4) AS c FROM r5_195
+           GROUP BY 1 HAVING count(DISTINCT s) >= 3),
+r4_195 AS (SELECT * FROM r5_195
+           WHERE substr(gh, 1, 4) NOT IN (SELECT c FROM s4_195)),
+s3_195 AS (SELECT substr(gh, 1, 3) AS c FROM r4_195
+           GROUP BY 1 HAVING count(DISTINCT s) >= 3),
+r3_195 AS (SELECT * FROM r4_195
+           WHERE substr(gh, 1, 3) NOT IN (SELECT c FROM s3_195)),
+s2_195 AS (SELECT substr(gh, 1, 2) AS c FROM r3_195
+           GROUP BY 1 HAVING count(DISTINCT s) >= 3),
+pub195 AS (
+  SELECT gh, s,
+         COALESCE(
+           CASE WHEN substr(gh, 1, 5) IN (SELECT c FROM s5_195)
+                THEN substr(gh, 1, 5) END,
+           CASE WHEN substr(gh, 1, 4) IN (SELECT c FROM s4_195)
+                THEN substr(gh, 1, 4) END,
+           CASE WHEN substr(gh, 1, 3) IN (SELECT c FROM s3_195)
+                THEN substr(gh, 1, 3) END,
+           CASE WHEN substr(gh, 1, 2) IN (SELECT c FROM s2_195)
+                THEN substr(gh, 1, 2) END,
+           '*') AS anon_cell
+  FROM tw195
+)
+SELECT anon_cell,
+       CAST(CASE WHEN anon_cell = '*' THEN 0
+            ELSE length(anon_cell) END AS BIGINT) AS plen,
+       count(*) AS n_fixes,
+       count(DISTINCT s) AS n_vals
+FROM pub195 GROUP BY 1 ORDER BY anon_cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -134,7 +134,8 @@ def main() -> None:
         "q186_quantile_normalize", "q187_mobility_rank",
         "q188_best_snippet", "q189_cell_load_gini",
         "q190_spacetime_join", "q191_cluster_provenance",
-        "q192_event_type_lift",
+        "q192_event_type_lift", "q193_stream_hist",
+        "q194_ann_probe_sweep", "q195_l_diversity",
     ]
     from geotile import cache, textops
 

@@ -1736,26 +1736,45 @@ def k_anonymize_cells(df: DataFrame, k: int = 5,
 
     This is cell-level k-anonymity (every published cell name is
     shared by >= k keys); it does not add l-diversity or temporal
-    cloaking — those compose on top.
+    cloaking — :func:`l_diversify_cells` composes on top.
+
+    RESIDUAL ladder semantics: each rung's support is counted over
+    the fixes still UNPUBLISHED after the finer rungs, so every
+    published group is exactly the population whose support was
+    tested and ``n_users >= k`` holds on every non-suppressed OUTPUT
+    row by construction.  (The naive chained-coalesce ladder counts
+    support over the FULL cell population; fixes published at a
+    coarse rung are the subset whose finer cell failed, and that
+    subset can hold fewer than k keys — a measured leak: 5 violating
+    cells on the sf0.01 walk — which is why the residual form is the
+    one shipped.)
 
     Scale shape: one DISTINCT (cell_p, key) partial-agg per ladder
-    rung builds that rung's support table (occupied-cell sized, far
-    smaller than fixes — broadcast here; at scales where a rung
-    outgrows the broadcast threshold the join falls back to a
-    prefix-keyed shuffle and the plan stays correct), then the fixes
-    stream ONCE through the chained broadcast joins and ONE aggregate
-    groups the published cells.  All counts exact integers.  Returns
-    ``(anon_cell, plen, n_fixes, n_users)``; every non-suppressed row
-    has ``n_users >= k`` by construction — the invariant the q149
-    gate value-checks."""
-    out = df.select(F.col(cell_col).alias("_gh"), F.col(key).alias("_k"))
+    rung over the shrinking residual (support tables are
+    occupied-cell sized — broadcast; at scales where a rung outgrows
+    the broadcast threshold the join falls back to a prefix-keyed
+    shuffle and the plan stays correct); residual filtering and the
+    final rung assignment are broadcast semi/anti joins, so the fixes
+    never shuffle.  All counts exact integers.  Returns
+    ``(anon_cell, plen, n_fixes, n_users)``."""
+    base = df.select(F.col(cell_col).alias("_gh"), F.col(key).alias("_k"))
+    resid = base
+    passes = {}
     for p in precisions:
-        cnt = (df.select(F.substring(F.col(cell_col), 1, p).alias(f"_c{p}"),
-                         F.col(key).alias("_k")).distinct()
-               .groupBy(f"_c{p}").agg(F.count("*").alias(f"_n{p}")))
+        sup = (resid.select(F.substring(F.col("_gh"), 1, p)
+                            .alias(f"_c{p}"), "_k").distinct()
+               .groupBy(f"_c{p}").agg(F.count("*").alias("_n")))
+        passes[p] = (sup.where(F.col("_n") >= k)
+                     .select(f"_c{p}", F.lit(1).alias(f"_f{p}")))
+        resid = resid.join(
+            F.broadcast(passes[p]),
+            F.substring(F.col("_gh"), 1, p) == F.col(f"_c{p}"),
+            "left_anti")
+    out = base
+    for p in precisions:
         out = (out.withColumn(f"_c{p}", F.substring(F.col("_gh"), 1, p))
-               .join(F.broadcast(cnt), f"_c{p}", "left"))
-    anon = F.coalesce(*[F.when(F.col(f"_n{p}") >= k, F.col(f"_c{p}"))
+               .join(F.broadcast(passes[p]), f"_c{p}", "left"))
+    anon = F.coalesce(*[F.when(F.col(f"_f{p}") == 1, F.col(f"_c{p}"))
                         for p in precisions], F.lit("*"))
     return (out.withColumn("anon_cell", anon)
             .groupBy("anon_cell")
@@ -2012,3 +2031,54 @@ def cell_load_gini(df: DataFrame, nchars: int = 4,
             .select("n_cells", "n_points", "max_load",
                     F.expr("(2 * _six - (n_cells + 1) * n_points) * 1000000"
                            " DIV (n_cells * n_points)").alias("gini_micro")))
+
+
+def l_diversify_cells(df: DataFrame, l_min: int = 3,
+                      precisions=(5, 4, 3, 2),
+                      cell_col: str = "geohash",
+                      sensitive: str = "event_type") -> DataFrame:
+    """l-diversity generalization (Machanavajjhala et al. 2007, cell-
+    ladder form) — the composition k_anonymize_cells' docstring names:
+    publish each fix at the FINEST geohash precision whose cell holds
+    >= ``l_min`` DISTINCT values of the sensitive attribute (k
+    anonymous crowds are not enough when everyone in the crowd shares
+    the secret); fixes that cannot reach l even at the coarsest rung
+    are suppressed (``'*'``).
+
+    RESIDUAL ladder semantics, like :func:`k_anonymize_cells`: each
+    rung's diversity is counted over the fixes still unpublished
+    after the finer rungs, so ``n_vals >= l_min`` holds on every
+    non-suppressed OUTPUT row by construction (the naive full-
+    population ladder leaked 32 under-diverse published cells on the
+    sf0.01 walk — measured, which is why the residual form ships).
+    Same plan: per-rung DISTINCT partial-aggs broadcast, residual
+    anti-joins, one final aggregate; the fixes never shuffle.
+    Returns ``(anon_cell, plen, n_fixes, n_vals)``."""
+    base = df.select(F.col(cell_col).alias("_gh"),
+                     F.col(sensitive).alias("_s"))
+    resid = base
+    passes = {}
+    for p in precisions:
+        sup = (resid.select(F.substring(F.col("_gh"), 1, p)
+                            .alias(f"_c{p}"), "_s").distinct()
+               .groupBy(f"_c{p}").agg(F.count("*").alias("_n")))
+        passes[p] = (sup.where(F.col("_n") >= l_min)
+                     .select(f"_c{p}", F.lit(1).alias(f"_f{p}")))
+        resid = resid.join(
+            F.broadcast(passes[p]),
+            F.substring(F.col("_gh"), 1, p) == F.col(f"_c{p}"),
+            "left_anti")
+    out = base
+    for p in precisions:
+        out = (out.withColumn(f"_c{p}", F.substring(F.col("_gh"), 1, p))
+               .join(F.broadcast(passes[p]), f"_c{p}", "left"))
+    anon = F.coalesce(*[F.when(F.col(f"_f{p}") == 1, F.col(f"_c{p}"))
+                        for p in precisions], F.lit("*"))
+    return (out.withColumn("anon_cell", anon)
+            .groupBy("anon_cell")
+            .agg(F.count("*").alias("n_fixes"),
+                 F.countDistinct("_s").alias("n_vals"))
+            .withColumn("plen",
+                        F.when(F.col("anon_cell") == "*", F.lit(0))
+                        .otherwise(F.length("anon_cell")).cast("long"))
+            .select("anon_cell", "plen", "n_fixes", "n_vals"))

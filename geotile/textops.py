@@ -1749,11 +1749,34 @@ def hist_quantiles(df: DataFrame, val_col: str = "n_chars",
     to <= groups x n_bins count rows; the cumulative window and the
     quantile argmin run on that sketch-sized frame.  Histograms from
     disjoint shards merge by adding counts — the property that lets a
-    1000-executor scan emit 256-row partials."""
+    1000-executor scan emit 256-row partials, and that makes the bin
+    stage (:func:`hist_bins`) a legal complete-mode STREAMING
+    aggregate (q193 maintains it at ingest)."""
+    cnt = hist_bins(df, val_col=val_col, group=group, bin_w=bin_w,
+                    n_bins=n_bins)
+    return hist_quantiles_from_bins(cnt, group=group, bin_w=bin_w, qs=qs)
+
+
+def hist_bins(df: DataFrame, val_col: str = "n_chars",
+              group: str = "source", bin_w: int = 16,
+              n_bins: int = 256) -> DataFrame:
+    """The mergeable bin-count stage of :func:`hist_quantiles` —
+    aggregation-only (associative, commutative counts), so it runs
+    unchanged as a complete-mode streaming aggregate with state
+    bounded at groups x n_bins rows forever.  Returns
+    ``(group, bin, c)``."""
     b = F.least(F.floor(F.col(val_col) / F.lit(bin_w)),
                 F.lit(n_bins - 1)).cast("long")
-    cnt = (df.groupBy(F.col(group), b.alias("bin"))
-           .agg(F.count("*").alias("c")))
+    return (df.groupBy(F.col(group), b.alias("bin"))
+            .agg(F.count("*").alias("c")))
+
+
+def hist_quantiles_from_bins(cnt: DataFrame, group: str = "source",
+                             bin_w: int = 16, qs=(50, 95, 99)) -> DataFrame:
+    """Quantile extraction over a (group, bin, c) histogram table —
+    the sketch-sized finishing pass of :func:`hist_quantiles`, shared
+    by the batch (q138) and streaming-at-ingest (q193) paths so the
+    two cannot drift apart."""
     wcum = (Window.partitionBy(group).orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wall = Window.partitionBy(group)

@@ -1273,3 +1273,41 @@ def test_spacetime_join_predicates_and_cover(spark):
             engine.spacetime_join(a, b2, eps_m=300000.0, tau_s=3600,
                                   nchars=2).collect()]
     assert got2 == [(1, 20)]
+
+
+def test_k_anonymize_residual_ladder_no_subset_leak(spark):
+    """The case the naive full-population ladder gets WRONG: 5 users
+    fill cell X (publishes at gh5); 2 more users sit in a sibling cell
+    Y inside the same gh4 parent.  Full-population support at gh4 is 7
+    >= 5, so the naive ladder would publish Y's two users at gh4 as a
+    2-user group.  The residual ladder counts gh4 support over the
+    UNPUBLISHED fixes only (2 < 5) and suppresses them."""
+    rows = []
+    for u in range(1, 6):
+        rows.append((len(rows), u, 10.00001, 20.00001))
+    for u in (21, 22):  # same gh4, different gh5
+        rows.append((len(rows), u, 10.02, 20.02))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"))
+    out = {r["anon_cell"]: r for r in
+           engine.k_anonymize_cells(df, k=5).collect()}
+    pub = {c: r for c, r in out.items() if c != "*"}
+    assert all(r["n_users"] >= 5 for r in pub.values())
+    assert out["*"]["n_fixes"] == 2  # the sibling pair suppressed
+
+
+def test_l_diversify_residual_invariant(spark):
+    # cell X: 3 types (publishes at gh5); sibling Y in the same gh4:
+    # ONE type only -> must suppress, not ride X's diversity
+    rows = []
+    for i, t in enumerate(["a", "b", "c", "a"]):
+        rows.append((i, t, 10.00001, 20.00001))
+    rows.append((10, "a", 10.02, 20.02))
+    rows.append((11, "a", 10.02, 20.02))
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, event_type string, lat double, lon double"))
+    out = {r["anon_cell"]: r for r in
+           engine.l_diversify_cells(df, l_min=3).collect()}
+    pub = {c: r for c, r in out.items() if c != "*"}
+    assert all(r["n_vals"] >= 3 for r in pub.values())
+    assert out["*"]["n_fixes"] == 2

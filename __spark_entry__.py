@@ -4067,6 +4067,22 @@ def _q195_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("anon_cell"))
 
 
+def _q196_idw_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (engine.idw_interpolate)
+    of events.value at the three radius-query points — Shepard p=1
+    over the q21 broadcast-cover radius join, in EXACT integer form
+    (meter-floored distances clamped >= 1, 1e9 DIV d weights,
+    milli-unit values, one final floor division), so the spatial
+    estimate itself sits under the value gate.  The oracle recomputes
+    membership brute-force with the identical haversine and weight
+    arithmetic."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pos = (engine.with_cell(_positions_df(spark, sf))
+           .join(ev.select("event_id", "value"), "event_id"))
+    return (engine.idw_interpolate(pos, _RADIUS_QUERIES)
+            .orderBy("query_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4296,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_stream_hist": _q193_stream_hist,
         "q194_ann_probe_sweep": _q194_ann_probe_sweep,
         "q195_l_diversity": _q195_l_diversity,
+        "q196_idw_interpolate": _q196_idw_interpolate,
     }
 
 
@@ -10187,6 +10204,30 @@ SELECT anon_cell,
        count(*) AS n_fixes,
        count(DISTINCT s) AS n_vals
 FROM pub195 GROUP BY 1 ORDER BY anon_cell
+"""
+
+    # q196: IDW — brute-force membership with the identical haversine,
+    # meter-floored clamped weights, and the final floor division
+    _d196 = hav.format(lat1="v.lat", lon1="v.lon", lat2="q.qlat",
+                       lon2="q.qlon")
+    sqls["q196_idw_interpolate"] = f"""
+WITH {_POS_CTE},
+v196 AS (
+  SELECT p.event_id, p.lat, p.lon,
+         CAST(floor(e.value * 1000.0) AS BIGINT) AS val_milli
+  FROM pos p JOIN events e ON e.event_id = p.event_id
+),
+q196(query_id, qlat, qlon, radius_m) AS (VALUES {radius_values}),
+h196 AS (
+  SELECT q.query_id,
+         1000000000 // GREATEST(CAST(floor({_d196}) AS BIGINT), 1) AS w,
+         v.val_milli AS v
+  FROM v196 v CROSS JOIN q196 q
+  WHERE {_d196} <= q.radius_m
+)
+SELECT query_id, count(*) AS n_pts,
+       CAST(sum(w * v) // sum(w) AS BIGINT) AS idw_milli
+FROM h196 GROUP BY 1 ORDER BY query_id
 """
 
     # Every queries() entry above has an exact oracle — including the

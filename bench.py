@@ -136,6 +136,7 @@ def main() -> None:
         "q190_spacetime_join", "q191_cluster_provenance",
         "q192_event_type_lift", "q193_stream_hist",
         "q194_ann_probe_sweep", "q195_l_diversity",
+        "q196_idw_interpolate",
     ]
     from geotile import cache, textops
 

@@ -2082,3 +2082,38 @@ def l_diversify_cells(df: DataFrame, l_min: int = 3,
                         F.when(F.col("anon_cell") == "*", F.lit(0))
                         .otherwise(F.length("anon_cell")).cast("long"))
             .select("anon_cell", "plen", "n_fixes", "n_vals"))
+
+
+def idw_interpolate(positions: DataFrame, queries,
+                    val_col: str = "value", nchars: int = DEFAULT_NCHARS,
+                    cell_col: str = "geohash", lat: str = "lat",
+                    lon: str = "lon") -> DataFrame:
+    """Inverse-distance-weighted value interpolation at literal query
+    points (Shepard 1968, p=1) — the kriging-lite spatial estimator:
+    each query's value is the weight-averaged ``val_col`` of the
+    positions inside its radius, weights 1/d.  EXACT integer form so
+    the estimate gates cross-engine: distances floor to integer meters
+    (clamped >= 1 m — the documented discretization), weights are
+    ``1e9 DIV d_m``, values snap to milli-units, and the estimate is
+    one final floor division ``sum(w*v) DIV sum(w)``.
+
+    Plan: the same broadcast cover join as :func:`radius_join` (the
+    positions never shuffle; covers are driver-side, <= ~1k cells per
+    query), then ONE per-query aggregate of int64 terms (bounds:
+    w <= 1e9, v_milli <= ~1e6, points/query ~1e4 keep the numerator
+    < 1e19/10 — inside int64).  Returns ``(query_id, n_pts, idw_milli)``
+    for queries with at least one in-radius point."""
+    hits = radius_join(positions.select(cell_col, lat, lon, val_col),
+                       queries, nchars=nchars, cell_col=cell_col,
+                       lat=lat, lon=lon)
+    v = F.floor(F.col(val_col) * F.lit(1000.0)).cast("long")
+    return (hits.withColumn("_w", F.expr("1000000000 DIV "
+                                         "greatest(CAST(floor(dist_m) AS "
+                                         "BIGINT), 1)"))
+            .withColumn("_v", v)
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_pts"),
+                 F.sum(F.expr("_w * _v")).alias("_num"),
+                 F.sum("_w").alias("_den"))
+            .select("query_id", "n_pts",
+                    F.expr("_num DIV _den").alias("idw_milli")))

@@ -1311,3 +1311,30 @@ def test_l_diversify_residual_invariant(spark):
     pub = {c: r for c, r in out.items() if c != "*"}
     assert all(r["n_vals"] >= 3 for r in pub.values())
     assert out["*"]["n_fixes"] == 2
+
+
+def test_idw_interpolate_exact_hand_case(spark):
+    # two points at known distances with values 10 and 20; the IDW
+    # estimate must equal the integer formula exactly
+    import numpy as np
+
+    from geotile.kernel import geohash_np as kgh
+
+    rows = [(0, 10.0, 20.0, 10.0), (1, 10.0, 20.5, 20.0),
+            (2, -50.0, -100.0, 99.0)]  # far: outside the radius
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, value double"))
+    q = [(7, 10.0, 20.1, 100000.0)]
+    got = engine.idw_interpolate(df, q).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["query_id"] == 7 and r["n_pts"] == 2
+    d0 = int(np.floor(kgh.haversine_m(np.array([10.0]), np.array([20.0]),
+                                      np.array([10.0]), np.array([20.1]))[0]))
+    d1 = int(np.floor(kgh.haversine_m(np.array([10.0]), np.array([20.5]),
+                                      np.array([10.0]), np.array([20.1]))[0]))
+    w0, w1 = 10**9 // max(d0, 1), 10**9 // max(d1, 1)
+    want = (w0 * 10000 + w1 * 20000) // (w0 + w1)
+    assert r["idw_milli"] == want
+    # nearer point dominates: estimate sits below the midpoint value
+    assert r["idw_milli"] < 15000

@@ -4083,6 +4083,80 @@ def _q196_idw_interpolate(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def _q197_dead_reckoning(spark: SparkSession, sf: str) -> DataFrame:
+    """Dead-reckoning prediction error (trajectory.dead_reckoning_error)
+    over the walk: each fix predicted by integer micro-degree linear
+    extrapolation of the previous two, great-circle miss floored to
+    meters, per-user sums/max and the exact floor-division mean — the
+    continuous-space baseline q175's Markov backtest must be judged
+    against.  The oracle replays the double-lag window, the clamp,
+    and the identical haversine."""
+    from geotile import trajectory
+
+    return (trajectory.dead_reckoning_error(_walk_df(spark, sf))
+            .orderBy("user_id"))
+
+
+def _q198_rolling_active(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users (behavior.rolling_active_users) —
+    the WAU product metric, EXACT: the (user, day) distinct collapse
+    explodes into the constant-width support window, one distinct
+    count per report day.  The events never ride the explode.  The
+    oracle replays the collapse, the day spread, and the distinct
+    counts."""
+    from geotile import behavior
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"))
+    return behavior.rolling_active_users(ev).orderBy("day")
+
+
+def _q199_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-order-arrival audit (behavior.lateness_audit): per user
+    the events arriving (event_id order) with event time behind the
+    running max, the worst regression, and the exact low-rank p99
+    lateness — the MEASURED watermark input for every streaming gate
+    in this engine, instead of a folklore '30 minutes'.  Zero
+    sentinels for clean keys.  The oracle replays the running-max
+    window, the late subset, and the ceil-rank pick."""
+    from geotile import behavior
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep"))
+    return behavior.lateness_audit(ev).orderBy("user_id")
+
+
+def _q200_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink roundtrip under the exact gate — the columnar
+    sibling of q152's CSV/JSONL and q165's partitioned-parquet
+    surfaces: a deterministic events subset is WRITTEN to ORC (tmpfs),
+    read back, and aggregated; the oracle aggregates the SOURCE
+    parquet directly, so any loss in the ORC writer/reader — timestamp
+    micros, double bits, string encoding — breaks value parity."""
+    import os
+    import shutil
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    work = os.path.join(
+        base, f"geotile_q200_{os.path.basename(sf.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .where(F.col("event_id") % 5 == 0)
+          .select("event_id", "user_id", "ts", "event_type", "value"))
+    ev.write.mode("overwrite").orc(work)
+    back = spark.read.orc(work)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+                 .alias("value_micro_sum"),
+                 F.sum(F.unix_timestamp("ts")).alias("ep_sum"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4313,6 +4387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_ann_probe_sweep": _q194_ann_probe_sweep,
         "q195_l_diversity": _q195_l_diversity,
         "q196_idw_interpolate": _q196_idw_interpolate,
+        "q197_dead_reckoning": _q197_dead_reckoning,
+        "q198_rolling_active": _q198_rolling_active,
+        "q199_lateness_audit": _q199_lateness_audit,
+        "q200_orc_roundtrip": _q200_orc_roundtrip,
     }
 
 
@@ -10228,6 +10306,111 @@ h196 AS (
 SELECT query_id, count(*) AS n_pts,
        CAST(sum(w * v) // sum(w) AS BIGINT) AS idw_milli
 FROM h196 GROUP BY 1 ORDER BY query_id
+"""
+
+    # q197: dead reckoning — double-lag window, integer micro-degree
+    # extrapolation with the latitude clamp, meter-floored misses
+    _d197 = hav.format(
+        lat1="py / 1000000.0", lon1="px / 1000000.0",
+        lat2="yy / 1000000.0", lon2="xx / 1000000.0")
+    sqls["q197_dead_reckoning"] = f"""
+WITH {_WALK_CTE},
+m197 AS (
+  SELECT user_id, ep, event_id,
+         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS yy,
+         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS xx
+  FROM walk
+),
+l197 AS (
+  SELECT user_id, yy, xx,
+         lag(yy, 1) OVER w AS y1, lag(xx, 1) OVER w AS x1,
+         lag(yy, 2) OVER w AS y2, lag(xx, 2) OVER w AS x2
+  FROM m197 WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ep ASC, event_id ASC)
+),
+p197 AS (
+  SELECT user_id, yy, xx,
+         LEAST(GREATEST(2 * y1 - y2, -90000000), 90000000) AS py,
+         2 * x1 - x2 AS px
+  FROM l197 WHERE y2 IS NOT NULL
+),
+e197 AS (
+  SELECT user_id, CAST(floor({_d197}) AS BIGINT) AS e FROM p197
+)
+SELECT user_id, count(*) AS n_preds,
+       CAST(sum(e) AS BIGINT) AS err_m_sum,
+       CAST(max(e) AS BIGINT) AS err_m_max,
+       CAST(CAST(sum(e) AS BIGINT) // count(*) AS BIGINT) AS err_m_mean
+FROM e197 GROUP BY user_id ORDER BY user_id
+"""
+
+    # q198: rolling active users — (user, day) collapse, constant-width
+    # day spread, distinct count per report day
+    sqls["q198_rolling_active"] = r"""
+WITH ud198 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+sp198 AS (
+  SELECT u, CAST(unnest(range(d, d + 7)) AS BIGINT) AS day FROM ud198
+)
+SELECT day, count(DISTINCT u) AS n_active
+FROM sp198 GROUP BY 1 ORDER BY day
+"""
+
+    # q199: lateness audit — running max over arrival order, late
+    # subset, exact ceil-rank p99, zero sentinels
+    sqls["q199_lateness_audit"] = r"""
+WITH e199 AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+l199 AS (
+  SELECT user_id, event_id, ep,
+         GREATEST(COALESCE(
+           max(ep) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - ep, 0), 0) AS late
+  FROM e199
+),
+b199 AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+         CAST(max(late) AS BIGINT) AS max_late_s
+  FROM l199 GROUP BY user_id
+),
+lt199 AS (
+  SELECT user_id, late, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY late ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM l199 WHERE late > 0
+),
+p99_199 AS (
+  SELECT user_id, CAST(late AS BIGINT) AS p99_late_s
+  FROM lt199 WHERE rn = (n * 99 + 99) // 100
+)
+SELECT b.user_id, b.n_events, b.n_late, b.max_late_s,
+       CAST(COALESCE(p.p99_late_s, 0) AS BIGINT) AS p99_late_s
+FROM b199 b LEFT JOIN p99_199 p ON p.user_id = b.user_id
+ORDER BY b.user_id
+"""
+
+    # q200: ORC roundtrip — the oracle reads the SOURCE parquet with
+    # the same subset filter; parity proves the ORC write/read path
+    # lossless end to end
+    sqls["q200_orc_roundtrip"] = r"""
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micro_sum,
+       CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS ep_sum,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE event_id % 5 = 0
+GROUP BY 1 ORDER BY event_type
 """
 
     # Every queries() entry above has an exact oracle — including the

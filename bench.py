@@ -136,7 +136,9 @@ def main() -> None:
         "q190_spacetime_join", "q191_cluster_provenance",
         "q192_event_type_lift", "q193_stream_hist",
         "q194_ann_probe_sweep", "q195_l_diversity",
-        "q196_idw_interpolate",
+        "q196_idw_interpolate", "q197_dead_reckoning",
+        "q198_rolling_active", "q199_lateness_audit",
+        "q200_orc_roundtrip",
     ]
     from geotile import cache, textops
 

@@ -149,3 +149,73 @@ def event_type_lift(events: DataFrame, user_col: str = "user_id",
     from geotile.cache import track
 
     return track(out, [ut])
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         ts_col: str = "ep",
+                         user_col: str = "user_id") -> DataFrame:
+    """Rolling N-day active users (the WAU/MAU product metric): for
+    every day, the count of distinct users active within the trailing
+    ``window_days`` window — EXACT, not a sliding approximation: the
+    (user, day) distinct collapse explodes each active day into the
+    window_days report days it supports, and one distinct count per
+    report day finishes.  Report days cover only days with at least
+    one supporting active day.
+
+    Scale shape: the event stream collapses to (user, day) FIRST (the
+    q76 discipline), so the window explode multiplies the collapsed
+    frame by a CONSTANT (window_days), never the events; the final
+    distinct count shuffles (day, user) pairs once.  Returns
+    ``(day, n_active)``."""
+    ud = (events.select(F.col(user_col).alias("u"),
+                        F.expr(f"{ts_col} DIV 86400").alias("d"))
+          .distinct())
+    spread = ud.select(
+        "u", F.explode(F.sequence(F.col("d"),
+                                  F.col("d") + (window_days - 1)))
+        .alias("day"))
+    return (spread.groupBy("day")
+            .agg(F.countDistinct("u").alias("n_active")))
+
+
+def lateness_audit(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ep",
+                   arrival_col: str = "event_id") -> DataFrame:
+    """Out-of-order-arrival audit — the measured input to every
+    watermark decision ("withWatermark('30 minutes')" should come from
+    THIS table, not folklore): per key, how many events arrived with
+    an event time EARLIER than one already seen (arrival order =
+    ``arrival_col``), the worst regression in seconds, and the exact
+    p99 lateness (low-rank pick over the late events — an actual data
+    value, the q164 discipline).  Keys with no late events report
+    zeros, never NULL.
+
+    One per-key window (running max over arrival order) + one
+    aggregate + one low-rank window over the LATE subset.  Returns
+    ``(key, n_events, n_late, max_late_s, p99_late_s)``."""
+    w = (Window.partitionBy(user_col).orderBy(F.col(arrival_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = (events.select(F.col(user_col), F.col(ts_col).alias("_t"),
+                       F.col(arrival_col))
+         .withColumn("_rm", F.max("_t").over(w))
+         .withColumn("late",
+                     F.greatest(F.coalesce(F.col("_rm") - F.col("_t"),
+                                           F.lit(0)), F.lit(0))
+                     .cast("long")))
+    base = (d.groupBy(user_col)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("late") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_late"),
+                 F.max("late").alias("max_late_s")))
+    lt = d.where(F.col("late") > 0)
+    wp = Window.partitionBy(user_col).orderBy(F.col("late").asc(),
+                                              F.col(arrival_col).asc())
+    ranked = (lt.withColumn("_rn", F.row_number().over(wp))
+              .withColumn("_n", F.count("*")
+                          .over(Window.partitionBy(user_col))))
+    p99 = (ranked.where(F.col("_rn") == F.expr("(_n * 99 + 99) DIV 100"))
+           .select(F.col(user_col), F.col("late").alias("p99_late_s")))
+    return (base.join(p99, user_col, "left")
+            .select(user_col, "n_events", "n_late", "max_late_s",
+                    F.coalesce("p99_late_s", F.lit(0)).cast("long")
+                    .alias("p99_late_s")))

@@ -1188,3 +1188,48 @@ def decayed_cell_heat(df: DataFrame, asof_day: int, nchars: int = 4,
                       wgt.alias("_w"))
             .groupBy("cell")
             .agg(F.count("*").alias("n"), F.sum("_w").alias("heat_nano")))
+
+
+def dead_reckoning_error(df: DataFrame, key: str = "user_id",
+                         ts: str = "ep", order_col: str = "event_id",
+                         lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Dead-reckoning baseline error: predict each fix by LINEAR
+    extrapolation of the previous two (constant velocity in
+    micro-degree space — p' = p1 + (p1 - p0), time-free form), then
+    measure the great-circle miss to the actual fix — the
+    continuous-space prediction baseline next to q175's cell-level
+    Markov backtest (any fancier motion model must beat THIS number).
+
+    Exactness: coordinates snap once to integer micro-degrees
+    (floor(x*1e6 + 0.5), the turn_stats rule) so the extrapolated
+    point is exact integer arithmetic; each miss floors to integer
+    meters before the per-key sums, making mean/max order-independent.
+    Extrapolated latitudes can leave [-90, 90] on synthetic jumps —
+    they CLAMP (documented; longitude wraps are left to the haversine,
+    which is periodic).  One per-key window shuffle (two lags) + one
+    aggregate.  Returns ``(key, n_preds, err_m_sum, err_m_max,
+    err_m_mean)`` with the mean an exact floor division."""
+    ila = F.floor(F.col(lat) * F.lit(1000000.0) + F.lit(0.5))
+    ilo = F.floor(F.col(lon) * F.lit(1000000.0) + F.lit(0.5))
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    d = (df.select(F.col(key), F.col(ts), F.col(order_col),
+                   ila.alias("_y"), ilo.alias("_x"))
+         .withColumn("_y1", F.lag("_y", 1).over(w))
+         .withColumn("_x1", F.lag("_x", 1).over(w))
+         .withColumn("_y2", F.lag("_y", 2).over(w))
+         .withColumn("_x2", F.lag("_x", 2).over(w))
+         .where(F.col("_y2").isNotNull()))
+    py = F.least(F.greatest(2 * F.col("_y1") - F.col("_y2"),
+                            F.lit(-90000000)), F.lit(90000000))
+    px = 2 * F.col("_x1") - F.col("_x2")
+    err = udfs.haversine_col(py / F.lit(1000000.0), px / F.lit(1000000.0),
+                             F.col("_y") / F.lit(1000000.0),
+                             F.col("_x") / F.lit(1000000.0))
+    e_m = F.floor(err).cast("long")
+    return (d.select(F.col(key), e_m.alias("_e"))
+            .groupBy(key)
+            .agg(F.count("*").alias("n_preds"),
+                 F.sum("_e").alias("err_m_sum"),
+                 F.max("_e").alias("err_m_max"))
+            .withColumn("err_m_mean", F.expr("err_m_sum DIV n_preds")))

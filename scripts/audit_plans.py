@@ -1110,6 +1110,56 @@ def main() -> None:
         "CONSTANT of the window, generated map-side from the collapsed "
         "table; the argmax window sorts <= ndays rows per cell"))
 
+    sections.append(summarize(
+        _tj.poi_visits(walk, [(0, 10.0, 20.0, 50000.0),
+                              (1, -30.0, 40.0, 50000.0)]),
+        "poi_visits (q181): stays are the collapsed dwell table (one "
+        "window shuffle); the POI side is a BROADCAST literal and the "
+        "haversine refine is native — the fixes never shuffle again"))
+
+    sections.append(summarize(
+        engine.spacetime_join(
+            walk.select(F.col("event_id").alias("a_id"), "ep", "lat", "lon")
+            .where(F.col("a_id") % 50 == 0),
+            walk.select(F.col("event_id").alias("b_id"), "ep", "lat", "lon"),
+            eps_m=200000.0, tau_s=3600, nchars=2),
+        "spacetime_join (q190): the A side explodes to eps-box cover "
+        "cells x 3 adjacent time buckets (Arrow pass + explode), the B "
+        "side carries its stored (cell, bucket) — ONE equi-join with "
+        "native haversine+|dt| refine, never a cross join"))
+
+    sections.append(summarize(
+        textops.quantile_normalize(
+            synth.synth_docs_skew(spark, 2000, partitions=8)
+            .withColumn("source", F.concat(F.lit("s"),
+                                           (F.col("doc_id") % 8)
+                                           .cast("string")))
+            .withColumn("n_chars", F.length("text"))),
+        "quantile_normalize (q186): one per-group rank window; the "
+        "global side is the value-collapsed cumulative table (bounded "
+        "by DISTINCT values) BROADCAST into the ceil-rank lookup — no "
+        "global row_number, no single-partition sort of the corpus"))
+
+    sections.append(summarize(
+        engine.l_diversify_cells(
+            engine.with_cell(walk).withColumn(
+                "event_type", F.concat(F.lit("t"),
+                                       (F.col("event_id") % 5)
+                                       .cast("string"))), l_min=3),
+        "l_diversify_cells (q195, residual ladder): per-rung DISTINCT "
+        "partial-aggs over the shrinking residual, all broadcast "
+        "joins (rung supports + anti-joins + final assignment) — the "
+        "fixes never shuffle; same shape as k_anonymize_cells (q149)"))
+
+    sections.append(summarize(
+        engine.idw_interpolate(
+            engine.with_cell(walk).withColumn(
+                "value", (F.col("event_id") % 100) / 2.0),
+            [(0, 10.0, 20.0, 300000.0)]),
+        "idw_interpolate (q196): the q21 broadcast-cover radius join "
+        "(positions never shuffle, covers driver-side) + ONE per-query "
+        "aggregate of exact int64 weight terms"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -157,3 +157,29 @@ def test_event_type_lift_exact(spark):
     r2 = got[("b", "c")]
     assert r2["n_ab"] == 1 and r2["lift_micro"] == (1 * 4 * 1000000) // 3
     assert ("a", "c") not in got
+
+
+def test_rolling_active_users_exact(spark):
+    # u1 active day 0 and 2; u2 active day 2 only
+    ev = spark.createDataFrame(
+        [(1, 10), (1, 2 * 86400 + 5), (2, 2 * 86400 + 9), (2, 2 * 86400 + 11)],
+        "user_id long, ep long")
+    got = {r["day"]: r["n_active"] for r in
+           behavior.rolling_active_users(ev, window_days=3).collect()}
+    # day 0-2 supported by u1@0; day 2-4 by u1@2 and u2@2
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_lateness_audit_inversions_and_p99(spark):
+    # arrival order = event_id; u1: ts regress at events 2 and 4
+    rows = [(1, 0, 100), (1, 1, 200), (1, 2, 150),   # late by 50
+            (1, 3, 300), (1, 4, 240),                # late by 60
+            (2, 10, 5), (2, 11, 6)]                  # clean
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ep long")
+    got = {r["user_id"]: r for r in behavior.lateness_audit(ev).collect()}
+    r1 = got[1]
+    assert (r1["n_events"], r1["n_late"], r1["max_late_s"]) == (5, 2, 60)
+    # p99 over lates [50, 60]: ceil(2*99/100)=2 -> the 60
+    assert r1["p99_late_s"] == 60
+    r2 = got[2]
+    assert (r2["n_late"], r2["max_late_s"], r2["p99_late_s"]) == (0, 0, 0)

@@ -778,3 +778,33 @@ def test_decayed_cell_heat_halving(spark):
     assert len(got) == 1
     assert got[0]["n"] == 6
     assert got[0]["heat_nano"] == 3 * 1000000000 + 2 * 500000000
+
+
+def test_dead_reckoning_zero_on_constant_velocity(spark):
+    # perfectly linear track in micro-degree space -> every prediction
+    # lands exactly -> all errors 0
+    rows = [(i, 1, i * 100, 10.0 + i * 0.001, 20.0 + i * 0.002)
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    got = trajectory.dead_reckoning_error(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_preds"] == 4
+    assert r["err_m_sum"] == 0 and r["err_m_max"] == 0
+    assert r["err_m_mean"] == 0
+
+
+def test_dead_reckoning_turn_error_matches_numpy(spark):
+    # straight then a hard turn: the turn fix's miss equals the
+    # haversine between the extrapolated and actual points
+    pts = [(0, 10.0, 20.0), (100, 10.0, 20.01), (200, 10.01, 20.01)]
+    rows = [(i, 1, t, la, lo) for i, (t, la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double")
+    r = trajectory.dead_reckoning_error(df).collect()[0]
+    # prediction for fix 2: (10.0, 20.02); actual (10.01, 20.01)
+    want = int(np.floor(gh.haversine_m(
+        np.array([10.0]), np.array([20.02]),
+        np.array([10.01]), np.array([20.01]))[0]))
+    assert (r["n_preds"], r["err_m_sum"], r["err_m_max"]) == (1, want, want)

@@ -4157,6 +4157,77 @@ def _q200_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q201_phrase_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training step under the exact gate
+    (textops.phrase_merges): three word2phrase/BPE-style rounds — count
+    adjacent pairs, fuse the global argmax everywhere (leftmost-
+    non-overlapping replace, probed byte-identical across engines),
+    recount on the FUSED corpus — so round 2 can merge onto round 1's
+    fusion, which no static collocation ranking (q73) expresses.  The
+    oracle unrolls all three rounds with scalar-subquery argmaxes and
+    the identical replace."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.phrase_merges(docs, rounds=3).orderBy("round")
+
+
+_SWEEP_THRESHOLDS = (0.8, 0.9, 0.95)
+
+
+def _q202_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup threshold calibration sweep: pair counts and
+    affected-doc counts at cosine cuts 0.8/0.9/0.95 from ONE LSH
+    candidate pass (simsearch.cosine_near_dup_pairs at the loosest
+    cut) — the "how much does the corpus shrink at each threshold"
+    table a dedup deployment reads before committing, as gated
+    integers.  The oracle replays the q48 candidate pipeline and the
+    three filtered aggregates."""
+    from geotile import cache
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pairs = simsearch.cosine_near_dup_pairs(emb, threshold=0.8)
+    parts = []
+    for t in _SWEEP_THRESHOLDS:
+        sel = pairs.where(F.col("cosine") >= F.lit(float(t)))
+        ids = sel.select(F.explode(F.array("a", "b")).alias("v"))
+        parts.append(
+            sel.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(ids.agg(F.countDistinct("v").alias("n_docs")))
+            .select(F.lit(int(round(t * 100))).cast("long")
+                    .alias("thr_pct"), "n_pairs", "n_docs"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return cache.track(out.orderBy("thr_pct"),
+                       getattr(pairs, "_geotile_persisted", []))
+
+
+def _q203_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded harmonic centrality (graph.harmonic_centrality, 3 hops)
+    over the q69 link graph symmetrized: per node the exact 1/2/3-hop
+    reach counts and the integer harmonic score — distance-discounted
+    importance next to PageRank's stationary mass and q177's
+    coreness.  The oracle unrolls the three frontier expansions with
+    EXCEPT-based seen-set subtraction."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.harmonic_centrality(
+        docs.select(F.col("doc_id").alias("node")), edges, max_hops=3)
+    return cache.track(
+        out.select(F.col("node").alias("doc_id"), "n1", "n2", "n3",
+                   "harmonic_micro").orderBy("doc_id"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4391,6 +4462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_rolling_active": _q198_rolling_active,
         "q199_lateness_audit": _q199_lateness_audit,
         "q200_orc_roundtrip": _q200_orc_roundtrip,
+        "q201_phrase_merges": _q201_phrase_merges,
+        "q202_dedup_threshold_sweep": _q202_dedup_threshold_sweep,
+        "q203_harmonic_centrality": _q203_harmonic_centrality,
     }
 
 
@@ -10411,6 +10485,135 @@ SELECT event_type, count(*) AS n,
 FROM events
 WHERE event_id % 5 = 0
 GROUP BY 1 ORDER BY event_type
+"""
+
+    # q201: phrase merges — three unrolled rounds, each a pair count +
+    # scalar-subquery argmax + the identical leftmost replace
+    pm_rounds = []
+    pm_prev = "c0_201"
+    for r in range(1, 4):
+        pm_rounds.append(f"""t{r}_201 AS (
+  SELECT regexp_split_to_array(trim(s), ' ') AS l FROM {pm_prev}
+),
+p{r}_201 AS (
+  SELECT l[i] || ' ' || l[i + 1] AS p
+  FROM (SELECT l, CAST(unnest(range(1, len(l))) AS BIGINT) AS i
+        FROM t{r}_201)
+),
+g{r}_201 AS (SELECT p, count(*) AS n FROM p{r}_201 GROUP BY 1),
+m{r}_201 AS (SELECT p, n FROM g{r}_201 ORDER BY n DESC, p ASC LIMIT 1),
+c{r}_201 AS (
+  SELECT replace(s, ' ' || (SELECT p FROM m{r}_201) || ' ',
+                 ' ' || replace((SELECT p FROM m{r}_201), ' ', '_')
+                 || ' ') AS s
+  FROM {pm_prev}
+)""")
+        pm_prev = f"c{r}_201"
+    pm_sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p AS pair, CAST(n AS BIGINT) AS n "
+        f"FROM m{r}_201" for r in range(1, 4))
+    sqls["q201_phrase_merges"] = rf"""
+WITH c0_201 AS (
+  SELECT ' ' || array_to_string(
+           regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), ' ')
+         || ' ' AS s
+  FROM documents
+),
+{",".join(pm_rounds)}
+{pm_sel}
+ORDER BY round
+"""
+
+    # q202: threshold sweep — the q48 candidate pipeline once, three
+    # filtered aggregates over the deduped pair set
+    try:
+        _sw_selects = []
+        for t in range(4):
+            _swpl = simsearch._rand_unit((12, 64), 42 + t)
+            _sw_selects.append(
+                f"SELECT vec_id, emb64, {t} AS t, "
+                f"{_hyperplane_bucket_terms_sql(_swpl, 'emb64')} AS bucket "
+                f"FROM nb202")
+        _sw_union = "\nUNION ALL\n".join(_sw_selects)
+        _sw_rows = []
+        for t in _SWEEP_THRESHOLDS:
+            pct = int(round(t * 100))
+            _sw_rows.append(f"""SELECT {pct} AS thr_pct,
+  (SELECT count(*) FROM cd202 WHERE cosine >= {t!r}) AS n_pairs,
+  (SELECT count(DISTINCT v) FROM (
+     SELECT a AS v FROM cd202 WHERE cosine >= {t!r}
+     UNION ALL SELECT b FROM cd202 WHERE cosine >= {t!r})) AS n_docs""")
+        sqls["q202_dedup_threshold_sweep"] = f"""
+WITH nb202 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+bt202 AS (
+{_sw_union}
+),
+cd202 AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, {_COS_LR_SQL} AS cosine
+  FROM bt202 l JOIN bt202 r
+    ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT CAST(thr_pct AS BIGINT) AS thr_pct,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ({" UNION ALL ".join("(" + r + ")" for r in _sw_rows)})
+ORDER BY thr_pct
+"""
+    except Exception:
+        pass  # embeddings absent -> rows-only fallback
+
+    # q203: harmonic centrality — three unrolled frontier expansions
+    # with EXCEPT-based seen-set subtraction over the q69 edges
+    sqls["q203_harmonic_centrality"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l203 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l203", "z0", "xh", "x203")},
+e203a AS (
+  SELECT doc_id AS src, ((({_signed64_sql("xh")} % nn.n) + nn.n) % nn.n)
+         AS dst
+  FROM x203f CROSS JOIN nn
+),
+e203 AS (SELECT DISTINCT src, dst FROM e203a WHERE dst <> src),
+u203 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e203
+    UNION ALL SELECT dst AS a, src AS b FROM e203)
+  WHERE a <> b
+),
+h1_203 AS (SELECT a AS node, b AS d FROM u203),
+h2_203 AS (
+  SELECT DISTINCT c.node, u.b AS d
+  FROM h1_203 c JOIN u203 u ON u.a = c.d
+  EXCEPT SELECT node, d FROM h1_203
+  EXCEPT SELECT doc_id AS node, doc_id AS d FROM documents
+),
+h3_203 AS (
+  SELECT DISTINCT c.node, u.b AS d
+  FROM h2_203 c JOIN u203 u ON u.a = c.d
+  EXCEPT SELECT node, d FROM h2_203
+  EXCEPT SELECT node, d FROM h1_203
+  EXCEPT SELECT doc_id AS node, doc_id AS d FROM documents
+),
+c1_203 AS (SELECT node, count(*) AS n1 FROM h1_203 GROUP BY 1),
+c2_203 AS (SELECT node, count(*) AS n2 FROM h2_203 GROUP BY 1),
+c3_203 AS (SELECT node, count(*) AS n3 FROM h3_203 GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(c1_203.n1, 0) AS BIGINT) AS n1,
+       CAST(COALESCE(c2_203.n2, 0) AS BIGINT) AS n2,
+       CAST(COALESCE(c3_203.n3, 0) AS BIGINT) AS n3,
+       CAST(COALESCE(c1_203.n1, 0) * 1000000
+            + COALESCE(c2_203.n2, 0) * 500000
+            + COALESCE(c3_203.n3, 0) * 333333 AS BIGINT) AS harmonic_micro
+FROM documents d
+LEFT JOIN c1_203 ON c1_203.node = d.doc_id
+LEFT JOIN c2_203 ON c2_203.node = d.doc_id
+LEFT JOIN c3_203 ON c3_203.node = d.doc_id
+ORDER BY d.doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

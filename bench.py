@@ -138,7 +138,8 @@ def main() -> None:
         "q194_ann_probe_sweep", "q195_l_diversity",
         "q196_idw_interpolate", "q197_dead_reckoning",
         "q198_rolling_active", "q199_lateness_audit",
-        "q200_orc_roundtrip",
+        "q200_orc_roundtrip", "q201_phrase_merges",
+        "q202_dedup_threshold_sweep", "q203_harmonic_centrality",
     ]
     from geotile import cache, textops
 

@@ -2711,3 +2711,52 @@ def cluster_provenance(df: DataFrame, id_col: str = "doc_id",
                 F.max(F.when(F.col("keep") == 1, F.col(group)))
                 .alias("keeper_source")))
     return _track_persisted(out, getattr(cc, "_geotile_persisted", []))
+
+
+def phrase_merges(df: DataFrame, rounds: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """Iterative pair-merge learning — word2phrase (Mikolov et al.
+    2013) / one word-level BPE training step per round: each round
+    counts adjacent token pairs over the CURRENT corpus, fuses the
+    most frequent pair (count desc, pair asc tie rule) everywhere with
+    a leftmost-non-overlapping string replace, and repeats — later
+    rounds can merge onto earlier fusions, which is what makes this
+    tokenizer TRAINING rather than q73's static collocation ranking.
+
+    Determinism contract: the corpus is first canonicalized to
+    single-space joins, and ``replace`` is leftmost-non-overlapping
+    with the separator space consumed (probed identical in Spark/Java
+    and DuckDB — including the odd-run artifact where 'x x x x' fuses
+    only its first pair); that pinned semantics IS the operator.
+
+    Scale shape: per round one narrow pair count (map-side explode of
+    array shifts, the q178 window trick) + one 1-row driver collect
+    (the argmax — the same contractually-small collect as pagerank's
+    node count) + one map-only replace.  Returns the learned merge
+    table ``(round, pair, n)``."""
+    spark = df.sparkSession
+    canon = F.concat(F.lit(" "),
+                     F.concat_ws(" ", F.split(F.trim(F.col(text_col)),
+                                              WS_CLASS)),
+                     F.lit(" "))
+    cur = df.select(canon.alias("_s"))
+    merges = []
+    for r in range(1, rounds + 1):
+        w = F.split(F.trim(F.col("_s")), " ")
+        a = F.slice(w, 1, F.size(w) - 1)
+        b = F.slice(w, 2, F.size(w) - 1)
+        top = (cur.where(F.size(w) > 1)
+               .select(F.explode(F.zip_with(
+                   a, b, lambda x, y: F.concat_ws(" ", x, y))).alias("p"))
+               .groupBy("p").agg(F.count("*").alias("n"))
+               .orderBy(F.col("n").desc(), F.col("p").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        pa, pb = top[0]["p"].split(" ", 1)
+        if "'" in pa or "'" in pb:
+            raise ValueError("merge tokens must not contain quotes")
+        merges.append((r, f"{pa} {pb}", int(top[0]["n"])))
+        cur = cur.select(F.expr(
+            f"replace(_s, ' {pa} {pb} ', ' {pa}_{pb} ')").alias("_s"))
+    return spark.createDataFrame(merges, "round long, pair string, n long")

@@ -354,3 +354,34 @@ def test_pagerank_weighted_proportional_split(spark):
     assert got[0] == base + 85 * (r0 + r0) // 100
     # heavy edge dominates
     assert got[1] > 3 * got[2]
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from geotile import cache, graph
+
+    # path 0-1-2-3-4: node 2 sees (1,3) at d1, (0,4) at d2, nothing at
+    # d3; node 0 sees 1 / 2 / 3 at d1/d2/d3
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  "src long, dst long")
+    out = graph.harmonic_centrality(nodes, edges, max_hops=3)
+    got = {r["node"]: r for r in out.collect()}
+    cache.release(out)
+    assert (got[2]["n1"], got[2]["n2"], got[2]["n3"]) == (2, 2, 0)
+    assert got[2]["harmonic_micro"] == 2 * 1000000 + 2 * 500000
+    assert (got[0]["n1"], got[0]["n2"], got[0]["n3"]) == (1, 1, 1)
+    assert got[0]["harmonic_micro"] == 1000000 + 500000 + 333333
+    # symmetry of the path: mirrored nodes score alike
+    assert got[1]["harmonic_micro"] == got[3]["harmonic_micro"]
+
+
+def test_harmonic_centrality_isolated_zero(spark):
+    from geotile import cache, graph
+
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "node long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    out = graph.harmonic_centrality(nodes, edges, max_hops=3)
+    got = {r["node"]: r for r in out.collect()}
+    cache.release(out)
+    assert got[9]["harmonic_micro"] == 0
+    assert got[0]["harmonic_micro"] == 1000000

@@ -490,3 +490,27 @@ def test_ann_recall_full_probe_is_exact(spark):
               simsearch.lsh_bucket_topk(df, qv, k=10, nbits=1,
                                         multiprobe=1).collect()]
     assert set(exact) == set(approx)
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Pair/doc counts must be non-increasing in the threshold — the
+    q202 sweep's defining property, checked on planted duplicates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotile import cache, simsearch
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.randn(16) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = simsearch.cosine_near_dup_pairs(df, threshold=0.8)
+    rowsp = pairs.collect()
+    cache.release(pairs)
+    counts = [sum(1 for r in rowsp if r["cosine"] >= t)
+              for t in (0.8, 0.9, 0.95)]
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[0] > 0  # the planted near-dups are found

@@ -1455,3 +1455,30 @@ def test_best_snippet_window_choice_and_ties(spark):
     # doc 1: the only window starts at the hit
     assert got[1]["win_start"] == 0 and got[1]["n_hits"] == 1
     assert got[1]["snippet"].startswith("join x")
+
+
+def test_phrase_merges_chains_onto_prior_fusion(spark):
+    # 'new york city' dominates: round 1 fuses ('new', 'york'),
+    # round 2 must fuse ('new_york', 'city') — ON the fused corpus
+    doc = "new york city " * 6 + "other words here"
+    df = spark.createDataFrame([(i, doc) for i in range(4)],
+                               "doc_id long, text string")
+    out = {r["round"]: r for r in
+           textops.phrase_merges(df, rounds=2).collect()}
+    assert out[1]["pair"] == "new york"
+    assert out[1]["n"] == 24
+    assert out[2]["pair"] == "new_york city"
+    assert out[2]["n"] == 24
+
+
+def test_phrase_merges_leftmost_nonoverlap_rule(spark):
+    # 'x x x x' fuses only its FIRST pair (the separator space is
+    # consumed) — the pinned replace semantics
+    df = spark.createDataFrame([(0, "x x x x")], "doc_id long, text string")
+    out = {r["round"]: r for r in
+           textops.phrase_merges(df, rounds=2).collect()}
+    assert out[1]["pair"] == "x x" and out[1]["n"] == 3
+    # fused corpus is ' x_x x x ': remaining pairs are (x_x, x), (x, x)
+    # -> round 2 argmax by (count desc, pair asc): both count 1, so
+    # 'x x' wins the tie alphabetically over 'x_x x'
+    assert out[2]["pair"] == "x x" and out[2]["n"] == 1

@@ -4228,6 +4228,93 @@ def _q203_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
         getattr(out, "_geotile_persisted", []))
 
 
+def _q204_convoys(spark: SparkSession, sf: str) -> DataFrame:
+    """Convoy/flock detection (trajectory.convoys): user pairs
+    co-located in >= 3 CONSECUTIVE 12-hour buckets on the walk —
+    traveling together, not coincidental repeat encounters (the
+    consecutiveness q82's co-presence counts cannot express), via the
+    gaps-and-islands run split over the distinct pair-bucket table.
+    The oracle replays the bucket join, the distinct collapse, and
+    the run decomposition."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.convoys(pos, bucket_s=43200, nchars=4, min_len=3)
+    return cache.track(out.orderBy("a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q205_graph_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed-graph mixing statistics
+    (graph.reciprocity_assortativity) over the q69 link graph: exact
+    micro reciprocity (how often links are returned — link-ring
+    signal) and degree assortativity as q155-style exact integer
+    moments plus a floored micro-r (do hubs link hubs).  One
+    reverse-key self-join + one degree aggregate; the oracle replays
+    both over the same xxhash64 edge replica."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.reciprocity_assortativity(edges)
+    return cache.track(out, getattr(out, "_geotile_persisted", []))
+
+
+def _q206_hll_error_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL estimator ERROR audit: per source the exact distinct-token
+    count next to the full HLL estimate computed from q125's exact
+    register table — raw harmonic mean over an EXACT dyadic-rational
+    sum (numerator sum(2^(K-reg)) + empty-bucket mass, K = the
+    group's max register; one double division, order-independent by
+    construction — a naive float sum of 2^-reg terms can exceed the
+    53-bit spread) with the standard linear-counting branch below
+    2.5m, milli-floored.  Joins q173/q176/q194 in the
+    estimator-calibration family: the sketch's bias is a pinned
+    number, not a trust exercise.  (K <= 50 by assumption: register
+    59 needs ~2^58 tokens in one bucket.)"""
+    from geotile import cache
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    regs = textops.hll_registers(docs, group="source", p=6)
+    kmax = regs.groupBy("source").agg(F.max("reg").alias("K"),
+                                      F.count("*").alias("nobs"))
+    num = (regs.join(kmax, "source")
+           .groupBy("source", "K", "nobs")
+           .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(K - reg AS INT))")).alias("_sp")))
+    S_num = (F.col("_sp")
+             + (F.lit(64) - F.col("nobs"))
+             * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(K AS INT))"))
+    raw = (F.lit(0.709) * F.lit(4096.0)
+           * F.pow(F.lit(2.0), F.col("K")) / S_num.cast("double"))
+    v = F.lit(64) - F.col("nobs")
+    est = F.when((raw <= F.lit(160.0)) & (v > 0),
+                 F.lit(64.0) * F.log(F.lit(64.0) / v.cast("double"))) \
+        .otherwise(raw)
+    sk = num.select("source", F.floor(est * F.lit(1000.0)).cast("long")
+                    .alias("est_milli"))
+    # the SAME token stream the sketch hashes (q125's single-space
+    # split, no trim/empty filter) so the audit compares like to like
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    exact = (toks.groupBy("source")
+             .agg(F.countDistinct("t").alias("exact_distinct")))
+    out = (exact.join(sk, "source")
+           .select("source", "exact_distinct", "est_milli",
+                   (F.col("est_milli") - F.col("exact_distinct")
+                    * F.lit(1000)).alias("err_milli")))
+    return cache.track(out.orderBy("source"),
+                       getattr(regs, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4465,6 +4552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_phrase_merges": _q201_phrase_merges,
         "q202_dedup_threshold_sweep": _q202_dedup_threshold_sweep,
         "q203_harmonic_centrality": _q203_harmonic_centrality,
+        "q204_convoys": _q204_convoys,
+        "q205_graph_mixing": _q205_graph_mixing,
+        "q206_hll_error_audit": _q206_hll_error_audit,
     }
 
 
@@ -10614,6 +10704,156 @@ LEFT JOIN c1_203 ON c1_203.node = d.doc_id
 LEFT JOIN c2_203 ON c2_203.node = d.doc_id
 LEFT JOIN c3_203 ON c3_203.node = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # q204: convoys — the q82 bucket-join discipline + gaps-and-islands
+    # runs over the distinct pair-bucket table
+    _wgh204 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q204_convoys"] = f"""
+WITH {_WALK_CTE},
+b204 AS (
+  SELECT DISTINCT user_id AS k, {_wgh204} AS cell,
+         CAST(floor(ep / 43200) AS BIGINT) AS tb
+  FROM walk
+),
+ok204 AS (
+  SELECT cell, tb FROM b204 GROUP BY cell, tb HAVING count(*) <= 1000
+),
+kept204 AS (SELECT b.* FROM b204 b JOIN ok204 o USING (cell, tb)),
+pb204 AS (
+  SELECT DISTINCT l.k AS a, r.k AS b, l.tb
+  FROM kept204 l JOIN kept204 r
+    ON l.cell = r.cell AND l.tb = r.tb AND l.k < r.k
+),
+rn204 AS (
+  SELECT a, b, tb,
+         tb - row_number() OVER (PARTITION BY a, b ORDER BY tb ASC) AS g
+  FROM pb204
+),
+rl204 AS (
+  SELECT a, b, g, count(*) AS len FROM rn204 GROUP BY 1, 2, 3
+)
+SELECT a, b, CAST(sum(len) AS BIGINT) AS n_cooc_buckets,
+       CAST(max(len) AS BIGINT) AS max_run
+FROM rl204 GROUP BY a, b HAVING max(len) >= 3
+ORDER BY a, b
+"""
+
+    # q205: graph mixing — reverse-key reciprocity + symmetrized
+    # degree-pair moments over the q69 edge replica
+    sqls["q205_graph_mixing"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l205 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l205", "z0", "xh", "x205")},
+e205a AS (
+  SELECT doc_id AS src, ((({_signed64_sql("xh")} % nn.n) + nn.n) % nn.n)
+         AS dst
+  FROM x205f CROSS JOIN nn
+),
+e205 AS (SELECT DISTINCT src AS u, dst AS v FROM e205a WHERE dst <> src),
+rec205 AS (
+  SELECT count(*) AS nrec
+  FROM e205 a JOIN e205 b ON b.u = a.v AND b.v = a.u
+),
+tot205 AS (SELECT count(*) AS ntot FROM e205),
+und205 AS (
+  SELECT DISTINCT GREATEST(u, v) AS a, LEAST(u, v) AS b FROM e205
+),
+deg205 AS (
+  SELECT u, count(*) AS d FROM (
+    SELECT u FROM e205 UNION ALL SELECT v AS u FROM e205)
+  GROUP BY u
+),
+j205 AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und205 j JOIN deg205 da ON da.u = j.a JOIN deg205 db ON db.u = j.b
+),
+pts205 AS (
+  SELECT dx AS x, dy AS y FROM j205
+  UNION ALL SELECT dy AS x, dx AS y FROM j205
+),
+m205 AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts205
+)
+SELECT CAST(t.ntot AS BIGINT) AS n_edges,
+       CAST(r.nrec AS BIGINT) AS n_recip,
+       CAST((r.nrec * 1000000) // t.ntot AS BIGINT) AS recip_micro,
+       CAST(m.n // 2 AS BIGINT) AS n_und,
+       CAST(m.n * m.sxy - m.sx * m.sy AS BIGINT) AS corr_num,
+       CAST(m.n * m.sx2 - m.sx * m.sx AS BIGINT) AS den_x,
+       CAST(m.n * m.sy2 - m.sy * m.sy AS BIGINT) AS den_y,
+       CAST(floor(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) * 1000000
+                  / (sqrt(CAST(m.n * m.sx2 - m.sx * m.sx AS DOUBLE))
+                     * sqrt(CAST(m.n * m.sy2 - m.sy * m.sy AS DOUBLE))))
+            AS BIGINT) AS assort_micro
+FROM m205 m CROSS JOIN rec205 r CROSS JOIN tot205 t
+"""
+
+    # q206: HLL error audit — q125's register CTEs + the exact
+    # dyadic-rational harmonic sum, linear-counting branch, and the
+    # single-space exact distinct count
+    sqls["q206_hll_error_audit"] = f"""
+WITH htoks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+htokh AS (
+  SELECT source,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM htoks
+),
+{_splitmix_cte_sql("htokh", "h0", "hu", "h206")},
+hr206 AS (
+  SELECT source, CAST(hu >> 58 AS BIGINT) AS bucket,
+         CASE WHEN hu % {_sfx125} = 0 THEN 59
+              ELSE 59 - length(bin(CAST(hu % {_sfx125} AS HUGEINT))) END AS r
+  FROM h206d
+),
+regs206 AS (
+  SELECT source, bucket, CAST(max(r) AS BIGINT) AS reg
+  FROM hr206 GROUP BY source, bucket
+),
+km206 AS (
+  SELECT source, max(reg) AS K, count(*) AS nobs FROM regs206 GROUP BY 1
+),
+num206 AS (
+  SELECT r.source, k.K, k.nobs,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(k.K - r.reg AS INT))
+              AS BIGINT)
+         + (64 - k.nobs) * (CAST(1 AS BIGINT) << CAST(k.K AS INT))
+           AS S_num
+  FROM regs206 r JOIN km206 k ON k.source = r.source
+  GROUP BY r.source, k.K, k.nobs
+),
+est206 AS (
+  SELECT source,
+         CASE WHEN (0.709 * 4096.0 * pow(2.0, K)
+                    / CAST(S_num AS DOUBLE)) <= 160.0
+                   AND (64 - nobs) > 0
+              THEN 64.0 * ln(64.0 / CAST(64 - nobs AS DOUBLE))
+              ELSE 0.709 * 4096.0 * pow(2.0, K)
+                   / CAST(S_num AS DOUBLE) END AS est
+  FROM num206
+),
+ex206 AS (
+  SELECT source, count(DISTINCT tok) AS exact_distinct FROM htoks
+  GROUP BY 1
+)
+SELECT e.source, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(floor(s.est * 1000.0) AS BIGINT) AS est_milli,
+       CAST(floor(s.est * 1000.0) AS BIGINT) - e.exact_distinct * 1000
+         AS err_milli
+FROM ex206 e JOIN est206 s ON s.source = e.source
+ORDER BY e.source
 """
 
     # Every queries() entry above has an exact oracle — including the

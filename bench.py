@@ -140,6 +140,7 @@ def main() -> None:
         "q198_rolling_active", "q199_lateness_audit",
         "q200_orc_roundtrip", "q201_phrase_merges",
         "q202_dedup_threshold_sweep", "q203_harmonic_centrality",
+        "q204_convoys", "q205_graph_mixing", "q206_hll_error_audit",
     ]
     from geotile import cache, textops
 

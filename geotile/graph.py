@@ -540,3 +540,62 @@ def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
         term = F.col(f"n{h}") * F.lit(1000000 // h)
         score = term if score is None else score + term
     return cache.track(out.withColumn("harmonic_micro", score), [und])
+
+
+def reciprocity_assortativity(edges: DataFrame, src: str = "src",
+                              dst: str = "dst") -> DataFrame:
+    """Directed-graph shape statistics in one row: RECIPROCITY (the
+    exact micro fraction of directed edges whose reverse edge exists —
+    link-farm rings score high, genuine citation graphs low) and
+    DEGREE ASSORTATIVITY (Pearson correlation between the total
+    degrees at the two ends of each undirected edge, q155's exact
+    integer moments: emitted as the rational (num, den_x, den_y) plus
+    a floored micro-r) — do hubs link hubs, the mixing pattern that
+    separates social graphs (assortative) from the web (dis-).
+
+    Scale shape: reciprocity is one self-equi-join on the reversed
+    key; degrees are one aggregate joined to the undirected edge list
+    twice (edge-keyed, no skew beyond the hubs the statistic is
+    about); all moments are exact int64 sums.  Returns one row
+    ``(n_edges, n_recip, recip_micro, n_und, corr_num, den_x, den_y,
+    assort_micro)``."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct().persist())
+    e.count()
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    nrec = e.join(rev, ["u", "v"]).count()
+    ntot = e.count()
+    und = (e.select(F.greatest("u", "v").alias("a"),
+                    F.least("u", "v").alias("b")).distinct())
+    deg = (e.select("u").unionByName(e.select(F.col("v").alias("u")))
+           .groupBy("u").agg(F.count("*").alias("d")))
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("dy"))
+    # each undirected edge contributes BOTH orientations to the moment
+    # sums (the standard symmetrized assortativity), keeping Sx == Sy
+    j = und.join(da, "a").join(db, "b")
+    pts = (j.select(F.col("dx").alias("x"), F.col("dy").alias("y"))
+           .unionByName(j.select(F.col("dy").alias("x"),
+                                 F.col("dx").alias("y"))))
+    m = pts.agg(F.count("*").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sx2"),
+                F.sum(F.col("y") * F.col("y")).alias("sy2"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    out = (m.select(
+        F.lit(ntot).cast("long").alias("n_edges"),
+        F.lit(nrec).cast("long").alias("n_recip"),
+        F.lit(nrec * 1000000 // ntot if ntot else 0).cast("long")
+        .alias("recip_micro"),
+        (F.col("n") / 2).cast("long").alias("n_und"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("corr_num"),
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        .alias("den_x"),
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+        .alias("den_y"))
+        .withColumn("assort_micro",
+                    F.floor(F.col("corr_num") * F.lit(1000000)
+                            / (F.sqrt(F.col("den_x"))
+                               * F.sqrt(F.col("den_y")))).cast("long")))
+    return cache.track(out, [e])

@@ -1233,3 +1233,47 @@ def dead_reckoning_error(df: DataFrame, key: str = "user_id",
                  F.sum("_e").alias("err_m_sum"),
                  F.max("_e").alias("err_m_max"))
             .withColumn("err_m_mean", F.expr("err_m_sum DIV n_preds")))
+
+
+def convoys(df: DataFrame, bucket_s: int = 3600, nchars: int = 4,
+            min_len: int = 3, key: str = "user_id", ts: str = "ep",
+            cell_col: str = "geohash",
+            max_bucket_keys: int = 1000) -> DataFrame:
+    """Convoy / flock detection (Jeung et al. 2008, cell-relaxed
+    form): key pairs co-located — same cell prefix, same time bucket —
+    in at least ``min_len`` CONSECUTIVE buckets.  Co-presence counts
+    (:func:`colocation_pairs`) catch companions; consecutiveness is
+    what separates TRAVELING TOGETHER from coincidental repeat
+    encounters, and the gaps-and-islands run decomposition (the q140
+    sweep idiom) expresses it exactly: within a pair, runs group by
+    ``bucket - row_number`` and the longest run gates.
+
+    Scale shape: the colocation discipline verbatim — distinct
+    (key, cell, bucket) collapse, hot-bucket cap, bucketed self-join —
+    then per-PAIR windows over the distinct co-bucket table (pairs x
+    their co-buckets, tiny next to the fixes).  A pair co-located in
+    two cells within one bucket still counts that bucket once
+    (distinct buckets before the run split).  Returns ``(a, b,
+    n_cooc_buckets, max_run)`` where max_run >= min_len."""
+    from . import cache
+
+    b = (df.select(F.col(key).alias("k"),
+                   F.substring(F.col(cell_col), 1, nchars).alias("cell"),
+                   F.floor(F.col(ts) / bucket_s).cast("long").alias("tb"))
+         .distinct().persist())
+    sizes = b.groupBy("cell", "tb").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket_keys).select("cell", "tb")
+    kept = b.join(ok, ["cell", "tb"])
+    l = kept.select("cell", "tb", F.col("k").alias("a"))
+    r = kept.select("cell", "tb", F.col("k").alias("b"))
+    pb = (l.join(r, ["cell", "tb"])
+          .where(F.col("a") < F.col("b"))
+          .select("a", "b", "tb").distinct())
+    w = Window.partitionBy("a", "b").orderBy(F.col("tb").asc())
+    runs = (pb.withColumn("_g", F.col("tb") - F.row_number().over(w))
+            .groupBy("a", "b", "_g").agg(F.count("*").alias("_len")))
+    out = (runs.groupBy("a", "b")
+           .agg(F.sum("_len").alias("n_cooc_buckets"),
+                F.max("_len").alias("max_run"))
+           .where(F.col("max_run") >= min_len))
+    return cache.track(out, [b])

@@ -385,3 +385,33 @@ def test_harmonic_centrality_isolated_zero(spark):
     cache.release(out)
     assert got[9]["harmonic_micro"] == 0
     assert got[0]["harmonic_micro"] == 1000000
+
+
+def test_reciprocity_assortativity_hand_graph(spark):
+    from geotile import cache, graph
+
+    # edges: 0->1, 1->0 (reciprocal), 0->2, 2->3: reciprocity 2/4
+    edges = spark.createDataFrame([(0, 1), (1, 0), (0, 2), (2, 3)],
+                                  "src long, dst long")
+    out = graph.reciprocity_assortativity(edges)
+    r = out.collect()[0]
+    cache.release(out)
+    assert r["n_edges"] == 4 and r["n_recip"] == 2
+    assert r["recip_micro"] == 500000
+    assert r["n_und"] == 3
+    # degrees (undirected multiplicity by directed count): deg 0=3,
+    # 1=2... wait: degrees count directed incidences: 0:3, 1:2, 2:2, 3:1
+    # und edges (1,0),(2,0),(3,2) -> pairs (2,3),(2,3),(1,2) symmetrized
+    import math
+
+    pts = [(2, 3), (3, 2), (2, 3), (3, 2), (1, 2), (2, 1)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sx2 = sum(x * x for x, _ in pts); sy2 = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = n * sxy - sx * sy
+    dx = n * sx2 - sx * sx
+    dy = n * sy2 - sy * sy
+    assert (r["corr_num"], r["den_x"], r["den_y"]) == (num, dx, dy)
+    assert r["assort_micro"] == math.floor(
+        num * 1000000 / (math.sqrt(dx) * math.sqrt(dy)))

@@ -1482,3 +1482,18 @@ def test_phrase_merges_leftmost_nonoverlap_rule(spark):
     # -> round 2 argmax by (count desc, pair asc): both count 1, so
     # 'x x' wins the tie alphabetically over 'x_x x'
     assert out[2]["pair"] == "x x" and out[2]["n"] == 1
+
+
+def test_hll_estimate_audit_within_expected_error(spark):
+    """The q206 estimate formula (exact dyadic harmonic sum + LC
+    branch) lands within ~3 sigma of HLL's 1.04/sqrt(64) relative
+    error on a known-cardinality corpus."""
+    import __spark_entry__ as entrymod
+
+    out = {r["source"]: r for r in
+           entrymod.queries()["q206_hll_error_audit"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert out
+    for r in out.values():
+        rel = abs(r["err_milli"]) / (r["exact_distinct"] * 1000)
+        assert rel < 0.40, (r["source"], rel)

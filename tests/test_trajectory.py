@@ -808,3 +808,25 @@ def test_dead_reckoning_turn_error_matches_numpy(spark):
         np.array([10.0]), np.array([20.02]),
         np.array([10.01]), np.array([20.01]))[0]))
     assert (r["n_preds"], r["err_m_sum"], r["err_m_max"]) == (1, want, want)
+
+
+def test_convoys_requires_consecutive_buckets(spark):
+    # pair (1,2): co-located buckets 0,1,2 (run 3) -> convoy
+    # pair (1,3): co-located buckets 0,2,4 (runs of 1) -> not a convoy
+    rows = []
+    eid = 0
+    for tb in (0, 1, 2):
+        for u in (1, 2):
+            rows.append((eid, u, tb * 1000 + 5, 10.0, 20.0)); eid += 1
+    for tb in (0, 2, 4):
+        rows.append((eid, 3, tb * 1000 + 7, 10.0, 20.0)); eid += 1
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    from geotile import cache
+
+    out = trajectory.convoys(df, bucket_s=1000, nchars=4, min_len=3)
+    got = {(r["a"], r["b"]): r for r in out.collect()}
+    cache.release(out)
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["max_run"] == 3 and got[(1, 2)]["n_cooc_buckets"] == 3

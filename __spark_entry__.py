@@ -4315,6 +4315,48 @@ def _q206_hll_error_audit(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(regs, "_geotile_persisted", []))
 
 
+def _q207_budget_apportionment(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment
+    (textops.budget_apportionment): a 997-unit crawl budget split
+    across sources proportional to exact doc counts — floors by
+    integer division, leftover seats to the largest remainders with
+    the (remainder desc, source asc) tie rule; sum(alloc) == 997 by
+    construction.  The deliberately non-round total forces a
+    non-trivial remainder round.  The oracle replays the floors,
+    remainder ranks, and seat assignment."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.budget_apportionment(docs, total=997)
+            .orderBy("source"))
+
+
+def _q208_heat_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Hotspot peak extraction (engine.heat_peaks): non-maximum
+    suppression over the q102 lattice — cells whose count strictly
+    exceeds every 8-neighbor's (ties suppress; longitude wraps) — the
+    marker shortlist a map layer renders from the smoothed heat.  The
+    oracle replays the lattice, the ring MAX, and the strict
+    comparison."""
+    from geotile import cache
+
+    out = engine.heat_peaks(_positions_df(spark, sf))
+    return cache.track(out.orderBy("i", "j"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q209_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU stickiness (behavior.stickiness): the daily engagement
+    ratio over exact distinct actives and the q198 rolling weekly
+    actives, joined on active days, micro-floored.  The oracle
+    replays the collapse, the spread, and the ratio."""
+    from geotile import behavior, cache
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"))
+    out = behavior.stickiness(ev)
+    return cache.track(out.orderBy("day"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4555,6 +4597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_convoys": _q204_convoys,
         "q205_graph_mixing": _q205_graph_mixing,
         "q206_hll_error_audit": _q206_hll_error_audit,
+        "q207_budget_apportionment": _q207_budget_apportionment,
+        "q208_heat_peaks": _q208_heat_peaks,
+        "q209_stickiness": _q209_stickiness,
     }
 
 
@@ -10854,6 +10899,79 @@ SELECT e.source, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
          AS err_milli
 FROM ex206 e JOIN est206 s ON s.source = e.source
 ORDER BY e.source
+"""
+
+    # q207: Hamilton apportionment — floors, remainder ranks, seats
+    sqls["q207_budget_apportionment"] = r"""
+WITH c207 AS (SELECT source AS grp, count(*) AS n_docs FROM documents
+              GROUP BY 1),
+b207 AS (
+  SELECT grp, n_docs,
+         (SELECT sum(n_docs) FROM c207) AS S,
+         n_docs * 997 AS q
+  FROM c207
+),
+f207 AS (
+  SELECT grp, n_docs, CAST(q // S AS BIGINT) AS alloc_floor,
+         CAST(q % S AS BIGINT) AS rem
+  FROM b207
+),
+r207 AS (
+  SELECT grp, n_docs, alloc_floor, rem,
+         row_number() OVER (ORDER BY rem DESC, grp ASC) AS rk,
+         997 - (SELECT sum(alloc_floor) FROM f207) AS R
+  FROM f207
+)
+SELECT grp AS source, n_docs, alloc_floor,
+       CAST(CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(alloc_floor + CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r207 ORDER BY source
+"""
+
+    # q208: heat peaks — the q102 lattice with ring MAX and the strict
+    # NMS comparison
+    _m208a = _d.format(repr(64 / 180.0))
+    _m208o = _d.format(repr(128 / 360.0))
+    sqls["q208_heat_peaks"] = f"""
+WITH {_POS_CTE},
+cells208 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m208a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m208o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+offs208(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+ring208 AS (
+  SELECT c.i + o.di AS ti, ((c.j + o.dj) % 128 + 128) % 128 AS tj,
+         CAST(max(c.n) AS BIGINT) AS ring_max
+  FROM cells208 c CROSS JOIN offs208 o
+  WHERE c.i + o.di BETWEEN 0 AND 63
+  GROUP BY 1, 2
+)
+SELECT c.i, c.j, CAST(c.n AS BIGINT) AS n,
+       COALESCE(r.ring_max, 0) AS ring_max
+FROM cells208 c LEFT JOIN ring208 r ON r.ti = c.i AND r.tj = c.j
+WHERE c.n > COALESCE(r.ring_max, 0)
+ORDER BY c.i, c.j
+"""
+
+    # q209: stickiness — the q198 collapse/spread plus the DAU join
+    sqls["q209_stickiness"] = r"""
+WITH ud209 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+dau209 AS (SELECT day, count(DISTINCT u) AS dau FROM ud209 GROUP BY 1),
+sp209 AS (
+  SELECT u, CAST(unnest(range(day, day + 7)) AS BIGINT) AS day FROM ud209
+),
+wau209 AS (SELECT day, count(DISTINCT u) AS wau FROM sp209 GROUP BY 1)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_micro
+FROM dau209 d JOIN wau209 w ON w.day = d.day
+ORDER BY d.day
 """
 
     # Every queries() entry above has an exact oracle — including the

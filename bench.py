@@ -141,6 +141,8 @@ def main() -> None:
         "q200_orc_roundtrip", "q201_phrase_merges",
         "q202_dedup_threshold_sweep", "q203_harmonic_centrality",
         "q204_convoys", "q205_graph_mixing", "q206_hll_error_audit",
+        "q207_budget_apportionment", "q208_heat_peaks",
+        "q209_stickiness",
     ]
     from geotile import cache, textops
 

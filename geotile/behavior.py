@@ -219,3 +219,29 @@ def lateness_audit(events: DataFrame, user_col: str = "user_id",
             .select(user_col, "n_events", "n_late", "max_late_s",
                     F.coalesce("p99_late_s", F.lit(0)).cast("long")
                     .alias("p99_late_s")))
+
+
+def stickiness(events: DataFrame, window_days: int = 7,
+               ts_col: str = "ep", user_col: str = "user_id") -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (what share of the weekly actives showed up today), exact:
+    daily actives from the (user, day) distinct collapse, rolling
+    actives from :func:`rolling_active_users`, one inner join on the
+    days with activity, ``stick_micro = dau * 1e6 DIV wau``.  Returns
+    ``(day, dau, wau, stickiness_micro)``."""
+    ud = (events.select(F.col(user_col).alias("u"),
+                        F.expr(f"{ts_col} DIV 86400").alias("day"))
+          .distinct().persist())
+    dau = ud.groupBy("day").agg(F.countDistinct("u").alias("dau"))
+    spread = ud.select(
+        "u", F.explode(F.sequence(F.col("day"),
+                                  F.col("day") + (window_days - 1)))
+        .alias("day"))
+    wau = spread.groupBy("day").agg(F.countDistinct("u").alias("wau"))
+    out = (dau.join(wau, "day")
+           .select("day", "dau", "wau",
+                   F.expr("dau * 1000000 DIV wau")
+                   .alias("stickiness_micro")))
+    from geotile.cache import track
+
+    return track(out, [ud])

@@ -2117,3 +2117,44 @@ def idw_interpolate(positions: DataFrame, queries,
                  F.sum("_w").alias("_den"))
             .select("query_id", "n_pts",
                     F.expr("_num DIV _den").alias("idw_milli")))
+
+
+def heat_peaks(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """Hotspot PEAK extraction — non-maximum suppression over the
+    integer lattice: a cell is a peak iff its count STRICTLY exceeds
+    every 8-neighbor's (ties suppress both — the deterministic NMS
+    rule; absent neighbors count 0), turning q102's smoothed heat
+    into the short list a map renders markers from.  Same plan as
+    cell_density_smooth with MAX in place of SUM: points touched
+    once, the occupied-cell table explodes x8 and re-aggregates.
+    Returns ``(i, j, n, ring_max)`` for peak cells only."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    contrib = (cells.select("i", "j", "n", F.explode(offs).alias("o"))
+               .select((F.col("i") + F.col("o.di")).alias("ti"),
+                       F.pmod(F.col("j") + F.col("o.dj"),
+                              F.lit(nj)).alias("tj"), "n")
+               .where((F.col("ti") >= 0) & (F.col("ti") < ni)))
+    ring = contrib.groupBy("ti", "tj").agg(F.max("n").alias("ring_max"))
+    out = (cells.join(ring, (cells["i"] == ring["ti"])
+                      & (cells["j"] == ring["tj"]), "left")
+           .select("i", "j", "n",
+                   F.coalesce(F.col("ring_max"), F.lit(0).cast("long"))
+                   .alias("ring_max"))
+           .where(F.col("n") > F.col("ring_max")))
+    return cache.track(out, [cells])

@@ -2760,3 +2760,38 @@ def phrase_merges(df: DataFrame, rounds: int = 3,
         cur = cur.select(F.expr(
             f"replace(_s, ' {pa} {pb} ', ' {pa}_{pb} ')").alias("_s"))
     return spark.createDataFrame(merges, "round long, pair string, n long")
+
+
+def budget_apportionment(df: DataFrame, total: int = 1000,
+                         group: str = "source") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a crawl /
+    sampling budget across groups, proportional to exact row counts —
+    the integer allocator behind per-source fetch quotas and mixture
+    targets (q72 enforces a GIVEN quota; this COMPUTES the fair one).
+    Floors are ``c * total DIV S``; the ``total - sum(floors)``
+    leftover seats go to the largest remainders
+    (``(c * total) % S`` desc, group asc tie rule) — all exact int64
+    (c * total bounded by corpus x budget, far inside range).
+    ``sum(alloc) == total`` by construction (pytest-pinned).
+
+    One count aggregate; everything after runs on the tiny group
+    table (windows over groups, never rows).  Returns
+    ``(group, n_docs, alloc_floor, extra, alloc)``."""
+    cnt = df.groupBy(F.col(group).alias("grp")).agg(
+        F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    base = (cnt.withColumn("_S", F.sum("n_docs").over(wall))
+            .withColumn("_q", F.col("n_docs") * F.lit(int(total)))
+            .withColumn("alloc_floor", F.expr("_q DIV _S"))
+            .withColumn("_rem", F.expr("_q % _S")))
+    wr = Window.orderBy(F.col("_rem").desc(), F.col("grp").asc())
+    ranked = (base.withColumn("_rk", F.row_number().over(wr))
+              .withColumn("_R", F.lit(int(total))
+                          - F.sum("alloc_floor").over(wall)))
+    return (ranked.withColumn("extra",
+                              (F.col("_rk") <= F.col("_R"))
+                              .cast("long"))
+            .select(F.col("grp").alias(group), "n_docs", "alloc_floor",
+                    "extra",
+                    (F.col("alloc_floor") + F.col("extra"))
+                    .alias("alloc")))

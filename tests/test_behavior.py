@@ -183,3 +183,18 @@ def test_lateness_audit_inversions_and_p99(spark):
     assert r1["p99_late_s"] == 60
     r2 = got[2]
     assert (r2["n_late"], r2["max_late_s"], r2["p99_late_s"]) == (0, 0, 0)
+
+
+def test_stickiness_ratio_exact(spark):
+    # day 0: u1,u2 active; day 1: u1 -> wau(1) = {u1,u2} -> 1/2
+    ev = spark.createDataFrame(
+        [(1, 10), (2, 20), (1, 86400 + 5)], "user_id long, ep long")
+    out = behavior.stickiness(ev, window_days=7)
+    got = {r["day"]: r for r in out.collect()}
+    from geotile import cache
+
+    cache.release(out)
+    assert (got[0]["dau"], got[0]["wau"]) == (2, 2)
+    assert got[0]["stickiness_micro"] == 1000000
+    assert (got[1]["dau"], got[1]["wau"]) == (1, 2)
+    assert got[1]["stickiness_micro"] == 500000

@@ -1338,3 +1338,28 @@ def test_idw_interpolate_exact_hand_case(spark):
     assert r["idw_milli"] == want
     # nearer point dominates: estimate sits below the midpoint value
     assert r["idw_milli"] < 15000
+
+
+def test_heat_peaks_strict_nms(spark):
+    from geotile import cache
+
+    # lattice cells (~2.8 deg/cell): a 9-count peak at (10, 20), a
+    # 5-count shoulder in the adjacent cell, a far-away tie pair elsewhere
+    rows = []
+    eid = 0
+    for _ in range(9):
+        rows.append((eid, 10.0, 20.0)); eid += 1
+    for _ in range(5):
+        rows.append((eid, 10.0, 23.0)); eid += 1   # adjacent lon cell
+    for la in (40.0, 43.0):                        # adjacent tie pair
+        for _ in range(4):
+            rows.append((eid, la, -100.0)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, lat double, lon double")
+    out = engine.heat_peaks(df)
+    got = {(r["i"], r["j"]): r for r in out.collect()}
+    cache.release(out)
+    # exactly one peak: the 9-count cell (the 5 shoulder is dominated;
+    # the 4/4 tie suppresses both)
+    assert len(got) == 1
+    ((i, j), r), = got.items()
+    assert r["n"] == 9 and r["ring_max"] == 5

@@ -1497,3 +1497,20 @@ def test_hll_estimate_audit_within_expected_error(spark):
     for r in out.values():
         rel = abs(r["err_milli"]) / (r["exact_distinct"] * 1000)
         assert rel < 0.40, (r["source"], rel)
+
+
+def test_budget_apportionment_sums_to_total(spark):
+    rows = ([(i, "A") for i in range(7)] + [(10 + i, "B") for i in range(2)]
+            + [(20 + i, "C") for i in range(1)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in
+           textops.budget_apportionment(df, total=10).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 10
+    # exact Hamilton: quotas 7.0/2.0/1.0 -> floors 7/2/1, no extras
+    assert (got["A"]["alloc"], got["B"]["alloc"], got["C"]["alloc"]) == (7, 2, 1)
+    # non-divisible case: total 11 -> quotas 7.7/2.2/1.1 -> floors
+    # 7/2/1, one seat to the largest remainder (A)
+    got2 = {r["source"]: r["alloc"] for r in
+            textops.budget_apportionment(df, total=11).collect()}
+    assert got2 == {"A": 8, "B": 2, "C": 1}
+    assert sum(got2.values()) == 11

@@ -1160,6 +1160,37 @@ def main() -> None:
         "(positions never shuffle, covers driver-side) + ONE per-query "
         "aggregate of exact int64 weight terms"))
 
+    sections.append(summarize(
+        _tj.convoys(wcell, bucket_s=3600, nchars=4, min_len=2),
+        "convoys (q204): the colocation discipline (distinct collapse, "
+        "hot-bucket cap, bucketed self-join) + per-PAIR run windows "
+        "over the tiny distinct co-bucket table — the fixes shuffle "
+        "once into the persisted bucket frame"))
+
+    sections.append(summarize(
+        _gr.harmonic_centrality(
+            spark.range(0, 1000).select(F.col("id").alias("node")),
+            _edges, max_hops=2),
+        "harmonic_centrality (q203): per hop one edge-keyed join from "
+        "the frontier + anti-joins against the seen set; frontiers "
+        "localCheckpoint per hop (deg^h truncation documented)"))
+
+    sections.append(summarize(
+        engine.heat_peaks(walk),
+        "heat_peaks (q208): points touched once (one count aggregate); "
+        "the occupied-cell table explodes x8 and re-aggregates with "
+        "MAX — both remaining exchanges move cell-sized frames"))
+
+    sections.append(summarize(
+        textops.budget_apportionment(
+            synth.synth_docs_skew(spark, 2000, partitions=8)
+            .withColumn("source", F.concat(F.lit("s"),
+                                           (F.col("doc_id") % 8)
+                                           .cast("string"))), total=997),
+        "budget_apportionment (q207): one count aggregate; the floor/"
+        "remainder/seat windows run on the GROUP table (single "
+        "partition by design — groups are dozens, never rows)"))
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

@@ -4357,6 +4357,56 @@ def _q209_stickiness(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q210_ivm_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance under the exact gate
+    (table.merge_rollup): the gh4 walk cell rollup maintained
+    incrementally — base (fixes before the split) merged with delta
+    (fixes after) by null-safe additive sums — must equal the direct
+    recompute, and the oracle IS the direct recompute over all fixes,
+    so parity proves the IVM identity end to end (the contract that
+    keeps 100-TB rollups fresh without rescanning history)."""
+    from geotile import table as _table
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+
+    def roll(d):
+        return (d.groupBy(F.substring("geohash", 1, 4).alias("cell"))
+                .agg(F.count("*").alias("n"), F.sum("ep").alias("ep_sum")))
+
+    base = roll(pos.where(F.col("ep") < _BACKTEST_SPLIT_EP))
+    delta = roll(pos.where(F.col("ep") >= _BACKTEST_SPLIT_EP))
+    return (_table.merge_rollup(base, delta, ["cell"], ["n", "ep_sum"])
+            .orderBy("cell"))
+
+
+def _q211_fence_dwell(spark: SparkSession, sf: str) -> DataFrame:
+    """Geofence dwell accounting (trajectory.fence_dwell) over q108's
+    fence: per user the total seconds inside, summed over segments
+    whose BOTH endpoints are in-fence (the conservative
+    no-interpolation rule — crossings contribute nothing, documented)
+    — the billing rollup on top of q108's enter/exit alerting.  The
+    oracle replays the membership lag and the segment sum."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_positions_df(spark, sf), nchars=5)
+    pos = pos.withColumn("ep", F.unix_timestamp("ts"))
+    return (trajectory.fence_dwell(pos, _Q108_FENCE, nchars=2)
+            .orderBy("user_id"))
+
+
+def _q212_cover_selectivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Cover-efficiency audit (engine.radius_cover_selectivity): per
+    q21 radius query the candidate count inside the adaptive cover
+    vs the exact in-radius count, with the micro selectivity — the
+    measured tightness of the covers every cover-join cost claim
+    rests on, gated instead of asserted.  The oracle recomputes the
+    SAME covers driver-side (identical _fit_cover_radius call) and
+    injects them as literal cell lists."""
+    pos = engine.with_cell(_positions_df(spark, sf))
+    return (engine.radius_cover_selectivity(pos, _RADIUS_QUERIES)
+            .orderBy("query_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4600,6 +4650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_budget_apportionment": _q207_budget_apportionment,
         "q208_heat_peaks": _q208_heat_peaks,
         "q209_stickiness": _q209_stickiness,
+        "q210_ivm_merge": _q210_ivm_merge,
+        "q211_fence_dwell": _q211_fence_dwell,
+        "q212_cover_selectivity": _q212_cover_selectivity,
     }
 
 
@@ -10972,6 +11025,63 @@ SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
        CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_micro
 FROM dau209 d JOIN wau209 w ON w.day = d.day
 ORDER BY d.day
+"""
+
+    # q210: IVM identity — the oracle is the DIRECT recompute; Spark
+    # answers via base+delta merge, so parity proves the identity
+    _wgh210 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q210_ivm_merge"] = f"""
+WITH {_WALK_CTE}
+SELECT {_wgh210} AS cell, count(*) AS n,
+       CAST(sum(ep) AS BIGINT) AS ep_sum
+FROM walk GROUP BY 1 ORDER BY cell
+"""
+
+    # q211: fence dwell — membership lag, both-endpoints-in segments,
+    # integer dwell sums
+    _wgh211 = f"substr({gh5}, 1, 2)"
+    sqls["q211_fence_dwell"] = f"""
+WITH {_POS_CTE},
+m211 AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_id,
+         {_wgh211} IN ({_f108}) AS inn
+  FROM pos
+),
+l211 AS (
+  SELECT user_id, ep, inn,
+         lag(inn) OVER (PARTITION BY user_id
+                        ORDER BY ep ASC, event_id ASC) AS pinn,
+         lag(ep) OVER (PARTITION BY user_id
+                       ORDER BY ep ASC, event_id ASC) AS pts
+  FROM m211
+)
+SELECT user_id, count(*) AS n_segments,
+       CAST(sum(ep - pts) AS BIGINT) AS dwell_s
+FROM l211 WHERE pinn IS NOT NULL AND pinn AND inn
+GROUP BY user_id ORDER BY user_id
+"""
+
+    # q212: cover selectivity — the SAME _fit_cover_radius covers,
+    # injected as literal cell lists, with the brute refine count
+    sel_parts = []
+    for _sq, _sla, _slo, _sr in _RADIUS_QUERIES:
+        _n212, _cells212 = engine._fit_cover_radius(_sla, _slo, _sr, 5)
+        _cl212 = ", ".join(f"'{c}'" for c in _cells212)
+        _d212 = hav.format(lat1="lat", lon1="lon",
+                           lat2=repr(_sla), lon2=repr(_slo))
+        sel_parts.append(f"""SELECT {_sq} AS query_id,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN {_d212} <= {_sr!r} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_refined
+FROM pos WHERE substr({gh5}, 1, {_n212}) IN ({_cl212})""")
+    sqls["q212_cover_selectivity"] = f"""
+WITH {_POS_CTE},
+u212 AS (
+  {" UNION ALL ".join("(" + p + ")" for p in sel_parts)}
+)
+SELECT query_id, n_candidates, n_refined,
+       CAST((n_refined * 1000000) // n_candidates AS BIGINT) AS sel_micro
+FROM u212 ORDER BY query_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -142,7 +142,8 @@ def main() -> None:
         "q202_dedup_threshold_sweep", "q203_harmonic_centrality",
         "q204_convoys", "q205_graph_mixing", "q206_hll_error_audit",
         "q207_budget_apportionment", "q208_heat_peaks",
-        "q209_stickiness",
+        "q209_stickiness", "q210_ivm_merge", "q211_fence_dwell",
+        "q212_cover_selectivity",
     ]
     from geotile import cache, textops
 

@@ -225,11 +225,15 @@ def radius_search(positions: DataFrame, qlat: float, qlon: float, radius_m: floa
             .where(F.col("dist_m") <= radius_m))
 
 
-def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
-                cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
-                qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
-                radius: str = "radius_m") -> DataFrame:
-    """Many-query radius join.  Queries are the SMALL side by contract
+def _radius_cover_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
+                       cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+                       qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
+                       radius: str = "radius_m") -> DataFrame:
+    """Cover/broadcast stage shared by radius_join (refine filter) and
+    radius_cover_selectivity (refine audit): returns the CANDIDATE
+    rows with ``dist_m`` attached, unfiltered.
+
+    Many-query radius join.  Queries are the SMALL side by contract
     (POI sets, dims) — their covers are computed driver-side, grouped by
     the (adaptive) cover precision, and broadcast; each precision group
     equi-joins the big positions table on the cell prefix; exact
@@ -277,8 +281,44 @@ def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
     for p in parts[1:]:
         joined = joined.unionByName(p)
     dist = udfs.haversine_col(F.col(qlat), F.col(qlon), F.col(lat), F.col(lon))
-    return (joined.withColumn("dist_m", dist)
-            .where(F.col("dist_m") <= F.col(radius)))
+    return joined.withColumn("dist_m", dist)
+
+
+def radius_join(positions: DataFrame, queries, nchars: int = DEFAULT_NCHARS,
+                cell_col: str = "geohash", lat: str = "lat", lon: str = "lon",
+                qid: str = "query_id", qlat: str = "qlat", qlon: str = "qlon",
+                radius: str = "radius_m") -> DataFrame:
+    """Many-query radius join — see :func:`_radius_cover_join` for the
+    cover/broadcast plan; this applies the exact refine filter."""
+    cand = _radius_cover_join(positions, queries, nchars, cell_col, lat,
+                              lon, qid, qlat, qlon, radius)
+    return cand.where(F.col("dist_m") <= F.col(radius))
+
+
+def radius_cover_selectivity(positions: DataFrame, queries,
+                             nchars: int = DEFAULT_NCHARS,
+                             cell_col: str = "geohash", lat: str = "lat",
+                             lon: str = "lon") -> DataFrame:
+    """Cover-efficiency audit: per radius query the CANDIDATE count
+    (points inside the adaptive cover cells) next to the REFINED count
+    (points actually within the radius) and the exact micro
+    selectivity — the measured "how tight is the cover" number every
+    cover-join cost claim in this engine rests on (q21/q196 assume
+    it; this GATES it).  Identical driver-side covers and broadcast
+    join as :func:`radius_join`, with the refine as a conditional sum
+    instead of a filter — so the audit measures exactly the plan the
+    production join runs.  Returns ``(query_id, n_candidates,
+    n_refined, sel_micro)``."""
+    cand = _radius_cover_join(positions, queries, nchars, cell_col,
+                              lat, lon)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (cand.groupBy("query_id")
+            .agg(F.count("*").alias("n_candidates"),
+                 F.sum(F.when(F.col("dist_m") <= F.col("radius_m"),
+                              one).otherwise(zero)).alias("n_refined"))
+            .withColumn("sel_micro",
+                        F.expr("n_refined * 1000000 DIV n_candidates")))
 
 
 # ---------------------------------------------------------------------------

@@ -447,3 +447,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
                    .alias(f"new_{c}"))
     return (o.join(n, key, "full_outer")
             .select(*sel).where(F.col("change").isNotNull()))
+
+
+def merge_rollup(old, delta, keys, sums):
+    """Incremental view maintenance for ADDITIVE rollups: merge a base
+    rollup table with a delta rollup by key — full-outer join,
+    null-safe integer sums — the operation that keeps a 100-TB
+    cell/count rollup fresh without recomputation.  Additivity is the
+    contract (counts, integer sums, any commutative monoid column);
+    the q210 gate proves ``merge(base, delta) == direct recompute``
+    value for value, the IVM identity everything incremental rests
+    on.  Both inputs are already-collapsed rollups, so the join moves
+    rollup-sized frames only."""
+    from pyspark.sql import functions as F
+
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in sums])
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in sums])
+    j = o.join(d, list(keys), "full")
+    return j.select(
+        *keys,
+        *[(F.coalesce(f"_o_{c}", F.lit(0)) + F.coalesce(f"_d_{c}", F.lit(0)))
+          .cast("long").alias(c) for c in sums])

@@ -1277,3 +1277,31 @@ def convoys(df: DataFrame, bucket_s: int = 3600, nchars: int = 4,
                 F.max("_len").alias("max_run"))
            .where(F.col("max_run") >= min_len))
     return cache.track(out, [b])
+
+
+def fence_dwell(df: DataFrame, fence, nchars: int = 2,
+                key: str = "user_id", ts: str = "ep",
+                order_col: str = "event_id",
+                cell_col: str = "geohash") -> DataFrame:
+    """Geofence dwell ACCOUNTING — the billing/compliance rollup on
+    top of :func:`geofence_transitions`' alerting: total seconds each
+    key spends inside the fence, as the sum of durations of segments
+    whose BOTH endpoints are inside (the conservative
+    no-interpolation rule: boundary-crossing segments contribute
+    nothing — an underestimate by at most one segment per crossing,
+    documented rather than smoothed).  All integer epochs.  Keys that
+    never complete an inside segment are absent.
+
+    One per-key lag window (the shared trajectory exchange) + one
+    aggregate.  Returns ``(key, n_segments, dwell_s)``."""
+    pref = F.substring(F.col(cell_col), 1, nchars)
+    inside = pref.isin(*[str(c) for c in fence])
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_col).asc())
+    d = (df.withColumn("_in", inside)
+         .withColumn("_pin", F.lag("_in").over(w))
+         .withColumn("_pts", F.lag(ts).over(w)))
+    seg = d.where(F.col("_pin").isNotNull() & F.col("_pin") & F.col("_in"))
+    return (seg.groupBy(key)
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum(F.col(ts) - F.col("_pts")).alias("dwell_s")))

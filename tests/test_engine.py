@@ -1363,3 +1363,24 @@ def test_heat_peaks_strict_nms(spark):
     assert len(got) == 1
     ((i, j), r), = got.items()
     assert r["n"] == 9 and r["ring_max"] == 5
+
+
+def test_cover_selectivity_consistent_with_radius_join(spark):
+    """Candidates bound refined; refined equals the production join's
+    row count — the audit measures the plan it claims to measure."""
+    import random
+
+    rng = random.Random(4)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-150, 150))
+           for i in range(2000)]
+    df = engine.with_cell(spark.createDataFrame(
+        pts, "event_id long, lat double, lon double"))
+    qs = [(0, 10.0, 20.0, 400000.0), (1, -30.0, -70.0, 800000.0)]
+    sel = {r["query_id"]: r for r in
+           engine.radius_cover_selectivity(df, qs).collect()}
+    joined = engine.radius_join(df, qs).groupBy("query_id").count().collect()
+    refined = {r["query_id"]: r["count"] for r in joined}
+    for q, _, _, _ in qs:
+        assert sel[q]["n_refined"] == refined.get(q, 0)
+        assert sel[q]["n_refined"] <= sel[q]["n_candidates"]
+        assert 0 <= sel[q]["sel_micro"] <= 1000000

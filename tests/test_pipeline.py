@@ -370,3 +370,26 @@ def test_snapshot_diff_bucketed_zero_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS sd_old")
         spark.sql("DROP TABLE IF EXISTS sd_new")
+
+
+def test_merge_rollup_ivm_identity(spark):
+    """merge(base, delta) == direct recompute, including keys present
+    in only one side."""
+    from pyspark.sql import functions as F
+
+    from geotile import table
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("c", 9, 9)]
+    df = spark.createDataFrame(rows, "k string, part long, v long")
+
+    def roll(d):
+        return d.groupBy("k").agg(F.count("*").alias("n"),
+                                  F.sum("v").alias("v_sum"))
+
+    base = roll(df.where(F.col("part") < 2))    # a, b, c? (c part 9 no)
+    delta = roll(df.where(F.col("part") >= 2))  # a, c
+    merged = {r["k"]: (r["n"], r["v_sum"])
+              for r in table.merge_rollup(base, delta,
+                                          ["k"], ["n", "v_sum"]).collect()}
+    direct = {r["k"]: (r["n"], r["v_sum"]) for r in roll(df).collect()}
+    assert merged == direct

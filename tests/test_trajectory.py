@@ -830,3 +830,18 @@ def test_convoys_requires_consecutive_buckets(spark):
     cache.release(out)
     assert set(got) == {(1, 2)}
     assert got[(1, 2)]["max_run"] == 3 and got[(1, 2)]["n_cooc_buckets"] == 3
+
+
+def test_fence_dwell_counts_inside_segments_only(spark):
+    # fix sequence: out -> in -> in -> out -> in; only the in->in
+    # segment (100 s) bills; crossings contribute nothing
+    seq = [(0, -40.0), (100, 10.0), (200, 10.0001), (300, -40.0),
+           (400, 10.0)]
+    rows = [(i, 1, t, la, 20.0) for i, (t, la) in enumerate(seq)]
+    df = engine.with_cell(spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, lat double, lon double"),
+        nchars=5)
+    cell_in = gh.encode(np.array([10.0]), np.array([20.0]), 5)[0][:2]
+    got = trajectory.fence_dwell(df, [cell_in], nchars=2).collect()
+    assert len(got) == 1
+    assert (got[0]["n_segments"], got[0]["dwell_s"]) == (1, 100)

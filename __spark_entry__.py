@@ -4407,6 +4407,76 @@ def _q212_cover_selectivity(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def _q213_nearest_poi(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk reverse geocoding: every position assigns to its NEAREST
+    of the three literal POIs within a 2,000 km cap, else the -1
+    outlier bucket — per-point argmin over fixed-shape haversines
+    (pure map-side scalar expressions, ZERO joins and ZERO shuffles
+    before the rollup; the inverse direction of q8's per-query kNN),
+    rolled up per POI with exact meter-floored distance sums.  Argmin
+    ties break to the lowest poi_id (struct-min).  The oracle replays
+    the same distance ladder and argmin."""
+    from geotile import udfs as _udfs
+
+    pos = _positions_df(spark, sf)
+    structs = []
+    for p, qla, qlo, _r in _RADIUS_QUERIES:
+        d = _udfs.haversine_col(F.col("lat"), F.col("lon"),
+                                F.lit(float(qla)), F.lit(float(qlo)))
+        structs.append(F.struct(d.alias("d"),
+                                F.lit(int(p)).cast("long").alias("p")))
+    best = F.least(*structs)
+    assigned = pos.select(
+        F.when(best["d"] <= F.lit(2000000.0), best["p"])
+        .otherwise(F.lit(-1)).cast("long").alias("poi_id"),
+        F.floor(best["d"]).cast("long").alias("_dm"))
+    return (assigned.groupBy("poi_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum("_dm").alias("dist_m_sum"))
+            .orderBy("poi_id"))
+
+
+def _q214_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing attribution over the events stream: each purchase
+    credits a preceding same-user 'view' within 24 h, under BOTH
+    models — last-touch (latest qualifying view) and first-touch
+    (earliest).  Whether a purchase is attributed is model-independent
+    (any qualifying view); WHICH view earns credit differs, so the
+    gated distinguisher is the exact credit-LAG sum (purchase time
+    minus credited view time) next to the shared attributed/user
+    counts.  One filtered view/purchase join keyed on user; all
+    unix-second integer arithmetic.  The oracle replays the range
+    join and both argmins."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep"),
+        "event_id")
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("u"),
+                     F.col("ep").alias("vts")))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ep").alias("bts"),
+                    F.col("event_id").alias("bid")))
+    j = (buys.join(views, (buys["user_id"] == views["u"])
+                   & (views["vts"] <= buys["bts"])
+                   & (views["vts"] > buys["bts"] - 86400)))
+    cred = (j.groupBy("user_id", "bid")
+            .agg(F.max("bts").alias("bts"),
+                 F.max("vts").alias("last_v"),
+                 F.min("vts").alias("first_v")))
+    parts = []
+    for model, col in (("first_touch", "first_v"), ("last_touch", "last_v")):
+        parts.append(cred.agg(
+            F.count("*").alias("n_attributed"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("bts") - F.col(col)).alias("lag_s_sum"))
+            .select(F.lit(model).alias("model"), "n_attributed",
+                    "n_users", "lag_s_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("model")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4653,6 +4723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_ivm_merge": _q210_ivm_merge,
         "q211_fence_dwell": _q211_fence_dwell,
         "q212_cover_selectivity": _q212_cover_selectivity,
+        "q213_nearest_poi": _q213_nearest_poi,
+        "q214_attribution": _q214_attribution,
     }
 
 
@@ -11082,6 +11154,65 @@ u212 AS (
 SELECT query_id, n_candidates, n_refined,
        CAST((n_refined * 1000000) // n_candidates AS BIGINT) AS sel_micro
 FROM u212 ORDER BY query_id
+"""
+
+    # q213: nearest POI — the same distance ladder with a row_number
+    # argmin ((d, poi_id) ordering == Spark's struct least)
+    _np_sel = []
+    for _np, _nla, _nlo, _nr in _RADIUS_QUERIES:
+        _dnp = hav.format(lat1="lat", lon1="lon",
+                          lat2=repr(_nla), lon2=repr(_nlo))
+        _np_sel.append(f"SELECT event_id, {_np} AS p, {_dnp} AS d FROM pos")
+    sqls["q213_nearest_poi"] = f"""
+WITH {_POS_CTE},
+d213 AS (
+  {" UNION ALL ".join(_np_sel)}
+),
+b213 AS (
+  SELECT event_id, p, d,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d ASC, p ASC) AS rn
+  FROM d213
+),
+a213 AS (
+  SELECT CASE WHEN d <= 2000000.0 THEN p ELSE -1 END AS poi_id,
+         CAST(floor(d) AS BIGINT) AS dm
+  FROM b213 WHERE rn = 1
+)
+SELECT CAST(poi_id AS BIGINT) AS poi_id, count(*) AS n,
+       CAST(sum(dm) AS BIGINT) AS dist_m_sum
+FROM a213 GROUP BY 1 ORDER BY poi_id
+"""
+
+    # q214: attribution — the 24h range join and both argmins, with
+    # the credit-lag sums as the model distinguisher
+    sqls["q214_attribution"] = r"""
+WITH v214 AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS vts
+  FROM events WHERE event_type = 'view'
+),
+b214 AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS bts,
+         event_id AS bid
+  FROM events WHERE event_type = 'purchase'
+),
+c214 AS (
+  SELECT b.user_id, b.bid, max(b.bts) AS bts,
+         max(v.vts) AS last_v, min(v.vts) AS first_v
+  FROM b214 b JOIN v214 v
+    ON v.u = b.user_id AND v.vts <= b.bts AND v.vts > b.bts - 86400
+  GROUP BY b.user_id, b.bid
+)
+SELECT 'first_touch' AS model, count(*) AS n_attributed,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(bts - first_v) AS BIGINT) AS lag_s_sum
+FROM c214
+UNION ALL
+SELECT 'last_touch' AS model, count(*) AS n_attributed,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(bts - last_v) AS BIGINT) AS lag_s_sum
+FROM c214
+ORDER BY model
 """
 
     # Every queries() entry above has an exact oracle — including the

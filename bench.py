@@ -143,7 +143,8 @@ def main() -> None:
         "q204_convoys", "q205_graph_mixing", "q206_hll_error_audit",
         "q207_budget_apportionment", "q208_heat_peaks",
         "q209_stickiness", "q210_ivm_merge", "q211_fence_dwell",
-        "q212_cover_selectivity",
+        "q212_cover_selectivity", "q213_nearest_poi",
+        "q214_attribution",
     ]
     from geotile import cache, textops
 

@@ -198,3 +198,33 @@ def test_stickiness_ratio_exact(spark):
     assert got[0]["stickiness_micro"] == 1000000
     assert (got[1]["dau"], got[1]["wau"]) == (1, 2)
     assert got[1]["stickiness_micro"] == 500000
+
+
+def test_attribution_first_vs_last_touch_lags(spark):
+    import __spark_entry__ as entrymod  # noqa: F401 (shape reference)
+    # replicate the q214 logic on a hand case through the same ops
+    from pyspark.sql import functions as F
+
+    rows = [  # user 1: views at 100, 200; purchase at 250
+        (0, 1, "view", 100), (1, 1, "view", 200), (2, 1, "purchase", 250),
+        # user 2: view too old (outside 24h) -> unattributed
+        (3, 2, "view", 0), (4, 2, "purchase", 90000),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ep long")
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("u"), F.col("ep").alias("vts")))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ep").alias("bts"),
+                    F.col("event_id").alias("bid")))
+    j = buys.join(views, (buys["user_id"] == views["u"])
+                  & (views["vts"] <= buys["bts"])
+                  & (views["vts"] > buys["bts"] - 86400))
+    cred = (j.groupBy("user_id", "bid")
+            .agg(F.max("bts").alias("bts"), F.max("vts").alias("last_v"),
+                 F.min("vts").alias("first_v")))
+    r = cred.collect()
+    assert len(r) == 1  # only user 1's purchase attributes
+    row = r[0]
+    assert row["bts"] - row["last_v"] == 50     # last-touch lag
+    assert row["bts"] - row["first_v"] == 150   # first-touch lag

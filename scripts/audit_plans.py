@@ -1191,6 +1191,57 @@ def main() -> None:
         "remainder/seat windows run on the GROUP table (single "
         "partition by design — groups are dozens, never rows)"))
 
+    # ---- q205/q206/q209-q214: audit the REAL gated entry plans against
+    # the sf0.001 parquet tables (these queries are composed inline in
+    # __spark_entry__.py, so the entry function IS the operator; using
+    # the parquet source also evidences scan pushdown/pruning).
+    import __spark_entry__ as _entry
+
+    _sf = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+    for _fn, _desc in (
+        (_entry._q205_graph_mixing,
+         "graph_mixing (q205): one reverse-key self-join on the distinct "
+         "edge set (reciprocity) + one degree aggregate whose exact "
+         "integer moments collapse to a 1-row frame — edges shuffle "
+         "twice, nothing row-sized after that"),
+        (_entry._q206_hll_error_audit,
+         "hll_error_audit (q206): the register table is a 64-row-per-"
+         "group aggregate of the token explode; the estimator runs as "
+         "native int64 shifts on that tiny frame; the exact side is one "
+         "countDistinct over the SAME explode — two corpus-sized "
+         "exchanges total, both keyed aggregates"),
+        (_entry._q209_stickiness,
+         "stickiness (q209): distinct (user, day) collapse first, then "
+         "the DAU aggregate and the 7-day rolling window both run on "
+         "the collapsed actives table — one corpus exchange, windows on "
+         "day-sized frames"),
+        (_entry._q210_ivm_merge,
+         "ivm_merge (q210): base and delta rollups each partial-"
+         "aggregate map-side; the merge is a full-outer join of two "
+         "CELL-sized tables with null-safe adds — the IVM contract "
+         "never rescans history"),
+        (_entry._q211_fence_dwell,
+         "fence_dwell (q211): cell-cover prefilter map-side, membership "
+         "lag in ONE per-user window, segment sum partial-aggregates — "
+         "a single keyed exchange end to end"),
+        (_entry._q212_cover_selectivity,
+         "cover_selectivity (q212): covers fit driver-side from the "
+         "literal query set, candidates via broadcast cover join, exact "
+         "in-radius via native haversine — positions never shuffle"),
+        (_entry._q213_nearest_poi,
+         "nearest_poi (q213): per-point argmin over fixed-shape literal "
+         "haversines — pure map-side scalar expressions, ZERO joins; "
+         "the only exchange is the per-POI rollup"),
+        (_entry._q214_attribution,
+         "attribution (q214): one user-keyed view x purchase range join "
+         "filtered in the join condition, per-purchase argmin/argmax in "
+         "the same aggregate, then 1-row model summaries"),
+    ):
+        try:
+            sections.append(summarize(_fn(spark, _sf), _desc))
+        except Exception as e:  # audit must not die on one entry
+            print(f"  audit skip {_desc.split(' ')[0]}: {e}", file=sys.stderr)
+
     header = """# PLANS — audited physical plans for the core operators
 
 Generated by `python scripts/audit_plans.py` against a gh2-partitioned

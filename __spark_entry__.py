@@ -4477,6 +4477,63 @@ def _q214_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("model")
 
 
+def _q215_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (table.compaction_plan): the
+    documents table modeled as a file manifest (source = partition,
+    file = doc_id % 7 group, bytes = sum n_chars), greedily
+    next-fit-decreasing packed into rewrite bins of ~total/50 bytes —
+    the Iceberg ``rewrite_data_files`` planning pass, gated per bin
+    (file count, bytes, largest file).  The target derives from the
+    table total, so the files-per-bin ratio is scale-invariant.  The
+    oracle replays the same (size DESC, id ASC) greedy walk as a
+    sequential recursive CTE per partition."""
+    from geotile import table
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    files = (docs.groupBy(F.col("source").alias("part"),
+                          (F.col("doc_id") % 7).alias("file_id"))
+             .agg(F.sum("n_chars").cast("long").alias("bytes")))
+    plan = table.compaction_plan(files, int(total) // 50, part_col="part")
+    return (plan.groupBy(F.col("part").alias("source"), "bin")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("bytes").alias("bytes"),
+                 F.max("bytes").alias("max_file"))
+            .orderBy("source", "bin"))
+
+
+def _q216_cell_blobs(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster hotspot blobs (engine.cell_blobs): positions rasterized
+    onto the 5-degree grid, cells with >= 8 points 8-connected
+    (longitude wrapped) and resolved into connected components via the
+    large-star/small-star contraction — the region-level dual of
+    q208's per-cell peaks, rolled up per blob (min-cell label, cell
+    count, point total).  The oracle recomputes occupancy and runs a
+    min-label recursive-CTE closure over the same adjacency."""
+    pos = _positions_df(spark, sf)
+    blobs = engine.cell_blobs(pos, cell_deg=5.0, min_count=8)
+    return (blobs.groupBy("blob_id")
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum("n").alias("n_points"),
+                 F.max("n").alias("peak_n"))
+            .orderBy("blob_id"))
+
+
+def _q217_ks_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every
+    source pair on the doc-length distribution (textops.ks_pairs) —
+    the binning-free drift test completing the KL (q122) / JS (q179)
+    family; the statistic is the integer-scaled supremum
+    max|c1*n2 - c2*n1| so the gate compares exact BIGINTs.  The
+    oracle rebuilds the histogram, cumulates per source over the
+    value union, and takes the same integer max per pair."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.ks_pairs(docs, "n_chars", "source")
+            .orderBy("g1", "g2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4725,6 +4782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_cover_selectivity": _q212_cover_selectivity,
         "q213_nearest_poi": _q213_nearest_poi,
         "q214_attribution": _q214_attribution,
+        "q215_compaction_plan": _q215_compaction_plan,
+        "q216_cell_blobs": _q216_cell_blobs,
+        "q217_ks_distance": _q217_ks_distance,
     }
 
 
@@ -11213,6 +11273,103 @@ SELECT 'last_touch' AS model, count(*) AS n_attributed,
        CAST(sum(bts - last_v) AS BIGINT) AS lag_s_sum
 FROM c214
 ORDER BY model
+"""
+
+    # q215: compaction planning — the greedy next-fit-decreasing walk
+    # replayed as a sequential recursive CTE per partition (rn + 1
+    # advances the walk; bin/fill is the carried state)
+    sqls["q215_compaction_plan"] = r"""
+WITH RECURSIVE t215 AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) // 50 AS tgt FROM documents
+),
+f215 AS (
+  SELECT source, CAST(doc_id % 7 AS BIGINT) AS file_id,
+         CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+o215 AS (
+  SELECT source, file_id, bytes,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY bytes DESC, file_id ASC)
+              AS BIGINT) AS rn
+  FROM f215
+),
+w215 AS (
+  SELECT source, rn, bytes, CAST(1 AS BIGINT) AS bin, bytes AS fill
+  FROM o215 WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.bytes,
+         CASE WHEN w.fill + o.bytes <= t.tgt THEN w.bin ELSE w.bin + 1 END,
+         CASE WHEN w.fill + o.bytes <= t.tgt THEN w.fill + o.bytes
+              ELSE o.bytes END
+  FROM w215 w
+  JOIN o215 o ON o.source = w.source AND o.rn = w.rn + 1
+  CROSS JOIN t215 t
+)
+SELECT source, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(max(bytes) AS BIGINT) AS max_file
+FROM w215 GROUP BY 1, 2 ORDER BY source, bin
+"""
+
+    # q216: raster blobs — occupancy at the 5-degree grid, 8-adjacency
+    # with longitude wrap, min-label closure (labels only propagate
+    # DOWNHILL: label < dst keeps the working set linear in component
+    # size; the component min reaches every node because every path
+    # from the min stays above it)
+    sqls["q216_cell_blobs"] = f"""
+WITH RECURSIVE {_POS_CTE},
+occ216 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) / 5.0) AS BIGINT), 0), 35) AS y,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) / 5.0) AS BIGINT), 0), 71) AS x,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2 HAVING count(*) >= 8
+),
+n216 AS (SELECT y * 100000 + x AS id, y, x, n FROM occ216),
+e216 AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM n216 a JOIN n216 b ON a.id <> b.id
+   AND abs(a.y - b.y) <= 1
+   AND least((a.x - b.x + 72) % 72, (b.x - a.x + 72) % 72) <= 1
+),
+r216 AS (
+  SELECT id AS node, id AS label FROM n216
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM r216 r JOIN e216 e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+l216 AS (SELECT node, min(label) AS blob_id FROM r216 GROUP BY node)
+SELECT l.blob_id, count(*) AS n_cells, CAST(sum(n.n) AS BIGINT) AS n_points,
+       CAST(max(n.n) AS BIGINT) AS peak_n
+FROM l216 l JOIN n216 n ON n.id = l.node
+GROUP BY 1 ORDER BY blob_id
+"""
+
+    # q217: exact two-sample KS per source pair — histogram, cumulate
+    # over the value union per source, integer-scaled supremum
+    sqls["q217_ks_distance"] = r"""
+WITH h217 AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS val, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+s217 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h217 GROUP BY g),
+grid217 AS (
+  SELECT v.val, s.g, s.n
+  FROM (SELECT DISTINCT val FROM h217) v CROSS JOIN s217 s
+),
+c217 AS (
+  SELECT gr.g, gr.val, gr.n,
+         CAST(sum(COALESCE(h.c, 0))
+              OVER (PARTITION BY gr.g ORDER BY gr.val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM grid217 gr
+  LEFT JOIN h217 h ON h.g = gr.g AND h.val = gr.val
+)
+SELECT a.g AS g1, b.g AS g2, max(a.n) AS n1, max(b.n) AS n2,
+       CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_scaled
+FROM c217 a JOIN c217 b ON a.val = b.val AND a.g < b.g
+GROUP BY 1, 2 ORDER BY g1, g2
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -2198,3 +2198,57 @@ def heat_peaks(df: DataFrame, lat: str = "lat", lon: str = "lon",
                    .alias("ring_max"))
            .where(F.col("n") > F.col("ring_max")))
     return cache.track(out, [cells])
+
+
+def cell_blobs(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               cell_deg: float = 5.0, min_count: int = 8) -> DataFrame:
+    """Raster hotspot BLOBS: rasterize points onto a fixed lat/lon grid,
+    keep cells with ``>= min_count`` points (occupied), 8-connect
+    adjacent occupied cells (longitude wraps), and resolve the
+    connected components — the blob extraction that turns a density
+    raster into discrete hotspot REGIONS (the region-level dual of the
+    per-cell q208 peak test; GIS "region group" / raster clump).
+
+    Returns one row per occupied cell: ``(cell_id, y, x, n, blob_id)``
+    where ``cell_id = y * 100000 + x`` and ``blob_id`` is the MINIMUM
+    cell_id of the blob (deterministic canonical label; isolated cells
+    are their own blob).
+
+    Scale shape: the only data-sized shuffle is the rasterizing
+    groupBy; everything after runs on the OCCUPIED-CELL frame (bounded
+    by the grid, not the data — <= 2.6k cells at 5 degrees, ~1M at
+    0.25).  Adjacency is an equi-join on shifted integer keys (never a
+    theta join), and the component resolution is
+    :func:`geotile.graph.connected_components` (large-star/small-star,
+    O(log^2 n) rounds over a shrinking edge set)."""
+    from . import cache, graph
+
+    ny = int(math.ceil(180.0 / cell_deg))
+    nx = int(math.ceil(360.0 / cell_deg))
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0)) / F.lit(cell_deg))
+                              .cast("long"), F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(cell_deg))
+                              .cast("long"), F.lit(0)), F.lit(nx - 1))
+    occ = (df.select(ybin.alias("y"), xbin.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= int(min_count))
+           .withColumn("cell_id", F.col("y") * 100000 + F.col("x"))
+           .persist())
+    offs = F.array(*[F.struct(F.lit(dy).cast("long").alias("dy"),
+                              F.lit(dx).cast("long").alias("dx"))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                     if not (dy == 0 and dx == 0)])
+    shifted = (occ.select("cell_id", "y", "x", F.explode(offs).alias("o"))
+               .select(F.col("cell_id").alias("a"),
+                       (F.col("y") + F.col("o.dy")).alias("ty"),
+                       F.pmod(F.col("x") + F.col("o.dx"), F.lit(nx)).alias("tx"))
+               .where((F.col("ty") >= 0) & (F.col("ty") < ny)))
+    nbr = occ.select(F.col("cell_id").alias("b"),
+                     F.col("y").alias("ty"), F.col("x").alias("tx"))
+    edges = shifted.join(nbr, ["ty", "tx"]).select("a", "b")
+    labels = graph.connected_components(edges, src="a", dst="b")
+    out = (occ.join(labels.withColumnRenamed("node", "cell_id"),
+                    "cell_id", "left")
+           .select("cell_id", "y", "x", "n",
+                   F.coalesce("cluster_id", F.col("cell_id")).alias("blob_id")))
+    return cache.track(out, [occ])

@@ -468,3 +468,50 @@ def merge_rollup(old, delta, keys, sums):
         *keys,
         *[(F.coalesce(f"_o_{c}", F.lit(0)) + F.coalesce(f"_d_{c}", F.lit(0)))
           .cast("long").alias(c) for c in sums])
+
+
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    part_col: str = "part", size_col: str = "bytes",
+                    id_col: str = "file_id") -> DataFrame:
+    """Small-file compaction planning: greedy next-fit-decreasing bin
+    packing of a file manifest into rewrite groups of ~``target_bytes``
+    each — the planning half of an Iceberg ``rewrite_data_files``
+    maintenance pass (the reference rebuilds its whole shm segment on
+    resize, mapinfo.cpp:55-95; a table format compacts incrementally,
+    and WHICH files co-rewrite is this plan).
+
+    Walk order is (size DESC, id ASC) per partition; a file lands in
+    the current bin iff it fits (``fill + size <= target``), else it
+    opens the next bin — so an oversized file always gets a bin of its
+    own.  Returns one row per file: ``(part, file_id, bytes, bin)``
+    with bins numbered 1..B in walk order.
+
+    Scale shape: the input is a FILE MANIFEST (metadata, ~one row per
+    data file — millions of rows at 100 TB, never data-sized), grouped
+    by partition; the greedy fill recurrence is inherently sequential
+    per partition, so it runs as one pandas pass per partition group
+    (a metadata-sized loop over files, not a data loop — the data
+    itself is never read)."""
+    import numpy as np
+    import pandas as pd
+
+    tgt = int(target_bytes)
+
+    def _plan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([size_col, id_col], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy()
+        bins = np.empty(len(sizes), dtype=np.int64)
+        b, fill = 1, 0
+        for i in range(len(sizes)):          # files-per-partition loop
+            s = int(sizes[i])
+            if fill > 0 and fill + s > tgt:
+                b += 1
+                fill = 0
+            fill += s
+            bins[i] = b
+        return pdf.assign(bin=bins)[[part_col, id_col, size_col, "bin"]]
+
+    schema = f"{part_col} string, {id_col} long, {size_col} long, bin long"
+    return (files.select(part_col, id_col, size_col)
+            .groupBy(part_col).applyInPandas(_plan, schema))

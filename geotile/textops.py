@@ -2795,3 +2795,55 @@ def budget_apportionment(df: DataFrame, total: int = 1000,
                     "extra",
                     (F.col("alloc_floor") + F.col("extra"))
                     .alias("alloc")))
+
+
+def ks_pairs(df: DataFrame, value_col: str = "n_chars",
+             group: str = "source") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every pair
+    of groups over an INTEGER feature — the distribution-drift test
+    joining q122's KL (binned, smoothed) and q179's JS (token mass):
+    KS is binning-free and metric on CDFs, the standard "did this
+    source's length distribution shift" screen.
+
+    Emitted statistic is the EXACT integer-scaled supremum
+    ``d_scaled = max_x |c1(x)*n2 - c2(x)*n1|`` where ``c_i(x)`` is the
+    count of group-i values <= x (so D = d_scaled / (n1*n2) — consumers
+    divide; the gate compares integers).  Ties and duplicate values are
+    handled exactly: the sup runs over the union of observed values.
+
+    Scale shape: one partially-aggregated histogram shuffle
+    (group × value — bounded by VALUE CARDINALITY, not rows), then all
+    work runs on the histogram: a value-grid × groups frame (grid is
+    small-side broadcast), one cumulative window per group, and a
+    pair equi-join on value.  Integer products c*n stay in int64 up to
+    ~3e9 rows per group — beyond that, pre-scale counts (document) —
+    and no data-sized sort or shuffle exists anywhere.
+
+    Returns ``(g1, g2, n1, n2, d_scaled)``, one row per unordered
+    group pair (g1 < g2)."""
+    from . import cache
+
+    v = F.col(value_col).cast("long")
+    hist = (df.groupBy(F.col(group).alias("g"), v.alias("val"))
+            .agg(F.count("*").alias("c")).persist())
+    sizes = hist.groupBy("g").agg(F.sum("c").alias("n"))
+    grid = (hist.select("val").distinct()
+            .crossJoin(F.broadcast(sizes.select("g"))))
+    w = (Window.partitionBy("g").orderBy("val")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.join(hist, ["g", "val"], "left")
+           .select("g", "val", F.coalesce("c", F.lit(0)).alias("c"))
+           .withColumn("cum", F.sum("c").over(w))
+           .join(F.broadcast(sizes), "g"))
+    a = cum.select(F.col("g").alias("g1"), "val",
+                   F.col("cum").alias("c1"), F.col("n").alias("n1"))
+    b = cum.select(F.col("g").alias("g2"), "val",
+                   F.col("cum").alias("c2"), F.col("n").alias("n2"))
+    out = (a.join(b, "val").where(F.col("g1") < F.col("g2"))
+           .groupBy("g1", "g2")
+           .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                F.max(F.abs(F.col("c1") * F.col("n2")
+                            - F.col("c2") * F.col("n1")))
+                .alias("d_scaled")))
+    return cache.track(out.select("g1", "g2", "n1", "n2", "d_scaled"),
+                       [hist])

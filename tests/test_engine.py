@@ -1384,3 +1384,97 @@ def test_cover_selectivity_consistent_with_radius_join(spark):
         assert sel[q]["n_refined"] == refined.get(q, 0)
         assert sel[q]["n_refined"] <= sel[q]["n_candidates"]
         assert 0 <= sel[q]["sel_micro"] <= 1000000
+
+
+def test_compaction_plan_greedy_invariants(spark):
+    """NFD bin packing: brute-force replay of the greedy walk, plus the
+    packing invariants (fit-or-singleton, contiguous bin ids)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotile import table
+
+    rng = np.random.default_rng(7)
+    rows = [(f"p{p}", int(i), int(rng.integers(50, 400)))
+            for p in range(4) for i in range(rng.integers(5, 20))]
+    files = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    tgt = 600
+    got = {(r["part"], r["file_id"]): (r["bytes"], r["bin"])
+           for r in table.compaction_plan(files, tgt, part_col="part").collect()}
+    assert len(got) == len(rows)
+    # brute-force replay per partition
+    by_part: dict = {}
+    for p, i, b in rows:
+        by_part.setdefault(p, []).append((b, i))
+    for p, fs in by_part.items():
+        fs.sort(key=lambda t: (-t[0], t[1]))
+        bin_id, fill = 1, 0
+        for b, i in fs:
+            if fill > 0 and fill + b > tgt:
+                bin_id, fill = bin_id + 1, 0
+            fill += b
+            assert got[(p, i)] == (b, bin_id), (p, i)
+    # invariants: every bin fits unless it is a single oversized file
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for (p, _i), (b, bn) in got.items():
+        bins[(p, bn)].append(b)
+    for (p, bn), sizes in bins.items():
+        assert sum(sizes) <= tgt or len(sizes) == 1
+    for p in by_part:
+        ids = sorted(bn for (pp, bn) in bins if pp == p)
+        assert ids == list(range(1, len(ids) + 1))
+
+
+def test_cell_blobs_union_find_parity(spark):
+    """Blob labels equal a driver-side union-find over the same
+    occupied grid (8-adjacency, lon wrap), labels = component min."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geotile import engine
+
+    rng = np.random.default_rng(11)
+    # clustered points: a few dense patches + uniform noise
+    lats, lons = [], []
+    for cy, cx in [(10.0, 20.0), (12.0, 24.0), (-30.0, 170.0),
+                   (-30.0, -178.0), (55.0, -101.0)]:
+        lats += list(np.clip(rng.normal(cy, 4.0, 300), -89.9, 89.9))
+        lons += list((rng.normal(cx, 6.0, 300) + 180.0) % 360.0 - 180.0)
+    lats += list(rng.uniform(-89, 89, 500))
+    lons += list(rng.uniform(-179, 179, 500))
+    df = spark.createDataFrame(
+        [(float(a), float(o)) for a, o in zip(lats, lons)], "lat double, lon double")
+    deg, k, nx = 5.0, 6, 72
+    out = engine.cell_blobs(df, cell_deg=deg, min_count=k)
+    got = {r["cell_id"]: r["blob_id"] for r in out.collect()}
+
+    # driver-side occupancy + union-find
+    ys = np.clip(np.floor((np.array(lats) + 90.0) / deg), 0, 35).astype(np.int64)
+    xs = np.clip(np.floor((np.array(lons) + 180.0) / deg), 0, nx - 1).astype(np.int64)
+    from collections import Counter
+    cnt = Counter(zip(ys.tolist(), xs.tolist()))
+    occ = {y * 100000 + x for (y, x), n in cnt.items() if n >= k}
+    parent = {c: c for c in occ}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for c in occ:
+        y, x = divmod(c, 100000)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ty, tx = y + dy, (x + dx) % nx
+                t = ty * 100000 + tx
+                if 0 <= ty <= 35 and t in occ:
+                    ra, rb = find(c), find(t)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = {c: find(c) for c in occ}
+    assert got == want
+    assert len(out.columns) == 5

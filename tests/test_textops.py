@@ -1514,3 +1514,31 @@ def test_budget_apportionment_sums_to_total(spark):
             textops.budget_apportionment(df, total=11).collect()}
     assert got2 == {"A": 8, "B": 2, "C": 1}
     assert sum(got2.values()) == 11
+
+
+def test_ks_pairs_brute_force(spark):
+    """ks_pairs equals the exact brute-force scaled KS statistic on a
+    hand-built three-group frame with heavy ties."""
+    import numpy as np
+    from geotile import textops
+
+    rng = np.random.default_rng(3)
+    groups = {"a": rng.integers(0, 20, 80), "b": rng.integers(5, 25, 50),
+              "c": rng.integers(0, 20, 80)}
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {(r["g1"], r["g2"]): (r["n1"], r["n2"], r["d_scaled"])
+           for r in textops.ks_pairs(df, "n_chars", "source").collect()}
+    names = sorted(groups)
+    allv = sorted({int(v) for vs in groups.values() for v in vs})
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            g1, g2 = names[i], names[j]
+            x1, x2 = groups[g1], groups[g2]
+            n1, n2 = len(x1), len(x2)
+            d = max(abs(int((x1 <= v).sum()) * n2 - int((x2 <= v).sum()) * n1)
+                    for v in allv)
+            assert got[(g1, g2)] == (n1, n2, d), (g1, g2)
+    # identical distributions => d_scaled is small but >= 0; KS of a
+    # group against itself is 0 by definition (not emitted: g1 < g2)
+    assert all(v[2] >= 0 for v in got.values())

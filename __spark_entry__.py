@@ -4534,6 +4534,66 @@ def _q217_ks_distance(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("g1", "g2"))
 
 
+def _q218_first_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford-style first-significant-digit audit
+    (textops.first_digit_audit) over numeric-bearing text synthesized
+    integer-exactly from events (q162 discipline — the documents corpus
+    carries no digits): ids, modular quantities, a floored amount, and
+    a zero-padded ref per row, so the audit exercises leading-zero
+    stripping and all-zero skipping.  Digit runs extracted map-side,
+    first digits counted per event_type with the exact
+    uniform-deviation integer (9n - N)^2; the Benford expectation is
+    irrational and left to consumers (q84 integer-gate discipline).
+    The oracle replays the synthesis and extraction with DuckDB's
+    regex engine."""
+    from geotile import textops
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    txt = F.concat(
+        F.lit("order "), F.col("event_id").cast("string"),
+        F.lit(" qty "), (F.col("user_id") % 100).cast("string"),
+        F.lit(" amt "), F.floor(F.col("value") * 100).cast("long")
+        .cast("string"),
+        F.lit(" ref 00"), (F.col("event_id") % 50).cast("string"))
+    docs = ev.select(F.col("event_type").alias("source"), txt.alias("text"))
+    return (textops.first_digit_audit(docs, "text", "source")
+            .orderBy("source", "digit"))
+
+
+def _q219_hourly_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell temporal autocorrelation raw moments
+    (trajectory.hourly_acf): positions rasterized to the 30-degree
+    grid, per-hour counts ZERO-FILLED over the global hour span, and
+    the exact integer lag-1..3 product sums emitted next to the first
+    two moments — the daily-rhythm / burstiness screen on cell
+    activity.  The oracle rebuilds the zero-filled series with
+    generate_series and the same lead() windows."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return (trajectory.hourly_acf(pos, cell_deg=30.0, max_lag=3)
+            .orderBy("cell_id"))
+
+
+def _q220_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Spearman rank correlation between doc length and
+    whitespace token count (textops.spearman_pairs) — the monotone
+    companion to q155's Pearson, exact under ties via 2x-scaled
+    midranks: the gate compares n, sum_d2 = sum (r2x - r2y)^2, and
+    both tie-correction sums as BIGINTs (rho is one formula away,
+    computed by consumers).  The oracle replays the midrank windows
+    and tie rollups; tokenization is the shared explicit WS_CLASS."""
+    from geotile import textops
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .withColumn("n_tok",
+                        F.size(F.split(F.trim(F.col("text")),
+                                       textops.WS_CLASS)).cast("long")))
+    return (textops.spearman_pairs(docs, "n_chars", "n_tok", "source")
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4785,6 +4845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_compaction_plan": _q215_compaction_plan,
         "q216_cell_blobs": _q216_cell_blobs,
         "q217_ks_distance": _q217_ks_distance,
+        "q218_first_digits": _q218_first_digits,
+        "q219_hourly_acf": _q219_hourly_acf,
+        "q220_spearman": _q220_spearman,
     }
 
 
@@ -11370,6 +11433,109 @@ SELECT a.g AS g1, b.g AS g2, max(a.n) AS n1, max(b.n) AS n2,
        CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_scaled
 FROM c217 a JOIN c217 b ON a.val = b.val AND a.g < b.g
 GROUP BY 1, 2 ORDER BY g1, g2
+"""
+
+    # q218: first-significant-digit audit — extraction, leading-zero
+    # strip, per-source digit counts + exact uniform deviation
+    sqls["q218_first_digits"] = r"""
+WITH x218 AS (
+  SELECT event_type AS g,
+         'order ' || CAST(event_id AS VARCHAR)
+         || ' qty ' || CAST(user_id % 100 AS VARCHAR)
+         || ' amt ' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+         || ' ref 00' || CAST(event_id % 50 AS VARCHAR) AS text
+  FROM events
+),
+t218 AS (
+  SELECT g, unnest(regexp_extract_all(text, '[0-9]+')) AS tok
+  FROM x218
+),
+d218 AS (
+  SELECT g, CAST(substr(regexp_replace(tok, '^0+', ''), 1, 1) AS BIGINT) AS digit
+  FROM t218 WHERE length(regexp_replace(tok, '^0+', '')) > 0
+),
+c218 AS (SELECT g, digit, count(*) AS n FROM d218 GROUP BY 1, 2),
+tt218 AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_total FROM c218 GROUP BY g)
+SELECT c.g AS source, c.digit, c.n, t.n_total,
+       (9 * c.n - t.n_total) * (9 * c.n - t.n_total) AS dev
+FROM c218 c JOIN tt218 t USING (g)
+ORDER BY source, digit
+"""
+
+    # q219: per-cell hourly ACF moments — zero-filled series over the
+    # global hour span, lead() lag products, exact integer sums
+    sqls["q219_hourly_acf"] = f"""
+WITH {_POS_CTE},
+p219 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+         * 100000
+         + LEAST(GREATEST(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0), 11)
+         AS cell_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS h
+  FROM pos
+),
+c219 AS (
+  SELECT cell_id, h, count(*) AS x FROM p219 GROUP BY 1, 2
+),
+s219 AS (SELECT min(h) AS h0, max(h) AS h1 FROM c219),
+g219 AS (
+  SELECT c.cell_id, hh.h
+  FROM (SELECT DISTINCT cell_id FROM c219) c
+  CROSS JOIN (SELECT unnest(generate_series((SELECT h0 FROM s219),
+                                            (SELECT h1 FROM s219))) AS h) hh
+),
+f219 AS (
+  SELECT g.cell_id, g.h, COALESCE(c.x, 0) AS x
+  FROM g219 g LEFT JOIN c219 c ON c.cell_id = g.cell_id AND c.h = g.h
+),
+l219 AS (
+  SELECT cell_id, x,
+         lead(x, 1) OVER w AS n1,
+         lead(x, 2) OVER w AS n2,
+         lead(x, 3) OVER w AS n3
+  FROM f219 WINDOW w AS (PARTITION BY cell_id ORDER BY h)
+)
+SELECT cell_id, count(*) AS n_hours, CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(x * n1) AS BIGINT) AS lag1,
+       CAST(sum(x * n2) AS BIGINT) AS lag2,
+       CAST(sum(x * n3) AS BIGINT) AS lag3
+FROM l219 GROUP BY cell_id ORDER BY cell_id
+"""
+
+    # q220: per-source Spearman — 2x-scaled midranks (2*rank + ties-1),
+    # exact sum_d2 + tie corrections; WS_CLASS tokenization both sides
+    sqls["q220_spearman"] = r"""
+WITH b220 AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
+              AS BIGINT) AS y
+  FROM documents
+),
+r220 AS (
+  SELECT g,
+         2 * rank() OVER (PARTITION BY g ORDER BY x)
+           + count(*) OVER (PARTITION BY g, x) - 1 AS r2x,
+         2 * rank() OVER (PARTITION BY g ORDER BY y)
+           + count(*) OVER (PARTITION BY g, y) - 1 AS r2y
+  FROM b220
+),
+d220 AS (
+  SELECT g, count(*) AS n,
+         CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2
+  FROM r220 GROUP BY g
+),
+tx220 AS (
+  SELECT g, CAST(sum(t * t * t - t) AS BIGINT) AS tie_x
+  FROM (SELECT g, x, count(*) AS t FROM b220 GROUP BY 1, 2) GROUP BY g
+),
+ty220 AS (
+  SELECT g, CAST(sum(t * t * t - t) AS BIGINT) AS tie_y
+  FROM (SELECT g, y, count(*) AS t FROM b220 GROUP BY 1, 2) GROUP BY g
+)
+SELECT d.g AS source, d.n, d.sum_d2, tx.tie_x, ty.tie_y
+FROM d220 d JOIN tx220 tx USING (g) JOIN ty220 ty USING (g)
+ORDER BY source
 """
 
     # Every queries() entry above has an exact oracle — including the

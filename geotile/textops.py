@@ -2847,3 +2847,84 @@ def ks_pairs(df: DataFrame, value_col: str = "n_chars",
                 .alias("d_scaled")))
     return cache.track(out.select("g1", "g2", "n1", "n2", "d_scaled"),
                        [hist])
+
+
+def first_digit_audit(df: DataFrame, text_col: str = "text",
+                      group: str = "source") -> DataFrame:
+    """Benford-style first-significant-digit audit over the numeric
+    tokens of a corpus: extract every digit run, drop leading zeros
+    (all-zero runs are skipped — no significant digit), and count
+    first digits 1–9 per group — the classic fabricated-data /
+    scraped-boilerplate screen over web text.
+
+    Emits exact integers only: per ``(group, digit)`` the count ``n``,
+    the group total ``n_total``, and ``dev = (9*n - n_total)^2`` — the
+    scaled squared deviation from the UNIFORM digit law (sum over
+    digits is the chi-square numerator against uniform, times 81/9).
+    The Benford expectation log10(1+1/d) is left to consumers: it is
+    irrational, and this gate compares exact integers (same discipline
+    as q84's floored entropies).
+
+    Scale shape: map-only extraction (regexp_extract_all + explode,
+    whole-stage codegen), one partially-aggregated (group, digit)
+    shuffle — the aggregate frame is <= 9 rows per group."""
+    toks = (df.select(F.col(group).alias("g"),
+                      F.explode(F.regexp_extract_all(
+                          F.col(text_col), F.lit(r"[0-9]+"), 0)).alias("tok"))
+            .select("g", F.regexp_replace("tok", r"^0+", "").alias("sig"))
+            .where(F.length("sig") > 0)
+            .select("g", F.substring("sig", 1, 1).cast("long").alias("digit")))
+    counts = toks.groupBy("g", "digit").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("g").agg(F.sum("n").alias("n_total"))
+    out = (counts.join(totals, "g")
+           .withColumn("dev", (F.lit(9) * F.col("n") - F.col("n_total"))
+                       * (F.lit(9) * F.col("n") - F.col("n_total"))))
+    return out.select(F.col("g").alias(group), "digit", "n", "n_total", "dev")
+
+
+def spearman_pairs(df: DataFrame, x_col: str, y_col: str,
+                   group: str = "source") -> DataFrame:
+    """Per-group Spearman rank correlation between two INTEGER
+    features — the robust companion to q155's Pearson (monotone, not
+    linear, association; immune to the heavy tails raw web-text
+    lengths carry).  Ties get MIDRANKS, kept exact as 2x-scaled
+    integers: ``r2 = 2*rank + ties - 1`` (= first rank + last rank of
+    the tie run).
+
+    Emits exact integers: ``n``, ``sum_d2 = sum (r2x - r2y)^2`` (4x
+    the classic sum of squared rank differences), and the tie
+    corrections ``tie_x/tie_y = sum_t (t^3 - t)`` per variable —
+    everything rho-with-ties needs, computed by consumers; the gate
+    compares the integers.
+
+    Scale shape: two rank windows per group (the unavoidable sort for
+    exact ranks — at 100-TB prefer the histogram route: both features
+    here are bounded-cardinality, so ranks can also be derived from
+    the (group, value) histogram without a row-level sort; this
+    row-window form is the small-group exact path), then one
+    partially-aggregated shuffle."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.select(F.col(group).alias("g"), x.alias("x"), y.alias("y"))
+    wx = Window.partitionBy("g").orderBy("x")
+    wy = Window.partitionBy("g").orderBy("y")
+    cx = Window.partitionBy("g", "x")
+    cy = Window.partitionBy("g", "y")
+    r = (base
+         .withColumn("r2x", F.lit(2) * F.rank().over(wx)
+                     + F.count("*").over(cx) - F.lit(1))
+         .withColumn("r2y", F.lit(2) * F.rank().over(wy)
+                     + F.count("*").over(cy) - F.lit(1)))
+    d2 = (r.groupBy("g")
+          .agg(F.count("*").alias("n"),
+               F.sum((F.col("r2x") - F.col("r2y"))
+                     * (F.col("r2x") - F.col("r2y"))).alias("sum_d2")))
+    tx = (base.groupBy("g", "x").agg(F.count("*").alias("t"))
+          .groupBy("g").agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                  - F.col("t")).alias("tie_x")))
+    ty = (base.groupBy("g", "y").agg(F.count("*").alias("t"))
+          .groupBy("g").agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                  - F.col("t")).alias("tie_y")))
+    return (d2.join(tx, "g").join(ty, "g")
+            .select(F.col("g").alias(group), "n", "sum_d2",
+                    "tie_x", "tie_y"))

@@ -1305,3 +1305,54 @@ def fence_dwell(df: DataFrame, fence, nchars: int = 2,
     return (seg.groupBy(key)
             .agg(F.count("*").alias("n_segments"),
                  F.sum(F.col(ts) - F.col("_pts")).alias("dwell_s")))
+
+
+def hourly_acf(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               ts: str = "ep", cell_deg: float = 30.0,
+               max_lag: int = 3) -> DataFrame:
+    """Per-cell temporal autocorrelation raw moments: rasterize points
+    to a coarse grid, count per (cell, hour), ZERO-FILL every cell's
+    series over the GLOBAL observed hour span, and emit the exact
+    integer moments of the lagged products — the periodicity /
+    burstiness screen on cell activity (daily rhythm shows up as
+    lag-24 mass; a flat cell gives lag sums ~ (sum_x)^2/n).
+
+    Emits per cell: ``n_hours``, ``sum_x``, ``sum_x2``, and
+    ``lag{1..max_lag} = sum_t x_t * x_(t+l)`` over the zero-filled
+    series — all exact BIGINTs (the autocorrelation r_l is one
+    division away; consumers compute, the gate compares integers).
+
+    Scale shape: one data-sized (cell, hour) partial aggregation; the
+    zero-fill grid is cells x hours (bounded by the grid and the time
+    span, never by rows) built from a broadcast 1-row global span; the
+    lag products are one window per cell over that bounded grid."""
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    hour = F.floor(F.col(ts) / F.lit(3600)).cast("long")
+    counts = (df.select((ybin * 100000 + xbin).alias("cell_id"),
+                        hour.alias("h"))
+              .groupBy("cell_id", "h").agg(F.count("*").alias("x")))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (counts.select("cell_id").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("cell_id",
+                    F.explode(F.sequence("h0", "h1")).alias("h")))
+    filled = (grid.join(counts, ["cell_id", "h"], "left")
+              .select("cell_id", "h",
+                      F.coalesce("x", F.lit(0).cast("long")).alias("x")))
+    w = Window.partitionBy("cell_id").orderBy("h")
+    cols = [F.count("*").alias("n_hours"),
+            F.sum("x").alias("sum_x"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_x2")]
+    lagged = filled
+    for l in range(1, max_lag + 1):
+        lagged = lagged.withColumn(
+            f"_n{l}", F.lead("x", l).over(w))
+        cols.append(F.sum(F.col("x") * F.col(f"_n{l}")).alias(f"lag{l}"))
+    return lagged.groupBy("cell_id").agg(*cols)

@@ -1542,3 +1542,59 @@ def test_ks_pairs_brute_force(spark):
     # identical distributions => d_scaled is small but >= 0; KS of a
     # group against itself is 0 by definition (not emitted: g1 < g2)
     assert all(v[2] >= 0 for v in got.values())
+
+
+def test_first_digit_audit_hand_case(spark):
+    """Leading-zero strip, all-zero skip, per-group totals and the
+    uniform-deviation integer."""
+    from geotile import textops
+
+    rows = [("a", "x 123 007 000 9"), ("a", "19 0021"),
+            ("b", "no digits here"), ("b", "5 55 555")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source"], r["digit"]): (r["n"], r["n_total"], r["dev"])
+           for r in textops.first_digit_audit(df).collect()}
+    # group a digits: 1(123), 7(007), 9(9), 1(19), 2(0021) -> N=5
+    assert got[("a", 1)] == (2, 5, (9 * 2 - 5) ** 2)
+    assert got[("a", 7)] == (1, 5, 16)
+    assert got[("a", 9)] == (1, 5, 16)
+    assert got[("a", 2)] == (1, 5, 16)
+    assert ("a", 0) not in got          # all-zero token skipped
+    assert got[("b", 5)] == (3, 3, (27 - 3) ** 2)
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+
+def test_spearman_pairs_exact(spark):
+    """Matches a driver-side exact midrank computation with ties, and
+    a perfectly monotone group gives sum_d2 == 0."""
+    import numpy as np
+    from geotile import textops
+
+    rng = np.random.default_rng(5)
+    rows = [("m", int(i), int(2 * i + 1)) for i in range(10)]      # monotone
+    xs = rng.integers(0, 8, 40)
+    ys = rng.integers(0, 8, 40)
+    rows += [("t", int(x), int(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "source string, x long, y long")
+    got = {r["source"]: (r["n"], r["sum_d2"], r["tie_x"], r["tie_y"])
+           for r in textops.spearman_pairs(df, "x", "y").collect()}
+    assert got["m"] == (10, 0, 0, 0)
+
+    def mid2(v):
+        import numpy as np
+        v = np.asarray(v)
+        order = {}
+        sv = np.sort(v)
+        # 2x midrank = first_rank + last_rank (1-based)
+        out = np.empty(len(v), dtype=np.int64)
+        for i, x in enumerate(v):
+            first = int(np.searchsorted(sv, x, "left")) + 1
+            last = int(np.searchsorted(sv, x, "right"))
+            out[i] = first + last
+        return out
+
+    r2x, r2y = mid2(xs), mid2(ys)
+    want_d2 = int(((r2x - r2y) ** 2).sum())
+    from collections import Counter
+    tie = lambda v: sum(t ** 3 - t for t in Counter(v.tolist()).values())
+    assert got["t"] == (40, want_d2, tie(xs), tie(ys))

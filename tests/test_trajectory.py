@@ -845,3 +845,25 @@ def test_fence_dwell_counts_inside_segments_only(spark):
     got = trajectory.fence_dwell(df, [cell_in], nchars=2).collect()
     assert len(got) == 1
     assert (got[0]["n_segments"], got[0]["dwell_s"]) == (1, 100)
+
+
+def test_hourly_acf_hand_series(spark):
+    """Zero-filled lag products on a hand-built two-cell series."""
+    from pyspark.sql import functions as F
+
+    from geotile import trajectory
+
+    # cell A (lat 0, lon 0): hours 0,0,1,3 ; cell B (lat 40, lon 100): hour 2
+    rows = [(0.0, 0.0, 0), (0.0, 0.0, 1800), (0.0, 0.0, 3700),
+            (0.0, 0.0, 3 * 3600), (40.0, 100.0, 2 * 3600 + 5)]
+    df = spark.createDataFrame(rows, "lat double, lon double, ep long")
+    out = {r["cell_id"]: r.asDict() for r in
+           trajectory.hourly_acf(df, cell_deg=30.0, max_lag=2).collect()}
+    a = (90 // 30) * 100000 + (180 // 30)      # y=3,x=6
+    b = ((40 + 90) // 30) * 100000 + ((100 + 180) // 30)
+    # global span hours 0..3 -> series A: [2,1,0,1], B: [0,0,1,0]
+    assert out[a]["n_hours"] == 4 and out[a]["sum_x"] == 4
+    assert out[a]["sum_x2"] == 2 * 2 + 1 + 0 + 1
+    assert out[a]["lag1"] == 2 * 1 + 1 * 0 + 0 * 1
+    assert out[a]["lag2"] == 2 * 0 + 1 * 1
+    assert out[b]["sum_x"] == 1 and out[b]["lag1"] == 0 and out[b]["lag2"] == 0

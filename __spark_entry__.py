@@ -4594,6 +4594,47 @@ def _q220_spearman(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q221_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal kNN pairs (simsearch.mutual_knn_pairs): the q106 kNN
+    graph joined against its own reverse so only MUTUAL top-5 edges
+    survive — the hub-resistant precision filter RNN-style clustering
+    consumes; the join operand is the slim k*N edge list, never N^2.
+    The oracle rebuilds the q106 graph replica (same IVF centroid
+    literals, same rank tie rule) and self-joins it reversed."""
+    from geotile import simsearch
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.mutual_knn_pairs(emb, k=5)
+    return (out.select("a", "b", "rank_ab", "rank_ba",
+                       F.round("cosine", 4).alias("cos4"))
+            .orderBy("a", "b"))
+
+
+def _q222_track_simplify(spark: SparkSession, sf: str) -> DataFrame:
+    """Douglas–Peucker track simplification
+    (trajectory.simplify_tracks, eps 20000 milli-deg): per user the
+    exact integer DP kept-vertex set — endpoints plus every max-offset
+    split vertex whose cross-product test exceeds eps — gated per user
+    as (n_points, n_kept, idx_sum, xy_sum), all BIGINTs.  The oracle
+    materializes the best-split table over ALL (i,j) segments (argmax
+    |cross| per segment, ties to the smallest index, HUGEINT square
+    compare) and walks it with a recursive CTE; the kept set is
+    recursion-order-independent, so both traversals agree."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    kept = trajectory.simplify_tracks(pos, eps_milli=20000)
+    npts = pos.groupBy("user_id").agg(F.count("*").alias("n_points"))
+    agg = (kept.groupBy("user_id")
+           .agg(F.count("*").alias("n_kept"),
+                F.sum("idx").alias("idx_sum"),
+                F.sum(F.col("x") + F.col("y")).alias("xy_sum")))
+    return (npts.join(agg, "user_id")
+            .select("user_id", "n_points", "n_kept", "idx_sum", "xy_sum")
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4848,6 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_first_digits": _q218_first_digits,
         "q219_hourly_acf": _q219_hourly_acf,
         "q220_spearman": _q220_spearman,
+        "q221_mutual_knn": _q221_mutual_knn,
+        "q222_track_simplify": _q222_track_simplify,
     }
 
 
@@ -5390,6 +5433,42 @@ SELECT a, b, CAST(rnk AS BIGINT) AS rank, round(cosine, 4) AS cos4
 FROM kgr WHERE rnk <= 5
 ORDER BY a, rank
 """
+        # q221: mutual kNN — the q106 graph replica joined against its
+        # own reverse; only reciprocal edges survive (a < b kept side)
+        sqls["q221_mutual_knn"] = f"""
+WITH mk AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+mkd AS (
+  SELECT vec_id, emb64,
+         {dist_cols}
+  FROM mk
+),
+mka AS (
+  SELECT vec_id, emb64,
+         sqrt(list_inner_product(emb64, emb64)) AS nrm,
+         CASE {whens} ELSE 7 END AS cl
+  FROM mkd
+),
+mkp AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_inner_product(l.emb64, r.emb64) / (l.nrm * r.nrm) AS cosine
+  FROM mka l JOIN mka r ON l.cl = r.cl AND l.vec_id <> r.vec_id
+  WHERE l.nrm > 0 AND r.nrm > 0
+),
+mkr AS (
+  SELECT a, b, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rnk
+  FROM mkp
+),
+mk5 AS (SELECT a, b, cosine, rnk FROM mkr WHERE rnk <= 5)
+SELECT x.a, x.b, CAST(x.rnk AS BIGINT) AS rank_ab,
+       CAST(y.rnk AS BIGINT) AS rank_ba, round(x.cosine, 4) AS cos4
+FROM mk5 x JOIN mk5 y ON y.a = x.b AND y.b = x.a
+WHERE x.a < x.b
+ORDER BY x.a, x.b
+"""
+
         # q119: PQ ADC — per-block kmeans retrained from the SAME
         # pyarrow sample (_x), first-argmin CASE encoding per block
         # (q35 discipline), literal LUTs indexed and summed in the
@@ -11536,6 +11615,74 @@ ty220 AS (
 SELECT d.g AS source, d.n, d.sum_d2, tx.tie_x, ty.tie_y
 FROM d220 d JOIN tx220 tx USING (g) JOIN ty220 ty USING (g)
 ORDER BY source
+"""
+
+    # q222: Douglas–Peucker — all-(i,j) best-split table (argmax
+    # |cross|, smallest-k ties, HUGEINT square compare vs eps) walked
+    # by a recursive CTE; kept set = union of all segment endpoints
+    _dp_eps2 = 20000 * 20000
+    sqls["q222_track_simplify"] = f"""
+WITH RECURSIVE {_POS_CTE},
+pr222 AS (
+  SELECT user_id AS u,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) - 1 AS idx,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS y
+  FROM pos
+),
+ends222 AS (SELECT u, CAST(max(idx) AS BIGINT) AS last FROM pr222 GROUP BY u),
+tri222 AS (
+  SELECT a.u, a.idx AS i, b.idx AS j, m.idx AS k,
+         (b.x - a.x) AS dx, (b.y - a.y) AS dy,
+         abs((b.x - a.x) * (m.y - a.y) - (b.y - a.y) * (m.x - a.x)) AS c,
+         ((m.x - a.x) * (m.x - a.x) + (m.y - a.y) * (m.y - a.y)) AS d2
+  FROM pr222 a
+  JOIN pr222 b ON b.u = a.u AND b.idx > a.idx + 1
+  JOIN pr222 m ON m.u = a.u AND m.idx > a.idx AND m.idx < b.idx
+),
+bs222 AS (
+  SELECT u, i, j, k, c, d2, dx, dy,
+         row_number() OVER (PARTITION BY u, i, j
+             ORDER BY CASE WHEN dx = 0 AND dy = 0 THEN d2 ELSE c END DESC,
+                      k ASC) AS rn
+  FROM tri222
+),
+bsel222 AS (
+  SELECT u, i, j, k,
+         CASE WHEN dx = 0 AND dy = 0 THEN d2 > {_dp_eps2}
+              ELSE CAST(c AS HUGEINT) * c
+                   > CAST({_dp_eps2} AS HUGEINT) * (dx * dx + dy * dy)
+         END AS split
+  FROM bs222 WHERE rn = 1
+),
+walk222 AS (
+  SELECT u, CAST(0 AS BIGINT) AS i, last AS j FROM ends222
+  UNION ALL
+  SELECT w.u,
+         CASE s.side WHEN 0 THEN w.i ELSE b.k END AS i,
+         CASE s.side WHEN 0 THEN b.k ELSE w.j END AS j
+  FROM walk222 w
+  JOIN bsel222 b ON b.u = w.u AND b.i = w.i AND b.j = w.j AND b.split
+  CROSS JOIN (SELECT unnest([0, 1]) AS side) s
+),
+kept222 AS (
+  SELECT DISTINCT u, idx FROM (
+    SELECT u, i AS idx FROM walk222
+    UNION ALL
+    SELECT u, j AS idx FROM walk222)
+),
+ka222 AS (
+  SELECT k.u, count(*) AS n_kept, CAST(sum(k.idx) AS BIGINT) AS idx_sum,
+         CAST(sum(p.x + p.y) AS BIGINT) AS xy_sum
+  FROM kept222 k JOIN pr222 p ON p.u = k.u AND p.idx = k.idx
+  GROUP BY k.u
+)
+SELECT n.u AS user_id, n.n_points, a.n_kept, a.idx_sum, a.xy_sum
+FROM (SELECT u, count(*) AS n_points FROM pr222 GROUP BY u) n
+JOIN ka222 a ON a.u = n.u
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -634,3 +634,34 @@ def kmeans_lloyd(df: DataFrame, k: int = 4, iters: int = 2,
                 F.sum("d").alias("inertia"))
            .withColumn("centroid_norm", norm_col))
     return cache.track(out, [vecs])
+
+
+def mutual_knn_pairs(df: DataFrame, k: int = 5, n_centroids: int = 8,
+                     sample: int = 512, iters: int = 10, seed: int = 42,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Reciprocal (mutual) kNN pairs over an embedding column: the
+    pairs where EACH vector is in the other's top-k — the standard
+    high-precision filter on a kNN graph (mutual neighbors survive,
+    hub-induced one-way edges don't), and the seed set RNN-style
+    clustering and near-dup mining consume.
+
+    Built directly on :func:`knn_graph` (same IVF bucketing, same
+    rank tie rule), then one self-join of the SLIM (a, b, rank) edge
+    list against its reverse — edges are k rows per vector, so the
+    join operand is k*N, never N^2.
+
+    Returns ``(a, b, rank_ab, rank_ba, cosine)`` with a < b, rank_ab
+    the rank of b in a's list and vice versa."""
+    from . import cache
+
+    g = knn_graph(df, k=k, n_centroids=n_centroids, sample=sample,
+                  iters=iters, seed=seed, vec_col=vec_col,
+                  id_col=id_col).persist()
+    x = g.select("a", "b", F.col("rank").alias("rank_ab"), "cosine")
+    y = g.select(F.col("a").alias("_ya"), F.col("b").alias("_yb"),
+                 F.col("rank").alias("rank_ba"))
+    out = (x.join(y, (x["a"] == y["_yb"]) & (x["b"] == y["_ya"]))
+           .where(F.col("a") < F.col("b"))
+           .select("a", "b", "rank_ab", "rank_ba", "cosine"))
+    return cache.track(out, [g])

@@ -1356,3 +1356,81 @@ def hourly_acf(df: DataFrame, lat: str = "lat", lon: str = "lon",
             f"_n{l}", F.lead("x", l).over(w))
         cols.append(F.sum(F.col("x") * F.col(f"_n{l}")).alias(f"lag{l}"))
     return lagged.groupBy("cell_id").agg(*cols)
+
+
+def simplify_tracks(df: DataFrame, eps_milli: int = 30000,
+                    key: str = "user_id", ts: str = "ep",
+                    lat: str = "lat", lon: str = "lon",
+                    order_col: str = "event_id") -> DataFrame:
+    """Douglas–Peucker polyline simplification per track, EXACT in
+    integer milli-degree coordinates: keep both endpoints; for each
+    candidate segment find the interior point with the maximum
+    perpendicular offset and split there iff it exceeds ``eps_milli``
+    — the trajectory-compression pass that cuts GPS tracks to their
+    shape-defining vertices before storage or map matching.
+
+    All geometry is integer: coordinates snap to milli-degrees via
+    floor(x*1000 + 0.5) (the cross-engine tie rule), the offset test
+    is the exact cross-product comparison ``cross^2 > eps^2 * |seg|^2``
+    (arbitrary-precision on the single argmax candidate — int64 would
+    overflow the square), and argmax ties break to the SMALLEST index.
+    Degenerate segments (coincident endpoints) fall back to point
+    distance.  The kept set is order-independent, so the recursion
+    order doesn't matter.
+
+    Scale shape: one shuffle groups each track (applyInPandas per
+    key); inside, the per-SEGMENT loop is output-sized (one iteration
+    per kept vertex) with the interior scan fully vectorized — never
+    per-row Python over the raw points.  Tracks are bounded by key
+    cardinality; a single pathological mega-track is the same skew
+    unit every per-key window in this engine shares (salt upstream).
+
+    Returns kept vertices ``(key, idx, x, y)`` where idx is the
+    0-based position in the (ts, order_col)-sorted track, x/y are
+    milli-degree lon/lat."""
+    import numpy as np
+    import pandas as pd
+
+    eps = int(eps_milli)
+
+    def _dp(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts, order_col], kind="mergesort")
+        xs = np.floor(pdf[lon].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        ys = np.floor(pdf[lat].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = True
+        keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:                      # one iteration per kept vertex
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            dx = int(xs[j]) - int(xs[i])
+            dy = int(ys[j]) - int(ys[i])
+            seglen2 = dx * dx + dy * dy
+            vx = xs[i + 1:j] - xs[i]
+            vy = ys[i + 1:j] - ys[i]
+            if seglen2 == 0:
+                d2 = vx * vx + vy * vy
+                r = int(np.argmax(d2))
+                split = int(d2[r]) > eps * eps
+            else:
+                cross = dx * vy - dy * vx
+                r = int(np.argmax(np.abs(cross)))
+                c = abs(int(cross[r]))
+                split = c * c > eps * eps * seglen2       # exact big-int
+            if split:
+                m = i + 1 + r
+                keep[m] = True
+                stack.append((i, m))
+                stack.append((m, j))
+        out = pd.DataFrame({
+            key: pdf[key].to_numpy(),
+            "idx": np.arange(n, dtype=np.int64),
+            "x": xs, "y": ys})
+        return out[keep]
+
+    cols = df.select(key, ts, order_col, lat, lon)
+    return cols.groupBy(key).applyInPandas(
+        _dp, f"{key} long, idx long, x long, y long")

@@ -514,3 +514,19 @@ def test_dedup_threshold_sweep_monotone(spark):
               for t in (0.8, 0.9, 0.95)]
     assert counts[0] >= counts[1] >= counts[2]
     assert counts[0] > 0  # the planted near-dups are found
+
+
+def test_mutual_knn_pairs_reciprocity(spark):
+    """Every emitted pair is reciprocal in the underlying kNN graph,
+    and every reciprocal graph pair is emitted — exact set equality."""
+    from geotile import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = {(r["a"], r["b"]): r["rank"]
+         for r in simsearch.knn_graph(emb, k=4).collect()}
+    got = {(r["a"], r["b"]): (r["rank_ab"], r["rank_ba"])
+           for r in simsearch.mutual_knn_pairs(emb, k=4).collect()}
+    want = {(a, b): (g[(a, b)], g[(b, a)])
+            for (a, b) in g if a < b and (b, a) in g}
+    assert got == want
+    assert all(a < b for (a, b) in got)

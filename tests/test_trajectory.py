@@ -867,3 +867,66 @@ def test_hourly_acf_hand_series(spark):
     assert out[a]["lag1"] == 2 * 1 + 1 * 0 + 0 * 1
     assert out[a]["lag2"] == 2 * 0 + 1 * 1
     assert out[b]["sum_x"] == 1 and out[b]["lag1"] == 0 and out[b]["lag2"] == 0
+
+
+def test_simplify_tracks_recursive_parity_and_line(spark):
+    """Stack DP equals a plain recursive DP on random tracks; a
+    perfectly collinear track keeps only its endpoints; endpoints are
+    always kept."""
+    import numpy as np
+
+    from geotile import trajectory
+
+    def rec_dp(xs, ys, eps):
+        keep = {0, len(xs) - 1}
+
+        def go(i, j):
+            if j <= i + 1:
+                return
+            dx, dy = int(xs[j] - xs[i]), int(ys[j] - ys[i])
+            s2 = dx * dx + dy * dy
+            vx = xs[i + 1:j] - xs[i]
+            vy = ys[i + 1:j] - ys[i]
+            if s2 == 0:
+                d2 = vx * vx + vy * vy
+                r = int(np.argmax(d2))
+                split = int(d2[r]) > eps * eps
+            else:
+                cr = dx * vy - dy * vx
+                r = int(np.argmax(np.abs(cr)))
+                split = abs(int(cr[r])) ** 2 > eps * eps * s2
+            if split:
+                m = i + 1 + r
+                keep.add(m)
+                go(i, m)
+                go(m, j)
+
+        go(0, len(xs) - 1)
+        return sorted(keep)
+
+    rng = np.random.default_rng(9)
+    rows = []
+    tracks = {}
+    for u in range(6):
+        n = int(rng.integers(3, 40))
+        xs = rng.integers(-170000, 170000, n)
+        ys = rng.integers(-80000, 80000, n)
+        tracks[u] = (xs, ys)
+        rows += [(u, int(t), int(e), float(ys[t]) / 1000.0,
+                  float(xs[t]) / 1000.0) for t, e in enumerate(range(n))]
+    # user 100: exactly collinear
+    xs = np.arange(0, 50000, 5000, dtype=np.int64)
+    tracks[100] = (xs, xs // 2)
+    rows += [(100, int(t), int(t), float(x // 2) / 1000.0, float(x) / 1000.0)
+             for t, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, lat double, lon double")
+    kept = trajectory.simplify_tracks(df, eps_milli=15000)
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r["user_id"], []).append(r["idx"])
+    for u, (xs, ys) in tracks.items():
+        assert sorted(got[u]) == rec_dp(np.asarray(xs, dtype=np.int64),
+                                        np.asarray(ys, dtype=np.int64),
+                                        15000), u
+    assert sorted(got[100]) == [0, len(tracks[100][0]) - 1]

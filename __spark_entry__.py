@@ -51,6 +51,39 @@ def _positions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
          ).alias("lon"))
 
 
+def _positions2_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratically SCATTERED positions: _positions_df's lat/lon are
+    both LINEAR in event_id, so each user's track is (piecewise)
+    exactly collinear — degenerate for hulls and cell revisit
+    patterns.  The (event_id^2 / event_id^3 mod prime-ish) mix breaks
+    the linearity while staying integer-exact and SQL-replicable; the
+    DIFFERENT exponents per axis matter — with one shared parameter
+    both coords are affine in it below the first mod wrap, making
+    small-id points exactly collinear (a generalized-Vandermonde
+    argument shows the (t^2, t^3) pair admits no collinear triple
+    pre-wrap), which broke q224's strict-hull predicate (q223/q224)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e2 = F.col("event_id") * F.col("event_id")
+    e3 = e2 * F.col("event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (((F.col("user_id") * 7919 + (e3 % 159871)) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + (e2 % 331777)) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+
+
+_POS2_CTE = """pos2 AS (
+  SELECT event_id, user_id, ts,
+         (((user_id * 7919
+            + (event_id * event_id * event_id) % 159871) % 160000)
+          / 1000.0 - 80.0) AS lat,
+         (((user_id * 104729 + (event_id * event_id) % 331777) % 340000)
+          / 1000.0 - 170.0) AS lon
+  FROM events
+)"""
+
+
 def _gh_sql(lat_expr: str, lon_expr: str, strict_gt: bool = False) -> str:
     """Closed-form 5-char geohash SQL (25 bits: 12 lat + 13 lon).
 
@@ -4635,6 +4668,69 @@ def _q222_track_simplify(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q223_commute_anchors(spark: SparkSession, sf: str) -> DataFrame:
+    """Home/work anchors + commute-day conjunction
+    (trajectory.commute_anchors) over the SCATTERED positions at the
+    30-degree grid: per user the modal night-hours cell and modal
+    work-hours cell (count-desc, cell-asc tie rule) plus the exact
+    number of days observed at home during night hours AND at work
+    during work hours.  The oracle replays the daypart split, the
+    top-1 windows, and the day-level distinct joins."""
+    from geotile import trajectory
+
+    pos = (_positions2_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return (trajectory.commute_anchors(pos, cell_deg=30.0)
+            .orderBy("user_id"))
+
+
+def _q224_convex_hulls(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer convex hulls (engine.convex_hulls) over the scattered
+    positions: per user the strict-turn hull, gated as exact integers
+    — vertex count, shoelace 2-area over the CCW cycle, and the
+    vertex coordinate checksum.  The oracle uses the declarative hull
+    characterization: a directed edge is on the CCW hull iff EVERY
+    other point lies strictly to its left (min cross > 0 over all
+    witnesses) — O(n^3) witnesses per user, fine at gate scale and
+    independent of the kernel's QuickHull recursion, so the two
+    derivations cross-check each other.  (A 2-point degenerate hull
+    would be absent from the oracle's edge set; the scattered inputs
+    guarantee >= 3 non-collinear points per user.)"""
+    pos = _positions2_df(spark, sf)
+    hull = engine.convex_hulls(pos)
+    wseq = Window.partitionBy("user_id").orderBy("seq")
+    wall = (Window.partitionBy("user_id").orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    h = (hull
+         .withColumn("_nx", F.coalesce(F.lead("x").over(wseq),
+                                       F.first("x").over(wall)))
+         .withColumn("_ny", F.coalesce(F.lead("y").over(wseq),
+                                       F.first("y").over(wall))))
+    return (h.groupBy("user_id")
+            .agg(F.count("*").alias("n_hull"),
+                 F.sum(F.col("x") * F.col("_ny")
+                       - F.col("_nx") * F.col("y")).alias("area2"),
+                 F.sum(F.col("x") + F.col("y")).alias("xy_sum"))
+            .orderBy("user_id"))
+
+
+def _q225_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling (textops.weighted_sample):
+    top-5 per source by priority = masked xxhash64(doc_id) / n_chars —
+    priority sampling with a hash in place of randomness, so heavier
+    docs win proportionally and reruns are bit-identical.  The 40-bit
+    mask keeps the numerator exact in a double and IEEE division is
+    correctly rounded in both engines, so the ORDER is cross-engine
+    exact; the oracle replays the HUGEINT xxhash64 replica, the mask,
+    and the same (priority, doc_id) window."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.weighted_sample(docs, k=5)
+            .orderBy("source", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4891,6 +4987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_spearman": _q220_spearman,
         "q221_mutual_knn": _q221_mutual_knn,
         "q222_track_simplify": _q222_track_simplify,
+        "q223_commute_anchors": _q223_commute_anchors,
+        "q224_convex_hulls": _q224_convex_hulls,
+        "q225_weighted_sample": _q225_weighted_sample,
     }
 
 
@@ -11683,6 +11782,113 @@ SELECT n.u AS user_id, n.n_points, a.n_kept, a.idx_sum, a.xy_sum
 FROM (SELECT u, count(*) AS n_points FROM pr222 GROUP BY u) n
 JOIN ka222 a ON a.u = n.u
 ORDER BY user_id
+"""
+
+    # q223: commute anchors — daypart split, (count desc, cell asc)
+    # top-1 windows, day-level distinct conjunction
+    sqls["q223_commute_anchors"] = f"""
+WITH {_POS2_CTE},
+b223 AS (
+  SELECT user_id AS u,
+         LEAST(GREATEST(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+         * 1000
+         + LEAST(GREATEST(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0), 11)
+         AS cell,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT)
+         % 24 AS hod,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)
+         AS d
+  FROM pos2
+),
+hr223 AS (
+  SELECT u, cell AS home_cell, n AS n_home_obs,
+         row_number() OVER (PARTITION BY u ORDER BY n DESC, cell ASC) AS rn
+  FROM (SELECT u, cell, count(*) AS n FROM b223
+        WHERE hod >= 0 AND hod < 6 GROUP BY 1, 2)
+),
+wr223 AS (
+  SELECT u, cell AS work_cell, n AS n_work_obs,
+         row_number() OVER (PARTITION BY u ORDER BY n DESC, cell ASC) AS rn
+  FROM (SELECT u, cell, count(*) AS n FROM b223
+        WHERE hod >= 9 AND hod < 17 GROUP BY 1, 2)
+),
+an223 AS (
+  SELECT h.u, h.home_cell, h.n_home_obs, w.work_cell, w.n_work_obs
+  FROM hr223 h JOIN wr223 w ON w.u = h.u AND h.rn = 1 AND w.rn = 1
+),
+nd223 AS (SELECT DISTINCT u, cell, d FROM b223 WHERE hod >= 0 AND hod < 6),
+dd223 AS (SELECT DISTINCT u, cell, d FROM b223 WHERE hod >= 9 AND hod < 17),
+cm223 AS (
+  SELECT a.u, count(DISTINCT n.d) AS n_commute_days
+  FROM an223 a
+  JOIN nd223 n ON n.u = a.u AND n.cell = a.home_cell
+  JOIN dd223 w ON w.u = a.u AND w.cell = a.work_cell AND w.d = n.d
+  GROUP BY a.u
+)
+SELECT a.u AS user_id, a.home_cell, a.work_cell, a.n_home_obs,
+       a.n_work_obs,
+       CAST(COALESCE(c.n_commute_days, 0) AS BIGINT) AS n_commute_days
+FROM an223 a LEFT JOIN cm223 c ON c.u = a.u
+ORDER BY user_id
+"""
+
+    # q224: convex hulls — the declarative hull-edge predicate (min
+    # cross over all witnesses > 0), aggregated per user
+    sqls["q224_convex_hulls"] = f"""
+WITH {_POS2_CTE},
+p224 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS y
+  FROM pos2
+),
+t224 AS (
+  SELECT p.u, p.x AS px, p.y AS py, q.x AS qx, q.y AS qy,
+         min((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)) AS mn
+  FROM p224 p
+  JOIN p224 q ON q.u = p.u AND (q.x <> p.x OR q.y <> p.y)
+  JOIN p224 r ON r.u = p.u AND (r.x <> p.x OR r.y <> p.y)
+             AND (r.x <> q.x OR r.y <> q.y)
+  GROUP BY 1, 2, 3, 4, 5
+),
+e224 AS (SELECT * FROM t224 WHERE mn > 0),
+a224 AS (
+  SELECT u, count(*) AS n_edges,
+         CAST(sum(px * qy - qx * py) AS BIGINT) AS area2
+  FROM e224 GROUP BY u
+),
+v224 AS (
+  SELECT u, count(*) AS n_hull, CAST(sum(x + y) AS BIGINT) AS xy_sum
+  FROM (SELECT DISTINCT u, px AS x, py AS y FROM e224) GROUP BY u
+)
+SELECT a.u AS user_id, v.n_hull, a.area2, v.xy_sum
+FROM a224 a JOIN v224 v ON v.u = a.u
+ORDER BY user_id
+"""
+
+    # q225: weighted sampling — xxhash64 HUGEINT replica, 40-bit mask,
+    # exact-double priority order
+    sqls["q225_weighted_sample"] = f"""
+WITH w225s AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(doc_id AS HUGEINT) AS z0
+  FROM documents
+),
+{_xxhash64_cte_sql("w225s", "z0", "xh", "w225")},
+pr225 AS (
+  SELECT source, doc_id, w,
+         CAST(xh % 1099511627776 AS DOUBLE) / CAST(w AS DOUBLE) AS pr
+  FROM w225f
+),
+r225 AS (
+  SELECT source, doc_id, w, pr,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY pr ASC, doc_id ASC) AS rnk
+  FROM pr225
+)
+SELECT source, doc_id, w, CAST(floor(pr) AS BIGINT) AS pr_floor,
+       CAST(rnk AS BIGINT) AS rank
+FROM r225 WHERE rnk <= 5 ORDER BY source, rank
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -2252,3 +2252,69 @@ def cell_blobs(df: DataFrame, lat: str = "lat", lon: str = "lon",
            .select("cell_id", "y", "x", "n",
                    F.coalesce("cluster_id", F.col("cell_id")).alias("blob_id")))
     return cache.track(out, [occ])
+
+
+def convex_hulls(df: DataFrame, key: str = "user_id",
+                 lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Integer-exact convex hull per key (QuickHull on milli-degree
+    coordinates): the activity-footprint boundary behind range-of-
+    motion and territory metrics, complementing radius_of_gyration
+    (q115, a moment) with the exact extreme-point polygon.
+
+    STRICT-turn rule: collinear boundary points are NOT hull vertices
+    — a vertex survives iff some directed hull edge has every other
+    point strictly to its left (the SQL-checkable predicate the q224
+    oracle uses).  All geometry is integer: coordinates snap to
+    milli-degrees via floor(x*1000 + 0.5); orientation tests are exact
+    int64 cross products.  Duplicate points collapse first.
+
+    Returns ``(key, seq, x, y)``: CCW hull vertices, seq starting at
+    the lexicographically smallest (x, y); shoelace over consecutive
+    seq (wrapping) gives +2A exactly.
+
+    Scale shape: one shuffle groups each key (applyInPandas); inside,
+    QuickHull recursion is OUTPUT-sized (one step per hull vertex —
+    expected O(log n) for random points) with every farthest-point
+    scan a vectorized numpy pass, the same discipline as
+    trajectory.simplify_tracks."""
+    import numpy as np
+    import pandas as pd
+
+    def _hull(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = np.floor(pdf[lon].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        ys = np.floor(pdf[lat].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        pts = np.unique(np.stack([xs, ys], axis=1), axis=0)  # lex-sorted
+        n = len(pts)
+        if n <= 2:
+            out = pts
+        else:
+            a, b = pts[0], pts[-1]
+
+            def rec(p, q, sub):
+                """CCW chain strictly between p and q; sub is strictly
+                right of p->q (cross < 0)."""
+                if len(sub) == 0:
+                    return []
+                cr = ((q[0] - p[0]) * (sub[:, 1] - p[1])
+                      - (q[1] - p[1]) * (sub[:, 0] - p[0]))
+                f = sub[int(np.argmin(cr))]            # most negative
+                cr1 = ((f[0] - p[0]) * (sub[:, 1] - p[1])
+                       - (f[1] - p[1]) * (sub[:, 0] - p[0]))
+                cr2 = ((q[0] - f[0]) * (sub[:, 1] - f[1])
+                       - (q[1] - f[1]) * (sub[:, 0] - f[0]))
+                return (rec(p, f, sub[cr1 < 0]) + [f]
+                        + rec(f, q, sub[cr2 < 0]))
+
+            cr = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+                  - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+            lower = rec(a, b, pts[cr < 0])
+            upper = rec(b, a, pts[cr > 0])
+            out = np.array([a] + lower + [b] + upper, dtype=np.int64)
+        kval = pdf[key].iloc[0]
+        return pd.DataFrame({key: [kval] * len(out),
+                             "seq": np.arange(len(out), dtype=np.int64),
+                             "x": out[:, 0], "y": out[:, 1]})
+
+    cols = df.select(key, lat, lon)
+    return cols.groupBy(key).applyInPandas(
+        _hull, f"{key} long, seq long, x long, y long")

@@ -2928,3 +2928,34 @@ def spearman_pairs(df: DataFrame, x_col: str, y_col: str,
     return (d2.join(tx, "g").join(ty, "g")
             .select(F.col("g").alias(group), "n", "sum_d2",
                     "tie_x", "tie_y"))
+
+
+def weighted_sample(df: DataFrame, k: int = 5, weight_col: str = "n_chars",
+                    group: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per
+    group: priority-sampling flavor (Duffield et al.) with an exact
+    integer hash in place of randomness — priority = (xxhash64(id) &
+    (2^40-1)) / weight, keep the k SMALLEST priorities per group — so
+    heavier rows win proportionally, reruns are bit-identical, and
+    the mixture-sampling step of a training-data pipeline needs no RNG
+    state.  The 40-bit mask keeps the numerator exactly representable
+    in a double; IEEE division is correctly rounded in both engines, so
+    the priority ORDER is cross-engine exact (id tiebreak regardless).
+
+    Returns ``(group, id, w, pr_floor, rank)`` for the k winners per
+    group — pr_floor = floor(priority), gate-friendly exact.
+
+    Scale shape: map-only hash + one per-group top-k window (swap in
+    skew.salted_topn when a group can exceed an executor's sort —
+    same contract as q75's cell sampler).  Weights must be >= 1."""
+    m = (F.xxhash64(F.col(id_col)).bitwiseAND(F.lit((1 << 40) - 1))
+         .cast("double"))
+    pr = m / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group).orderBy(F.asc("_pr"), F.asc(id_col))
+    return (df.select(group, id_col, F.col(weight_col).alias("w"),
+                      pr.alias("_pr"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= int(k))
+            .select(group, id_col, "w",
+                    F.floor("_pr").cast("long").alias("pr_floor"), "rank"))

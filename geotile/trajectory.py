@@ -1434,3 +1434,71 @@ def simplify_tracks(df: DataFrame, eps_milli: int = 30000,
     cols = df.select(key, ts, order_col, lat, lon)
     return cols.groupBy(key).applyInPandas(
         _dp, f"{key} long, idx long, x long, y long")
+
+
+def commute_anchors(df: DataFrame, cell_deg: float = 10.0,
+                    night: tuple = (0, 6), day: tuple = (9, 17),
+                    key: str = "user_id", ts: str = "ep",
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Home/work anchor detection with commute-day accounting: per
+    user the modal NIGHT-hours cell (home) and modal WORK-hours cell
+    (work), ties to the smallest cell id, plus the number of days the
+    user was observed at home during night hours AND at work during
+    work hours — the classic mobility primitive behind commute-flow
+    matrices (builds on q117's anchor_cells, adding the daypart split
+    and the day-level conjunction).
+
+    Returns ``(key, home_cell, work_cell, n_home_obs, n_work_obs,
+    n_commute_days)``; users missing either anchor are dropped.
+
+    Scale shape: one (user, cell, daypart) partial aggregation, two
+    per-user top-1 windows over the collapsed frame, and day-level
+    joins on already-distinct (user, date) frames — nothing data-sized
+    after the first shuffle."""
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    hod = (F.floor(F.col(ts) / F.lit(3600.0)).cast("long") % 24)
+    base = df.select(F.col(key).alias("u"),
+                     (ybin * 1000 + xbin).alias("cell"),
+                     hod.alias("hod"),
+                     F.floor(F.col(ts) / F.lit(86400.0)).cast("long")
+                     .alias("d"))
+
+    def _anchor(lo: int, hi: int, name: str, cnt: str) -> DataFrame:
+        c = (base.where((F.col("hod") >= lo) & (F.col("hod") < hi))
+             .groupBy("u", "cell").agg(F.count("*").alias(cnt)))
+        w = Window.partitionBy("u").orderBy(F.desc(cnt), F.asc("cell"))
+        return (c.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("u", F.col("cell").alias(name), cnt))
+
+    home = _anchor(night[0], night[1], "home_cell", "n_home_obs")
+    work = _anchor(day[0], day[1], "work_cell", "n_work_obs")
+    anchors = home.join(work, "u")
+    nights = (base.where((F.col("hod") >= night[0])
+                         & (F.col("hod") < night[1]))
+              .select("u", "cell", "d").distinct())
+    days = (base.where((F.col("hod") >= day[0]) & (F.col("hod") < day[1]))
+            .select("u", "cell", "d").distinct())
+    hd = (anchors.select("u", "home_cell")
+          .join(nights, (anchors["u"] == nights["u"])
+                & (anchors["home_cell"] == nights["cell"]))
+          .select(anchors["u"].alias("cu"), "d"))
+    wd = (anchors.select("u", "work_cell")
+          .join(days, (anchors["u"] == days["u"])
+                & (anchors["work_cell"] == days["cell"]))
+          .select(anchors["u"].alias("cu"), "d"))
+    comm = (hd.join(wd, ["cu", "d"]).distinct()
+            .groupBy("cu").agg(F.count("*").alias("n_commute_days")))
+    out = (anchors.join(comm, anchors["u"] == comm["cu"], "left")
+           .select(F.col("u").alias(key), "home_cell", "work_cell",
+                   "n_home_obs", "n_work_obs",
+                   F.coalesce("n_commute_days", F.lit(0).cast("long"))
+                   .alias("n_commute_days")))
+    return out

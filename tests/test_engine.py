@@ -1478,3 +1478,53 @@ def test_cell_blobs_union_find_parity(spark):
     want = {c: find(c) for c in occ}
     assert got == want
     assert len(out.columns) == 5
+
+
+def test_convex_hulls_monotone_chain_parity(spark):
+    """QuickHull kernel equals a strict monotone chain on random
+    integer tracks: same vertex SET, same CCW rotation order, positive
+    shoelace, strict left turns."""
+    import numpy as np
+
+    from geotile import engine
+
+    def chain(pts):
+        pts = [tuple(p) for p in np.unique(pts, axis=0)]
+        if len(pts) <= 2:
+            return pts
+
+        def half(ps):
+            out = []
+            for p in ps:
+                while len(out) >= 2 and (
+                        (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                        - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+
+        lo = half(pts)
+        up = half(pts[::-1])
+        return lo[:-1] + up[:-1]
+
+    rng = np.random.default_rng(13)
+    rows, want = [], {}
+    for u in range(8):
+        n = int(rng.integers(3, 80))
+        xs = rng.integers(-170000, 170000, n)
+        ys = rng.integers(-80000, 80000, n)
+        want[u] = chain(np.stack([xs, ys], axis=1))
+        rows += [(u, float(y) / 1000.0, float(x) / 1000.0)
+                 for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    got = {}
+    for r in engine.convex_hulls(df).orderBy("user_id", "seq").collect():
+        got.setdefault(r["user_id"], []).append((r["x"], r["y"]))
+    for u, w in want.items():
+        g = got[u]
+        assert set(g) == set(w), u
+        i = w.index(g[0])
+        assert g == w[i:] + w[:i], u            # same CCW cycle
+        a2 = sum(g[i][0] * g[(i + 1) % len(g)][1]
+                 - g[(i + 1) % len(g)][0] * g[i][1] for i in range(len(g)))
+        assert a2 > 0

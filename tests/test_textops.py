@@ -1598,3 +1598,25 @@ def test_spearman_pairs_exact(spark):
     from collections import Counter
     tie = lambda v: sum(t ** 3 - t for t in Counter(v.tolist()).values())
     assert got["t"] == (40, want_d2, tie(xs), tie(ys))
+
+
+def test_weighted_sample_invariants(spark):
+    """Determinism, k bound, weight monotonicity (same hash, larger
+    weight -> smaller priority), and a dominant-weight row winning."""
+    from geotile import textops
+
+    rows = [("g", i, 10) for i in range(1, 40)] + [("g", 1000, 10 ** 7)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out1 = textops.weighted_sample(df, k=5, group="source").collect()
+    out2 = textops.weighted_sample(df, k=5, group="source").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 5
+    assert {r["rank"] for r in out1} == {1, 2, 3, 4, 5}
+    # the 10^7-weight doc's priority is ~10^6 x smaller than peers'
+    assert any(r["doc_id"] == 1000 and r["rank"] == 1 for r in out1)
+    # per-group k bound over the real corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ws = textops.weighted_sample(docs, k=3)
+    sizes = {r["source"]: r["n"] for r in
+             ws.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert all(v <= 3 for v in sizes.values())

@@ -930,3 +930,31 @@ def test_simplify_tracks_recursive_parity_and_line(spark):
                                         np.asarray(ys, dtype=np.int64),
                                         15000), u
     assert sorted(got[100]) == [0, len(tracks[100][0]) - 1]
+
+
+def test_commute_anchors_hand_case(spark):
+    """Known anchors, tie rule, and the day-conjunction count."""
+    from geotile import trajectory
+
+    H = 3600
+    D = 86400
+    rows = []
+    # user 1: nights (hod 1) at cell A=(0,0) on days 0,1,2; work (hod 10)
+    # at cell B=(40N,100E) on days 0,2 -> commute days {0,2}
+    for d in (0, 1, 2):
+        rows.append((1, d * D + 1 * H, -80.0, -170.0))
+    for d in (0, 2):
+        rows.append((1, d * D + 10 * H, 40.0, 100.0))
+    # user 2: tie between two night cells -> smallest cell id wins;
+    # no work obs -> dropped (inner join)
+    rows.append((2, 1 * H, -80.0, -170.0))
+    rows.append((2, D + 1 * H, 40.0, 100.0))
+    df = spark.createDataFrame(rows, "user_id long, ep long, lat double, lon double")
+    out = {r["user_id"]: r.asDict()
+           for r in trajectory.commute_anchors(df, cell_deg=30.0).collect()}
+    a = 0 * 1000 + 0
+    b = ((40 + 90) // 30) * 1000 + ((100 + 180) // 30)
+    assert out[1]["home_cell"] == a and out[1]["work_cell"] == b
+    assert out[1]["n_home_obs"] == 3 and out[1]["n_work_obs"] == 2
+    assert out[1]["n_commute_days"] == 2
+    assert 2 not in out

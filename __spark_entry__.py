@@ -4731,6 +4731,38 @@ def _q225_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "rank"))
 
 
+def _q226_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics (engine.zonal_stats): q147's polygon fill used
+    as the ZONE layer over the per-cell position counts — per polygon
+    the exact coverage, occupancy, population, and hottest cell.  The
+    oracle reuses q147's generated-lattice _pip_pred fill verbatim and
+    left-joins the same half-degree count raster."""
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"]) for p in (_POLY_TRI, _POLY_QUAD)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    pos = _positions_df(spark, sf)
+    return (engine.zonal_stats(polys, pos, scale=2)
+            .orderBy("poly_id"))
+
+
+def _q227_path_crossings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact path-crossing detection (trajectory.path_crossings) over
+    the hub walk: segment pairs of DIFFERENT users that properly
+    intersect (strict integer orientation products — touches and
+    collinear overlaps excluded), candidates from the 5000-milli grid
+    cells each segment bbox overlaps, exact test run BEFORE the pair
+    dedup.  Gated per user pair as (n_cross, seg_sum).  The oracle
+    replays the segment build, the generate_series bbox cells, and
+    the same strict test."""
+    from geotile import trajectory
+
+    pc = trajectory.path_crossings(_walk_df(spark, sf), cell_milli=5000)
+    return (pc.groupBy("u1", "u2")
+            .agg(F.count("*").alias("n_cross"),
+                 F.sum(F.col("s1") + F.col("s2")).alias("seg_sum"))
+            .orderBy("u1", "u2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -4990,6 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_commute_anchors": _q223_commute_anchors,
         "q224_convex_hulls": _q224_convex_hulls,
         "q225_weighted_sample": _q225_weighted_sample,
+        "q226_zonal_stats": _q226_zonal_stats,
+        "q227_path_crossings": _q227_path_crossings,
     }
 
 
@@ -9162,6 +9196,27 @@ ORDER BY h.query_id, h.doc_id
         + " UNION ALL ".join(fill_parts)
         + ") ORDER BY poly_id, ilat, ilon")
 
+    # q226: zonal stats — q147's fill as the zone layer, left-joined
+    # to the half-degree position count raster
+    sqls["q226_zonal_stats"] = f"""
+WITH {_POS_CTE},
+z226 AS (
+  SELECT poly_id, ilat, ilon FROM ({" UNION ALL ".join(fill_parts)})
+),
+c226 AS (
+  SELECT CAST(floor(lat * 2.0) AS BIGINT) AS ilat,
+         CAST(floor(lon * 2.0) AS BIGINT) AS ilon, count(*) AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT z.poly_id, count(*) AS n_cells,
+       CAST(sum(CASE WHEN c.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_occupied,
+       CAST(COALESCE(sum(c.n), 0) AS BIGINT) AS n_points,
+       CAST(COALESCE(max(c.n), 0) AS BIGINT) AS peak_n
+FROM z226 z LEFT JOIN c226 c ON c.ilat = z.ilat AND c.ilon = z.ilon
+GROUP BY z.poly_id ORDER BY poly_id
+"""
+
     # q148: count-min — identical md5-substr hashing (no string-hash
     # replica needed), identical min-over-rows estimate
     sqls["q148_count_min"] = r"""
@@ -11889,6 +11944,42 @@ r225 AS (
 SELECT source, doc_id, w, CAST(floor(pr) AS BIGINT) AS pr_floor,
        CAST(rnk AS BIGINT) AS rank
 FROM r225 WHERE rnk <= 5 ORDER BY source, rank
+"""
+
+    # q227: path crossings — hub-walk segments, bbox-cell candidates,
+    # strict orientation-product test before the pair dedup
+    sqls["q227_path_crossings"] = f"""
+WITH {_WALK_CTE},
+sg227 AS (
+  SELECT user_id AS u,
+         row_number() OVER w - 1 AS s,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS ax,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS ay,
+         CAST(floor(lead(lon) OVER w * 1000 + 0.5) AS BIGINT) AS bx,
+         CAST(floor(lead(lat) OVER w * 1000 + 0.5) AS BIGINT) AS by
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sv227 AS (SELECT * FROM sg227 WHERE bx IS NOT NULL),
+cl227 AS (
+  SELECT u, s, ax, ay, bx, by, cxx.cx, cyy.cy
+  FROM sv227,
+  LATERAL (SELECT unnest(generate_series(
+             CAST(floor(least(ax, bx) / 5000.0) AS BIGINT),
+             CAST(floor(greatest(ax, bx) / 5000.0) AS BIGINT))) AS cx) cxx,
+  LATERAL (SELECT unnest(generate_series(
+             CAST(floor(least(ay, by) / 5000.0) AS BIGINT),
+             CAST(floor(greatest(ay, by) / 5000.0) AS BIGINT))) AS cy) cyy
+),
+cr227 AS (
+  SELECT DISTINCT l.u AS u1, l.s AS s1, r.u AS u2, r.s AS s2
+  FROM cl227 l JOIN cl227 r ON l.cx = r.cx AND l.cy = r.cy AND l.u < r.u
+  WHERE ((l.bx - l.ax) * (r.ay - l.ay) - (l.by - l.ay) * (r.ax - l.ax))
+      * ((l.bx - l.ax) * (r.by - l.ay) - (l.by - l.ay) * (r.bx - l.ax)) < 0
+    AND ((r.bx - r.ax) * (l.ay - r.ay) - (r.by - r.ay) * (l.ax - r.ax))
+      * ((r.bx - r.ax) * (l.by - r.ay) - (r.by - r.ay) * (l.bx - r.ax)) < 0
+)
+SELECT u1, u2, count(*) AS n_cross, CAST(sum(s1 + s2) AS BIGINT) AS seg_sum
+FROM cr227 GROUP BY 1, 2 ORDER BY u1, u2
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -2318,3 +2318,34 @@ def convex_hulls(df: DataFrame, key: str = "user_id",
     cols = df.select(key, lat, lon)
     return cols.groupBy(key).applyInPandas(
         _hull, f"{key} long, seq long, x long, y long")
+
+
+def zonal_stats(polygons: DataFrame, points: DataFrame, scale: int = 2,
+                lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Zonal statistics (GIS "zonal stats on a count raster"): rasterize
+    each polygon zone to the 1/scale-degree lattice
+    (:func:`polygon_fill`), rasterize the points to per-cell counts,
+    and roll the raster up per zone — coverage (n_cells), occupancy
+    (n_occupied), population (n_points), and the hottest cell (peak_n)
+    — the aggregation layer on top of q147's fill (a fill says WHERE a
+    zone is; zonal stats say what's IN it).
+
+    Scale shape: the points see ONE data-sized partial aggregation to
+    cell counts; the zone lattice is polygon-bbox-sized (never
+    data-sized) and joins the collapsed count frame on integer cell
+    keys; the rollup output is one row per zone."""
+    fill = polygon_fill(polygons, scale=scale)
+    s = float(scale)
+    counts = (points.select(
+        F.floor(F.col(lat) * F.lit(s)).cast("long").alias("ilat"),
+        F.floor(F.col(lon) * F.lit(s)).cast("long").alias("ilon"))
+        .groupBy("ilat", "ilon").agg(F.count("*").alias("n")))
+    j = fill.join(counts, ["ilat", "ilon"], "left")
+    return (j.groupBy("poly_id")
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_occupied"),
+                 F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                 .alias("n_points"),
+                 F.coalesce(F.max("n"), F.lit(0)).cast("long")
+                 .alias("peak_n")))

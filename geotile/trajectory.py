@@ -1502,3 +1502,67 @@ def commute_anchors(df: DataFrame, cell_deg: float = 10.0,
                    F.coalesce("n_commute_days", F.lit(0).cast("long"))
                    .alias("n_commute_days")))
     return out
+
+
+def path_crossings(df: DataFrame, cell_milli: int = 5000,
+                   key: str = "user_id", ts: str = "ep",
+                   order_col: str = "event_id",
+                   lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Exact path-crossing detection between users: consecutive track
+    segments (milli-degree integer endpoints) PROPERLY intersecting a
+    segment of a DIFFERENT user's track — the geometric complement of
+    q82's co-location (same cell AND same time): a crossing is purely
+    spatial evidence that two trajectories cut each other.
+
+    Proper intersection is the strict orientation test
+    ``o(A,B,C)*o(A,B,D) < 0 AND o(C,D,A)*o(C,D,B) < 0`` on exact
+    int64 cross products — touching endpoints and collinear overlaps
+    are NOT crossings (deterministic cross-engine tie rule).
+
+    Scale shape: candidates come from an EQUI-join on the coarse grid
+    cells each segment's bbox overlaps (sequence/explode — a segment
+    spanning s cells appears s times, bounded by step length /
+    cell_milli, never a theta join); the exact test is a native
+    column filter run BEFORE the pair-dedup shuffle (hot cells emit
+    duplicate candidates, not false pairs).  Returns one row per
+    crossing segment pair: ``(u1, s1, u2, s2)`` with u1 < u2 and s*
+    the 0-based segment index in (ts, order_col) order."""
+    w = Window.partitionBy(key).orderBy(ts, order_col)
+    segs = (df.select(
+        F.col(key).alias("u"),
+        (F.row_number().over(w) - 1).alias("s"),
+        F.floor(F.col(lon) * 1000 + 0.5).cast("long").alias("ax"),
+        F.floor(F.col(lat) * 1000 + 0.5).cast("long").alias("ay"),
+        F.floor(F.lead(lon).over(w) * 1000 + 0.5).cast("long").alias("bx"),
+        F.floor(F.lead(lat).over(w) * 1000 + 0.5).cast("long").alias("by"))
+        .where(F.col("bx").isNotNull()))
+    cm = F.lit(int(cell_milli))
+    cells = (segs
+             .withColumn("cx", F.explode(F.sequence(
+                 F.floor(F.least("ax", "bx") / cm).cast("long"),
+                 F.floor(F.greatest("ax", "bx") / cm).cast("long"))))
+             .withColumn("cy", F.explode(F.sequence(
+                 F.floor(F.least("ay", "by") / cm).cast("long"),
+                 F.floor(F.greatest("ay", "by") / cm).cast("long")))))
+    l = cells.select(F.col("u").alias("u1"), F.col("s").alias("s1"),
+                     F.col("ax").alias("x1"), F.col("ay").alias("y1"),
+                     F.col("bx").alias("x2"), F.col("by").alias("y2"),
+                     "cx", "cy")
+    r = cells.select(F.col("u").alias("u2"), F.col("s").alias("s2"),
+                     F.col("ax").alias("x3"), F.col("ay").alias("y3"),
+                     F.col("bx").alias("x4"), F.col("by").alias("y4"),
+                     "cx", "cy")
+
+    def _o(px, py, qx, qy, rx, ry):
+        return ((F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py))
+                - (F.col(qy) - F.col(py)) * (F.col(rx) - F.col(px)))
+
+    o1 = _o("x1", "y1", "x2", "y2", "x3", "y3")
+    o2 = _o("x1", "y1", "x2", "y2", "x4", "y4")
+    o3 = _o("x3", "y3", "x4", "y4", "x1", "y1")
+    o4 = _o("x3", "y3", "x4", "y4", "x2", "y2")
+    cand = (l.join(r, ["cx", "cy"])
+            .where(F.col("u1") < F.col("u2"))
+            .where((o1 * o2 < 0) & (o3 * o4 < 0))     # verify BEFORE dedup
+            .select("u1", "s1", "u2", "s2").distinct())
+    return cand

@@ -1528,3 +1528,66 @@ def test_convex_hulls_monotone_chain_parity(spark):
         a2 = sum(g[i][0] * g[(i + 1) % len(g)][1]
                  - g[(i + 1) % len(g)][0] * g[i][1] for i in range(len(g)))
         assert a2 > 0
+
+
+def test_zonal_stats_hand_case(spark):
+    """Tiny square zone over known points: coverage, occupancy,
+    population, peak."""
+    from pyspark.sql import functions as F
+
+    from geotile import engine
+
+    polys = spark.createDataFrame(
+        [(7, [0.0001, 0.0001, 1.9999, 1.9999],
+          [0.0001, 1.9999, 1.9999, 0.0001])],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    # scale=2 -> 16 half-degree cells; occupy 2 of them
+    pts = [(0.3, 0.3)] * 5 + [(1.7, 1.7)] * 2 + [(5.0, 5.0)] * 9
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts],
+                               "lat double, lon double")
+    out = engine.zonal_stats(polys, df, scale=2).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {"poly_id": 7, "n_cells": 16, "n_occupied": 2,
+                 "n_points": 7, "peak_n": 5}
+
+
+def test_path_crossings_brute_force(spark):
+    """Bucketed crossings equal the O(n^2) exact test on random local
+    walks, including the strict no-touch rule."""
+    import numpy as np
+
+    from geotile import trajectory
+
+    rng = np.random.default_rng(21)
+    rows, tracks = [], {}
+    for u in range(6):
+        n = int(rng.integers(5, 30))
+        xs = np.cumsum(rng.integers(-900, 901, n)) + int(rng.integers(-2000, 2000))
+        ys = np.cumsum(rng.integers(-700, 701, n)) + int(rng.integers(-2000, 2000))
+        tracks[u] = (xs, ys)
+        rows += [(u, int(t), int(t), float(y) / 1000.0, float(x) / 1000.0)
+                 for t, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, lat double, lon double")
+    got = {(r["u1"], r["s1"], r["u2"], r["s2"]) for r in
+           trajectory.path_crossings(df, cell_milli=5000).collect()}
+
+    def proper(a, b, c, d):
+        def o(p, q, r):
+            return ((q[0] - p[0]) * (r[1] - p[1])
+                    - (q[1] - p[1]) * (r[0] - p[0]))
+        return o(a, b, c) * o(a, b, d) < 0 and o(c, d, a) * o(c, d, b) < 0
+
+    want = set()
+    us = sorted(tracks)
+    for i in range(len(us)):
+        for j in range(i + 1, len(us)):
+            x1, y1 = tracks[us[i]]
+            x2, y2 = tracks[us[j]]
+            for s1 in range(len(x1) - 1):
+                for s2 in range(len(x2) - 1):
+                    if proper((x1[s1], y1[s1]), (x1[s1 + 1], y1[s1 + 1]),
+                              (x2[s2], y2[s2]), (x2[s2 + 1], y2[s2 + 1])):
+                        want.add((us[i], s1, us[j], s2))
+    assert got == want and len(want) > 0

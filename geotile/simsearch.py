@@ -665,3 +665,27 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5, n_centroids: int = 8,
            .where(F.col("a") < F.col("b"))
            .select("a", "b", "rank_ab", "rank_ba", "cosine"))
     return cache.track(out, [g])
+
+
+def quantized_label_centroids(df: DataFrame, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              label_col: str = "label",
+                              bits: int = 8) -> DataFrame:
+    """Per-label centroid statistics over the int8-quantized codes —
+    exact-integer class geometry on top of :func:`scalar_quantize`:
+    per (label, dimension) the code sum, square sum, and count, from
+    which centroid and within-class variance are one division away
+    (consumers compute; the gate compares the integer moments).  The
+    class-separation audit a labeled embedding corpus runs before
+    training a probe.
+
+    Scale shape: the quantization pass (posexplode + broadcast
+    extrema) then ONE (label, dim) partial aggregation — the output
+    is labels x dims rows, never data-sized."""
+    q = scalar_quantize(df, vec_col=vec_col, id_col=id_col, bits=bits)
+    lab = df.select(F.col(id_col), F.col(label_col).alias("label"))
+    return (q.join(lab, id_col)
+            .groupBy("label", "i")
+            .agg(F.count("*").alias("n"),
+                 F.sum("q").alias("q_sum"),
+                 F.sum(F.col("q") * F.col("q")).alias("q2_sum")))

@@ -1566,3 +1566,51 @@ def path_crossings(df: DataFrame, cell_milli: int = 5000,
             .where((o1 * o2 < 0) & (o3 * o4 < 0))     # verify BEFORE dedup
             .select("u1", "s1", "u2", "s2").distinct())
     return cand
+
+
+def haar_energy(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                ts: str = "ep", cell_deg: float = 30.0,
+                levels: int = 3, span: int = 512) -> DataFrame:
+    """Haar wavelet energy spectrum per cell over the hourly count
+    series — the multi-resolution companion to :func:`hourly_acf`:
+    level-l energy is the sum of squared Haar detail coefficients
+    ``d_l[i] = sum_t x_t * sign_l(t)`` (sign flips on bit l-1 of the
+    hour offset, blocks of 2^l hours), separating fast flicker
+    (level 1) from slow drift (level 3) in exact integers.
+
+    No zero-fill is needed: an absent hour contributes 0 to every
+    detail sum, and all-empty blocks have d = 0 — so each level is
+    ONE partially-aggregated groupBy over the observed (cell, hour)
+    histogram, never a dense grid.  Hours are offsets from the global
+    min hour, truncated to ``span`` (power of two).
+
+    Returns per cell: ``(cell_id, n_obs, e1..e{levels})`` — all exact
+    BIGINTs."""
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    hour = F.floor(F.col(ts) / F.lit(3600.0)).cast("long")
+    raw = df.select((ybin * 100000 + xbin).alias("cell_id"),
+                    hour.alias("h"))
+    h0 = raw.agg(F.min("h").alias("h0"))
+    base = (raw.crossJoin(F.broadcast(h0))
+            .select("cell_id", (F.col("h") - F.col("h0")).alias("t"))
+            .where(F.col("t") < int(span))
+            .groupBy("cell_id", "t").agg(F.count("*").alias("x")))
+    out = base.groupBy("cell_id").agg(F.sum("x").alias("n_obs"))
+    for l in range(1, levels + 1):
+        sign = F.lit(1) - F.lit(2) * (F.floor(F.col("t") / F.lit(1 << (l - 1)))
+                                      .cast("long") % 2)
+        d = (base.groupBy("cell_id",
+                          F.floor(F.col("t") / F.lit(1 << l)).cast("long")
+                          .alias("bl"))
+             .agg(F.sum(F.col("x") * sign).alias("d")))
+        e = d.groupBy("cell_id").agg(
+            F.sum(F.col("d") * F.col("d")).alias(f"e{l}"))
+        out = out.join(e, "cell_id")
+    return out

@@ -530,3 +530,25 @@ def test_mutual_knn_pairs_reciprocity(spark):
             for (a, b) in g if a < b and (b, a) in g}
     assert got == want
     assert all(a < b for (a, b) in got)
+
+
+def test_quantized_label_centroids_consistency(spark):
+    """Moments agree with a driver-side rollup of scalar_quantize."""
+    from collections import defaultdict
+
+    from geotile import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = {(r["vec_id"], r["i"]): r["q"]
+         for r in simsearch.scalar_quantize(emb).collect()}
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    want = defaultdict(lambda: [0, 0, 0])
+    for (vid, i), qq in q.items():
+        acc = want[(labels[vid], i)]
+        acc[0] += 1
+        acc[1] += qq
+        acc[2] += qq * qq
+    got = {(r["label"], r["i"]): [r["n"], r["q_sum"], r["q2_sum"]]
+           for r in simsearch.quantized_label_centroids(emb).collect()}
+    assert got == dict(want)

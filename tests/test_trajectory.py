@@ -958,3 +958,24 @@ def test_commute_anchors_hand_case(spark):
     assert out[1]["n_home_obs"] == 3 and out[1]["n_work_obs"] == 2
     assert out[1]["n_commute_days"] == 2
     assert 2 not in out
+
+
+def test_haar_energy_hand_series(spark):
+    """Exact Haar detail energies on a hand-built series, and the
+    sparse-equals-dense property (absent hours contribute zero)."""
+    from geotile import trajectory
+
+    # one cell (0,0 at 30deg -> y=3,x=6), hours 0..7 with counts
+    # [2,1,0,0,3,0,0,1] (hours 2,3,5,6 absent)
+    xs = {0: 2, 1: 1, 4: 3, 7: 1}
+    rows = [(0.0, 0.0, h * 3600 + k) for h, n in xs.items() for k in range(n)]
+    df = spark.createDataFrame(rows, "lat double, lon double, ep long")
+    out = trajectory.haar_energy(df, cell_deg=30.0, levels=3, span=512)
+    r = out.collect()[0].asDict()
+    x = [xs.get(t, 0) for t in range(8)]
+    e1 = sum((x[2 * i] - x[2 * i + 1]) ** 2 for i in range(4))
+    s1 = [x[2 * i] + x[2 * i + 1] for i in range(4)]
+    e2 = sum((s1[2 * i] - s1[2 * i + 1]) ** 2 for i in range(2))
+    s2 = [s1[2 * i] + s1[2 * i + 1] for i in range(2)]
+    e3 = (s2[0] - s2[1]) ** 2
+    assert (r["n_obs"], r["e1"], r["e2"], r["e3"]) == (7, e1, e2, e3)

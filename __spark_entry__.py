@@ -4793,6 +4793,32 @@ def _q229_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("label", "i"))
 
 
+def _q230_stream_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Eleventh streaming query under the exact run-to-completion
+    gate: stateful RECORD-LOW detection (streaming.record_low_stream,
+    applyInPandasWithState, one double of state per source) over the
+    documents stream carrying q225's hash/weight priority — a row is
+    emitted iff it strictly beats the running minimum, the moment the
+    weighted sample's best element changes.  Records are final, so
+    append mode is sound; the oracle states the same semantics as a
+    strict running-min window over doc_id order."""
+    from geotile import streaming
+
+    docs = _stream_docs(spark, sf)
+    m = (F.xxhash64(F.col("doc_id")).bitwiseAND(F.lit((1 << 40) - 1))
+         .cast("double"))
+    s = docs.withColumn("pr", m / F.col("n_chars").cast("double"))
+    rec = streaming.record_low_stream(s, key="source",
+                                      order_col="doc_id", val_col="pr")
+    t = _run_stream_to_table(rec, spark, "q230_records_sink", "append")
+    w = (spark.read.parquet(f"{sf}/documents.parquet")
+         .select("doc_id", F.col("n_chars").alias("w")))
+    return (t.join(w, "doc_id")
+            .select("source", "doc_id", "w",
+                    F.floor("pr").cast("long").alias("pr_floor"))
+            .orderBy("source", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5056,6 +5082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_path_crossings": _q227_path_crossings,
         "q228_haar_energy": _q228_haar_energy,
         "q229_label_centroids": _q229_label_centroids,
+        "q230_stream_records": _q230_stream_records,
     }
 
 
@@ -12070,6 +12097,32 @@ SELECT e.label, q.i, count(*) AS n, CAST(sum(q.q) AS BIGINT) AS q_sum,
        CAST(sum(q.q * q.q) AS BIGINT) AS q2_sum
 FROM q229 q JOIN embeddings e ON e.vec_id = q.vec_id
 GROUP BY 1, 2 ORDER BY label, i
+"""
+
+    # q230: streaming record lows — q225's priority, strict running-min
+    # window over doc_id order (the single-file stream's arrival order)
+    sqls["q230_stream_records"] = f"""
+WITH w230s AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(doc_id AS HUGEINT) AS z0
+  FROM documents
+),
+{_xxhash64_cte_sql("w230s", "z0", "xh", "w230")},
+pr230 AS (
+  SELECT source, doc_id, w,
+         CAST(xh % 1099511627776 AS DOUBLE) / CAST(w AS DOUBLE) AS pr
+  FROM w230f
+),
+rec230 AS (
+  SELECT source, doc_id, w, pr,
+         min(pr) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS prev_min
+  FROM pr230
+)
+SELECT source, doc_id, w, CAST(floor(pr) AS BIGINT) AS pr_floor
+FROM rec230 WHERE prev_min IS NULL OR pr < prev_min
+ORDER BY source, doc_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -292,3 +292,51 @@ def map_match_stream(updates: DataFrame, lines: DataFrame, radius_m: float,
     from .engine import map_match, with_cell
 
     return map_match(with_cell(updates), lines, radius_m, **kw)
+
+
+def record_low_stream(updates: DataFrame, key: str = "source",
+                      order_col: str = "doc_id",
+                      val_col: str = "pr") -> DataFrame:
+    """Stateful streaming RECORD detection: per key, emit a row iff
+    its value is a new strict running MINIMUM — the alerting/monitoring
+    primitive ("new best candidate", "new latency record") and the
+    streaming half of the q225 weighted sampler (each record is the
+    moment the sample's best element changed).
+
+    A record is FINAL the moment it happens (later rows can't unmake
+    it), so the operator is append-mode safe with one double of state
+    per key.  Within a micro-batch rows are processed in ``order_col``
+    order (explicit sort — micro-batch shuffles don't preserve file
+    order), batches in arrival order; with a single-file source this
+    equals global ``order_col`` order, which is what the q230 oracle
+    states as a running-min window.
+
+    Scale shape: one shuffle groups keys; state is O(1) per key (the
+    current best); emissions are the records only."""
+    import numpy as np
+
+    out_schema = f"{key} string, {order_col} long, {val_col} double"
+    state_schema = "best double"
+
+    def _update(k, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = (pd.concat(list(pdfs), ignore_index=True)
+                .sort_values(order_col, kind="mergesort"))
+        best = state.get[0] if state.exists else float("inf")
+        vals = rows[val_col].to_numpy(float)
+        running = np.minimum.accumulate(
+            np.concatenate(([best], vals)))[:-1]
+        accept = vals < running
+        fresh = rows[accept]
+        if len(fresh):
+            state.update((float(fresh[val_col].iloc[-1]),))
+            yield pd.DataFrame({
+                key: fresh[key].to_numpy(),
+                order_col: fresh[order_col].to_numpy(),
+                val_col: fresh[val_col].to_numpy()})
+        else:
+            yield pd.DataFrame({key: [], order_col: [], val_col: []})
+
+    return (updates.select(key, order_col, val_col)
+            .groupBy(key)
+            .applyInPandasWithState(_update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

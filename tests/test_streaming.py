@@ -335,3 +335,37 @@ def test_map_match_stream_equals_batch(spark, tmp_path):
         lines, radius_m=50000.0, id_cols=["msisdn"])
     exp = sorted(tuple(r) for r in batch.collect())
     assert got == exp and len(got) == 2
+
+
+def test_record_low_stream_multi_batch(spark, tmp_path):
+    """Record-low detection carries state ACROSS micro-batches: a
+    second batch's rows only record if they beat the first batch's
+    best; within a batch rows process in order_col order."""
+    src = str(tmp_path / "recs")
+    out_dir = str(tmp_path / "rec_out")
+    ckpt = str(tmp_path / "rec_ckpt")
+    os.makedirs(src)
+    schema = "source string, doc_id long, pr double"
+    b0 = [("s", 1, 50.0), ("s", 3, 80.0), ("s", 2, 40.0)]
+    # in doc_id order: 50 (record), 40 (record), 80 (no)
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src + "/b0")
+    stream = spark.readStream.schema(schema).parquet(src + "/b*")
+    rec = streaming.record_low_stream(stream, key="source",
+                                      order_col="doc_id", val_col="pr")
+    q = (rec.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["doc_id"], r["pr"]) for r in
+                 spark.read.parquet(out_dir).collect())
+    assert got == [(1, 50.0), (2, 40.0)]
+    # batch 1: 45 does NOT beat 40; 10 does
+    b1 = [("s", 4, 45.0), ("s", 5, 10.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    q = (rec.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["doc_id"], r["pr"]) for r in
+                 spark.read.parquet(out_dir).collect())
+    assert got == [(1, 50.0), (2, 40.0), (5, 10.0)]

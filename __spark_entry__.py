@@ -4819,6 +4819,65 @@ def _q230_stream_records(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "doc_id"))
 
 
+_GAZETTEER = [
+    ("beijing", 39.9286, 116.3895), ("sydney", -33.8568, 151.2153),
+    ("newyork", 40.6892, -74.0445), ("lima", -12.0464, -77.0428),
+    ("moscow", 55.7558, 37.6173), ("cairo", 30.0459, 31.2243),
+    ("nairobi", -1.2864, 36.8172), ("quito", -0.1807, -78.4678),
+]
+
+
+def _q231_gazetteer_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    """Text -> geo entity linking (textops.gazetteer_link): place-name
+    mentions in event-synthesized text (q218 discipline — two city
+    slots plus numeric noise per row) matched token-exactly against
+    the literal 8-city gazetteer, counted per event_type, and
+    GEOCODED to the canonical gh5 cell by the production kernel — the
+    name-based dual of the pipeline's numeric lat/lon mention parser.
+    The oracle replays the synthesis, tokenization, and join, and
+    derives the cell from the same literal coordinates via the
+    closed-form geohash SQL (kernel-vs-SQL cross-check, the q24
+    discipline)."""
+    from geotile import textops
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    names = F.array(*[F.lit(n) for n, _a, _o in _GAZETTEER])
+    txt = F.concat(
+        F.lit("visited "),
+        F.element_at(names, ((F.col("user_id") + F.col("event_id")) % 8
+                             + 1).cast("int")),
+        F.lit(" near "),
+        F.element_at(names, ((F.col("user_id") * 3 + F.col("event_id")) % 8
+                             + 1).cast("int")),
+        F.lit(" code "), (F.col("event_id") % 97).cast("string"))
+    docs = ev.select(F.col("event_type").alias("source"), txt.alias("text"))
+    linked = textops.gazetteer_link(docs, _GAZETTEER, "text", "source")
+    return (engine.with_cell(linked, nchars=5, out="cell5")
+            .select("source", "name", "n", "cell5")
+            .orderBy("source", "name"))
+
+
+def _q232_half_sample_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic half-sample bootstrap (hash subsampling): 8
+    replicates per source, replicate b keeping the docs with
+    xxhash64(doc_id * 31 + b) even — per (source, replicate) the exact
+    n and length sum, the subsampling-inference primitive (CI width is
+    one formula away; the gate compares exact integers and the
+    replicate DESIGN is reproducible by construction, q49/q225
+    discipline).  The oracle replays the hash replica over the
+    doc_id*31+b lattice."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    b = F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("b")
+    base = docs.select("source", "doc_id",
+                       F.col("n_chars").cast("long").alias("len"), b)
+    keep = (F.xxhash64(F.col("doc_id") * 31 + F.col("b"))
+            .bitwiseAND(F.lit(1)) == 0)
+    return (base.where(keep)
+            .groupBy("source", "b")
+            .agg(F.count("*").alias("n"), F.sum("len").alias("len_sum"))
+            .orderBy("source", "b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5083,6 +5142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_haar_energy": _q228_haar_energy,
         "q229_label_centroids": _q229_label_centroids,
         "q230_stream_records": _q230_stream_records,
+        "q231_gazetteer_mentions": _q231_gazetteer_mentions,
+        "q232_half_sample_bootstrap": _q232_half_sample_bootstrap,
     }
 
 
@@ -12123,6 +12184,51 @@ rec230 AS (
 SELECT source, doc_id, w, CAST(floor(pr) AS BIGINT) AS pr_floor
 FROM rec230 WHERE prev_min IS NULL OR pr < prev_min
 ORDER BY source, doc_id
+"""
+
+    # q231: gazetteer linking — synthesis, WS_CLASS tokenize, name
+    # join, closed-form gh5 from the literal coordinates
+    _gz_names = "[" + ", ".join(f"'{n}'" for n, _a, _o in _GAZETTEER) + "]"
+    _gz_vals = ", ".join(
+        f"('{n}', CAST('{a!r}' AS DOUBLE), CAST('{o!r}' AS DOUBLE))"
+        for n, a, o in _GAZETTEER)
+    sqls["q231_gazetteer_mentions"] = f"""
+WITH gz231(name, lat, lon) AS (VALUES {_gz_vals}),
+x231 AS (
+  SELECT event_type AS source,
+         'visited ' || ({_gz_names})[CAST((user_id + event_id) % 8 + 1 AS INTEGER)]
+         || ' near ' || ({_gz_names})[CAST((user_id * 3 + event_id) % 8 + 1 AS INTEGER)]
+         || ' code ' || CAST(event_id % 97 AS VARCHAR) AS text
+  FROM events
+),
+t231 AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS name
+  FROM x231
+),
+c231 AS (
+  SELECT t.source, t.name, count(*) AS n
+  FROM t231 t JOIN gz231 g ON g.name = t.name
+  GROUP BY 1, 2
+)
+SELECT c.source, c.name, c.n, {gh5} AS cell5
+FROM c231 c JOIN gz231 USING (name)
+ORDER BY source, name
+"""
+
+    # q232: half-sample bootstrap — xxhash64 replica on doc_id*31+b,
+    # even-hash keep rule, exact per-replicate sums
+    sqls["q232_half_sample_bootstrap"] = f"""
+WITH l232 AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len, b,
+         CAST(doc_id * 31 + b AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+),
+{_xxhash64_cte_sql("l232", "z0", "xh", "x232")}
+SELECT source, b, count(*) AS n, CAST(sum(len) AS BIGINT) AS len_sum
+FROM x232f WHERE xh % 2 = 0
+GROUP BY 1, 2 ORDER BY source, b
 """
 
     # Every queries() entry above has an exact oracle — including the

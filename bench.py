@@ -144,7 +144,14 @@ def main() -> None:
         "q207_budget_apportionment", "q208_heat_peaks",
         "q209_stickiness", "q210_ivm_merge", "q211_fence_dwell",
         "q212_cover_selectivity", "q213_nearest_poi",
-        "q214_attribution",
+        "q214_attribution", "q215_compaction_plan", "q216_cell_blobs",
+        "q217_ks_distance", "q218_first_digits", "q219_hourly_acf",
+        "q220_spearman", "q221_mutual_knn", "q222_track_simplify",
+        "q223_commute_anchors", "q224_convex_hulls",
+        "q225_weighted_sample", "q226_zonal_stats",
+        "q227_path_crossings", "q228_haar_energy",
+        "q229_label_centroids", "q230_stream_records",
+        "q231_gazetteer_mentions", "q232_half_sample_bootstrap",
     ]
     from geotile import cache, textops
 

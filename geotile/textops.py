@@ -2959,3 +2959,36 @@ def weighted_sample(df: DataFrame, k: int = 5, weight_col: str = "n_chars",
             .where(F.col("rank") <= int(k))
             .select(group, id_col, "w",
                     F.floor("_pr").cast("long").alias("pr_floor"), "rank"))
+
+
+def gazetteer_link(df: DataFrame, gazetteer, text_col: str = "text",
+                   group: str = "source") -> DataFrame:
+    """Text -> geo ENTITY LINKING against a literal gazetteer: tokenize
+    on the shared WS_CLASS, equi-join tokens to the (name, lat, lon)
+    gazetteer, and count mentions per (group, name) — the name-based
+    geocoding path that complements the engine's numeric lat/lon
+    mention parser (extract.with_mentions): real pipelines geocode
+    BOTH coordinate strings and place names.
+
+    ``gazetteer`` is a list of (name, lat, lon) tuples — a DIM-side
+    table by contract (broadcast; city lists are thousands of rows,
+    never data-sized).  Matching is exact-token (case-sensitive);
+    normalization belongs upstream.
+
+    Returns ``(group, name, lat, lon, n)`` for names with >= 1
+    mention.
+
+    Scale shape: map-only tokenize + explode, one broadcast equi-join,
+    one (group, name) partial aggregation."""
+    spark = df.sparkSession
+    gaz = spark.createDataFrame(
+        [(str(n), float(a), float(o)) for n, a, o in gazetteer],
+        "name string, lat double, lon double")
+    toks = (df.select(F.col(group).alias("g"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("name")))
+    return (toks.join(F.broadcast(gaz), "name")
+            .groupBy("g", "name")
+            .agg(F.max("lat").alias("lat"), F.max("lon").alias("lon"),
+                 F.count("*").alias("n"))
+            .select(F.col("g").alias(group), "name", "lat", "lon", "n"))

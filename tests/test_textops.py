@@ -1620,3 +1620,19 @@ def test_weighted_sample_invariants(spark):
     sizes = {r["source"]: r["n"] for r in
              ws.groupBy("source").count().withColumnRenamed("count", "n").collect()}
     assert all(v <= 3 for v in sizes.values())
+
+
+def test_gazetteer_link_exact_tokens(spark):
+    """Exact-token matching: counts, coords, no substring matches."""
+    from geotile import textops
+
+    gaz = [("paris", 48.8566, 2.3522), ("rome", 41.9028, 12.4964)]
+    rows = [("a", "paris and rome and paris"),
+            ("a", "parisian suburbs"),          # no substring match
+            ("b", "rome"), ("b", "nothing here")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source"], r["name"]): (r["n"], r["lat"], r["lon"])
+           for r in textops.gazetteer_link(df, gaz).collect()}
+    assert got == {("a", "paris"): (2, 48.8566, 2.3522),
+                   ("a", "rome"): (1, 41.9028, 12.4964),
+                   ("b", "rome"): (1, 41.9028, 12.4964)}

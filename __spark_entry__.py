@@ -4878,6 +4878,20 @@ def _q232_half_sample_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "b"))
 
 
+def _q233_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary growth / Heaps'-law curve (textops.vocab_growth):
+    token types attributed to their first-seen document, documents
+    split into 10 equal id ranges, exact new-type and occurrence
+    counts per bucket plus the running vocabulary total — the
+    more-data-still-helps diagnostic for a training corpus.  The
+    oracle replays the min-doc attribution and bucketing with integer
+    arithmetic."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.vocab_growth(docs).orderBy("bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5144,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_stream_records": _q230_stream_records,
         "q231_gazetteer_mentions": _q231_gazetteer_mentions,
         "q232_half_sample_bootstrap": _q232_half_sample_bootstrap,
+        "q233_vocab_growth": _q233_vocab_growth,
     }
 
 
@@ -12229,6 +12244,41 @@ WITH l232 AS (
 SELECT source, b, count(*) AS n, CAST(sum(len) AS BIGINT) AS len_sum
 FROM x232f WHERE xh % 2 = 0
 GROUP BY 1, 2 ORDER BY source, b
+"""
+
+    # q233: vocabulary growth — first-seen-doc attribution, equal id
+    # ranges, exact new-type counts + running vocabulary
+    sqls["q233_vocab_growth"] = r"""
+WITH t233 AS (
+  SELECT doc_id AS d,
+         unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+tt233 AS (SELECT d, t FROM t233 WHERE t <> ''),
+mx233 AS (SELECT max(doc_id) AS mx FROM documents),
+fs233 AS (
+  SELECT CAST(floor(f.d * 10.0 / (mx.mx + 1)) AS BIGINT) AS bucket,
+         count(*) AS nn
+  FROM (SELECT t, min(d) AS d FROM tt233 GROUP BY t) f
+  CROSS JOIN mx233 mx
+  GROUP BY 1
+),
+oc233 AS (
+  SELECT CAST(floor(d * 10.0 / (mx.mx + 1)) AS BIGINT) AS bucket,
+         count(*) AS no
+  FROM tt233 CROSS JOIN mx233 mx
+  GROUP BY 1
+)
+SELECT COALESCE(f.bucket, o.bucket) AS bucket,
+       CAST(COALESCE(f.nn, 0) AS BIGINT) AS n_new_tokens,
+       CAST(COALESCE(o.no, 0) AS BIGINT) AS n_occurrences,
+       CAST(sum(COALESCE(f.nn, 0))
+            OVER (ORDER BY COALESCE(f.bucket, o.bucket)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab
+FROM fs233 f FULL OUTER JOIN oc233 o ON o.bucket = f.bucket
+ORDER BY bucket
 """
 
     # Every queries() entry above has an exact oracle — including the

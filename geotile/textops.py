@@ -2992,3 +2992,45 @@ def gazetteer_link(df: DataFrame, gazetteer, text_col: str = "text",
             .agg(F.max("lat").alias("lat"), F.max("lon").alias("lon"),
                  F.count("*").alias("n"))
             .select(F.col("g").alias(group), "name", "lat", "lon", "n"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = 10) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostics): tokens marked
+    at their FIRST-seen document (min doc id), documents split into
+    ``buckets`` equal id ranges, and per bucket the exact count of
+    newly introduced token types next to total occurrences — the
+    corpus-maturity curve that says whether more data still buys new
+    vocabulary (flattening curve = diminishing type yield).
+
+    Returns ``(bucket, n_new_tokens, n_occurrences, cum_vocab)`` —
+    all exact BIGINTs; cum_vocab is the running type total.
+
+    Scale shape: one token-level partial aggregation (min doc id per
+    type — the same shuffle a vocabulary build already pays), a
+    broadcast 1-row max-id, and a ``buckets``-row window."""
+    from . import cache
+
+    toks = (df.select(F.col(id_col).alias("d"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    mx = df.agg(F.max(F.col(id_col)).alias("mx"))
+    bkt = lambda c: F.floor(F.col(c) * buckets / (F.col("mx") + 1)) \
+        .cast("long")
+    first = (toks.groupBy("t").agg(F.min("d").alias("fd"))
+             .crossJoin(F.broadcast(mx))
+             .groupBy(bkt("fd").alias("bucket"))
+             .agg(F.count("*").alias("n_new_tokens")))
+    occ = (toks.crossJoin(F.broadcast(mx))
+           .groupBy(bkt("d").alias("bucket"))
+           .agg(F.count("*").alias("n_occurrences")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (first.join(occ, "bucket", "full")
+           .select("bucket",
+                   F.coalesce("n_new_tokens", F.lit(0)).alias("n_new_tokens"),
+                   F.coalesce("n_occurrences", F.lit(0))
+                   .alias("n_occurrences"))
+           .withColumn("cum_vocab", F.sum("n_new_tokens").over(w)))
+    return out

@@ -1636,3 +1636,26 @@ def test_gazetteer_link_exact_tokens(spark):
     assert got == {("a", "paris"): (2, 48.8566, 2.3522),
                    ("a", "rome"): (1, 41.9028, 12.4964),
                    ("b", "rome"): (1, 41.9028, 12.4964)}
+
+
+def test_vocab_growth_invariants(spark):
+    """New-type counts sum to the distinct vocabulary; cum_vocab is
+    monotone; a corpus of identical docs introduces everything in
+    bucket 0."""
+    from geotile import textops
+
+    rows = [(i, "alpha beta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r.asDict()
+           for r in textops.vocab_growth(df).collect()}
+    assert out[0]["n_new_tokens"] == 2
+    assert sum(r["n_new_tokens"] for r in out.values()) == 2
+    assert all(out[b]["n_occurrences"] == 4 for b in out)  # 2 docs x 2 toks
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    g = textops.vocab_growth(docs).orderBy("bucket").collect()
+    vocab = (docs.select(F.explode(F.split(F.trim("text"),
+                                           textops.WS_CLASS)).alias("t"))
+             .where(F.col("t") != "").select("t").distinct().count())
+    assert g[-1]["cum_vocab"] == vocab
+    assert all(g[i]["cum_vocab"] <= g[i + 1]["cum_vocab"]
+               for i in range(len(g) - 1))

@@ -1486,14 +1486,16 @@ def commute_anchors(df: DataFrame, cell_deg: float = 10.0,
               .select("u", "cell", "d").distinct())
     days = (base.where((F.col("hod") >= day[0]) & (F.col("hod") < day[1]))
             .select("u", "cell", "d").distinct())
-    hd = (anchors.select("u", "home_cell")
-          .join(nights, (anchors["u"] == nights["u"])
-                & (anchors["home_cell"] == nights["cell"]))
-          .select(anchors["u"].alias("cu"), "d"))
-    wd = (anchors.select("u", "work_cell")
-          .join(days, (anchors["u"] == days["u"])
-                & (anchors["work_cell"] == days["cell"]))
-          .select(anchors["u"].alias("cu"), "d"))
+    hd = (anchors.select(F.col("u").alias("cu"),
+                         F.col("home_cell").alias("acell"))
+          .join(nights, (F.col("cu") == nights["u"])
+                & (F.col("acell") == nights["cell"]))
+          .select("cu", "d"))
+    wd = (anchors.select(F.col("u").alias("cu"),
+                         F.col("work_cell").alias("acell"))
+          .join(days, (F.col("cu") == days["u"])
+                & (F.col("acell") == days["cell"]))
+          .select("cu", "d"))
     comm = (hd.join(wd, ["cu", "d"]).distinct()
             .groupBy("cu").agg(F.count("*").alias("n_commute_days")))
     out = (anchors.join(comm, anchors["u"] == comm["cu"], "left")

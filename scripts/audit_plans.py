@@ -1236,6 +1236,82 @@ def main() -> None:
          "attribution (q214): one user-keyed view x purchase range join "
          "filtered in the join condition, per-purchase argmin/argmax in "
          "the same aggregate, then 1-row model summaries"),
+        (_entry._q215_compaction_plan,
+         "compaction_plan (q215): file stats partial-aggregate to a "
+         "MANIFEST-sized frame; the greedy NFD walk runs per partition "
+         "group in one pandas pass over file metadata — the data itself "
+         "is never read"),
+        (_entry._q216_cell_blobs,
+         "cell_blobs (q216): ONE data-sized rasterizing aggregate; "
+         "adjacency is an equi-join on shifted integer keys over the "
+         "occupied-cell frame (grid-bounded); CC star-contraction "
+         "shuffles only the shrinking blob edge set"),
+        (_entry._q217_ks_distance,
+         "ks_distance (q217): one histogram shuffle bounded by value "
+         "cardinality; the grid, cumulative windows, and pair join all "
+         "run on the collapsed histogram — no data-sized sort anywhere"),
+        (_entry._q218_first_digits,
+         "first_digits (q218): map-only synthesis + regexp extraction "
+         "in whole-stage codegen; the only exchange is the <=9-rows-"
+         "per-group digit aggregate"),
+        (_entry._q219_hourly_acf,
+         "hourly_acf (q219): one (cell, hour) partial aggregation; the "
+         "zero-fill grid is cells x hours from a broadcast 1-row span; "
+         "lag products are one window over that bounded grid"),
+        (_entry._q220_spearman,
+         "spearman (q220): two rank windows per group (the unavoidable "
+         "exact-rank sort), tie rollups partial-aggregate; emitted "
+         "moments are exact integers"),
+        (_entry._q221_mutual_knn,
+         "mutual_knn (q221): the kNN graph's slim k*N edge list self-"
+         "joined against its reverse — never N^2; vectors never attach "
+         "to the pair join"),
+        (_entry._q222_track_simplify,
+         "track_simplify (q222): one shuffle groups each track; the DP "
+         "loop is output-sized (one iteration per kept vertex) with "
+         "vectorized interior scans and exact big-int split tests"),
+        (_entry._q223_commute_anchors,
+         "commute_anchors (q223): one (user, cell, daypart) partial "
+         "aggregation; top-1 windows and day-level joins run on "
+         "collapsed frames only"),
+        (_entry._q224_convex_hulls,
+         "convex_hulls (q224): one shuffle groups each key; QuickHull "
+         "recursion is output-sized with vectorized farthest-point "
+         "scans; shoelace area is one lead/first window over hull-sized "
+         "frames"),
+        (_entry._q225_weighted_sample,
+         "weighted_sample (q225): map-only hash priority + one per-"
+         "group top-k window — the q75 salted pre-thin composes when a "
+         "group exceeds an executor's sort"),
+        (_entry._q226_zonal_stats,
+         "zonal_stats (q226): points partial-aggregate to cell counts "
+         "once; the zone lattice is polygon-bbox-sized and joins the "
+         "collapsed raster on integer keys"),
+        (_entry._q227_path_crossings,
+         "path_crossings (q227): segments from one per-user window; "
+         "candidates via bbox-cell equi-join (never a theta join); the "
+         "exact orientation test filters BEFORE the pair-dedup "
+         "exchange"),
+        (_entry._q228_haar_energy,
+         "haar_energy (q228): one sparse groupBy per level over the "
+         "observed (cell, hour) histogram — absent hours contribute "
+         "zero, so no dense grid exists"),
+        (_entry._q229_label_centroids,
+         "label_centroids (q229): posexplode + broadcast extrema "
+         "quantization, then ONE (label, dim) aggregate — output is "
+         "labels x dims rows"),
+        (_entry._q231_gazetteer_mentions,
+         "gazetteer_mentions (q231): map-only tokenize, broadcast "
+         "gazetteer equi-join, one (group, name) aggregate; geocoding "
+         "is the narrow kernel UDF on the dim-sized result"),
+        (_entry._q232_half_sample_bootstrap,
+         "half_sample_bootstrap (q232): replicate explode is map-side "
+         "(8x narrow), native xxhash64 keep filter, one (source, "
+         "replicate) partial aggregate"),
+        (_entry._q233_vocab_growth,
+         "vocab_growth (q233): one token-type min-doc aggregate (the "
+         "vocabulary build's own shuffle), broadcast 1-row max, "
+         "10-row window"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

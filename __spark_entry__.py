@@ -4892,6 +4892,23 @@ def _q233_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     return textops.vocab_growth(docs).orderBy("bucket")
 
 
+def _q234_corridor_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact segment supercover rasterization
+    (trajectory.corridor_counts, 250-milli cells) over the hub walk:
+    per grid cell the number of distinct track segments whose
+    CONTINUOUS geometry intersects it, plus distinct users — route-
+    corridor heat, the edge-rasterizing member of the raster family.
+    Both engines derive each column's y-span from the same exact
+    rationals (floor of one double division provably exact at these
+    magnitudes), so the gate is value-exact without bigint division.
+    The oracle replays orientation, column clipping, and the row
+    explode."""
+    from geotile import trajectory
+
+    pc = trajectory.corridor_counts(_walk_df(spark, sf), cell_milli=250)
+    return pc.orderBy("cx", "cy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5159,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_gazetteer_mentions": _q231_gazetteer_mentions,
         "q232_half_sample_bootstrap": _q232_half_sample_bootstrap,
         "q233_vocab_growth": _q233_vocab_growth,
+        "q234_corridor_raster": _q234_corridor_raster,
     }
 
 
@@ -12279,6 +12297,59 @@ SELECT COALESCE(f.bucket, o.bucket) AS bucket,
             AS BIGINT) AS cum_vocab
 FROM fs233 f FULL OUTER JOIN oc233 o ON o.bucket = f.bucket
 ORDER BY bucket
+"""
+
+    # q234: corridor supercover — oriented segments, per-column clipped
+    # rational y-span, floor-exact double division, distinct traversals
+    sqls["q234_corridor_raster"] = f"""
+WITH {_WALK_CTE},
+sr234 AS (
+  SELECT user_id AS u, row_number() OVER w - 1 AS s,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py,
+         CAST(floor(lead(lon) OVER w * 1000 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(lead(lat) OVER w * 1000 + 0.5) AS BIGINT) AS qy
+  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+og234 AS (
+  SELECT u, s,
+         CASE WHEN qx >= px THEN px ELSE qx END AS ax,
+         CASE WHEN qx >= px THEN py ELSE qy END AS ay,
+         CASE WHEN qx >= px THEN qx ELSE px END AS bx,
+         CASE WHEN qx >= px THEN qy ELSE py END AS by
+  FROM sr234 WHERE qx IS NOT NULL
+),
+cl234 AS (
+  SELECT u, s, ax, ay, bx, by, cxx.cx
+  FROM og234,
+  LATERAL (SELECT unnest(generate_series(
+             CAST(floor(ax / 250.0) AS BIGINT),
+             CAST(floor(bx / 250.0) AS BIGINT))) AS cx) cxx
+),
+rw234 AS (
+  SELECT u, s, cx,
+         CASE WHEN bx = ax
+              THEN CAST(floor(least(ay, by) / 250.0) AS BIGINT)
+              ELSE CAST(floor(least(
+                     ay * (bx - ax) + (by - ay) * (greatest(ax, cx * 250) - ax),
+                     ay * (bx - ax) + (by - ay) * (least(bx, (cx + 1) * 250) - ax))
+                   / CAST((bx - ax) * 250 AS DOUBLE)) AS BIGINT) END AS cy1,
+         CASE WHEN bx = ax
+              THEN CAST(floor(greatest(ay, by) / 250.0) AS BIGINT)
+              ELSE CAST(floor(greatest(
+                     ay * (bx - ax) + (by - ay) * (greatest(ax, cx * 250) - ax),
+                     ay * (bx - ax) + (by - ay) * (least(bx, (cx + 1) * 250) - ax))
+                   / CAST((bx - ax) * 250 AS DOUBLE)) AS BIGINT) END AS cy2
+  FROM cl234
+),
+ce234 AS (
+  SELECT DISTINCT u, s, cx, cyy.cy
+  FROM rw234,
+  LATERAL (SELECT unnest(generate_series(cy1, cy2)) AS cy) cyy
+)
+SELECT cx, cy, count(*) AS n_segments,
+       count(DISTINCT u) AS n_users
+FROM ce234 GROUP BY 1, 2 ORDER BY cx, cy
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -152,7 +152,7 @@ def main() -> None:
         "q227_path_crossings", "q228_haar_energy",
         "q229_label_centroids", "q230_stream_records",
         "q231_gazetteer_mentions", "q232_half_sample_bootstrap",
-        "q233_vocab_growth",
+        "q233_vocab_growth", "q234_corridor_raster",
     ]
     from geotile import cache, textops
 

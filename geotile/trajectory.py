@@ -1616,3 +1616,70 @@ def haar_energy(df: DataFrame, lat: str = "lat", lon: str = "lon",
             F.sum(F.col("d") * F.col("d")).alias(f"e{l}"))
         out = out.join(e, "cell_id")
     return out
+
+
+def corridor_counts(df: DataFrame, cell_milli: int = 250,
+                    key: str = "user_id", ts: str = "ep",
+                    order_col: str = "event_id",
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Exact LINE rasterization (supercover) of track segments onto a
+    milli-degree grid, counted per cell — route-corridor heat, the
+    segment-level member of the raster family (points -> q102/q183
+    heat, polygons -> q147 fill, zones -> q226, blobs -> q216; this
+    rasterizes the EDGES).  A cell counts a segment iff the continuous
+    segment intersects it.
+
+    Entirely relational and integer-exact in BOTH engines: per
+    (segment, column) the clipped x-interval's y-endpoints are exact
+    rationals ``n/den`` (den = dx*cell); their cell floors come from
+    one double division whose distance from any integer is >= 1/den,
+    far above double rounding error at these magnitudes (|n| <~ 1e8)
+    — so floor is exact without bigint division.  Column/row touches
+    on exact boundaries resolve by the same floor rule in both
+    engines.
+
+    Scale shape: one per-key window builds segments; each segment
+    explodes to its spanned columns then rows (bounded by step length
+    / cell size, never a theta join); traversals dedup on (key, seg,
+    cell) BEFORE the per-cell rollup.  Returns ``(cx, cy, n_segments,
+    n_users)``."""
+    W = int(cell_milli)
+    w = Window.partitionBy(key).orderBy(ts, order_col)
+    raw = (df.select(
+        F.col(key).alias("u"),
+        (F.row_number().over(w) - 1).alias("s"),
+        F.floor(F.col(lon) * 1000 + 0.5).cast("long").alias("px"),
+        F.floor(F.col(lat) * 1000 + 0.5).cast("long").alias("py"),
+        F.floor(F.lead(lon).over(w) * 1000 + 0.5).cast("long").alias("qx"),
+        F.floor(F.lead(lat).over(w) * 1000 + 0.5).cast("long").alias("qy"))
+        .where(F.col("qx").isNotNull()))
+    # orient left-to-right so dx >= 0 (y swaps with its x)
+    fwd = F.col("qx") >= F.col("px")
+    segs = raw.select(
+        "u", "s",
+        F.when(fwd, F.col("px")).otherwise(F.col("qx")).alias("ax"),
+        F.when(fwd, F.col("py")).otherwise(F.col("qy")).alias("ay"),
+        F.when(fwd, F.col("qx")).otherwise(F.col("px")).alias("bx"),
+        F.when(fwd, F.col("qy")).otherwise(F.col("py")).alias("by"))
+    cols = (segs
+            .withColumn("cx", F.explode(F.sequence(
+                F.floor(F.col("ax") / W).cast("long"),
+                F.floor(F.col("bx") / W).cast("long")))))
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    xlo = F.greatest(F.col("ax"), F.col("cx") * W)
+    xhi = F.least(F.col("bx"), (F.col("cx") + 1) * W)
+    n1 = F.col("ay") * dx + dy * (xlo - F.col("ax"))
+    n2 = F.col("ay") * dx + dy * (xhi - F.col("ax"))
+    den = dx * W
+    cy1v = F.floor(F.least(n1, n2) / den).cast("long")
+    cy2v = F.floor(F.greatest(n1, n2) / den).cast("long")
+    cy1 = F.when(dx == 0, F.floor(F.least("ay", "by") / W).cast("long")) \
+        .otherwise(cy1v)
+    cy2 = F.when(dx == 0, F.floor(F.greatest("ay", "by") / W).cast("long")) \
+        .otherwise(cy2v)
+    cells = (cols.withColumn("cy", F.explode(F.sequence(cy1, cy2)))
+             .select("u", "s", "cx", "cy").distinct())
+    return (cells.groupBy("cx", "cy")
+            .agg(F.count("*").alias("n_segments"),
+                 F.countDistinct("u").alias("n_users")))

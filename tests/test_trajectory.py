@@ -979,3 +979,82 @@ def test_haar_energy_hand_series(spark):
     s2 = [s1[2 * i] + s1[2 * i + 1] for i in range(2)]
     e3 = (s2[0] - s2[1]) ** 2
     assert (r["n_obs"], r["e1"], r["e2"], r["e3"]) == (7, e1, e2, e3)
+
+
+def test_corridor_counts_exact_rational_replay(spark):
+    """Supercover cells equal an exact-Fraction replay of the rule
+    (orientation, column clip, rational y floor), and every sampled
+    interior point's cell is in the set."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from geotile import trajectory
+
+    W = 250
+    rng = np.random.default_rng(31)
+    rows, tracks = [], {}
+    for u in range(4):
+        n = int(rng.integers(4, 20))
+        xs = np.cumsum(rng.integers(-900, 901, n)) + int(rng.integers(-3000, 3000))
+        ys = np.cumsum(rng.integers(-700, 701, n)) + int(rng.integers(-3000, 3000))
+        tracks[u] = (xs, ys)
+        rows += [(u, int(t), int(t), float(y) / 1000.0, float(x) / 1000.0)
+                 for t, (x, y) in enumerate(zip(xs, ys))]
+    # degenerate shapes: horizontal, vertical, single repeated point
+    tracks[10] = (np.array([0, 1000]), np.array([100, 100]))
+    tracks[11] = (np.array([100, 100]), np.array([0, 1000]))
+    tracks[12] = (np.array([499, 499]), np.array([499, 499]))
+    for u in (10, 11, 12):
+        xs, ys = tracks[u]
+        rows += [(u, int(t), int(t), float(y) / 1000.0, float(x) / 1000.0)
+                 for t, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, lat double, lon double")
+    out = trajectory.corridor_counts(df, cell_milli=W)
+    got = {(r["cx"], r["cy"]): (r["n_segments"], r["n_users"])
+           for r in out.collect()}
+
+    def replay(xs, ys):
+        cells = set()
+        for i in range(len(xs) - 1):
+            ax, ay, bx, by = int(xs[i]), int(ys[i]), int(xs[i + 1]), int(ys[i + 1])
+            if bx < ax:
+                ax, ay, bx, by = bx, by, ax, ay
+            for cx in range(ax // W, bx // W + 1):   # python // floors
+                xlo, xhi = max(ax, cx * W), min(bx, (cx + 1) * W)
+                if bx == ax:
+                    y1, y2 = min(ay, by), max(ay, by)
+                    c1, c2 = y1 // W, y2 // W
+                else:
+                    f1 = Fraction(ay * (bx - ax) + (by - ay) * (xlo - ax),
+                                  (bx - ax) * W)
+                    f2 = Fraction(ay * (bx - ax) + (by - ay) * (xhi - ax),
+                                  (bx - ax) * W)
+                    lo, hi = min(f1, f2), max(f1, f2)
+                    import math
+                    c1, c2 = math.floor(lo), math.floor(hi)
+                for cy in range(c1, c2 + 1):
+                    cells.add((cx, cy))
+        return cells
+
+    # per-cell counts: count distinct (u, seg) traversals
+    from collections import defaultdict
+    segcells = defaultdict(set)
+    for u, (xs, ys) in tracks.items():
+        for i in range(len(xs) - 1):
+            for c in replay(xs[i:i + 2], ys[i:i + 2]):
+                segcells[c].add((u, i))
+    want = {c: (len(ss), len({u for u, _ in ss}))
+            for c, ss in segcells.items()}
+    assert got == want
+    # interior-point containment (necessary condition, independent)
+    for u, (xs, ys) in tracks.items():
+        for i in range(len(xs) - 1):
+            for k in range(0, 11):
+                t = Fraction(k, 10)
+                px = Fraction(int(xs[i])) + t * (int(xs[i + 1]) - int(xs[i]))
+                py = Fraction(int(ys[i])) + t * (int(ys[i + 1]) - int(ys[i]))
+                import math
+                c = (math.floor(px / W), math.floor(py / W))
+                assert c in got, (u, i, k)

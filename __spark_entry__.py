@@ -4909,6 +4909,109 @@ def _q234_corridor_raster(spark: SparkSession, sf: str) -> DataFrame:
     return pc.orderBy("cx", "cy")
 
 
+def _q235_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit per gh2 cell (completing the privacy triad
+    with q149's k-anonymity and q195's l-diversity): per cell the
+    integer-scaled Earth-Mover's distance between the cell's
+    event-type distribution and the global one over the ordered
+    categories — ``t_scaled = sum_k |cumc_k * N - cumg_k * n_c|`` —
+    the disclosure test that catches a cell whose published rows are
+    distributionally skewed even when k and l pass.  Zero-filled over
+    the cell x type grid; the gate compares exact BIGINTs (t itself
+    is t_scaled / (n_c * N)).  The oracle replays the cum windows on
+    the same grid with the gh5-prefix gh2."""
+    pos = engine.with_cell(_positions_df(spark, sf), nchars=2,
+                           out="cell")
+    ty = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_id", "event_type"))
+    base = pos.join(ty, "event_id").select("cell", "event_type")
+    c = base.groupBy("cell", "event_type").agg(F.count("*").alias("c"))
+    cells = c.groupBy("cell").agg(F.sum("c").alias("n_c"))
+    glob = c.groupBy("event_type").agg(F.sum("c").alias("g"))
+    ncol = glob.agg(F.sum("g").alias("N"))
+    grid = (cells.crossJoin(F.broadcast(glob))
+            .join(c, ["cell", "event_type"], "left")
+            .select("cell", "event_type", "n_c", "g",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    w = (Window.partitionBy("cell").orderBy("event_type")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.withColumn("cumc", F.sum("c").over(w))
+           .withColumn("cumg", F.sum("g").over(w))
+           .crossJoin(F.broadcast(ncol)))
+    return (cum.groupBy("cell")
+            .agg(F.max("n_c").alias("n"),
+                 F.sum(F.abs(F.col("cumc") * F.col("N")
+                             - F.col("cumg") * F.col("n_c")))
+                 .alias("t_scaled"))
+            .orderBy("cell"))
+
+
+def _q236_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity and constraint audit over the relational
+    tables (Great-Expectations-style data validation — the check
+    suite a pipeline runs BEFORE training consumption): orphan
+    foreign keys (anti-joins), duplicate line keys, range and
+    cross-table order-date rules — one row per rule with exact
+    violation and population counts (the synthetic data genuinely
+    violates ship-after-order and carries negative balances, so the
+    audit has nonzero findings to gate).  The oracle states each rule
+    in plain SQL."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+
+    def _rule(name: str, viol, checked) -> DataFrame:
+        return (viol.crossJoin(checked)
+                .select(F.lit(name).alias("rule"),
+                        F.col("v").cast("long").alias("n_violations"),
+                        F.col("t").cast("long").alias("n_checked")))
+
+    parts = [
+        _rule("r1_order_orphan_customer",
+              orders.join(cust, orders["o_custkey"] == cust["c_custkey"],
+                          "left_anti").agg(F.count("*").alias("v")),
+              orders.agg(F.count("*").alias("t"))),
+        _rule("r2_lineitem_orphan_order",
+              li.join(orders, li["l_orderkey"] == orders["o_orderkey"],
+                      "left_anti").agg(F.count("*").alias("v")),
+              li.agg(F.count("*").alias("t"))),
+        _rule("r3_negative_acctbal",
+              cust.where(F.col("c_acctbal") < 0)
+              .agg(F.count("*").alias("v")),
+              cust.agg(F.count("*").alias("t"))),
+        _rule("r4_ship_before_order",
+              li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .where(F.col("l_shipdate") < F.col("o_orderdate"))
+              .agg(F.count("*").alias("v")),
+              li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .agg(F.count("*").alias("t"))),
+        _rule("r5_dup_line_key",
+              li.groupBy("l_orderkey", "l_linenumber")
+              .agg(F.count("*").alias("k"))
+              .agg(F.coalesce(F.sum(F.col("k") - 1), F.lit(0))
+                   .alias("v")),
+              li.agg(F.count("*").alias("t"))),
+        _rule("r6_quantity_range",
+              li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+              .agg(F.count("*").alias("v")),
+              li.agg(F.count("*").alias("t"))),
+        _rule("r7_discount_hi",
+              li.where(F.col("l_discount") > 0.08)
+              .agg(F.count("*").alias("v")),
+              li.agg(F.count("*").alias("t"))),
+        _rule("r8_supplier_orphan_nation",
+              supp.join(nat, supp["s_nationkey"] == nat["n_nationkey"],
+                        "left_anti").agg(F.count("*").alias("v")),
+              supp.agg(F.count("*").alias("t"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5177,6 +5280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_half_sample_bootstrap": _q232_half_sample_bootstrap,
         "q233_vocab_growth": _q233_vocab_growth,
         "q234_corridor_raster": _q234_corridor_raster,
+        "q235_t_closeness": _q235_t_closeness,
+        "q236_integrity_audit": _q236_integrity_audit,
     }
 
 
@@ -12350,6 +12455,90 @@ ce234 AS (
 SELECT cx, cy, count(*) AS n_segments,
        count(DISTINCT u) AS n_users
 FROM ce234 GROUP BY 1, 2 ORDER BY cx, cy
+"""
+
+    # q235: t-closeness — gh2 from the gh5 prefix, zero-filled
+    # cell x type grid, integer-scaled EMD over ordered categories
+    sqls["q235_t_closeness"] = f"""
+WITH {_POS_CTE},
+b235 AS (
+  SELECT substr({gh5}, 1, 2) AS cell, e.event_type
+  FROM pos p JOIN events e ON e.event_id = p.event_id
+),
+c235 AS (SELECT cell, event_type, count(*) AS c FROM b235 GROUP BY 1, 2),
+n235 AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_c FROM c235 GROUP BY 1),
+g235 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS g FROM c235 GROUP BY 1),
+nn235 AS (SELECT CAST(sum(g) AS BIGINT) AS N FROM g235),
+gr235 AS (
+  SELECT n.cell, g.event_type, n.n_c, g.g,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM n235 n CROSS JOIN g235 g
+  LEFT JOIN c235 c ON c.cell = n.cell AND c.event_type = g.event_type
+),
+cm235 AS (
+  SELECT cell, n_c,
+         CAST(sum(c) OVER w AS BIGINT) AS cumc,
+         CAST(sum(g) OVER w AS BIGINT) AS cumg
+  FROM gr235
+  WINDOW w AS (PARTITION BY cell ORDER BY event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cell, max(n_c) AS n,
+       CAST(sum(abs(cumc * (SELECT N FROM nn235) - cumg * n_c)) AS BIGINT)
+       AS t_scaled
+FROM cm235 GROUP BY cell ORDER BY cell
+"""
+
+    # q236: integrity audit — each rule in plain SQL, exact counts
+    sqls["q236_integrity_audit"] = r"""
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_checked AS BIGINT) AS n_checked
+FROM (
+  SELECT 'r1_order_orphan_customer' AS rule,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+         (SELECT count(*) FROM orders) AS n_checked
+  UNION ALL
+  SELECT 'r2_lineitem_orphan_order',
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'r3_negative_acctbal',
+         (SELECT count(*) FROM customer WHERE c_acctbal < 0),
+         (SELECT count(*) FROM customer)
+  UNION ALL
+  SELECT 'r4_ship_before_order',
+         (SELECT count(*) FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_shipdate < o.o_orderdate),
+         (SELECT count(*) FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'r5_dup_line_key',
+         (SELECT COALESCE(sum(k - 1), 0) FROM (
+            SELECT count(*) AS k FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'r6_quantity_range',
+         (SELECT count(*) FROM lineitem
+          WHERE l_quantity < 1 OR l_quantity > 50),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'r7_discount_hi',
+         (SELECT count(*) FROM lineitem WHERE l_discount > 0.08),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'r8_supplier_orphan_nation',
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey)),
+         (SELECT count(*) FROM supplier)
+)
+ORDER BY rule
 """
 
     # Every queries() entry above has an exact oracle — including the

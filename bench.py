@@ -153,6 +153,7 @@ def main() -> None:
         "q229_label_centroids", "q230_stream_records",
         "q231_gazetteer_mentions", "q232_half_sample_bootstrap",
         "q233_vocab_growth", "q234_corridor_raster",
+        "q235_t_closeness", "q236_integrity_audit",
     ]
     from geotile import cache, textops
 

@@ -1296,7 +1296,8 @@ _EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                          "event_type string, value double, props string")
 
 
-def _stream_events(spark: SparkSession, sf: str, copies: int = 1):
+def _stream_events(spark: SparkSession, sf: str, copies: int = 1,
+                   max_files: int | None = None):
     """File-source stream over the events table (Structured Streaming's
     file source needs a DIRECTORY; the testdata tables are single
     parquet files, so stream from a /tmp symlink dir).  ``copies > 1``
@@ -1315,7 +1316,10 @@ def _stream_events(spark: SparkSession, sf: str, copies: int = 1):
         link = os.path.join(d, ln)
         if not os.path.lexists(link):
             os.symlink(f"{sf}/events.parquet", link)
-    return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(d)
+    reader = spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    return reader.parquet(d)
 
 
 _DOCS_STREAM_SCHEMA = ("doc_id long, text string, lang string, "
@@ -5012,6 +5016,75 @@ def _q236_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("rule")
 
 
+def _q237_stream_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Twelfth streaming query under the exact gate: streaming
+    INCREMENTAL VIEW MAINTENANCE (streaming.ivm_rollup_stream) — the
+    events file symlinked TWICE with maxFilesPerTrigger=1, so the
+    foreachBatch merge provably folds a nonzero base state (batch 1
+    merges into batch 0's snapshot via table.merge_rollup); the final
+    versioned snapshot must equal the batch rollup at exactly DOUBLE
+    the counts — the q210 IVM identity run continuously.  Per-element
+    micro-floors keep the value sum exact (q84 discipline)."""
+    import shutil
+    import tempfile
+
+    from geotile import streaming
+
+    base = tempfile.mkdtemp(prefix="geotile_q237_")
+    state_dir = f"{base}/state"
+    ckpt = f"{base}/ckpt"
+    ev = _stream_events(spark, sf, copies=2, max_files=1)
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.groupBy("event_type")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum(F.floor(F.col("value") * 1000000))
+                     .cast("long").alias("value_micro_sum")))
+
+    q = streaming.ivm_rollup_stream(
+        spark, ev, state_dir, ckpt, _delta,
+        keys=["event_type"], sums=["n", "value_micro_sum"])
+    q.awaitTermination(300)
+    out = (streaming.read_state(spark, state_dir)
+           .orderBy("event_type")
+           .collect())
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "event_type string, n long, value_micro_sum long")
+
+
+def _q238_topk_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k token churn between the two doc-id halves of the corpus:
+    the top-50 tokens of each half by (count desc, token asc), FULL
+    outer joined with -1 sentinel ranks (NULL-free gate) — the index-
+    freshness / drift diagnostic showing which head terms entered,
+    exited, or moved between corpus generations.  All exact integers.
+    The oracle replays the halving, ranking, and sentinel join."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    toks = (docs.crossJoin(F.broadcast(mx))
+            .select(F.floor(F.col("doc_id") * 2 / (F.col("mx") + 1))
+                    .cast("long").alias("half"),
+                    F.explode(F.split(F.trim("text"),
+                                      textops.WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    c = toks.groupBy("half", "t").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("half").orderBy(F.desc("n"), F.asc("t"))
+    top = (c.withColumn("rank", F.row_number().over(w).cast("long"))
+           .where(F.col("rank") <= 50))
+    a = (top.where(F.col("half") == 0)
+         .select(F.col("t").alias("token"), F.col("rank").alias("rank_a")))
+    b = (top.where(F.col("half") == 1)
+         .select(F.col("t").alias("token"), F.col("rank").alias("rank_b")))
+    return (a.join(b, "token", "full")
+            .select("token",
+                    F.coalesce("rank_a", F.lit(-1)).alias("rank_a"),
+                    F.coalesce("rank_b", F.lit(-1)).alias("rank_b"))
+            .orderBy("token"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5282,6 +5355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_corridor_raster": _q234_corridor_raster,
         "q235_t_closeness": _q235_t_closeness,
         "q236_integrity_audit": _q236_integrity_audit,
+        "q237_stream_ivm_rollup": _q237_stream_ivm_rollup,
+        "q238_topk_churn": _q238_topk_churn,
     }
 
 
@@ -12539,6 +12614,44 @@ FROM (
          (SELECT count(*) FROM supplier)
 )
 ORDER BY rule
+"""
+
+    # q237: streaming IVM — doubled source, so the merged snapshot is
+    # exactly 2x the batch rollup (per-element micro-floors)
+    sqls["q237_stream_ivm_rollup"] = r"""
+SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,
+       CAST(2 * sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+       AS value_micro_sum
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+    # q238: top-k churn — doc-id halves, (count desc, token asc) ranks,
+    # sentinel full-outer join
+    sqls["q238_topk_churn"] = r"""
+WITH mx238 AS (SELECT max(doc_id) AS mx FROM documents),
+t238 AS (
+  SELECT CAST(floor(doc_id * 2.0 / (mx.mx + 1)) AS BIGINT) AS half,
+         unnest(regexp_split_to_array(trim(text),
+                                      '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents CROSS JOIN mx238 mx
+),
+c238 AS (
+  SELECT half, t, count(*) AS n FROM t238 WHERE t <> '' GROUP BY 1, 2
+),
+r238 AS (
+  SELECT half, t,
+         row_number() OVER (PARTITION BY half
+                            ORDER BY n DESC, t ASC) AS rank
+  FROM c238
+),
+top238 AS (SELECT * FROM r238 WHERE rank <= 50)
+SELECT COALESCE(a.t, b.t) AS token,
+       CAST(COALESCE(a.rank, -1) AS BIGINT) AS rank_a,
+       CAST(COALESCE(b.rank, -1) AS BIGINT) AS rank_b
+FROM (SELECT t, rank FROM top238 WHERE half = 0) a
+FULL OUTER JOIN (SELECT t, rank FROM top238 WHERE half = 1) b
+  ON b.t = a.t
+ORDER BY token
 """
 
     # Every queries() entry above has an exact oracle — including the

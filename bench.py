@@ -154,6 +154,7 @@ def main() -> None:
         "q231_gazetteer_mentions", "q232_half_sample_bootstrap",
         "q233_vocab_growth", "q234_corridor_raster",
         "q235_t_closeness", "q236_integrity_audit",
+        "q237_stream_ivm_rollup", "q238_topk_churn",
     ]
     from geotile import cache, textops
 

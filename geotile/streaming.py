@@ -340,3 +340,32 @@ def record_low_stream(updates: DataFrame, key: str = "source",
             .groupBy(key)
             .applyInPandasWithState(_update, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def ivm_rollup_stream(spark: SparkSession, updates: DataFrame,
+                      state_dir: str, checkpoint_dir: str,
+                      delta_fn, keys, sums, available_now: bool = True):
+    """Streaming INCREMENTAL VIEW MAINTENANCE: each micro-batch
+    partial-aggregates to a delta rollup (``delta_fn``) and
+    :func:`geotile.table.merge_rollup`-merges it into the versioned
+    state snapshot — the q210 IVM identity (merge(base, delta) ==
+    direct recompute) running continuously, which is how a 100-TB
+    rollup stays fresh without rescanning history.  Snapshots commit
+    through write_stage manifests, so replays overwrite the same
+    version (idempotent, the upsert_stream discipline).
+
+    Returns the started StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = delta_fn(batch_df)
+        state = read_state(spark, state_dir)
+        merged = delta if state is None else table.merge_rollup(
+            state, delta, keys, sums)
+        out = _state_version_path(state_dir, int(batch_id))
+        table.write_stage(merged, out, params={"batch_id": int(batch_id)})
+
+    writer = (updates.writeStream.foreachBatch(_merge)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

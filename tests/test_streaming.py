@@ -369,3 +369,34 @@ def test_record_low_stream_multi_batch(spark, tmp_path):
     got = sorted((r["doc_id"], r["pr"]) for r in
                  spark.read.parquet(out_dir).collect())
     assert got == [(1, 50.0), (2, 40.0), (5, 10.0)]
+
+
+def test_ivm_rollup_stream_multi_batch(spark, tmp_path):
+    """Each micro-batch's delta merges into the prior snapshot; the
+    final state equals the batch rollup over everything."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ivm_src")
+    state = str(tmp_path / "ivm_state")
+    ckpt = str(tmp_path / "ivm_ckpt")
+    os.makedirs(src)
+    schema = "k string, v long"
+    spark.createDataFrame([("a", 1), ("b", 2)], schema) \
+        .coalesce(1).write.parquet(src + "/b0")
+    spark.createDataFrame([("a", 10), ("c", 5)], schema) \
+        .coalesce(1).write.parquet(src + "/b1")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/b*"))
+
+    def delta(df):
+        return df.groupBy("k").agg(F.count("*").cast("long").alias("n"),
+                                   F.sum("v").cast("long").alias("v_sum"))
+
+    q = streaming.ivm_rollup_stream(spark, stream, state, ckpt, delta,
+                                    keys=["k"], sums=["n", "v_sum"])
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n"], r["v_sum"])
+           for r in streaming.read_state(spark, state).collect()}
+    assert got == {"a": (2, 11), "b": (1, 2), "c": (1, 5)}
+    # two snapshot versions exist (one per batch)
+    assert streaming.latest_state_version(state) >= 1

@@ -1659,3 +1659,16 @@ def test_vocab_growth_invariants(spark):
     assert g[-1]["cum_vocab"] == vocab
     assert all(g[i]["cum_vocab"] <= g[i + 1]["cum_vocab"]
                for i in range(len(g) - 1))
+
+
+def test_topk_churn_sentinels(spark):
+    """q238 shape: ranks in 1..50 or -1; a token present in both
+    halves carries both real ranks."""
+    import __spark_entry__ as E
+
+    out = E._q238_topk_churn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["rank_a"] == -1 or 1 <= r["rank_a"] <= 50
+        assert r["rank_b"] == -1 or 1 <= r["rank_b"] <= 50
+        assert not (r["rank_a"] == -1 and r["rank_b"] == -1)

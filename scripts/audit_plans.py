@@ -1312,6 +1312,22 @@ def main() -> None:
          "vocab_growth (q233): one token-type min-doc aggregate (the "
          "vocabulary build's own shuffle), broadcast 1-row max, "
          "10-row window"),
+        (_entry._q234_corridor_raster,
+         "corridor_raster (q234): segments from one per-user window; "
+         "column/row explodes bounded by step length / cell size; "
+         "traversal dedup on slim (u, s, cell) keys before the cell "
+         "rollup — never a theta join, never bigint division"),
+        (_entry._q235_t_closeness,
+         "t_closeness (q235): one (cell, type) partial aggregation; "
+         "grid, cum windows, and EMD all run on the collapsed "
+         "cell x 5-type frame with two broadcast dims"),
+        (_entry._q236_integrity_audit,
+         "integrity_audit (q236): each FK rule is a broadcast "
+         "anti-join or filter count; all eight rules land as 1-row "
+         "aggregates unioned"),
+        (_entry._q238_topk_churn,
+         "topk_churn (q238): one (half, token) aggregate, two 50-row "
+         "top-k windows, sentinel full-outer join on 100 rows max"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

@@ -5085,6 +5085,74 @@ def _q238_topk_churn(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("token"))
 
 
+def _q239_geary_c(spark: SparkSession, sf: str) -> DataFrame:
+    """Global Geary's C spatial autocorrelation (engine.geary_c) over
+    the q105 lattice: ONE row of exact integers — occupied-cell count,
+    8-neighbor weight sum, the pairwise squared-difference numerator
+    (raw counts, no centering needed), the Moran-scaled denominator
+    z'^2, and the micro-unit C from one fixed-shape double expression.
+    Moran's I (q105) is the cross-product statistic; Geary's C is the
+    local-contrast statistic — the standard spatial-stats pairing."""
+    from geotile import cache
+
+    out = engine.geary_c(_positions_df(spark, sf))
+    return cache.track(out, getattr(out, "_geotile_persisted", []))
+
+
+def _q240_ripley_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Ripley's K pair counts (engine.ripley_pairs) at 1/2/4-degree
+    radii over the SCATTERED positions on the integer milli-degree
+    plane: cumulative unordered pair counts under an exact BIGINT
+    disk test — multi-scale clustered-vs-dispersed evidence with zero
+    doubles in the predicate.  One cell-bucketed candidate join
+    serves all radii (each pair emits its smallest covering radius);
+    the oracle replays the snap, the 3x3 bucket join, and the
+    cumulative rollup."""
+    pos = _positions2_df(spark, sf)
+    return engine.ripley_pairs(pos, [1000, 2000, 4000]).orderBy("r_milli")
+
+
+def _q241_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell Theil–Sen robust trend slope (engine.theil_sen_trend,
+    gh3 cells, daily bins) — the magnitude companion to q131's
+    Mann-Kendall sign test: the LOW median of all pairwise
+    floor-micro slopes over the COLLAPSED (cell, day) count frame.
+    The oracle replays the closed-form geohash, the pair self-join,
+    and the rank-(k+1)/2 pick."""
+    from geotile import cache
+
+    pos = engine.with_cell(_positions_df(spark, sf)) \
+        .withColumn("ep", F.unix_timestamp("ts"))
+    out = engine.theil_sen_trend(pos)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q242_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient
+    (graph.clustering_coefficients) over the q83 link graph: triangle
+    counts normalized by the wedge entitlement deg*(deg-1)/2, emitted
+    as exact integers (deg, n_tri) plus the floored micro
+    coefficient — the community-vs-link-farm density feature.  The
+    oracle extends q83's HUGEINT xxhash64 edge replica with the
+    degree rollup and the same fixed-shape division."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.clustering_coefficients(edges)
+    return cache.track(out.orderBy("node"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5357,6 +5425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_integrity_audit": _q236_integrity_audit,
         "q237_stream_ivm_rollup": _q237_stream_ivm_rollup,
         "q238_topk_churn": _q238_topk_churn,
+        "q239_geary_c": _q239_geary_c,
+        "q240_ripley_pairs": _q240_ripley_pairs,
+        "q241_theil_sen": _q241_theil_sen,
+        "q242_clustering_coeff": _q242_clustering_coeff,
     }
 
 
@@ -12652,6 +12724,158 @@ FROM (SELECT t, rank FROM top238 WHERE half = 0) a
 FULL OUTER JOIN (SELECT t, rank FROM top238 WHERE half = 1) b
   ON b.t = a.t
 ORDER BY token
+"""
+
+    # q239: Geary's C — same occupied lattice / 8-neighbor ring as
+    # q105; numerator in raw counts, denominator in Moran's scaled z'
+    sqls["q239_geary_c"] = f"""
+WITH {_POS_CTE},
+c239 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m105a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m105o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+s239 AS (SELECT count(*) AS n_cells, sum(n) AS s_pts FROM c239),
+z239 AS (SELECT i, j, n, (s239.n_cells * n - s239.s_pts) AS z
+         FROM c239, s239),
+o239(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+e239 AS (
+  SELECT a.n AS na, b.n AS nb
+  FROM z239 a CROSS JOIN o239 o
+  JOIN z239 b ON b.i = a.i + o.di AND b.j = ((a.j + o.dj) % 128 + 128) % 128
+),
+g239 AS (SELECT count(*) AS w_sum,
+                coalesce(sum((na - nb) * (na - nb)), 0) AS num
+         FROM e239),
+d239 AS (SELECT coalesce(sum(z * z), 0) AS den FROM z239)
+SELECT CAST(s239.n_cells AS BIGINT) AS n_cells,
+       CAST(g239.w_sum AS BIGINT) AS w_sum,
+       CAST(g239.num AS BIGINT) AS num,
+       CAST(d239.den AS BIGINT) AS den,
+       CASE WHEN g239.w_sum > 0 AND d239.den <> 0 THEN
+         CAST(floor(1000000.0 *
+              ((CAST(s239.n_cells - 1 AS DOUBLE)
+                * CAST(s239.n_cells AS DOUBLE) * CAST(s239.n_cells AS DOUBLE)
+                * CAST(g239.num AS DOUBLE))
+               / (2.0 * CAST(g239.w_sum AS DOUBLE) * CAST(d239.den AS DOUBLE))))
+              AS BIGINT)
+       ELSE 0 END AS c_micro
+FROM s239, g239, d239
+"""
+
+    # q240: Ripley pair counts — milli snap, rmax buckets, 3x3 join,
+    # exact BIGINT disk test, cumulative radii
+    sqls["q240_ripley_pairs"] = f"""
+WITH {_POS2_CTE},
+p240 AS (
+  SELECT event_id AS pid,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py
+  FROM pos2
+),
+h240 AS (
+  SELECT pid, px, py,
+         CAST(floor(px / 4000.0) AS BIGINT) AS cx,
+         CAST(floor(py / 4000.0) AS BIGINT) AS cy
+  FROM p240
+),
+o240(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+d240 AS (
+  SELECT (a.px - b.px) * (a.px - b.px)
+         + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM h240 a CROSS JOIN o240 o
+  JOIN h240 b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.pid < b.pid
+),
+r240(r_milli) AS (VALUES (1000), (2000), (4000))
+SELECT CAST(r.r_milli AS BIGINT) AS r_milli,
+       CAST((SELECT count(*) FROM d240 d
+             WHERE d.d2 <= r.r_milli * r.r_milli) AS BIGINT) AS n_pairs
+FROM r240 r
+ORDER BY r_milli
+"""
+
+    # q241: Theil–Sen — q131's (cell, day) frame, floor-micro pairwise
+    # slopes, LOW-median rank pick
+    sqls["q241_theil_sen"] = f"""
+WITH {_POS_CTE},
+c241 AS (
+  SELECT substr({gh5}, 1, 3) AS cell,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+p241 AS (
+  SELECT a.cell,
+         CAST(floor(CAST(b.n - a.n AS DOUBLE) * 1000000.0
+                    / CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS s
+  FROM c241 a JOIN c241 b ON b.cell = a.cell AND a.day < b.day
+),
+r241 AS (
+  SELECT cell, s,
+         row_number() OVER (PARTITION BY cell ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY cell) AS k
+  FROM p241
+),
+m241 AS (
+  SELECT cell, k AS n_pairs, s AS slope_micro
+  FROM r241 WHERE rn = (k + 1) // 2
+),
+d241 AS (
+  SELECT cell, count(*) AS n_days FROM c241 GROUP BY cell HAVING count(*) >= 2
+)
+SELECT d.cell, CAST(d.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       CAST(m.slope_micro AS BIGINT) AS slope_micro
+FROM d241 d JOIN m241 m ON m.cell = d.cell
+ORDER BY d.cell
+"""
+
+    # q242: clustering coefficients — q83's edge replica + degree
+    # rollup + the same fixed-shape micro division
+    sqls["q242_clustering_coeff"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l242 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l242", "z0", "xh", "x242")},
+e242a AS (
+  SELECT doc_id AS src, ((({_sig83} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x242f CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS u,
+                  CAST(greatest(src, dst) AS BIGINT) AS v
+  FROM e242a WHERE src <> dst
+),
+deg242 AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+tri242 AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nt242 AS (
+  SELECT node, count(*) AS n_tri
+  FROM (SELECT a AS node FROM tri242
+        UNION ALL SELECT b FROM tri242
+        UNION ALL SELECT c FROM tri242)
+  GROUP BY node
+)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(floor(1000000.0 * (2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE))
+                  / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)))
+            AS BIGINT) AS cc_micro
+FROM deg242 d LEFT JOIN nt242 t ON t.node = d.node
+WHERE d.deg >= 2
+ORDER BY d.node
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -155,6 +155,8 @@ def main() -> None:
         "q233_vocab_growth", "q234_corridor_raster",
         "q235_t_closeness", "q236_integrity_audit",
         "q237_stream_ivm_rollup", "q238_topk_churn",
+        "q239_geary_c", "q240_ripley_pairs", "q241_theil_sen",
+        "q242_clustering_coeff",
     ]
     from geotile import cache, textops
 

@@ -2349,3 +2349,210 @@ def zonal_stats(polygons: DataFrame, points: DataFrame, scale: int = 2,
                  .alias("n_points"),
                  F.coalesce(F.max("n"), F.lit(0)).cast("long")
                  .alias("peak_n")))
+
+
+def geary_c(df: DataFrame, lat: str = "lat", lon: str = "lon",
+            lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """Global Geary's C spatial autocorrelation over the occupied
+    integer lattice — the PAIRWISE-difference companion to
+    :func:`morans_i` (Moran's I is a cross-product statistic dominated
+    by global structure; Geary's C is a squared-difference statistic
+    more sensitive to LOCAL contrast; reading both is the standard
+    spatial-stats practice).  Weights are the identical binary
+    8-neighbor adjacency among OCCUPIED cells (longitude wraps across
+    the antimeridian, latitude rows clamp at the poles).
+
+    Exactness: the numerator needs no centering at all — ``num = sum
+    over neighbor pairs of (n_a - n_b)^2`` is exact in raw counts; the
+    denominator reuses Moran's exact scaled centering ``z' = N*n - S``
+    so ``den = sum z'^2 = N^2 * sum (n - mean)^2``.  Geary's
+    ``C = (N-1)/(2W) * num / (den/N^2)`` then derives as ``c_micro =
+    floor(1e6 * ((N-1)*N^2*num) / (2*W*den))`` in ONE fixed-shape
+    double expression (identical op tree in the oracle), 0 when W or
+    den is 0.  ANSI bound: num <= W * max_n^2 as BIGINT — fine to
+    ~10^9 points per cell; the derived double is where exactness stops
+    mattering beyond that.
+
+    Scale shape: identical to morans_i — points are touched once by
+    the count aggregate; every later frame is occupied-CELL sized
+    (bounded by 2^(lat_bits+lon_bits)), the corpus stats attach as a
+    1-row broadcast.  Returns ONE row ``(n_cells, w_sum, num, den,
+    c_micro)``, NULL-free."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    st = cells.agg(F.count("*").alias("n_cells"), F.sum("n").alias("s_pts"))
+    z = (cells.crossJoin(F.broadcast(st))
+         .select("i", "j", "n",
+                 (F.col("n_cells") * F.col("n") - F.col("s_pts")).alias("z")))
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    a = (z.select("i", "j", "n", F.explode(offs).alias("o"))
+         .select((F.col("i") + F.col("o.di")).alias("ti"),
+                 F.pmod(F.col("j") + F.col("o.dj"), F.lit(nj)).alias("tj"),
+                 F.col("n").alias("na"))
+         .where((F.col("ti") >= 0) & (F.col("ti") < ni)))
+    b = z.select(F.col("i").alias("ti"), F.col("j").alias("tj"),
+                 F.col("n").alias("nb"))
+    ed = a.join(b, ["ti", "tj"]).agg(
+        F.count("*").alias("w_sum"),
+        F.sum((F.col("na") - F.col("nb"))
+              * (F.col("na") - F.col("nb"))).alias("num"))
+    dn = z.agg(F.sum(F.col("z") * F.col("z")).alias("den"))
+    w_sum = F.coalesce("w_sum", F.lit(0).cast("long"))
+    num = F.coalesce("num", F.lit(0).cast("long"))
+    den = F.coalesce("den", F.lit(0).cast("long"))
+    n_cells = F.col("n_cells").cast("double")
+    c_micro = F.when(
+        (w_sum > 0) & (den != 0),
+        F.floor(F.lit(1000000.0)
+                * (((F.col("n_cells") - F.lit(1)).cast("double")
+                    * n_cells * n_cells * num.cast("double"))
+                   / (F.lit(2.0) * w_sum.cast("double")
+                      * den.cast("double"))))
+    ).otherwise(F.lit(0)).cast("long")
+    out = (st.crossJoin(ed).crossJoin(dn)
+           .select(F.col("n_cells").cast("long").alias("n_cells"),
+                   w_sum.alias("w_sum"), num.alias("num"), den.alias("den"),
+                   c_micro.alias("c_micro")))
+    return cache.track(out, [cells])
+
+
+def ripley_pairs(df: DataFrame, radii_milli: Sequence[int],
+                 lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Ripley's K pair counts at multiple radii over the integer
+    milli-degree plane — the multi-SCALE point-pattern statistic
+    (clustered vs dispersed AT WHICH range) that single-radius
+    density screens can't answer.  Counts unordered point pairs with
+    planar squared distance ``dx^2 + dy^2 <= r^2`` for every r in
+    ``radii_milli`` — K(r) is one division away (n_pairs * 2 * area /
+    n^2); the gate compares the exact integer pair counts.
+
+    Exactness: coordinates snap to integer milli-degrees via
+    floor(x*1000 + 0.5) (the cross-engine tie rule shared with
+    simplify_tracks/q234) and the disk test is an exact BIGINT
+    compare — no haversine, no doubles, no boundary ulp.  Planar
+    milli-degrees are the documented metric (Ripley's K only needs a
+    consistent metric, not geodesic meters).
+
+    Scale shape: the classic all-pairs O(n^2) definition is realized
+    as a CELL-BUCKETED candidate join — each point joins only the 3x3
+    neighborhood of max(radii)-sized cells around its own, so
+    candidate fan-out is bounded by local density times a constant,
+    never n; the exact test and the r-threshold filter run map-side
+    on the join output BEFORE the count aggregate (the
+    filter-before-shuffle house rule), and all radii share ONE join
+    (each surviving pair emits its smallest covering radius, counts
+    cumulate in one bounded rollup).  Each unordered pair is produced
+    exactly once: the join pairs a's 9 exploded target cells with b's
+    single home cell and keeps id_a < id_b.  Returns ``(r_milli,
+    n_pairs)`` sorted by radius, zero-filled for empty radii."""
+    rads = sorted(int(r) for r in radii_milli)
+    rmax = rads[-1]
+    pts = df.select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("px"),
+        F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("py"))
+    home = pts.select(
+        "pid", "px", "py",
+        F.floor(F.col("px") / F.lit(float(rmax))).cast("long").alias("cx"),
+        F.floor(F.col("py") / F.lit(float(rmax))).cast("long").alias("cy"))
+    offs = F.array(*[F.struct(F.lit(dx).cast("long").alias("dx"),
+                              F.lit(dy).cast("long").alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (home.select(F.col("pid").alias("ida"), F.col("px").alias("xa"),
+                     F.col("py").alias("ya"), "cx", "cy",
+                     F.explode(offs).alias("o"))
+         .select("ida", "xa", "ya",
+                 (F.col("cx") + F.col("o.dx")).alias("tx"),
+                 (F.col("cy") + F.col("o.dy")).alias("ty")))
+    b = home.select(F.col("pid").alias("idb"), F.col("px").alias("xb"),
+                    F.col("py").alias("yb"), F.col("cx").alias("tx"),
+                    F.col("cy").alias("ty"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    # smallest-covering-radius CASE, built from the largest r inward
+    rcase = F.lit(None).cast("long")
+    for r in sorted(rads, reverse=True):
+        rcase = F.when(d2 <= F.lit(r * r), F.lit(r)).otherwise(rcase)
+    pairs = (a.join(b, ["tx", "ty"])
+             .where(F.col("ida") < F.col("idb"))
+             .select(rcase.cast("long").alias("r_at"))
+             .where(F.col("r_at").isNotNull()))
+    per_r = pairs.groupBy("r_at").agg(F.count("*").alias("n_at"))
+    spark = df.sparkSession
+    rframe = spark.createDataFrame([(r,) for r in rads], "r_milli long")
+    w = Window.orderBy("r_milli").rowsBetween(Window.unboundedPreceding, 0)
+    out = (rframe.join(per_r, rframe["r_milli"] == per_r["r_at"], "left")
+           .select("r_milli", F.coalesce("n_at", F.lit(0)).alias("n_at"))
+           .withColumn("n_pairs", F.sum("n_at").over(w).cast("long"))
+           .select("r_milli", "n_pairs"))
+    return out
+
+
+def theil_sen_trend(df: DataFrame, t: str = "ep", nchars: int = 3,
+                    cell_col: str = "geohash") -> DataFrame:
+    """Per-cell Theil–Sen robust slope over DAILY activity counts —
+    the MAGNITUDE companion to :func:`emerging_hotspots` (whose
+    Mann-Kendall S says only whether a cell rises or falls; the
+    Theil–Sen estimator says how FAST, immune to outlier days because
+    it is the median of all pairwise slopes, breakdown point ~29%).
+    Same (cell, day) observed-days semantics as q131.
+
+    Exactness: each pairwise slope quantizes to ``slope_micro =
+    floor(1e6 * (n_j - n_i) / (d_j - d_i))`` — the numerator product
+    is exact in a double (counts fit far below 2^53 / 1e6), IEEE
+    division is correctly rounded identically in both engines, and
+    the floor boundary can only be hit when the true rational is
+    representable (then both engines agree exactly).  The per-cell
+    median is the LOW median (element at rank ceil(k/2) ascending) —
+    the integer-exact tie rule shared with q164's MAD.
+
+    Scale shape: raw events collapse to the (cell, day) count frame
+    in ONE partially-aggregated shuffle; the pair self-join runs on
+    that COLLAPSED frame (fan-out bounded by days^2/2 per cell,
+    independent of event volume); the median is one bounded window.
+    Returns ``(cell, n_days, n_pairs, slope_micro)`` for cells with
+    >= 2 observed days."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    counts = (df.select(cell.alias("cell"),
+                        F.expr(f"{t} div 86400").alias("day"))
+              .groupBy("cell", "day").agg(F.count("*").alias("n"))
+              .persist())
+    a = counts.select(F.col("cell"), F.col("day").alias("di"),
+                      F.col("n").alias("ni"))
+    b = counts.select(F.col("cell").alias("cellb"),
+                      F.col("day").alias("dj"), F.col("n").alias("nj"))
+    slopes = (a.join(b, (a["cell"] == b["cellb"]) & (a["di"] < b["dj"]))
+              .select("cell",
+                      F.floor((F.col("nj") - F.col("ni")).cast("double")
+                              * F.lit(1000000.0)
+                              / (F.col("dj") - F.col("di")).cast("double"))
+                      .cast("long").alias("s")))
+    wr = Window.partitionBy("cell").orderBy("s")
+    ranked = (slopes.withColumn("rn", F.row_number().over(wr))
+              .withColumn("k", F.count("*").over(
+                  Window.partitionBy("cell"))))
+    med = (ranked.where(F.col("rn") == F.expr("(k + 1) div 2"))
+           .select("cell", F.col("k").alias("n_pairs"),
+                   F.col("s").alias("slope_micro")))
+    per_cell = (counts.groupBy("cell").agg(F.count("*").alias("n_days"))
+                .where(F.col("n_days") >= 2))
+    out = per_cell.join(med, "cell").select(
+        "cell", "n_days", "n_pairs", "slope_micro")
+    return cache.track(out, [counts])

@@ -599,3 +599,52 @@ def reciprocity_assortativity(edges: DataFrame, src: str = "src",
                             / (F.sqrt(F.col("den_x"))
                                * F.sqrt(F.col("den_y")))).cast("long")))
     return cache.track(out, [e])
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient — triangles normalized by
+    the wedge entitlement ``deg*(deg-1)/2``, the density feature that
+    separates organic communities (high cc) from crawler artifacts and
+    link farms (hubs with near-zero cc).  Completes the triangle
+    family: :func:`triangle_counts` gives raw closures, this divides
+    by opportunity.
+
+    Returns ``(node, deg, n_tri, cc_micro)`` for every node of degree
+    >= 2 (degree-1 nodes have no wedge entitlement and are excluded by
+    definition), n_tri zero-filled, ``cc_micro = floor(1e6 * 2*n_tri /
+    (deg*(deg-1)))`` derived in ONE fixed-shape double expression —
+    the integer quantities are the gate, the coefficient one division
+    away.
+
+    Plan shape: the canonical low->high edge set is persisted once and
+    shared by the degree aggregate and the two wedge/close joins (the
+    same two-shuffle-join core as triangle_counts); the final join
+    moves only the node-sized degree and triangle frames.  Skew note:
+    the wedge join inherits triangle_counts' id orientation — swap in
+    triangle_counts_oriented's (degree, id) pivot at web scale, as
+    q98 gates."""
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct().persist())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .select(F.explode(F.array("a", "b", "c")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("n_tri")))
+    out = (deg.where(F.col("deg") >= 2)
+           .join(tri, "node", "left")
+           .select("node", "deg",
+                   F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+                   F.floor(F.lit(1000000.0)
+                           * (F.lit(2.0) * F.coalesce("n_tri", F.lit(0))
+                              .cast("double"))
+                           / (F.col("deg").cast("double")
+                              * (F.col("deg") - F.lit(1)).cast("double")))
+                   .cast("long").alias("cc_micro")))
+    return cache.track(out, [und])

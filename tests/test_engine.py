@@ -1634,3 +1634,55 @@ def test_integrity_audit_rules(spark):
         "r7_discount_hi": (895, 6000),
         "r8_supplier_orphan_nation": (0, 10),
     }
+
+
+def test_geary_c_flat_and_contrast(spark):
+    """Equal-count adjacent cells give num = 0 and den = 0 (flat field
+    -> c_micro 0); a high/low pair gives the hand-computed C."""
+    from geotile import cache, engine
+
+    # two adjacent occupied cells (lat rows i=32 lat 0.x), equal counts
+    flat = spark.createDataFrame(
+        [(0.5, 0.5)] * 4 + [(0.5, 3.5)] * 4, "lat double, lon double")
+    r = engine.geary_c(flat).collect()[0]
+    assert (r["n_cells"], r["w_sum"]) == (2, 2)
+    assert r["num"] == 0 and r["den"] == 0 and r["c_micro"] == 0
+    # contrast: counts 1 vs 5 -> num = 2*(5-1)^2 = 32,
+    # z' = (2n - 6) -> (-4, 4), den = 32; C = (1*4*32)/(2*2*32) = 1
+    hot = spark.createDataFrame(
+        [(0.5, 0.5)] + [(0.5, 3.5)] * 5, "lat double, lon double")
+    r2 = engine.geary_c(hot).collect()[0]
+    assert (r2["num"], r2["den"]) == (32, 32)
+    assert r2["c_micro"] == 1000000
+
+
+def test_ripley_pairs_hand_counts(spark):
+    """Three points at 0 / 1500 / 4000 milli-deg on one axis: exact
+    pair counts cumulate over the radii."""
+    from geotile import engine
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.5), (3, 0.0, 4.0)],
+        "event_id long, lat double, lon double")
+    out = {r["r_milli"]: r["n_pairs"]
+           for r in engine.ripley_pairs(pts, [1000, 2000, 4000]).collect()}
+    # d(1,2)=1500, d(2,3)=2500, d(1,3)=4000
+    assert out == {1000: 0, 2000: 1, 4000: 3}
+
+
+def test_theil_sen_linear_series(spark):
+    """A perfectly linear daily ramp in one cell: every pairwise slope
+    equals the ramp rate, so the median is exact."""
+    from geotile import cache, engine
+
+    rows = []
+    for d in range(5):
+        # day d gets (2*d + 1) events in one fixed cell
+        rows += [("abc12", d * 86400 + 10)] * (2 * d + 1)
+    df = spark.createDataFrame(rows, "geohash string, ep long")
+    out = engine.theil_sen_trend(df)
+    r = out.collect()[0]
+    cache.release(out)
+    assert r["cell"] == "abc"
+    assert r["n_days"] == 5 and r["n_pairs"] == 10
+    assert r["slope_micro"] == 2000000

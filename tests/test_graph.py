@@ -415,3 +415,24 @@ def test_reciprocity_assortativity_hand_graph(spark):
     assert (r["corr_num"], r["den_x"], r["den_y"]) == (num, dx, dy)
     assert r["assort_micro"] == math.floor(
         num * 1000000 / (math.sqrt(dx) * math.sqrt(dy)))
+
+
+def test_clustering_coefficients_triangle_and_star(spark):
+    """K3 plus a pendant star: triangle corners have cc = 1 over their
+    wedge share; the star hub closes nothing."""
+    from geotile import cache, graph
+
+    # triangle 1-2-3; star hub 10 -> leaves 11,12,13 (no closures)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (10, 12), (10, 13)],
+        "src long, dst long")
+    out = graph.clustering_coefficients(edges)
+    rows = {r["node"]: r for r in out.collect()}
+    cache.release(out)
+    for n in (1, 2, 3):
+        assert rows[n]["deg"] == 2 and rows[n]["n_tri"] == 1
+        assert rows[n]["cc_micro"] == 1000000
+    assert rows[10]["deg"] == 3 and rows[10]["n_tri"] == 0
+    assert rows[10]["cc_micro"] == 0
+    # degree-1 leaves excluded (no wedge entitlement)
+    assert 11 not in rows and 12 not in rows and 13 not in rows

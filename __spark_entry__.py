@@ -5153,6 +5153,63 @@ def _q242_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q243_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (textops.rake_keywords):
+    stopword-free token runs as candidate phrases, word scores
+    deg/freq as pure BIGINT integer division, phrase scores summed
+    with multiplicity, top-15 by (score desc, phrase asc) — the
+    two-aggregation keyword layer under q178's TextRank.  The oracle
+    replays the positional tokenization, the running-stopword-count
+    segmentation, and both integer divisions."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.rake_keywords(docs, top_n=15).orderBy("rank")
+
+
+def _q244_chi2_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Source x language chi-square independence audit
+    (textops.contingency_chi2): the zero-filled contingency grid with
+    exact integer marginals plus floored-micro expected counts and
+    chi-square contributions — the per-cell mix diagnostic under
+    q122's KL / q179's JS corpus-level divergences.  The oracle
+    rebuilds the grid from the two marginal rollups and replays both
+    fixed-shape double expressions."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.contingency_chi2(docs, "source", "lang")
+            .orderBy("source", "lang"))
+
+
+def _q245_kde_heat(spark: SparkSession, sf: str) -> DataFrame:
+    """Epanechnikov kernel density surface (engine.kde_heat, 500-milli
+    grid, 2000-milli bandwidth) over the SCATTERED positions: exact
+    BIGINT kernel mass R^2 - d^2 at occupied cell centers — the
+    smooth heat layer between raw cell counts and the q102 box
+    smoother, with the bounded 9x9 stencil join semi-filtered to
+    occupied cells before aggregation.  The oracle replays the snap,
+    the stencil, and the integer weights."""
+    pos = _positions2_df(spark, sf)
+    return engine.kde_heat(pos).orderBy("cx", "cy")
+
+
+def _q246_step_directions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user circular direction statistics
+    (trajectory.step_direction_stats): mean-resultant components of
+    consecutive-fix step directions on the integer milli-degree
+    plane, each unit-vector component floored to micro BEFORE the sum
+    — the directedness summary (random walk vs beeline) q113's sector
+    histogram can't express.  The oracle replays the lag window, the
+    snap, and the per-element floors."""
+    from geotile import trajectory
+
+    pos = (_positions2_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return (trajectory.step_direction_stats(pos)
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5429,6 +5486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_ripley_pairs": _q240_ripley_pairs,
         "q241_theil_sen": _q241_theil_sen,
         "q242_clustering_coeff": _q242_clustering_coeff,
+        "q243_rake_keywords": _q243_rake_keywords,
+        "q244_chi2_audit": _q244_chi2_audit,
+        "q245_kde_heat": _q245_kde_heat,
+        "q246_step_directions": _q246_step_directions,
     }
 
 
@@ -12876,6 +12937,182 @@ SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
 FROM deg242 d LEFT JOIN nt242 t ON t.node = d.node
 WHERE d.deg >= 2
 ORDER BY d.node
+"""
+
+    # q243: RAKE — positional tokens, running-stopword-count phrase
+    # segmentation, both BIGINT integer divisions replayed
+    _stops243 = "('the', 'a', 'of', 'and', 'to', 'in')"
+    sqls["q243_rake_keywords"] = rf"""
+WITH t243 AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+),
+i243 AS (
+  SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS i
+  FROM t243
+),
+tok243 AS (
+  SELECT doc_id, i AS pos, w[i] AS t FROM i243 WHERE w[i] <> ''
+),
+seg243 AS (
+  SELECT doc_id, pos, t,
+         sum(CASE WHEN t IN {_stops243} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM tok243
+),
+nst243 AS (SELECT * FROM seg243 WHERE t NOT IN {_stops243}),
+ph243 AS (
+  SELECT doc_id, pid,
+         string_agg(t, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM nst243 GROUP BY doc_id, pid
+),
+w243 AS (
+  SELECT s.t AS w,
+         count(*) AS freq,
+         sum(p.plen) AS deg
+  FROM nst243 s JOIN ph243 p ON p.doc_id = s.doc_id AND p.pid = s.pid
+  GROUP BY s.t
+),
+ws243 AS (SELECT w, (deg * 1000000) // freq AS wscore FROM w243),
+pe243 AS (
+  SELECT p.phrase, p.plen, s.t
+  FROM ph243 p JOIN nst243 s ON s.doc_id = p.doc_id AND s.pid = p.pid
+),
+ps243 AS (
+  SELECT phrase, plen, count(*) AS n_tok_rows,
+         sum(ws.wscore) AS occ_score
+  FROM pe243 JOIN ws243 ws ON ws.w = pe243.t
+  GROUP BY phrase, plen
+),
+agg243 AS (
+  SELECT phrase, plen AS n_words,
+         n_tok_rows // plen AS n_occurrences,
+         occ_score // (n_tok_rows // plen) AS score_micro
+  FROM ps243
+),
+rk243 AS (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, phrase ASC)
+            AS rank
+  FROM agg243
+)
+SELECT CAST(rank AS BIGINT) AS rank, phrase,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM rk243 WHERE rank <= 15 ORDER BY rank
+"""
+
+    # q244: chi-square grid — marginal cross join, zero-filled observed,
+    # both fixed-shape double expressions
+    sqls["q244_chi2_audit"] = r"""
+WITH c244 AS (
+  SELECT source AS r, lang AS c, count(*) AS o
+  FROM documents GROUP BY 1, 2
+),
+rt244 AS (SELECT r, CAST(sum(o) AS BIGINT) AS r_tot FROM c244 GROUP BY r),
+ct244 AS (SELECT c, CAST(sum(o) AS BIGINT) AS c_tot FROM c244 GROUP BY c),
+nn244 AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c244),
+g244 AS (
+  SELECT rt.r, ct.c, rt.r_tot, ct.c_tot, nn.nn,
+         CAST(coalesce(o.o, 0) AS BIGINT) AS o
+  FROM rt244 rt CROSS JOIN ct244 ct CROSS JOIN nn244 nn
+  LEFT JOIN c244 o ON o.r = rt.r AND o.c = ct.c
+)
+SELECT r AS source, c AS lang, o, r_tot, c_tot,
+       CAST(floor(1000000.0 * (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                               / CAST(nn AS DOUBLE))) AS BIGINT) AS e_micro,
+       CAST(floor(1000000.0 *
+            ((CAST(o AS DOUBLE) - (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                                   / CAST(nn AS DOUBLE)))
+             * (CAST(o AS DOUBLE) - (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                                     / CAST(nn AS DOUBLE)))
+             / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                / CAST(nn AS DOUBLE)))) AS BIGINT) AS chi_micro
+FROM g244
+ORDER BY source, lang
+"""
+
+    # q245: Epanechnikov KDE — milli snap, 500-cell grid, 9x9 stencil,
+    # exact BIGINT weights, occupied-cell evaluation
+    sqls["q245_kde_heat"] = f"""
+WITH {_POS2_CTE},
+p245 AS (
+  SELECT CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py
+  FROM pos2
+),
+h245 AS (
+  SELECT px, py,
+         CAST(floor(px / 500.0) AS BIGINT) AS cx,
+         CAST(floor(py / 500.0) AS BIGINT) AS cy
+  FROM p245
+),
+occ245 AS MATERIALIZED (
+  SELECT cx, cy, count(*) AS n_pts FROM h245 GROUP BY cx, cy
+),
+o245 AS (
+  SELECT a.dx, b.dy
+  FROM (SELECT unnest(range(-4, 5)) AS dx) a
+  CROSS JOIN (SELECT unnest(range(-4, 5)) AS dy) b
+),
+cand245 AS (
+  SELECT h.px, h.py, h.cx + o.dx AS tx, h.cy + o.dy AS ty
+  FROM h245 h CROSS JOIN o245 o
+),
+sc245 AS (
+  SELECT c.tx, c.ty,
+         4000000 - ((c.px - (c.tx * 500 + 250)) * (c.px - (c.tx * 500 + 250))
+                    + (c.py - (c.ty * 500 + 250)) * (c.py - (c.ty * 500 + 250)))
+         AS w
+  FROM cand245 c
+  WHERE 4000000 - ((c.px - (c.tx * 500 + 250)) * (c.px - (c.tx * 500 + 250))
+                   + (c.py - (c.ty * 500 + 250)) * (c.py - (c.ty * 500 + 250))) > 0
+    AND EXISTS (SELECT 1 FROM occ245 q WHERE q.cx = c.tx AND q.cy = c.ty)
+),
+m245 AS (
+  SELECT tx, ty, CAST(sum(w) AS BIGINT) AS w_sum FROM sc245 GROUP BY tx, ty
+)
+SELECT o.cx, o.cy, CAST(o.n_pts AS BIGINT) AS n_pts,
+       CAST(coalesce(m.w_sum, 0) AS BIGINT) AS w_sum
+FROM occ245 o LEFT JOIN m245 m ON m.tx = o.cx AND m.ty = o.cy
+ORDER BY o.cx, o.cy
+"""
+
+    # q246: circular step directions — lag window, milli snap,
+    # per-element micro floors before the sums
+    sqls["q246_step_directions"] = f"""
+WITH {_POS2_CTE},
+lg246 AS (
+  SELECT user_id,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py,
+         CAST(floor(lag(lon) OVER w * 1000 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(lag(lat) OVER w * 1000 + 0.5) AS BIGINT) AS qy
+  FROM pos2
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+),
+st246 AS (
+  SELECT user_id, px - qx AS dx, py - qy AS dy,
+         sqrt(CAST((px - qx) * (px - qx) + (py - qy) * (py - qy) AS DOUBLE))
+         AS ln
+  FROM lg246 WHERE qx IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN ln = 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_steps,
+       CAST(sum(CASE WHEN ln = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(coalesce(sum(CASE WHEN ln = 0.0 THEN NULL ELSE
+            CAST(floor(1000000.0 * CAST(dx AS DOUBLE) / ln) AS BIGINT) END), 0)
+            AS BIGINT) AS sum_cos_micro,
+       CAST(coalesce(sum(CASE WHEN ln = 0.0 THEN NULL ELSE
+            CAST(floor(1000000.0 * CAST(dy AS DOUBLE) / ln) AS BIGINT) END), 0)
+            AS BIGINT) AS sum_sin_micro
+FROM st246
+GROUP BY user_id
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

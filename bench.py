@@ -156,7 +156,8 @@ def main() -> None:
         "q235_t_closeness", "q236_integrity_audit",
         "q237_stream_ivm_rollup", "q238_topk_churn",
         "q239_geary_c", "q240_ripley_pairs", "q241_theil_sen",
-        "q242_clustering_coeff",
+        "q242_clustering_coeff", "q243_rake_keywords", "q244_chi2_audit",
+        "q245_kde_heat", "q246_step_directions",
     ]
     from geotile import cache, textops
 

@@ -2556,3 +2556,67 @@ def theil_sen_trend(df: DataFrame, t: str = "ep", nchars: int = 3,
     out = per_cell.join(med, "cell").select(
         "cell", "n_days", "n_pairs", "slope_micro")
     return cache.track(out, [counts])
+
+
+def kde_heat(df: DataFrame, grid_milli: int = 500,
+             bandwidth_milli: int = 2000,
+             lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Epanechnikov kernel density surface over the integer
+    milli-degree grid, evaluated at OCCUPIED cell centers — the
+    smooth heat layer between raw cell counts (q6) and the box-ring
+    smoother (q102): every point within the bandwidth of a cell
+    center contributes weight ``R^2 - d^2`` (the Epanechnikov kernel
+    up to its constant factor), so density falls off quadratically
+    instead of jumping at cell edges.
+
+    Exactness: coordinates snap to integer milli-degrees
+    (floor(x*1000 + 0.5), the shared tie rule), cell centers are the
+    integers ``cell*g + g/2`` (g even), and the kernel weight is the
+    exact BIGINT ``R^2 - d^2`` — no doubles anywhere.
+
+    Scale shape: each point explodes to the bounded stencil of
+    ``(2*ceil(R/g)+1)^2`` candidate cells around its own (a constant,
+    ~81 at the defaults), which LEFT-SEMI joins the occupied-cell set
+    so only evaluated cells survive BEFORE the weight aggregation —
+    candidate volume is points x constant, never points x cells; the
+    occupied-cell frame is count-bounded.  Returns ``(cx, cy, n_pts,
+    w_sum)`` — n_pts the cell's own point count, w_sum the kernel
+    mass it receives."""
+    g, r = int(grid_milli), int(bandwidth_milli)
+    reach = -(-r // g)  # ceil
+    pts = df.select(
+        F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("px"),
+        F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("py"))
+    home = pts.withColumn(
+        "cx", F.floor(F.col("px") / F.lit(float(g))).cast("long")) \
+        .withColumn("cy", F.floor(F.col("py") / F.lit(float(g))).cast("long"))
+    occ = (home.groupBy("cx", "cy").agg(F.count("*").alias("n_pts"))
+           .persist())
+    offs = F.array(*[F.struct(F.lit(dx).cast("long").alias("dx"),
+                              F.lit(dy).cast("long").alias("dy"))
+                     for dx in range(-reach, reach + 1)
+                     for dy in range(-reach, reach + 1)])
+    cand = (home.select("px", "py", "cx", "cy",
+                        F.explode(offs).alias("o"))
+            .select("px", "py",
+                    (F.col("cx") + F.col("o.dx")).alias("tx"),
+                    (F.col("cy") + F.col("o.dy")).alias("ty")))
+    half = g // 2
+    dx = F.col("px") - (F.col("tx") * F.lit(g) + F.lit(half))
+    dy = F.col("py") - (F.col("ty") * F.lit(g) + F.lit(half))
+    wgt = F.lit(r * r) - (dx * dx + dy * dy)
+    scored = (cand.withColumn("w", wgt).where(F.col("w") > 0)
+              .join(occ.select(F.col("cx").alias("tx"),
+                               F.col("cy").alias("ty")),
+                    ["tx", "ty"], "left_semi"))
+    mass = (scored.groupBy("tx", "ty")
+            .agg(F.sum("w").alias("w_sum")))
+    from . import cache
+    out = (occ.join(mass, (occ["cx"] == mass["tx"])
+                    & (occ["cy"] == mass["ty"]), "left")
+           .select("cx", "cy", "n_pts",
+                   F.coalesce("w_sum", F.lit(0).cast("long"))
+                   .alias("w_sum")))
+    return cache.track(out, [occ])

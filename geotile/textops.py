@@ -3034,3 +3034,111 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
                    .alias("n_occurrences"))
            .withColumn("cum_vocab", F.sum("n_new_tokens").over(w)))
     return out
+
+
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def rake_keywords(df: DataFrame, top_n: int = 15,
+                  stopwords: tuple = RAKE_STOPWORDS) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus level —
+    candidate phrases are the maximal stopword-free token runs, each
+    word scores ``deg/freq`` (deg = total length of phrases it appears
+    in, freq = its occurrence count inside phrases), and a phrase
+    scores the sum of its words' scores.  The corpus-level top-N
+    (score desc, phrase asc) is the unsupervised index-term list —
+    the cheap keyword layer under q178's TextRank (TextRank needs a
+    co-occurrence graph walk; RAKE is two aggregations).
+
+    Exactness: word scores quantize to ``score_micro = (deg * 1e6)
+    div freq`` — pure BIGINT integer division, no doubles anywhere —
+    and a phrase's score is the SUM of its token occurrences' word
+    scores (multiplicity counts, the classic formulation).
+
+    Scale shape: one per-doc window (phrase segmentation by running
+    stopword count, bounded by doc length), one token-level word-stat
+    aggregation joined back by word (bounded by vocabulary), one
+    phrase rollup, and a global top-N TakeOrdered — no self-joins, no
+    pair frames.  Returns ``(rank, phrase, n_words, n_occurrences,
+    score_micro)``."""
+    from pyspark.sql import Window as W
+
+    toks = (df.select("doc_id",
+                      F.posexplode(F.split(F.trim("text"), WS_CLASS))
+                      .alias("pos", "t"))
+            .where(F.col("t") != ""))
+    stop = F.col("t").isin(*stopwords)
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    seg = (toks.withColumn("pid", F.sum(stop.cast("long")).over(wd))
+           .where(~stop))
+    # per phrase occurrence: id, token list in order
+    ph = (seg.groupBy("doc_id", "pid")
+          .agg(F.sort_array(F.collect_list(F.struct("pos", "t")))
+               .alias("st"))
+          .select("doc_id", "pid",
+                  F.transform("st", lambda s: s["t"]).alias("ws"))
+          .withColumn("plen", F.size("ws").cast("long")))
+    # word stats over phrase tokens: freq + deg (sum of phrase lengths)
+    wstat = (ph.select(F.explode("ws").alias("w"), "plen")
+             .groupBy("w")
+             .agg(F.count("*").alias("freq"),
+                  F.sum("plen").alias("deg"))
+             .withColumn("wscore",
+                         F.expr("(deg * 1000000) div freq")))
+    # phrase score = sum of member-token word scores (with multiplicity)
+    psc = (ph.select(F.array_join("ws", " ").alias("phrase"), "plen",
+                     F.explode("ws").alias("w"))
+           .join(wstat.select("w", "wscore"), "w")
+           .groupBy("phrase", "plen")
+           .agg(F.count("*").alias("n_tok_rows"),
+                F.sum("wscore").alias("occ_score")))
+    # occ_score aggregated over ALL occurrences of the phrase; per-
+    # occurrence score = occ_score / n_occ where n_occ = n_tok_rows/plen
+    agg = (psc.withColumn("n_occurrences",
+                          F.expr("n_tok_rows div plen"))
+           .withColumn("score_micro",
+                       F.expr("occ_score div n_occurrences"))
+           .select("phrase", F.col("plen").alias("n_words"),
+                   "n_occurrences", "score_micro"))
+    wr = W.orderBy(F.desc("score_micro"), F.asc("phrase"))
+    return (agg.withColumn("rank", F.row_number().over(wr).cast("long"))
+            .where(F.col("rank") <= top_n)
+            .select("rank", "phrase", "n_words", "n_occurrences",
+                    "score_micro"))
+
+
+def contingency_chi2(df: DataFrame, row_col: str = "source",
+                     col_col: str = "lang") -> DataFrame:
+    """Chi-square independence audit over a two-way contingency table
+    (row x column category counts, zero-filled over the full observed
+    category grid) — the data-mix diagnostic telling WHICH (source,
+    lang) cells are over/under-represented against independence, the
+    per-cell view underneath q122's KL drift and q179's JS divergence.
+
+    Emits per grid cell the exact integer evidence — observed ``o``,
+    row total ``r_tot``, column total ``c_tot`` — plus ``e_micro =
+    floor(1e6 * r*c/N)`` and ``chi_micro = floor(1e6 * (o-e)^2/e)``
+    derived in ONE fixed-shape double expression each (total chi² and
+    Cramér's V are one rollup away; the gate compares integers).
+
+    Scale shape: one data-sized partial count aggregate; the grid is
+    categories x categories (never row-sized), built by cross-joining
+    the two marginal frames and left-joining the observed counts; the
+    corpus total attaches as a 1-row broadcast."""
+    c = (df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+         .agg(F.count("*").alias("o")))
+    rt = c.groupBy("r").agg(F.sum("o").alias("r_tot"))
+    ct = c.groupBy("c").agg(F.sum("o").alias("c_tot"))
+    nn = c.agg(F.sum("o").alias("nn"))
+    grid = (rt.crossJoin(ct).crossJoin(F.broadcast(nn))
+            .join(c, ["r", "c"], "left")
+            .withColumn("o", F.coalesce("o", F.lit(0).cast("long"))))
+    e = (F.col("r_tot").cast("double") * F.col("c_tot").cast("double")
+         / F.col("nn").cast("double"))
+    d = F.col("o").cast("double") - e
+    return (grid.select(
+        F.col("r").alias(row_col), F.col("c").alias(col_col),
+        "o", "r_tot", "c_tot",
+        F.floor(F.lit(1000000.0) * e).cast("long").alias("e_micro"),
+        F.floor(F.lit(1000000.0) * (d * d / e)).cast("long")
+        .alias("chi_micro")))

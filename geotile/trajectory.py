@@ -1683,3 +1683,53 @@ def corridor_counts(df: DataFrame, cell_milli: int = 250,
     return (cells.groupBy("cx", "cy")
             .agg(F.count("*").alias("n_segments"),
                  F.countDistinct("u").alias("n_users")))
+
+
+def step_direction_stats(df: DataFrame, key: str = "user_id",
+                         ts: str = "ep", order_col: str = "event_id",
+                         lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Circular (directional) statistics per key: the mean-resultant
+    components of every consecutive-fix step direction — the vector
+    summary q113's sector histogram can't give (a histogram says which
+    octants; the resultant length says HOW directed the movement is,
+    near 0 for a random walk, near 1 for a commute beeline, and the
+    resultant angle gives the net heading).
+
+    Directions are PLANAR unit vectors on the integer milli-degree
+    plane: step (dx, dy) in snapped milli-degrees contributes
+    ``cos = dx/|step|``, ``sin = dy/|step|``.  Exactness: each
+    component quantizes to ``floor(1e6 * d / sqrt(dx^2+dy^2))``
+    BEFORE the sum (the engine-wide double discipline — sqrt and
+    divide are correctly-rounded IEEE ops, identical both engines;
+    axis-aligned steps hit exact ±1e6/0).  Zero-length steps
+    (consecutive fixes snapping to the same milli-cell) are skipped
+    and counted separately.
+
+    Scale shape: ONE per-key window shuffle (the shared trajectory
+    exchange) + one per-key aggregate; all native column expressions.
+    Returns ``(key, n_steps, n_zero, sum_cos_micro, sum_sin_micro)``
+    — the resultant length/angle are one formula away."""
+    d = _lagged(df, key, ts, order_col, lat, lon).where(
+        F.col("_plat").isNotNull())
+    px = F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    py = F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    qx = F.floor(F.col("_plon") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col("_plat") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    dx, dy = px - qx, py - qy
+    d2 = (dx * dx + dy * dy).cast("double")
+    steps = d.select(F.col(key), dx.alias("dx"), dy.alias("dy"),
+                     F.sqrt(d2).alias("ln"))
+    zero = F.col("ln") == F.lit(0.0)
+    cosm = F.floor(F.lit(1000000.0) * F.col("dx").cast("double")
+                   / F.col("ln")).cast("long")
+    sinm = F.floor(F.lit(1000000.0) * F.col("dy").cast("double")
+                   / F.col("ln")).cast("long")
+    return (steps.groupBy(key)
+            .agg(F.sum(F.when(~zero, 1).otherwise(0)).cast("long")
+                 .alias("n_steps"),
+                 F.sum(F.when(zero, 1).otherwise(0)).cast("long")
+                 .alias("n_zero"),
+                 F.coalesce(F.sum(F.when(~zero, cosm)), F.lit(0))
+                 .cast("long").alias("sum_cos_micro"),
+                 F.coalesce(F.sum(F.when(~zero, sinm)), F.lit(0))
+                 .cast("long").alias("sum_sin_micro")))

@@ -1686,3 +1686,41 @@ def test_theil_sen_linear_series(spark):
     assert r["cell"] == "abc"
     assert r["n_days"] == 5 and r["n_pairs"] == 10
     assert r["slope_micro"] == 2000000
+
+
+def test_kde_heat_single_point(spark):
+    """One point: its own cell receives R^2 - d^2 from the cell
+    center; all mass lands on occupied cells only."""
+    from geotile import cache, engine
+
+    # point at (0.1, 0.1) deg -> milli (100, 100) -> cell (0, 0),
+    # center (250, 250), d2 = 150^2 * 2 = 45000
+    pts = spark.createDataFrame([(0.1, 0.1)], "lat double, lon double")
+    out = engine.kde_heat(pts)
+    rows = out.collect()
+    cache.release(out)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cx"], r["cy"], r["n_pts"]) == (0, 0, 1)
+    assert r["w_sum"] == 4000000 - 45000
+
+
+def test_kde_heat_two_points_cross_mass(spark):
+    """Two points 1000 milli apart: each occupied cell receives mass
+    from BOTH points (d=1000-ish < R=2000)."""
+    from geotile import cache, engine
+
+    pts = spark.createDataFrame(
+        [(0.1, 0.1), (0.1, 1.1)], "lat double, lon double")
+    out = engine.kde_heat(pts)
+    rows = {(r["cx"], r["cy"]): r["w_sum"] for r in out.collect()}
+    cache.release(out)
+    assert set(rows) == {(0, 0), (2, 0)}
+    # own-cell contribution: 4e6 - 45000 (d 150,150 to the center);
+    # cross contributions differ per cell: A(100,100) and B(1100,100),
+    # centers (250,250) and (1250,250)
+    own = 4000000 - 45000
+    cross_00 = 4000000 - (850 * 850 + 150 * 150)     # B -> center(250,250)
+    cross_20 = 4000000 - (1150 * 1150 + 150 * 150)   # A -> center(1250,250)
+    assert rows[(0, 0)] == own + cross_00
+    assert rows[(2, 0)] == own + cross_20

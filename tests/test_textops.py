@@ -1672,3 +1672,48 @@ def test_topk_churn_sentinels(spark):
         assert r["rank_a"] == -1 or 1 <= r["rank_a"] <= 50
         assert r["rank_b"] == -1 or 1 <= r["rank_b"] <= 50
         assert not (r["rank_a"] == -1 and r["rank_b"] == -1)
+
+
+def test_rake_keywords_hand_corpus(spark):
+    """Two-phrase corpus: 'fast scan' beats single words because RAKE
+    degree rewards co-occurrence."""
+    from geotile import textops
+
+    docs = spark.createDataFrame(
+        [(0, "fast scan in the table"),
+         (1, "fast scan of a table"),
+         (2, "table")],
+        "doc_id long, text string")
+    out = {r["phrase"]: r for r in
+           textops.rake_keywords(docs, top_n=10).collect()}
+    # phrases: "fast scan" x2, "table" x3
+    # freq(fast)=2 deg(fast)=4 -> 2e6; scan same; table: freq 3 deg 3 -> 1e6
+    fs = out["fast scan"]
+    assert fs["n_occurrences"] == 2 and fs["n_words"] == 2
+    assert fs["score_micro"] == 4000000  # 2e6 + 2e6
+    tb = out["table"]
+    assert tb["n_occurrences"] == 3 and tb["score_micro"] == 1000000
+    assert fs["rank"] < tb["rank"]
+
+
+def test_contingency_chi2_independent_grid(spark):
+    """A perfectly independent 2x2 grid gives chi = 0 in every cell;
+    zero-filled cells appear with o = 0."""
+    from geotile import textops
+
+    rows = ([("s1", "en")] * 4 + [("s1", "de")] * 2
+            + [("s2", "en")] * 2 + [("s2", "de")] * 1)
+    docs = spark.createDataFrame(rows, "source string, lang string")
+    out = {(r["source"], r["lang"]): r
+           for r in textops.contingency_chi2(docs).collect()}
+    assert len(out) == 4
+    # 9 docs: row totals 6/3, col totals 6/3 -> E(s1,en)=4, chi=0
+    r = out[("s1", "en")]
+    assert r["o"] == 4 and r["e_micro"] == 4000000 and r["chi_micro"] == 0
+    # zero-fill check: make a grid with an absent combo
+    docs2 = spark.createDataFrame(
+        [("s1", "en"), ("s2", "de")], "source string, lang string")
+    out2 = {(r["source"], r["lang"]): r
+            for r in textops.contingency_chi2(docs2).collect()}
+    assert out2[("s1", "de")]["o"] == 0
+    assert out2[("s1", "de")]["e_micro"] == 500000

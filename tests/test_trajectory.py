@@ -1058,3 +1058,26 @@ def test_corridor_counts_exact_rational_replay(spark):
                 import math
                 c = (math.floor(px / W), math.floor(py / W))
                 assert c in got, (u, i, k)
+
+
+def test_step_direction_stats_axes(spark):
+    """Axis-aligned steps give exact +-1e6/0 components; a zero-length
+    step is skipped and counted."""
+    from geotile import trajectory
+
+    rows = [
+        (1, 0, 0.0, 0.0),    # start
+        (1, 1, 0.0, 1.0),    # east: cos 1e6, sin 0
+        (1, 2, 1.0, 1.0),    # north: cos 0, sin 1e6
+        (1, 3, 1.0, 1.0),    # zero step
+        (1, 4, 0.0, 0.0),    # southwest: dx=-1000, dy=-1000
+    ]
+    df = spark.createDataFrame(
+        [(u, e, e * 60, la, lo) for u, e, la, lo in rows],
+        "user_id long, event_id long, ep long, lat double, lon double")
+    r = trajectory.step_direction_stats(df).collect()[0]
+    assert r["n_steps"] == 3 and r["n_zero"] == 1
+    import math
+    diag = math.floor(1000000.0 * -1000.0 / math.sqrt(2000000.0))
+    assert r["sum_cos_micro"] == 1000000 + 0 + diag
+    assert r["sum_sin_micro"] == 0 + 1000000 + diag

@@ -5210,6 +5210,68 @@ def _q246_step_directions(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q247_nn_distance_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor distance distribution (engine.nn_distance_hist,
+    4000-milli search radius, 250-milli rings) over the SCATTERED
+    positions — the G-function companion to q240's Ripley counts:
+    per-point min exact BIGINT d^2 from the bucketed 3x3 candidate
+    join, ring-binned, no-neighbor points reported in ring -1.  The
+    oracle replays the snap, the bucket join, the per-point min, and
+    the ring floor."""
+    pos = _positions2_df(spark, sf)
+    return engine.nn_distance_hist(pos).orderBy("ring")
+
+
+def _q248_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Kendall concordance census (textops.kendall_tau)
+    between doc length and whitespace token count — the third leg of
+    the correlation triad (q155 Pearson, q220 Spearman): exact
+    integer concordant/discordant/tie counts over all id-ordered doc
+    pairs within a source.  The oracle replays the slim self-join and
+    the sign census; tokenization is the shared explicit WS_CLASS."""
+    from geotile import textops
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .withColumn("n_tok",
+                        F.size(F.split(F.trim(F.col("text")),
+                                       textops.WS_CLASS)).cast("long")))
+    return (textops.kendall_tau(docs, "n_chars", "n_tok", "source")
+            .orderBy("source"))
+
+
+def _q249_gravity_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gravity-model baseline audit (trajectory.gravity_residuals)
+    over the q81 hub-walk OD matrix: per observed gh4 corridor the
+    exact flow and marginals plus floored-micro expected flow and
+    chi-square residual against the independence (zero-deterrence
+    gravity) baseline — which corridors out/under-run pure size
+    effects.  The oracle replays the q81 flow build, the marginal
+    rollups, and both fixed-shape double expressions."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.gravity_residuals(pos, nchars=4)
+    return cache.track(out.orderBy("o_cell", "d_cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q250_blob_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Percolation profile (engine.blob_threshold_profile, 5-degree
+    grid, thresholds 1/2/4/8/16): occupancy, blob count, and
+    largest-blob size as the density threshold rises — does the
+    hotspot raster percolate into one giant region or shatter into
+    islands.  One rasterize feeds every rung; each rung is one
+    large-star/small-star contraction on the shrinking occupied-cell
+    frame.  The oracle reruns q216's recursive min-label closure per
+    threshold and rolls each up to one row."""
+    from geotile import cache
+
+    pos = _positions_df(spark, sf)
+    out = engine.blob_threshold_profile(pos, [1, 2, 4, 8, 16], cell_deg=5.0)
+    return cache.track(out.orderBy("threshold"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5490,6 +5552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_chi2_audit": _q244_chi2_audit,
         "q245_kde_heat": _q245_kde_heat,
         "q246_step_directions": _q246_step_directions,
+        "q247_nn_distance_hist": _q247_nn_distance_hist,
+        "q248_kendall_tau": _q248_kendall_tau,
+        "q249_gravity_residuals": _q249_gravity_residuals,
+        "q250_blob_profile": _q250_blob_profile,
     }
 
 
@@ -13113,6 +13179,165 @@ SELECT user_id,
 FROM st246
 GROUP BY user_id
 ORDER BY user_id
+"""
+
+    # q247: NN distance rings — same bucket join as q240, per-point
+    # min, sqrt-ring floor, -1 lonely bucket
+    sqls["q247_nn_distance_hist"] = f"""
+WITH {_POS2_CTE},
+p247 AS (
+  SELECT event_id AS pid,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py
+  FROM pos2
+),
+h247 AS (
+  SELECT pid, px, py,
+         CAST(floor(px / 4000.0) AS BIGINT) AS cx,
+         CAST(floor(py / 4000.0) AS BIGINT) AS cy
+  FROM p247
+),
+o247(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+mn247 AS MATERIALIZED (
+  SELECT a.pid,
+         min((a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py)) AS min_d2
+  FROM h247 a CROSS JOIN o247 o
+  JOIN h247 b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.pid <> b.pid
+    AND (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= 16000000
+  GROUP BY a.pid
+)
+SELECT ring, n_points FROM (
+  SELECT CAST(floor(sqrt(CAST(min_d2 AS DOUBLE)) / 250.0) AS BIGINT) AS ring,
+         count(*) AS n_points
+  FROM mn247 GROUP BY 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS ring,
+         (SELECT count(*) FROM p247) - (SELECT count(*) FROM mn247)
+         AS n_points
+)
+WHERE n_points > 0
+ORDER BY ring
+"""
+
+    # q248: Kendall pair census — slim id-ordered self-join, sign
+    # products, the same WS_CLASS token count as q220
+    sqls["q248_kendall_tau"] = r"""
+WITH b248 AS (
+  SELECT source AS g, doc_id AS i, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
+              AS BIGINT) AS y
+  FROM documents
+),
+p248 AS (
+  SELECT a.g,
+         sign(CAST(b.x - a.x AS DOUBLE)) AS dx,
+         sign(CAST(b.y - a.y AS DOUBLE)) AS dy
+  FROM b248 a JOIN b248 b ON b.g = a.g AND a.i < b.i
+)
+SELECT g AS source,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       AS t_x,
+       CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       AS t_y,
+       CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       AS t_xy
+FROM p248
+GROUP BY g
+ORDER BY source
+"""
+
+    # q249: gravity residuals — q81's flow build (no min-flow filter),
+    # marginal rollups, fixed-shape expected/chi expressions
+    sqls["q249_gravity_residuals"] = f"""
+WITH {_WALK_CTE},
+cl249 AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS d
+  FROM walk
+),
+lg249 AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS o
+  FROM cl249
+),
+f249 AS (
+  SELECT o AS o_cell, d AS d_cell, count(*) AS n
+  FROM lg249 WHERE o IS NOT NULL AND o <> d
+  GROUP BY o, d
+),
+ot249 AS (SELECT o_cell, CAST(sum(n) AS BIGINT) AS o_tot FROM f249 GROUP BY 1),
+dt249 AS (SELECT d_cell, CAST(sum(n) AS BIGINT) AS d_tot FROM f249 GROUP BY 1),
+tt249 AS (SELECT CAST(sum(n) AS BIGINT) AS t_tot FROM f249)
+SELECT f.o_cell, f.d_cell, CAST(f.n AS BIGINT) AS n,
+       ot.o_tot, dt.d_tot,
+       CAST(floor(1000000.0 * (CAST(ot.o_tot AS DOUBLE) * CAST(dt.d_tot AS DOUBLE)
+                               / CAST(tt.t_tot AS DOUBLE))) AS BIGINT) AS e_micro,
+       CAST(floor(1000000.0 *
+            ((CAST(f.n AS DOUBLE) - (CAST(ot.o_tot AS DOUBLE) * CAST(dt.d_tot AS DOUBLE)
+                                     / CAST(tt.t_tot AS DOUBLE)))
+             * (CAST(f.n AS DOUBLE) - (CAST(ot.o_tot AS DOUBLE) * CAST(dt.d_tot AS DOUBLE)
+                                       / CAST(tt.t_tot AS DOUBLE)))
+             / (CAST(ot.o_tot AS DOUBLE) * CAST(dt.d_tot AS DOUBLE)
+                / CAST(tt.t_tot AS DOUBLE)))) AS BIGINT) AS g_micro
+FROM f249 f
+JOIN ot249 ot ON ot.o_cell = f.o_cell
+JOIN dt249 dt ON dt.d_cell = f.d_cell
+CROSS JOIN tt249 tt
+ORDER BY f.o_cell, f.d_cell
+"""
+
+    # q250: percolation profile — q216's recursive min-label closure
+    # replayed per threshold rung, each rolled to one row
+    _rungs250 = []
+    for _t in (1, 2, 4, 8, 16):
+        _rungs250.append(f"""
+n250t{_t} AS (SELECT y * 100000 + x AS id, y, x, n
+              FROM base250 WHERE n >= {_t}),
+e250t{_t} AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM n250t{_t} a JOIN n250t{_t} b ON a.id <> b.id
+   AND abs(a.y - b.y) <= 1
+   AND least((a.x - b.x + 72) % 72, (b.x - a.x + 72) % 72) <= 1
+),
+r250t{_t} AS (
+  SELECT id AS node, id AS label FROM n250t{_t}
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM r250t{_t} r JOIN e250t{_t} e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+l250t{_t} AS (SELECT node, min(label) AS blob_id FROM r250t{_t} GROUP BY node),
+b250t{_t} AS (
+  SELECT l.blob_id, count(*) AS bc, CAST(sum(n.n) AS BIGINT) AS bp
+  FROM l250t{_t} l JOIN n250t{_t} n ON n.id = l.node
+  GROUP BY 1
+)""")
+    _rows250 = "\nUNION ALL\n".join(
+        f"""SELECT CAST({_t} AS BIGINT) AS threshold,
+       CAST(coalesce(sum(bc), 0) AS BIGINT) AS n_occupied,
+       CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(coalesce(max(bc), 0) AS BIGINT) AS largest_cells,
+       CAST(coalesce((SELECT bp FROM b250t{_t}
+                      ORDER BY bc DESC, bp DESC LIMIT 1), 0) AS BIGINT)
+       AS largest_points
+FROM b250t{_t}""" for _t in (1, 2, 4, 8, 16))
+    sqls["q250_blob_profile"] = f"""
+WITH RECURSIVE {_POS_CTE},
+base250 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) / 5.0) AS BIGINT), 0), 35) AS y,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) / 5.0) AS BIGINT), 0), 71) AS x,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),{",".join(_rungs250)}
+SELECT * FROM (
+{_rows250}
+)
+ORDER BY threshold
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -157,7 +157,8 @@ def main() -> None:
         "q237_stream_ivm_rollup", "q238_topk_churn",
         "q239_geary_c", "q240_ripley_pairs", "q241_theil_sen",
         "q242_clustering_coeff", "q243_rake_keywords", "q244_chi2_audit",
-        "q245_kde_heat", "q246_step_directions",
+        "q245_kde_heat", "q246_step_directions", "q247_nn_distance_hist",
+        "q248_kendall_tau", "q249_gravity_residuals", "q250_blob_profile",
     ]
     from geotile import cache, textops
 

@@ -2620,3 +2620,147 @@ def kde_heat(df: DataFrame, grid_milli: int = 500,
                    F.coalesce("w_sum", F.lit(0).cast("long"))
                    .alias("w_sum")))
     return cache.track(out, [occ])
+
+
+def nn_distance_hist(df: DataFrame, rmax_milli: int = 4000,
+                     ring_milli: int = 250,
+                     lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Nearest-neighbor distance distribution over the integer
+    milli-degree plane — the G-function companion to
+    :func:`ripley_pairs` (Ripley counts ALL pairs per radius; the NN
+    distribution asks how close each point's SINGLE nearest neighbor
+    is, the standard point-pattern diagnostic separating hard-core /
+    inhibited processes from clustered ones).  Each point's minimum
+    squared distance to any other point within ``rmax_milli`` is
+    binned into ``ring_milli`` rings; points with NO neighbor inside
+    the search radius land in ring -1 (reported, never dropped).
+
+    Exactness: the same floor(x*1000 + 0.5) snap and exact BIGINT d^2
+    as ripley_pairs; the ring index floor(sqrt(min_d2)/ring) can only
+    hit a floor boundary when min_d2 is the perfect square of a ring
+    multiple — exactly representable, so both engines agree.
+
+    Scale shape: identical bucketed 3x3 candidate join as
+    ripley_pairs (fan-out bounded by local density), min-aggregated
+    per point BEFORE the bounded histogram rollup; the no-neighbor
+    set is an anti-join of the point frame against the aggregated
+    minima (point-sized, no pair frame).  Returns ``(ring,
+    n_points)``."""
+    r2max = rmax_milli * rmax_milli
+    pts = df.select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("px"),
+        F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("py"))
+    home = pts.select(
+        "pid", "px", "py",
+        F.floor(F.col("px") / F.lit(float(rmax_milli)))
+        .cast("long").alias("cx"),
+        F.floor(F.col("py") / F.lit(float(rmax_milli)))
+        .cast("long").alias("cy"))
+    offs = F.array(*[F.struct(F.lit(dx).cast("long").alias("dx"),
+                              F.lit(dy).cast("long").alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (home.select(F.col("pid").alias("ida"), F.col("px").alias("xa"),
+                     F.col("py").alias("ya"), "cx", "cy",
+                     F.explode(offs).alias("o"))
+         .select("ida", "xa", "ya",
+                 (F.col("cx") + F.col("o.dx")).alias("tx"),
+                 (F.col("cy") + F.col("o.dy")).alias("ty")))
+    b = home.select(F.col("pid").alias("idb"), F.col("px").alias("xb"),
+                    F.col("py").alias("yb"), F.col("cx").alias("tx"),
+                    F.col("cy").alias("ty"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    mins = (a.join(b, ["tx", "ty"])
+            .where(F.col("ida") != F.col("idb"))
+            .select("ida", d2.alias("d2"))
+            .where(F.col("d2") <= F.lit(r2max))
+            .groupBy("ida").agg(F.min("d2").alias("min_d2")))
+    ring = F.floor(F.sqrt(F.col("min_d2").cast("double"))
+                   / F.lit(float(ring_milli))).cast("long")
+    hist = (mins.select(ring.alias("ring"))
+            .groupBy("ring").agg(F.count("*").alias("n_points")))
+    n_total = pts.groupBy().agg(F.count("*").alias("nt"))
+    n_hit = mins.groupBy().agg(F.count("*").alias("nh"))
+    lonely = (n_total.crossJoin(n_hit)
+              .select(F.lit(-1).cast("long").alias("ring"),
+                      (F.col("nt") - F.col("nh")).alias("n_points"))
+              .where(F.col("n_points") > 0))
+    return hist.unionByName(lonely)
+
+
+def blob_threshold_profile(df: DataFrame, thresholds: Sequence[int],
+                           cell_deg: float = 5.0,
+                           lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Percolation profile of the density raster: :func:`cell_blobs`'
+    occupancy/connectivity rollup swept over a LADDER of min-count
+    thresholds — as the threshold rises, the giant connected hotspot
+    shatters into islands; the (n_blobs, largest-blob) curve against
+    threshold is the percolation diagnostic behind "one mega-region
+    or many centers?".
+
+    Returns one row per threshold: ``(threshold, n_occupied, n_blobs,
+    largest_cells, largest_points)`` — occupied-cell count, connected
+    component count, and the largest component's cell count and point
+    total (exact integers; component labels are min-cell-id canonical
+    as in cell_blobs).
+
+    Scale shape: the data-sized rasterizing groupBy runs ONCE and is
+    persisted; each rung filters the occupied-cell frame (grid-
+    bounded, <= 2.6k cells at 5 degrees) and runs the large-star/
+    small-star contraction on a SHRINKING cell set — the per-rung
+    cost is occupied-cells-sized, never data-sized."""
+    from . import cache, graph
+
+    ny = int(math.ceil(180.0 / cell_deg))
+    nx = int(math.ceil(360.0 / cell_deg))
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0)) / F.lit(cell_deg))
+                              .cast("long"), F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(cell_deg))
+                              .cast("long"), F.lit(0)), F.lit(nx - 1))
+    base = (df.select(ybin.alias("y"), xbin.alias("x"))
+            .groupBy("y", "x").agg(F.count("*").alias("n"))
+            .withColumn("cell_id", F.col("y") * 100000 + F.col("x"))
+            .persist())
+    offs = F.array(*[F.struct(F.lit(dy).cast("long").alias("dy"),
+                              F.lit(dx).cast("long").alias("dx"))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                     if not (dy == 0 and dx == 0)])
+    parts = []
+    for t in sorted(int(t) for t in thresholds):
+        occ = base.where(F.col("n") >= t)
+        shifted = (occ.select("cell_id", "y", "x", F.explode(offs).alias("o"))
+                   .select(F.col("cell_id").alias("a"),
+                           (F.col("y") + F.col("o.dy")).alias("ty"),
+                           F.pmod(F.col("x") + F.col("o.dx"), F.lit(nx))
+                           .alias("tx"))
+                   .where((F.col("ty") >= 0) & (F.col("ty") < ny)))
+        nbr = occ.select(F.col("cell_id").alias("b"),
+                         F.col("y").alias("ty"), F.col("x").alias("tx"))
+        edges = shifted.join(nbr, ["ty", "tx"]).select("a", "b")
+        labels = graph.connected_components(edges, src="a", dst="b")
+        lab = (occ.join(labels.withColumnRenamed("node", "cell_id"),
+                        "cell_id", "left")
+               .select("n", F.coalesce("cluster_id", F.col("cell_id"))
+                       .alias("blob_id")))
+        per_blob = (lab.groupBy("blob_id")
+                    .agg(F.count("*").alias("bc"), F.sum("n").alias("bp")))
+        row = (per_blob.groupBy()
+               .agg(F.coalesce(F.sum("bc"), F.lit(0)).cast("long")
+                    .alias("n_occupied"),
+                    F.count("*").alias("n_blobs"),
+                    F.coalesce(F.max("bc"), F.lit(0)).cast("long")
+                    .alias("largest_cells"),
+                    F.coalesce(F.max(F.struct(F.col("bc"), F.col("bp")))
+                               .getField("bp"), F.lit(0)).cast("long")
+                    .alias("largest_points"))
+               .withColumn("threshold", F.lit(t).cast("long"))
+               .select("threshold", "n_occupied", "n_blobs",
+                       "largest_cells", "largest_points"))
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return cache.track(out, [base])

@@ -3142,3 +3142,48 @@ def contingency_chi2(df: DataFrame, row_col: str = "source",
         F.floor(F.lit(1000000.0) * e).cast("long").alias("e_micro"),
         F.floor(F.lit(1000000.0) * (d * d / e)).cast("long")
         .alias("chi_micro")))
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str,
+                group_col: str = "source",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-group Kendall concordance counts between two features —
+    the rank-correlation triad's third leg (q155 Pearson measures
+    linearity, q220 Spearman monotonicity via ranks; Kendall counts
+    PAIR inversions, the most outlier-robust and the one with a
+    direct probabilistic reading: P(concordant) - P(discordant)).
+
+    Emits per group the exact integer pair census over all C(n,2)
+    id-ordered pairs: ``nc`` concordant, ``nd`` discordant, ``t_x``
+    ties on x only, ``t_y`` ties on y only, ``t_xy`` ties on both —
+    tau-b is one formula away; the gate compares the integers.
+
+    Scale shape: the self-join runs per group on the SLIM (id, x, y)
+    projection; the census is a map-side partial aggregate over the
+    pair stream.  The O(n^2) pair frame is the exact definition —
+    bounded here by group size; at web scale feed a per-group
+    hash-capped sample (textops.source_quota) first, the same
+    documented trade as every pairwise-exact operator in this
+    engine."""
+    s = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+                  F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    a = s.select("g", F.col("i").alias("ia"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"))
+    b = s.select(F.col("g").alias("gb"), F.col("i").alias("ib"),
+                 F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, (a["g"] == b["gb"]) & (a["ia"] < b["ib"]))
+    dx = F.signum((F.col("xb") - F.col("xa")).cast("double"))
+    dy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    return (pairs.groupBy("g")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long")
+                 .alias("nc"),
+                 F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long")
+                 .alias("nd"),
+                 F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+                 .cast("long").alias("t_x"),
+                 F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+                 .cast("long").alias("t_y"),
+                 F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+                 .cast("long").alias("t_xy"))
+            .withColumnRenamed("g", group_col))

@@ -1733,3 +1733,48 @@ def step_direction_stats(df: DataFrame, key: str = "user_id",
                  .cast("long").alias("sum_cos_micro"),
                  F.coalesce(F.sum(F.when(~zero, sinm)), F.lit(0))
                  .cast("long").alias("sum_sin_micro")))
+
+
+def gravity_residuals(df: DataFrame, nchars: int = 4,
+                      key: str = "user_id", ts: str = "ep",
+                      order_col: str = "event_id",
+                      cell_col: str = "geohash") -> DataFrame:
+    """Gravity-model baseline audit over the OD flow matrix: under
+    independence the expected flow o->d is ``E = O_o * D_d / T``
+    (origin marginal x destination marginal over the grand total —
+    the zero-distance-exponent gravity baseline); the chi-square-
+    style residual per OBSERVED flow pair says which corridors are
+    over/under-served vs pure size effects — the q81 matrix's
+    analytic layer, mirroring q244's independence audit on the
+    spatial flow table.
+
+    Emits per observed (o_cell, d_cell): the exact integer flow ``n``
+    and marginals ``o_tot``/``d_tot``, plus ``e_micro = floor(1e6 *
+    O*D/T)`` and ``g_micro = floor(1e6 * (n-E)^2/E)`` in ONE
+    fixed-shape double expression each.  Only observed pairs are
+    emitted (the zero-filled grid is origins x destinations — cell-
+    quadratic; absent corridors are derivable from the marginals).
+
+    Scale shape: rides :func:`od_matrix`'s collapsed flow frame (one
+    window + one count shuffle over the fixes, everything after is
+    flow-table-sized); marginals re-aggregate that collapsed frame
+    and the grand total attaches as a 1-row broadcast."""
+    from . import cache
+
+    flows = od_matrix(df, nchars=nchars, key=key, ts=ts,
+                      order_col=order_col, cell_col=cell_col).persist()
+    ot = flows.groupBy("o_cell").agg(F.sum("n_flows").alias("o_tot"))
+    dt = flows.groupBy("d_cell").agg(F.sum("n_flows").alias("d_tot"))
+    tt = flows.agg(F.sum("n_flows").alias("t_tot"))
+    j = (flows.join(ot, "o_cell").join(dt, "d_cell")
+         .crossJoin(F.broadcast(tt)))
+    e = (F.col("o_tot").cast("double") * F.col("d_tot").cast("double")
+         / F.col("t_tot").cast("double"))
+    d = F.col("n_flows").cast("double") - e
+    out = j.select(
+        "o_cell", "d_cell", F.col("n_flows").alias("n"),
+        "o_tot", "d_tot",
+        F.floor(F.lit(1000000.0) * e).cast("long").alias("e_micro"),
+        F.floor(F.lit(1000000.0) * (d * d / e)).cast("long")
+        .alias("g_micro"))
+    return cache.track(out, [flows])

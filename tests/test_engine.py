@@ -1724,3 +1724,39 @@ def test_kde_heat_two_points_cross_mass(spark):
     cross_20 = 4000000 - (1150 * 1150 + 150 * 150)   # A -> center(1250,250)
     assert rows[(0, 0)] == own + cross_00
     assert rows[(2, 0)] == own + cross_20
+
+
+def test_nn_distance_hist_hand_points(spark):
+    """Line of three points plus one isolated: exact NN rings and the
+    -1 lonely bucket."""
+    from geotile import engine
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.5), (3, 0.0, 4.0), (4, 0.0, 50.0)],
+        "event_id long, lat double, lon double")
+    out = {r["ring"]: r["n_points"]
+           for r in engine.nn_distance_hist(pts).collect()}
+    # NN(1)=1500 -> ring 6, NN(2)=1500 -> 6, NN(3)=2500 -> 10,
+    # point 4 has no neighbor within 4000 -> ring -1
+    assert out == {6: 2, 10: 1, -1: 1}
+
+
+def test_blob_threshold_profile_two_clusters(spark):
+    """Two adjacent 3-point cells + one isolated single-point cell:
+    the profile collapses as the threshold rises."""
+    from geotile import cache, engine
+
+    rows = ([(2.5, 2.5)] * 3 + [(2.5, 7.5)] * 3 + [(60.5, 100.5)])
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = engine.blob_threshold_profile(pts, [1, 2, 4], cell_deg=5.0)
+    prof = {r["threshold"]: r for r in out.collect()}
+    cache.release(out)
+    t1 = prof[1]
+    assert (t1["n_occupied"], t1["n_blobs"]) == (3, 2)
+    assert (t1["largest_cells"], t1["largest_points"]) == (2, 6)
+    t2 = prof[2]
+    assert (t2["n_occupied"], t2["n_blobs"]) == (2, 1)
+    assert (t2["largest_cells"], t2["largest_points"]) == (2, 6)
+    t4 = prof[4]
+    assert (t4["n_occupied"], t4["n_blobs"]) == (0, 0)
+    assert (t4["largest_cells"], t4["largest_points"]) == (0, 0)

@@ -1717,3 +1717,19 @@ def test_contingency_chi2_independent_grid(spark):
             for r in textops.contingency_chi2(docs2).collect()}
     assert out2[("s1", "de")]["o"] == 0
     assert out2[("s1", "de")]["e_micro"] == 500000
+
+
+def test_kendall_tau_census(spark):
+    """Hand-checked 4-doc census with ties in both variables."""
+    from geotile import textops
+
+    docs = spark.createDataFrame(
+        [(0, "s", 1, 10), (1, "s", 2, 20), (2, "s", 2, 5), (3, "s", 3, 5)],
+        "doc_id long, source string, x long, y long")
+    r = textops.kendall_tau(docs, "x", "y", "source").collect()[0]
+    # pairs (0,1)c (0,2)c (0,3)d... check: (0,1): dx+ dy+ -> c;
+    # (0,2): dx+ dy- -> d; (0,3): dx+ dy- -> d; (1,2): dx0 dy- -> t_x;
+    # (1,3): dx+ dy- -> d; (2,3): dx+ dy0 -> t_y
+    assert r["n_pairs"] == 6
+    assert (r["nc"], r["nd"]) == (1, 3)
+    assert (r["t_x"], r["t_y"], r["t_xy"]) == (1, 1, 0)

@@ -1081,3 +1081,26 @@ def test_step_direction_stats_axes(spark):
     diag = math.floor(1000000.0 * -1000.0 / math.sqrt(2000000.0))
     assert r["sum_cos_micro"] == 1000000 + 0 + diag
     assert r["sum_sin_micro"] == 0 + 1000000 + diag
+
+
+def test_gravity_residuals_hand_flows(spark):
+    """Three flows over two cells: exact marginals and floored
+    expected/chi-residual micros."""
+    from geotile import cache, trajectory
+
+    rows = [  # user, seq, cell  (A->B, B->A for u1; A->B for u2)
+        (1, 0, "aaaa1"), (1, 1, "bbbb1"), (1, 2, "aaaa1"),
+        (2, 0, "aaaa2"), (2, 1, "bbbb2"),
+    ]
+    df = spark.createDataFrame(
+        [(u, s, s * 60, c) for u, s, c in rows],
+        "user_id long, event_id long, ep long, geohash string")
+    out = trajectory.gravity_residuals(df, nchars=4)
+    g = {(r["o_cell"], r["d_cell"]): r for r in out.collect()}
+    cache.release(out)
+    ab = g[("aaaa", "bbbb")]
+    assert ab["n"] == 2 and ab["o_tot"] == 2 and ab["d_tot"] == 2
+    assert ab["e_micro"] == 1333333 and ab["g_micro"] == 333333
+    ba = g[("bbbb", "aaaa")]
+    assert ba["n"] == 1 and ba["e_micro"] == 333333
+    assert ba["g_micro"] == 1333333

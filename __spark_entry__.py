@@ -5272,6 +5272,68 @@ def _q250_blob_profile(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q251_stream_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Thirteenth streaming query under the exact run-to-completion
+    gate: stateful CELL-TRANSITION detection
+    (streaming.cell_transition_stream, applyInPandasWithState, one
+    string of state per user) over the positions stream at gh3 cells
+    — the continuous form of q108's geofence edges / q81's OD flows,
+    fired as fixes arrive.  Transitions are final, so append mode is
+    sound; rows are processed in event_id order (single-file source =
+    global order), which is what the oracle states as a batch lag
+    window over event_id."""
+    from geotile import streaming
+
+    ev = _stream_events(spark, sf)
+    pos = ev.select(
+        "event_id", "user_id",
+        (((F.col("user_id") * 7919 + F.col("event_id") * 13) % 160000)
+         / F.lit(1000.0) - 80.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id") * 7) % 340000)
+         / F.lit(1000.0) - 170.0).alias("lon"))
+    wc = engine.with_cell(pos).withColumn(
+        "cell", F.substring("geohash", 1, 3))
+    tr = streaming.cell_transition_stream(wc, key="user_id",
+                                          order_col="event_id",
+                                          cell_col="cell")
+    t = _run_stream_to_table(tr, spark, "q251_transitions_sink", "append")
+    return t.orderBy("user_id", "event_id")
+
+
+def _q252_time_decay_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decay multi-touch attribution
+    (behavior.time_decay_attribution): every view inside the 24 h
+    window shares the purchase credit with an exact power-of-two
+    hourly half-life — the model between q214's first/last-touch
+    extremes, gated per age bucket as (touch count, raw BIGINT credit
+    mass, floored-micro normalized share mass).  The oracle replays
+    the range join, the bit-shift weights, and the per-purchase
+    normalization."""
+    from geotile import behavior
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep"),
+        "event_id")
+    return (behavior.time_decay_attribution(ev).orderBy("age_bucket"))
+
+
+def _q253_emerging_gi(spark: SparkSession, sf: str) -> DataFrame:
+    """Emerging hot-spot classification (engine.emerging_gi_trend):
+    per-day Getis-Ord Gi* slices over the q118 lattice composed with
+    the exact Mann-Kendall sign test on each cell's gi_micro series —
+    intensifying / diminishing / steady significance, the space-time
+    cube composition of q118 and q131.  The oracle replays the
+    per-day Gi* construction (ring sums, day moments, the one
+    fixed-shape double expression) and the sign-pair census."""
+    from geotile import cache
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    out = engine.emerging_gi_trend(pos)
+    return cache.track(out.orderBy("cell_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5556,6 +5618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_kendall_tau": _q248_kendall_tau,
         "q249_gravity_residuals": _q249_gravity_residuals,
         "q250_blob_profile": _q250_blob_profile,
+        "q252_time_decay_attribution": _q252_time_decay_attribution,
+        "q253_emerging_gi": _q253_emerging_gi,
+        # run-to-completion streaming gate last (costliest scaffold)
+        "q251_stream_transitions": _q251_stream_transitions,
     }
 
 
@@ -13338,6 +13404,131 @@ SELECT * FROM (
 {_rows250}
 )
 ORDER BY threshold
+"""
+
+    # q251: streaming cell transitions — batch lag window over
+    # event_id order (the stream's stated processing order)
+    sqls["q251_stream_transitions"] = f"""
+WITH {_POS_CTE},
+c251 AS (
+  SELECT event_id, user_id, substr({gh5}, 1, 3) AS cell
+  FROM pos
+),
+l251 AS (
+  SELECT user_id, event_id, cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM c251
+)
+SELECT user_id, event_id, prev AS from_cell, cell AS to_cell
+FROM l251
+WHERE prev IS NOT NULL AND prev <> cell
+ORDER BY user_id, event_id
+"""
+
+    # q252: time-decay attribution — q214's range join, bit-shift
+    # weights, per-purchase normalization, bucket rollup
+    sqls["q252_time_decay_attribution"] = r"""
+WITH e252 AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id
+  FROM events
+),
+v252 AS (SELECT user_id AS u, ep AS vts FROM e252
+         WHERE event_type = 'view'),
+b252 AS (SELECT user_id AS bu, ep AS bts, event_id AS bid FROM e252
+         WHERE event_type = 'purchase'),
+j252 AS (
+  SELECT b.bid, (b.bts - v.vts) // 3600 AS age
+  FROM b252 b JOIN v252 v ON v.u = b.bu
+   AND v.vts <= b.bts AND v.vts > b.bts - 86400
+),
+w252 AS (
+  SELECT bid, age, (CAST(1 AS BIGINT) << CAST(23 - age AS INT)) AS w
+  FROM j252
+),
+t252 AS (SELECT bid, CAST(sum(w) AS BIGINT) AS tot_w FROM w252 GROUP BY bid),
+s252 AS (
+  SELECT w.age, w.w,
+         CAST(floor(1000000.0 * CAST(w.w AS DOUBLE)
+                    / CAST(t.tot_w AS DOUBLE)) AS BIGINT) AS share_micro
+  FROM w252 w JOIN t252 t ON t.bid = w.bid
+)
+SELECT age AS age_bucket, count(*) AS n_touches,
+       CAST(sum(w) AS BIGINT) AS credit_sum,
+       CAST(sum(share_micro) AS BIGINT) AS share_micro_sum
+FROM s252
+GROUP BY age
+ORDER BY age_bucket
+"""
+
+    # q253: emerging Gi* — q118's per-day construction + q131's sign
+    # census over the gi_micro series
+    sqls["q253_emerging_gi"] = f"""
+WITH {_POS_CTE},
+c253 AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m118a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m118o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2, 3
+),
+o253(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+r253 AS (
+  SELECT c.day, c.i + o.di AS ti, ((c.j + o.dj) % 128 + 128) % 128 AS tj,
+         CAST(sum(c.n) AS BIGINT) AS n_ring
+  FROM c253 c CROSS JOIN o253 o
+  WHERE c.i + o.di BETWEEN 0 AND 63
+  GROUP BY 1, 2, 3
+),
+s253 AS (SELECT day, CAST(sum(n) AS BIGINT) AS s_pts,
+                CAST(sum(n * n) AS BIGINT) AS ss
+         FROM c253 GROUP BY day),
+b253 AS (
+  SELECT c.day, c.i, c.j, CAST(c.n AS BIGINT) AS n,
+         COALESCE(r.n_ring, 0) AS n_ring,
+         CAST(CASE WHEN c.i > 0 AND c.i < 63 THEN 9 ELSE 6 END AS BIGINT) AS w,
+         s.s_pts, s.ss
+  FROM c253 c
+  LEFT JOIN r253 r ON r.day = c.day AND r.ti = c.i AND r.tj = c.j
+  JOIN s253 s ON s.day = c.day
+),
+g253 AS (
+  SELECT day, i * 100000 + j AS cell_id,
+         CASE WHEN (8192 * ss - s_pts * s_pts) > 0 THEN
+           CAST(floor(1000000.0 *
+                (CAST(8192 * (n + n_ring) - w * s_pts AS DOUBLE)
+                 / sqrt((CAST(8192 * ss - s_pts * s_pts AS DOUBLE)
+                         * CAST(8192 * w - w * w AS DOUBLE)) / 8191.0)))
+                AS BIGINT)
+         ELSE 0 END AS gi_micro
+  FROM b253
+),
+mk253 AS (
+  SELECT a.cell_id,
+         CAST(sum(CAST(sign(b.gi_micro - a.gi_micro) AS BIGINT)) AS BIGINT)
+         AS s_mk
+  FROM g253 a JOIN g253 b ON b.cell_id = a.cell_id AND a.day < b.day
+  GROUP BY a.cell_id
+),
+lt253 AS (
+  SELECT cell_id, gi_micro AS last_gi_micro
+  FROM (SELECT cell_id, gi_micro,
+               row_number() OVER (PARTITION BY cell_id ORDER BY day DESC)
+               AS rn
+        FROM g253)
+  WHERE rn = 1
+),
+d253 AS (SELECT cell_id, count(*) AS n_days FROM g253 GROUP BY cell_id)
+SELECT d.cell_id, CAST(d.n_days AS BIGINT) AS n_days,
+       CAST(COALESCE(m.s_mk, 0) AS BIGINT) AS s_mk,
+       CASE WHEN COALESCE(m.s_mk, 0) > 0 THEN 'intensifying'
+            WHEN COALESCE(m.s_mk, 0) < 0 THEN 'diminishing'
+            ELSE 'steady' END AS trend,
+       l.last_gi_micro
+FROM d253 d
+LEFT JOIN mk253 m ON m.cell_id = d.cell_id
+JOIN lt253 l ON l.cell_id = d.cell_id
+ORDER BY d.cell_id
 """
 
     # Every queries() entry above has an exact oracle — including the

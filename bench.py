@@ -159,6 +159,8 @@ def main() -> None:
         "q242_clustering_coeff", "q243_rake_keywords", "q244_chi2_audit",
         "q245_kde_heat", "q246_step_directions", "q247_nn_distance_hist",
         "q248_kendall_tau", "q249_gravity_residuals", "q250_blob_profile",
+        "q251_stream_transitions", "q252_time_decay_attribution",
+        "q253_emerging_gi",
     ]
     from geotile import cache, textops
 

@@ -245,3 +245,54 @@ def stickiness(events: DataFrame, window_days: int = 7,
     from geotile.cache import track
 
     return track(out, [ud])
+
+
+def time_decay_attribution(events: DataFrame, window_s: int = 86400,
+                           bucket_s: int = 3600,
+                           key: str = "user_id", ts: str = "ep",
+                           view_type: str = "view",
+                           buy_type: str = "purchase") -> DataFrame:
+    """Time-decay MULTI-touch attribution — the model between q214's
+    two single-touch extremes: every qualifying view inside the
+    window shares the purchase's credit, weighted by recency with the
+    industry-standard exponential half-life of one ``bucket_s``
+    (weight halves per bucket of age).
+
+    Exactness: a view aged ``a = (bts - vts) div bucket_s`` buckets
+    (0 <= a < window_s/bucket_s) carries the exact BIGINT weight
+    ``w = 2^(n_buckets - 1 - a)``; the per-purchase normalized share
+    quantizes to ``share_micro = floor(1e6 * w / tot_w)`` in one
+    fixed-shape double expression (w and tot_w fit far below 2^53).
+    Emitted per age bucket: touch count, raw decayed credit mass, and
+    the normalized share mass — the decay curve the gate compares as
+    integers.
+
+    Scale shape: one filtered view/purchase range join keyed on the
+    user (the q214 join), one per-purchase total aggregate joined
+    back broadcast-small, one bounded (n_buckets-row) rollup."""
+    nb = int(window_s // bucket_s)
+    views = (events.where(F.col("event_type") == view_type)
+             .select(F.col(key).alias("u"), F.col(ts).alias("vts")))
+    buys = (events.where(F.col("event_type") == buy_type)
+            .select(F.col(key).alias("bu"), F.col(ts).alias("bts"),
+                    F.col("event_id").alias("bid")))
+    j = (buys.join(views, (buys["bu"] == views["u"])
+                   & (views["vts"] <= buys["bts"])
+                   & (views["vts"] > buys["bts"] - window_s)))
+    aged = j.select(
+        "bid", F.expr(f"(bts - vts) div {bucket_s}").alias("age"))
+    w = F.expr(f"shiftleft(cast(1 as bigint), "
+               f"cast({nb - 1} - age as int))").cast("long")
+    wt = aged.withColumn("w", w)
+    tot = wt.groupBy("bid").agg(F.sum("w").alias("tot_w"))
+    share = (wt.join(tot, "bid")
+             .withColumn("share_micro",
+                         F.floor(F.lit(1000000.0)
+                                 * F.col("w").cast("double")
+                                 / F.col("tot_w").cast("double"))
+                         .cast("long")))
+    return (share.groupBy("age")
+            .agg(F.count("*").alias("n_touches"),
+                 F.sum("w").alias("credit_sum"),
+                 F.sum("share_micro").alias("share_micro_sum"))
+            .withColumnRenamed("age", "age_bucket"))

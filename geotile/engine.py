@@ -2764,3 +2764,107 @@ def blob_threshold_profile(df: DataFrame, thresholds: Sequence[int],
     for p in parts[1:]:
         out = out.unionByName(p)
     return cache.track(out, [base])
+
+
+def emerging_gi_trend(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                      t: str = "ep", lat_bits: int = 6,
+                      lon_bits: int = 7) -> DataFrame:
+    """Emerging hot-spot analysis over the space-time cube — the
+    composition closing the spatial-stats chain: per DAY slice compute
+    every occupied cell's Getis-Ord Gi* (exactly :func:`getis_ord`'s
+    integer construction, one slice at a time), then run the exact
+    Mann-Kendall sign test over each cell's day-ordered ``gi_micro``
+    series and classify the cell — ArcGIS's "emerging hot spot"
+    combines these same two statistics; q118 answers "where is hot",
+    q131 "where is activity rising"; this answers "where is
+    SIGNIFICANCE rising" (a cell can gain raw counts while losing
+    significance because its neighbors gain faster).
+
+    Per-slice exactness is q118's verbatim: with N lattice cells and
+    per-day totals S/SS, ``num = N*(n + n_ring) - w*S``, ``A = N*SS -
+    S^2``, ``B = N*w - w^2`` — exact BIGINTs — and ``gi_micro =
+    floor(1e6 * num / sqrt(A*B/(N-1)))`` in ONE fixed-shape double
+    expression; the trend layer is pure integers (sign pairs over
+    gi_micro).  Observed (cell, day) slices only — a cell absent on a
+    day contributes to ring sums as zero but is not emitted, the q131
+    observed-days semantics.
+
+    Scale shape: raw events collapse to the (day, cell) count frame
+    in ONE partially-aggregated shuffle; ring sums are a day-local
+    equi-join of that collapsed frame against its 8-neighbor
+    explosion; day stats are a day-sized broadcast; the Mann-Kendall
+    pair join fans out days^2/2 per cell on the collapsed frame.
+    Returns ``(cell_id, n_days, s_mk, trend, last_gi_micro)``."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    nlat = ni * nj
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"),
+                       F.expr(f"{t} div 86400").alias("day"))
+             .groupBy("day", "i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    ring = (cells.select("day", "i", "j", "n", F.explode(offs).alias("o"))
+            .select(F.col("day").alias("rday"),
+                    (F.col("i") + F.col("o.di")).alias("ti"),
+                    F.pmod(F.col("j") + F.col("o.dj"), F.lit(nj)).alias("tj"),
+                    "n")
+            .where((F.col("ti") >= 0) & (F.col("ti") < ni))
+            .groupBy("rday", "ti", "tj").agg(F.sum("n").alias("n_ring")))
+    st = cells.groupBy("day").agg(F.sum("n").alias("s_pts"),
+                                  F.sum(F.col("n") * F.col("n")).alias("ss"))
+    w = (F.when((F.col("i") > 0) & (F.col("i") < ni - 1), F.lit(9))
+         .otherwise(F.lit(6))).cast("long")
+    big_n = F.lit(nlat).cast("long")
+    jn = (cells
+          .join(ring, (F.col("day") == F.col("rday"))
+                & (F.col("i") == F.col("ti")) & (F.col("j") == F.col("tj")),
+                "left")
+          .drop("rday", "ti", "tj")
+          .withColumn("n_ring", F.coalesce("n_ring",
+                                           F.lit(0).cast("long")))
+          .join(st, "day")
+          .withColumn("w", w))
+    num = big_n * (F.col("n") + F.col("n_ring")) - F.col("w") * F.col("s_pts")
+    aa = big_n * F.col("ss") - F.col("s_pts") * F.col("s_pts")
+    bb = big_n * F.col("w") - F.col("w") * F.col("w")
+    gi = (F.when(aa > 0,
+                 F.floor(F.lit(1000000.0)
+                         * (num.cast("double")
+                            / F.sqrt((aa.cast("double") * bb.cast("double"))
+                                     / F.lit(float(nlat - 1))))))
+          .otherwise(F.lit(0))).cast("long")
+    series = (jn.select((F.col("i") * 100000 + F.col("j")).alias("cell_id"),
+                        "day", gi.alias("gi_micro"))
+              .persist())
+    a = series.select("cell_id", F.col("day").alias("di"),
+                      F.col("gi_micro").alias("ga"))
+    b = series.select(F.col("cell_id").alias("cb"),
+                      F.col("day").alias("dj"), F.col("gi_micro").alias("gb"))
+    s_mk = (a.join(b, (a["cell_id"] == b["cb"]) & (a["di"] < b["dj"]))
+            .groupBy("cell_id")
+            .agg(F.sum(F.signum((F.col("gb") - F.col("ga")).cast("double"))
+                       .cast("long")).alias("s_mk")))
+    wl = Window.partitionBy("cell_id").orderBy(F.desc("day"))
+    last = (series.withColumn("rn", F.row_number().over(wl))
+            .where(F.col("rn") == 1)
+            .select("cell_id", F.col("gi_micro").alias("last_gi_micro")))
+    per_cell = series.groupBy("cell_id").agg(F.count("*").alias("n_days"))
+    out = (per_cell.join(s_mk, "cell_id", "left")
+           .withColumn("s_mk", F.coalesce("s_mk", F.lit(0).cast("long")))
+           .join(last, "cell_id")
+           .withColumn("trend",
+                       F.when(F.col("s_mk") > 0, F.lit("intensifying"))
+                       .when(F.col("s_mk") < 0, F.lit("diminishing"))
+                       .otherwise(F.lit("steady")))
+           .select("cell_id", "n_days", "s_mk", "trend", "last_gi_micro"))
+    return cache.track(out, [cells, series])

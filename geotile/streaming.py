@@ -369,3 +369,56 @@ def ivm_rollup_stream(spark: SparkSession, updates: DataFrame,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cell_transition_stream(updates: DataFrame, key: str = "user_id",
+                           order_col: str = "event_id",
+                           cell_col: str = "cell") -> DataFrame:
+    """Stateful streaming CELL-TRANSITION detection: per key, emit a
+    row the moment its cell differs from the previous fix's cell —
+    the continuous form of the q108 geofence / q81 OD primitives (the
+    event-time edge "user crossed a boundary", fired as it happens
+    instead of reconstructed by a batch lag window).
+
+    A transition is FINAL when it happens (later fixes can't unmake
+    it), so append mode is sound with ONE string of state per key
+    (the last seen cell).  Within a micro-batch rows are processed in
+    ``order_col`` order (explicit sort — micro-batch shuffles don't
+    preserve file order), batches in arrival order; with a
+    single-file source this equals global order, which is what the
+    q251 oracle states as a batch lag window.
+
+    Scale shape: one shuffle groups keys; state is O(1) per key;
+    emissions are the transitions only (a stationary key emits
+    nothing).  Returns ``(key, order_col, from_cell, to_cell)``."""
+    out_schema = (f"{key} long, {order_col} long, "
+                  "from_cell string, to_cell string")
+    state_schema = "last_cell string"
+
+    import numpy as np
+
+    def _update(k, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = (pd.concat(list(pdfs), ignore_index=True)
+                .sort_values(order_col, kind="mergesort"))
+        prev = state.get[0] if state.exists else None
+        arr = rows[cell_col].to_numpy(dtype=object)
+        if len(arr) == 0:
+            yield pd.DataFrame({key: [], order_col: [],
+                                "from_cell": [], "to_cell": []})
+            return
+        prv = np.concatenate(([prev], arr[:-1]))
+        mask = prv != arr
+        if prev is None:
+            mask[0] = False  # the key's first-ever fix is no transition
+        state.update((str(arr[-1]),))
+        sel = rows[mask]
+        yield pd.DataFrame({
+            key: sel[key].to_numpy(),
+            order_col: sel[order_col].to_numpy(),
+            "from_cell": prv[mask],
+            "to_cell": sel[cell_col].to_numpy()})
+
+    return (updates.select(key, order_col, cell_col)
+            .groupBy(key)
+            .applyInPandasWithState(_update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -228,3 +228,30 @@ def test_attribution_first_vs_last_touch_lags(spark):
     row = r[0]
     assert row["bts"] - row["last_v"] == 50     # last-touch lag
     assert row["bts"] - row["first_v"] == 150   # first-touch lag
+
+
+def test_time_decay_attribution_hand_events(spark):
+    """One purchase, three views at known ages: exact bit-shift
+    weights and floored shares."""
+    from geotile import behavior
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "purchase", 10000, 100),
+        (1, "view", 9900, 1),    # age 0
+        (1, "view", 6000, 2),    # age 1
+        (1, "view", 5900, 3),    # age 1
+        (2, "view", 9000, 4),    # other user: never credited
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ep long, event_id long")
+    out = {r["age_bucket"]: r for r in
+           behavior.time_decay_attribution(ev).collect()}
+    assert set(out) == {0, 1}
+    # weights: age0 -> 2^23; age1 -> 2^22 each; tot = 2^24
+    assert out[0]["n_touches"] == 1
+    assert out[0]["credit_sum"] == 1 << 23
+    assert out[0]["share_micro_sum"] == 500000
+    assert out[1]["n_touches"] == 2
+    assert out[1]["credit_sum"] == 1 << 23
+    assert out[1]["share_micro_sum"] == 500000  # 250000 + 250000

@@ -1760,3 +1760,24 @@ def test_blob_threshold_profile_two_clusters(spark):
     t4 = prof[4]
     assert (t4["n_occupied"], t4["n_blobs"]) == (0, 0)
     assert (t4["largest_cells"], t4["largest_points"]) == (0, 0)
+
+
+def test_emerging_gi_trend_single_day_matches_getis_ord(spark):
+    """With every fix on ONE day the trend layer is degenerate
+    (n_days 1, s_mk 0, steady) and each cell's last_gi_micro equals
+    the global getis_ord gi_micro."""
+    import __spark_entry__ as E
+    from geotile import cache, engine
+
+    pos = (E._positions_df(spark, "/root/testdata/sf0.001")
+           .withColumn("ep", F.lit(86400 * 100 + 7)))
+    out = engine.emerging_gi_trend(pos)
+    rows = {r["cell_id"]: r for r in out.collect()}
+    cache.release(out)
+    gi = engine.getis_ord(pos)
+    want = {r["i"] * 100000 + r["j"]: r["gi_micro"] for r in gi.collect()}
+    cache.release(gi)
+    assert set(rows) == set(want)
+    for cid, r in rows.items():
+        assert (r["n_days"], r["s_mk"], r["trend"]) == (1, 0, "steady")
+        assert r["last_gi_micro"] == want[cid]

@@ -400,3 +400,27 @@ def test_ivm_rollup_stream_multi_batch(spark, tmp_path):
     assert got == {"a": (2, 11), "b": (1, 2), "c": (1, 5)}
     # two snapshot versions exist (one per batch)
     assert streaming.latest_state_version(state) >= 1
+
+
+def test_cell_transition_stream_matches_batch_lag(spark):
+    """The q251 stream's run-to-completion output equals the batch lag
+    window over the same positions (single-file source = global
+    event_id order)."""
+    import __spark_entry__ as E
+    from pyspark.sql import Window, functions as F
+    from geotile import engine
+
+    sf = "/root/testdata/sf0.001"
+    got = E._q251_stream_transitions(spark, sf).collect()
+    pos = engine.with_cell(E._positions_df(spark, sf)) \
+        .withColumn("cell", F.substring("geohash", 1, 3))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    want = (pos.withColumn("prev", F.lag("cell").over(w))
+            .where(F.col("prev").isNotNull()
+                   & (F.col("prev") != F.col("cell")))
+            .select("user_id", "event_id",
+                    F.col("prev").alias("from_cell"),
+                    F.col("cell").alias("to_cell"))
+            .orderBy("user_id", "event_id").collect())
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -5334,6 +5334,50 @@ def _q253_emerging_gi(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q254_knox_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Knox space-time interaction (engine.knox_test, 2000-milli /
+    3600-s windows) over the SCATTERED positions: one row of exact
+    integer pair censuses — spatial-close (q240's bucketed disk),
+    temporal-close (the 1-D bucket-join analog), both-close, and the
+    floored-micro independence expectation — contagion shows as
+    st_pairs exceeding it.  The oracle replays both bucket joins and
+    the closed-form pair total."""
+    pos = (_positions2_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return engine.knox_test(pos)
+
+
+def _q255_local_morans(spark: SparkSession, sf: str) -> DataFrame:
+    """Local Moran's I / LISA quadrants (engine.local_morans) over the
+    q105 lattice: per occupied cell the exact scaled-z neighborhood
+    product and the HH/LL/HL/LH cluster-outlier classification — the
+    per-cell decomposition of q105's global statistic (whose value is
+    the weighted sum of these).  The oracle replays the scaled
+    centering, the ring sums, the sign quadrants, and the one
+    fixed-shape division."""
+    from geotile import cache
+
+    out = engine.local_morans(_positions_df(spark, sf))
+    return cache.track(out.orderBy("i", "j"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q256_percentile_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell daily-activity bands (engine.cell_percentile_bands,
+    gh3 cells): exact integer P10/P50/P90 rank picks over each cell's
+    observed-day counts — the outlier-robust "normal range" layer
+    under alerting, next to q131's trend sign and q241's trend
+    magnitude.  The oracle replays the rank arithmetic and the
+    conditional pivot."""
+    from geotile import cache
+
+    pos = engine.with_cell(_positions_df(spark, sf)) \
+        .withColumn("ep", F.unix_timestamp("ts"))
+    out = engine.cell_percentile_bands(pos)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5620,6 +5664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_blob_profile": _q250_blob_profile,
         "q252_time_decay_attribution": _q252_time_decay_attribution,
         "q253_emerging_gi": _q253_emerging_gi,
+        "q254_knox_test": _q254_knox_test,
+        "q255_local_morans": _q255_local_morans,
+        "q256_percentile_bands": _q256_percentile_bands,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -13529,6 +13576,135 @@ FROM d253 d
 LEFT JOIN mk253 m ON m.cell_id = d.cell_id
 JOIN lt253 l ON l.cell_id = d.cell_id
 ORDER BY d.cell_id
+"""
+
+    # q254: Knox — spatial bucket join (q240's), 1-D temporal bucket
+    # join, closed-form pair total, fixed-shape expectation
+    sqls["q254_knox_test"] = f"""
+WITH {_POS2_CTE},
+p254 AS (
+  SELECT event_id AS pid,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tt
+  FROM pos2
+),
+h254 AS (
+  SELECT pid, px, py, tt,
+         CAST(floor(px / 2000.0) AS BIGINT) AS cx,
+         CAST(floor(py / 2000.0) AS BIGINT) AS cy
+  FROM p254
+),
+o254(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+sp254 AS (
+  SELECT CASE WHEN abs(a.tt - b.tt) <= 3600 THEN 1 ELSE 0 END AS ct
+  FROM h254 a CROSS JOIN o254 o
+  JOIN h254 b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.pid < b.pid
+    AND (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= 4000000
+),
+sc254 AS (SELECT count(*) AS s_pairs,
+                 CAST(coalesce(sum(ct), 0) AS BIGINT) AS st_pairs
+          FROM sp254),
+tb254 AS (SELECT pid, tt, tt // 3600 AS bk FROM p254),
+tc254 AS (
+  SELECT count(*) AS t_pairs
+  FROM (SELECT a.pid AS ida, a.tt AS ta, u.tbk
+        FROM tb254 a,
+        LATERAL (SELECT unnest([a.bk - 1, a.bk, a.bk + 1]) AS tbk) u) a
+  JOIN tb254 b ON b.bk = a.tbk
+  WHERE a.ida < b.pid AND abs(a.ta - b.tt) <= 3600
+),
+n254 AS (SELECT count(*) AS n_points FROM p254)
+SELECT CAST(n.n_points AS BIGINT) AS n_points,
+       CAST(n.n_points * (n.n_points - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(s.s_pairs AS BIGINT) AS s_pairs,
+       CAST(t.t_pairs AS BIGINT) AS t_pairs,
+       CAST(s.st_pairs AS BIGINT) AS st_pairs,
+       CASE WHEN n.n_points > 1 THEN
+         CAST(floor(1000000.0 * (CAST(s.s_pairs AS DOUBLE)
+              * CAST(t.t_pairs AS DOUBLE)
+              / CAST(n.n_points * (n.n_points - 1) // 2 AS DOUBLE)))
+              AS BIGINT)
+       ELSE 0 END AS expected_micro
+FROM n254 n, sc254 s, tc254 t
+"""
+
+    # q255: LISA — q105's scaled centering, per-cell ring sums, sign
+    # quadrants, one fixed-shape division
+    sqls["q255_local_morans"] = f"""
+WITH {_POS_CTE},
+c255 AS (
+  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) * {_m105a}) AS BIGINT), 0), 63) AS i,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) * {_m105o}) AS BIGINT), 0), 127) AS j,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+s255 AS (SELECT count(*) AS n_cells, sum(n) AS s_pts FROM c255),
+z255 AS (SELECT i, j, n, s255.n_cells,
+                (s255.n_cells * n - s255.s_pts) AS zp
+         FROM c255, s255),
+o255(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+r255 AS (
+  SELECT z.i + o.di AS ti, ((z.j + o.dj) % 128 + 128) % 128 AS tj,
+         CAST(sum(z.zp) AS BIGINT) AS ring_z
+  FROM z255 z CROSS JOIN o255 o
+  WHERE z.i + o.di BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+d255 AS (SELECT coalesce(sum(zp * zp), 0) AS den FROM z255)
+SELECT z.i, z.j, CAST(z.n AS BIGINT) AS n, CAST(z.zp AS BIGINT) AS zp,
+       CAST(COALESCE(r.ring_z, 0) AS BIGINT) AS ring_z,
+       CAST(z.zp * COALESCE(r.ring_z, 0) AS BIGINT) AS num,
+       CASE WHEN d.den <> 0 THEN
+         CAST(floor(1000000.0 * (CAST(z.n_cells AS DOUBLE)
+              * CAST(z.zp * COALESCE(r.ring_z, 0) AS DOUBLE))
+              / CAST(d.den AS DOUBLE)) AS BIGINT)
+       ELSE 0 END AS lisa_micro,
+       CASE WHEN z.zp > 0 AND COALESCE(r.ring_z, 0) > 0 THEN 'HH'
+            WHEN z.zp < 0 AND COALESCE(r.ring_z, 0) < 0 THEN 'LL'
+            WHEN z.zp > 0 AND COALESCE(r.ring_z, 0) < 0 THEN 'HL'
+            WHEN z.zp < 0 AND COALESCE(r.ring_z, 0) > 0 THEN 'LH'
+            ELSE 'none' END AS quadrant
+FROM z255 z
+LEFT JOIN r255 r ON r.ti = z.i AND r.tj = z.j
+CROSS JOIN d255 d
+ORDER BY z.i, z.j
+"""
+
+    # q256: percentile bands — (cell, day) counts, integer rank picks,
+    # conditional pivot
+    sqls["q256_percentile_bands"] = f"""
+WITH {_POS_CTE},
+c256 AS (
+  SELECT substr({gh5}, 1, 3) AS cell,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+r256 AS (
+  SELECT cell, n,
+         row_number() OVER (PARTITION BY cell ORDER BY n) AS rn,
+         count(*) OVER (PARTITION BY cell) AS k
+  FROM c256
+),
+b256 AS (
+  SELECT cell,
+         max(CASE WHEN rn = (10 * k + 99) // 100 THEN n END) AS p10,
+         max(CASE WHEN rn = (50 * k + 99) // 100 THEN n END) AS p50,
+         max(CASE WHEN rn = (90 * k + 99) // 100 THEN n END) AS p90
+  FROM r256 GROUP BY cell
+),
+d256 AS (
+  SELECT cell, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total
+  FROM c256 GROUP BY cell
+)
+SELECT d.cell, CAST(d.n_days AS BIGINT) AS n_days, d.total,
+       CAST(b.p10 AS BIGINT) AS p10, CAST(b.p50 AS BIGINT) AS p50,
+       CAST(b.p90 AS BIGINT) AS p90
+FROM d256 d JOIN b256 b ON b.cell = d.cell
+ORDER BY d.cell
 """
 
     # Every queries() entry above has an exact oracle — including the

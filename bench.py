@@ -160,7 +160,8 @@ def main() -> None:
         "q245_kde_heat", "q246_step_directions", "q247_nn_distance_hist",
         "q248_kendall_tau", "q249_gravity_residuals", "q250_blob_profile",
         "q251_stream_transitions", "q252_time_decay_attribution",
-        "q253_emerging_gi",
+        "q253_emerging_gi", "q254_knox_test", "q255_local_morans",
+        "q256_percentile_bands",
     ]
     from geotile import cache, textops
 

@@ -2868,3 +2868,217 @@ def emerging_gi_trend(df: DataFrame, lat: str = "lat", lon: str = "lon",
                        .otherwise(F.lit("steady")))
            .select("cell_id", "n_days", "s_mk", "trend", "last_gi_micro"))
     return cache.track(out, [cells, series])
+
+
+def knox_test(df: DataFrame, space_milli: int = 2000,
+              time_s: int = 3600, lat: str = "lat", lon: str = "lon",
+              t: str = "ep") -> DataFrame:
+    """Knox space-time interaction statistic: of all C(n,2) point
+    pairs, how many are close in BOTH space and time versus what the
+    spatial and temporal margins alone predict — the classic
+    epidemiology / event-correlation screen (contagion shows up as
+    st-pairs exceeding s_pairs * t_pairs / total).
+
+    Emits ONE row of exact integers: ``n_points``, ``n_pairs`` (the
+    closed form C(n,2)), ``s_pairs`` (close in space only — the
+    q240 bucketed disk count at ``space_milli``), ``t_pairs`` (close
+    in time, |dt| <= time_s), ``st_pairs`` (close in both), and
+    ``expected_micro = floor(1e6 * s_pairs * t_pairs / n_pairs)`` in
+    one fixed-shape double expression.  The excess ratio
+    st_pairs/expected is one division away.
+
+    Scale shape: the spatial census rides the same 3x3 bucketed
+    candidate join as ripley_pairs (never all-pairs); the TEMPORAL
+    census is the 1-D analog — a self-join on floor(t/T) buckets
+    widened one bucket each way (every |dt| <= T pair shares a bucket
+    or sits in adjacent ones; each unordered pair matches exactly
+    once under the id-order filter), fan-out bounded by points per
+    time bucket.  The st census filters the SPATIAL candidate stream
+    by dt map-side (no third join)."""
+    pts = df.select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("px"),
+        F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("py"),
+        F.col(t).cast("long").alias("tt"))
+    home = pts.select(
+        "pid", "px", "py", "tt",
+        F.floor(F.col("px") / F.lit(float(space_milli)))
+        .cast("long").alias("cx"),
+        F.floor(F.col("py") / F.lit(float(space_milli)))
+        .cast("long").alias("cy"))
+    offs = F.array(*[F.struct(F.lit(dx).cast("long").alias("dx"),
+                              F.lit(dy).cast("long").alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (home.select(F.col("pid").alias("ida"), F.col("px").alias("xa"),
+                     F.col("py").alias("ya"), F.col("tt").alias("ta"),
+                     "cx", "cy", F.explode(offs).alias("o"))
+         .select("ida", "xa", "ya", "ta",
+                 (F.col("cx") + F.col("o.dx")).alias("tx"),
+                 (F.col("cy") + F.col("o.dy")).alias("ty")))
+    b = home.select(F.col("pid").alias("idb"), F.col("px").alias("xb"),
+                    F.col("py").alias("yb"), F.col("tt").alias("tb"),
+                    F.col("cx").alias("tx"), F.col("cy").alias("ty"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    close_t = (F.abs(F.col("ta") - F.col("tb")) <= F.lit(int(time_s)))
+    sp = (a.join(b, ["tx", "ty"])
+          .where(F.col("ida") < F.col("idb"))
+          .where(d2 <= F.lit(space_milli * space_milli))
+          .select(close_t.cast("long").alias("ct")))
+    s_census = sp.agg(F.count("*").alias("s_pairs"),
+                      F.sum("ct").alias("st_pairs"))
+    # temporal census: 1-D bucket join on floor(t/T), adjacent buckets
+    tb_ = pts.select("pid", "tt",
+                     F.expr(f"tt div {int(time_s)}").alias("bk"))
+    ta_ = (tb_.select(F.col("pid").alias("ida"), F.col("tt").alias("ta"),
+                      F.explode(F.array(F.col("bk") - 1, F.col("bk"),
+                                        F.col("bk") + 1)).alias("tbk")))
+    tbb = tb_.select(F.col("pid").alias("idb"), F.col("tt").alias("tb"),
+                     F.col("bk").alias("tbk"))
+    t_census = (ta_.join(tbb, "tbk")
+                .where(F.col("ida") < F.col("idb"))
+                .where(F.abs(F.col("ta") - F.col("tb"))
+                       <= F.lit(int(time_s)))
+                .agg(F.count("*").alias("t_cnt")))
+    n = pts.agg(F.count("*").alias("n_points"))
+    out = (n.crossJoin(s_census).crossJoin(t_census)
+           .withColumn("n_pairs",
+                       F.expr("n_points * (n_points - 1) div 2")
+                       .cast("long"))
+           .withColumn("s_pairs",
+                       F.coalesce("s_pairs", F.lit(0)).cast("long"))
+           .withColumn("st_pairs",
+                       F.coalesce("st_pairs", F.lit(0)).cast("long"))
+           .withColumn("t_pairs",
+                       F.coalesce("t_cnt", F.lit(0)).cast("long"))
+           .withColumn(
+               "expected_micro",
+               F.when(F.col("n_pairs") > 0,
+                      F.floor(F.lit(1000000.0)
+                              * (F.col("s_pairs").cast("double")
+                                 * F.col("t_pairs").cast("double")
+                                 / F.col("n_pairs").cast("double"))))
+               .otherwise(F.lit(0)).cast("long"))
+           .select("n_points", "n_pairs", "s_pairs", "t_pairs",
+                   "st_pairs", "expected_micro"))
+    return out
+
+
+def local_morans(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                 lat_bits: int = 6, lon_bits: int = 7) -> DataFrame:
+    """Local Moran's I (LISA — Anselin 1995) over the occupied integer
+    lattice: the PER-CELL decomposition of q105's global Moran,
+    classifying every occupied cell into the cluster/outlier quadrant
+    — HH (hot surrounded by hot), LL (cold core), HL (hot outlier in
+    a cold field), LH (cold hole in a hot field) — the map layer
+    analysts actually read; the global I is just the weighted sum of
+    these.
+
+    Exactness: with the Moran scaling ``z' = N*n - S``, a cell's
+    neighborhood term ``ring_z = sum of z' over its 8-ring`` and
+    ``num = z' * ring_z`` are exact BIGINTs; ``lisa_micro = floor(1e6
+    * N*num/den)`` (den = sum z'^2, the N factors cancel into
+    Anselin's m2 normalization) derives in ONE fixed-shape double
+    expression, 0 when den = 0.  Quadrants classify on exact signs;
+    cells with z' = 0 or an empty/balanced ring report 'none'.
+
+    Scale shape: identical to morans_i — one data-sized count
+    aggregate, then occupied-cell frames only; the global moments
+    attach as a 1-row broadcast.  Returns ``(i, j, n, zp, ring_z,
+    num, lisa_micro, quadrant)``."""
+    from . import cache
+
+    ni, nj = 1 << lat_bits, 1 << lon_bits
+    ila = F.least(F.greatest(F.floor(
+        (F.col(lat) + F.lit(90.0)) * F.lit(ni / 180.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(ni - 1).cast("long"))
+    ilo = F.least(F.greatest(F.floor(
+        (F.col(lon) + F.lit(180.0)) * F.lit(nj / 360.0)).cast("long"),
+        F.lit(0).cast("long")), F.lit(nj - 1).cast("long"))
+    cells = (df.select(ila.alias("i"), ilo.alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("n"))
+             .persist())
+    st = cells.agg(F.count("*").alias("n_cells"), F.sum("n").alias("s_pts"))
+    z = (cells.crossJoin(F.broadcast(st))
+         .select("i", "j", "n", "n_cells",
+                 (F.col("n_cells") * F.col("n") - F.col("s_pts"))
+                 .alias("zp")))
+    offs = F.array(*[F.struct(F.lit(di).cast("long").alias("di"),
+                              F.lit(dj).cast("long").alias("dj"))
+                     for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                     if not (di == 0 and dj == 0)])
+    ring = (z.select("i", "j", "zp", F.explode(offs).alias("o"))
+            .select((F.col("i") + F.col("o.di")).alias("ti"),
+                    F.pmod(F.col("j") + F.col("o.dj"), F.lit(nj)).alias("tj"),
+                    F.col("zp").alias("zn"))
+            .where((F.col("ti") >= 0) & (F.col("ti") < ni))
+            .groupBy("ti", "tj").agg(F.sum("zn").alias("ring_z")))
+    dn = z.agg(F.sum(F.col("zp") * F.col("zp")).alias("den"))
+    jn = (z.join(ring, (z["i"] == ring["ti"]) & (z["j"] == ring["tj"]),
+                 "left")
+          .drop("ti", "tj")
+          .withColumn("ring_z", F.coalesce("ring_z",
+                                           F.lit(0).cast("long")))
+          .crossJoin(F.broadcast(dn)))
+    num = F.col("zp") * F.col("ring_z")
+    lisa = (F.when(F.col("den") != 0,
+                   F.floor(F.lit(1000000.0)
+                           * (F.col("n_cells").cast("double")
+                              * num.cast("double"))
+                           / F.col("den").cast("double")))
+            .otherwise(F.lit(0))).cast("long")
+    quad = (F.when((F.col("zp") > 0) & (F.col("ring_z") > 0), F.lit("HH"))
+            .when((F.col("zp") < 0) & (F.col("ring_z") < 0), F.lit("LL"))
+            .when((F.col("zp") > 0) & (F.col("ring_z") < 0), F.lit("HL"))
+            .when((F.col("zp") < 0) & (F.col("ring_z") > 0), F.lit("LH"))
+            .otherwise(F.lit("none")))
+    out = jn.select("i", "j", "n", "zp", "ring_z", num.alias("num"),
+                    lisa.alias("lisa_micro"), quad.alias("quadrant"))
+    return cache.track(out, [cells])
+
+
+def cell_percentile_bands(df: DataFrame, t: str = "ep", nchars: int = 3,
+                          cell_col: str = "geohash") -> DataFrame:
+    """Per-cell robust activity bands: the exact P10/P50/P90 of the
+    cell's DAILY count distribution — the operational "normal range"
+    under every alerting rule (q131/q241 say whether a cell trends;
+    the bands say what a NORMAL day looks like, outlier-robustly).
+
+    Exactness: pure integer rank picks — ``rank_q = (q*n + 99) div
+    100`` (ceil of q%'s position, the LOW-quantile convention shared
+    with q164's median) over the day counts sorted ascending, picked
+    by row_number; ties on count are value-identical at any rank, so
+    the pick is deterministic.  Same observed-days semantics as q131.
+
+    Scale shape: one data-sized partial aggregation to (cell, day)
+    counts; one per-cell window sort over the COLLAPSED frame; one
+    filter keeps the three rank rows per cell and a conditional
+    aggregate pivots them wide.  Returns ``(cell, n_days, total, p10,
+    p50, p90)``."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    counts = (df.select(cell.alias("cell"),
+                        F.expr(f"{t} div 86400").alias("day"))
+              .groupBy("cell", "day").agg(F.count("*").alias("n"))
+              .persist())
+    wr = Window.partitionBy("cell").orderBy("n")
+    ranked = (counts.withColumn("rn", F.row_number().over(wr))
+              .withColumn("k", F.count("*").over(
+                  Window.partitionBy("cell"))))
+    picks = ranked.select(
+        "cell", "n", "rn",
+        F.expr("(10 * k + 99) div 100").alias("r10"),
+        F.expr("(50 * k + 99) div 100").alias("r50"),
+        F.expr("(90 * k + 99) div 100").alias("r90"))
+    bands = (picks.groupBy("cell").agg(
+        F.max(F.when(F.col("rn") == F.col("r10"), F.col("n"))).alias("p10"),
+        F.max(F.when(F.col("rn") == F.col("r50"), F.col("n"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.col("r90"), F.col("n"))).alias("p90")))
+    per_cell = counts.groupBy("cell").agg(
+        F.count("*").alias("n_days"), F.sum("n").alias("total"))
+    out = per_cell.join(bands, "cell").select(
+        "cell", "n_days", "total", "p10", "p50", "p90")
+    return cache.track(out, [counts])

@@ -1781,3 +1781,59 @@ def test_emerging_gi_trend_single_day_matches_getis_ord(spark):
     for cid, r in rows.items():
         assert (r["n_days"], r["s_mk"], r["trend"]) == (1, 0, "steady")
         assert r["last_gi_micro"] == want[cid]
+
+
+def test_knox_test_hand_pairs(spark):
+    """Four points with hand-enumerable censuses: one pair close in
+    both space and time, two space-only, two time-only, one neither."""
+    from geotile import engine
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0), (2, 0.0, 0.5, 100),
+         (3, 0.0, 0.5, 50000), (4, 0.0, 100.0, 200)],
+        "event_id long, lat double, lon double, ep long")
+    r = engine.knox_test(pts).collect()[0]
+    assert (r["n_points"], r["n_pairs"]) == (4, 6)
+    assert (r["s_pairs"], r["t_pairs"], r["st_pairs"]) == (3, 3, 1)
+    assert r["expected_micro"] == 1500000  # 3*3/6
+
+
+def test_local_morans_contrast_pair(spark):
+    """Counts 1 vs 5 in adjacent cells: exact scaled-z products and
+    the HL/LH outlier quadrants; a flat pair classifies 'none'."""
+    from geotile import cache, engine
+
+    hot = spark.createDataFrame(
+        [(0.5, 0.5)] + [(0.5, 3.5)] * 5, "lat double, lon double")
+    out = engine.local_morans(hot)
+    rows = sorted([r.asDict() for r in out.collect()],
+                  key=lambda r: r["n"])
+    cache.release(out)
+    lo, hi = rows
+    assert (lo["zp"], hi["zp"]) == (-4, 4)
+    assert lo["ring_z"] == 4 and hi["ring_z"] == -4
+    assert lo["num"] == hi["num"] == -16
+    # lisa = floor(1e6 * 2 * -16 / 32) = -1e6 for both
+    assert lo["lisa_micro"] == hi["lisa_micro"] == -1000000
+    assert lo["quadrant"] == "LH" and hi["quadrant"] == "HL"
+    flat = spark.createDataFrame(
+        [(0.5, 0.5)] * 3 + [(0.5, 3.5)] * 3, "lat double, lon double")
+    out2 = engine.local_morans(flat)
+    assert all(r["quadrant"] == "none" and r["lisa_micro"] == 0
+               for r in out2.collect())
+    cache.release(out2)
+
+
+def test_cell_percentile_bands_ramp(spark):
+    """Ten days with counts 1..10 in one cell: exact low-rank picks."""
+    from geotile import cache, engine
+
+    rows = []
+    for d in range(10):
+        rows += [("xyz99", d * 86400 + 5)] * (d + 1)
+    df = spark.createDataFrame(rows, "geohash string, ep long")
+    out = engine.cell_percentile_bands(df)
+    r = out.collect()[0]
+    cache.release(out)
+    assert (r["cell"], r["n_days"], r["total"]) == ("xyz", 10, 55)
+    assert (r["p10"], r["p50"], r["p90"]) == (1, 5, 9)

@@ -161,7 +161,7 @@ def main() -> None:
         "q248_kendall_tau", "q249_gravity_residuals", "q250_blob_profile",
         "q251_stream_transitions", "q252_time_decay_attribution",
         "q253_emerging_gi", "q254_knox_test", "q255_local_morans",
-        "q256_percentile_bands",
+        "q256_percentile_bands", "q257_viewshed", "q258_ndcg_eval",
     ]
     from geotile import cache, textops
 

@@ -3082,3 +3082,103 @@ def cell_percentile_bands(df: DataFrame, t: str = "ep", nchars: int = 3,
     out = per_cell.join(bands, "cell").select(
         "cell", "n_days", "total", "p10", "p50", "p90")
     return cache.track(out, [counts])
+
+
+def viewshed(df: DataFrame, n_observers: int = 4, radius: int = 6,
+             tower: int = 200, elev_mod: int = 1000,
+             lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Viewshed (line-of-sight) analysis over a deterministic
+    synthetic elevation raster — the GIS visibility primitive (radio
+    planning, surveillance coverage) run from the corpus's hottest
+    activity cells: for every 1-degree cell within a Chebyshev
+    ``radius`` of each observer, is the straight sight line from the
+    observer's (elevation + tower) to the target's ground blocked by
+    any intermediate cell's terrain?
+
+    Terrain: ``elev(cell) = pmod(xxhash64(y*1000 + x), elev_mod)`` —
+    a pure function of the cell id (no table, no join; the oracle
+    replays it through the HUGEINT xxhash64 replica).  Observers are
+    the ``n_observers`` hottest occupied cells (count desc, cell asc
+    — deterministic).
+
+    Geometry is EXACT integer DDA: with n = Chebyshev distance, the
+    sight line's sample at step k lies in cell ``floor((2*o*n +
+    2*k*d + n) / (2n))`` per axis (the floor(x+0.5) rounding done in
+    integer-safe double division — tiny operands, exact), and the
+    blocking test cross-multiplies slopes: blocked iff ``elev_m * n >
+    (elev_o + tower) * n + (elev_t - elev_o - tower) * k`` — strict,
+    no division anywhere.
+
+    Scale shape: ONE data-sized count aggregate finds the observers;
+    everything after is generated — observers x (2R+1)^2 targets x
+    <= R-1 steps, a few thousand rows independent of data volume,
+    with elevation inlined as native xxhash64 (no lookup join).
+    Returns per observer ``(obs_cell, obs_elev, n_targets, n_visible,
+    vis_checksum)``."""
+    from . import cache
+
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("cnt"))
+           .withColumn("cell_id", F.col("y") * 1000 + F.col("x")))
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("cell_id"))
+    obs = (occ.withColumn("rk", F.row_number().over(wtop))
+           .where(F.col("rk") <= int(n_observers))
+           .select(F.col("y").alias("oy"), F.col("x").alias("ox"),
+                   F.col("cell_id").alias("obs_cell"))
+           .persist())
+
+    def elev(ycol, xcol):
+        return F.pmod(F.xxhash64(ycol * F.lit(1000) + xcol),
+                      F.lit(int(elev_mod))).cast("long")
+
+    r = int(radius)
+    offs = F.array(*[F.struct(F.lit(dy).cast("long").alias("dy"),
+                              F.lit(dx).cast("long").alias("dx"))
+                     for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+                     if not (dy == 0 and dx == 0)])
+    tgt = (obs.select("oy", "ox", "obs_cell", F.explode(offs).alias("o"))
+           .select("oy", "ox", "obs_cell",
+                   (F.col("oy") + F.col("o.dy")).alias("ty"),
+                   (F.col("ox") + F.col("o.dx")).alias("tx"),
+                   F.greatest(F.abs(F.col("o.dy")), F.abs(F.col("o.dx")))
+                   .alias("n"))
+           .withColumn("vo", elev(F.col("oy"), F.col("ox")) + F.lit(tower))
+           .withColumn("vt", elev(F.col("ty"), F.col("tx"))))
+    steps = (tgt.withColumn(
+        "ks", F.when(F.col("n") >= 2,
+                     F.sequence(F.lit(1), F.col("n") - 1))
+        .otherwise(F.array().cast("array<long>")))
+        .select("obs_cell", "oy", "ox", "ty", "tx", "n", "vo", "vt",
+                F.explode_outer("ks").alias("k")))
+    my = F.floor((F.lit(2) * F.col("oy") * F.col("n")
+                  + F.lit(2) * F.col("k") * (F.col("ty") - F.col("oy"))
+                  + F.col("n")).cast("double")
+                 / (F.lit(2) * F.col("n")).cast("double")).cast("long")
+    mx = F.floor((F.lit(2) * F.col("ox") * F.col("n")
+                  + F.lit(2) * F.col("k") * (F.col("tx") - F.col("ox"))
+                  + F.col("n")).cast("double")
+                 / (F.lit(2) * F.col("n")).cast("double")).cast("long")
+    blocked = F.when(
+        F.col("k").isNull(), F.lit(0)).otherwise(
+        (elev(my, mx) * F.col("n")
+         > F.col("vo") * F.col("n")
+         + (F.col("vt") - F.col("vo")) * F.col("k")).cast("int")).alias("bl")
+    per_tgt = (steps.withColumn("bl", blocked)
+               .groupBy("obs_cell", "ty", "tx")
+               .agg(F.max("bl").alias("blk")))
+    out = (per_tgt.groupBy("obs_cell")
+           .agg(F.count("*").alias("n_targets"),
+                F.sum(F.lit(1) - F.col("blk")).cast("long")
+                .alias("n_visible"),
+                F.sum(F.when(F.col("blk") == 0,
+                             F.col("ty") * 1000 + F.col("tx")))
+                .cast("long").alias("vis_checksum")))
+    obs_e = obs.select("obs_cell",
+                       elev(F.col("oy"), F.col("ox")).alias("obs_elev"))
+    res = obs_e.join(out, "obs_cell").select(
+        "obs_cell", "obs_elev", "n_targets", "n_visible",
+        F.coalesce("vis_checksum", F.lit(0).cast("long"))
+        .alias("vis_checksum"))
+    return cache.track(res, [obs])

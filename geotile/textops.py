@@ -3187,3 +3187,63 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str,
                  F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
                  .cast("long").alias("t_xy"))
             .withColumnRenamed("g", group_col))
+
+
+def ndcg_eval(df: DataFrame, queries: dict, k: int = 10,
+              rel_levels: int = 4,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@k building blocks for a set
+    of BM25 queries against hash-derived graded relevance — the IR
+    eval harness a retrieval stack ships with (BM25 q63, phrase q171,
+    boolean q146, hybrid RRF q169 produce rankings; this scores
+    them).  Relevance is the deterministic synthetic grade
+    ``rel(doc, qid) = pmod(xxhash64(doc_id*31 + qid), rel_levels)``
+    — reproducible and oracle-replayable, standing in for human
+    labels exactly like the multimodal codecs' deterministic fakes.
+
+    Exactness: gains are the exact integers ``2^rel - 1``; each
+    position's discounted gain quantizes to ``floor(1e6 * gain *
+    ln(2) / ln(pos+1))`` BEFORE the sum (the engine-wide ln-floor
+    discipline, same cross-engine ln assumption as q63's idf), and
+    the ideal ordering re-ranks the SAME retrieved set by (rel desc,
+    id asc) — the retrieved-set-ideal nDCG variant, documented.
+    Emits per query: ``(qid, n_docs, rel_sum, dcg_micro,
+    idcg_micro)`` — nDCG is one division away.
+
+    Scale shape: one :func:`bm25_topk` per query (term-filtered
+    explode, broadcast stats, TakeOrdered top-k); everything after
+    runs on the queries x k ranked rows."""
+    from pyspark.sql import Window as W
+
+    parts = []
+    for qid, terms in sorted(queries.items()):
+        top = bm25_topk(df, list(terms), k=k, id_col=id_col,
+                        text_col=text_col)
+        wr = W.orderBy(F.desc("score_nano"), F.asc(id_col))
+        parts.append(top.withColumn("pos", F.row_number().over(wr))
+                     .select(F.lit(int(qid)).cast("long").alias("qid"),
+                             F.col(id_col).alias("doc_id"), "pos"))
+    ranked = parts[0]
+    for p in parts[1:]:
+        ranked = ranked.unionByName(p)
+    rel = F.pmod(F.xxhash64(F.col("doc_id") * F.lit(31) + F.col("qid")),
+                 F.lit(int(rel_levels))).cast("long")
+    g = (ranked.withColumn("rel", rel)
+         .withColumn("gain", F.expr(
+             "shiftleft(cast(1 as bigint), cast(rel as int)) - 1")))
+    wi = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    g = g.withColumn("ipos", F.row_number().over(wi))
+
+    def disc(pos_col):
+        return F.floor(F.lit(1000000.0) * F.col("gain").cast("double")
+                       * F.log(F.lit(2.0))
+                       / F.log(pos_col.cast("double") + F.lit(1.0))
+                       ).cast("long")
+
+    g = (g.withColumn("d", disc(F.col("pos")))
+         .withColumn("di", disc(F.col("ipos"))))
+    return (g.groupBy("qid")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("rel").alias("rel_sum"),
+                 F.sum("d").alias("dcg_micro"),
+                 F.sum("di").alias("idcg_micro")))

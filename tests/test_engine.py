@@ -1837,3 +1837,20 @@ def test_cell_percentile_bands_ramp(spark):
     cache.release(out)
     assert (r["cell"], r["n_days"], r["total"]) == ("xyz", 10, 55)
     assert (r["p10"], r["p50"], r["p90"]) == (1, 5, 9)
+
+
+def test_viewshed_window_invariants(spark):
+    """Four observers, full 13x13 window minus self; ring-1 targets
+    have no intermediate cell so at least 8 are always visible."""
+    import __spark_entry__ as E
+    from geotile import cache, engine
+
+    out = engine.viewshed(E._positions_df(spark, "/root/testdata/sf0.001"))
+    rows = out.collect()
+    cache.release(out)
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_targets"] == 168  # 13*13 - 1
+        assert 8 <= r["n_visible"] <= 168
+        assert 0 <= r["obs_elev"] < 1000
+        assert r["vis_checksum"] > 0

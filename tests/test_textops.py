@@ -1733,3 +1733,18 @@ def test_kendall_tau_census(spark):
     assert r["n_pairs"] == 6
     assert (r["nc"], r["nd"]) == (1, 3)
     assert (r["t_x"], r["t_y"], r["t_xy"]) == (1, 1, 0)
+
+
+def test_ndcg_eval_invariants(spark):
+    """Ideal re-ranking dominates the retrieved order; censuses are
+    bounded by k and the relevance levels."""
+    import __spark_entry__ as E
+    from geotile import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textops.ndcg_eval(docs, E._NDCG_QUERIES, k=10).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_docs"] == 10
+        assert 0 <= r["rel_sum"] <= 30
+        assert 0 <= r["dcg_micro"] <= r["idcg_micro"]

@@ -5378,6 +5378,12 @@ def _q256_percentile_bands(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+# q260's third ring: a deliberate bowtie (self-crossing) so the
+# validity audit has a genuinely invalid finding
+_POLY_BOWTIE = {"poly_id": 2,
+                "lat": [0.00013, 20.00031, 0.00047, 20.00019],
+                "lon": [0.00017, 30.00043, 30.00011, 0.00029]}
+
 _NDCG_QUERIES = {1: _BM25_TERMS,
                  2: ["merge", "sort", "batch"],
                  3: ["vector", "hash", "filter", "scan"]}
@@ -5409,6 +5415,59 @@ def _q258_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return textops.ndcg_eval(docs, _NDCG_QUERIES, k=10).orderBy("qid")
+
+
+def _q259_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic–Adar link prediction (graph.adamic_adar_topk) over the
+    q83 link graph: top-20 unconnected pairs by the exact
+    floored-micro common-neighbor score (rare shared neighbors weigh
+    1/ln(deg) more) — the friend-of-friend recommender on the same
+    edge replica q83/q242 gate.  The oracle replays the wedge join,
+    the ln floor, and the anti-join."""
+    from geotile import cache, graph
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"))
+    edges = (links.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * F.lit(3) + F.col("j")),
+               F.lit(n)).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    out = graph.adamic_adar_topk(edges, k=20)
+    return cache.track(out.orderBy(F.desc("aa_micro"), "a", "b"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q260_polygon_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon ring validity audit (engine.polygon_validity) over the
+    fixture rings plus a deliberate bowtie: exact integer shoelace
+    area/orientation and the strict proper-self-intersection count —
+    the ingest QA gate in front of every PIP/zonal/overlay consumer.
+    The oracle replays the milli snap, the wrapping edge build, and
+    the orientation-product crossing test."""
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"])
+         for p in (_POLY_TRI, _POLY_QUAD, _POLY_BOWTIE)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    return engine.polygon_validity(polys).orderBy("poly_id")
+
+
+def _q261_ipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Doubly-constrained OD fitting (trajectory.ipf_fit, 2 Furness
+    rounds) on the q81 hub-walk margins from a uniform seed: the
+    maximum-entropy flow estimate consistent with the observed
+    margins, kept integer-micro through every scaling so the gate is
+    exact — the estimator q249's gravity residuals are read against.
+    The oracle unrolls the four margin scalings as chained CTEs."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.ipf_fit(pos, nchars=4, rounds=2)
+    return cache.track(out.orderBy("o_cell", "d_cell"),
+                       getattr(out, "_geotile_persisted", []))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5702,6 +5761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_percentile_bands": _q256_percentile_bands,
         "q257_viewshed": _q257_viewshed,
         "q258_ndcg_eval": _q258_ndcg_eval,
+        "q259_link_prediction": _q259_link_prediction,
+        "q260_polygon_validity": _q260_polygon_validity,
+        "q261_ipf_fit": _q261_ipf_fit,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -13905,6 +13967,144 @@ SELECT qid, count(*) AS n_docs,
 FROM dd258
 GROUP BY qid
 ORDER BY qid
+"""
+
+    # q259: Adamic-Adar — q83 edge replica, symmetric wedge join,
+    # ln-floored middle weights, NOT EXISTS anti-join, top-20
+    sqls["q259_link_prediction"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+l259 AS (
+  SELECT doc_id, j, CAST(doc_id * 3 + j AS HUGEINT) AS z0
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+{_xxhash64_cte_sql("l259", "z0", "xh", "x259")},
+e259a AS (
+  SELECT doc_id AS src, ((({_sig83} % nn.n) + nn.n) % nn.n) AS dst
+  FROM x259f CROSS JOIN nn
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS u,
+                  CAST(greatest(src, dst) AS BIGINT) AS v
+  FROM e259a WHERE src <> dst
+),
+sym259 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+dg259 AS (SELECT u, count(*) AS deg FROM sym259 GROUP BY u),
+wm259 AS (
+  SELECT s.u AS w, s.v AS n,
+         CAST(floor(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS wt
+  FROM sym259 s JOIN dg259 d ON d.u = s.u
+  WHERE d.deg >= 2
+),
+pr259 AS (
+  SELECT a.n AS a, b.n AS b, count(*) AS n_common,
+         CAST(sum(a.wt) AS BIGINT) AS aa_micro
+  FROM wm259 a JOIN wm259 b ON b.w = a.w AND a.n < b.n
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, aa_micro
+FROM pr259 p
+WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b)
+ORDER BY aa_micro DESC, a, b
+LIMIT 20
+"""
+
+    # q260: ring validity — literal vertices, wrapping edges, exact
+    # shoelace + strict orientation-product crossing census
+    _v260 = []
+    for _p in (_POLY_TRI, _POLY_QUAD, _POLY_BOWTIE):
+        for _i, (_la, _lo) in enumerate(zip(_p["lat"], _p["lon"])):
+            _v260.append(f"({_p['poly_id']}, {_i}, {_la!r}, {_lo!r})")
+    sqls["q260_polygon_validity"] = f"""
+WITH v260(poly_id, i, lat, lon) AS (VALUES {", ".join(_v260)}),
+p260 AS (
+  SELECT poly_id, i,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS y
+  FROM v260
+),
+e260 AS (
+  SELECT poly_id, i, x, y,
+         coalesce(lead(x) OVER w, first_value(x) OVER w2) AS nx,
+         coalesce(lead(y) OVER w, first_value(y) OVER w2) AS ny,
+         count(*) OVER (PARTITION BY poly_id) AS nv
+  FROM p260
+  WINDOW w AS (PARTITION BY poly_id ORDER BY i),
+         w2 AS (PARTITION BY poly_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+a260 AS (
+  SELECT poly_id, CAST(max(nv) AS BIGINT) AS n_vertices,
+         CAST(sum(x * ny - nx * y) AS BIGINT) AS area2
+  FROM e260 GROUP BY poly_id
+),
+x260 AS (
+  SELECT a.poly_id, count(*) AS n_self_x
+  FROM e260 a JOIN e260 b ON b.poly_id = a.poly_id AND a.i < b.i
+  WHERE NOT (b.i = a.i + 1 OR (a.i = 0 AND b.i = a.nv - 1))
+    AND ((a.nx - a.x) * (b.y - a.y) - (a.ny - a.y) * (b.x - a.x))
+        * ((a.nx - a.x) * (b.ny - a.y) - (a.ny - a.y) * (b.nx - a.x)) < 0
+    AND ((b.nx - b.x) * (a.y - b.y) - (b.ny - b.y) * (a.x - b.x))
+        * ((b.nx - b.x) * (a.ny - b.y) - (b.ny - b.y) * (a.nx - b.x)) < 0
+  GROUP BY a.poly_id
+)
+SELECT a.poly_id, a.n_vertices, a.area2,
+       CASE WHEN a.area2 > 0 THEN 'ccw'
+            WHEN a.area2 < 0 THEN 'cw'
+            ELSE 'degenerate' END AS orientation,
+       CAST(coalesce(x.n_self_x, 0) AS BIGINT) AS n_self_x,
+       (coalesce(x.n_self_x, 0) = 0 AND a.area2 <> 0) AS valid
+FROM a260 a LEFT JOIN x260 x ON x.poly_id = a.poly_id
+ORDER BY a.poly_id
+"""
+
+    # q261: IPF — q81 flow margins, uniform seed, four unrolled
+    # integer-micro margin scalings
+    sqls["q261_ipf_fit"] = f"""
+WITH {_WALK_CTE},
+cl261 AS (
+  SELECT event_id, user_id, ep, {_wgh4} AS d
+  FROM walk
+),
+lg261 AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS o
+  FROM cl261
+),
+f261 AS (
+  SELECT o AS o_cell, d AS d_cell, count(*) AS n
+  FROM lg261 WHERE o IS NOT NULL AND o <> d
+  GROUP BY o, d
+),
+ot261 AS (SELECT o_cell, CAST(sum(n) AS BIGINT) AS o_tot FROM f261 GROUP BY 1),
+dt261 AS (SELECT d_cell, CAST(sum(n) AS BIGINT) AS d_tot FROM f261 GROUP BY 1),
+g0 AS (
+  SELECT o.o_cell, d.d_cell, o.o_tot, d.d_tot,
+         CAST(1000000 AS BIGINT) AS f
+  FROM ot261 o CROSS JOIN dt261 d
+),
+r1 AS (SELECT o_cell, CAST(sum(f) AS BIGINT) AS ms FROM g0 GROUP BY 1),
+g1 AS (SELECT g.o_cell, g.d_cell, g.o_tot, g.d_tot,
+              CAST(floor(CAST(g.f AS DOUBLE) * CAST(g.o_tot * 1000000 AS DOUBLE)
+                         / CAST(r.ms AS DOUBLE)) AS BIGINT) AS f
+       FROM g0 g JOIN r1 r ON r.o_cell = g.o_cell),
+c1 AS (SELECT d_cell, CAST(sum(f) AS BIGINT) AS ms FROM g1 GROUP BY 1),
+g2 AS (SELECT g.o_cell, g.d_cell, g.o_tot, g.d_tot,
+              CAST(floor(CAST(g.f AS DOUBLE) * CAST(g.d_tot * 1000000 AS DOUBLE)
+                         / CAST(c.ms AS DOUBLE)) AS BIGINT) AS f
+       FROM g1 g JOIN c1 c ON c.d_cell = g.d_cell),
+r2 AS (SELECT o_cell, CAST(sum(f) AS BIGINT) AS ms FROM g2 GROUP BY 1),
+g3 AS (SELECT g.o_cell, g.d_cell, g.o_tot, g.d_tot,
+              CAST(floor(CAST(g.f AS DOUBLE) * CAST(g.o_tot * 1000000 AS DOUBLE)
+                         / CAST(r.ms AS DOUBLE)) AS BIGINT) AS f
+       FROM g2 g JOIN r2 r ON r.o_cell = g.o_cell),
+c2 AS (SELECT d_cell, CAST(sum(f) AS BIGINT) AS ms FROM g3 GROUP BY 1),
+g4 AS (SELECT g.o_cell, g.d_cell, g.o_tot, g.d_tot,
+              CAST(floor(CAST(g.f AS DOUBLE) * CAST(g.d_tot * 1000000 AS DOUBLE)
+                         / CAST(c.ms AS DOUBLE)) AS BIGINT) AS f
+       FROM g3 g JOIN c2 c ON c.d_cell = g.d_cell)
+SELECT o_cell, d_cell, o_tot, d_tot, f AS f_micro
+FROM g4
+ORDER BY o_cell, d_cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -162,6 +162,7 @@ def main() -> None:
         "q251_stream_transitions", "q252_time_decay_attribution",
         "q253_emerging_gi", "q254_knox_test", "q255_local_morans",
         "q256_percentile_bands", "q257_viewshed", "q258_ndcg_eval",
+        "q259_link_prediction", "q260_polygon_validity", "q261_ipf_fit",
     ]
     from geotile import cache, textops
 

@@ -3182,3 +3182,84 @@ def viewshed(df: DataFrame, n_observers: int = 4, radius: int = 6,
         F.coalesce("vis_checksum", F.lit(0).cast("long"))
         .alias("vis_checksum"))
     return cache.track(res, [obs])
+
+
+def polygon_validity(polygons: DataFrame) -> DataFrame:
+    """Geometry validity audit for polygon rings — the ingest-time
+    QA gate every spatial layer needs before PIP/zonal/overlay
+    operators consume it (a bowtie ring silently double-counts in an
+    even-odd fill): per ring the exact integer shoelace area and
+    orientation, plus the count of PROPER self-intersections between
+    non-adjacent edges (strict integer orientation products, the
+    q227 crossing test applied to a ring against itself).
+
+    Input: ``(poly_id, poly_lat array, poly_lon array)`` open rings
+    (implicit wrap).  Coordinates snap to milli-degrees via
+    floor(x*1000 + 0.5).  Returns ``(poly_id, n_vertices, area2,
+    orientation, n_self_x, valid)`` — valid iff no self-crossing and
+    nonzero area.
+
+    Scale shape: rings explode to edges (output-sized); the edge-pair
+    test is per-polygon quadratic in VERTEX count (rings are dozens
+    of points, never data-sized), one aggregate per ring."""
+    vx = (polygons.select(
+        "poly_id",
+        F.posexplode(F.arrays_zip("poly_lat", "poly_lon"))
+        .alias("i", "v"))
+        .select("poly_id", "i",
+                F.floor(F.col("v.poly_lon") * F.lit(1000.0) + F.lit(0.5))
+                .cast("long").alias("x"),
+                F.floor(F.col("v.poly_lat") * F.lit(1000.0) + F.lit(0.5))
+                .cast("long").alias("y")))
+    wseq = Window.partitionBy("poly_id").orderBy("i")
+    wall = (Window.partitionBy("poly_id").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    ed = (vx.withColumn("nx", F.coalesce(F.lead("x").over(wseq),
+                                         F.first("x").over(wall)))
+          .withColumn("ny", F.coalesce(F.lead("y").over(wseq),
+                                       F.first("y").over(wall)))
+          .withColumn("nv", F.count("*").over(wall)))
+    area = (ed.groupBy("poly_id")
+            .agg(F.max("nv").alias("n_vertices"),
+                 F.sum(F.col("x") * F.col("ny")
+                       - F.col("nx") * F.col("y")).alias("area2")))
+    e1 = ed.select("poly_id", F.col("i").alias("ia"),
+                   F.col("x").alias("ax"), F.col("y").alias("ay"),
+                   F.col("nx").alias("bx"), F.col("ny").alias("by"),
+                   F.col("nv").alias("nv"))
+    e2 = ed.select(F.col("poly_id").alias("pid2"),
+                   F.col("i").alias("ib"),
+                   F.col("x").alias("cx"), F.col("y").alias("cy"),
+                   F.col("nx").alias("dx"), F.col("ny").alias("dy"))
+
+    def _orient(ox, oy, px, py, qx, qy):
+        return ((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
+
+    o1 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("cx"), F.col("cy"))
+    o2 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("dx"), F.col("dy"))
+    o3 = _orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                 F.col("ax"), F.col("ay"))
+    o4 = _orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                 F.col("bx"), F.col("by"))
+    adj = ((F.col("ib") == F.col("ia") + 1)
+           | ((F.col("ia") == 0) & (F.col("ib") == F.col("nv") - 1)))
+    xs = (e1.join(e2, (e1["poly_id"] == e2["pid2"])
+                  & (e1["ia"] < e2["ib"]))
+          .where(~adj)
+          .where((o1 * o2 < 0) & (o3 * o4 < 0))
+          .groupBy("poly_id").agg(F.count("*").alias("n_self_x")))
+    out = (area.join(xs, "poly_id", "left")
+           .withColumn("n_self_x",
+                       F.coalesce("n_self_x", F.lit(0).cast("long")))
+           .withColumn("orientation",
+                       F.when(F.col("area2") > 0, F.lit("ccw"))
+                       .when(F.col("area2") < 0, F.lit("cw"))
+                       .otherwise(F.lit("degenerate")))
+           .withColumn("valid",
+                       (F.col("n_self_x") == 0) & (F.col("area2") != 0))
+           .select("poly_id", "n_vertices", "area2", "orientation",
+                   "n_self_x", "valid"))
+    return out

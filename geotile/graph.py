@@ -648,3 +648,52 @@ def clustering_coefficients(edges: DataFrame, src: str = "src",
                               * (F.col("deg") - F.lit(1)).cast("double")))
                    .cast("long").alias("cc_micro")))
     return cache.track(out, [und])
+
+
+def adamic_adar_topk(edges: DataFrame, k: int = 20,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Adamic–Adar link prediction: for node pairs NOT yet connected,
+    score the likelihood of a future edge as ``sum over common
+    neighbors w of 1/ln(deg(w))`` — the classic common-neighbor
+    weighting (rare shared neighbors count more), the
+    friend-of-friend / related-page recommender primitive.
+
+    Exactness: each wedge contributes ``floor(1e6 / ln(deg_w))``
+    BEFORE the per-pair sum (the engine-wide ln-floor discipline —
+    only middles with deg >= 2 can form wedges, so ln is never 0);
+    the top-k orders by (score desc, a asc, b asc), all integers.
+
+    Scale shape: one degree aggregate; wedges come from the
+    symmetric adjacency self-joined on the MIDDLE node (fan-out
+    C(deg,2) per middle — the same per-key quadratic every
+    common-neighbor operator has; at web scale cap hub middles with
+    the df-cap discipline or pivot to the q98 (degree, id)
+    orientation); existing edges leave via one anti-join on the slim
+    canonical pair; the top-k is a TakeOrdered.  Returns ``(a, b,
+    n_common, aa_micro)``."""
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct().persist())
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    wmid = (sym.join(deg, "u")
+            .where(F.col("deg") >= 2)  # deg-1 middles form no wedge;
+            # guarded BEFORE the weight so ln(1)=0 never divides
+            .select(F.col("u").alias("w"), F.col("v").alias("n"),
+                    F.floor(F.lit(1000000.0)
+                            / F.log(F.col("deg").cast("double")))
+                    .cast("long").alias("wt")))
+    a = wmid.select("w", F.col("n").alias("a"), "wt")
+    b = wmid.select(F.col("w").alias("wb"), F.col("n").alias("b"))
+    pairs = (a.join(b, a["w"] == b["wb"])
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("n_common"),
+                  F.sum("wt").alias("aa_micro")))
+    fresh = pairs.join(und, (pairs["a"] == und["u"])
+                       & (pairs["b"] == und["v"]), "left_anti")
+    out = (fresh.orderBy(F.desc("aa_micro"), F.asc("a"), F.asc("b"))
+           .limit(int(k)))
+    return cache.track(out, [und])

@@ -1778,3 +1778,55 @@ def gravity_residuals(df: DataFrame, nchars: int = 4,
         F.floor(F.lit(1000000.0) * (d * d / e)).cast("long")
         .alias("g_micro"))
     return cache.track(out, [flows])
+
+
+def ipf_fit(df: DataFrame, nchars: int = 4, rounds: int = 2,
+            key: str = "user_id", ts: str = "ep",
+            order_col: str = "event_id",
+            cell_col: str = "geohash") -> DataFrame:
+    """Doubly-constrained OD matrix fitting by iterative proportional
+    fitting (IPF / Furness balancing): starting from a UNIFORM seed
+    over the observed origin x destination grid, alternately rescale
+    rows then columns to the observed flow margins for ``rounds``
+    full rounds — the standard transport-planning estimator of the
+    maximum-entropy flow table consistent with the margins, and the
+    independence baseline q249's residuals are read against (IPF on a
+    uniform seed converges to exactly that product form; finite
+    rounds give the gated intermediate).
+
+    Exactness: the table stays INTEGER micro-units throughout — each
+    scaling is ``f' = floor(f * target_scaled / margin_sum)`` with
+    the margin sum an exact BIGINT (integer sums are order-free, the
+    engine-wide discipline; the one double product/divide per element
+    is fixed-shape and identically rounded cross-engine).
+
+    Scale shape: rides od_matrix's collapsed flow frame; the grid is
+    origins x destinations (cell-quadratic, never data-sized); each
+    scaling is one margin aggregate joined back — 2 bounded shuffles
+    per round.  Returns ``(o_cell, d_cell, o_tot, d_tot, f_micro)``."""
+    from . import cache
+
+    flows = od_matrix(df, nchars=nchars, key=key, ts=ts,
+                      order_col=order_col, cell_col=cell_col).persist()
+    ot = flows.groupBy("o_cell").agg(F.sum("n_flows").alias("o_tot"))
+    dt = flows.groupBy("d_cell").agg(F.sum("n_flows").alias("d_tot"))
+    g = (ot.crossJoin(dt)
+         .withColumn("f", F.lit(1000000).cast("long")))
+    for _ in range(int(rounds)):
+        rs = g.groupBy("o_cell").agg(F.sum("f").alias("rs"))
+        g = (g.join(rs, "o_cell")
+             .withColumn("f", F.floor(
+                 F.col("f").cast("double")
+                 * (F.col("o_tot") * F.lit(1000000)).cast("double")
+                 / F.col("rs").cast("double")).cast("long"))
+             .drop("rs"))
+        cs = g.groupBy("d_cell").agg(F.sum("f").alias("cs"))
+        g = (g.join(cs, "d_cell")
+             .withColumn("f", F.floor(
+                 F.col("f").cast("double")
+                 * (F.col("d_tot") * F.lit(1000000)).cast("double")
+                 / F.col("cs").cast("double")).cast("long"))
+             .drop("cs"))
+    out = g.select("o_cell", "d_cell", "o_tot", "d_tot",
+                   F.col("f").alias("f_micro"))
+    return cache.track(out, [flows])

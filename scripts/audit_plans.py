@@ -1328,6 +1328,81 @@ def main() -> None:
         (_entry._q238_topk_churn,
          "topk_churn (q238): one (half, token) aggregate, two 50-row "
          "top-k windows, sentinel full-outer join on 100 rows max"),
+        (_entry._q239_geary_c,
+         "geary_c (q239): one data-sized count aggregate; neighbor "
+         "pairs and moments all on the occupied-cell frame with 1-row "
+         "broadcast stats (the q105 shape)"),
+        (_entry._q240_ripley_pairs,
+         "ripley_pairs (q240): ONE 3x3 bucketed candidate join serves "
+         "every radius; the exact integer disk test and radius CASE "
+         "run map-side before the bounded rollup"),
+        (_entry._q241_theil_sen,
+         "theil_sen (q241): pair self-join on the COLLAPSED (cell, "
+         "day) frame, slopes floored map-side, one bounded median "
+         "window"),
+        (_entry._q242_clustering_coeff,
+         "clustering_coeff (q242): canonical edge set persisted once "
+         "feeds degree aggregate and the two wedge/close joins; final "
+         "join moves node-sized frames only"),
+        (_entry._q243_rake_keywords,
+         "rake_keywords (q243): one per-doc segmentation window, "
+         "vocabulary-sized word stats joined back by word, global "
+         "top-15 window on the phrase frame"),
+        (_entry._q244_chi2_audit,
+         "chi2_audit (q244): one count aggregate; the grid is "
+         "categories x categories from the two marginal frames with a "
+         "1-row broadcast total"),
+        (_entry._q245_kde_heat,
+         "kde_heat (q245): bounded 81-cell stencil explode, semi-join "
+         "against occupied cells BEFORE the mass aggregate; weights "
+         "exact integers in codegen"),
+        (_entry._q246_step_directions,
+         "step_directions (q246): ONE per-user lag window + one "
+         "per-user aggregate; unit components floored per element "
+         "map-side"),
+        (_entry._q247_nn_distance_hist,
+         "nn_distance_hist (q247): q240's bucketed join, per-point "
+         "min BEFORE the bounded ring histogram; lonely points via a "
+         "1-row count diff, never an anti-join on pairs"),
+        (_entry._q248_kendall_tau,
+         "kendall_tau (q248): slim (id, x, y) per-group self-join; "
+         "the sign census partial-aggregates over the pair stream"),
+        (_entry._q249_gravity_residuals,
+         "gravity_residuals (q249): rides od_matrix's collapsed flow "
+         "frame; marginals re-aggregate it and the total broadcasts"),
+        (_entry._q250_blob_profile,
+         "blob_profile (q250): ONE rasterizing aggregate persisted; "
+         "each threshold rung filters the grid-bounded cell frame and "
+         "runs star-contraction on a shrinking edge set"),
+        (_entry._q252_time_decay_attribution,
+         "time_decay_attribution (q252): q214's user-keyed range "
+         "join; bit-shift weights map-side; per-purchase totals join "
+         "back before the bounded bucket rollup"),
+        (_entry._q253_emerging_gi,
+         "emerging_gi (q253): one (day, cell) partial aggregation; "
+         "ring sums day-local equi-joins on the collapsed frame; "
+         "day moments broadcast; MK pairs fan out days^2 per cell"),
+        (_entry._q254_knox_test,
+         "knox_test (q254): spatial census via the 3x3 bucket join, "
+         "temporal census via the 1-D bucket join; both filters run "
+         "map-side before 1-row aggregates"),
+        (_entry._q255_local_morans,
+         "local_morans (q255): q105's shape — occupied-cell frames "
+         "only after the one count aggregate; ring sums equi-join on "
+         "shifted keys; moments broadcast"),
+        (_entry._q256_percentile_bands,
+         "percentile_bands (q256): one (cell, day) partial "
+         "aggregation; rank picks in one bounded per-cell window and "
+         "a conditional pivot"),
+        (_entry._q257_viewshed,
+         "viewshed (q257): one count aggregate finds observers; the "
+         "sight-line frame is GENERATED (observers x window x steps, "
+         "data-independent) with elevation inlined as native xxhash64 "
+         "— no lookup join"),
+        (_entry._q258_ndcg_eval,
+         "ndcg_eval (q258): three term-filtered BM25 TakeOrdereds; "
+         "relevance, gains, and both discount chains are map-side "
+         "expressions over the 30-row ranked union"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

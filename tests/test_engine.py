@@ -1854,3 +1854,21 @@ def test_viewshed_window_invariants(spark):
         assert 8 <= r["n_visible"] <= 168
         assert 0 <= r["obs_elev"] < 1000
         assert r["vis_checksum"] > 0
+
+
+def test_polygon_validity_bowtie(spark):
+    """Triangle and quad are clean; the bowtie ring carries exactly
+    one proper self-intersection and fails validity."""
+    import __spark_entry__ as E
+    from geotile import engine
+
+    polys = spark.createDataFrame(
+        [(p["poly_id"], p["lat"], p["lon"])
+         for p in (E._POLY_TRI, E._POLY_QUAD, E._POLY_BOWTIE)],
+        "poly_id long, poly_lat array<double>, poly_lon array<double>")
+    rows = {r["poly_id"]: r
+            for r in engine.polygon_validity(polys).collect()}
+    assert rows[0]["n_self_x"] == 0 and rows[0]["valid"]
+    assert rows[1]["n_self_x"] == 0 and rows[1]["valid"]
+    assert rows[1]["orientation"] == "ccw" and rows[1]["area2"] > 0
+    assert rows[2]["n_self_x"] == 1 and not rows[2]["valid"]

@@ -436,3 +436,28 @@ def test_clustering_coefficients_triangle_and_star(spark):
     assert rows[10]["cc_micro"] == 0
     # degree-1 leaves excluded (no wedge entitlement)
     assert 11 not in rows and 12 not in rows and 13 not in rows
+
+
+def test_adamic_adar_path_and_square(spark):
+    """Path 1-2-3: pair (1,3) scores one wedge through the deg-2
+    middle; square 1-2-3-4: both diagonals score two wedges."""
+    import math
+
+    from geotile import cache, graph
+
+    w2 = math.floor(1000000.0 / math.log(2.0))
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = graph.adamic_adar_topk(path, k=5)
+    rows = {(r["a"], r["b"]): r for r in out.collect()}
+    cache.release(out)
+    assert set(rows) == {(1, 3)}
+    assert rows[(1, 3)]["n_common"] == 1
+    assert rows[(1, 3)]["aa_micro"] == w2
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                               "src long, dst long")
+    out2 = graph.adamic_adar_topk(sq, k=5)
+    rows2 = {(r["a"], r["b"]): r for r in out2.collect()}
+    cache.release(out2)
+    assert set(rows2) == {(1, 3), (2, 4)}
+    for p in rows2.values():
+        assert p["n_common"] == 2 and p["aa_micro"] == 2 * w2

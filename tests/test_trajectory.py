@@ -1104,3 +1104,25 @@ def test_gravity_residuals_hand_flows(spark):
     ba = g[("bbbb", "aaaa")]
     assert ba["n"] == 1 and ba["e_micro"] == 333333
     assert ba["g_micro"] == 1333333
+
+
+def test_ipf_fit_hand_margins(spark):
+    """2x2 grid from asymmetric margins: the four unrolled scalings
+    reproduce the hand-computed integer-micro table."""
+    from geotile import cache, trajectory
+
+    rows = [
+        (1, 0, "aaaa1"), (1, 1, "bbbb1"), (1, 2, "aaaa1"),
+        (2, 0, "aaaa2"), (2, 1, "bbbb2"),
+    ]
+    df = spark.createDataFrame(
+        [(u, s, s * 60, c) for u, s, c in rows],
+        "user_id long, event_id long, ep long, geohash string")
+    out = trajectory.ipf_fit(df, nchars=4, rounds=2)
+    g = {(r["o_cell"], r["d_cell"]): r["f_micro"] for r in out.collect()}
+    cache.release(out)
+    # margins: O = {aaaa: 2, bbbb: 1}, D = {bbbb: 2, aaaa: 1}
+    assert g[("aaaa", "aaaa")] == 666666
+    assert g[("aaaa", "bbbb")] == 1333333
+    assert g[("bbbb", "aaaa")] == 333333
+    assert g[("bbbb", "bbbb")] == 666666

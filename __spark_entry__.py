@@ -5470,6 +5470,51 @@ def _q261_ipf_fit(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q262_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell consecutive-active-day streaks
+    (trajectory.activity_streaks, gh3 cells): gaps-and-islands over
+    observed days — longest run, run count, and the run ending at the
+    last observed day, all exact counts — the persistence companion
+    to q131's trend and q256's bands.  The oracle replays the
+    day - row_number islands key."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_positions_df(spark, sf)) \
+        .withColumn("ep", F.unix_timestamp("ts"))
+    out = trajectory.activity_streaks(pos)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q263_follow_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Gapped sequential movement patterns
+    (trajectory.follow_patterns, gh4 cells, hub walk): cell pair
+    (a, b) supported by each (user, day) where a is visited strictly
+    before b with any stops between — PrefixSpan's length-2 core,
+    the order signal q135's contiguous route n-grams can't see.
+    The oracle replays the per-day visit indexing and the
+    first(a) < last(b) join."""
+    from geotile import cache, trajectory
+
+    pos = (engine.with_cell(_walk_df(spark, sf)))
+    out = trajectory.follow_patterns(pos, nchars=4, min_support=2)
+    return cache.track(out.orderBy("a_cell", "b_cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q264_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS F2 sketch audit (textops.ams_f2, 8 estimators): ±1 signs
+    from splitmix64 hash bits, exact BIGINT signed sums and squared
+    estimates next to the exact F2 — the self-join-size estimator
+    joining the KMV/HLL/count-min/MG sketch family, gated exactly
+    with the estimator error inspectable per row.  The oracle
+    replays the Horner+splitmix token hash and the bit signs."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.ams_f2(docs, n_est=8).orderBy("est")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5764,6 +5809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_link_prediction": _q259_link_prediction,
         "q260_polygon_validity": _q260_polygon_validity,
         "q261_ipf_fit": _q261_ipf_fit,
+        "q262_activity_streaks": _q262_activity_streaks,
+        "q263_follow_patterns": _q263_follow_patterns,
+        "q264_ams_f2": _q264_ams_f2,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14105,6 +14153,93 @@ g4 AS (SELECT g.o_cell, g.d_cell, g.o_tot, g.d_tot,
 SELECT o_cell, d_cell, o_tot, d_tot, f AS f_micro
 FROM g4
 ORDER BY o_cell, d_cell
+"""
+
+    # q262: streaks — day - row_number islands key, run rollups
+    sqls["q262_activity_streaks"] = f"""
+WITH {_POS_CTE},
+d262 AS (
+  SELECT DISTINCT substr({gh5}, 1, 3) AS cell,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM pos
+),
+g262 AS (
+  SELECT cell, day,
+         day - row_number() OVER (PARTITION BY cell ORDER BY day) AS grp
+  FROM d262
+),
+r262 AS (
+  SELECT cell, grp, count(*) AS len, max(day) AS run_end
+  FROM g262 GROUP BY 1, 2
+),
+k262 AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY run_end DESC)
+            AS rn
+  FROM r262
+)
+SELECT cell, CAST(sum(len) AS BIGINT) AS n_days,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS last_streak
+FROM k262 GROUP BY cell ORDER BY cell
+"""
+
+    # q263: follow patterns — per-day visit indexes on the collapsed
+    # (user, day, cell) frame, first(a) < last(b) join
+    sqls["q263_follow_patterns"] = f"""
+WITH {_WALK_CTE},
+f263 AS (
+  SELECT user_id AS k, ep // 86400 AS day, {_wgh4} AS cell,
+         row_number() OVER (PARTITION BY user_id, ep // 86400
+                            ORDER BY ep, event_id) AS idx
+  FROM walk
+),
+c263 AS (
+  SELECT k, day, cell, min(idx) AS fi, max(idx) AS la
+  FROM f263 GROUP BY 1, 2, 3
+)
+SELECT a.cell AS a_cell, b.cell AS b_cell, count(*) AS support
+FROM c263 a JOIN c263 b ON b.k = a.k AND b.day = a.day
+WHERE a.cell <> b.cell AND a.fi < b.la
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY a_cell, b_cell
+"""
+
+    # q264: AMS F2 — q17's Horner+splitmix token hash, bit signs,
+    # exact signed sums next to the exact moment
+    sqls["q264_ams_f2"] = f"""
+WITH toks264 AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tokh264 AS (
+  SELECT list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM toks264
+),
+{_splitmix_cte_sql("tokh264", "h0", "hu", "am")},
+cnt264 AS (SELECT hu, count(*) AS c FROM amd GROUP BY hu),
+sg264 AS (
+  SELECT c, e.est,
+         1 - 2 * CAST((hu >> CAST(e.est AS INT)) & 1 AS BIGINT) AS sgn
+  FROM cnt264 CROSS JOIN (SELECT unnest(range(0, 8)) AS est) e
+),
+pe264 AS (
+  SELECT est, CAST(sum(c * sgn) AS BIGINT) AS s_sum
+  FROM sg264 GROUP BY est
+),
+ex264 AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
+         count(*) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM cnt264
+)
+SELECT CAST(p.est AS BIGINT) AS est, p.s_sum,
+       CAST(p.s_sum * p.s_sum AS BIGINT) AS f2_est,
+       x.f2_exact, x.n_types, x.n_tokens
+FROM pe264 p CROSS JOIN ex264 x
+ORDER BY est
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -163,6 +163,7 @@ def main() -> None:
         "q253_emerging_gi", "q254_knox_test", "q255_local_morans",
         "q256_percentile_bands", "q257_viewshed", "q258_ndcg_eval",
         "q259_link_prediction", "q260_polygon_validity", "q261_ipf_fit",
+        "q262_activity_streaks", "q263_follow_patterns", "q264_ams_f2",
     ]
     from geotile import cache, textops
 

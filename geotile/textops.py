@@ -3247,3 +3247,45 @@ def ndcg_eval(df: DataFrame, queries: dict, k: int = 10,
                  F.sum("rel").alias("rel_sum"),
                  F.sum("d").alias("dcg_micro"),
                  F.sum("di").alias("idcg_micro")))
+
+
+def ams_f2(df: DataFrame, n_est: int = 8,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """AMS second-frequency-moment (F2) sketch with exact
+    verification — the repeated-token "surprise" / self-join-size
+    estimator (Alon-Matias-Szegedy 1996) joining the engine's sketch
+    family (KMV distinct q47, HLL q125, count-min q148, MG heavy
+    hitters q89): each estimator assigns every token type a ±1 sign
+    from one BIT of its splitmix64 hash, and ``S_e = sum over types
+    of count * sign_e`` squares into an unbiased F2 estimate.
+
+    Exactness: signs come from hash bits (exact integers), the
+    signed sums and their squares are exact BIGINTs, and the exact
+    F2 = sum of squared counts rides along — so the GATE is exact
+    while the estimator's error is inspectable per row (the q206
+    HLL-audit discipline).  Emits one row per estimator: ``(est,
+    s_sum, f2_est, f2_exact, n_types, n_tokens)``.
+
+    Scale shape: one token-hash explode (the shared Arrow kernel),
+    one (hash) count aggregate — types-sized after that; the
+    estimator explode multiplies the TYPE frame by n_est, and every
+    sum partial-aggregates map-side.  Sketch contract at 100 TB:
+    per-partition S_e sums merge by addition, O(n_est) state."""
+    toks = df.select(F.explode(token_hash_udf()(F.col(text_col)))
+                     .alias("h"))
+    counts = toks.groupBy("h").agg(F.count("*").alias("c"))
+    ests = F.array(*[F.lit(e) for e in range(int(n_est))])
+    # sign_e = 1 - 2 * bit_e(h), from the unsigned shift of the hash
+    signed = (counts.select("h", "c", F.explode(ests).alias("est"))
+              .withColumn("sgn", F.lit(1).cast("long") - F.lit(2)
+                          * F.expr("shiftrightunsigned(h, est)")
+                          .bitwiseAND(F.lit(1)).cast("long")))
+    per_est = (signed.groupBy("est")
+               .agg(F.sum(F.col("c") * F.col("sgn")).alias("s_sum")))
+    ex = counts.agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+                    F.count("*").alias("n_types"),
+                    F.sum("c").alias("n_tokens"))
+    return (per_est.crossJoin(F.broadcast(ex))
+            .select(F.col("est").cast("long").alias("est"), "s_sum",
+                    (F.col("s_sum") * F.col("s_sum")).alias("f2_est"),
+                    "f2_exact", "n_types", "n_tokens"))

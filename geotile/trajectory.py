@@ -1830,3 +1830,89 @@ def ipf_fit(df: DataFrame, nchars: int = 4, rounds: int = 2,
     out = g.select("o_cell", "d_cell", "o_tot", "d_tot",
                    F.col("f").alias("f_micro"))
     return cache.track(out, [flows])
+
+
+def activity_streaks(df: DataFrame, t: str = "ep", nchars: int = 3,
+                     cell_col: str = "geohash") -> DataFrame:
+    """Per-cell activity STREAKS (gaps-and-islands over observed
+    days): the longest run of consecutive active days, the number of
+    distinct runs, and the run containing the last observed day —
+    the continuity metric behind "reliably active place" vs
+    "one-off event venue" labels (q131/q241 measure trend, q256 the
+    level; streaks measure persistence).
+
+    Exactness: the classic integer islands key ``day - row_number``
+    groups consecutive days; every emitted quantity is a count.
+
+    Scale shape: one data-sized partial aggregation to the (cell,
+    day) frame; the islands window and rollups run per cell on that
+    collapsed frame.  Returns ``(cell, n_days, n_streaks,
+    max_streak, last_streak)``."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    days = (df.select(cell.alias("cell"),
+                      F.expr(f"{t} div 86400").alias("day"))
+            .distinct().persist())
+    w = Window.partitionBy("cell").orderBy("day")
+    grp = (days.withColumn("grp", F.col("day")
+                           - F.row_number().over(w)))
+    runs = (grp.groupBy("cell", "grp")
+            .agg(F.count("*").alias("len"),
+                 F.max("day").alias("run_end")))
+    wl = Window.partitionBy("cell").orderBy(F.desc("run_end"))
+    out = (runs.withColumn("rn", F.row_number().over(wl))
+           .groupBy("cell")
+           .agg(F.sum("len").alias("n_days"),
+                F.count("*").alias("n_streaks"),
+                F.max("len").alias("max_streak"),
+                F.max(F.when(F.col("rn") == 1, F.col("len")))
+                .alias("last_streak")))
+    return cache.track(out, [days])
+
+
+def follow_patterns(df: DataFrame, nchars: int = 4, min_support: int = 2,
+                    key: str = "user_id", ts: str = "ep",
+                    order_col: str = "event_id",
+                    cell_col: str = "geohash") -> DataFrame:
+    """Gapped sequential patterns over daily movement: cell pair
+    (a, b) is SUPPORTED by a (user, day) iff the user visits a at
+    some point and b strictly later that day — visits in between are
+    allowed, which is what separates this from q135's contiguous
+    route n-grams (PrefixSpan's length-2 core, the useful order
+    signal: "home then airport", regardless of the stops between).
+
+    Support counts DISTINCT (user, day) occurrences; patterns with
+    support >= ``min_support`` are emitted as ``(a_cell, b_cell,
+    support)``.  All integers; the a!=b and first(a)<last(b) tests
+    are exact index comparisons.
+
+    Scale shape: fixes collapse to one row per (user, day, cell)
+    with min/max visit indexes (one window + one partial aggregate);
+    the pattern join runs per (user, day) on that COLLAPSED frame
+    (fan-out = distinct-cells-per-day squared, bounded by daily
+    movement, never by ping volume); support is one count."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key, "day").orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    fixes = (df.withColumn("day", F.expr(f"{ts} div 86400"))
+             .withColumn("idx", F.row_number().over(w))
+             .select(F.col(key).alias("k"), "day", cell.alias("cell"),
+                     "idx"))
+    per_cell = (fixes.groupBy("k", "day", "cell")
+                .agg(F.min("idx").alias("fi"), F.max("idx").alias("la"))
+                .persist())
+    a = per_cell.select("k", "day", F.col("cell").alias("a_cell"),
+                        F.col("fi").alias("fa"))
+    b = per_cell.select(F.col("k").alias("kb"), F.col("day").alias("db"),
+                        F.col("cell").alias("b_cell"),
+                        F.col("la").alias("lb"))
+    pat = (a.join(b, (a["k"] == b["kb"]) & (a["day"] == b["db"]))
+           .where((F.col("a_cell") != F.col("b_cell"))
+                  & (F.col("fa") < F.col("lb")))
+           .groupBy("a_cell", "b_cell")
+           .agg(F.count("*").alias("support"))
+           .where(F.col("support") >= int(min_support)))
+    return cache.track(pat, [per_cell])

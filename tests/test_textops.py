@@ -1748,3 +1748,20 @@ def test_ndcg_eval_invariants(spark):
         assert r["n_docs"] == 10
         assert 0 <= r["rel_sum"] <= 30
         assert 0 <= r["dcg_micro"] <= r["idcg_micro"]
+
+
+def test_ams_f2_exact_and_estimates(spark):
+    """Uniform two-token corpus: exact F2 is n_docs^2 * 2; every
+    estimator's estimate is a perfect square bounded by (sum c)^2."""
+    from geotile import textops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string")
+    rows = textops.ams_f2(docs, n_est=8).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_types"] == 2 and r["n_tokens"] == 20
+        assert r["f2_exact"] == 200  # 10^2 + 10^2
+        assert r["f2_est"] == r["s_sum"] * r["s_sum"]
+        # S_e in {-20, 0, 20}: signs equal -> +-20, opposite -> 0
+        assert r["s_sum"] in (-20, 0, 20)

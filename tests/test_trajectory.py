@@ -1126,3 +1126,42 @@ def test_ipf_fit_hand_margins(spark):
     assert g[("aaaa", "bbbb")] == 1333333
     assert g[("bbbb", "aaaa")] == 333333
     assert g[("bbbb", "bbbb")] == 666666
+
+
+def test_activity_streaks_islands(spark):
+    """Days {1,2,3, 7,8, 12}: three runs, longest 3, last run len 1."""
+    from geotile import cache, trajectory
+
+    rows = [("abc99", d * 86400 + 30) for d in (1, 2, 3, 7, 8, 12)]
+    df = spark.createDataFrame(rows, "geohash string, ep long")
+    out = trajectory.activity_streaks(df)
+    r = out.collect()[0]
+    cache.release(out)
+    assert (r["cell"], r["n_days"], r["n_streaks"]) == ("abc", 6, 3)
+    assert (r["max_streak"], r["last_streak"]) == (3, 1)
+
+
+def test_follow_patterns_gapped_order(spark):
+    """A->C->B supports (A,C), (A,B), (C,B) — including the GAPPED
+    (A,B) a contiguous bigram would miss; revisits don't double-count
+    within a day."""
+    from geotile import cache, trajectory
+
+    rows = [  # one user, one day, sequence A C B A
+        (1, 0, "aaaa1"), (1, 1, "cccc1"), (1, 2, "bbbb1"), (1, 3, "aaaa2"),
+        # second user, same day, A then B only
+        (2, 0, "aaaa3"), (2, 1, "bbbb3"),
+    ]
+    df = spark.createDataFrame(
+        [(u, s, s * 60, c) for u, s, c in rows],
+        "user_id long, event_id long, ep long, geohash string")
+    out = trajectory.follow_patterns(df, nchars=4, min_support=1)
+    pats = {(r["a_cell"], r["b_cell"]): r["support"]
+            for r in out.collect()}
+    cache.release(out)
+    # user1: (a,c)? a first@1, c last@2 -> yes; (a,b) yes; (c,b) yes;
+    # (c,a): c first@2 < a last@4 -> yes (the revisit); (b,a) yes
+    assert pats[("aaaa", "bbbb")] == 2
+    assert pats[("aaaa", "cccc")] == 1
+    assert pats[("cccc", "bbbb")] == 1
+    assert ("bbbb", "cccc") not in pats

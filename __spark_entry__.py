@@ -5515,6 +5515,49 @@ def _q264_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ams_f2(docs, n_est=8).orderBy("est")
 
 
+_SFCA_POIS = [(0, 39.9286, 116.3895, 120), (1, -33.8568, 151.2153, 80),
+              (2, 40.6892, -74.0445, 200)]
+
+
+def _q265_catchment_access(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-step floating catchment accessibility
+    (engine.catchment_access, 5000-milli catchments, 3 literal
+    supply points): capacity-per-demand ratios per supply, summed per
+    covered demand point, emitted as the bounded exact access
+    histogram with the uncovered population in the 0 row — the
+    spatial supply/demand equity measure.  The oracle replays the
+    planar disks, the floor ratios, and both aggregation steps."""
+    pos = _positions2_df(spark, sf)
+    return (engine.catchment_access(pos, _SFCA_POIS, radius_milli=5000)
+            .orderBy("access_micro"))
+
+
+def _q266_session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Session gap-threshold sweep (engine.session_gap_sweep at
+    900/1800/3600 s) over the events stream: the session census —
+    count, singletons, longest, LOW-median length — at each rung,
+    the tuning audit behind the gap constant.  The oracle replays
+    sessionize's lag/flag/running-sum windows per rung."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (engine.session_gap_sweep(ev, [900, 1800, 3600])
+            .orderBy("gap_s"))
+
+
+def _q267_viterbi_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Most-probable 3-hop itinerary per origin
+    (trajectory.viterbi_paths over q167's gh4 transition model):
+    exact BIGINT max-product path scores with the pinned
+    (score, prefix) struct tie rule — the decoder on top of the
+    Markov model.  The oracle replays the transition replica and
+    both survivor argmax stages with DESC row_number picks."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.viterbi_paths(pos, steps=3, nchars=4)
+    return cache.track(out.orderBy("o_cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5812,6 +5855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_activity_streaks": _q262_activity_streaks,
         "q263_follow_patterns": _q263_follow_patterns,
         "q264_ams_f2": _q264_ams_f2,
+        "q265_catchment_access": _q265_catchment_access,
+        "q266_session_gap_sweep": _q266_session_gap_sweep,
+        "q267_viterbi_paths": _q267_viterbi_paths,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14240,6 +14286,152 @@ SELECT CAST(p.est AS BIGINT) AS est, p.s_sum,
        x.f2_exact, x.n_types, x.n_tokens
 FROM pe264 p CROSS JOIN ex264 x
 ORDER BY est
+"""
+
+    # q265: 2SFCA — literal supplies, planar disks, floor ratios,
+    # two aggregation steps, zero-access remainder row
+    _pois265 = ", ".join(f"({i}, {la!r}, {lo!r}, {c})"
+                         for i, la, lo, c in _SFCA_POIS)
+    sqls["q265_catchment_access"] = f"""
+WITH {_POS2_CTE},
+pp265(poi_id, plat, plon, cap) AS (VALUES {_pois265}),
+pt265 AS (
+  SELECT event_id AS pid,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS py
+  FROM pos2
+),
+pq265 AS (
+  SELECT poi_id, cap,
+         CAST(floor(plon * 1000 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(plat * 1000 + 0.5) AS BIGINT) AS qy
+  FROM pp265
+),
+cv265 AS (
+  SELECT pt.pid, pq.poi_id, pq.cap
+  FROM pt265 pt CROSS JOIN pq265 pq
+  WHERE (pt.px - pq.qx) * (pt.px - pq.qx)
+        + (pt.py - pq.qy) * (pt.py - pq.qy) <= 25000000
+),
+dm265 AS (
+  SELECT poi_id, cap, count(*) AS demand FROM cv265 GROUP BY 1, 2
+),
+rt265 AS (
+  SELECT poi_id,
+         CAST(floor(1000000.0 * CAST(cap AS DOUBLE)
+                    / CAST(demand AS DOUBLE)) AS BIGINT) AS ratio_micro
+  FROM dm265
+),
+pa265 AS (
+  SELECT c.pid, CAST(sum(r.ratio_micro) AS BIGINT) AS access_micro
+  FROM cv265 c JOIN rt265 r ON r.poi_id = c.poi_id
+  GROUP BY c.pid
+)
+SELECT access_micro, n_points FROM (
+  SELECT access_micro, count(*) AS n_points FROM pa265 GROUP BY 1
+  UNION ALL
+  SELECT CAST(0 AS BIGINT),
+         (SELECT count(*) FROM pt265) - (SELECT count(*) FROM pa265)
+)
+WHERE n_points > 0
+ORDER BY access_micro
+"""
+
+    # q266: session sweep — sessionize's lag/flag/running-sum windows
+    # replayed per gap rung, census + low-median pick
+    _rungs266 = []
+    _rows266 = []
+    for _g in (900, 1800, 3600):
+        _rungs266.append(f"""
+l266g{_g} AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+),
+s266g{_g} AS (
+  SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR ep - prev > {_g} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l266g{_g}
+),
+n266g{_g} AS (
+  SELECT user_id, sid, count(*) AS len FROM s266g{_g} GROUP BY 1, 2
+),
+r266g{_g} AS (
+  SELECT len, row_number() OVER (ORDER BY len) AS rn,
+         count(*) OVER () AS k
+  FROM n266g{_g}
+)""")
+        _rows266.append(f"""SELECT CAST({_g} AS BIGINT) AS gap_s,
+       (SELECT count(*) FROM n266g{_g}) AS n_sessions,
+       (SELECT CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM n266g{_g}) AS n_singletons,
+       (SELECT CAST(max(len) AS BIGINT) FROM n266g{_g}) AS max_len,
+       (SELECT CAST(len AS BIGINT) FROM r266g{_g}
+        WHERE rn = (k + 1) // 2) AS med_len""")
+    sqls["q266_session_gap_sweep"] = f"""
+WITH {",".join(_rungs266)}
+SELECT * FROM (
+{" UNION ALL ".join(_rows266)}
+)
+ORDER BY gap_s
+"""
+
+    # q267: Viterbi — q167's transition replica, two survivor argmax
+    # stages with the (score, prefix)-desc tie rule
+    sqls["q267_viterbi_paths"] = f"""
+WITH {_WALK_CTE},
+c267 AS (
+  SELECT user_id, ep, event_id, {_wgh4} AS d
+  FROM walk
+),
+l267 AS (
+  SELECT d,
+         lag(d) OVER (PARTITION BY user_id
+                      ORDER BY ep ASC, event_id ASC) AS o
+  FROM c267
+),
+f267 AS (
+  SELECT o AS o_cell, d AS d_cell, count(*) AS n
+  FROM l267 WHERE o IS NOT NULL GROUP BY 1, 2
+),
+tt267 AS (
+  SELECT o_cell AS o, d_cell AS d,
+         CAST((n * 1000000) // sum(n) OVER (PARTITION BY o_cell)
+              AS BIGINT) AS p
+  FROM f267
+),
+s2a267 AS (
+  SELECT s1.o, e2.d AS m2, s1.d AS m1, s1.p * e2.p AS sc
+  FROM tt267 s1 JOIN tt267 e2 ON e2.o = s1.d
+),
+s2267 AS (
+  SELECT o, m2, sc, m1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY o, m2
+                                 ORDER BY sc DESC, m1 DESC) AS rn
+    FROM s2a267)
+  WHERE rn = 1
+),
+s3a267 AS (
+  SELECT s2.o, s2.sc * e3.p AS sc, s2.m1, s2.m2, e3.d AS m3
+  FROM s2267 s2 JOIN tt267 e3 ON e3.o = s2.m2
+),
+s3267 AS (
+  SELECT o, sc, m1, m2, m3 FROM (
+    SELECT *, row_number() OVER (PARTITION BY o
+                                 ORDER BY sc DESC, m1 DESC, m2 DESC,
+                                          m3 DESC) AS rn
+    FROM s3a267)
+  WHERE rn = 1
+)
+SELECT o AS o_cell, CAST(sc AS BIGINT) AS score,
+       m1 AS hop1, m2 AS hop2, m3 AS hop3
+FROM s3267
+ORDER BY o_cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -164,6 +164,8 @@ def main() -> None:
         "q256_percentile_bands", "q257_viewshed", "q258_ndcg_eval",
         "q259_link_prediction", "q260_polygon_validity", "q261_ipf_fit",
         "q262_activity_streaks", "q263_follow_patterns", "q264_ams_f2",
+        "q265_catchment_access", "q266_session_gap_sweep",
+        "q267_viterbi_paths",
     ]
     from geotile import cache, textops
 

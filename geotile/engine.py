@@ -3263,3 +3263,119 @@ def polygon_validity(polygons: DataFrame) -> DataFrame:
            .select("poly_id", "n_vertices", "area2", "orientation",
                    "n_self_x", "valid"))
     return out
+
+
+def catchment_access(df: DataFrame, pois: Sequence[tuple],
+                     radius_milli: int = 5000,
+                     lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Two-step floating catchment accessibility (2SFCA) — the
+    standard supply/demand spatial-access measure (clinic or fiber
+    coverage per head): step 1 gives every SUPPLY point a
+    capacity-per-demand ratio over its catchment; step 2 sums, for
+    every DEMAND point, the ratios of the supplies whose catchments
+    cover it.  Emitted as the bounded ACCESS HISTOGRAM ``(access_micro,
+    n_points)`` — with s supply points there are at most 2^s distinct
+    access values, so the histogram is tiny and the gate exact
+    (access 0 rows carry the uncovered population).
+
+    ``pois`` is a literal ``(poi_id, lat, lon, capacity)`` list.
+    Exactness: planar milli-degree disks (exact BIGINT d^2 compare,
+    the q240 metric) and ``ratio_micro = floor(1e6 * cap / demand)``
+    — one fixed-shape division per supply, integer sums after.
+
+    Scale shape: the supply set is a literal broadcast (never a
+    shuffle side); demand points are touched twice map-side (the
+    s-row cross product filters in codegen) with one aggregate per
+    step — no pair frame, no bucket join needed below ~thousands of
+    supplies (bucket like ripley_pairs beyond)."""
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        list(pois), "poi_id long, plat double, plon double, cap long")
+    pts = df.select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("px"),
+        F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("py"))
+    pp = pdf.select("poi_id", "cap",
+                    F.floor(F.col("plon") * F.lit(1000.0) + F.lit(0.5))
+                    .cast("long").alias("qx"),
+                    F.floor(F.col("plat") * F.lit(1000.0) + F.lit(0.5))
+                    .cast("long").alias("qy"))
+    r2 = int(radius_milli) * int(radius_milli)
+    d2 = ((F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+          + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")))
+    cov = (pts.crossJoin(F.broadcast(pp))
+           .where(d2 <= F.lit(r2)))
+    demand = (cov.groupBy("poi_id", "cap")
+              .agg(F.count("*").alias("demand"))
+              .withColumn("ratio_micro",
+                          F.floor(F.lit(1000000.0)
+                                  * F.col("cap").cast("double")
+                                  / F.col("demand").cast("double"))
+                          .cast("long")))
+    per_pt = (cov.join(F.broadcast(demand.select("poi_id", "ratio_micro")),
+                       "poi_id")
+              .groupBy("pid")
+              .agg(F.sum("ratio_micro").alias("access_micro")))
+    # histogram over covered points + one 0-access row for the rest
+    hist = (per_pt.groupBy("access_micro")
+            .agg(F.count("*").alias("n_points")))
+    n_total = pts.groupBy().agg(F.count("*").alias("nt"))
+    n_cov = per_pt.groupBy().agg(F.count("*").alias("nc"))
+    zero = (n_total.crossJoin(n_cov)
+            .select(F.lit(0).cast("long").alias("access_micro"),
+                    (F.col("nt") - F.col("nc")).alias("n_points"))
+            .where(F.col("n_points") > 0))
+    return hist.unionByName(zero)
+
+
+def session_gap_sweep(df: DataFrame, gaps_s: Sequence[int],
+                      key: str = "user_id", ts: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Sessionization gap-threshold sensitivity sweep: run
+    :func:`sessionize` at a LADDER of gap thresholds and roll each up
+    to the session census — how many sessions, how many singletons,
+    the longest, and the LOW-median length.  The tuning audit behind
+    every "gap = 30 min" constant (q202's dedup-threshold sweep
+    applied to the session boundary), read as: where does the census
+    stabilize.
+
+    All integers (median is the rank-(k+1)/2 low pick).  Scale
+    shape: each rung is sessionize's one keyed window + a session
+    rollup on the COLLAPSED (key, session) frame; the census median
+    is one window over that session-level frame.  Returns one row
+    per gap: ``(gap_s, n_sessions, n_singletons, max_len,
+    med_len)``."""
+    # second-truncated epoch as the session clock AND the window order
+    # (with id_col tiebreak) — deterministic and identical cross-engine
+    # regardless of sub-second timestamp precision
+    base = df.withColumn(
+        "_ep_s",
+        F.unix_timestamp(F.col(ts))
+        if dict(df.dtypes)[ts].startswith("timestamp")
+        else F.col(ts).cast("long"))
+    parts = []
+    for g in sorted(int(g) for g in gaps_s):
+        s = sessionize(base, key=key, ts="_ep_s", gap_s=g, id_col=id_col)
+        lens = (s.groupBy(key, "session_id")
+                .agg(F.count("*").alias("len")))
+        wr = Window.orderBy("len")
+        ranked = (lens.withColumn("rn", F.row_number().over(wr))
+                  .withColumn("k", F.count("*").over(
+                      Window.partitionBy())))
+        med = (ranked.where(F.col("rn") == F.expr("(k + 1) div 2"))
+               .select(F.col("len").alias("med_len")))
+        row = (lens.agg(F.count("*").alias("n_sessions"),
+                        F.sum(F.when(F.col("len") == 1, 1).otherwise(0))
+                        .cast("long").alias("n_singletons"),
+                        F.max("len").alias("max_len"))
+               .crossJoin(med)
+               .withColumn("gap_s", F.lit(g).cast("long"))
+               .select("gap_s", "n_sessions", "n_singletons",
+                       "max_len", "med_len"))
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

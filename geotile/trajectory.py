@@ -1916,3 +1916,64 @@ def follow_patterns(df: DataFrame, nchars: int = 4, min_support: int = 2,
            .agg(F.count("*").alias("support"))
            .where(F.col("support") >= int(min_support)))
     return cache.track(pat, [per_cell])
+
+
+def viterbi_paths(df: DataFrame, steps: int = 3, nchars: int = 4,
+                  key: str = "user_id", ts: str = "ep",
+                  order_col: str = "event_id",
+                  cell_col: str = "geohash") -> DataFrame:
+    """Most-probable k-step itinerary per origin cell (Viterbi
+    max-product over :func:`markov_transitions`): the decoder on top
+    of q167's transition model — q167 ranks single hops, q175
+    backtests them; this chains the model into the best full path,
+    the next-k-locations predictor.
+
+    Exactness: path score is the exact BIGINT PRODUCT of the hops'
+    integer ``p_micro`` (<= 1e18 for 3 hops — inside int64); per
+    intermediate state the survivor is the max ``(score, prefix...)``
+    struct — score first, then lexicographically larger prefix, the
+    pinned deterministic tie rule the oracle replays with ORDER BY
+    DESC row_number.
+
+    Scale shape: the DP runs entirely on the COLLAPSED transition
+    frame (cells x cells at worst) — one join + one struct-max
+    aggregate per step; the fix-level data is touched once by
+    markov_transitions.  Returns per origin ``(o_cell, score, hop1,
+    hop2, hop3)`` for steps=3."""
+    from . import cache
+
+    if steps != 3:
+        raise ValueError("gated shape is the 3-step decoder")
+    t = (markov_transitions(df, nchars=nchars, key=key, ts=ts,
+                            order_col=order_col, cell_col=cell_col)
+         .select(F.col("o_cell").alias("o"), F.col("d_cell").alias("d"),
+                 F.col("p_micro").alias("p"))
+         .persist())
+    # step 1: best (score, ()) per (origin, state) is just the edge
+    s1 = t.select("o", F.col("d").alias("m1"), F.col("p").alias("sc"))
+    # step 2: survivors per (o, m2) carry the argmax m1
+    e2 = t.select(F.col("o").alias("m1"), F.col("d").alias("m2"),
+                  F.col("p").alias("p2"))
+    s2 = (s1.join(e2, "m1")
+          .select("o", "m2",
+                  F.struct((F.col("sc") * F.col("p2")).alias("sc"),
+                           F.col("m1").alias("m1")).alias("st"))
+          .groupBy("o", "m2").agg(F.max("st").alias("st"))
+          .select("o", "m2", F.col("st.sc").alias("sc"),
+                  F.col("st.m1").alias("m1")))
+    # step 3: full-path argmax per origin
+    e3 = t.select(F.col("o").alias("m2"), F.col("d").alias("m3"),
+                  F.col("p").alias("p3"))
+    s3 = (s2.join(e3, "m2")
+          .select("o",
+                  F.struct((F.col("sc") * F.col("p3")).alias("sc"),
+                           F.col("m1").alias("m1"),
+                           F.col("m2").alias("m2"),
+                           F.col("m3").alias("m3")).alias("st"))
+          .groupBy("o").agg(F.max("st").alias("st"))
+          .select(F.col("o").alias("o_cell"),
+                  F.col("st.sc").alias("score"),
+                  F.col("st.m1").alias("hop1"),
+                  F.col("st.m2").alias("hop2"),
+                  F.col("st.m3").alias("hop3")))
+    return cache.track(s3, [t])

@@ -1872,3 +1872,41 @@ def test_polygon_validity_bowtie(spark):
     assert rows[1]["n_self_x"] == 0 and rows[1]["valid"]
     assert rows[1]["orientation"] == "ccw" and rows[1]["area2"] > 0
     assert rows[2]["n_self_x"] == 1 and not rows[2]["valid"]
+
+
+def test_catchment_access_hand_grid(spark):
+    """Two supplies, hand-placed demand: ratios floor exactly and the
+    double-covered point sums both."""
+    from geotile import engine
+
+    # POI 0 at (0,0) cap 10; POI 1 at (0, 8) deg cap 30; radius 5 deg
+    pois = [(0, 0.0, 0.0, 10), (1, 0.0, 8.0, 30)]
+    pts = spark.createDataFrame(
+        [(1, 0.0, 1.0),   # covers POI0 only
+         (2, 0.0, 4.0),   # covers BOTH (4 deg from 0; 4 deg from 8)
+         (3, 0.0, 7.0),   # covers POI1 only
+         (4, 0.0, 50.0)],  # uncovered
+        "event_id long, lat double, lon double")
+    out = {r["access_micro"]: r["n_points"]
+           for r in engine.catchment_access(pts, pois,
+                                            radius_milli=5000).collect()}
+    # demand: POI0 -> {1,2} = 2; POI1 -> {2,3} = 2
+    r0, r1 = 10 * 1000000 // 2, 30 * 1000000 // 2
+    assert out == {r0: 1, r1: 1, r0 + r1: 1, 0: 1}
+
+
+def test_session_gap_sweep_monotone(spark):
+    """Wider gaps can only merge sessions: counts fall, max grows."""
+    from geotile import engine
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {r["gap_s"]: r
+            for r in engine.session_gap_sweep(
+                ev, [900, 1800, 3600]).collect()}
+    assert rows[900]["n_sessions"] >= rows[1800]["n_sessions"] \
+        >= rows[3600]["n_sessions"]
+    assert rows[900]["max_len"] <= rows[1800]["max_len"] \
+        <= rows[3600]["max_len"]
+    for r in rows.values():
+        assert r["n_singletons"] <= r["n_sessions"]
+        assert 1 <= r["med_len"] <= r["max_len"]

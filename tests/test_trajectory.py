@@ -1165,3 +1165,22 @@ def test_follow_patterns_gapped_order(spark):
     assert pats[("aaaa", "cccc")] == 1
     assert pats[("cccc", "bbbb")] == 1
     assert ("bbbb", "cccc") not in pats
+
+
+def test_viterbi_paths_deterministic_chain(spark):
+    """A deterministic cycle A->B->C->A decodes each origin's unique
+    3-hop path with score 1e18 (three certain hops)."""
+    from geotile import cache, trajectory
+
+    seq = ["aaaa1", "bbbb1", "cccc1"] * 4  # A B C A B C ... per user
+    rows = [(1, i, i * 60, c) for i, c in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ep long, geohash string")
+    out = trajectory.viterbi_paths(df, steps=3, nchars=4)
+    got = {r["o_cell"]: r for r in out.collect()}
+    cache.release(out)
+    assert got["aaaa"]["score"] == 10 ** 18
+    assert (got["aaaa"]["hop1"], got["aaaa"]["hop2"],
+            got["aaaa"]["hop3"]) == ("bbbb", "cccc", "aaaa")
+    assert (got["bbbb"]["hop1"], got["bbbb"]["hop2"],
+            got["bbbb"]["hop3"]) == ("cccc", "aaaa", "bbbb")

@@ -5558,6 +5558,41 @@ def _q267_viterbi_paths(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q268_fair_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-min fair (water-filling) capacity allocation
+    (engine.maxmin_fair_share, gh3 demands, capacity = total/3): the
+    closed-form integer water level over sorted prefix sums — small
+    demands fully satisfied, heavy cells capped at the common fair
+    level, the fairness dual of q207's proportional apportionment.
+    The oracle replays the sort, the fundability test, and the level
+    closed form."""
+    from geotile import cache
+
+    pos = engine.with_cell(_positions_df(spark, sf))
+    out = engine.maxmin_fair_share(pos, capacity_div=3)
+    return cache.track(out.orderBy("cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q269_triplet_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding metric triplet audit (simsearch.triplet_audit): per
+    label the exact violation census — is the canonical same-label
+    neighbor closer than the canonical impostor — over milli-
+    quantized integer distances (the q90/q229 quantize-first
+    discipline makes the gate exact).  The metric-quality companion
+    to q176's ANN recall.  The oracle replays the pick tables, the
+    quantization, and the integer distance folds."""
+    from geotile import cache, simsearch
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = simsearch.triplet_audit(emb)
+    return cache.track(
+        out.select(F.col("label").cast("long").alias("label"),
+                   "n_triplets", "n_violations", "margin_sum")
+        .orderBy("label"),
+        getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5858,6 +5893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_catchment_access": _q265_catchment_access,
         "q266_session_gap_sweep": _q266_session_gap_sweep,
         "q267_viterbi_paths": _q267_viterbi_paths,
+        "q268_fair_share": _q268_fair_share,
+        "q269_triplet_audit": _q269_triplet_audit,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14432,6 +14469,97 @@ SELECT o AS o_cell, CAST(sc AS BIGINT) AS score,
        m1 AS hop1, m2 AS hop2, m3 AS hop3
 FROM s3267
 ORDER BY o_cell
+"""
+
+    # q268: max-min fair share — sorted prefix, fundability test,
+    # closed-form water level
+    sqls["q268_fair_share"] = f"""
+WITH {_POS_CTE},
+d268 AS (
+  SELECT substr({gh5}, 1, 3) AS cell, count(*) AS demand
+  FROM pos GROUP BY 1
+),
+t268 AS (SELECT CAST(sum(demand) AS BIGINT) AS t,
+                count(*) AS n FROM d268),
+r268 AS (
+  SELECT cell, demand, t, n, t // 3 AS cap,
+         row_number() OVER (ORDER BY demand, cell) AS r,
+         sum(demand) OVER (ORDER BY demand, cell
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pfx
+  FROM d268 CROSS JOIN t268
+),
+f268 AS (SELECT * FROM r268 WHERE pfx + (n - r) * demand <= cap),
+rs268 AS (
+  SELECT max(r) AS rs,
+         (SELECT pfx FROM f268 ORDER BY r DESC LIMIT 1) AS pfx_rs
+  FROM f268
+),
+lv268 AS (
+  SELECT CASE WHEN coalesce(s.rs, 0) >= t.n THEN NULL
+         ELSE CAST(floor((t.t // 3 - coalesce(s.pfx_rs, 0))
+                         / (t.n - coalesce(s.rs, 0))) AS BIGINT)
+         END AS lvl
+  FROM t268 t CROSS JOIN rs268 s
+)
+SELECT d.cell, CAST(d.demand AS BIGINT) AS demand,
+       CAST(CASE WHEN l.lvl IS NULL THEN d.demand
+            ELSE least(d.demand, l.lvl) END AS BIGINT) AS alloc
+FROM d268 d CROSS JOIN lv268 l
+ORDER BY d.cell
+"""
+
+    # q269: triplet audit — milli-quantized vectors, canonical pick
+    # tables, exact integer distance folds
+    sqls["q269_triplet_audit"] = """
+WITH b269 AS (
+  SELECT vec_id AS vid, label AS lab,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+m269 AS (SELECT lab, min(vid) AS m1 FROM b269 GROUP BY lab),
+m2269 AS (
+  SELECT b.lab, min(b.vid) AS m2
+  FROM b269 b JOIN m269 m ON m.lab = b.lab
+  WHERE b.vid > m.m1 GROUP BY b.lab
+),
+np269 AS (
+  SELECT m.lab, m.m1, m2.m2
+  FROM m269 m LEFT JOIN m2269 m2 ON m2.lab = m.lab
+),
+fp269 AS (
+  SELECT a.lab, min(b.m1) AS far_id
+  FROM m269 a JOIN m269 b ON b.lab <> a.lab
+  GROUP BY a.lab
+),
+an269 AS (
+  SELECT b.vid, b.lab, b.qv,
+         CASE WHEN b.vid = n.m1 THEN n.m2 ELSE n.m1 END AS near_id,
+         f.far_id
+  FROM b269 b
+  JOIN np269 n ON n.lab = b.lab
+  JOIN fp269 f ON f.lab = b.lab
+),
+j269 AS (
+  SELECT a.lab,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+           i -> (a.qv[i] - nv.qv[i]) * (a.qv[i] - nv.qv[i]))) AS d2n,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+           i -> (a.qv[i] - fv.qv[i]) * (a.qv[i] - fv.qv[i]))) AS d2f
+  FROM an269 a
+  JOIN b269 nv ON nv.vid = a.near_id
+  JOIN b269 fv ON fv.vid = a.far_id
+  WHERE a.near_id IS NOT NULL
+)
+SELECT CAST(lab AS BIGINT) AS label,
+       count(*) AS n_triplets,
+       CAST(sum(CASE WHEN d2n >= d2f THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_violations,
+       CAST(sum(d2f - d2n) AS BIGINT) AS margin_sum
+FROM j269
+GROUP BY lab
+ORDER BY label
 """
 
     # Every queries() entry above has an exact oracle — including the

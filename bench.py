@@ -165,7 +165,7 @@ def main() -> None:
         "q259_link_prediction", "q260_polygon_validity", "q261_ipf_fit",
         "q262_activity_streaks", "q263_follow_patterns", "q264_ams_f2",
         "q265_catchment_access", "q266_session_gap_sweep",
-        "q267_viterbi_paths",
+        "q267_viterbi_paths", "q268_fair_share", "q269_triplet_audit",
     ]
     from geotile import cache, textops
 

@@ -3379,3 +3379,62 @@ def session_gap_sweep(df: DataFrame, gaps_s: Sequence[int],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def maxmin_fair_share(df: DataFrame, capacity_div: int = 3,
+                      nchars: int = 3,
+                      cell_col: str = "geohash") -> DataFrame:
+    """Max-min fair (water-filling) allocation of a scarce capacity
+    across per-cell demands — the rate-limiter / crawl-budget /
+    storage-quota allocator (q207's apportionment divides
+    PROPORTIONALLY; max-min instead satisfies small demands fully
+    and caps the heavy ones at a common fair level, the classic
+    fairness criterion): with capacity ``C = total div capacity_div``
+    every cell gets ``min(demand, L)`` where L is the water level —
+    the largest level the capacity funds.
+
+    Exactness: sort demands ascending (cell tiebreak), take prefix
+    sums; rank r is FUNDABLE iff ``prefix_r + (n-r)*d_r <= C``; with
+    r* the largest fundable rank, ``L = (C - prefix_r*) div (n -
+    r*)`` — all integer arithmetic, one closed form, no iteration
+    (the continuous water-filling loop collapses because demands are
+    sorted).  Fully-satisfiable demand sets short-circuit to
+    alloc = demand.
+
+    Scale shape: one data-sized count aggregate; the sort, prefix
+    window, and the 1-row level reduction run on the CELL frame; the
+    level broadcasts back.  Returns ``(cell, demand, alloc)``."""
+    from . import cache
+
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    dem = (df.select(cell.alias("cell"))
+           .groupBy("cell").agg(F.count("*").alias("demand"))
+           .persist())
+    tot = dem.agg(F.sum("demand").alias("t"), F.count("*").alias("n"))
+    w = Window.orderBy("demand", "cell")
+    ranked = (dem.crossJoin(F.broadcast(tot))
+              .withColumn("r", F.row_number().over(w))
+              .withColumn("pfx", F.sum("demand").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("cap", F.expr(f"t div {int(capacity_div)}")))
+    feas = ranked.where(
+        F.col("pfx") + (F.col("n") - F.col("r")) * F.col("demand")
+        <= F.col("cap"))
+    rstar = feas.agg(F.max("r").alias("rs"),
+                     F.max(F.struct("r", "pfx")).getField("pfx")
+                     .alias("pfx_rs"))
+    lvl = (tot.crossJoin(rstar)
+           .select(
+               F.when(F.coalesce("rs", F.lit(0)) >= F.col("n"),
+                      F.lit(None).cast("long"))  # fully satisfiable
+               .otherwise(
+                   F.floor((F.expr(f"t div {int(capacity_div)}")
+                            - F.coalesce("pfx_rs", F.lit(0)))
+                           / (F.col("n") - F.coalesce("rs", F.lit(0)))))
+               .cast("long").alias("lvl")))
+    out = (dem.crossJoin(F.broadcast(lvl))
+           .select("cell", "demand",
+                   F.when(F.col("lvl").isNull(), F.col("demand"))
+                   .otherwise(F.least("demand", "lvl")).cast("long")
+                   .alias("alloc")))
+    return cache.track(out, [dem])

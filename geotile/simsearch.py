@@ -689,3 +689,76 @@ def quantized_label_centroids(df: DataFrame, vec_col: str = "embedding",
             .agg(F.count("*").alias("n"),
                  F.sum("q").alias("q_sum"),
                  F.sum(F.col("q") * F.col("q")).alias("q2_sum")))
+
+
+def triplet_audit(df: DataFrame, scale: int = 1000,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Metric-learning triplet audit over a labeled embedding table:
+    for every anchor, the canonical same-label NEIGHBOR (smallest
+    other id in the label) and different-label IMPOSTOR (smallest id
+    among the other labels' minima) — does the metric put the
+    neighbor closer?  Violations ``d(a, near) >= d(a, far)`` are the
+    metric-quality number ANN recall (q176) can't see (recall says
+    the index finds neighbors; this says whether label structure
+    survives in the metric at all).
+
+    Exactness: vectors quantize to integer milli-units FIRST
+    (``floor(x * scale)`` per component — the q90/q229 discipline),
+    so both squared distances are exact BIGINTs and the violation
+    census is exact.  Emits per label: ``(label, n_triplets,
+    n_violations, margin_sum)`` with margin = d2_far - d2_near.
+
+    Scale shape: the near/far pick tables are label-sized broadcasts
+    (one min aggregate each); anchors join them plus two id-keyed
+    vector lookups; the distance folds are per-row array expressions
+    — no pair joins anywhere."""
+    from . import cache
+
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale)))
+                    .cast("long"))
+    base = (df.select(F.col(id_col).alias("vid"),
+                      F.col(label_col).alias("lab"), q.alias("qv"))
+            .persist())
+    # same-label pick: the label's two smallest ids cover every anchor
+    mins = (base.groupBy("lab")
+            .agg(F.min("vid").alias("m1")))
+    m2 = (base.join(mins, "lab")
+          .where(F.col("vid") > F.col("m1"))
+          .groupBy("lab").agg(F.min("vid").alias("m2")))
+    near_pick = mins.join(m2, "lab", "left")
+    # impostor pick: per label, the smallest id among OTHER labels'
+    # minima (labels are a tiny dim — the cross filter is broadcast)
+    other = (mins.select(F.col("lab").alias("ol"), F.col("m1").alias("om")))
+    far_pick = (mins.select("lab").crossJoin(other)
+                .where(F.col("lab") != F.col("ol"))
+                .groupBy("lab").agg(F.min("om").alias("far_id")))
+    an = (base
+          .join(F.broadcast(near_pick), "lab")
+          .withColumn("near_id",
+                      F.when(F.col("vid") == F.col("m1"), F.col("m2"))
+                      .otherwise(F.col("m1")))
+          .where(F.col("near_id").isNotNull())
+          .join(F.broadcast(far_pick), "lab")
+          .select("vid", "lab", "qv", "near_id", "far_id"))
+    nv = base.select(F.col("vid").alias("near_id"),
+                     F.col("qv").alias("nqv"))
+    fv = base.select(F.col("vid").alias("far_id"),
+                     F.col("qv").alias("fqv"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    j = (an.join(F.broadcast(nv), "near_id")
+         .join(F.broadcast(fv), "far_id")
+         .withColumn("d2n", d2(F.col("qv"), F.col("nqv")))
+         .withColumn("d2f", d2(F.col("qv"), F.col("fqv"))))
+    out = (j.groupBy(F.col("lab").alias("label"))
+           .agg(F.count("*").alias("n_triplets"),
+                F.sum(F.when(F.col("d2n") >= F.col("d2f"), 1)
+                      .otherwise(0)).cast("long").alias("n_violations"),
+                F.sum(F.col("d2f") - F.col("d2n")).alias("margin_sum")))
+    return cache.track(out, [base])

@@ -1910,3 +1910,25 @@ def test_session_gap_sweep_monotone(spark):
     for r in rows.values():
         assert r["n_singletons"] <= r["n_sessions"]
         assert 1 <= r["med_len"] <= r["max_len"]
+
+
+def test_maxmin_fair_share_hand_demands(spark):
+    """Demands 1/2/5/12 with capacity (20 div 3) = 6: water level
+    funds the small cells fully and caps the heavy one."""
+    from geotile import cache, engine
+
+    rows = ([("aaa11", )] * 1 + [("bbb11", )] * 2
+            + [("ccc11", )] * 5 + [("ddd11", )] * 12)
+    df = spark.createDataFrame(rows, "geohash string")
+    out = engine.maxmin_fair_share(df, capacity_div=3)
+    g = {r["cell"]: (r["demand"], r["alloc"]) for r in out.collect()}
+    cache.release(out)
+    # sorted demands 1,2,5,12; cap 6: r=1 feasible (1+3*1=4<=6),
+    # r=2 infeasible (3+2*2=7>6) -> L=(6-1) div 3=1
+    assert g == {"aaa": (1, 1), "bbb": (2, 1), "ccc": (5, 1),
+                 "ddd": (12, 1)}
+    # generous capacity: everything satisfied
+    out2 = engine.maxmin_fair_share(df, capacity_div=1)
+    g2 = {r["cell"]: r["alloc"] for r in out2.collect()}
+    cache.release(out2)
+    assert g2 == {"aaa": 1, "bbb": 2, "ccc": 5, "ddd": 12}

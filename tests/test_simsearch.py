@@ -552,3 +552,29 @@ def test_quantized_label_centroids_consistency(spark):
     got = {(r["label"], r["i"]): [r["n"], r["q_sum"], r["q2_sum"]]
            for r in simsearch.quantized_label_centroids(emb).collect()}
     assert got == dict(want)
+
+
+def test_triplet_audit_separable_labels(spark):
+    """Two well-separated label clusters: zero violations, positive
+    margins; a deliberately misplaced vector violates."""
+    from geotile import cache, simsearch
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.1, 0.0], 0), (3, [0.0, 0.1], 0),
+        (4, [5.0, 5.0], 1), (5, [5.1, 5.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = simsearch.triplet_audit(emb)
+    g = {r["label"]: r for r in out.collect()}
+    cache.release(out)
+    assert g[0]["n_triplets"] == 3 and g[0]["n_violations"] == 0
+    assert g[1]["n_triplets"] == 2 and g[1]["n_violations"] == 0
+    assert g[0]["margin_sum"] > 0 and g[1]["margin_sum"] > 0
+    rows2 = rows + [(6, [5.0, 5.2], 0)]  # label-0 vector in cluster 1
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int")
+    out2 = simsearch.triplet_audit(emb2)
+    g2 = {r["label"]: r for r in out2.collect()}
+    cache.release(out2)
+    assert g2[0]["n_violations"] >= 1

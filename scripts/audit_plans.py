@@ -1403,6 +1403,50 @@ def main() -> None:
          "ndcg_eval (q258): three term-filtered BM25 TakeOrdereds; "
          "relevance, gains, and both discount chains are map-side "
          "expressions over the 30-row ranked union"),
+        (_entry._q259_link_prediction,
+         "link_prediction (q259): one degree aggregate; wedges from "
+         "the symmetric adjacency self-joined on the middle; existing "
+         "edges leave via one slim anti-join; top-20 TakeOrdered"),
+        (_entry._q260_polygon_validity,
+         "polygon_validity (q260): rings explode to edges once; the "
+         "edge-pair census is per-ring vertex-quadratic (dozens of "
+         "rows), never data-sized"),
+        (_entry._q261_ipf_fit,
+         "ipf_fit (q261): rides od_matrix's collapsed flow frame; "
+         "each Furness scaling is one margin aggregate joined back "
+         "on the cell-quadratic grid"),
+        (_entry._q262_activity_streaks,
+         "activity_streaks (q262): one distinct (cell, day) "
+         "aggregation; islands window and run rollups on the "
+         "collapsed frame"),
+        (_entry._q263_follow_patterns,
+         "follow_patterns (q263): one per-(user, day) index window; "
+         "the pattern join runs on the collapsed (user, day, cell) "
+         "frame — fan-out bounded by daily distinct cells"),
+        (_entry._q264_ams_f2,
+         "ams_f2 (q264): one token-hash explode + one type-count "
+         "aggregate; the estimator explode multiplies the TYPE frame "
+         "only; signed sums partial-aggregate map-side"),
+        (_entry._q265_catchment_access,
+         "catchment_access (q265): literal supply broadcast, demand "
+         "touched twice map-side, one aggregate per 2SFCA step, "
+         "bounded histogram output"),
+        (_entry._q266_session_gap_sweep,
+         "session_gap_sweep (q266): per rung one keyed sessionize "
+         "window + a session-level rollup; the census median runs on "
+         "the collapsed session frame"),
+        (_entry._q267_viterbi_paths,
+         "viterbi_paths (q267): DP entirely on the collapsed "
+         "transition frame — one join + one struct-max aggregate per "
+         "step; fixes touched once by markov_transitions"),
+        (_entry._q268_fair_share,
+         "fair_share (q268): one count aggregate; sort, prefix "
+         "window, and the 1-row water level on the cell frame; level "
+         "broadcasts back"),
+        (_entry._q269_triplet_audit,
+         "triplet_audit (q269): label-sized broadcast pick tables + "
+         "two id-keyed vector lookups; distance folds are per-row "
+         "array expressions — zero pair joins"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

@@ -5593,6 +5593,34 @@ def _q269_triplet_audit(spark: SparkSession, sf: str) -> DataFrame:
         getattr(out, "_geotile_persisted", []))
 
 
+def _q270_novelty_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exploration-vs-return profile (trajectory.novelty_profile, gh4
+    hub walk): per user the exact first-visit census split between
+    timeline halves — explorers keep discovering, returners stop;
+    the growth companion to q116's marginal visit entropy.  The
+    oracle replays both rank windows and the half split."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (trajectory.novelty_profile(pos, nchars=4)
+            .orderBy("user_id"))
+
+
+def _q271_seq_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-origin conditional next-cell entropy
+    (trajectory.seq_cond_entropy, gh4 hub walk): the predictability
+    number over q167's transition census, nano-nat terms floored
+    before the per-origin sum — a deterministic origin is exactly 0.
+    The oracle replays the lag window, the counts, and the ln
+    floors."""
+    from geotile import cache, trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    out = trajectory.seq_cond_entropy(pos, nchars=4)
+    return cache.track(out.orderBy("o_cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5895,6 +5923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_viterbi_paths": _q267_viterbi_paths,
         "q268_fair_share": _q268_fair_share,
         "q269_triplet_audit": _q269_triplet_audit,
+        "q270_novelty_profile": _q270_novelty_profile,
+        "q271_seq_entropy": _q271_seq_entropy,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14560,6 +14590,73 @@ SELECT CAST(lab AS BIGINT) AS label,
 FROM j269
 GROUP BY lab
 ORDER BY label
+"""
+
+    # q270: novelty profile — per-(user, cell) first-visit ranks,
+    # per-user visit index, integer half split
+    sqls["q270_novelty_profile"] = f"""
+WITH {_WALK_CTE},
+c270 AS (
+  SELECT user_id, ep, event_id, {_wgh4} AS cell
+  FROM walk
+),
+r270 AS (
+  SELECT user_id, cell,
+         row_number() OVER (PARTITION BY user_id, cell
+                            ORDER BY ep ASC, event_id ASC) AS fv,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ep ASC, event_id ASC) AS vidx,
+         count(*) OVER (PARTITION BY user_id) AS nv
+  FROM c270
+)
+SELECT user_id,
+       CAST(max(nv) AS BIGINT) AS n_visits,
+       CAST(sum(CASE WHEN fv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN fv = 1 AND vidx <= (nv + 1) // 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS new_first_half,
+       CAST(sum(CASE WHEN fv = 1 AND vidx > (nv + 1) // 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS new_second_half
+FROM r270
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+    # q271: conditional entropy — q167's counts, per-destination
+    # nano-nat floors before the per-origin sum
+    sqls["q271_seq_entropy"] = f"""
+WITH {_WALK_CTE},
+c271 AS (
+  SELECT user_id, ep, event_id, {_wgh4} AS d
+  FROM walk
+),
+l271 AS (
+  SELECT d,
+         lag(d) OVER (PARTITION BY user_id
+                      ORDER BY ep ASC, event_id ASC) AS o
+  FROM c271
+),
+f271 AS (
+  SELECT o AS o_cell, d AS d_cell, count(*) AS n
+  FROM l271 WHERE o IS NOT NULL GROUP BY 1, 2
+),
+t271 AS (
+  SELECT o_cell, CAST(sum(n) AS BIGINT) AS tot, count(*) AS n_dest
+  FROM f271 GROUP BY o_cell
+),
+e271 AS (
+  SELECT f.o_cell, t.n_dest, t.tot,
+         CAST(floor(1000000000.0
+              * (CAST(f.n AS DOUBLE)
+                 * ln(CAST(t.tot AS DOUBLE) / CAST(f.n AS DOUBLE)))
+              / CAST(t.tot AS DOUBLE)) AS BIGINT) AS t_nano
+  FROM f271 f JOIN t271 t ON t.o_cell = f.o_cell
+)
+SELECT o_cell, CAST(max(n_dest) AS BIGINT) AS n_dest,
+       CAST(max(tot) AS BIGINT) AS total,
+       CAST(sum(t_nano) AS BIGINT) AS h_nano
+FROM e271
+GROUP BY o_cell
+ORDER BY o_cell
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -1977,3 +1977,95 @@ def viterbi_paths(df: DataFrame, steps: int = 3, nchars: int = 4,
                   F.col("st.m2").alias("hop2"),
                   F.col("st.m3").alias("hop3")))
     return cache.track(s3, [t])
+
+
+def novelty_profile(df: DataFrame, nchars: int = 4,
+                    key: str = "user_id", ts: str = "ep",
+                    order_col: str = "event_id",
+                    cell_col: str = "geohash") -> DataFrame:
+    """Exploration-vs-return mobility profile (Song/Pappalardo
+    explorers-vs-returners): per key, how many fixes land in a cell
+    the key has NEVER visited before, split between the first and
+    second half of the key's timeline — new-place discovery decays
+    for returners and stays flat for explorers; q116's visit entropy
+    measures the marginal distribution, this measures its GROWTH.
+
+    Exactness: a fix is NOVEL iff it is the key's first visit to its
+    cell (row_number over (key, cell) in time order == 1); the
+    half split is the integer visit index vs (n+1) div 2.  All
+    counts.
+
+    Scale shape: two windows on the SAME keyed exchange (per-(key,
+    cell) first-visit rank, per-key visit index) + one rollup.
+    Returns ``(key, n_visits, n_cells, new_first_half,
+    new_second_half)``."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    wkc = Window.partitionBy(key, "cell").orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    wk = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    wall = Window.partitionBy(key)
+    d = (df.withColumn("cell", cell)
+         .withColumn("first_visit",
+                     (F.row_number().over(wkc) == 1).cast("long"))
+         .withColumn("vidx", F.row_number().over(wk))
+         .withColumn("nv", F.count("*").over(wall)))
+    half = F.expr("(nv + 1) div 2")
+    return (d.groupBy(F.col(key))
+            .agg(F.max("nv").cast("long").alias("n_visits"),
+                 F.sum("first_visit").alias("n_cells"),
+                 F.sum(F.when(F.col("vidx") <= half,
+                              F.col("first_visit"))).cast("long")
+                 .alias("new_first_half"),
+                 F.sum(F.when(F.col("vidx") > half,
+                              F.col("first_visit"))).cast("long")
+                 .alias("new_second_half")))
+
+
+def seq_cond_entropy(df: DataFrame, nchars: int = 4,
+                     key: str = "user_id", ts: str = "ep",
+                     order_col: str = "event_id",
+                     cell_col: str = "geohash") -> DataFrame:
+    """Per-origin conditional next-cell entropy H(next | origin) over
+    the first-order transition counts — the PREDICTABILITY number on
+    top of q167's Markov model (Song et al. 2010: low conditional
+    entropy = highly predictable movement; q116's visit entropy is
+    the marginal, this is the sequence's): for each origin cell the
+    exact transition census and the nano-nat entropy of its
+    destination distribution.
+
+    Exactness: each destination's term quantizes to ``floor(1e9 *
+    (n * ln(tot/n)) / tot)`` BEFORE the per-origin sum (the
+    engine-wide ln-floor discipline; a deterministic origin — one
+    destination — gives exactly 0).
+
+    Scale shape: rides the same one-window + collapsed (o, d) count
+    frame as markov_transitions; the entropy is one more aggregate
+    over that frame.  Returns ``(o_cell, n_dest, total,
+    h_nano)``."""
+    from . import cache
+
+    o = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_d", o)
+         .withColumn("_o", F.lag("_d").over(w)))
+    counts = (d.where(F.col("_o").isNotNull())
+              .groupBy(F.col("_o").alias("o_cell"),
+                       F.col("_d").alias("d_cell"))
+              .agg(F.count("*").alias("n"))
+              .persist())
+    tot = counts.groupBy("o_cell").agg(F.sum("n").alias("tot"),
+                                       F.count("*").alias("n_dest"))
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("n").cast("double")
+           * F.log(F.col("tot").cast("double") / F.col("n").cast("double")))
+        / F.col("tot").cast("double")).cast("long")
+    out = (counts.join(tot, "o_cell")
+           .withColumn("t", term)
+           .groupBy("o_cell")
+           .agg(F.max("n_dest").cast("long").alias("n_dest"),
+                F.max("tot").cast("long").alias("total"),
+                F.sum("t").alias("h_nano")))
+    return cache.track(out, [counts])

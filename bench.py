@@ -166,7 +166,8 @@ def main() -> None:
         "q262_activity_streaks", "q263_follow_patterns", "q264_ams_f2",
         "q265_catchment_access", "q266_session_gap_sweep",
         "q267_viterbi_paths", "q268_fair_share", "q269_triplet_audit",
-        "q270_novelty_profile", "q271_seq_entropy",
+        "q270_novelty_profile", "q271_seq_entropy", "q272_zipf_fit",
+        "q273_distance_decay",
     ]
     from geotile import cache, textops
 

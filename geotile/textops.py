@@ -3289,3 +3289,53 @@ def ams_f2(df: DataFrame, n_est: int = 8,
             .select(F.col("est").cast("long").alias("est"), "s_sum",
                     (F.col("s_sum") * F.col("s_sum")).alias("f2_est"),
                     "f2_exact", "n_types", "n_tokens"))
+
+
+def zipf_fit(df: DataFrame, group_col: str = "source",
+             text_col: str = "text") -> DataFrame:
+    """Zipf rank-frequency fit + vocabulary-richness census per group
+    — the corpus-statistics companion to q233's Heaps curve (Heaps
+    says how vocabulary GROWS; Zipf says how mass CONCENTRATES: a
+    slope far from -1 flags TEMPLATED or keyword-stuffed sources):
+    per group the token-type census (types, tokens, hapax legomena)
+    and the exact OLS moments of the floored log-log rank-frequency
+    line, from which the Zipf slope is one division away.
+
+    Exactness: x = floor(1e6 * ln rank) and y = floor(1e6 * ln freq)
+    quantize BEFORE the moment sums (the engine-wide ln-floor
+    discipline), so Sx/Sy/Sxx/Sxy and the slope's rational
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2) are exact BIGINTs.  Rank ties
+    break by token (row_number, count desc, token asc) — pinned.
+
+    Scale shape: one (group, token) count shuffle; ranks are one
+    per-group window over the TYPE frame; the moment rollup
+    partial-aggregates.  Returns ``(group, n_types, n_tokens,
+    n_hapax, sx, sy, sxx, sxy, slope_num, slope_den)``."""
+    toks = (df.select(F.col(group_col).alias("g"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        WS_CLASS)).alias("t"))
+            .where(F.col("t") != ""))
+    c = toks.groupBy("g", "t").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.asc("t"))
+    r = (c.withColumn("rank", F.row_number().over(w))
+         .withColumn("x", F.floor(F.lit(1000000.0)
+                                  * F.log(F.col("rank").cast("double")))
+                     .cast("long"))
+         .withColumn("y", F.floor(F.lit(1000000.0)
+                                  * F.log(F.col("n").cast("double")))
+                     .cast("long")))
+    agg = (r.groupBy("g")
+           .agg(F.count("*").alias("n_types"),
+                F.sum("n").alias("n_tokens"),
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                .cast("long").alias("n_hapax"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    return (agg.withColumn(
+        "slope_num",
+        F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn(
+            "slope_den",
+            F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumnRenamed("g", group_col))

@@ -2069,3 +2069,47 @@ def seq_cond_entropy(df: DataFrame, nchars: int = 4,
                 F.max("tot").cast("long").alias("total"),
                 F.sum("t").alias("h_nano")))
     return cache.track(out, [counts])
+
+
+def distance_decay(df: DataFrame, ring_milli: int = 2000,
+                   nchars: int = 4, key: str = "user_id",
+                   ts: str = "ep", order_col: str = "event_id",
+                   cell_col: str = "geohash",
+                   lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Distance-decay (deterrence) curve of OD flows: trips binned by
+    the planar distance between their origin and destination FIX
+    positions — the empirical deterrence function a calibrated
+    gravity model needs (q249 audits the zero-deterrence baseline;
+    this measures how flow mass actually falls with distance).
+
+    Each consecutive-fix cell transition (the od_matrix trip
+    definition) contributes one observation at ring ``floor(sqrt(dx^2
+    + dy^2) / ring_milli)`` of its endpoint snap distance — exact
+    BIGINT d^2, sqrt-ring floors only exact-representable at perfect
+    squares (the q247 argument).  Emits per ring: trip count,
+    distinct user count, and distinct (o, d) corridor count.
+
+    Scale shape: ONE per-key lag window (the shared trajectory
+    exchange), map-side ring assignment, one bounded ring rollup
+    (ring count <= max-span / ring width).  Returns ``(ring,
+    n_trips, n_users, n_corridors)``."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    px = F.floor(F.col(lon) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    py = F.floor(F.col(lat) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    d = (df.withColumn("_d", cell)
+         .withColumn("_px", px).withColumn("_py", py)
+         .withColumn("_o", F.lag("_d").over(w))
+         .withColumn("_ox", F.lag("_px").over(w))
+         .withColumn("_oy", F.lag("_py").over(w)))
+    trips = d.where(F.col("_o").isNotNull() & (F.col("_o") != F.col("_d")))
+    d2 = ((F.col("_px") - F.col("_ox")) * (F.col("_px") - F.col("_ox"))
+          + (F.col("_py") - F.col("_oy")) * (F.col("_py") - F.col("_oy")))
+    ring = F.floor(F.sqrt(d2.cast("double"))
+                   / F.lit(float(ring_milli))).cast("long")
+    return (trips.withColumn("ring", ring)
+            .groupBy("ring")
+            .agg(F.count("*").alias("n_trips"),
+                 F.countDistinct(key).alias("n_users"),
+                 F.countDistinct("_o", "_d").alias("n_corridors")))

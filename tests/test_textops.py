@@ -1765,3 +1765,24 @@ def test_ams_f2_exact_and_estimates(spark):
         assert r["f2_est"] == r["s_sum"] * r["s_sum"]
         # S_e in {-20, 0, 20}: signs equal -> +-20, opposite -> 0
         assert r["s_sum"] in (-20, 0, 20)
+
+
+def test_zipf_fit_census_and_moments(spark):
+    """Hand corpus: exact type/hapax census; rank-1's x term is
+    floor(1e6 * ln 1) = 0 so sx counts only lower ranks."""
+    import math
+
+    from geotile import textops
+
+    docs = spark.createDataFrame(
+        [(0, "s", "a a a b b c")], "doc_id long, source string, text string")
+    r = textops.zipf_fit(docs).collect()[0]
+    assert (r["n_types"], r["n_tokens"], r["n_hapax"]) == (3, 6, 1)
+    x2 = math.floor(1e6 * math.log(2.0))
+    x3 = math.floor(1e6 * math.log(3.0))
+    y1 = math.floor(1e6 * math.log(3.0))  # freq 3
+    y2 = math.floor(1e6 * math.log(2.0))
+    assert r["sx"] == x2 + x3
+    assert r["sy"] == y1 + y2  # + ln(1)=0 for the hapax
+    assert r["sxy"] == x2 * y2 + x3 * 0
+    assert r["slope_den"] == 3 * (x2 * x2 + x3 * x3) - (x2 + x3) ** 2

@@ -1237,3 +1237,26 @@ def test_seq_cond_entropy_deterministic_vs_uniform(spark):
     if c["n_dest"] == 2 and c["total"] == 4:
         term = math.floor(1e9 * (2 * math.log(4 / 2)) / 4)
         assert c["h_nano"] == 2 * term
+
+
+def test_distance_decay_rings(spark):
+    """Two trips at 300 and 900 milli land in rings 1 and 3; a dwell
+    (same cell) contributes nothing."""
+    from geotile import trajectory
+
+    rows = [
+        (1, 0, 0.0, 0.0), (1, 1, 0.0, 0.4),   # 400 milli -> ring 1
+        (1, 2, 0.0, 0.4),                      # dwell: same cell+pos
+        (1, 3, 0.0, 1.3),                      # 900 milli -> ring 3
+    ]
+    df = spark.createDataFrame(
+        [(u, e, e * 60, la, lo) for u, e, la, lo in rows],
+        "user_id long, event_id long, ep long, lat double, lon double")
+    from geotile import engine
+    pos = engine.with_cell(df)
+    out = {r["ring"]: r for r in
+           trajectory.distance_decay(pos, ring_milli=250,
+                                     nchars=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_trips"] == 1 and out[3]["n_trips"] == 1
+    assert out[1]["n_users"] == 1 and out[1]["n_corridors"] == 1

@@ -5648,6 +5648,22 @@ def _q273_distance_decay(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("ring"))
 
 
+def _q274_cell_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronized cell pairs (trajectory.cell_sync_pairs, 30-degree
+    grid): exact Pearson moments between zero-filled hourly series of
+    cell pairs, top-20 by the floored micro correlation — the
+    teleconnection screen over q219's per-cell rhythms.  The oracle
+    replays the zero-fill, the hour-keyed pair join, the moments, and
+    the sqrt-per-factor fixed shape."""
+    from geotile import cache, trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    out = trajectory.cell_sync_pairs(pos, top_k=20)
+    return cache.track(out.orderBy(F.desc("r_micro"), "ca", "cb"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5954,6 +5970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_seq_entropy": _q271_seq_entropy,
         "q272_zipf_fit": _q272_zipf_fit,
         "q273_distance_decay": _q273_distance_decay,
+        "q274_cell_sync": _q274_cell_sync,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14757,6 +14774,57 @@ SELECT ring, count(*) AS n_trips,
 FROM t273
 GROUP BY ring
 ORDER BY ring
+"""
+
+    # q274: synchronized cells — zero-filled hourly series, hour-keyed
+    # pair join, exact moments, sqrt-per-factor fixed shape, top-20
+    sqls["q274_cell_sync"] = f"""
+WITH {_POS_CTE},
+c274 AS (
+  SELECT (LEAST(GREATEST(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+          * 100000
+          + LEAST(GREATEST(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0), 11))
+         AS cell_id,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+         count(*) AS x
+  FROM pos GROUP BY 1, 2
+),
+sp274 AS (SELECT min(h) AS h0, max(h) AS h1 FROM c274),
+g274 AS (
+  SELECT d.cell_id, hh.h
+  FROM (SELECT DISTINCT cell_id FROM c274) d
+  CROSS JOIN sp274 s,
+  LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) hh
+),
+f274 AS (
+  SELECT g.cell_id, g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM g274 g LEFT JOIN c274 c ON c.cell_id = g.cell_id AND c.h = g.h
+),
+p274 AS (
+  SELECT a.cell_id AS ca, b.cell_id AS cb, count(*) AS n,
+         CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+  FROM f274 a JOIN f274 b ON b.h = a.h AND a.cell_id < b.cell_id
+  GROUP BY 1, 2
+),
+s274 AS (
+  SELECT ca, cb, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den_x,
+         n * syy - sy * sy AS den_y
+  FROM p274
+)
+SELECT ca, cb, CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS num,
+       CAST(den_x AS BIGINT) AS den_x, CAST(den_y AS BIGINT) AS den_y,
+       CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                  / (sqrt(CAST(den_x AS DOUBLE))
+                     * sqrt(CAST(den_y AS DOUBLE)))) AS BIGINT) AS r_micro
+FROM s274
+WHERE den_x > 0 AND den_y > 0
+ORDER BY r_micro DESC, ca ASC, cb ASC
+LIMIT 20
 """
 
     # Every queries() entry above has an exact oracle — including the

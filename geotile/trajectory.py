@@ -2113,3 +2113,81 @@ def distance_decay(df: DataFrame, ring_milli: int = 2000,
             .agg(F.count("*").alias("n_trips"),
                  F.countDistinct(key).alias("n_users"),
                  F.countDistinct("_o", "_d").alias("n_corridors")))
+
+
+def cell_sync_pairs(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                    ts: str = "ep", cell_deg: float = 30.0,
+                    top_k: int = 20) -> DataFrame:
+    """Synchronized cell pairs: exact Pearson correlation between the
+    ZERO-FILLED hourly activity series of every coarse-cell pair, top
+    ``top_k`` by correlation — the teleconnection screen ("these two
+    regions pulse together") on top of q219's per-cell ACF moments;
+    co-moving far-apart cells flag shared drivers (timezone, event
+    syndication, bot schedules).
+
+    Exactness: the q155 discipline — all five moments are exact
+    BIGINTs over the zero-filled integer series, the correlation's
+    rational (num, den_x, den_y) is exact, and ``r_micro = floor(1e6
+    * num / (sqrt(den_x) * sqrt(den_y)))`` is one fixed-shape double
+    expression (sqrt per factor keeps operands in int64-exact
+    doubles).  Constant series (zero variance) are excluded.  The
+    top-k orders by (r_micro desc, cell_a asc, cell_b asc).
+
+    Scale shape: one data-sized (cell, hour) partial aggregation; the
+    zero-fill grid and the hour-keyed pair join run on the bounded
+    cells x hours frame (the hour join emits cells^2 rows per hour —
+    bounded by the coarse grid, never by data); one pair-moment
+    rollup and a TakeOrdered."""
+    from . import cache
+
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    hour = F.floor(F.col(ts) / F.lit(3600)).cast("long")
+    counts = (df.select((ybin * 100000 + xbin).alias("cell_id"),
+                        hour.alias("h"))
+              .groupBy("cell_id", "h").agg(F.count("*").alias("x")))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (counts.select("cell_id").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("cell_id",
+                    F.explode(F.sequence("h0", "h1")).alias("h")))
+    filled = (grid.join(counts, ["cell_id", "h"], "left")
+              .select("cell_id", "h",
+                      F.coalesce("x", F.lit(0).cast("long")).alias("x"))
+              .persist())
+    a = filled.select(F.col("cell_id").alias("ca"), "h",
+                      F.col("x").alias("xa"))
+    b = filled.select(F.col("cell_id").alias("cb"),
+                      F.col("h").alias("hb"), F.col("x").alias("xb"))
+    pairs = (a.join(b, (a["h"] == b["hb"]) & (a["ca"] < b["cb"]))
+             .groupBy("ca", "cb")
+             .agg(F.count("*").alias("n"),
+                  F.sum("xa").alias("sx"), F.sum("xb").alias("sy"),
+                  F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+                  F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+                  F.sum(F.col("xb") * F.col("xb")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    scored = (pairs
+              .withColumn("num", num).withColumn("den_x", dx)
+              .withColumn("den_y", dy)
+              .where((F.col("den_x") > 0) & (F.col("den_y") > 0))
+              .withColumn("r_micro",
+                          F.floor(F.lit(1000000.0)
+                                  * F.col("num").cast("double")
+                                  / (F.sqrt(F.col("den_x").cast("double"))
+                                     * F.sqrt(F.col("den_y")
+                                              .cast("double"))))
+                          .cast("long")))
+    out = (scored.select("ca", "cb", "n", "num", "den_x", "den_y",
+                         "r_micro")
+           .orderBy(F.desc("r_micro"), F.asc("ca"), F.asc("cb"))
+           .limit(int(top_k)))
+    return cache.track(out, [filled])

@@ -1260,3 +1260,23 @@ def test_distance_decay_rings(spark):
     assert set(out) == {1, 3}
     assert out[1]["n_trips"] == 1 and out[3]["n_trips"] == 1
     assert out[1]["n_users"] == 1 and out[1]["n_corridors"] == 1
+
+
+def test_cell_sync_pairs_perfect_correlation(spark):
+    """Two cells with proportional hourly series correlate at exactly
+    1e6 micro; an anti-phased pair scores negative."""
+    from geotile import cache, trajectory
+
+    rows = []
+    # cell A at (0..30 lat, 0..30 lon), cell B at (0..30, 30..60):
+    # hours 0,1,2 with counts A: 1,2,3 and B: 2,4,6 (perfectly
+    # proportional)
+    for h, (na, nb) in enumerate([(1, 2), (2, 4), (3, 6)]):
+        rows += [(5.0, 5.0, h * 3600 + 10)] * na
+        rows += [(5.0, 35.0, h * 3600 + 10)] * nb
+    df = spark.createDataFrame(rows, "lat double, lon double, ep long")
+    out = trajectory.cell_sync_pairs(df, top_k=5)
+    r = out.collect()[0]
+    cache.release(out)
+    assert r["n"] == 3 and r["r_micro"] == 1000000
+    assert r["num"] > 0 and r["den_x"] > 0 and r["den_y"] > 0

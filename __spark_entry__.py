@@ -5664,6 +5664,30 @@ def _q274_cell_sync(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q275_peak_hours(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day peak profile per cell (trajectory.peak_hours,
+    30-degree grid): argmax hour with earliest-hour tie rule, exact
+    DIV peak share, day/night split — the phase summary under q219's
+    rhythm detection and q256's volume bands.  The oracle replays the
+    hour-of-day census and the struct-argmax."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return trajectory.peak_hours(pos).orderBy("cell_id")
+
+
+def _q276_debounce_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry debounce audit (engine.debounce_audit, eps ladder
+    1/10/60 s): events collapsing under same-user same-type
+    epsilon-merging per rung — the double-fire diagnostic next to
+    q199's lateness audit; all exact counts.  The oracle replays the
+    per-rung lag/flag/running-sum composition."""
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    return engine.debounce_audit(ev).orderBy("eps_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5971,6 +5995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q272_zipf_fit": _q272_zipf_fit,
         "q273_distance_decay": _q273_distance_decay,
         "q274_cell_sync": _q274_cell_sync,
+        "q275_peak_hours": _q275_peak_hours,
+        "q276_debounce_audit": _q276_debounce_audit,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14825,6 +14851,82 @@ FROM s274
 WHERE den_x > 0 AND den_y > 0
 ORDER BY r_micro DESC, ca ASC, cb ASC
 LIMIT 20
+"""
+
+    # q275: peak hours — hour-of-day census, (n, -hh) struct argmax
+    # replayed as a DESC/ASC row_number pick
+    sqls["q275_peak_hours"] = f"""
+WITH {_POS_CTE},
+c275 AS (
+  SELECT (LEAST(GREATEST(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+          * 100000
+          + LEAST(GREATEST(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0), 11))
+         AS cell_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hh,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+p275 AS (
+  SELECT cell_id, hh, n,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY n DESC, hh ASC) AS rk
+  FROM c275
+),
+t275 AS (
+  SELECT cell_id, CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN hh >= 6 AND hh < 18 THEN n ELSE 0 END)
+              AS BIGINT) AS n_day
+  FROM c275 GROUP BY cell_id
+)
+SELECT t.cell_id, t.total,
+       CAST(p.hh AS BIGINT) AS peak_hour,
+       CAST(p.n AS BIGINT) AS peak_n,
+       CAST((p.n * 1000000) // t.total AS BIGINT) AS share_micro,
+       t.n_day,
+       CAST(t.total - t.n_day AS BIGINT) AS n_night
+FROM t275 t JOIN p275 p ON p.cell_id = t.cell_id AND p.rk = 1
+ORDER BY t.cell_id
+"""
+
+    # q276: debounce — per-rung lag/flag/running-sum replay over
+    # (user, type), bounded census
+    _rungs276 = []
+    _rows276b = []
+    for _e in (1, 10, 60):
+        _rungs276.append(f"""
+l276e{_e} AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS prev
+  FROM events
+),
+s276e{_e} AS (
+  SELECT user_id, event_type,
+         sum(CASE WHEN prev IS NULL OR ep - prev > {_e}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type ORDER BY ep, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM l276e{_e}
+),
+n276e{_e} AS (
+  SELECT user_id, event_type, gid, count(*) AS len
+  FROM s276e{_e} GROUP BY 1, 2, 3
+)""")
+        _rows276b.append(f"""SELECT CAST({_e} AS BIGINT) AS eps_s,
+       (SELECT CAST(sum(len) AS BIGINT) FROM n276e{_e}) AS n_events,
+       (SELECT count(*) FROM n276e{_e}) AS n_groups,
+       (SELECT CAST(sum(len) - count(*) AS BIGINT) FROM n276e{_e})
+       AS n_collapsed,
+       (SELECT CAST(max(len) AS BIGINT) FROM n276e{_e}) AS max_burst""")
+    sqls["q276_debounce_audit"] = f"""
+WITH {",".join(_rungs276)}
+SELECT * FROM (
+{" UNION ALL ".join(_rows276b)}
+)
+ORDER BY eps_s
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -167,7 +167,8 @@ def main() -> None:
         "q265_catchment_access", "q266_session_gap_sweep",
         "q267_viterbi_paths", "q268_fair_share", "q269_triplet_audit",
         "q270_novelty_profile", "q271_seq_entropy", "q272_zipf_fit",
-        "q273_distance_decay", "q274_cell_sync",
+        "q273_distance_decay", "q274_cell_sync", "q275_peak_hours",
+        "q276_debounce_audit",
     ]
     from geotile import cache, textops
 

@@ -3438,3 +3438,47 @@ def maxmin_fair_share(df: DataFrame, capacity_div: int = 3,
                    .otherwise(F.least("demand", "lvl")).cast("long")
                    .alias("alloc")))
     return cache.track(out, [dem])
+
+
+def debounce_audit(events: DataFrame, eps_ladder: Sequence[int] = (1, 10, 60),
+                   key: str = "user_id", type_col: str = "event_type",
+                   ts: str = "ep", id_col: str = "event_id") -> DataFrame:
+    """Telemetry debounce audit: how many events would collapse if
+    same-user same-type events within ``eps`` seconds were merged
+    into one — swept over an epsilon ladder — the double-fire /
+    retry-storm diagnostic run before any count is trusted (the
+    temporal micro-dup complement of the content dedup family; q199
+    audits lateness, this audits bounce).
+
+    Exactness: per (key, type) the gap-run grouping is the
+    sessionize lag/flag/running-sum composition at each rung; every
+    emitted quantity is a count.  Scale shape: one keyed window + a
+    bounded rollup per rung, all on the same exchange key.  Returns
+    per rung: ``(eps_s, n_events, n_groups, n_collapsed,
+    max_burst)``."""
+    parts = []
+    w = Window.partitionBy(key, type_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc())
+    base = (events.withColumn("_prev", F.lag(ts).over(w)))
+    for eps in sorted(int(e) for e in eps_ladder):
+        flag = F.when(F.col("_prev").isNull()
+                      | (F.col(ts) - F.col("_prev") > eps), 1).otherwise(0)
+        g = (base.withColumn("_new", flag)
+             .withColumn("_gid", F.sum("_new").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0))))
+        runs = (g.groupBy(key, type_col, "_gid")
+                .agg(F.count("*").alias("len")))
+        row = (runs.agg(F.sum("len").alias("n_events"),
+                        F.count("*").alias("n_groups"),
+                        F.max("len").alias("max_burst"))
+               .withColumn("n_collapsed",
+                           (F.col("n_events") - F.col("n_groups"))
+                           .cast("long"))
+               .withColumn("eps_s", F.lit(eps).cast("long"))
+               .select("eps_s", "n_events", "n_groups", "n_collapsed",
+                       "max_burst"))
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2191,3 +2191,51 @@ def cell_sync_pairs(df: DataFrame, lat: str = "lat", lon: str = "lon",
            .orderBy(F.desc("r_micro"), F.asc("ca"), F.asc("cb"))
            .limit(int(top_k)))
     return cache.track(out, [filled])
+
+
+def peak_hours(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               ts: str = "ep", cell_deg: float = 30.0) -> DataFrame:
+    """Hour-of-day activity profile per cell: the peak hour (argmax
+    count, ties to the earliest hour), its share of the cell's
+    activity, and the day/night split — "when is this place busy",
+    the operational summary under q219's ACF (which detects rhythm
+    but not WHEN) and q256's bands (which bound volume but not
+    phase).
+
+    Exactness: all counts; the peak share quantizes to ``share_micro
+    = (peak_n * 1e6) div total`` — pure integer division; day hours
+    are [6, 18).
+
+    Scale shape: one (cell, hour-of-day) partial aggregation (24
+    rows per cell), one struct-argmax per cell, one rollup.
+    Returns ``(cell_id, total, peak_hour, peak_n, share_micro,
+    n_day, n_night)``."""
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    how = F.pmod(F.expr(f"{ts} div 3600"), F.lit(24))
+    counts = (df.select((ybin * 100000 + xbin).alias("cell_id"),
+                        how.alias("hh"))
+              .groupBy("cell_id", "hh").agg(F.count("*").alias("n")))
+    # struct-argmax: max (n, -hh) -> largest count, ties to the
+    # EARLIEST hour (negated hour orders descending)
+    pick = F.max(F.struct(F.col("n").alias("n"),
+                          (-F.col("hh")).alias("nh"))).alias("pk")
+    return (counts.groupBy("cell_id")
+            .agg(F.sum("n").alias("total"),
+                 pick,
+                 F.sum(F.when((F.col("hh") >= 6) & (F.col("hh") < 18),
+                              F.col("n")).otherwise(0)).alias("n_day"))
+            .select("cell_id", "total",
+                    (-F.col("pk.nh")).cast("long").alias("peak_hour"),
+                    F.col("pk.n").alias("peak_n"),
+                    F.expr("(pk.n * 1000000) div total").cast("long")
+                    .alias("share_micro"),
+                    F.col("n_day").cast("long").alias("n_day"),
+                    (F.col("total") - F.col("n_day")).cast("long")
+                    .alias("n_night")))

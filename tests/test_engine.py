@@ -1932,3 +1932,22 @@ def test_maxmin_fair_share_hand_demands(spark):
     g2 = {r["cell"]: r["alloc"] for r in out2.collect()}
     cache.release(out2)
     assert g2 == {"aaa": 1, "bbb": 2, "ccc": 5, "ddd": 12}
+
+
+def test_debounce_audit_ladder(spark):
+    """Bursts collapse progressively as epsilon widens; cross-type
+    events never merge."""
+    from geotile import engine
+
+    rows = [  # user 1, type a: t = 0, 5, 30; type b: t = 6
+        (1, "a", 0, 1), (1, "a", 5, 2), (1, "a", 30, 3), (1, "b", 6, 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ep long, event_id long")
+    out = {r["eps_s"]: r for r in engine.debounce_audit(ev).collect()}
+    # eps 1: no merges -> 4 groups; eps 10: (0,5) merge -> 3 groups;
+    # eps 60: (0,5,30) merge -> 2 groups
+    assert out[1]["n_groups"] == 4 and out[1]["n_collapsed"] == 0
+    assert out[10]["n_groups"] == 3 and out[10]["n_collapsed"] == 1
+    assert out[60]["n_groups"] == 2 and out[60]["n_collapsed"] == 2
+    assert out[60]["max_burst"] == 3

@@ -1280,3 +1280,19 @@ def test_cell_sync_pairs_perfect_correlation(spark):
     cache.release(out)
     assert r["n"] == 3 and r["r_micro"] == 1000000
     assert r["num"] > 0 and r["den_x"] > 0 and r["den_y"] > 0
+
+
+def test_peak_hours_argmax_and_split(spark):
+    """Hand series: peak hour by count with earliest-hour ties, exact
+    share and day/night split."""
+    from geotile import trajectory
+
+    rows = ([(5.0, 5.0, 7 * 3600 + 1)] * 3     # hour 7 (day): 3
+            + [(5.0, 5.0, 20 * 3600 + 1)] * 3  # hour 20 (night): 3 tie
+            + [(5.0, 5.0, 2 * 3600 + 1)] * 1)  # hour 2 (night): 1
+    df = spark.createDataFrame(rows, "lat double, lon double, ep long")
+    r = trajectory.peak_hours(df).collect()[0]
+    assert r["total"] == 7
+    assert r["peak_hour"] == 7 and r["peak_n"] == 3  # tie -> earliest
+    assert r["share_micro"] == 3 * 1000000 // 7
+    assert (r["n_day"], r["n_night"]) == (3, 4)

@@ -5688,6 +5688,46 @@ def _q276_debounce_audit(spark: SparkSession, sf: str) -> DataFrame:
     return engine.debounce_audit(ev).orderBy("eps_s")
 
 
+def _q277_drainage_basins(spark: SparkSession, sf: str) -> DataFrame:
+    """D8 drainage basins (engine.drainage_basins) over the q257
+    xxhash64 terrain: every cell of the 25x25 window around the
+    hottest activity cell drains to its steepest strictly-lower
+    8-neighbor (min (elev, dy, dx) struct tie rule); basins resolve
+    by POINTER DOUBLING — ceil(log2(625)) = 10 self-joins of the
+    window-sized pointer table, the O(log path) PRAM technique, vs
+    the oracle's recursive-CTE path walk.  All exact integers."""
+    from geotile import cache
+
+    out = engine.drainage_basins(_positions_df(spark, sf))
+    return cache.track(out.orderBy("pit_cell"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q278_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-count statistics (engine.join_counts): BB/BW/WW rook-
+    adjacency census over the occupied 1-degree grid's bounding box
+    WITHOUT enumerating empty cells (shifted self-join for BB, the
+    degree identity for BW, arithmetic for WW), plus the exact DIV
+    micro expected-BB share under CSR — the nominal-scale sibling of
+    q105/q239.  The oracle replays each identity directly."""
+    from geotile import cache
+
+    out = engine.join_counts(_positions_df(spark, sf))
+    return cache.track(out, getattr(out, "_geotile_persisted", []))
+
+
+def _q279_hull_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-user point-set diameter (engine.hull_diameter): the
+    farthest pair via the convex hull (diameter of a set = diameter
+    of its hull, so the pair scan is hull-sized), struct-argmax tie
+    rule on (d2, -coords).  The oracle derives the SAME integers
+    from the opposite direction — all-pairs max over the full
+    deduped point set — so the two derivations cross-check the hull
+    kernel end-to-end."""
+    pos = _positions2_df(spark, sf)
+    return engine.hull_diameter(pos).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -5997,6 +6037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_cell_sync": _q274_cell_sync,
         "q275_peak_hours": _q275_peak_hours,
         "q276_debounce_audit": _q276_debounce_audit,
+        "q277_drainage_basins": _q277_drainage_basins,
+        "q278_join_counts": _q278_join_counts,
+        "q279_hull_diameter": _q279_hull_diameter,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -14927,6 +14970,155 @@ SELECT * FROM (
 {" UNION ALL ".join(_rows276b)}
 )
 ORDER BY eps_s
+"""
+
+    # q277: drainage basins — hottest-cell pick, windowed HUGEINT
+    # elevation replica, D8 struct-min drain rule, recursive-CTE path
+    # walk to the pit (vs Spark's pointer doubling)
+    _sig277 = _signed64_sql("xh")
+    sqls["q277_drainage_basins"] = f"""
+WITH RECURSIVE {_POS_CTE},
+oc277 AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x,
+         count(*) AS cnt
+  FROM pos GROUP BY 1, 2
+),
+ob277 AS (
+  SELECT y AS cy, x AS cx
+  FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, y * 1000 + x ASC)
+               AS rk
+        FROM oc277)
+  WHERE rk = 1
+),
+wc277 AS (
+  SELECT o.cy + u.dy AS y, o.cx + v.dx AS x
+  FROM ob277 o,
+  LATERAL (SELECT unnest(range(-12, 13)) AS dy) u,
+  LATERAL (SELECT unnest(range(-12, 13)) AS dx) v
+),
+ze277 AS (SELECT y, x, CAST(y * 1000 + x AS HUGEINT) AS z0 FROM wc277),
+{_xxhash64_cte_sql("ze277", "z0", "xh", "x277")},
+el277 AS MATERIALIZED (
+  SELECT y, x, ((({_sig277} % 1000) + 1000) % 1000) AS e FROM x277f
+),
+cd277 AS (
+  SELECT c.y, c.x, n.y AS ny, n.x AS nx,
+         row_number() OVER (PARTITION BY c.y, c.x
+                            ORDER BY n.e ASC, n.y - c.y ASC, n.x - c.x ASC)
+           AS rk
+  FROM el277 c JOIN el277 n
+    ON abs(n.y - c.y) <= 1 AND abs(n.x - c.x) <= 1
+   AND NOT (n.y = c.y AND n.x = c.x)
+  WHERE n.e < c.e
+),
+dr277 AS MATERIALIZED (
+  SELECT c.y * 1000 + c.x AS cell, c.e,
+         COALESCE(p.ny * 1000 + p.nx, c.y * 1000 + c.x) AS parent
+  FROM el277 c
+  LEFT JOIN (SELECT * FROM cd277 WHERE rk = 1) p
+    ON p.y = c.y AND p.x = c.x
+),
+wk277(cell, cur) AS (
+  SELECT cell, cell FROM dr277
+  UNION ALL
+  SELECT w.cell, d.parent
+  FROM wk277 w JOIN dr277 d ON d.cell = w.cur
+  WHERE d.parent <> w.cur
+),
+rt277 AS (
+  SELECT w.cell, w.cur AS root
+  FROM wk277 w JOIN dr277 d ON d.cell = w.cur
+  WHERE d.parent = w.cur
+),
+ba277 AS (
+  SELECT root, count(*) AS basin_size, sum(cell) AS member_checksum
+  FROM rt277 GROUP BY root
+)
+SELECT CAST(b.root AS BIGINT) AS pit_cell, CAST(d.e AS BIGINT) AS pit_elev,
+       CAST(b.basin_size AS BIGINT) AS basin_size,
+       CAST(b.member_checksum AS BIGINT) AS member_checksum
+FROM ba277 b JOIN dr277 d ON d.cell = b.root
+ORDER BY pit_cell
+"""
+
+    # q278: join counts — occupancy distinct, shifted self-joins for
+    # BB, the degree identity for BW, bbox arithmetic for J/WW, exact
+    # integer-division expected share
+    sqls["q278_join_counts"] = f"""
+WITH {_POS_CTE},
+oc278 AS (
+  SELECT DISTINCT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x
+  FROM pos
+),
+b278 AS (
+  SELECT min(y) AS ymin, max(y) AS ymax, min(x) AS xmin, max(x) AS xmax,
+         count(*) AS nb
+  FROM oc278
+),
+bb278 AS (
+  SELECT count(*) AS bb FROM (
+    SELECT 1 AS one FROM oc278 a JOIN oc278 c ON c.y = a.y AND c.x = a.x + 1
+    UNION ALL
+    SELECT 1 AS one FROM oc278 a JOIN oc278 c ON c.x = a.x AND c.y = a.y + 1
+  )
+),
+dg278 AS (
+  SELECT sum(CASE WHEN o.y > b.ymin THEN 1 ELSE 0 END
+             + CASE WHEN o.y < b.ymax THEN 1 ELSE 0 END
+             + CASE WHEN o.x > b.xmin THEN 1 ELSE 0 END
+             + CASE WHEN o.x < b.xmax THEN 1 ELSE 0 END) AS deg_sum
+  FROM oc278 o CROSS JOIN b278 b
+)
+SELECT CAST((b.ymax - b.ymin + 1) * (b.xmax - b.xmin + 1) AS BIGINT)
+         AS n_cells,
+       CAST(b.nb AS BIGINT) AS n_black,
+       CAST((b.ymax - b.ymin + 1) * (b.xmax - b.xmin)
+            + (b.xmax - b.xmin + 1) * (b.ymax - b.ymin) AS BIGINT)
+         AS j_total,
+       CAST(c.bb AS BIGINT) AS bb,
+       CAST(d.deg_sum - 2 * c.bb AS BIGINT) AS bw,
+       CAST((b.ymax - b.ymin + 1) * (b.xmax - b.xmin)
+            + (b.xmax - b.xmin + 1) * (b.ymax - b.ymin)
+            - c.bb - (d.deg_sum - 2 * c.bb) AS BIGINT) AS ww,
+       CAST((b.nb * (b.nb - 1) * 1000000)
+            // ((b.ymax - b.ymin + 1) * (b.xmax - b.xmin + 1)
+                * ((b.ymax - b.ymin + 1) * (b.xmax - b.xmin + 1) - 1))
+            AS BIGINT) AS p_bb_micro
+FROM b278 b CROSS JOIN bb278 c CROSS JOIN dg278 d
+"""
+
+    # q279: hull diameter — the oracle takes the DECLARATIVE route
+    # (all-pairs max over the full deduped point set; diameter of a
+    # set = diameter of its hull) so it cross-checks the QuickHull
+    # kernel without sharing any code path with it
+    sqls["q279_hull_diameter"] = f"""
+WITH {_POS2_CTE},
+p279 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS y
+  FROM pos2
+),
+pr279 AS (
+  SELECT a.u, a.x AS ax, a.y AS ay, c.x AS cx, c.y AS cy,
+         (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y) AS d2
+  FROM p279 a JOIN p279 c
+    ON c.u = a.u AND (a.x < c.x OR (a.x = c.x AND a.y < c.y))
+),
+mx279 AS (SELECT u, max(d2) AS diam2 FROM pr279 GROUP BY u),
+tp279 AS (
+  SELECT p.u, p.d2, p.ax, p.ay, p.cx, p.cy,
+         row_number() OVER (PARTITION BY p.u
+                            ORDER BY p.ax, p.ay, p.cx, p.cy) AS rk
+  FROM pr279 p JOIN mx279 m ON m.u = p.u AND p.d2 = m.diam2
+)
+SELECT u AS user_id, CAST(d2 AS BIGINT) AS diam2,
+       CAST(ax AS BIGINT) AS x1, CAST(ay AS BIGINT) AS y1,
+       CAST(cx AS BIGINT) AS x2, CAST(cy AS BIGINT) AS y2
+FROM tp279 WHERE rk = 1
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

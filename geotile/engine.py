@@ -3482,3 +3482,205 @@ def debounce_audit(events: DataFrame, eps_ladder: Sequence[int] = (1, 10, 60),
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def drainage_basins(df: DataFrame, radius: int = 12, elev_mod: int = 1000,
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """D8 drainage basins over the q257 synthetic terrain — the
+    hydrology primitive (watershed delineation, flow routing) run on
+    the (2R+1)^2 1-degree window around the corpus's hottest activity
+    cell: every cell drains to its steepest strictly-lower 8-neighbor
+    (D8), and a basin is the set of cells whose drainage path
+    terminates at the same pit.
+
+    Terrain and window pick replicate viewshed exactly:
+    ``elev(cell) = pmod(xxhash64(y*1000 + x), elev_mod)``, observer =
+    hottest occupied cell (count desc, cell asc).  The D8 tie rule is
+    deterministic: among strictly-lower in-window neighbors take the
+    minimum ``(elev, dy, dx)`` struct (elevation first, then the
+    fixed neighbor order) — no floating point anywhere.  A cell with
+    no lower in-window neighbor is a pit and roots its own basin.
+
+    Basin resolution is POINTER DOUBLING (path halving): parent
+    pointers are squared ``ceil(log2((2R+1)^2))`` times, so a
+    drainage path of any length resolves in O(log n) rounds — the
+    PRAM/Pregel technique that keeps round count logarithmic on a
+    real cluster (each round is one self-equi-join of the compact
+    pointer table, localCheckpoint-ed and coalesced to 1 partition —
+    the table is window-sized, independent of data volume).
+
+    Scale shape: ONE data-sized aggregate finds the hot cell;
+    everything after is generated and window-sized.  Returns per
+    basin ``(pit_cell, pit_elev, basin_size, member_checksum)``."""
+    from . import cache
+
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("cnt"))
+           .withColumn("cell_id", F.col("y") * 1000 + F.col("x")))
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("cell_id"))
+    obs = (occ.withColumn("rk", F.row_number().over(wtop))
+           .where(F.col("rk") == 1)
+           .select(F.col("y").alias("cy"), F.col("x").alias("cx")))
+
+    def elev(ycol, xcol):
+        return F.pmod(F.xxhash64(ycol * F.lit(1000) + xcol),
+                      F.lit(int(elev_mod))).cast("long")
+
+    r = int(radius)
+    offs = F.array(*[F.struct(F.lit(dy).cast("long").alias("dy"),
+                              F.lit(dx).cast("long").alias("dx"))
+                     for dy in range(-r, r + 1) for dx in range(-r, r + 1)])
+    grid = (obs.select("cy", "cx", F.explode(offs).alias("o"))
+            .select("cy", "cx",
+                    (F.col("cy") + F.col("o.dy")).alias("y"),
+                    (F.col("cx") + F.col("o.dx")).alias("x"))
+            .withColumn("e", elev(F.col("y"), F.col("x"))))
+    nbrs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)]
+    cand = F.array(*[F.struct(
+        elev(F.col("y") + F.lit(dy), F.col("x") + F.lit(dx)).alias("e"),
+        F.lit(dy).cast("long").alias("dy"),
+        F.lit(dx).cast("long").alias("dx")) for dy, dx in nbrs])
+    lower = F.filter(cand, lambda s: (
+        (s["e"] < F.col("e"))
+        & (F.abs(F.col("y") + s["dy"] - F.col("cy")) <= F.lit(r))
+        & (F.abs(F.col("x") + s["dx"] - F.col("cx")) <= F.lit(r))))
+    drains = (grid.withColumn("b", F.array_min(lower))
+              .select((F.col("y") * 1000 + F.col("x")).alias("cell"),
+                      F.col("e"),
+                      F.when(F.col("b").isNull(),
+                             F.col("y") * 1000 + F.col("x"))
+                      .otherwise((F.col("y") + F.col("b.dy")) * 1000
+                                 + F.col("x") + F.col("b.dx"))
+                      .alias("parent"))
+              .coalesce(1).persist())
+    p = (drains.select("cell", "parent")
+         .coalesce(1).localCheckpoint(eager=True))
+    n_rounds = max(1, math.ceil(math.log2((2 * r + 1) ** 2)))
+    for _ in range(n_rounds):
+        p = (p.alias("a")
+             .join(p.alias("b"), F.col("a.parent") == F.col("b.cell"))
+             .select(F.col("a.cell").alias("cell"),
+                     F.col("b.parent").alias("parent"))
+             .coalesce(1).localCheckpoint(eager=True))
+    roots = drains.select(F.col("cell").alias("rcell"),
+                          F.col("e").alias("pit_elev"))
+    out = (p.groupBy("parent")
+           .agg(F.count("*").cast("long").alias("basin_size"),
+                F.sum("cell").cast("long").alias("member_checksum"))
+           .withColumnRenamed("parent", "pit_cell")
+           .join(roots, F.col("pit_cell") == F.col("rcell"))
+           .select("pit_cell", "pit_elev", "basin_size",
+                   "member_checksum"))
+    return cache.track(out, [drains])
+
+
+def join_counts(df: DataFrame, lat: str = "lat", lon: str = "lon"
+                ) -> DataFrame:
+    """Join-count statistics — the binary (occupied / empty) spatial
+    autocorrelation census that predates Moran's I: over the
+    bounding box of occupied 1-degree cells, count rook-adjacent
+    pairs that are black-black (BB), black-white (BW), white-white
+    (WW), plus the expected black-black share under complete spatial
+    randomness as an exact DIV micro-rate.  BB far above expectation
+    = clustering (q105/q239's nominal-scale sibling; the q118/q253
+    hotspot screens assume exactly this kind of clustering exists).
+
+    All counts are derived without materializing the empty cells:
+    BB from one shifted self-join of the occupied set (horizontal +
+    vertical, each unordered pair once); BW from the identity
+    ``sum(in-bbox degree over black) = 2*BB + BW`` where the degree
+    is 4 minus the bbox-boundary deficits; WW by difference from the
+    total adjacency count ``J = rows*(cols-1) + cols*(rows-1)``.
+    Expected BB share (micro): ``floor(nb*(nb-1)*1e6 / (n*(n-1)))``
+    — sampling without replacement, exact integer DIV.
+
+    Scale shape: one distinct shuffle of the occupancy set, one
+    equi-join on it, three 1-row aggregates cross-joined; the empty
+    universe is never enumerated.  Returns one row ``(n_cells,
+    n_black, j_total, bb, bw, ww, p_bb_micro)``."""
+    from . import cache
+
+    occ = (df.select(F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+                     .alias("y"),
+                     F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+                     .alias("x"))
+           .distinct().persist())
+    b = (occ.agg(F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+                 F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+                 F.count("*").alias("nb")))
+    right = occ.select(F.col("y").alias("y2"), F.col("x").alias("x2"))
+    hh = occ.join(right, (F.col("y2") == F.col("y"))
+                  & (F.col("x2") == F.col("x") + 1))
+    vv = occ.join(right, (F.col("x2") == F.col("x"))
+                  & (F.col("y2") == F.col("y") + 1))
+    bb_df = (hh.select(F.lit(1).alias("one"))
+             .unionAll(vv.select(F.lit(1).alias("one")))
+             .agg(F.count("*").cast("long").alias("bb")))
+    deg_df = (occ.crossJoin(F.broadcast(b))
+              .agg(F.sum((F.col("y") > F.col("ymin")).cast("long")
+                         + (F.col("y") < F.col("ymax")).cast("long")
+                         + (F.col("x") > F.col("xmin")).cast("long")
+                         + (F.col("x") < F.col("xmax")).cast("long"))
+                   .alias("deg_sum")))
+    rows = F.col("ymax") - F.col("ymin") + 1
+    cols = F.col("xmax") - F.col("xmin") + 1
+    n = (rows * cols).alias("n_cells")
+    j = (rows * (cols - 1) + cols * (rows - 1)).alias("j_total")
+    out = (b.crossJoin(bb_df).crossJoin(deg_df)
+           .select(n, F.col("nb").cast("long").alias("n_black"), j,
+                   F.col("bb"),
+                   (F.col("deg_sum") - 2 * F.col("bb")).cast("long")
+                   .alias("bw"), F.col("deg_sum"))
+           .select("n_cells", "n_black", "j_total", "bb", "bw",
+                   (F.col("j_total") - F.col("bb") - F.col("bw"))
+                   .cast("long").alias("ww"),
+                   F.expr("(n_black * (n_black - 1) * 1000000) DIV "
+                          "(n_cells * (n_cells - 1))")
+                   .cast("long").alias("p_bb_micro")))
+    return cache.track(out, [occ])
+
+
+def hull_diameter(df: DataFrame, key: str = "user_id",
+                  lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Exact point-set diameter per key — the farthest-pair distance
+    (maximum activity span) computed the scale-correct way: the
+    diameter of a point set equals the diameter of its CONVEX HULL,
+    so the quadratic pair scan runs over the hull's handful of
+    vertices (convex_hulls output, expected O(log n) of the point
+    count), never over the raw points.  The q224 oracle family
+    cross-checks this from the other direction: DuckDB computes the
+    all-pairs maximum over the full deduped point set — two
+    independent derivations of the same integers.
+
+    Tie rule: among pairs achieving the maximum squared milli-degree
+    distance, the lexicographically smallest ``(ax, ay, bx, by)``
+    with ``(ax, ay) < (bx, by)`` — a struct argmax of
+    ``(d2, -ax, -ay, -bx, -by)``, exact int64 throughout; output
+    columns are ``(x1, y1, x2, y2)``.
+
+    Scale shape: one applyInPandas shuffle builds the hulls; the
+    pair join is per-key quadratic in HULL SIZE only.  Returns
+    ``(key, diam2, x1, y1, x2, y2)``; single-point keys drop (no
+    pair)."""
+    hull = convex_hulls(df, key=key, lat=lat, lon=lon)
+    a = hull.select(key, F.col("x").alias("ax"), F.col("y").alias("ay"))
+    bt = hull.select(key, F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(bt, key).where(
+        (F.col("ax") < F.col("bx"))
+        | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by"))))
+    d2 = ((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+          + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+    best = (pairs.withColumn("d2", d2.cast("long"))
+            .groupBy(key)
+            .agg(F.max(F.struct(F.col("d2"), (-F.col("ax")).alias("nax"),
+                                (-F.col("ay")).alias("nay"),
+                                (-F.col("bx")).alias("nbx"),
+                                (-F.col("by")).alias("nby"))).alias("m")))
+    return best.select(key, F.col("m.d2").alias("diam2"),
+                       (-F.col("m.nax")).cast("long").alias("x1"),
+                       (-F.col("m.nay")).cast("long").alias("y1"),
+                       (-F.col("m.nbx")).cast("long").alias("x2"),
+                       (-F.col("m.nby")).cast("long").alias("y2"))

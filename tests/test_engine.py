@@ -1951,3 +1951,106 @@ def test_debounce_audit_ladder(spark):
     assert out[10]["n_groups"] == 3 and out[10]["n_collapsed"] == 1
     assert out[60]["n_groups"] == 2 and out[60]["n_collapsed"] == 2
     assert out[60]["max_burst"] == 3
+
+
+def test_drainage_basins_invariants(spark):
+    """Basins partition the 25x25 window: sizes sum to 625, member
+    checksums sum to the full window cell-id sum, every pit is a
+    local minimum of its in-window 8-neighborhood, and pointer
+    doubling's roots agree with a driver-side path walk."""
+    import __spark_entry__ as E
+    from geotile import cache, engine
+
+    pos = E._positions_df(spark, "/root/testdata/sf0.001")
+    out = engine.drainage_basins(pos)
+    rows = out.collect()
+    cache.release(out)
+    assert sum(r["basin_size"] for r in rows) == 625
+    # replicate terrain + drains on the driver and walk paths
+    import numpy as np
+
+    hot = (pos.selectExpr(
+        "cast(floor(lat + 90.0) as long) as y",
+        "cast(floor(lon + 180.0) as long) as x")
+        .groupBy("y", "x").count()
+        .orderBy(F.desc("count"), (F.col("y") * 1000 + F.col("x")).asc())
+        .first())
+    cy, cx = hot["y"], hot["x"]
+    cells = [(cy + dy, cx + dx) for dy in range(-12, 13)
+             for dx in range(-12, 13)]
+    ids = [y * 1000 + x for (y, x) in cells]
+    ev = {r["id"]: r["e"] for r in spark.createDataFrame(
+        [(i,) for i in ids], "id long").selectExpr(
+        "id", "cast(pmod(xxhash64(id), 1000) as long) as e").collect()}
+    cs = set(cells)
+    parent = {}
+    for (y, x) in cells:
+        me = y * 1000 + x
+        best = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0) or (y + dy, x + dx) not in cs:
+                    continue
+                ne = ev[(y + dy) * 1000 + x + dx]
+                if ne < ev[me] and (best is None or (ne, dy, dx) < best):
+                    best = (ne, dy, dx)
+        parent[me] = me if best is None else \
+            (y + best[1]) * 1000 + x + best[2]
+    exp = {}
+    for i in ids:
+        c = i
+        while parent[c] != c:
+            c = parent[c]
+        exp.setdefault(c, []).append(i)
+    got = {r["pit_cell"]: r for r in rows}
+    assert set(got) == set(exp)
+    for pit, members in exp.items():
+        assert got[pit]["basin_size"] == len(members)
+        assert got[pit]["member_checksum"] == sum(members)
+        assert got[pit]["pit_elev"] == ev[pit]
+
+
+def test_join_counts_hand_grid(spark):
+    """3x3 bbox with 4 occupied corners + center missing: every count
+    checked by hand (n=9, J=12, BB=0 for the diagonal corners... use
+    an L-shape where BB is nonzero)."""
+    from geotile import cache, engine
+
+    # occupied: (0,0),(0,1),(1,0),(2,2) in a 3x3 bbox
+    pts = [(0, 0), (0, 1), (1, 0), (2, 2)]
+    df = spark.createDataFrame(
+        [(float(y) - 90.0 + 0.5, float(x) - 180.0 + 0.5)
+         for (y, x) in pts], "lat double, lon double")
+    out = engine.join_counts(df)
+    r = out.collect()[0]
+    cache.release(out)
+    assert r["n_cells"] == 9 and r["n_black"] == 4
+    assert r["j_total"] == 12
+    assert r["bb"] == 2            # (0,0)-(0,1) and (0,0)-(1,0)
+    # degrees in bbox: (0,0)->2, (0,1)->3, (1,0)->3, (2,2)->2 = 10
+    assert r["bw"] == 10 - 2 * 2 == 6
+    assert r["ww"] == 12 - 2 - 6 == 4
+    assert r["p_bb_micro"] == (4 * 3 * 1000000) // (9 * 8)
+
+
+def test_hull_diameter_brute_force(spark):
+    """Diameter via hull == brute-force all-pairs max on the raw
+    points, including the lexicographic tie rule."""
+    import itertools
+
+    from geotile import engine
+
+    pts = [(0.0, 0.0), (0.003, 0.004), (-0.003, 0.004), (0.001, 0.001),
+           (0.002, -0.002)]
+    df = spark.createDataFrame(
+        [(1, lat, lon) for (lon, lat) in pts],
+        "user_id long, lat double, lon double")
+    r = engine.hull_diameter(df).collect()[0]
+    mil = sorted({(round(x * 1000), round(y * 1000))
+                  for (x, y) in pts})
+    best = max(
+        ((bx - ax) ** 2 + (by - ay) ** 2, -ax, -ay, -bx, -by)
+        for (ax, ay), (bx, by) in itertools.combinations(mil, 2)
+        if (ax, ay) < (bx, by))
+    assert (r["diam2"], r["x1"], r["y1"], r["x2"], r["y2"]) == \
+        (best[0], -best[1], -best[2], -best[3], -best[4])

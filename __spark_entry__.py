@@ -5728,6 +5728,50 @@ def _q279_hull_diameter(spark: SparkSession, sf: str) -> DataFrame:
     return engine.hull_diameter(pos).orderBy("user_id")
 
 
+def _q280_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive-Bayes source classifier (textops.nb_classify):
+    hash-split train/test, add-one-smoothed per-source token
+    likelihoods over the train vocabulary, micro-nat-floored log
+    terms summed with exact multiplicities, min (-score, label)
+    argmax tie rule — the supervised baseline over the corpus the
+    quality/lang features (q13/q15) feed.  The oracle replays the
+    split, the dense smoothed model, and the argmax."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.nb_classify(docs)
+            .orderBy("true_label", "pred_label"))
+
+
+def _q281_ddsketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """DDSketch relative-error quantiles (textops.ddsketch_quantiles,
+    alpha = 1%): log-bucketed length sketch per source with the
+    shared floored-nano ln(gamma) literal on BOTH engines, quantile
+    read-off as pure integer rank/cumsum arithmetic — the mergeable
+    complement of q138's fixed-width histogram (pytest proves
+    shard-merge = count-sum).  The oracle replays the bucket map and
+    the rank walk."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.ddsketch_quantiles(docs).orderBy("source", "p")
+
+
+def _q282_map_mrr_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """MRR / MAP retrieval evaluation (textops.map_mrr_eval): q258's
+    BM25 rankings and relevance hash binarized at rel >= 2, then
+    reciprocal rank and average precision as pure integer DIV
+    compositions — the one retrieval metric family here with NO ln
+    anywhere, so the gate is exact with zero cross-engine libm
+    assumptions.  The oracle replays the BM25 replica per query and
+    the integer metric chain."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (textops.map_mrr_eval(docs, _NDCG_QUERIES, k=10)
+            .orderBy("qid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6040,6 +6084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_drainage_basins": _q277_drainage_basins,
         "q278_join_counts": _q278_join_counts,
         "q279_hull_diameter": _q279_hull_diameter,
+        "q280_nb_classify": _q280_nb_classify,
+        "q281_ddsketch_quantiles": _q281_ddsketch_quantiles,
+        "q282_map_mrr_eval": _q282_map_mrr_eval,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -15119,6 +15166,198 @@ SELECT u AS user_id, CAST(d2 AS BIGINT) AS diam2,
        CAST(cx AS BIGINT) AS x2, CAST(cy AS BIGINT) AS y2
 FROM tp279 WHERE rk = 1
 ORDER BY user_id
+"""
+
+    # q280: naive Bayes — xxhash64 split replica, token explode with
+    # the explicit WS class, dense add-one model with micro-nat ln
+    # floors, (score desc, label asc) argmax
+    _sig280 = _signed64_sql("xh")
+    sqls["q280_nb_classify"] = f"""
+WITH dz280 AS (
+  SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z0 FROM documents
+),
+{_xxhash64_cte_sql("dz280", "z0", "xh", "x280")},
+sp280 AS MATERIALIZED (
+  SELECT doc_id, source, ((({_sig280} % 10) + 10) % 10) < 7 AS tr
+  FROM x280f
+),
+tk280 AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.tr,
+         unnest(regexp_split_to_array(trim(d.text),
+                                      '[ \\t\\n\\x0B\\f\\r]+')) AS t
+  FROM documents d JOIN sp280 s ON s.doc_id = d.doc_id
+),
+tkf280 AS (SELECT * FROM tk280 WHERE t <> ''),
+cnt280 AS (
+  SELECT source, t, count(*) AS c FROM tkf280 WHERE tr GROUP BY source, t
+),
+tot280 AS (
+  SELECT source, count(*) AS tot FROM tkf280 WHERE tr GROUP BY source
+),
+vb280 AS (SELECT DISTINCT t FROM cnt280),
+vs280 AS (SELECT count(*) AS v FROM vb280),
+ntr280 AS (SELECT count(*) AS ntr FROM sp280 WHERE tr),
+pri280 AS (
+  SELECT n.source,
+         CAST(floor(ln(CAST(n.nd AS DOUBLE) / CAST(x.ntr AS DOUBLE)) * 1e6)
+              AS BIGINT) AS pm
+  FROM (SELECT source, count(*) AS nd FROM sp280 WHERE tr GROUP BY source) n
+  CROSS JOIN ntr280 x
+),
+dn280 AS (
+  SELECT v.t, tt.source,
+         CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(tt.tot + vs.v AS DOUBLE)) * 1e6)
+              AS BIGINT) AS lc
+  FROM vb280 v CROSS JOIN tot280 tt CROSS JOIN vs280 vs
+  LEFT JOIN cnt280 c ON c.t = v.t AND c.source = tt.source
+),
+tt280 AS (
+  SELECT doc_id, t, count(*) AS m FROM tkf280 WHERE NOT tr
+  GROUP BY doc_id, t
+),
+sc280 AS (
+  SELECT q.doc_id, d.source AS cand, sum(q.m * d.lc) AS s
+  FROM tt280 q JOIN dn280 d ON d.t = q.t
+  GROUP BY q.doc_id, d.source
+),
+fu280 AS (
+  SELECT s.doc_id, s.cand, s.s + p.pm AS sc
+  FROM sc280 s JOIN pri280 p ON p.source = s.cand
+),
+pd280 AS (
+  SELECT doc_id, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, cand ASC) AS rk
+  FROM fu280
+)
+SELECT t.source AS true_label, p.cand AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, source FROM sp280 WHERE NOT tr) t
+JOIN (SELECT doc_id, cand FROM pd280 WHERE rk = 1) p
+  ON p.doc_id = t.doc_id
+GROUP BY 1, 2
+ORDER BY true_label, pred_label
+"""
+
+    # q281: DDSketch — the shared ln(gamma) nano literal, integer
+    # bucket map, window cumsum rank walk
+    from geotile.textops import DDSKETCH_LNG_NANO as _LNG281
+    sqls["q281_ddsketch_quantiles"] = f"""
+WITH sk281 AS (
+  SELECT source,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT)
+           // {_LNG281} AS bucket,
+         count(*) AS n_b
+  FROM documents WHERE n_chars >= 1
+  GROUP BY 1, 2
+),
+cm281 AS (
+  SELECT source, bucket, n_b,
+         sum(n_b) OVER (PARTITION BY source ORDER BY bucket) AS cum_n,
+         sum(n_b) OVER (PARTITION BY source) AS n
+  FROM sk281
+),
+pp281(p) AS (VALUES (50), (90), (99)),
+ht281 AS (
+  SELECT c.source, p.p, c.n, (p.p * c.n + 99) // 100 AS rank,
+         c.bucket, c.cum_n,
+         row_number() OVER (PARTITION BY c.source, p.p
+                            ORDER BY c.bucket) AS rk
+  FROM cm281 c JOIN pp281 p ON c.cum_n >= (p.p * c.n + 99) // 100
+)
+SELECT source, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+       CAST(rank AS BIGINT) AS rank, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_n AS BIGINT) AS cum_n
+FROM ht281 WHERE rk = 1
+ORDER BY source, p
+"""
+
+    # q282: MRR/MAP — q258's BM25 replica per query, binary relevance
+    # at rel >= 2, pure integer DIV metric chain (no ln anywhere)
+    _sig282 = _signed64_sql("xh")
+    _q282_blocks = []
+    _q282_unions = []
+    for _qid, _terms in sorted(_NDCG_QUERIES.items()):
+        _tl = ", ".join(f"('{t}')" for t in _terms)
+        _q282_blocks.append(f"""
+qq282_{_qid}(t) AS (VALUES {_tl}),
+tf282_{_qid} AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM toks282
+  WHERE t IN (SELECT t FROM qq282_{_qid})
+  GROUP BY doc_id, t, dl
+),
+df282_{_qid} AS (SELECT t, count(*) AS df_t FROM tf282_{_qid} GROUP BY t),
+sc282_{_qid} AS (
+  SELECT f.doc_id,
+         sum(CAST(floor(
+           ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl * s.n_docs) / s.sum_dl))
+           * 1e9 + 0.5) AS BIGINT)) AS score
+  FROM tf282_{_qid} f JOIN df282_{_qid} d ON d.t = f.t
+  CROSS JOIN stats282 s
+  GROUP BY f.doc_id
+),
+tp282_{_qid} AS (
+  SELECT doc_id, score FROM sc282_{_qid}
+  ORDER BY score DESC, doc_id LIMIT 10
+),
+rk282_{_qid} AS (
+  SELECT CAST({_qid} AS BIGINT) AS qid, doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+  FROM tp282_{_qid}
+)""")
+        _q282_unions.append(f"SELECT qid, doc_id, pos FROM rk282_{_qid}")
+    _q282_all = "\nUNION ALL\n".join(_q282_unions)
+    sqls["q282_map_mrr_eval"] = rf"""
+WITH toks282 AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
+              AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+),
+stats282 AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT DISTINCT doc_id, dl FROM toks282)
+),{",".join(_q282_blocks)},
+al282 AS (
+{_q282_all}
+),
+zz282 AS (
+  SELECT qid, doc_id, pos, CAST(doc_id * 31 + qid AS HUGEINT) AS z0
+  FROM al282
+),
+{_xxhash64_cte_sql("zz282", "z0", "xh", "x282")},
+rl282 AS (
+  SELECT qid, doc_id, pos,
+         CASE WHEN ((({_sig282} % 4) + 4) % 4) >= 2 THEN 1 ELSE 0 END AS r
+  FROM x282f
+),
+cm282 AS (
+  SELECT qid, pos, r,
+         sum(r) OVER (PARTITION BY qid ORDER BY pos) AS cum_rel
+  FROM rl282
+),
+ag282 AS (
+  SELECT qid, count(*) AS n_ranked, sum(r) AS n_rel,
+         COALESCE(min(CASE WHEN r = 1 THEN pos END), 0) AS first_rank,
+         sum(CASE WHEN r = 1 THEN (1000000 * cum_rel) // pos
+                  ELSE 0 END) AS ap_sum
+  FROM cm282 GROUP BY qid
+)
+SELECT qid, CAST(n_ranked AS BIGINT) AS n_ranked,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(first_rank AS BIGINT) AS first_rank,
+       CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                 ELSE 0 END AS BIGINT) AS rr_micro,
+       CAST(CASE WHEN n_rel > 0 THEN ap_sum // n_rel
+                 ELSE 0 END AS BIGINT) AS ap_micro
+FROM ag282
+ORDER BY qid
 """
 
     # Every queries() entry above has an exact oracle — including the

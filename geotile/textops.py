@@ -3339,3 +3339,204 @@ def zipf_fit(df: DataFrame, group_col: str = "source",
             "slope_den",
             F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .withColumnRenamed("g", group_col))
+
+
+def nb_classify(df: DataFrame, split_mod: int = 10, train_lt: int = 7,
+                label_col: str = "source", id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Multinomial naive-Bayes source classifier — the classic
+    supervised text baseline (spam/provenance/domain routing) run as
+    a train/score pipeline entirely in DataFrame ops: docs hash-split
+    into train (``pmod(xxhash64(doc_id), split_mod) < train_lt``) and
+    test; the model is add-one-smoothed per-label token likelihoods
+    over the TRAIN vocabulary; test docs score ``log prior + sum
+    multiplicity * log p(token | label)`` and predict the argmax.
+
+    Exactness: every log term quantizes to floored micro-nats BEFORE
+    any sum (the engine-wide ln-floor discipline, same cross-engine
+    ln assumption as q63's idf); token multiplicities and doc counts
+    are exact ints; the argmax tie rule is min ``(-score, label)``.
+    OOV semantics are declared: test tokens outside the train
+    vocabulary are ignored (the inner join drops them) — the standard
+    "restrict to vocabulary" NB formulation.
+
+    Scale shape: one (label, token) count shuffle trains the model;
+    the DENSE model (every label x every train token, zero counts
+    smoothed) is |labels| times the sparse one — labels are a small
+    constant, so the token-keyed score join stays a plain shuffle
+    join with map-side partial sums; priors/vocab size are 1-row
+    broadcasts.  Returns the confusion matrix ``(true_label,
+    pred_label, n_docs)``."""
+    is_train = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(split_mod))) \
+        < F.lit(int(train_lt))
+    toks = (df.select(id_col, label_col, is_train.alias("tr"),
+                      F.split(F.trim(F.col(text_col)), WS_CLASS).alias("w"))
+            .select(id_col, label_col, "tr", F.explode("w").alias("t"))
+            .where(F.col("t") != ""))
+    train_t = toks.where("tr")
+    counts = (train_t.groupBy(label_col, "t")
+              .agg(F.count("*").alias("c")))
+    totals = (train_t.groupBy(label_col)
+              .agg(F.count("*").alias("tot")))
+    vocab = counts.select("t").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    docs = df.select(id_col, label_col, is_train.alias("tr"))
+    prior_base = (docs.where("tr").groupBy(label_col)
+                  .agg(F.count("*").alias("nd")))
+    n_train = docs.where("tr").agg(F.count("*").alias("ntr"))
+    priors = (prior_base.crossJoin(F.broadcast(n_train))
+              .select(label_col,
+                      F.floor(F.log(F.col("nd").cast("double")
+                                    / F.col("ntr").cast("double"))
+                              * F.lit(1e6)).cast("long")
+                      .alias("prior_micro")))
+    dense = (vocab.crossJoin(F.broadcast(totals))
+             .join(counts, ["t", label_col], "left")
+             .crossJoin(F.broadcast(vsize))
+             .select("t", label_col,
+                     F.floor(F.log((F.coalesce(F.col("c"), F.lit(0))
+                                    + F.lit(1)).cast("double")
+                                   / (F.col("tot") + F.col("v"))
+                                   .cast("double"))
+                             * F.lit(1e6)).cast("long")
+                     .alias("lc_micro")))
+    test_t = (toks.where(~F.col("tr"))
+              .groupBy(id_col, F.col("t")).agg(F.count("*").alias("m")))
+    scores = (test_t
+              .join(dense.withColumnRenamed(label_col, "cand"), "t")
+              .groupBy(id_col, "cand")
+              .agg(F.sum(F.col("m") * F.col("lc_micro")).alias("s")))
+    full = (scores
+            .join(priors.withColumnRenamed(label_col, "cand")
+                  .withColumnRenamed("prior_micro", "pm"), "cand")
+            .select(id_col, "cand", (F.col("s") + F.col("pm")).alias("sc")))
+    pred = (full.groupBy(id_col)
+            .agg(F.min(F.struct((-F.col("sc")).alias("ns"),
+                                F.col("cand"))).alias("m"))
+            .select(id_col, F.col("m.cand").alias("pred_label")))
+    truth = docs.where(~F.col("tr")).select(id_col,
+                                            F.col(label_col)
+                                            .alias("true_label"))
+    return (truth.join(pred, id_col)
+            .groupBy("true_label", "pred_label")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+# ln((1+alpha)/(1-alpha)) at alpha = 0.01, floored nano — injected as
+# the SAME integer literal into the Spark expression and the DuckDB
+# oracle so the bucket boundary is one shared constant, not two libms
+DDSKETCH_LNG_NANO = 20000666
+
+
+def ddsketch_quantiles(df: DataFrame, group_col: str = "source",
+                       value_col: str = "n_chars",
+                       ps: tuple = (50, 90, 99)) -> DataFrame:
+    """DDSketch-style relative-error quantiles: values land in
+    logarithmic buckets ``floor(ln(v)*1e9) DIV LNG`` (LNG =
+    ``floor(ln((1+a)/(1-a))*1e9)``, a = 1%), so any two values in one
+    bucket differ by at most ~2% — the mergeable quantile sketch of
+    the DataDog paper, the relative-error complement of q138's
+    fixed-width histogram.  The sketch is just per-(group, bucket)
+    counts: merging shards = summing counts (pytest proves it).
+
+    The quantile read-off is exact integer arithmetic over the
+    sketch: rank ``ceil(p*n/100) = (p*n + 99) DIV 100``, answer = the
+    smallest bucket whose running count reaches the rank (one window
+    cumsum, min-filter).  Values < 1 are excluded (log domain) and
+    reported via n; n_chars >= 1 throughout the corpus.
+
+    Scale shape: one (group, bucket) count shuffle — bucket count is
+    ~log(range)/alpha regardless of data volume — then window ops on
+    the sketch only.  Returns per (group, p): ``(group, p, n, rank,
+    bucket, cum_n)``."""
+    b = (F.floor(F.log(F.col(value_col).cast("double")) * F.lit(1e9))
+         .cast("long"))
+    bucket = F.expr(f"_b DIV {int(DDSKETCH_LNG_NANO)}")
+    sk = (df.where(F.col(value_col) >= 1)
+          .withColumn("_b", b)
+          .select(group_col, bucket.cast("long").alias("bucket"))
+          .groupBy(group_col, "bucket").agg(F.count("*").alias("n_b")))
+    w = (Window.partitionBy(group_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (sk.withColumn("cum_n", F.sum("n_b").over(w))
+           .withColumn("n", F.sum("n_b").over(
+               Window.partitionBy(group_col).rowsBetween(
+                   Window.unboundedPreceding,
+                   Window.unboundedFollowing))))
+    parts = []
+    for p in ps:
+        rank = F.expr(f"({int(p)} * n + 99) DIV 100")
+        hit = (cum.withColumn("rank", rank)
+               .where(F.col("cum_n") >= F.col("rank"))
+               .groupBy(group_col)
+               .agg(F.min(F.struct("bucket", "cum_n", "rank", "n"))
+                    .alias("m"))
+               .select(group_col, F.lit(int(p)).cast("long").alias("p"),
+                       F.col("m.n").cast("long").alias("n"),
+                       F.col("m.rank").cast("long").alias("rank"),
+                       F.col("m.bucket").alias("bucket"),
+                       F.col("m.cum_n").cast("long").alias("cum_n")))
+        parts.append(hit)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def map_mrr_eval(df: DataFrame, queries: dict, k: int = 10,
+                 rel_levels: int = 4, rel_min: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> DataFrame:
+    """MRR / MAP retrieval evaluation — the binary-relevance
+    companion to q258's graded nDCG, over the SAME BM25 rankings and
+    the SAME deterministic relevance hash (``rel = pmod(
+    xxhash64(doc_id*31 + qid), rel_levels)``), binarized at
+    ``rel >= rel_min``.  Unlike nDCG there is no logarithm anywhere:
+    reciprocal rank and average precision are pure integer DIV
+    compositions, so the gate is exact without any ln assumption —
+    ``rr_micro = 1000000 DIV first_rank`` and ``ap_micro =
+    (sum over relevant positions of (1000000 * cum_rel) DIV pos)
+    DIV n_rel``.  No relevant doc in the top-k => first_rank = 0 and
+    both metrics 0 (sentinel, never NULL).
+
+    Scale shape: one bm25_topk per query (term-filtered explode +
+    TakeOrdered); the metric arithmetic runs on queries x k rows.
+    Returns ``(qid, n_ranked, n_rel, first_rank, rr_micro,
+    ap_micro)``."""
+    from pyspark.sql import Window as W
+
+    parts = []
+    for qid, terms in sorted(queries.items()):
+        top = bm25_topk(df, list(terms), k=k, id_col=id_col,
+                        text_col=text_col)
+        wr = W.orderBy(F.desc("score_nano"), F.asc(id_col))
+        parts.append(top.withColumn("pos", F.row_number().over(wr))
+                     .select(F.lit(int(qid)).cast("long").alias("qid"),
+                             F.col(id_col).alias("doc_id"), "pos"))
+    ranked = parts[0]
+    for p in parts[1:]:
+        ranked = ranked.unionByName(p)
+    rel = (F.pmod(F.xxhash64(F.col("doc_id") * F.lit(31) + F.col("qid")),
+                  F.lit(int(rel_levels))) >= F.lit(int(rel_min))) \
+        .cast("long")
+    wq = (W.partitionBy("qid").orderBy("pos")
+          .rowsBetween(W.unboundedPreceding, 0))
+    g = (ranked.withColumn("r", rel)
+         .withColumn("cum_rel", F.sum("r").over(wq))
+         .withColumn("prec_term",
+                     F.when(F.col("r") == 1,
+                            F.expr("(1000000 * cum_rel) DIV pos"))
+                     .otherwise(F.lit(0)).cast("long")))
+    return (g.groupBy("qid")
+            .agg(F.count("*").cast("long").alias("n_ranked"),
+                 F.sum("r").cast("long").alias("n_rel"),
+                 F.coalesce(F.min(F.when(F.col("r") == 1, F.col("pos"))),
+                            F.lit(0)).cast("long").alias("first_rank"),
+                 F.sum("prec_term").alias("ap_sum"))
+            .select("qid", "n_ranked", "n_rel", "first_rank",
+                    F.when(F.col("first_rank") > 0,
+                           F.expr("1000000 DIV first_rank"))
+                    .otherwise(F.lit(0)).cast("long").alias("rr_micro"),
+                    F.when(F.col("n_rel") > 0,
+                           F.expr("ap_sum DIV n_rel"))
+                    .otherwise(F.lit(0)).cast("long").alias("ap_micro")))

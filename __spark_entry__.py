@@ -5772,6 +5772,53 @@ def _q282_map_mrr_eval(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("qid"))
 
 
+def _q283_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted isotonic calibration curve
+    (textops.isotonic_calibration): P(lang=en | length bucket)
+    fitted monotone by PAVA with exact rational block means
+    (integer cross-product comparisons, micro-floored only at
+    emission).  The oracle computes the SAME integers from the
+    classical MINIMAX identity fit(i) = max_{a<=i} min_{b>=i}
+    avg(a..b) with NOT-EXISTS exact fraction comparisons — a fully
+    independent derivation cross-checking the PAVA stack."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.isotonic_calibration(docs).orderBy("bucket")
+
+
+def _q284_huff_shares(spark: SparkSession, sf: str) -> DataFrame:
+    """Huff-model demand allocation (engine.huff_shares): the 4
+    hottest cells as stores, every occupied cell's best store and
+    captured share — attraction w/d^2 with each term floored to
+    integer micro BEFORE the denominator sum, so the whole chain is
+    order-independent integer arithmetic.  The oracle replays the
+    store pick, the term floors, and the argmax tie rule."""
+    from geotile import cache
+
+    out = engine.huff_shares(_positions_df(spark, sf))
+    return cache.track(out.orderBy("cell_id"),
+                       getattr(out, "_geotile_persisted", []))
+
+
+def _q285_stream_ddsketch(spark: SparkSession, sf: str) -> DataFrame:
+    """TWELFTH streaming gate: DDSketch maintenance AT INGEST — the
+    documents stream feeds textops.ddsketch (q281's bucket map) as a
+    complete-mode streaming count over (source, log-bucket) keys.
+    Counts are associative + commutative, so the finite stream's
+    final table must equal the batch sketch row for row — the
+    oracle IS q281's sketch CTE.  Bounded state forever
+    (~log(range)/alpha buckets per source): the length-distribution
+    monitor next to q127's cardinality and q150's frequency
+    monitors."""
+    from geotile import textops
+
+    docs = _stream_docs(spark, sf)
+    out = textops.ddsketch(docs)
+    return (_run_stream_to_table(out, spark, "q285_dds_sink", "complete")
+            .orderBy("source", "bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6087,6 +6134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_nb_classify": _q280_nb_classify,
         "q281_ddsketch_quantiles": _q281_ddsketch_quantiles,
         "q282_map_mrr_eval": _q282_map_mrr_eval,
+        "q283_isotonic_calibration": _q283_isotonic_calibration,
+        "q284_huff_shares": _q284_huff_shares,
+        "q285_stream_ddsketch": _q285_stream_ddsketch,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -15358,6 +15408,114 @@ SELECT qid, CAST(n_ranked AS BIGINT) AS n_ranked,
                  ELSE 0 END AS BIGINT) AS ap_micro
 FROM ag282
 ORDER BY qid
+"""
+
+    # q283: isotonic calibration — minimax identity with exact
+    # NOT-EXISTS fraction comparisons (independent of the PAVA stack)
+    sqls["q283_isotonic_calibration"] = """
+WITH ag283 AS (
+  SELECT least(n_chars // 100, 50) AS bucket, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_n
+  FROM documents GROUP BY 1
+),
+ix283 AS (
+  SELECT bucket, n, pos_n, row_number() OVER (ORDER BY bucket) AS i
+  FROM ag283
+),
+ps283 AS (
+  SELECT i, bucket, n, pos_n,
+         sum(pos_n) OVER (ORDER BY i) AS cp,
+         sum(n) OVER (ORDER BY i) AS cq
+  FROM ix283
+),
+seg283 AS (
+  SELECT a.i AS a, b.i AS b,
+         b.cp - a.cp + a.pos_n AS p, b.cq - a.cq + a.n AS q
+  FROM ps283 a JOIN ps283 b ON b.i >= a.i
+),
+cd283 AS (
+  SELECT x.i, s.a, s.b, s.p, s.q
+  FROM (SELECT i FROM ix283) x
+  JOIN seg283 s ON s.a <= x.i AND s.b >= x.i
+),
+in283 AS (
+  SELECT c.i, c.a, c.p, c.q
+  FROM cd283 c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cd283 c2
+    WHERE c2.i = c.i AND c2.a = c.a
+      AND (c2.p * c.q < c.p * c2.q
+           OR (c2.p * c.q = c.p * c2.q AND c2.b < c.b))
+  )
+),
+ft283 AS (
+  SELECT m.i, m.p, m.q
+  FROM in283 m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM in283 m2
+    WHERE m2.i = m.i
+      AND (m2.p * m.q > m.p * m2.q
+           OR (m2.p * m.q = m.p * m2.q AND m2.a < m.a))
+  )
+)
+SELECT x.bucket, CAST(x.n AS BIGINT) AS n, CAST(x.pos_n AS BIGINT) AS pos_n,
+       CAST((1000000 * f.p) // f.q AS BIGINT) AS fit_micro
+FROM ft283 f JOIN ix283 x ON x.i = f.i
+ORDER BY bucket
+"""
+
+    # q284: Huff shares — store pick replica, per-term integer floors
+    # BEFORE the denominator sum, (term desc, store asc) argmax
+    sqls["q284_huff_shares"] = f"""
+WITH {_POS_CTE},
+oc284 AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x,
+         count(*) AS cnt
+  FROM pos GROUP BY 1, 2
+),
+ce284 AS (SELECT y, x, cnt, y * 1000 + x AS cell_id FROM oc284),
+st284 AS (
+  SELECT y AS sy, x AS sx, cnt AS w, cell_id AS store_cell
+  FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, cell_id ASC) AS rk
+        FROM ce284)
+  WHERE rk <= 4
+),
+j284 AS (
+  SELECT c.cell_id, c.cnt, s.store_cell,
+         (s.w * 1000000)
+           // greatest((c.y - s.sy) * (c.y - s.sy)
+                       + (c.x - s.sx) * (c.x - s.sx), 1) AS term
+  FROM ce284 c CROSS JOIN st284 s
+),
+rk284 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY term DESC, store_cell ASC) AS rk,
+         sum(term) OVER (PARTITION BY cell_id) AS denom
+  FROM j284
+)
+SELECT cell_id, CAST(cnt AS BIGINT) AS n, store_cell AS best_store,
+       CAST((term * 1000000) // denom AS BIGINT) AS share_micro,
+       CAST(denom AS BIGINT) AS denom_micro
+FROM rk284 WHERE rk = 1
+ORDER BY cell_id
+"""
+
+    # q285: streaming DDSketch sink — the oracle is q281's batch
+    # sketch CTE (finite stream + complete mode = batch GROUP BY)
+    sqls["q285_stream_ddsketch"] = f"""
+WITH sk285 AS (
+  SELECT source,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT)
+           // {_LNG281} AS bucket,
+         count(*) AS n_b
+  FROM documents WHERE n_chars >= 1
+  GROUP BY 1, 2
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, CAST(n_b AS BIGINT) AS n_b
+FROM sk285
+ORDER BY source, bucket
 """
 
     # Every queries() entry above has an exact oracle — including the

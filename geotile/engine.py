@@ -3684,3 +3684,59 @@ def hull_diameter(df: DataFrame, key: str = "user_id",
                        (-F.col("m.nay")).cast("long").alias("y1"),
                        (-F.col("m.nbx")).cast("long").alias("x2"),
                        (-F.col("m.nby")).cast("long").alias("y2"))
+
+
+def huff_shares(df: DataFrame, n_stores: int = 4,
+                lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Huff-model market shares — the retail-gravity catchment rule
+    (share of demand cell i captured by store j is proportional to
+    ``w_j / d_ij^2``) run with the corpus's ``n_stores`` hottest
+    1-degree cells as stores (weight = activity count, the q257
+    observer pick generalized) and every occupied cell as demand.
+    Complements q265's 2SFCA (supply-side accessibility) and q249's
+    gravity residuals (flow audit) with the demand-allocation view.
+
+    Exactness: ALL integer — each store's attraction term quantizes
+    to ``(w * 1e6) DIV max(d2, 1)`` (cell-unit squared Chebyshev-free
+    euclidean distance, d2 = dy^2 + dx^2; the store's own cell uses
+    d2 = 1), the denominator is the exact integer sum of the floored
+    terms (deterministic under any partial-agg order), and the share
+    is ``(term * 1e6) DIV denom``.  Best store ties break to the
+    smaller store cell id via min (-term, store) struct.
+
+    Scale shape: one occupancy aggregate; stores are a ``n_stores``-
+    row broadcast, so the demand x store expansion is a map-side
+    cross of a tiny dimension — no shuffle after the occupancy
+    count.  Returns ``(cell_id, n, best_store, share_micro,
+    denom_micro)``."""
+    from . import cache
+
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("cnt"))
+           .withColumn("cell_id", F.col("y") * 1000 + F.col("x"))
+           .persist())
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("cell_id"))
+    stores = (occ.withColumn("rk", F.row_number().over(wtop))
+              .where(F.col("rk") <= int(n_stores))
+              .select(F.col("y").alias("sy"), F.col("x").alias("sx"),
+                      F.col("cnt").alias("w"),
+                      F.col("cell_id").alias("store_cell")))
+    j = (occ.crossJoin(F.broadcast(stores))
+         .withColumn("d2", (F.col("y") - F.col("sy"))
+                     * (F.col("y") - F.col("sy"))
+                     + (F.col("x") - F.col("sx"))
+                     * (F.col("x") - F.col("sx")))
+         .withColumn("term", F.expr(
+             "(w * 1000000) DIV greatest(d2, 1)").cast("long")))
+    per = (j.groupBy("cell_id", "cnt")
+           .agg(F.sum("term").cast("long").alias("denom_micro"),
+                F.min(F.struct((-F.col("term")).alias("nt"),
+                               F.col("store_cell"))).alias("m")))
+    out = per.select(
+        "cell_id", F.col("cnt").cast("long").alias("n"),
+        F.col("m.store_cell").alias("best_store"),
+        F.expr("((-m.nt) * 1000000) DIV denom_micro").cast("long")
+        .alias("share_micro"), "denom_micro")
+    return cache.track(out, [occ])

@@ -3428,6 +3428,25 @@ def nb_classify(df: DataFrame, split_mod: int = 10, train_lt: int = 7,
 DDSKETCH_LNG_NANO = 20000666
 
 
+def ddsketch(df: DataFrame, group_col: str = "source",
+             value_col: str = "n_chars") -> DataFrame:
+    """The DDSketch itself: per-(group, log-bucket) counts with
+    ``bucket = floor(ln(v)*1e9) DIV LNG`` — the mergeable state
+    (merge = per-bucket count sum), shared by the batch quantile
+    read-off (:func:`ddsketch_quantiles`) and the streaming sink
+    gate (a plain streaming groupBy count in complete mode; counts
+    are associative + commutative so the finite stream's final table
+    equals this batch table row for row).  Values < 1 are outside
+    the log domain and excluded."""
+    b = (F.floor(F.log(F.col(value_col).cast("double")) * F.lit(1e9))
+         .cast("long"))
+    bucket = F.expr(f"_b DIV {int(DDSKETCH_LNG_NANO)}")
+    return (df.where(F.col(value_col) >= 1)
+            .withColumn("_b", b)
+            .select(group_col, bucket.cast("long").alias("bucket"))
+            .groupBy(group_col, "bucket").agg(F.count("*").alias("n_b")))
+
+
 def ddsketch_quantiles(df: DataFrame, group_col: str = "source",
                        value_col: str = "n_chars",
                        ps: tuple = (50, 90, 99)) -> DataFrame:
@@ -3449,13 +3468,7 @@ def ddsketch_quantiles(df: DataFrame, group_col: str = "source",
     ~log(range)/alpha regardless of data volume — then window ops on
     the sketch only.  Returns per (group, p): ``(group, p, n, rank,
     bucket, cum_n)``."""
-    b = (F.floor(F.log(F.col(value_col).cast("double")) * F.lit(1e9))
-         .cast("long"))
-    bucket = F.expr(f"_b DIV {int(DDSKETCH_LNG_NANO)}")
-    sk = (df.where(F.col(value_col) >= 1)
-          .withColumn("_b", b)
-          .select(group_col, bucket.cast("long").alias("bucket"))
-          .groupBy(group_col, "bucket").agg(F.count("*").alias("n_b")))
+    sk = ddsketch(df, group_col=group_col, value_col=value_col)
     w = (Window.partitionBy(group_col).orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = (sk.withColumn("cum_n", F.sum("n_b").over(w))
@@ -3540,3 +3553,66 @@ def map_mrr_eval(df: DataFrame, queries: dict, k: int = 10,
                     F.when(F.col("n_rel") > 0,
                            F.expr("ap_sum DIV n_rel"))
                     .otherwise(F.lit(0)).cast("long").alias("ap_micro")))
+
+
+def isotonic_calibration(df: DataFrame, bucket_width: int = 100,
+                         max_bucket: int = 50, lang_val: str = "en",
+                         len_col: str = "n_chars", lang_col: str = "lang"
+                         ) -> DataFrame:
+    """Weighted isotonic regression (PAVA) of P(lang = en | length
+    bucket) — the monotone calibration primitive every scored-data
+    pipeline needs (quality-score -> keep-rate curves, CTR
+    calibration): bucket documents by length, take the empirical
+    positive rate per bucket, and fit the best NON-DECREASING curve
+    in weighted least squares, which pool-adjacent-violators solves
+    exactly.
+
+    Exactness: a pooled block's fit is the exact rational
+    ``sum(pos) / sum(n)``; comparisons are integer cross products
+    (never a float), and the emitted ``fit_micro = (1e6 * p) DIV q``
+    depends only on the block VALUE — which is why the oracle can
+    derive the same integers from the completely independent MINIMAX
+    characterization ``fit(i) = max_{a<=i} min_{b>=i} avg(a..b)``
+    (the classical identity) instead of replaying the PAVA stack:
+    two derivations, one answer.
+
+    Scale shape: one bucket-count shuffle reduces the corpus to
+    <= max_bucket+1 rows; PAVA runs on that bucket table inside a
+    single Arrow batch (bucket-sized, not data-sized — the same
+    budget as collecting a histogram).  Returns ``(bucket, n,
+    pos_n, fit_micro)``."""
+    import numpy as np
+    import pandas as pd
+
+    b = F.least(F.expr(f"{len_col} DIV {int(bucket_width)}"),
+                F.lit(int(max_bucket)).cast("long"))
+    agg = (df.groupBy(b.alias("bucket"))
+           .agg(F.count("*").alias("n"),
+                F.sum((F.col(lang_col) == lang_val).cast("long"))
+                .alias("pos_n")))
+
+    def _pava(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        p = pdf["pos_n"].to_numpy(np.int64)
+        q = pdf["n"].to_numpy(np.int64)
+        blocks = []          # [P, Q, count]
+        for i in range(len(pdf)):
+            blocks.append([int(p[i]), int(q[i]), 1])
+            while (len(blocks) >= 2
+                   and blocks[-2][0] * blocks[-1][1]
+                   > blocks[-1][0] * blocks[-2][1]):
+                b2 = blocks.pop()
+                blocks[-1][0] += b2[0]
+                blocks[-1][1] += b2[1]
+                blocks[-1][2] += b2[2]
+        fits = np.concatenate([
+            np.full(c, (1000000 * P) // Q, dtype=np.int64)
+            for (P, Q, c) in blocks]) if blocks else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({"bucket": pdf["bucket"], "n": pdf["n"],
+                             "pos_n": pdf["pos_n"], "fit_micro": fits})
+
+    return (agg.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(_pava, "bucket long, n long, pos_n long,"
+                                  " fit_micro long"))

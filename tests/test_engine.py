@@ -2054,3 +2054,30 @@ def test_hull_diameter_brute_force(spark):
         if (ax, ay) < (bx, by))
     assert (r["diam2"], r["x1"], r["y1"], r["x2"], r["y2"]) == \
         (best[0], -best[1], -best[2], -best[3], -best[4])
+
+
+def test_huff_shares_two_store_hand_case(spark):
+    """Two stores with hand weights: terms, denominators, shares and
+    the argmax all check by hand."""
+    from geotile import cache, engine
+
+    # store A at (0,0) with 4 fixes; store B at (0,3) with 2 fixes;
+    # one demand-only cell at (0,1) with 1 fix
+    pts = [(0, 0)] * 4 + [(0, 3)] * 2 + [(0, 1)]
+    df = spark.createDataFrame(
+        [(float(y) - 90.0 + 0.5, float(x) - 180.0 + 0.5)
+         for (y, x) in pts], "lat double, lon double")
+    out = engine.huff_shares(df, n_stores=2)
+    rows = {r["cell_id"]: r for r in out.collect()}
+    cache.release(out)
+    a, b, d = 0, 3, 1
+    # demand cell (0,1): d2 to A = 1, to B = 4
+    ta, tb = (4 * 1000000) // 1, (2 * 1000000) // 4
+    assert rows[d]["denom_micro"] == ta + tb
+    assert rows[d]["best_store"] == a
+    assert rows[d]["share_micro"] == (ta * 1000000) // (ta + tb)
+    # store A's own cell: d2=0 -> DIV 1; B at distance 9
+    ta0, tb0 = 4 * 1000000, (2 * 1000000) // 9
+    assert rows[a]["best_store"] == a
+    assert rows[a]["share_micro"] == (ta0 * 1000000) // (ta0 + tb0)
+    assert rows[b]["best_store"] == b

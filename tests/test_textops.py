@@ -1873,3 +1873,55 @@ def test_map_mrr_eval_vs_python_replay(spark, sf_dir):
         assert g["n_rel"] == n_rel and g["first_rank"] == first
         assert g["rr_micro"] == (1000000 // first if first else 0)
         assert g["ap_micro"] == (ap_sum // n_rel if n_rel else 0)
+
+
+def test_isotonic_calibration_pava_hand_case(spark):
+    """Violating middle bucket pools with its left neighbor exactly
+    as PAVA prescribes; the fit is monotone and matches a brute-force
+    minimax replay."""
+    from fractions import Fraction
+
+    from geotile import textops
+
+    # buckets 0/1/2: rates 1/2, 1/5, 4/5 -> PAVA pools (0,1) to 3/10
+    rows = []
+    did = 0
+    for bucket, n, pos in ((0, 10, 5), (1, 10, 2), (2, 10, 8)):
+        for i in range(n):
+            did += 1
+            rows.append((did, "x", "en" if i < pos else "fr", "s",
+                         bucket * 100 + 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["bucket"]: r for r in
+           textops.isotonic_calibration(docs).collect()}
+    assert out[0]["fit_micro"] == out[1]["fit_micro"] == \
+        (1000000 * 7) // 20
+    assert out[2]["fit_micro"] == (1000000 * 8) // 10
+    # brute-force minimax replay
+    data = [(5, 10), (2, 10), (8, 10)]
+    for i in range(3):
+        fit = max(
+            min(Fraction(sum(p for p, _ in data[a:b + 1]),
+                         sum(q for _, q in data[a:b + 1]))
+                for b in range(i, 3))
+            for a in range(i + 1))
+        assert out[i]["fit_micro"] == (1000000 * fit.numerator) \
+            // fit.denominator
+
+
+def test_stream_ddsketch_equals_batch(spark):
+    """Finite stream + complete mode: the streamed sketch table must
+    equal the batch ddsketch row for row."""
+    import __spark_entry__ as E
+    from geotile import textops
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["source"], r["bucket"], r["n_b"])
+        for r in E._q285_stream_ddsketch(spark, sf).collect())
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exp = sorted((r["source"], r["bucket"], r["n_b"])
+                 for r in textops.ddsketch(docs).collect())
+    assert got == exp and len(exp) > 0

@@ -5819,6 +5819,34 @@ def _q285_stream_ddsketch(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "bucket"))
 
 
+def _q286_dtw_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day DTW route consistency
+    (trajectory.dtw_day_consistency): first two active days per user
+    resampled to 8 index-equidistant fixes (integer row selection),
+    exact int64 squared-distance DTW, DP vectorized ACROSS users in
+    one Arrow batch.  The oracle replays the identical recurrence as
+    a generated chain of 128 lateral column expressions — no
+    recursion, no floats, byte-equal costs."""
+    from geotile import trajectory
+
+    return (trajectory.dtw_day_consistency(_walk_df(spark, sf))
+            .orderBy("user_id"))
+
+
+def _q287_lz_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Lempel-Ziv match-length profile (trajectory.lz_match_profile,
+    gh4 cells, first 40 fixes): the integer building blocks of the
+    Song/Barabasi actual-entropy / predictability estimator —
+    longest-prior-suffix match lengths with the LZ77 overlap rule.
+    The oracle recomputes every lcp declaratively (all-pairs
+    substring scan over the concatenated fixed-width cell string),
+    independent of the kernel's backward suffix-match DP."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return trajectory.lz_match_profile(pos).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6137,6 +6165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_isotonic_calibration": _q283_isotonic_calibration,
         "q284_huff_shares": _q284_huff_shares,
         "q285_stream_ddsketch": _q285_stream_ddsketch,
+        "q286_dtw_consistency": _q286_dtw_consistency,
+        "q287_lz_matches": _q287_lz_matches,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -15516,6 +15546,219 @@ WITH sk285 AS (
 SELECT source, CAST(bucket AS BIGINT) AS bucket, CAST(n_b AS BIGINT) AS n_b
 FROM sk285
 ORDER BY source, bucket
+"""
+
+    # q286: DTW consistency — integer index resampling replica.
+    # DP staged as 8 MATERIALIZED row-CTEs: lateral column aliases
+    # are textual substitutions in DuckDB, so the naive 128-alias
+    # chain re-expands each cell 3 ways per row (exponential plan);
+    # materializing per DP row keeps the expansion linear
+    sqls["q286_dtw_consistency"] = f"""
+WITH {_WALK_CTE},
+d286 AS (
+  SELECT user_id, ep, event_id,
+         CAST(floor(lon * 1e6) AS BIGINT) AS xm,
+         CAST(floor(lat * 1e6) AS BIGINT) AS ym,
+         ep // 86400 AS day
+  FROM walk
+),
+r286 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY ep, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, day) AS n,
+         dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS dr
+  FROM d286
+),
+p286 AS (
+  SELECT r.user_id, r.dr, j.j, r.n, r.xm, r.ym
+  FROM r286 r, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+  WHERE r.dr <= 2 AND r.rn - 1 = (j.j * (r.n - 1)) // 7
+),
+w286 AS (
+  SELECT user_id, dr, max(n) AS nf,
+         max(CASE WHEN j = 0 THEN xm END) AS x0,
+         max(CASE WHEN j = 0 THEN ym END) AS y0,
+         max(CASE WHEN j = 1 THEN xm END) AS x1,
+         max(CASE WHEN j = 1 THEN ym END) AS y1,
+         max(CASE WHEN j = 2 THEN xm END) AS x2,
+         max(CASE WHEN j = 2 THEN ym END) AS y2,
+         max(CASE WHEN j = 3 THEN xm END) AS x3,
+         max(CASE WHEN j = 3 THEN ym END) AS y3,
+         max(CASE WHEN j = 4 THEN xm END) AS x4,
+         max(CASE WHEN j = 4 THEN ym END) AS y4,
+         max(CASE WHEN j = 5 THEN xm END) AS x5,
+         max(CASE WHEN j = 5 THEN ym END) AS y5,
+         max(CASE WHEN j = 6 THEN xm END) AS x6,
+         max(CASE WHEN j = 6 THEN ym END) AS y6,
+         max(CASE WHEN j = 7 THEN xm END) AS x7,
+         max(CASE WHEN j = 7 THEN ym END) AS y7
+  FROM p286 GROUP BY user_id, dr
+),
+aa286 AS (SELECT user_id, nf AS n_a, x0 AS ax0, y0 AS ay0, x1 AS ax1, y1 AS ay1, x2 AS ax2, y2 AS ay2, x3 AS ax3, y3 AS ay3, x4 AS ax4, y4 AS ay4, x5 AS ax5, y5 AS ay5, x6 AS ax6, y6 AS ay6, x7 AS ax7, y7 AS ay7 FROM w286 WHERE dr = 1),
+bb286 AS (SELECT user_id, nf AS n_b, x0 AS bx0, y0 AS by0, x1 AS bx1, y1 AS by1, x2 AS bx2, y2 AS by2, x3 AS bx3, y3 AS by3, x4 AS bx4, y4 AS by4, x5 AS bx5, y5 AS by5, x6 AS bx6, y6 AS by6, x7 AS bx7, y7 AS by7 FROM w286 WHERE dr = 2),
+j286 AS (
+  SELECT a.user_id, a.n_a, b.n_b, a.ax0, a.ay0, a.ax1, a.ay1, a.ax2, a.ay2, a.ax3, a.ay3, a.ax4, a.ay4, a.ax5, a.ay5, a.ax6, a.ay6, a.ax7, a.ay7, b.bx0, b.by0, b.bx1, b.by1, b.bx2, b.by2, b.bx3, b.by3, b.bx4, b.by4, b.bx5, b.by5, b.bx6, b.by6, b.bx7, b.by7
+  FROM aa286 a JOIN bb286 b ON b.user_id = a.user_id
+),
+rw286_0 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax0 - bx0) * (ax0 - bx0) + (ay0 - by0) * (ay0 - by0) AS e0,
+         (ax0 - bx1) * (ax0 - bx1) + (ay0 - by1) * (ay0 - by1) + e0 AS e1,
+         (ax0 - bx2) * (ax0 - bx2) + (ay0 - by2) * (ay0 - by2) + e1 AS e2,
+         (ax0 - bx3) * (ax0 - bx3) + (ay0 - by3) * (ay0 - by3) + e2 AS e3,
+         (ax0 - bx4) * (ax0 - bx4) + (ay0 - by4) * (ay0 - by4) + e3 AS e4,
+         (ax0 - bx5) * (ax0 - bx5) + (ay0 - by5) * (ay0 - by5) + e4 AS e5,
+         (ax0 - bx6) * (ax0 - bx6) + (ay0 - by6) * (ay0 - by6) + e5 AS e6,
+         (ax0 - bx7) * (ax0 - bx7) + (ay0 - by7) * (ay0 - by7) + e6 AS e7
+  FROM j286
+),
+rw286_1 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax1 - bx0) * (ax1 - bx0) + (ay1 - by0) * (ay1 - by0) + e0 AS o0,
+         (ax1 - bx1) * (ax1 - bx1) + (ay1 - by1) * (ay1 - by1) + least(e1, o0, e0) AS o1,
+         (ax1 - bx2) * (ax1 - bx2) + (ay1 - by2) * (ay1 - by2) + least(e2, o1, e1) AS o2,
+         (ax1 - bx3) * (ax1 - bx3) + (ay1 - by3) * (ay1 - by3) + least(e3, o2, e2) AS o3,
+         (ax1 - bx4) * (ax1 - bx4) + (ay1 - by4) * (ay1 - by4) + least(e4, o3, e3) AS o4,
+         (ax1 - bx5) * (ax1 - bx5) + (ay1 - by5) * (ay1 - by5) + least(e5, o4, e4) AS o5,
+         (ax1 - bx6) * (ax1 - bx6) + (ay1 - by6) * (ay1 - by6) + least(e6, o5, e5) AS o6,
+         (ax1 - bx7) * (ax1 - bx7) + (ay1 - by7) * (ay1 - by7) + least(e7, o6, e6) AS o7
+  FROM rw286_0
+),
+rw286_2 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax2 - bx0) * (ax2 - bx0) + (ay2 - by0) * (ay2 - by0) + o0 AS e0,
+         (ax2 - bx1) * (ax2 - bx1) + (ay2 - by1) * (ay2 - by1) + least(o1, e0, o0) AS e1,
+         (ax2 - bx2) * (ax2 - bx2) + (ay2 - by2) * (ay2 - by2) + least(o2, e1, o1) AS e2,
+         (ax2 - bx3) * (ax2 - bx3) + (ay2 - by3) * (ay2 - by3) + least(o3, e2, o2) AS e3,
+         (ax2 - bx4) * (ax2 - bx4) + (ay2 - by4) * (ay2 - by4) + least(o4, e3, o3) AS e4,
+         (ax2 - bx5) * (ax2 - bx5) + (ay2 - by5) * (ay2 - by5) + least(o5, e4, o4) AS e5,
+         (ax2 - bx6) * (ax2 - bx6) + (ay2 - by6) * (ay2 - by6) + least(o6, e5, o5) AS e6,
+         (ax2 - bx7) * (ax2 - bx7) + (ay2 - by7) * (ay2 - by7) + least(o7, e6, o6) AS e7
+  FROM rw286_1
+),
+rw286_3 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax3 - bx0) * (ax3 - bx0) + (ay3 - by0) * (ay3 - by0) + e0 AS o0,
+         (ax3 - bx1) * (ax3 - bx1) + (ay3 - by1) * (ay3 - by1) + least(e1, o0, e0) AS o1,
+         (ax3 - bx2) * (ax3 - bx2) + (ay3 - by2) * (ay3 - by2) + least(e2, o1, e1) AS o2,
+         (ax3 - bx3) * (ax3 - bx3) + (ay3 - by3) * (ay3 - by3) + least(e3, o2, e2) AS o3,
+         (ax3 - bx4) * (ax3 - bx4) + (ay3 - by4) * (ay3 - by4) + least(e4, o3, e3) AS o4,
+         (ax3 - bx5) * (ax3 - bx5) + (ay3 - by5) * (ay3 - by5) + least(e5, o4, e4) AS o5,
+         (ax3 - bx6) * (ax3 - bx6) + (ay3 - by6) * (ay3 - by6) + least(e6, o5, e5) AS o6,
+         (ax3 - bx7) * (ax3 - bx7) + (ay3 - by7) * (ay3 - by7) + least(e7, o6, e6) AS o7
+  FROM rw286_2
+),
+rw286_4 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax4 - bx0) * (ax4 - bx0) + (ay4 - by0) * (ay4 - by0) + o0 AS e0,
+         (ax4 - bx1) * (ax4 - bx1) + (ay4 - by1) * (ay4 - by1) + least(o1, e0, o0) AS e1,
+         (ax4 - bx2) * (ax4 - bx2) + (ay4 - by2) * (ay4 - by2) + least(o2, e1, o1) AS e2,
+         (ax4 - bx3) * (ax4 - bx3) + (ay4 - by3) * (ay4 - by3) + least(o3, e2, o2) AS e3,
+         (ax4 - bx4) * (ax4 - bx4) + (ay4 - by4) * (ay4 - by4) + least(o4, e3, o3) AS e4,
+         (ax4 - bx5) * (ax4 - bx5) + (ay4 - by5) * (ay4 - by5) + least(o5, e4, o4) AS e5,
+         (ax4 - bx6) * (ax4 - bx6) + (ay4 - by6) * (ay4 - by6) + least(o6, e5, o5) AS e6,
+         (ax4 - bx7) * (ax4 - bx7) + (ay4 - by7) * (ay4 - by7) + least(o7, e6, o6) AS e7
+  FROM rw286_3
+),
+rw286_5 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax5 - bx0) * (ax5 - bx0) + (ay5 - by0) * (ay5 - by0) + e0 AS o0,
+         (ax5 - bx1) * (ax5 - bx1) + (ay5 - by1) * (ay5 - by1) + least(e1, o0, e0) AS o1,
+         (ax5 - bx2) * (ax5 - bx2) + (ay5 - by2) * (ay5 - by2) + least(e2, o1, e1) AS o2,
+         (ax5 - bx3) * (ax5 - bx3) + (ay5 - by3) * (ay5 - by3) + least(e3, o2, e2) AS o3,
+         (ax5 - bx4) * (ax5 - bx4) + (ay5 - by4) * (ay5 - by4) + least(e4, o3, e3) AS o4,
+         (ax5 - bx5) * (ax5 - bx5) + (ay5 - by5) * (ay5 - by5) + least(e5, o4, e4) AS o5,
+         (ax5 - bx6) * (ax5 - bx6) + (ay5 - by6) * (ay5 - by6) + least(e6, o5, e5) AS o6,
+         (ax5 - bx7) * (ax5 - bx7) + (ay5 - by7) * (ay5 - by7) + least(e7, o6, e6) AS o7
+  FROM rw286_4
+),
+rw286_6 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax6 - bx0) * (ax6 - bx0) + (ay6 - by0) * (ay6 - by0) + o0 AS e0,
+         (ax6 - bx1) * (ax6 - bx1) + (ay6 - by1) * (ay6 - by1) + least(o1, e0, o0) AS e1,
+         (ax6 - bx2) * (ax6 - bx2) + (ay6 - by2) * (ay6 - by2) + least(o2, e1, o1) AS e2,
+         (ax6 - bx3) * (ax6 - bx3) + (ay6 - by3) * (ay6 - by3) + least(o3, e2, o2) AS e3,
+         (ax6 - bx4) * (ax6 - bx4) + (ay6 - by4) * (ay6 - by4) + least(o4, e3, o3) AS e4,
+         (ax6 - bx5) * (ax6 - bx5) + (ay6 - by5) * (ay6 - by5) + least(o5, e4, o4) AS e5,
+         (ax6 - bx6) * (ax6 - bx6) + (ay6 - by6) * (ay6 - by6) + least(o6, e5, o5) AS e6,
+         (ax6 - bx7) * (ax6 - bx7) + (ay6 - by7) * (ay6 - by7) + least(o7, e6, o6) AS e7
+  FROM rw286_5
+),
+rw286_7 AS MATERIALIZED (
+  SELECT user_id, n_a, n_b, ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3, ax4, ay4, ax5, ay5, ax6, ay6, ax7, ay7,
+         bx0, by0, bx1, by1, bx2, by2, bx3, by3, bx4, by4, bx5, by5, bx6, by6, bx7, by7,
+         (ax7 - bx0) * (ax7 - bx0) + (ay7 - by0) * (ay7 - by0) + e0 AS o0,
+         (ax7 - bx1) * (ax7 - bx1) + (ay7 - by1) * (ay7 - by1) + least(e1, o0, e0) AS o1,
+         (ax7 - bx2) * (ax7 - bx2) + (ay7 - by2) * (ay7 - by2) + least(e2, o1, e1) AS o2,
+         (ax7 - bx3) * (ax7 - bx3) + (ay7 - by3) * (ay7 - by3) + least(e3, o2, e2) AS o3,
+         (ax7 - bx4) * (ax7 - bx4) + (ay7 - by4) * (ay7 - by4) + least(e4, o3, e3) AS o4,
+         (ax7 - bx5) * (ax7 - bx5) + (ay7 - by5) * (ay7 - by5) + least(e5, o4, e4) AS o5,
+         (ax7 - bx6) * (ax7 - bx6) + (ay7 - by6) * (ay7 - by6) + least(e6, o5, e5) AS o6,
+         (ax7 - bx7) * (ax7 - bx7) + (ay7 - by7) * (ay7 - by7) + least(e7, o6, e6) AS o7
+  FROM rw286_6
+)
+SELECT user_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(o7 AS BIGINT) AS dtw_cost
+FROM rw286_7 ORDER BY user_id
+"""
+
+
+    # q287: LZ match profile — declarative all-pairs lcp over the
+    # concatenated fixed-width cell string (vs the kernel's DP)
+    _wgh287 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q287_lz_matches"] = f"""
+WITH {_WALK_CTE},
+c287 AS (
+  SELECT user_id, ep, event_id, {_wgh287} AS cell
+  FROM walk
+),
+r287 AS (
+  SELECT user_id, cell,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ep, event_id) AS rn
+  FROM c287
+),
+t287 AS (SELECT * FROM r287 WHERE rn <= 40),
+s287 AS (
+  SELECT user_id, string_agg(cell, '' ORDER BY rn) AS s,
+         count(*) AS n
+  FROM t287 GROUP BY user_id
+),
+lc287 AS (
+  SELECT u.user_id, i.i,
+         max(CASE WHEN substr(u.s, 4 * (i.i - 1) + 1, 4 * k.k)
+                     = substr(u.s, 4 * (j.j - 1) + 1, 4 * k.k)
+                  THEN k.k ELSE 0 END) AS l
+  FROM s287 u,
+  LATERAL (SELECT unnest(range(2, u.n + 1)) AS i) i,
+  LATERAL (SELECT unnest(range(1, i.i)) AS j) j,
+  LATERAL (SELECT unnest(range(1, least(u.n - i.i + 1,
+                                        u.n - j.j + 1) + 1)) AS k) k
+  GROUP BY 1, 2
+),
+ix287 AS (
+  SELECT u.user_id, u.n, i.i
+  FROM s287 u, LATERAL (SELECT unnest(range(1, u.n + 1)) AS i) i
+),
+lm287 AS (
+  SELECT x.user_id, x.n, x.i, COALESCE(l.l, 0) AS li,
+         least(COALESCE(l.l, 0) + 1, x.n - x.i + 1) AS lam
+  FROM ix287 x
+  LEFT JOIN lc287 l ON l.user_id = x.user_id AND l.i = x.i
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(lam) AS BIGINT) AS sum_lambda,
+       CAST(max(li) AS BIGINT) AS max_l
+FROM lm287 GROUP BY user_id
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

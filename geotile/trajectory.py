@@ -2239,3 +2239,151 @@ def peak_hours(df: DataFrame, lat: str = "lat", lon: str = "lon",
                     F.col("n_day").cast("long").alias("n_day"),
                     (F.col("total") - F.col("n_day")).cast("long")
                     .alias("n_night")))
+
+
+def dtw_day_consistency(df: DataFrame, k: int = 8,
+                        key: str = "user_id", ts: str = "ep",
+                        order_col: str = "event_id",
+                        lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Day-over-day route consistency via DYNAMIC TIME WARPING: for
+    every key active on at least two days, resample each of the
+    first two active days' tracks to ``k`` index-equidistant points
+    and compute the exact DTW alignment cost between them — the
+    classic elastic trajectory distance (robust to pace differences
+    a pointwise comparison would punish), here as a commute-
+    regularity score next to q270's novelty and q154's revisit
+    rates.
+
+    Exactness: resampling picks ROW ``(j*(n-1)) DIV (k-1)`` of the
+    day's (ts, order)-sorted fixes (pure integer index selection, no
+    interpolation), coordinates quantize to floor(x*1e6) micro-
+    degrees, the step cost is the exact int64 squared euclidean
+    distance, and the k x k DP runs in integers — the oracle replays
+    the same recurrence as a generated chain of lateral column
+    expressions, no recursion, no floats.
+
+    Scale shape: one keyed window shuffle ranks days and fixes; the
+    k-point selection is a filter (no second shuffle — same exchange
+    key); the DP runs inside one Arrow batch VECTORIZED ACROSS KEYS
+    (k^2 = 64 numpy steps over the whole batch, never a per-key
+    Python loop).  Returns ``(key, n_a, n_b, dtw_cost)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    kk = int(k)
+    day = (F.col(ts) / F.lit(86400)).cast("long").alias("_day")
+    d = df.select(F.col(key), F.col(ts), F.col(order_col),
+                  F.floor(F.col(lon) * 1e6).cast("long").alias("xm"),
+                  F.floor(F.col(lat) * 1e6).cast("long").alias("ym"),
+                  F.expr(f"{ts} DIV 86400").alias("_day"))
+    wdr = Window.partitionBy(key).orderBy("_day")
+    wrn = Window.partitionBy(key, "_day").orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    wn = Window.partitionBy(key, "_day")
+    r = (d.withColumn("rn", F.row_number().over(wrn))
+         .withColumn("n", F.count("*").over(wn))
+         .withColumn("dr", F.dense_rank().over(wdr))
+         .where(F.col("dr") <= 2))
+    js = F.explode(F.sequence(F.lit(0), F.lit(kk - 1))).alias("j")
+    pts = (r.select(key, "dr", "rn", "n", "xm", "ym", js)
+           .where(F.col("rn") - 1 == F.expr(f"(j * (n - 1)) DIV {kk - 1}")))
+    per_day = (pts.groupBy(key, "dr")
+               .agg(F.max("n").alias("nf"),
+                    F.array_sort(F.collect_list(
+                        F.struct("j", "xm", "ym"))).alias("pp")))
+    a = per_day.where(F.col("dr") == 1).select(
+        key, F.col("nf").alias("n_a"),
+        F.col("pp.xm").alias("ax"), F.col("pp.ym").alias("ay"))
+    b = per_day.where(F.col("dr") == 2).select(
+        key, F.col("nf").alias("n_b"),
+        F.col("pp.xm").alias("bx"), F.col("pp.ym").alias("by"))
+
+    @F.pandas_udf(LongType())
+    def _dtw(ax, ay, bx, by):
+        n = len(ax)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        AX = np.stack(ax.to_numpy()).astype(np.int64)
+        AY = np.stack(ay.to_numpy()).astype(np.int64)
+        BX = np.stack(bx.to_numpy()).astype(np.int64)
+        BY = np.stack(by.to_numpy()).astype(np.int64)
+        dx = AX[:, :, None] - BX[:, None, :]
+        dy = AY[:, :, None] - BY[:, None, :]
+        c = dx * dx + dy * dy                      # (N, k, k)
+        dp = np.empty_like(c)
+        for i in range(kk):
+            for j in range(kk):
+                if i == 0 and j == 0:
+                    prev = 0
+                elif i == 0:
+                    prev = dp[:, 0, j - 1]
+                elif j == 0:
+                    prev = dp[:, i - 1, 0]
+                else:
+                    prev = np.minimum(np.minimum(dp[:, i - 1, j],
+                                                 dp[:, i, j - 1]),
+                                      dp[:, i - 1, j - 1])
+                dp[:, i, j] = c[:, i, j] + prev
+        return pd.Series(dp[:, kk - 1, kk - 1])
+
+    return (a.join(b, key)
+            .select(key, "n_a", "n_b",
+                    _dtw("ax", "ay", "bx", "by").alias("dtw_cost")))
+
+
+def lz_match_profile(df: DataFrame, n_max: int = 40, nchars: int = 4,
+                     key: str = "user_id", ts: str = "ep",
+                     order_col: str = "event_id",
+                     cell_col: str = "geohash") -> DataFrame:
+    """Lempel-Ziv match-length profile — the building blocks of the
+    Song/Barabasi ACTUAL-entropy estimator that set the famous 93%
+    mobility-predictability bound: over each key's first ``n_max``
+    cell visits (time order), position i's match length ``L_i`` is
+    the longest common prefix between the suffix starting at i and
+    any suffix starting before i (overlap allowed, the LZ77 rule),
+    and ``lambda_i = min(L_i + 1, n - i + 1)`` is the shortest
+    never-seen-before substring length.  ``n * ln(n) / sum(lambda)``
+    — one division away from the emitted integers — is the entropy
+    rate; q271's conditional entropy is its order-1 approximation.
+
+    Exactness: every emitted quantity is an integer (counts and
+    match lengths); the truncation to ``n_max`` fixes is part of the
+    contract (the oracle's declarative all-pairs lcp scan is
+    O(n^3) per key — bounded only because n is).
+
+    Scale shape: one keyed window shuffle ranks + truncates; the
+    per-key DP (suffix-match matrix built backwards, n vectorized
+    numpy steps) runs on n_max-row groups inside applyInPandas.
+    Returns ``(key, n, sum_lambda, max_l)``."""
+    import numpy as np
+    import pandas as pd
+
+    wk = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    t = (df.withColumn("cell", F.substring(F.col(cell_col), 1, nchars))
+         .withColumn("rn", F.row_number().over(wk))
+         .where(F.col("rn") <= int(n_max))
+         .select(key, "rn", "cell"))
+
+    def _lz(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rn")
+        codes = pd.factorize(pdf["cell"])[0].astype(np.int64)
+        n = len(codes)
+        eq = codes[:, None] == codes[None, :]
+        m = np.zeros((n + 1, n + 1), dtype=np.int64)
+        for i in range(n - 1, -1, -1):
+            m[i, :n] = eq[i] * (1 + m[i + 1, 1:n + 1])
+        lam = np.empty(n, dtype=np.int64)
+        max_l = 0
+        for i in range(n):
+            li = int(m[i, :i].max()) if i > 0 else 0
+            max_l = max(max_l, li)
+            lam[i] = min(li + 1, n - i)
+        return pd.DataFrame({key: [pdf[key].iloc[0]],
+                             "n": [n], "sum_lambda": [int(lam.sum())],
+                             "max_l": [max_l]})
+
+    return (t.groupBy(key)
+            .applyInPandas(_lz, f"{key} long, n long, sum_lambda long,"
+                                " max_l long"))

@@ -1296,3 +1296,58 @@ def test_peak_hours_argmax_and_split(spark):
     assert r["peak_hour"] == 7 and r["peak_n"] == 3  # tie -> earliest
     assert r["share_micro"] == 3 * 1000000 // 7
     assert (r["n_day"], r["n_night"]) == (3, 4)
+
+
+def test_dtw_day_consistency_hand_cases(spark):
+    """Identical day tracks cost 0; a shifted second day matches a
+    scalar DP replay of the same recurrence."""
+    from geotile import trajectory
+
+    rows = []
+    # user 1: two identical 8-fix days (lon = j*0.5 is binary-exact)
+    for d in (0, 1):
+        for j in range(8):
+            rows.append((1, d * 86400 + j * 60, j, 0.0, j * 0.5))
+    # user 2: day 2 shifted by +0.5 in lon
+    for d in (0, 1):
+        for j in range(8):
+            rows.append((2, d * 86400 + j * 60, j, 0.0,
+                         j * 0.5 + d * 0.5))
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, lat double,"
+              " lon double")
+    out = {r["user_id"]: r
+           for r in trajectory.dtw_day_consistency(df).collect()}
+    assert out[1]["n_a"] == out[1]["n_b"] == 8
+    assert out[1]["dtw_cost"] == 0
+    # scalar replay for user 2
+    a = [j * 500000 for j in range(8)]
+    b = [j * 500000 + 500000 for j in range(8)]
+    dp = {}
+    for i in range(8):
+        for j in range(8):
+            c = (a[i] - b[j]) ** 2
+            if i == 0 and j == 0:
+                p = 0
+            elif i == 0:
+                p = dp[(0, j - 1)]
+            elif j == 0:
+                p = dp[(i - 1, 0)]
+            else:
+                p = min(dp[(i - 1, j)], dp[(i, j - 1)],
+                        dp[(i - 1, j - 1)])
+            dp[(i, j)] = c + p
+    assert out[2]["dtw_cost"] == dp[(7, 7)]
+
+
+def test_lz_match_profile_hand_sequence(spark):
+    """a b a b a: lambdas 1,1,3,2,1 (overlap-allowed LZ77 rule),
+    max match 3."""
+    from geotile import trajectory
+
+    cells = ["aaaa", "bbbb", "aaaa", "bbbb", "aaaa"]
+    df = spark.createDataFrame(
+        [(1, i, i, c) for i, c in enumerate(cells)],
+        "user_id long, ep long, event_id long, geohash string")
+    r = trajectory.lz_match_profile(df).collect()[0]
+    assert (r["n"], r["sum_lambda"], r["max_l"]) == (5, 8, 3)

@@ -5847,6 +5847,35 @@ def _q287_lz_matches(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.lz_match_profile(pos).orderBy("user_id")
 
 
+def _q288_prefix_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall (simsearch.prefix_dim_recall,
+    d in 4/8/16/32/64, k=10): exact truncated-cosine top-10 vs the
+    full 64-dim exact top-10 per q176 query vector — the
+    dimension-truncation loss curve as pinned integers, with d=64 the
+    recall=1.0 sanity anchor.  The oracle replays every ranking with
+    sliced literal vectors (list_inner_product over emb64[1:d])."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (simsearch.prefix_dim_recall(emb, _ann_query_vectors(sf),
+                                        dims=(4, 8, 16, 32, 64), k=10)
+            .orderBy("query_id", "d"))
+
+
+def _q289_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise KMV intersection audit (textops.kmv_intersect, k=64):
+    for every source pair, the k-min-of-union membership counts that
+    estimate token-set Jaccard from sketches alone — q47's hashes,
+    q74's merge discipline, applied pairwise without ever joining raw
+    vocabularies.  The oracle rebuilds both sketches from the raw
+    corpus with the Horner+splitmix replica and replays the unsigned
+    re-ranking."""
+    from geotile import cache, textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textops.kmv_intersect(docs, k=64)
+    return cache.track(out.orderBy("ga", "gb"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6167,6 +6196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_stream_ddsketch": _q285_stream_ddsketch,
         "q286_dtw_consistency": _q286_dtw_consistency,
         "q287_lz_matches": _q287_lz_matches,
+        "q288_prefix_recall": _q288_prefix_recall,
+        "q289_kmv_intersect": _q289_kmv_intersect,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -15759,6 +15790,110 @@ SELECT user_id, CAST(max(n) AS BIGINT) AS n,
        CAST(max(li) AS BIGINT) AS max_l
 FROM lm287 GROUP BY user_id
 ORDER BY user_id
+"""
+
+    # q288: prefix-dim recall — q176's exact-cosine replica with the
+    # stored vector and the literal query both truncated to d dims
+    try:
+        _pq288 = _ann_query_vectors(sf_dir)
+        _dims288 = (4, 8, 16, 32, 64)
+        _blocks288, _preu288, _exu288 = [], [], []
+        for _qid, _qv288 in _pq288:
+            _vfull = _vec_literal_sql([float(x) for x in _qv288])
+            _csf = (f"list_inner_product(emb64, {_vfull}) / "
+                    f"(sqrt(list_inner_product(emb64, emb64)) * "
+                    f"sqrt(list_inner_product({_vfull}, {_vfull})))")
+            _blocks288.append(f"""ex288_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id FROM (
+    SELECT vec_id, {_csf} AS c FROM b288
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+)""")
+            _exu288.append(f"SELECT * FROM ex288_{_qid}")
+            for _d in _dims288:
+                _vd = _vec_literal_sql([float(x) for x in _qv288[:_d]])
+                _sl = f"emb64[1:{_d}]"
+                _csd = (f"list_inner_product({_sl}, {_vd}) / "
+                        f"(sqrt(list_inner_product({_sl}, {_sl})) * "
+                        f"sqrt(list_inner_product({_vd}, {_vd})))")
+                _blocks288.append(f"""pd288_{_qid}_{_d} AS (
+  SELECT {_qid} AS query_id, {_d} AS d, vec_id FROM (
+    SELECT vec_id, {_csd} AS c FROM b288
+    ORDER BY c DESC, vec_id ASC LIMIT 10)
+)""")
+                _preu288.append(f"SELECT * FROM pd288_{_qid}_{_d}")
+        sqls["q288_prefix_recall"] = f"""
+WITH b288 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+{",".join(_blocks288)},
+pre288 AS (
+  {" UNION ALL ".join(_preu288)}
+),
+ful288 AS (
+  {" UNION ALL ".join(_exu288)}
+),
+h288 AS (
+  SELECT p.query_id, p.d, count(*) AS n_hit
+  FROM pre288 p JOIN ful288 f ON f.query_id = p.query_id
+                             AND f.vec_id = p.vec_id
+  GROUP BY 1, 2
+)
+SELECT b.query_id, b.d,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(h.n_hit, 0) * 1000000) // 10 AS BIGINT)
+         AS recall_micro
+FROM (SELECT DISTINCT query_id, d FROM pre288) b
+LEFT JOIN h288 h ON h.query_id = b.query_id AND h.d = b.d
+ORDER BY b.query_id, b.d
+"""
+    except Exception:
+        pass  # embeddings absent -> q288 falls back to rows-only
+
+    # q289: KMV intersection — q47/q74 Horner+splitmix replica per
+    # source, unsigned k-min union re-ranking, membership counts
+    sqls["q289_kmv_intersect"] = f"""
+WITH tk289 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th289 AS (
+  SELECT source,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM tk289
+),
+{_splitmix_cte_sql("th289", "h0", "hu", "k289")},
+dh289 AS (SELECT DISTINCT source, hu FROM k289d),
+sk289 AS (
+  SELECT source, hu FROM (
+    SELECT source, hu,
+           row_number() OVER (PARTITION BY source ORDER BY hu ASC) AS rn
+    FROM dh289)
+  WHERE rn <= 64
+),
+gp289 AS (SELECT DISTINCT source FROM documents),
+pr289 AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM gp289 a JOIN gp289 b ON a.source < b.source
+),
+un289 AS (
+  SELECT p.ga, p.gb, s.hu,
+         max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS ib
+  FROM pr289 p JOIN sk289 s ON s.source = p.ga OR s.source = p.gb
+  GROUP BY 1, 2, 3
+),
+rk289 AS (
+  SELECT *, row_number() OVER (PARTITION BY ga, gb
+                               ORDER BY hu ASC) AS rn
+  FROM un289
+)
+SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(ia * ib) AS BIGINT) AS n_both,
+       {_signed64_sql("max(hu)")} AS kth_hash
+FROM rk289 WHERE rn <= 64
+GROUP BY ga, gb
+ORDER BY ga, gb
 """
 
     # Every queries() entry above has an exact oracle — including the

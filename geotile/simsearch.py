@@ -762,3 +762,68 @@ def triplet_audit(df: DataFrame, scale: int = 1000,
                       .otherwise(0)).cast("long").alias("n_violations"),
                 F.sum(F.col("d2f") - F.col("d2n")).alias("margin_sum")))
     return cache.track(out, [base])
+
+
+def cosine_prefix_col(vec_col: str, query: list[float], d: int):
+    """Cosine similarity over only the FIRST ``d`` dimensions — the
+    Matryoshka (MRL) truncated-embedding score: same pure-built-in
+    shape as :func:`cosine_col` with the stored vector sliced and the
+    query literal truncated."""
+    q = [float(x) for x in query[:d]]
+    qnorm = float(np.sqrt(sum(x * x for x in q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    vec = F.slice(F.col(vec_col).cast("array<double>"), 1, int(d))
+    dot = F.aggregate(F.zip_with(vec, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda a: a * a),
+                              F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (norm * F.lit(qnorm))
+
+
+def prefix_dim_recall(df: DataFrame, queries: list, dims=(4, 8, 16, 32, 64),
+                      k: int = 10, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka prefix-dimension recall audit: for each query, the
+    exact cosine top-k using only the first ``d`` dimensions vs the
+    full-dimension exact top-k, intersected by id — the measured
+    answer to "how many dims can retrieval truncate before it loses
+    neighbors", the dimension-axis sibling of q176's bucketing loss
+    and q194's probe sweep.  The full dimension count belongs in
+    ``dims`` as the recall=1.0 sanity anchor.
+
+    Exactness: both rankings are exact double cosines of the SAME
+    expression shape on both engines (the q19 discipline), ties
+    broken by id; every emitted number is an integer
+    (``recall_micro = n_hit * 1e6 DIV k``).
+
+    Scale shape: each ranking is a narrow scan + TakeOrdered (no
+    shuffle); the joins run on queries x k rows.  Returns
+    ``(query_id, d, n_hit, recall_micro)``."""
+    full_parts, pre_parts = [], []
+    for qid, qv in queries:
+        full_parts.append(
+            brute_topk(df, qv, k=k, vec_col=vec_col, id_col=id_col)
+            .select(F.lit(int(qid)).cast("long").alias("query_id"),
+                    F.col(id_col)))
+        for d in dims:
+            top_d = (df.withColumn("c", cosine_prefix_col(vec_col, qv, d))
+                     .orderBy(F.col("c").desc(), F.col(id_col).asc())
+                     .limit(k)
+                     .select(F.lit(int(qid)).cast("long").alias("query_id"),
+                             F.lit(int(d)).cast("long").alias("d"),
+                             F.col(id_col)))
+            pre_parts.append(top_d)
+    full = full_parts[0]
+    for p in full_parts[1:]:
+        full = full.unionByName(p)
+    pre = pre_parts[0]
+    for p in pre_parts[1:]:
+        pre = pre.unionByName(p)
+    hits = (pre.join(full, ["query_id", id_col])
+            .groupBy("query_id", "d").agg(F.count("*").alias("_h")))
+    base = pre.select("query_id", "d").distinct()
+    return (base.join(hits, ["query_id", "d"], "left")
+            .withColumn("n_hit", F.coalesce("_h", F.lit(0)).cast("long"))
+            .withColumn("recall_micro",
+                        F.expr(f"n_hit * 1000000 DIV {int(k)}"))
+            .select("query_id", "d", "n_hit", "recall_micro"))

@@ -3616,3 +3616,55 @@ def isotonic_calibration(df: DataFrame, bucket_width: int = 100,
             .groupBy("_g")
             .applyInPandas(_pava, "bucket long, n long, pos_n long,"
                                   " fit_micro long"))
+
+
+def kmv_intersect(df: DataFrame, group: str = "source", k: int = 64,
+                  text_col: str = "text") -> DataFrame:
+    """Pairwise KMV set-intersection audit — the sketch-level Jaccard
+    estimator (Beyer et al.): for every unordered pair of groups,
+    take the k smallest hashes of the UNION of the two groups' k-min
+    sketches and count how many are present in BOTH sketches;
+    ``n_both / k_used`` estimates the token-set Jaccard without ever
+    joining the raw vocabularies — the pairwise companion of q47's
+    per-group estimate and q74's global merge, and the sketch-cheap
+    alternative to q179's exact divergence scan.
+
+    Exactness under the gate: hashes are the shared Horner+splitmix
+    integers (q47's replica), the k-min re-ranking is unsigned-order
+    row_number, and every emitted quantity is an integer (counts +
+    the signed kth hash).
+
+    Scale shape: the per-group sketches are one token shuffle
+    (kmv_sketch_rows); everything pairwise runs on <= |pairs| * 2k
+    sketch ROWS (never raw data) with the pair list broadcast.
+    Returns ``(ga, gb, k_used, n_both, kth_hash)``."""
+    from . import cache
+
+    sk = (kmv_sketch_rows(df, group=group, text_col=text_col, k=k)
+          .persist())
+    gs = sk.select(F.col(group).alias("g")).distinct()
+    pairs = (gs.alias("a").join(gs.alias("b"),
+                                F.col("a.g") < F.col("b.g"))
+             .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb")))
+    ra = (sk.join(F.broadcast(pairs), F.col(group) == F.col("ga"))
+          .select("ga", "gb", "h", F.lit(1).alias("ia"),
+                  F.lit(0).alias("ib")))
+    rb = (sk.join(F.broadcast(pairs), F.col(group) == F.col("gb"))
+          .select("ga", "gb", "h", F.lit(0).alias("ia"),
+                  F.lit(1).alias("ib")))
+    un = (ra.unionByName(rb)
+          .groupBy("ga", "gb", "h")
+          .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    ub = F.col("h").bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy("ga", "gb").orderBy(ub.asc())
+    rk = (un.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= int(k)))
+    out = (rk.groupBy("ga", "gb")
+           .agg(F.count("*").cast("long").alias("k_used"),
+                F.sum(F.col("ia") * F.col("ib")).cast("long")
+                .alias("n_both"),
+                F.max(ub).alias("_mx"))
+           .select("ga", "gb", "k_used", "n_both",
+                   F.col("_mx").bitwiseXOR(F.lit(-(1 << 63)))
+                   .cast("long").alias("kth_hash")))
+    return cache.track(out, [sk])

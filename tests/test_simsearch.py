@@ -578,3 +578,20 @@ def test_triplet_audit_separable_labels(spark):
     g2 = {r["label"]: r for r in out2.collect()}
     cache.release(out2)
     assert g2[0]["n_violations"] >= 1
+
+
+def test_prefix_dim_recall_full_dim_anchor(spark, sf_dir):
+    """The full-dimension row must recall the entire exact top-10;
+    every row stays within [0, k]."""
+    import __spark_entry__ as E
+    from geotile import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = simsearch.prefix_dim_recall(
+        emb, E._ann_query_vectors(sf_dir), dims=(4, 16, 64), k=10).collect()
+    assert len(rows) == len(E._ann_query_vectors(sf_dir)) * 3
+    for r in rows:
+        assert 0 <= r["n_hit"] <= 10
+        assert r["recall_micro"] == r["n_hit"] * 1000000 // 10
+        if r["d"] == 64:
+            assert r["n_hit"] == 10

@@ -1925,3 +1925,23 @@ def test_stream_ddsketch_equals_batch(spark):
     exp = sorted((r["source"], r["bucket"], r["n_b"])
                  for r in textops.ddsketch(docs).collect())
     assert got == exp and len(exp) > 0
+
+
+def test_kmv_intersect_small_vocab_exact(spark):
+    """k larger than every vocabulary: sketches are the full token
+    sets, so the pair counts are exact set sizes."""
+    from geotile import cache, textops
+
+    rows = [(1, "a b c", "en", "sA", 5), (2, "b c d", "en", "sB", 5),
+            (3, "e", "en", "sC", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = textops.kmv_intersect(docs, k=64)
+    got = {(r["ga"], r["gb"]): r for r in out.collect()}
+    cache.release(out)
+    assert got[("sA", "sB")]["k_used"] == 4
+    assert got[("sA", "sB")]["n_both"] == 2
+    assert got[("sA", "sC")]["k_used"] == 4
+    assert got[("sA", "sC")]["n_both"] == 0
+    assert got[("sB", "sC")]["n_both"] == 0

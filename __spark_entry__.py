@@ -5876,6 +5876,32 @@ def _q289_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q290_greedy_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy closest-pair dispatch (engine.greedy_dispatch): 4
+    server cells x 20 request cells, four global-argmin extraction
+    rounds with (d2, store, demand) struct order — each round
+    constrains the next, which is what separates dispatch from q213's
+    independent nearest-POI.  The oracle unrolls the same rounds as
+    chained exclusion CTEs."""
+    return (engine.greedy_dispatch(_positions_df(spark, sf))
+            .orderBy("round"))
+
+
+def _q291_ewma_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer EWMA spike monitor (trajectory.ewma_alerts, alpha=1/8,
+    30-degree cells, zero-filled hourly series): the online anomaly
+    recurrence v' = v + floordiv(x*8 - v, 8) in pure integers, with
+    the pmod floordiv identity keeping Spark DIV and DuckDB //
+    agreeing on negatives — the stateful-monitor complement to q87's
+    closed-form rate anomalies.  The oracle replays the recurrence as
+    a linear recursive CTE."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return trajectory.ewma_alerts(pos).orderBy("cell_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6198,6 +6224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_lz_matches": _q287_lz_matches,
         "q288_prefix_recall": _q288_prefix_recall,
         "q289_kmv_intersect": _q289_kmv_intersect,
+        "q290_greedy_dispatch": _q290_greedy_dispatch,
+        "q291_ewma_alerts": _q291_ewma_alerts,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -15894,6 +15922,109 @@ SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
 FROM rk289 WHERE rn <= 64
 GROUP BY ga, gb
 ORDER BY ga, gb
+"""
+
+    # q290: greedy dispatch — ranked store/demand pick, four unrolled
+    # global-argmin rounds with chained NOT-IN exclusions
+    sqls["q290_greedy_dispatch"] = f"""
+WITH {_POS_CTE},
+oc290 AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x,
+         count(*) AS cnt
+  FROM pos GROUP BY 1, 2
+),
+rk290 AS (
+  SELECT y, x, y * 1000 + x AS cell_id,
+         row_number() OVER (ORDER BY cnt DESC, y * 1000 + x ASC) AS rk
+  FROM oc290
+),
+st290 AS (SELECT y AS sy, x AS sx, cell_id AS store_cell
+          FROM rk290 WHERE rk <= 4),
+dm290 AS (SELECT y AS dy, x AS dx, cell_id AS demand_cell
+          FROM rk290 WHERE rk > 4 AND rk <= 24),
+cd290 AS (
+  SELECT s.store_cell, d.demand_cell,
+         (s.sy - d.dy) * (s.sy - d.dy)
+         + (s.sx - d.dx) * (s.sx - d.dx) AS d2
+  FROM st290 s CROSS JOIN dm290 d
+),
+m290_1 AS (
+  SELECT 1 AS round, store_cell, demand_cell, d2 FROM cd290
+  ORDER BY d2, store_cell, demand_cell LIMIT 1
+),
+m290_2 AS (
+  SELECT 2 AS round, store_cell, demand_cell, d2 FROM cd290
+  WHERE store_cell NOT IN (SELECT store_cell FROM (SELECT * FROM m290_1))
+    AND demand_cell NOT IN (SELECT demand_cell FROM (SELECT * FROM m290_1))
+  ORDER BY d2, store_cell, demand_cell LIMIT 1
+),
+m290_3 AS (
+  SELECT 3 AS round, store_cell, demand_cell, d2 FROM cd290
+  WHERE store_cell NOT IN (SELECT store_cell FROM (SELECT * FROM m290_1 UNION ALL SELECT * FROM m290_2))
+    AND demand_cell NOT IN (SELECT demand_cell FROM (SELECT * FROM m290_1 UNION ALL SELECT * FROM m290_2))
+  ORDER BY d2, store_cell, demand_cell LIMIT 1
+),
+m290_4 AS (
+  SELECT 4 AS round, store_cell, demand_cell, d2 FROM cd290
+  WHERE store_cell NOT IN (SELECT store_cell FROM (SELECT * FROM m290_1 UNION ALL SELECT * FROM m290_2 UNION ALL SELECT * FROM m290_3))
+    AND demand_cell NOT IN (SELECT demand_cell FROM (SELECT * FROM m290_1 UNION ALL SELECT * FROM m290_2 UNION ALL SELECT * FROM m290_3))
+  ORDER BY d2, store_cell, demand_cell LIMIT 1
+)
+SELECT CAST(round AS BIGINT) AS round, store_cell, demand_cell,
+       CAST(d2 AS BIGINT) AS d2
+FROM (SELECT * FROM m290_1 UNION ALL SELECT * FROM m290_2 UNION ALL SELECT * FROM m290_3 UNION ALL SELECT * FROM m290_4) ORDER BY round
+"""
+
+    # q291: EWMA alerts — zero-filled hourly grid, linear recursive
+    # CTE replaying the integer eighths recurrence
+    sqls["q291_ewma_alerts"] = f"""
+WITH RECURSIVE {_POS_CTE},
+b291 AS (
+  SELECT least(greatest(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+           * 100000
+         + least(greatest(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0),
+                 11) AS cell_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hh
+  FROM pos
+),
+sp291 AS (SELECT min(hh) AS h0, max(hh) AS h1 FROM b291),
+ct291 AS (SELECT cell_id, hh, count(*) AS x FROM b291 GROUP BY 1, 2),
+cl291 AS (SELECT DISTINCT cell_id FROM ct291),
+gx291 AS (
+  SELECT c.cell_id, g.h, s.h0
+  FROM cl291 c CROSS JOIN sp291 s,
+  LATERAL (SELECT unnest(range(0, s.h1 - s.h0 + 1)) AS h) g
+),
+gr291 AS MATERIALIZED (
+  SELECT x.cell_id, x.h, COALESCE(t.x, 0) AS x
+  FROM gx291 x LEFT JOIN ct291 t
+    ON t.cell_id = x.cell_id AND t.hh = x.h + x.h0
+),
+ew291(cell_id, h, v, na) AS (
+  SELECT cell_id, h, x * 8, CAST(0 AS BIGINT) FROM gr291 WHERE h = 0
+  UNION ALL
+  SELECT g.cell_id, g.h,
+         r.v + ((g.x * 8 - r.v)
+                - (((g.x * 8 - r.v) % 8 + 8) % 8)) // 8,
+         r.na + CASE WHEN g.x * 8 > 2 * r.v AND g.x >= 3
+                     THEN 1 ELSE 0 END
+  FROM ew291 r JOIN gr291 g ON g.cell_id = r.cell_id AND g.h = r.h + 1
+),
+fn291 AS (
+  SELECT r.cell_id, r.v, r.na
+  FROM ew291 r CROSS JOIN sp291 s
+  WHERE r.h = s.h1 - s.h0
+),
+tt291 AS (
+  SELECT cell_id, count(*) AS n_hours, sum(x) AS total
+  FROM gr291 GROUP BY 1
+)
+SELECT t.cell_id, CAST(t.n_hours AS BIGINT) AS n_hours,
+       CAST(t.total AS BIGINT) AS total,
+       CAST(f.na AS BIGINT) AS n_alerts, CAST(f.v AS BIGINT) AS v_final
+FROM tt291 t JOIN fn291 f ON f.cell_id = t.cell_id
+ORDER BY t.cell_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -3740,3 +3740,72 @@ def huff_shares(df: DataFrame, n_stores: int = 4,
         F.expr("((-m.nt) * 1000000) DIV denom_micro").cast("long")
         .alias("share_micro"), "denom_micro")
     return cache.track(out, [occ])
+
+
+def greedy_dispatch(df: DataFrame, n_stores: int = 4, n_demands: int = 20,
+                    lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Greedy closest-pair dispatch — the classic online assignment
+    heuristic (riders-to-drivers, orders-to-depots): the ``n_stores``
+    hottest cells are servers, the next ``n_demands`` hottest are
+    requests, and matching repeatedly takes the GLOBALLY closest
+    (server, request) pair among the still-unmatched — each round a
+    global argmin, not a per-server pick, so earlier matches
+    constrain later ones exactly as a dispatch queue would.
+
+    Determinism: the pick is the min ``(d2, store_cell, demand_cell)``
+    struct (exact integer cell-unit squared distance, then ids);
+    ``n_stores`` rounds total.  The oracle unrolls the same rounds as
+    chained exclusion CTEs.
+
+    Scale shape: one occupancy aggregate ranks cells; the candidate
+    table is ``n_stores x n_demands`` generated rows (data-volume
+    independent), and each round is one argmin + one filter on it,
+    lineage-truncated — the iterative-extraction pattern at its
+    smallest useful size.  Returns ``(round, store_cell, demand_cell,
+    d2)``."""
+    from . import cache
+
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("cnt"))
+           .withColumn("cell_id", F.col("y") * 1000 + F.col("x")))
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("cell_id"))
+    rk = occ.withColumn("rk", F.row_number().over(wtop))
+    stores = (rk.where(F.col("rk") <= int(n_stores))
+              .select(F.col("y").alias("sy"), F.col("x").alias("sx"),
+                      F.col("cell_id").alias("store_cell")))
+    demands = (rk.where((F.col("rk") > int(n_stores))
+                        & (F.col("rk") <= int(n_stores) + int(n_demands)))
+               .select(F.col("y").alias("dy"), F.col("x").alias("dx"),
+                       F.col("cell_id").alias("demand_cell")))
+    cand = (stores.crossJoin(demands)
+            .select("store_cell", "demand_cell",
+                    ((F.col("sy") - F.col("dy"))
+                     * (F.col("sy") - F.col("dy"))
+                     + (F.col("sx") - F.col("dx"))
+                     * (F.col("sx") - F.col("dx"))).cast("long")
+                    .alias("d2"))
+            .coalesce(1).localCheckpoint(eager=True))
+    parts = []
+    avail = cand
+    for r in range(1, int(n_stores) + 1):
+        pick = (avail.agg(F.min(F.struct("d2", "store_cell",
+                                         "demand_cell")).alias("m"))
+                .select(F.lit(r).cast("long").alias("round"),
+                        F.col("m.store_cell").alias("store_cell"),
+                        F.col("m.demand_cell").alias("demand_cell"),
+                        F.col("m.d2").alias("d2"))
+                .coalesce(1).localCheckpoint(eager=True))
+        parts.append(pick)
+        avail = (avail.crossJoin(F.broadcast(
+            pick.select(F.col("store_cell").alias("ps"),
+                        F.col("demand_cell").alias("pd"))))
+            .where((F.col("store_cell") != F.col("ps"))
+                   & (F.col("demand_cell") != F.col("pd")))
+            .drop("ps", "pd")
+            .coalesce(1).localCheckpoint(eager=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2387,3 +2387,75 @@ def lz_match_profile(df: DataFrame, n_max: int = 40, nchars: int = 4,
     return (t.groupBy(key)
             .applyInPandas(_lz, f"{key} long, n long, sum_lambda long,"
                                 " max_l long"))
+
+
+def ewma_alerts(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                ts: str = "ep", cell_deg: float = 30.0,
+                spike_min: int = 3) -> DataFrame:
+    """Integer EWMA spike alerting per cell — the classic online
+    anomaly monitor (alpha = 1/8) replayed over the zero-filled
+    hourly series: an hour alerts when its count more than DOUBLES
+    the running mean (``x*8 > 2*v``) and is at least ``spike_min``;
+    the mean then absorbs it via the pure-integer recurrence
+    ``v' = v + floordiv(x*8 - v, 8)`` (v carries eighths — no
+    floats, and floordiv is written as the pmod identity so Spark's
+    truncating DIV and DuckDB's flooring // cannot diverge on
+    negatives).
+
+    Exactness: every state transition is integer; the oracle replays
+    the recurrence as a linear recursive CTE over the same
+    zero-filled grid.  Scale shape: one (cell, hour) count shuffle;
+    the grid is cells x hours-in-span (TIME-bounded, not
+    data-bounded — the sequential scan per cell is over the span
+    length, the per-batch loop cost a streaming monitor pays by
+    definition).  Returns ``(cell_id, n_hours, total, n_alerts,
+    v_final)``."""
+    import numpy as np
+    import pandas as pd
+
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    hcol = F.expr(f"{ts} DIV 3600")
+    base = df.select((ybin * 100000 + xbin).alias("cell_id"),
+                     hcol.alias("hh"))
+    span = base.agg(F.min("hh").alias("h0"), F.max("hh").alias("h1"))
+    counts = base.groupBy("cell_id", "hh").agg(F.count("*").alias("x"))
+    cells = counts.select("cell_id").distinct()
+    grid = (cells.crossJoin(F.broadcast(span))
+            .select("cell_id",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.col("h1") - F.col("h0")))
+                    .alias("h"), "h0")
+            .join(counts.crossJoin(F.broadcast(span))
+                  .select("cell_id",
+                          (F.col("hh") - F.col("h0")).alias("h"),
+                          "x"),
+                  ["cell_id", "h"], "left")
+            .select("cell_id", "h",
+                    F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+
+    def _ew(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("h")
+        xs = pdf["x"].to_numpy(np.int64)
+        v = int(xs[0]) * 8
+        na = 0
+        for x in xs[1:]:
+            x8 = int(x) * 8
+            if x8 > 2 * v and x >= spike_min:
+                na += 1
+            a = x8 - v
+            v = v + (a - (a % 8 + 8) % 8) // 8
+        return pd.DataFrame({"cell_id": [pdf["cell_id"].iloc[0]],
+                             "n_hours": [len(xs)],
+                             "total": [int(xs.sum())],
+                             "n_alerts": [na], "v_final": [v]})
+
+    return (grid.groupBy("cell_id")
+            .applyInPandas(_ew, "cell_id long, n_hours long, total long,"
+                                " n_alerts long, v_final long"))

@@ -2081,3 +2081,23 @@ def test_huff_shares_two_store_hand_case(spark):
     assert rows[a]["best_store"] == a
     assert rows[a]["share_micro"] == (ta0 * 1000000) // (ta0 + tb0)
     assert rows[b]["best_store"] == b
+
+
+def test_greedy_dispatch_constrains_later_rounds(spark):
+    """The classic dispatch case: both servers prefer the same
+    request; greedy gives it to the closer one and forces the other
+    to its second choice."""
+    from geotile import engine
+
+    # ranks by count: S1(10) S2(9) then demands D1(8) D2(7)
+    pts = ([(0, 0)] * 10 + [(0, 10)] * 9 + [(0, 1)] * 8 + [(0, 8)] * 7)
+    df = spark.createDataFrame(
+        [(float(y) - 90.0 + 0.5, float(x) - 180.0 + 0.5)
+         for (y, x) in pts], "lat double, lon double")
+    rows = {r["round"]: r
+            for r in engine.greedy_dispatch(df, n_stores=2,
+                                            n_demands=2).collect()}
+    assert rows[1]["store_cell"] == 0 and rows[1]["demand_cell"] == 1
+    assert rows[1]["d2"] == 1
+    assert rows[2]["store_cell"] == 10 and rows[2]["demand_cell"] == 8
+    assert rows[2]["d2"] == 4

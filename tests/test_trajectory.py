@@ -1351,3 +1351,21 @@ def test_lz_match_profile_hand_sequence(spark):
         "user_id long, ep long, event_id long, geohash string")
     r = trajectory.lz_match_profile(df).collect()[0]
     assert (r["n"], r["sum_lambda"], r["max_l"]) == (5, 8, 3)
+
+
+def test_ewma_alerts_integer_recurrence(spark):
+    """Hand-replayed eighths recurrence over a zero-filled gap:
+    counts [5,0,0,20] -> v 40,35,30,46 with exactly one alert."""
+    from geotile import trajectory
+
+    rows = []
+    eid = 0
+    for h, n in ((0, 5), (3, 20)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 10.0, 10.0, h * 3600))
+    df = spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, ep long")
+    r = trajectory.ewma_alerts(df).collect()[0]
+    assert (r["n_hours"], r["total"], r["n_alerts"], r["v_final"]) \
+        == (4, 25, 1, 46)

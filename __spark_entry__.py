@@ -5902,6 +5902,37 @@ def _q291_ewma_alerts(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.ewma_alerts(pos).orderBy("cell_id")
 
 
+def _q292_source_mst(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum spanning tree of the source-similarity graph
+    (graph.boruvka_mst over q289's KMV pair distances, w = k_used -
+    n_both): the single-linkage clustering backbone computed the
+    distributed way — Boruvka rounds (every component picks its min
+    outgoing edge at once, O(log V) rounds) vs an oracle that checks
+    each edge by the CUT PROPERTY (in the MST iff no strictly-smaller
+    path connects its endpoints, via a recursive reachability CTE) —
+    algorithm and certificate fully independent."""
+    from geotile import cache, graph, textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ki = textops.kmv_intersect(docs, k=64)
+    wsid = Window.orderBy("source")
+    ids = (docs.select("source").distinct()
+           .withColumn("sid", F.row_number().over(wsid)))
+    edges = (ki
+             .join(ids.select(F.col("source").alias("ga"),
+                              F.col("sid").alias("u")), "ga")
+             .join(ids.select(F.col("source").alias("gb"),
+                              F.col("sid").alias("v")), "gb")
+             .select("u", "v",
+                     (F.col("k_used") - F.col("n_both")).cast("long")
+                     .alias("w"), "ga", "gb"))
+    mst = graph.boruvka_mst(edges)
+    out = (mst.join(edges.select("u", "v", "ga", "gb"), ["u", "v"])
+           .select("ga", "gb", "w"))
+    return cache.track(out.orderBy("ga", "gb"),
+                       getattr(ki, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6226,6 +6257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q289_kmv_intersect": _q289_kmv_intersect,
         "q290_greedy_dispatch": _q290_greedy_dispatch,
         "q291_ewma_alerts": _q291_ewma_alerts,
+        "q292_source_mst": _q292_source_mst,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16025,6 +16057,79 @@ SELECT t.cell_id, CAST(t.n_hours AS BIGINT) AS n_hours,
        CAST(f.na AS BIGINT) AS n_alerts, CAST(f.v AS BIGINT) AS v_final
 FROM tt291 t JOIN fn291 f ON f.cell_id = t.cell_id
 ORDER BY t.cell_id
+"""
+
+    # q292: source MST — the q289 sketch chain rebuilt, then each
+    # edge certified by the cut property: reachability over strictly
+    # smaller edges ((w, u, v) total order) via a recursive CTE
+    sqls["q292_source_mst"] = f"""
+WITH RECURSIVE tk292 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th292 AS (
+  SELECT source,
+         list_sum(list_transform(range(1, length(tok) + 1),
+           j -> CAST(ascii(substr(tok, j, 1)) AS HUGEINT)
+                * ({_POWLIST})[length(tok) - j + 1])) % {_W64} AS h0
+  FROM tk292
+),
+{_splitmix_cte_sql("th292", "h0", "hu", "k292")},
+dh292 AS (SELECT DISTINCT source, hu FROM k292d),
+sk292 AS (
+  SELECT source, hu FROM (
+    SELECT source, hu,
+           row_number() OVER (PARTITION BY source ORDER BY hu ASC) AS rn
+    FROM dh292)
+  WHERE rn <= 64
+),
+gp292 AS (SELECT DISTINCT source FROM documents),
+pr292 AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM gp292 a JOIN gp292 b ON a.source < b.source
+),
+un292 AS (
+  SELECT p.ga, p.gb, s.hu,
+         max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS ib
+  FROM pr292 p JOIN sk292 s ON s.source = p.ga OR s.source = p.gb
+  GROUP BY 1, 2, 3
+),
+rk292 AS (
+  SELECT *, row_number() OVER (PARTITION BY ga, gb
+                               ORDER BY hu ASC) AS rn
+  FROM un292
+),
+ag292 AS (
+  SELECT ga, gb, count(*) - sum(ia * ib) AS w
+  FROM rk292 WHERE rn <= 64
+  GROUP BY ga, gb
+),
+si292 AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS sid FROM gp292
+),
+ed292 AS MATERIALIZED (
+  SELECT a.sid AS u, b.sid AS v, g.w, g.ga, g.gb
+  FROM ag292 g
+  JOIN si292 a ON a.source = g.ga
+  JOIN si292 b ON b.source = g.gb
+),
+rc292(eu, ev, ew, node) AS (
+  SELECT u, v, w, u FROM ed292
+  UNION
+  SELECT r.eu, r.ev, r.ew,
+         CASE WHEN f.u = r.node THEN f.v ELSE f.u END
+  FROM rc292 r JOIN ed292 f
+    ON (f.u = r.node OR f.v = r.node)
+   AND (f.w < r.ew OR (f.w = r.ew
+        AND (f.u < r.eu OR (f.u = r.eu AND f.v < r.ev))))
+)
+SELECT e.ga, e.gb, CAST(e.w AS BIGINT) AS w
+FROM ed292 e
+WHERE NOT EXISTS (
+  SELECT 1 FROM rc292 r
+  WHERE r.eu = e.u AND r.ev = e.v AND r.node = e.v
+)
+ORDER BY e.ga, e.gb
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -697,3 +697,69 @@ def adamic_adar_topk(edges: DataFrame, k: int = 20,
     out = (fresh.orderBy(F.desc("aa_micro"), F.asc("a"), F.asc("b"))
            .limit(int(k)))
     return cache.track(out, [und])
+
+
+def boruvka_mst(edges: DataFrame, src: str = "u", dst: str = "v",
+                w: str = "w", max_rounds: int = 16) -> DataFrame:
+    """Minimum spanning forest by BORUVKA's algorithm — the MST
+    algorithm that parallelizes: every round each component picks its
+    minimum outgoing edge (all components at once, one aggregation),
+    the picked edges merge components, and the component count at
+    least halves — O(log V) rounds, which is why Boruvka (not Prim,
+    not Kruskal — both inherently sequential in their loop) is the
+    distributed choice.
+
+    Edges are undirected ``(src, dst, w)`` with ``src < dst``
+    canonical ids; ties are broken by the TOTAL order ``(w, src,
+    dst)``, which makes the MST unique and lets the oracle verify it
+    edge-by-edge via the cut property (an edge is in the MST iff its
+    endpoints are not connected by strictly smaller edges).
+
+    Scale shape per round: two comp-label hash joins + one symmetric
+    min-struct aggregation over the CURRENT cross-component edge set
+    (shrinking every round), then component contraction via
+    :func:`connected_components` on the picked edges only (a
+    forest-sized frame); labels are localCheckpoint-ed per round.
+    Returns the MST edge list ``(src, dst, w)``."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(w).alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .localCheckpoint(eager=True))
+    comp = (e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("c"))
+            .localCheckpoint(eager=True))
+    parts = []
+    for _ in range(int(max_rounds)):
+        cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+        cross = (e.join(cu, "u").join(cv, "v")
+                 .where(F.col("cu") != F.col("cv")))
+        sym = (cross.select(F.col("cu").alias("cc"), "w", "u", "v")
+               .unionByName(cross.select(F.col("cv").alias("cc"),
+                                         "w", "u", "v")))
+        sel = (sym.groupBy("cc")
+               .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+               .select(F.col("m.u").alias("u"), F.col("m.v").alias("v"),
+                       F.col("m.w").alias("w"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        if sel.isEmpty():
+            break
+        parts.append(sel)
+        selc = (sel.join(cu, "u").join(cv, "v")
+                .select(F.col("cu").alias("a"), F.col("cv").alias("b")))
+        cc = connected_components(selc)
+        comp = (comp.join(cc.withColumnRenamed("node", "c0"),
+                          comp["c"] == F.col("c0"), "left")
+                .select("node",
+                        F.coalesce(F.col("cluster_id"), F.col("c"))
+                        .alias("c"))
+                .localCheckpoint(eager=True))
+    if not parts:
+        return e.where(F.lit(False)).select("u", "v", "w")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

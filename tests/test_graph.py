@@ -461,3 +461,22 @@ def test_adamic_adar_path_and_square(spark):
     assert set(rows2) == {(1, 3), (2, 4)}
     for p in rows2.values():
         assert p["n_common"] == 2 and p["aa_micro"] == 2 * w2
+
+
+def test_boruvka_mst_hand_graph_and_ties(spark):
+    """Known MST on a 5-edge graph, plus the all-ties triangle where
+    the (w, u, v) total order uniquely decides the tree."""
+    from geotile import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (1, 3, 3), (3, 4, 1), (2, 4, 5)],
+        "u long, v long, w long")
+    got = sorted((r["u"], r["v"], r["w"])
+                 for r in graph.boruvka_mst(edges).collect())
+    assert got == [(1, 2, 1), (2, 3, 2), (3, 4, 1)]
+
+    tri = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5)], "u long, v long, w long")
+    got2 = sorted((r["u"], r["v"], r["w"])
+                  for r in graph.boruvka_mst(tri).collect())
+    assert got2 == [(1, 2, 5), (1, 3, 5)]

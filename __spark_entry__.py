@@ -5933,6 +5933,33 @@ def _q292_source_mst(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(ki, "_geotile_persisted", []))
 
 
+def _q293_visit_motifs(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily visit-order motif census (trajectory.visit_motifs, gh4,
+    2-4 locations): consecutive repeats collapsed, locations
+    relabeled by first-visit order, the sorted transition set as the
+    day's signature — the population's routine vocabulary (pendulum
+    vs tour vs star days).  The oracle replays the collapse window,
+    the first-visit dense rank, and the sorted distinct string_agg."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return (trajectory.visit_motifs(pos)
+            .orderBy("n_locs", "motif"))
+
+
+def _q294_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap, full vs 8-dim prefix rankings
+    (simsearch.rbo_eval, p=1/2, k=10): top-weighted agreement with
+    every depth term an exact integer DIV of overlap by d*2^(d-1),
+    plus the first diverging depth — the position-sensitive
+    complement to q288's flat recall.  The oracle replays both
+    rankings and the integer depth chain."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (simsearch.rbo_eval(emb, _ann_query_vectors(sf),
+                               prefix_d=8, k=10)
+            .orderBy("query_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6258,6 +6285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q290_greedy_dispatch": _q290_greedy_dispatch,
         "q291_ewma_alerts": _q291_ewma_alerts,
         "q292_source_mst": _q292_source_mst,
+        "q293_visit_motifs": _q293_visit_motifs,
+        "q294_rbo_eval": _q294_rbo_eval,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16131,6 +16160,126 @@ WHERE NOT EXISTS (
 )
 ORDER BY e.ga, e.gb
 """
+
+    # q293: visit motifs — collapse window, first-visit dense rank,
+    # sorted distinct transition signature, census
+    _wgh293 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q293_visit_motifs"] = f"""
+WITH {_WALK_CTE},
+c293 AS (
+  SELECT user_id, ep, event_id, ep // 86400 AS day,
+         {_wgh293} AS cell
+  FROM walk
+),
+l293 AS (
+  SELECT *, lag(cell) OVER (PARTITION BY user_id, day
+                            ORDER BY ep, event_id) AS pc
+  FROM c293
+),
+f293 AS (
+  SELECT user_id, day, cell, ep, event_id
+  FROM l293 WHERE pc IS NULL OR pc <> cell
+),
+s293 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, day
+                               ORDER BY ep, event_id) AS seq
+  FROM f293
+),
+v293 AS (
+  SELECT *, min(seq) OVER (PARTITION BY user_id, day, cell) AS fv
+  FROM s293
+),
+b293 AS (
+  SELECT *, dense_rank() OVER (PARTITION BY user_id, day
+                               ORDER BY fv) AS label
+  FROM v293
+),
+t293 AS (
+  SELECT user_id, day, label,
+         lag(label) OVER (PARTITION BY user_id, day ORDER BY seq) AS pl
+  FROM b293
+),
+x293 AS (
+  SELECT user_id, day,
+         CAST(pl AS VARCHAR) || '>' || CAST(label AS VARCHAR) AS code,
+         label
+  FROM t293 WHERE pl IS NOT NULL
+),
+pd293 AS (
+  SELECT user_id, day, max(label) AS n_locs FROM x293 GROUP BY 1, 2
+),
+sg293 AS (
+  SELECT user_id, day, string_agg(code, ',' ORDER BY code) AS motif
+  FROM (SELECT DISTINCT user_id, day, code FROM x293)
+  GROUP BY 1, 2
+)
+SELECT CAST(p.n_locs AS BIGINT) AS n_locs, s.motif,
+       CAST(count(*) AS BIGINT) AS n_user_days
+FROM pd293 p JOIN sg293 s ON s.user_id = p.user_id AND s.day = p.day
+WHERE p.n_locs BETWEEN 2 AND 4
+GROUP BY 1, 2
+ORDER BY n_locs, motif
+"""
+
+    # q294: RBO — both rankings replayed with positions, integer
+    # depth-term chain (overlap over d * 2^(d-1), DIV-floored)
+    try:
+        _pq294 = _ann_query_vectors(sf_dir)
+        _blocks294, _un294 = [], []
+        for _qid, _qv294 in _pq294:
+            _vfull = _vec_literal_sql([float(x) for x in _qv294])
+            _csf = (f"list_inner_product(emb64, {_vfull}) / "
+                    f"(sqrt(list_inner_product(emb64, emb64)) * "
+                    f"sqrt(list_inner_product({_vfull}, {_vfull})))")
+            _vp = _vec_literal_sql([float(x) for x in _qv294[:8]])
+            _sl = "emb64[1:8]"
+            _csp = (f"list_inner_product({_sl}, {_vp}) / "
+                    f"(sqrt(list_inner_product({_sl}, {_sl})) * "
+                    f"sqrt(list_inner_product({_vp}, {_vp})))")
+            _blocks294.append(f"""ar294_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id, apos FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY {_csf} DESC, vec_id ASC) AS apos
+    FROM b294) WHERE apos <= 10
+),
+br294_{_qid} AS (
+  SELECT {_qid} AS query_id, vec_id, bpos FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY {_csp} DESC, vec_id ASC) AS bpos
+    FROM b294) WHERE bpos <= 10
+)""")
+            _un294.append(
+                f"""SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+       COALESCE(a.apos, 99) AS apos, COALESCE(b.bpos, 99) AS bpos
+FROM ar294_{_qid} a FULL JOIN br294_{_qid} b ON b.vec_id = a.vec_id""")
+        sqls["q294_rbo_eval"] = f"""
+WITH b294 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb64 FROM embeddings
+),
+{",".join(_blocks294)},
+mm294 AS (
+  {" UNION ALL ".join(_un294)}
+),
+dp294 AS (
+  SELECT m.query_id, m.apos, m.bpos, d.d
+  FROM mm294 m, LATERAL (SELECT unnest(range(1, 11)) AS d) d
+),
+ov294 AS (
+  SELECT query_id, d,
+         sum(CASE WHEN apos <= d AND bpos <= d THEN 1 ELSE 0 END) AS ov
+  FROM dp294 GROUP BY 1, 2
+)
+SELECT query_id,
+       CAST(max(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS ov_k,
+       CAST(sum((ov * 1000000) // (d * (CAST(1 AS BIGINT) << (d - 1))))
+            AS BIGINT) AS rbo_sum_micro,
+       CAST(COALESCE(min(CASE WHEN ov < d THEN d END), 0) AS BIGINT)
+         AS first_div
+FROM ov294 GROUP BY query_id
+ORDER BY query_id
+"""
+    except Exception:
+        pass  # embeddings absent -> q294 falls back to rows-only
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

@@ -168,7 +168,14 @@ def main() -> None:
         "q267_viterbi_paths", "q268_fair_share", "q269_triplet_audit",
         "q270_novelty_profile", "q271_seq_entropy", "q272_zipf_fit",
         "q273_distance_decay", "q274_cell_sync", "q275_peak_hours",
-        "q276_debounce_audit",
+        "q276_debounce_audit", "q277_drainage_basins",
+        "q278_join_counts", "q279_hull_diameter", "q280_nb_classify",
+        "q281_ddsketch_quantiles", "q282_map_mrr_eval",
+        "q283_isotonic_calibration", "q284_huff_shares",
+        "q285_stream_ddsketch", "q286_dtw_consistency",
+        "q287_lz_matches", "q288_prefix_recall", "q289_kmv_intersect",
+        "q290_greedy_dispatch", "q291_ewma_alerts", "q292_source_mst",
+        "q293_visit_motifs", "q294_rbo_eval",
     ]
     from geotile import cache, textops
 

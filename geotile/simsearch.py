@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
@@ -827,3 +827,61 @@ def prefix_dim_recall(df: DataFrame, queries: list, dims=(4, 8, 16, 32, 64),
             .withColumn("recall_micro",
                         F.expr(f"n_hit * 1000000 DIV {int(k)}"))
             .select("query_id", "d", "n_hit", "recall_micro"))
+
+
+def rbo_eval(df: DataFrame, queries: list, prefix_d: int = 8, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id"
+             ) -> DataFrame:
+    """Rank-biased overlap between the full-dimension and the
+    ``prefix_d``-dimension exact rankings — the top-weighted ranking
+    agreement measure (Webber et al.) that q288's flat recall cannot
+    express: swapping rank 1 hurts far more than swapping rank 10.
+    With persistence p = 1/2 every depth-d term is the exact rational
+    ``overlap_d / (d * 2^(d-1))``, floored to integer micro BEFORE
+    the sum — no ln, no floats, deterministic under any order.
+
+    Also emits the first depth where the two top-d sets disagree
+    (``first_div``; 0 = set-identical at every depth to k) — the
+    headline number an embedding-truncation decision actually needs.
+
+    Scale shape: two ranking window scans per query (row_number +
+    filter, the TakeOrdered shape); the depth expansion runs on
+    queries x k rows.  Returns ``(query_id, ov_k, rbo_sum_micro,
+    first_div)``."""
+    from functools import reduce
+
+    parts = []
+    for qid, qv in queries:
+        wq = Window.orderBy(F.col("c").desc(), F.col(id_col).asc())
+        a = (df.withColumn("c", cosine_col(vec_col, qv))
+             .withColumn("pos", F.row_number().over(wq))
+             .where(F.col("pos") <= int(k))
+             .select(F.lit(int(qid)).cast("long").alias("query_id"),
+                     F.col(id_col), F.col("pos").alias("apos")))
+        b = (df.withColumn("c", cosine_prefix_col(vec_col, qv, prefix_d))
+             .withColumn("pos", F.row_number().over(wq))
+             .where(F.col("pos") <= int(k))
+             .select(F.lit(int(qid)).cast("long").alias("query_id"),
+                     F.col(id_col), F.col("pos").alias("bpos")))
+        parts.append(a.join(b, ["query_id", id_col], "full")
+                     .select("query_id",
+                             F.coalesce("apos", F.lit(99)).alias("apos"),
+                             F.coalesce("bpos", F.lit(99)).alias("bpos")))
+    m = reduce(lambda x, y: x.unionByName(y), parts)
+    depths = m.select("query_id", "apos", "bpos",
+                      F.explode(F.sequence(F.lit(1), F.lit(int(k))))
+                      .alias("d"))
+    ov = (depths.groupBy("query_id", "d")
+          .agg(F.sum(((F.col("apos") <= F.col("d"))
+                      & (F.col("bpos") <= F.col("d"))).cast("long"))
+               .alias("ov")))
+    term = F.expr("(ov * 1000000) DIV "
+                  "(d * shiftleft(CAST(1 AS BIGINT), CAST(d - 1 AS INT)))")
+    return (ov.withColumn("term", term.cast("long"))
+            .groupBy("query_id")
+            .agg(F.max(F.when(F.col("d") == int(k), F.col("ov")))
+                 .cast("long").alias("ov_k"),
+                 F.sum("term").cast("long").alias("rbo_sum_micro"),
+                 F.coalesce(F.min(F.when(F.col("ov") < F.col("d"),
+                                         F.col("d"))), F.lit(0))
+                 .cast("long").alias("first_div")))

@@ -2459,3 +2459,57 @@ def ewma_alerts(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return (grid.groupBy("cell_id")
             .applyInPandas(_ew, "cell_id long, n_hours long, total long,"
                                 " n_alerts long, v_final long"))
+
+
+def visit_motifs(df: DataFrame, nchars: int = 4, max_locs: int = 4,
+                 key: str = "user_id", ts: str = "ep",
+                 order_col: str = "event_id",
+                 cell_col: str = "geohash") -> DataFrame:
+    """Daily visit-order motif census — the mobility-motifs idea
+    (Schneider et al.) in its sequence form: per (key, day) collapse
+    consecutive repeats of the gh-cell track, relabel locations by
+    FIRST-VISIT order (1, 2, 3, ...), and take the SET of directed
+    transitions between labels as the day's motif signature (e.g.
+    ``1>2,2>1`` is the home-work pendulum, ``1>2,2>3,3>1`` the
+    triangle tour).  First-visit relabeling makes the signature a
+    pure function of the visit order — deterministic, cross-engine
+    exact, no graph-isomorphism search — and the census over all
+    user-days is the population's routine vocabulary (q86 counts
+    trips, q270 counts novelty; this names the SHAPE of the day).
+
+    Days with 2..``max_locs`` distinct locations census; 1-location
+    days (no transition) and busier days are excluded as the motif
+    literature does.  Exactness: labels are window ranks, signatures
+    sorted comma-joined strings, everything counts.
+
+    Scale shape: three windows on one (key, day)-keyed exchange +
+    one signature rollup; nothing data-sized leaves the keyed
+    partition.  Returns ``(n_locs, motif, n_user_days)``."""
+    day = F.expr(f"{ts} DIV 86400")
+    w = Window.partitionBy(key, "_day").orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    d = (df.withColumn("_day", day)
+         .withColumn("cell", F.substring(F.col(cell_col), 1, nchars))
+         .withColumn("_prev", F.lag("cell").over(w))
+         .where(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("cell")))
+         .withColumn("seq", F.row_number().over(w)))
+    wfv = Window.partitionBy(key, "_day", "cell")
+    wlab = Window.partitionBy(key, "_day").orderBy("fv")
+    lab = (d.withColumn("fv", F.min("seq").over(wfv))
+           .withColumn("label", F.dense_rank().over(wlab)))
+    wseq = Window.partitionBy(key, "_day").orderBy("seq")
+    tr = (lab.withColumn("_pl", F.lag("label").over(wseq))
+          .where(F.col("_pl").isNotNull())
+          .select(key, "_day",
+                  F.concat(F.col("_pl").cast("string"), F.lit(">"),
+                           F.col("label").cast("string")).alias("code"),
+                  "label"))
+    per_day = (tr.groupBy(key, "_day")
+               .agg(F.max("label").cast("long").alias("n_locs"),
+                    F.array_join(F.array_sort(F.collect_set("code")),
+                                 ",").alias("motif"))
+               .where((F.col("n_locs") >= 2)
+                      & (F.col("n_locs") <= int(max_locs))))
+    return (per_day.groupBy("n_locs", "motif")
+            .agg(F.count("*").cast("long").alias("n_user_days")))

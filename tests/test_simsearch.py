@@ -595,3 +595,20 @@ def test_prefix_dim_recall_full_dim_anchor(spark, sf_dir):
         assert r["recall_micro"] == r["n_hit"] * 1000000 // 10
         if r["d"] == 64:
             assert r["n_hit"] == 10
+
+
+def test_rbo_eval_identical_rankings(spark, sf_dir):
+    """prefix_d = full dimension: rankings identical, so first_div is
+    the 0 sentinel, ov_k = k, and the RBO sum is the closed-form
+    geometric series of floored terms."""
+    import __spark_entry__ as E
+    from geotile import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = simsearch.rbo_eval(emb, E._ann_query_vectors(sf_dir),
+                              prefix_d=64, k=10).collect()
+    expected_sum = sum((d * 1000000) // (d * (1 << (d - 1)))
+                       for d in range(1, 11))
+    for r in rows:
+        assert r["ov_k"] == 10 and r["first_div"] == 0
+        assert r["rbo_sum_micro"] == expected_sum

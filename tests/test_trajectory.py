@@ -1369,3 +1369,19 @@ def test_ewma_alerts_integer_recurrence(spark):
     r = trajectory.ewma_alerts(df).collect()[0]
     assert (r["n_hours"], r["total"], r["n_alerts"], r["v_final"]) \
         == (4, 25, 1, 46)
+
+
+def test_visit_motifs_hand_days(spark):
+    """A-A-B-A collapses to the pendulum 1>2,2>1; A-B-C is the
+    3-location chain 1>2,2>3."""
+    from geotile import trajectory
+
+    rows = [(1, i * 60, i, c + "x" * 3)
+            for i, c in enumerate(["a", "a", "b", "a"])]
+    rows += [(2, i * 60, i, c + "x" * 3)
+             for i, c in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, geohash string")
+    got = {(r["n_locs"], r["motif"]): r["n_user_days"]
+           for r in trajectory.visit_motifs(df).collect()}
+    assert got == {(2, "1>2,2>1"): 1, (3, "1>2,2>3"): 1}

@@ -1447,6 +1447,91 @@ def main() -> None:
          "triplet_audit (q269): label-sized broadcast pick tables + "
          "two id-keyed vector lookups; distance folds are per-row "
          "array expressions — zero pair joins"),
+        (_entry._q270_novelty_profile,
+         "novelty_profile (q270): two windows on ONE keyed exchange "
+         "(first-visit rank + visit index) + a per-key rollup"),
+        (_entry._q271_seq_entropy,
+         "seq_entropy (q271): one keyed lag window, transition counts "
+         "partial-aggregate, ln floors on the origin-sized frame"),
+        (_entry._q272_zipf_fit,
+         "zipf_fit (q272): one token-count shuffle; the rank window "
+         "and OLS moments run on the type-sized frame"),
+        (_entry._q273_distance_decay,
+         "distance_decay (q273): one keyed lag window, exact d2 map-"
+         "side, ring rollup bounded by ring count"),
+        (_entry._q274_cell_sync,
+         "cell_sync (q274): (cell, hour) partial aggregation, zero-"
+         "fill grid from a broadcast span, hour-keyed pair join on "
+         "the bounded series frame — never raw fixes"),
+        (_entry._q275_peak_hours,
+         "peak_hours (q275): one (cell, hour-of-day) aggregation "
+         "(<=24 rows per cell), struct-argmax rollup"),
+        (_entry._q276_debounce_audit,
+         "debounce_audit (q276): per rung one keyed lag/flag/running-"
+         "sum window on the SAME exchange key + a bounded rollup"),
+        (_entry._q277_drainage_basins,
+         "drainage_basins (q277): ONE data-sized aggregate picks the "
+         "hot cell; the D8 grid and parent table are window-sized; "
+         "pointer doubling is log2(625) tiny self-joins, checkpointed"),
+        (_entry._q278_join_counts,
+         "join_counts (q278): one occupancy distinct; BB via shifted "
+         "self-join on the occupied set; BW/WW by identities on 1-row "
+         "aggregates — the empty universe is never enumerated"),
+        (_entry._q279_hull_diameter,
+         "hull_diameter (q279): one applyInPandas hull shuffle; the "
+         "pair scan is per-key quadratic in HULL size only"),
+        (_entry._q280_nb_classify,
+         "nb_classify (q280): one (label, token) count shuffle trains; "
+         "the dense model joins token-keyed with map-side partial "
+         "sums; priors/V are 1-row broadcasts"),
+        (_entry._q281_ddsketch_quantiles,
+         "ddsketch_quantiles (q281): one (group, log-bucket) count "
+         "shuffle — bucket count is log(range)/alpha regardless of "
+         "volume; rank walk on the sketch only"),
+        (_entry._q282_map_mrr_eval,
+         "map_mrr_eval (q282): term-filtered explode + TakeOrdered "
+         "per query; the integer metric chain runs on queries x k "
+         "rows"),
+        (_entry._q283_isotonic_calibration,
+         "isotonic_calibration (q283): one bucket-count shuffle "
+         "collapses the corpus to <=51 rows; PAVA runs in one Arrow "
+         "batch on that bucket table"),
+        (_entry._q284_huff_shares,
+         "huff_shares (q284): one occupancy aggregate; stores are a "
+         "4-row broadcast so the demand x store expansion is map-side"),
+        (_entry._q286_dtw_consistency,
+         "dtw_consistency (q286): one keyed window ranks days/fixes; "
+         "k-point selection is a filter on the same exchange; the DP "
+         "is 64 numpy steps vectorized ACROSS users in one batch"),
+        (_entry._q287_lz_matches,
+         "lz_matches (q287): one keyed window truncates to n_max; the "
+         "suffix-match DP runs on n_max-row groups in applyInPandas"),
+        (_entry._q288_prefix_recall,
+         "prefix_recall (q288): each ranking is a narrow scan + "
+         "TakeOrdered; joins on queries x k rows"),
+        (_entry._q289_kmv_intersect,
+         "kmv_intersect (q289): one token shuffle builds sketches; "
+         "all pair logic runs on pairs x 2k sketch ROWS with the "
+         "pair list broadcast"),
+        (_entry._q290_greedy_dispatch,
+         "greedy_dispatch (q290): one occupancy aggregate; four "
+         "argmin+filter rounds on a generated 4x20 candidate table, "
+         "lineage-truncated"),
+        (_entry._q291_ewma_alerts,
+         "ewma_alerts (q291): one (cell, hour) count shuffle; the "
+         "zero-filled grid is cells x span (TIME-bounded); the "
+         "sequential recurrence runs per cell in applyInPandas"),
+        (_entry._q292_source_mst,
+         "source_mst (q292): KMV sketches one token shuffle; Boruvka "
+         "rounds aggregate the shrinking cross-component edge set "
+         "with comp labels checkpointed — O(log V) rounds"),
+        (_entry._q293_visit_motifs,
+         "visit_motifs (q293): three windows on one (user, day) "
+         "exchange + a signature rollup — nothing leaves the keyed "
+         "partition"),
+        (_entry._q294_rbo_eval,
+         "rbo_eval (q294): two ranking window scans per query; depth "
+         "expansion on queries x k rows, all-integer terms"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

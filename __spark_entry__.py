@@ -5960,6 +5960,32 @@ def _q294_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def _q295_perm_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic permutation test (textops.perm_test, 20 hash
+    relabelings): is the mean length of lang=en docs explainable by
+    chance — pseudo-group sums vs the observed sum compared as exact
+    integer cross products, all 42 conditional sums in ONE map-only
+    aggregate row.  The oracle replays the rate threshold, every
+    seeded xxhash relabeling, and the cross-product comparisons."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.perm_test(docs).orderBy("perm_id")
+
+
+def _q296_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-curation funnel (textops.curation_funnel): exact dedup
+    -> lang filter -> length window -> per-source hash quota,
+    composed IN SEQUENCE with per-stage survivor counts — the stage
+    interactions the per-operator gates cannot see.  The oracle
+    replays each stage (window min per text, filters, the xxhash
+    rank quota) on the same tables."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.curation_funnel(docs).orderBy("stage")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6287,6 +6313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_source_mst": _q292_source_mst,
         "q293_visit_motifs": _q293_visit_motifs,
         "q294_rbo_eval": _q294_rbo_eval,
+        "q295_perm_test": _q295_perm_test,
+        "q296_curation_funnel": _q296_curation_funnel,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16280,6 +16308,86 @@ ORDER BY query_id
 """
     except Exception:
         pass  # embeddings absent -> q294 falls back to rows-only
+
+    # q295: permutation test — rate threshold, 20 seeded xxhash
+    # relabelings over the doc x perm explode, integer cross products
+    _sig295 = _signed64_sql("xh")
+    _pm295 = f"((({_sig295} % 1000) + 1000) % 1000)"
+    sqls["q295_perm_test"] = f"""
+WITH st295 AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         count(*) AS nn,
+         sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS obs_s
+  FROM documents
+),
+tt295 AS (
+  SELECT (1000 * n_en) // nn AS t, n_en AS obs_n, obs_s FROM st295
+),
+pp295 AS (SELECT unnest(range(0, 20)) AS p),
+zz295 AS (
+  SELECT d.doc_id, d.n_chars, p.p,
+         CAST(d.doc_id * (2 * p.p + 1) AS HUGEINT) AS z0
+  FROM documents d CROSS JOIN pp295 p
+),
+{_xxhash64_cte_sql("zz295", "z0", "xh", "x295")},
+pm295 AS (
+  SELECT p,
+         sum(CASE WHEN {_pm295} < t.t THEN 1 ELSE 0 END) AS n,
+         sum(CASE WHEN {_pm295} < t.t THEN n_chars ELSE 0 END) AS s
+  FROM x295f CROSS JOIN tt295 t
+  GROUP BY p
+)
+SELECT CAST(-1 AS BIGINT) AS perm_id, CAST(t.obs_n AS BIGINT) AS n,
+       CAST(t.obs_s AS BIGINT) AS s, CAST(1 AS BIGINT) AS ge
+FROM tt295 t
+UNION ALL
+SELECT CAST(m.p AS BIGINT), CAST(m.n AS BIGINT), CAST(m.s AS BIGINT),
+       CAST(CASE WHEN m.s * t.obs_n >= t.obs_s * m.n
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM pm295 m CROSS JOIN tt295 t
+ORDER BY perm_id
+"""
+
+    # q296: curation funnel — window-min dedup, filters, xxhash rank
+    # quota, five stage counts
+    _sig296 = _signed64_sql("xh")
+    sqls["q296_curation_funnel"] = f"""
+WITH s1_296 AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS mid
+    FROM documents)
+  WHERE doc_id = mid
+),
+s2_296 AS (SELECT * FROM s1_296 WHERE lang = 'en'),
+s3_296 AS (SELECT * FROM s2_296 WHERE n_chars BETWEEN 100 AND 500),
+zz296 AS (
+  SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z0 FROM s3_296
+),
+{_xxhash64_cte_sql("zz296", "z0", "xh", "x296")},
+s4_296 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY ((({_sig296} % 1000000) + 1000000)
+                                        % 1000000) ASC,
+                                       doc_id ASC) AS rk
+    FROM x296f)
+  WHERE rk <= 100
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+         CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 1, 'dedup', count(*) FROM s1_296
+  UNION ALL
+  SELECT 2, 'lang', count(*) FROM s2_296
+  UNION ALL
+  SELECT 3, 'length', count(*) FROM s3_296
+  UNION ALL
+  SELECT 4, 'quota', count(*) FROM s4_296
+)
+ORDER BY stage
+"""
 
     # Every queries() entry above has an exact oracle — including the
     # MinHash/SimHash/winnowing signature pipelines (HUGEINT mod-2^64

@@ -175,7 +175,8 @@ def main() -> None:
         "q285_stream_ddsketch", "q286_dtw_consistency",
         "q287_lz_matches", "q288_prefix_recall", "q289_kmv_intersect",
         "q290_greedy_dispatch", "q291_ewma_alerts", "q292_source_mst",
-        "q293_visit_motifs", "q294_rbo_eval",
+        "q293_visit_motifs", "q294_rbo_eval", "q295_perm_test",
+        "q296_curation_funnel",
     ]
     from geotile import cache, textops
 

@@ -3668,3 +3668,99 @@ def kmv_intersect(df: DataFrame, group: str = "source", k: int = 64,
                    F.col("_mx").bitwiseXOR(F.lit(-(1 << 63)))
                    .cast("long").alias("kth_hash")))
     return cache.track(out, [sk])
+
+
+def perm_test(df: DataFrame, n_perm: int = 20, label_col: str = "lang",
+              label_val: str = "en", value_col: str = "n_chars",
+              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic random-labeling permutation test: is the mean
+    ``value_col`` of the ``label_val`` group explainable by chance?
+    Each pseudo-permutation relabels documents by a seeded hash
+    (``pmod(xxhash64(id * (2i+1)), 1000) < t`` with t matching the
+    observed group rate), recomputes the group sum, and the p-value
+    numerator is how many pseudo-groups have mean >= the observed
+    mean — compared as EXACT INTEGER CROSS PRODUCTS
+    (``s*obs_n >= obs_s*n``), never a float division, so unequal
+    pseudo-group sizes cost nothing.  Hash relabeling makes the
+    "permutations" reproducible and oracle-replayable — the same
+    move as q258's hash relevance and q232's half-sample bootstrap
+    (which resamples the statistic; this resamples the LABELS).
+
+    Scale shape: ONE map-only pass computes all ``2*n_perm + 2``
+    conditional sums in a single aggregate row (no explode, no
+    shuffle beyond the 1-row aggregate); the per-perm table is
+    unpivoted from that row.  Returns ``(perm_id, n, s, ge)`` with
+    perm_id -1 = the observed labeling (ge vacuously 1)."""
+    obs = (F.col(label_col) == label_val).cast("long")
+    aggs = [F.sum(obs).alias("obs_n"),
+            F.sum(obs * F.col(value_col)).alias("obs_s")]
+    for i in range(int(n_perm)):
+        m = 2 * i + 1
+        h = F.pmod(F.xxhash64(F.col(id_col) * F.lit(m)), F.lit(1000))
+        aggs.append(F.sum(F.when(h < F.col("_t"), 1).otherwise(0))
+                    .cast("long").alias(f"n{i}"))
+        aggs.append(F.sum(F.when(h < F.col("_t"), F.col(value_col))
+                          .otherwise(0)).cast("long").alias(f"s{i}"))
+    nobs = df.agg(F.sum(obs).alias("n_en"), F.count("*").alias("nn"))
+    t = F.expr("(1000 * n_en) DIV nn")
+    # materialize the 1-row aggregate ONCE (21 selects follow — without
+    # this each would rescan the corpus)
+    wide = (df.crossJoin(F.broadcast(nobs.select(t.alias("_t"))))
+            .agg(*aggs).coalesce(1).localCheckpoint(eager=True))
+    parts = [wide.select(F.lit(-1).cast("long").alias("perm_id"),
+                         F.col("obs_n").cast("long").alias("n"),
+                         F.col("obs_s").cast("long").alias("s"),
+                         F.lit(1).cast("long").alias("ge"))]
+    for i in range(int(n_perm)):
+        parts.append(wide.select(
+            F.lit(i).cast("long").alias("perm_id"),
+            F.col(f"n{i}").alias("n"), F.col(f"s{i}").alias("s"),
+            F.when(F.col(f"s{i}") * F.col("obs_n")
+                   >= F.col("obs_s") * F.col(f"n{i}"), 1)
+            .otherwise(0).cast("long").alias("ge")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def curation_funnel(df: DataFrame, lang_val: str = "en",
+                    len_min: int = 100, len_max: int = 500,
+                    quota: int = 100) -> DataFrame:
+    """The corpus-curation funnel, end to end: how many documents
+    survive each stage of the standard training-data pipeline —
+    exact dedup (min doc_id per identical text), language filter,
+    length window, and a deterministic per-source quota (q72's
+    xxhash rank rule) — composed IN SEQUENCE, because stage
+    interactions (dedup removing mostly long docs, quota binding
+    only for some sources) are exactly what the per-operator gates
+    q12/q15/q88/q72 cannot see.
+
+    Exactness: every stage is a deterministic filter (window min,
+    equality, range, hash rank); every emitted number is a count.
+    Scale shape: dedup is the one content-keyed shuffle; lang/length
+    are map-side; the quota is one source-keyed rank window on the
+    already-thinned survivors.  Returns ``(stage, stage_name,
+    n_docs)``, stages 0-4."""
+    w = Window.partitionBy("text")
+    s1 = (df.withColumn("_mid", F.min("doc_id").over(w))
+          .where(F.col("doc_id") == F.col("_mid")).drop("_mid"))
+    s2 = s1.where(F.col("lang") == lang_val)
+    s3 = s2.where((F.col("n_chars") >= int(len_min))
+                  & (F.col("n_chars") <= int(len_max)))
+    wq = Window.partitionBy("source").orderBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1000000)).asc(),
+        F.col("doc_id").asc())
+    s4 = (s3.withColumn("_rk", F.row_number().over(wq))
+          .where(F.col("_rk") <= int(quota)))
+    parts = []
+    for i, (name, frame) in enumerate(
+            (("raw", df), ("dedup", s1), ("lang", s2),
+             ("length", s3), ("quota", s4))):
+        parts.append(frame.agg(F.count("*").cast("long").alias("n_docs"))
+                     .select(F.lit(i).cast("long").alias("stage"),
+                             F.lit(name).alias("stage_name"), "n_docs"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

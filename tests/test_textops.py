@@ -1945,3 +1945,43 @@ def test_kmv_intersect_small_vocab_exact(spark):
     assert got[("sA", "sC")]["k_used"] == 4
     assert got[("sA", "sC")]["n_both"] == 0
     assert got[("sB", "sC")]["n_both"] == 0
+
+
+def test_perm_test_consistency(spark, sf_dir):
+    """21 rows; the observed row matches a direct aggregate; every
+    perm row's ge flag equals the integer cross-product rule."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = textops.perm_test(docs).collect()
+    assert len(rows) == 21
+    obs = [r for r in rows if r["perm_id"] == -1][0]
+    direct = docs.selectExpr(
+        "sum(case when lang = 'en' then 1 else 0 end) as n",
+        "sum(case when lang = 'en' then n_chars else 0 end) as s"
+    ).collect()[0]
+    assert (obs["n"], obs["s"], obs["ge"]) == (direct["n"], direct["s"], 1)
+    for r in rows:
+        if r["perm_id"] >= 0:
+            assert r["ge"] == (1 if r["s"] * obs["n"] >= obs["s"] * r["n"]
+                               else 0)
+
+
+def test_curation_funnel_hand_corpus(spark):
+    """Dup pair collapses, one non-en drops, one long doc drops, and
+    quota=1 keeps one per source."""
+    from geotile import textops
+
+    rows = [(1, "same text here copy", "en", "sA", 200),
+            (2, "same text here copy", "en", "sA", 200),   # dup of 1
+            (3, "other text", "fr", "sA", 200),             # lang drop
+            (4, "x" * 10, "en", "sA", 600),                 # length drop
+            (5, "keep a", "en", "sA", 150),
+            (6, "keep b", "en", "sB", 150)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    got = {r["stage_name"]: r["n_docs"]
+           for r in textops.curation_funnel(docs, quota=1).collect()}
+    assert got == {"raw": 6, "dedup": 5, "lang": 4, "length": 3,
+                   "quota": 2}

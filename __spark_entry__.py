@@ -5986,6 +5986,34 @@ def _q296_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return textops.curation_funnel(docs).orderBy("stage")
 
 
+def _q297_km_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier churn table (behavior.km_survival_table): user
+    lifetimes with right-censoring at the observation horizon — the
+    survival-analysis correction naive churn counts miss; the exact
+    (t, n_risk, n_deaths, n_censored) integers are one multiply
+    chain from the KM curve.  The oracle replays the lifetime
+    collapse, the horizon censor rule, and the reverse-cumulative
+    risk set."""
+    from geotile import behavior
+
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ep", F.unix_timestamp("ts")))
+    return behavior.km_survival_table(ev).orderBy("t")
+
+
+def _q298_eb_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-source en-rates
+    (textops.eb_shrunk_rates, m=20 pseudo-counts at the global
+    rate): the small-area estimator as one exact integer DIV —
+    shrinkage that tiny sources need and the raw q15-style rates
+    cannot provide.  The oracle replays the rational arithmetic
+    verbatim."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.eb_shrunk_rates(docs).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6315,6 +6343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q294_rbo_eval": _q294_rbo_eval,
         "q295_perm_test": _q295_perm_test,
         "q296_curation_funnel": _q296_curation_funnel,
+        "q297_km_survival": _q297_km_survival,
+        "q298_eb_rates": _q298_eb_rates,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16387,6 +16417,48 @@ SELECT * FROM (
   SELECT 4, 'quota', count(*) FROM s4_296
 )
 ORDER BY stage
+"""
+
+    # q297: Kaplan-Meier — lifetime collapse, horizon censoring,
+    # reverse-cumulative risk window
+    sqls["q297_km_survival"] = """
+WITH u297 AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
+  FROM events GROUP BY user_id
+),
+h297 AS (SELECT max(d1) AS hz FROM u297),
+l297 AS (
+  SELECT u.d1 - u.d0 AS t,
+         CASE WHEN u.d1 = h.hz THEN 1 ELSE 0 END AS cens
+  FROM u297 u CROSS JOIN h297 h
+),
+p297 AS (
+  SELECT t, sum(1 - cens) AS n_deaths, sum(cens) AS n_censored,
+         count(*) AS n_at
+  FROM l297 GROUP BY t
+)
+SELECT t, CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+       CAST(n_deaths AS BIGINT) AS n_deaths,
+       CAST(n_censored AS BIGINT) AS n_censored
+FROM p297 ORDER BY t
+"""
+
+    # q298: EB shrinkage — exact rational pseudo-count arithmetic
+    sqls["q298_eb_rates"] = """
+WITH g298 AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS x
+  FROM documents GROUP BY source
+),
+t298 AS (SELECT sum(x) AS p, sum(n) AS q FROM g298)
+SELECT g.source, CAST(g.n AS BIGINT) AS n, CAST(g.x AS BIGINT) AS x,
+       CAST((g.x * 1000000) // g.n AS BIGINT) AS raw_micro,
+       CAST(((g.x * t.q + 20 * t.p) * 1000000)
+            // ((g.n + 20) * t.q) AS BIGINT) AS shrunk_micro
+FROM g298 g CROSS JOIN t298 t
+ORDER BY g.source
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -296,3 +296,45 @@ def time_decay_attribution(events: DataFrame, window_s: int = 86400,
                  F.sum("w").alias("credit_sum"),
                  F.sum("share_micro").alias("share_micro_sum"))
             .withColumnRenamed("age", "age_bucket"))
+
+
+def km_survival_table(events: DataFrame, ts_col: str = "ep",
+                      user_col: str = "user_id") -> DataFrame:
+    """Kaplan-Meier survival table for user churn — the survival-
+    analysis primitive (retention's principled cousin): a user's
+    lifetime is ``last_day - first_day``; the user CHURNED at that
+    lifetime unless their last day is the observation horizon (the
+    global max day), in which case they are right-CENSORED — the
+    distinction naive churn counts get wrong, and the whole reason
+    Kaplan-Meier exists.
+
+    Emits the exact KM table: for every observed lifetime t,
+    ``n_risk`` (users with lifetime >= t), ``n_deaths`` (churned at
+    t), ``n_censored`` (censored at t).  The survival estimate is
+    the running product of ``(n_risk - n_deaths) / n_risk`` — one
+    multiply chain away from these integers; the gate pins the
+    integers (a float product would be partial-order-dependent).
+
+    Scale shape: one user-keyed aggregate collapses events to
+    lifetimes; everything after runs on the lifetime-value-sized
+    frame (one reverse-cumulative window).  Returns ``(t, n_risk,
+    n_deaths, n_censored)``."""
+    day = F.expr(f"{ts_col} DIV 86400")
+    u = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+         .groupBy("u")
+         .agg(F.min("d").alias("d0"), F.max("d").alias("d1")))
+    horizon = u.agg(F.max("d1").alias("hz"))
+    lt = (u.crossJoin(F.broadcast(horizon))
+          .select((F.col("d1") - F.col("d0")).alias("t"),
+                  (F.col("d1") == F.col("hz")).cast("long")
+                  .alias("cens")))
+    per_t = (lt.groupBy("t")
+             .agg(F.sum(F.lit(1) - F.col("cens")).cast("long")
+                  .alias("n_deaths"),
+                  F.sum("cens").cast("long").alias("n_censored"),
+                  F.count("*").alias("n_at")))
+    w = (Window.orderBy(F.col("t").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_t.withColumn("n_risk",
+                             F.sum("n_at").over(w).cast("long"))
+            .select("t", "n_risk", "n_deaths", "n_censored"))

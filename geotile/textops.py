@@ -3764,3 +3764,32 @@ def curation_funnel(df: DataFrame, lang_val: str = "en",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def eb_shrunk_rates(df: DataFrame, group: str = "source",
+                    label_col: str = "lang", label_val: str = "en",
+                    m: int = 20) -> DataFrame:
+    """Empirical-Bayes shrunk group rates — the small-area estimation
+    move (add ``m`` pseudo-observations at the GLOBAL rate) that
+    keeps a 3-document source from reporting a 100% rate: ``shrunk =
+    (x + m * P/Q) / (n + m)`` with P/Q the exact global fraction,
+    emitted as the exact integer ``((x*Q + m*P) * 1e6) DIV
+    ((n+m)*Q)`` — no float touches the chain, so tiny and huge
+    groups gate identically.  The raw rate rides along for the
+    shrinkage delta.
+
+    Scale shape: one group aggregate + a 1-row global broadcast —
+    map-side partials, one exchange.  Returns ``(group, n, x,
+    raw_micro, shrunk_micro)``."""
+    pos = (F.col(label_col) == label_val).cast("long")
+    g = (df.groupBy(group)
+         .agg(F.count("*").alias("n"), F.sum(pos).alias("x")))
+    tot = g.agg(F.sum("x").alias("p"), F.sum("n").alias("q"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select(group, F.col("n").cast("long"),
+                    F.col("x").cast("long"),
+                    F.expr("(x * 1000000) DIV n").cast("long")
+                    .alias("raw_micro"),
+                    F.expr(f"((x * q + {int(m)} * p) * 1000000) DIV "
+                           f"((n + {int(m)}) * q)").cast("long")
+                    .alias("shrunk_micro")))

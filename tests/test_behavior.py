@@ -255,3 +255,24 @@ def test_time_decay_attribution_hand_events(spark):
     assert out[1]["n_touches"] == 2
     assert out[1]["credit_sum"] == 1 << 23
     assert out[1]["share_micro_sum"] == 500000  # 250000 + 250000
+
+
+def test_km_survival_hand_lifetimes(spark):
+    """Four users: deaths at t=0 and t=5, censored at t=26 and t=29
+    (horizon day 29); risk sets check by hand."""
+    from geotile import behavior
+
+    spans = {1: (0, 29), 2: (0, 5), 3: (2, 2), 4: (3, 29)}
+    rows = []
+    eid = 0
+    for u, (a, b) in spans.items():
+        for d in (a, b):
+            eid += 1
+            rows.append((u, eid, d * 86400))
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ep long")
+    got = {r["t"]: r for r in behavior.km_survival_table(ev).collect()}
+    assert got[0]["n_risk"] == 4 and got[0]["n_deaths"] == 1 \
+        and got[0]["n_censored"] == 0
+    assert got[5]["n_risk"] == 3 and got[5]["n_deaths"] == 1
+    assert got[26]["n_risk"] == 2 and got[26]["n_censored"] == 1
+    assert got[29]["n_risk"] == 1 and got[29]["n_censored"] == 1

@@ -1985,3 +1985,24 @@ def test_curation_funnel_hand_corpus(spark):
            for r in textops.curation_funnel(docs, quota=1).collect()}
     assert got == {"raw": 6, "dedup": 5, "lang": 4, "length": 3,
                    "quota": 2}
+
+
+def test_eb_shrunk_rates_hand_groups(spark):
+    """A 2-doc 100% group shrinks well below a 10-doc 50% group's
+    distance to the global rate; exact integer expectations."""
+    from geotile import textops
+
+    rows = [(i, "t", "en" if i <= 5 else "fr", "gA", 10)
+            for i in range(1, 11)]
+    rows += [(100 + i, "t", "en", "gB", 10) for i in range(1, 3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    got = {r["source"]: r for r in
+           textops.eb_shrunk_rates(docs).collect()}
+    assert got["gA"]["raw_micro"] == 500000
+    assert got["gB"]["raw_micro"] == 1000000
+    assert got["gA"]["shrunk_micro"] == ((5 * 12 + 20 * 7) * 1000000) \
+        // (30 * 12)
+    assert got["gB"]["shrunk_micro"] == ((2 * 12 + 20 * 7) * 1000000) \
+        // (22 * 12)

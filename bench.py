@@ -176,7 +176,7 @@ def main() -> None:
         "q287_lz_matches", "q288_prefix_recall", "q289_kmv_intersect",
         "q290_greedy_dispatch", "q291_ewma_alerts", "q292_source_mst",
         "q293_visit_motifs", "q294_rbo_eval", "q295_perm_test",
-        "q296_curation_funnel",
+        "q296_curation_funnel", "q297_km_survival", "q298_eb_rates",
     ]
     from geotile import cache, textops
 

@@ -6014,6 +6014,31 @@ def _q298_eb_rates(spark: SparkSession, sf: str) -> DataFrame:
     return textops.eb_shrunk_rates(docs).orderBy("source")
 
 
+def _q299_jain_fairness(spark: SparkSession, sf: str) -> DataFrame:
+    """Jain's fairness index on 1-degree cell loads
+    (trajectory.jain_fairness): the load-balance number schedulers
+    quote, as one exact integer DIV over the occupancy moments —
+    q189's Gini from the other tradition.  The oracle replays the
+    two-level aggregate and the DIV."""
+    from geotile import trajectory
+
+    return trajectory.jain_fairness(_positions_df(spark, sf))
+
+
+def _q300_cell_hour_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell-hour mutual information (trajectory.cell_hour_mi,
+    30-degree cells): does WHERE depend on WHEN, as nano-nat floored
+    integer terms over the bounded contingency table — the joint
+    dependence number between q116's marginal entropy and q219's
+    per-cell rhythms.  The oracle replays the contingency rollups
+    and the ln floors."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return trajectory.cell_hour_mi(pos)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6345,6 +6370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_curation_funnel": _q296_curation_funnel,
         "q297_km_survival": _q297_km_survival,
         "q298_eb_rates": _q298_eb_rates,
+        "q299_jain_fairness": _q299_jain_fairness,
+        "q300_cell_hour_mi": _q300_cell_hour_mi,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16459,6 +16486,55 @@ SELECT g.source, CAST(g.n AS BIGINT) AS n, CAST(g.x AS BIGINT) AS x,
             // ((g.n + 20) * t.q) AS BIGINT) AS shrunk_micro
 FROM g298 g CROSS JOIN t298 t
 ORDER BY g.source
+"""
+
+    # q299: Jain fairness — occupancy moments, one integer DIV
+    sqls["q299_jain_fairness"] = f"""
+WITH {_POS_CTE},
+oc299 AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x,
+         count(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+m299 AS (
+  SELECT count(*) AS n_cells, sum(c) AS sum_x, sum(c * c) AS sum_x2
+  FROM oc299
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(sum_x AS BIGINT) AS sum_x,
+       CAST(sum_x2 AS BIGINT) AS sum_x2,
+       CAST((sum_x * sum_x * 1000000) // (n_cells * sum_x2) AS BIGINT)
+         AS jain_micro
+FROM m299
+"""
+
+    # q300: cell-hour MI — bounded contingency + marginals, nano-nat
+    # ln floors before the weighted sum
+    sqls["q300_cell_hour_mi"] = f"""
+WITH {_POS_CTE},
+ct300 AS (
+  SELECT least(greatest(CAST(floor((lat + 90.0) / 30.0) AS BIGINT), 0), 5)
+           * 100000
+         + least(greatest(CAST(floor((lon + 180.0) / 30.0) AS BIGINT), 0),
+                 11) AS cell_id,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 + 24) % 24
+           AS hh,
+         count(*) AS nij
+  FROM pos GROUP BY 1, 2
+),
+ci300 AS (SELECT cell_id, sum(nij) AS ni FROM ct300 GROUP BY 1),
+hj300 AS (SELECT hh, sum(nij) AS nj FROM ct300 GROUP BY 1),
+tt300 AS (SELECT sum(nij) AS nn FROM ct300)
+SELECT CAST(max(t.nn) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT c.cell_id) AS BIGINT) AS n_cells,
+       CAST(count(DISTINCT c.hh) AS BIGINT) AS n_hours,
+       CAST(sum(CAST(floor(ln(CAST(c.nij * t.nn AS DOUBLE)
+                              / CAST(i.ni * j.nj AS DOUBLE)) * 1e9)
+                     AS BIGINT) * c.nij) AS BIGINT) AS mi_sum_nano
+FROM ct300 c
+JOIN ci300 i ON i.cell_id = c.cell_id
+JOIN hj300 j ON j.hh = c.hh
+CROSS JOIN tt300 t
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -2513,3 +2513,71 @@ def visit_motifs(df: DataFrame, nchars: int = 4, max_locs: int = 4,
                       & (F.col("n_locs") <= int(max_locs))))
     return (per_day.groupBy("n_locs", "motif")
             .agg(F.count("*").cast("long").alias("n_user_days")))
+
+
+def jain_fairness(df: DataFrame, lat: str = "lat", lon: str = "lon"
+                  ) -> DataFrame:
+    """Jain's fairness index over 1-degree cell loads — the
+    networking-standard load-balance number ``(sum x)^2 / (n * sum
+    x^2)`` (1 = perfectly even, 1/n = one cell owns everything),
+    complementing q189's Gini with the index schedulers actually
+    quote.  Exact: one occupancy aggregate, then the index as ONE
+    integer DIV on the 1-row moments; numerator and denominator ride
+    along so the gate pins the rationals, not just the floor.
+    Returns one row ``(n_cells, sum_x, sum_x2, jain_micro)``."""
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("c")))
+    return (occ.agg(F.count("*").cast("long").alias("n_cells"),
+                    F.sum("c").cast("long").alias("sum_x"),
+                    F.sum(F.col("c") * F.col("c")).cast("long")
+                    .alias("sum_x2"))
+            .select("n_cells", "sum_x", "sum_x2",
+                    F.expr("(sum_x * sum_x * 1000000) DIV "
+                           "(n_cells * sum_x2)").cast("long")
+                    .alias("jain_micro")))
+
+
+def cell_hour_mi(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                 ts: str = "ep", cell_deg: float = 30.0) -> DataFrame:
+    """Mutual information between cell and hour-of-day — "does WHERE
+    depend on WHEN" as one number: ``MI = sum p_ij ln(p_ij / (p_i
+    p_j))``, the dependence measure q116 (marginal entropy) and q219
+    (per-cell rhythm) bracket but never state.  Exact rule: each
+    cell-hour term is ``floor(ln((n_ij * N) / (n_i * n_j)) * 1e9) *
+    n_ij`` — the log floors to integer nano-nats BEFORE the
+    multiply and sum, so the aggregate is order-independent; the
+    final division by N is left to the reader (one division from
+    the MI in nats).
+
+    Scale shape: one (cell, hour) contingency aggregate (bounded by
+    cells x 24), marginals as two rollups of it, one bounded join.
+    Returns one row ``(n_total, n_cells, n_hours, mi_sum_nano)``
+    where ``mi_sum_nano / n_total / 1e9`` is the MI in nats."""
+    ny = int(180.0 / cell_deg)
+    nx = int(360.0 / cell_deg)
+    ybin = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(ny - 1))
+    xbin = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                      / F.lit(cell_deg)).cast("long"),
+                              F.lit(0)), F.lit(nx - 1))
+    how = F.pmod(F.expr(f"{ts} DIV 3600"), F.lit(24))
+    ct = (df.select((ybin * 100000 + xbin).alias("cell_id"),
+                    how.alias("hh"))
+          .groupBy("cell_id", "hh").agg(F.count("*").alias("nij")))
+    ci = ct.groupBy("cell_id").agg(F.sum("nij").alias("ni"))
+    hj = ct.groupBy("hh").agg(F.sum("nij").alias("nj"))
+    tot = ct.agg(F.sum("nij").alias("nn"),
+                 F.count("*").alias("n_pairs"))
+    j = (ct.join(ci, "cell_id").join(F.broadcast(hj), "hh")
+         .crossJoin(F.broadcast(tot)))
+    term = (F.floor(F.log((F.col("nij") * F.col("nn")).cast("double")
+                          / (F.col("ni") * F.col("nj")).cast("double"))
+                    * F.lit(1e9)).cast("long") * F.col("nij"))
+    return (j.agg(F.max("nn").cast("long").alias("n_total"),
+                  F.count_distinct("cell_id").cast("long")
+                  .alias("n_cells"),
+                  F.count_distinct("hh").cast("long").alias("n_hours"),
+                  F.sum(term).cast("long").alias("mi_sum_nano")))

@@ -1385,3 +1385,41 @@ def test_visit_motifs_hand_days(spark):
     got = {(r["n_locs"], r["motif"]): r["n_user_days"]
            for r in trajectory.visit_motifs(df).collect()}
     assert got == {(2, "1>2,2>1"): 1, (3, "1>2,2>3"): 1}
+
+
+def test_jain_fairness_hand_loads(spark):
+    """Loads [3,1]: jain = 16/(2*10) = 0.8 exactly."""
+    from geotile import trajectory
+
+    pts = [(0, 0)] * 3 + [(0, 1)]
+    df = spark.createDataFrame(
+        [(float(y) - 90.0 + 0.5, float(x) - 180.0 + 0.5)
+         for (y, x) in pts], "lat double, lon double")
+    r = trajectory.jain_fairness(df).collect()[0]
+    assert (r["n_cells"], r["sum_x"], r["sum_x2"]) == (2, 4, 10)
+    assert r["jain_micro"] == 800000
+
+
+def test_cell_hour_mi_independence_and_dependence(spark):
+    """A product-form table has MI exactly 0; a diagonal table has
+    per-term ln(2) floored nano-nats."""
+    import math
+
+    from geotile import trajectory
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "lat double, lon double, ep long")
+
+    # independent: both cells active in both hours, equal counts
+    rows = []
+    for latv in (10.0, 40.0):
+        for h in (0, 1):
+            rows += [(latv, 10.0, h * 3600)] * 3
+    r = trajectory.cell_hour_mi(mk(rows)).collect()[0]
+    assert r["mi_sum_nano"] == 0 and r["n_total"] == 12
+
+    # dependent: cell A only hour 0, cell B only hour 1
+    rows = [(10.0, 10.0, 0)] * 4 + [(40.0, 10.0, 3600)] * 4
+    r = trajectory.cell_hour_mi(mk(rows)).collect()[0]
+    assert r["mi_sum_nano"] == math.floor(math.log(2.0) * 1e9) * 8

@@ -6039,6 +6039,48 @@ def _q300_cell_hour_mi(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.cell_hour_mi(pos)
 
 
+def _q301_fdr_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screen (textops.fdr_screen, alpha=1/20,
+    199 permutations — enough p-value resolution to reach the BH bar)
+    over per-source permutation p-values from the q295 machinery —
+    multiple-testing control as pure integer cross products (every
+    p-value is k/200, BH compares k*20*m <= r*200).  The oracle
+    replays the shared doc x perm hash, the per-group thresholds, and
+    both BH windows."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.fdr_screen(docs).orderBy("rank")
+
+
+def _q302_ppr_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the hottest gh4 cell over the q167
+    transition graph (graph.personalized_pagerank, alpha=1/2, 4
+    rounds, integer picomass with per-edge DIV floors) — "important
+    relative to HERE", the anchored complement of q69's global rank.
+    The oracle unrolls the same 4 rounds with identical floors."""
+    from geotile import graph
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    cell = F.substring(F.col("geohash"), 1, 4)
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ep").asc(), F.col("event_id").asc())
+    d = (pos.withColumn("cell", cell)
+         .withColumn("o", F.lag("cell").over(wl)))
+    trans = (d.where(F.col("o").isNotNull())
+             .groupBy(F.col("o").alias("u"),
+                      F.col("cell").alias("v"))
+             .agg(F.count("*").alias("w")))
+    top = (pos.withColumn("cell", cell).groupBy("cell")
+           .agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("cell")).limit(1)
+           .select(F.col("cell").alias("acell")))
+    edges = (trans.crossJoin(F.broadcast(top))
+             .withColumn("anchor", F.col("u") == F.col("acell")))
+    return (graph.personalized_pagerank(edges)
+            .orderBy(F.desc("mass"), F.asc("node")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6372,6 +6414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_eb_rates": _q298_eb_rates,
         "q299_jain_fairness": _q299_jain_fairness,
         "q300_cell_hour_mi": _q300_cell_hour_mi,
+        "q301_fdr_screen": _q301_fdr_screen,
+        "q302_ppr_cells": _q302_ppr_cells,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16535,6 +16579,152 @@ FROM ct300 c
 JOIN ci300 i ON i.cell_id = c.cell_id
 JOIN hj300 j ON j.hh = c.hh
 CROSS JOIN tt300 t
+"""
+
+    # q301: BH-FDR — shared doc x perm hash, per-group thresholds,
+    # same-denominator rational p-values, integer BH windows
+    _sig301 = _signed64_sql("xh")
+    sqls["q301_fdr_screen"] = f"""
+WITH g301 AS (
+  SELECT source, count(*) AS gn, sum(n_chars) AS gs
+  FROM documents GROUP BY source
+),
+t301 AS (SELECT count(*) AS nn FROM documents),
+th301 AS (
+  SELECT g.source AS gg, g.gn, g.gs, (1000 * g.gn) // t.nn AS t
+  FROM g301 g CROSS JOIN t301 t
+),
+dp301 AS (
+  SELECT d.doc_id AS did, d.n_chars AS v, m.m,
+         CAST(d.doc_id * m.m AS HUGEINT) AS z0
+  FROM documents d, LATERAL (SELECT unnest([1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31, 33, 35, 37, 39, 41, 43, 45, 47, 49, 51, 53, 55, 57, 59, 61, 63, 65, 67, 69, 71, 73, 75, 77, 79, 81, 83, 85, 87, 89, 91, 93, 95, 97, 99, 101, 103, 105, 107, 109, 111, 113, 115, 117, 119, 121, 123, 125, 127, 129, 131, 133, 135, 137, 139, 141, 143, 145, 147, 149, 151, 153, 155, 157, 159, 161, 163, 165, 167, 169, 171, 173, 175, 177, 179, 181, 183, 185, 187, 189, 191, 193, 195, 197, 199, 201, 203, 205, 207, 209, 211, 213, 215, 217, 219, 221, 223, 225, 227, 229, 231, 233, 235, 237, 239, 241, 243, 245, 247, 249, 251, 253, 255, 257, 259, 261, 263, 265, 267, 269, 271, 273, 275, 277, 279, 281, 283, 285, 287, 289, 291, 293, 295, 297, 299, 301, 303, 305, 307, 309, 311, 313, 315, 317, 319, 321, 323, 325, 327, 329, 331, 333, 335, 337, 339, 341, 343, 345, 347, 349, 351, 353, 355, 357, 359, 361, 363, 365, 367, 369, 371, 373, 375, 377, 379, 381, 383, 385, 387, 389, 391, 393, 395, 397]) AS m) m
+),
+{_xxhash64_cte_sql("dp301", "z0", "xh", "x301")},
+hh301 AS (
+  SELECT did, v, m, ((({_sig301} % 1000) + 1000) % 1000) AS h
+  FROM x301f
+),
+pm301 AS (
+  SELECT t.gg, h.m, count(*) AS pn, sum(h.v) AS ps,
+         max(t.gn) AS gn, max(t.gs) AS gs
+  FROM hh301 h JOIN th301 t ON h.h < t.t
+  GROUP BY 1, 2
+),
+ks301 AS (
+  SELECT gg,
+         1 + sum(CASE WHEN ps * gn >= gs * pn THEN 1 ELSE 0 END) AS k,
+         max(gn) AS n
+  FROM pm301 GROUP BY gg
+),
+mg301 AS (SELECT count(*) AS mg FROM g301),
+rk301 AS (
+  SELECT k.gg, k.n, k.k, mg.mg,
+         row_number() OVER (ORDER BY k.k ASC, k.gg ASC) AS rank
+  FROM ks301 k CROSS JOIN mg301 mg
+),
+ok301 AS (
+  SELECT *, CASE WHEN k * 20 * mg <= rank * 200 THEN 1 ELSE 0 END AS ok
+  FROM rk301
+),
+rs301 AS (SELECT max(CASE WHEN ok = 1 THEN rank END) AS rstar FROM ok301)
+SELECT o.gg AS source, CAST(o.n AS BIGINT) AS n, CAST(o.k AS BIGINT) AS k,
+       CAST(o.rank AS BIGINT) AS rank,
+       CAST(CASE WHEN o.rank <= COALESCE(r.rstar, 0) THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected
+FROM ok301 o CROSS JOIN rs301 r
+ORDER BY o.rank
+"""
+
+    # q302: personalized PageRank — transition census, anchor pick,
+    # four unrolled integer-picomass rounds with per-edge DIV floors
+    _wgh302 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q302_ppr_cells"] = f"""
+WITH {_WALK_CTE},
+c302 AS (
+  SELECT user_id, ep, event_id, {_wgh302} AS cell FROM walk
+),
+l302 AS (
+  SELECT cell AS d,
+         lag(cell) OVER (PARTITION BY user_id
+                         ORDER BY ep, event_id) AS o
+  FROM c302
+),
+tr302 AS MATERIALIZED (
+  SELECT o AS u, d AS v, count(*) AS w
+  FROM l302 WHERE o IS NOT NULL GROUP BY 1, 2
+),
+ow302 AS (SELECT u, sum(w) AS outw FROM tr302 GROUP BY u),
+an302 AS (
+  SELECT cell AS node FROM (
+    SELECT cell, count(*) AS cnt FROM c302 GROUP BY 1
+    ORDER BY cnt DESC, cell ASC LIMIT 1)
+),
+r302_0 AS (
+  SELECT node, CAST(1000000000000 AS BIGINT) AS mass FROM an302
+),
+f302_1 AS (
+  SELECT e.v AS node, sum((r.mass * e.w) // (2 * o.outw)) AS im
+  FROM r302_0 r JOIN tr302 e ON e.u = r.node
+  JOIN ow302 o ON o.u = e.u
+  GROUP BY 1
+),
+r302_1 AS (
+  SELECT COALESCE(f.node, a.node) AS node,
+         COALESCE(f.im, 0)
+         + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END
+           AS mass
+  FROM f302_1 f FULL JOIN an302 a ON a.node = f.node
+  WHERE COALESCE(f.im, 0)
+        + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END > 0
+),
+f302_2 AS (
+  SELECT e.v AS node, sum((r.mass * e.w) // (2 * o.outw)) AS im
+  FROM r302_1 r JOIN tr302 e ON e.u = r.node
+  JOIN ow302 o ON o.u = e.u
+  GROUP BY 1
+),
+r302_2 AS (
+  SELECT COALESCE(f.node, a.node) AS node,
+         COALESCE(f.im, 0)
+         + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END
+           AS mass
+  FROM f302_2 f FULL JOIN an302 a ON a.node = f.node
+  WHERE COALESCE(f.im, 0)
+        + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END > 0
+),
+f302_3 AS (
+  SELECT e.v AS node, sum((r.mass * e.w) // (2 * o.outw)) AS im
+  FROM r302_2 r JOIN tr302 e ON e.u = r.node
+  JOIN ow302 o ON o.u = e.u
+  GROUP BY 1
+),
+r302_3 AS (
+  SELECT COALESCE(f.node, a.node) AS node,
+         COALESCE(f.im, 0)
+         + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END
+           AS mass
+  FROM f302_3 f FULL JOIN an302 a ON a.node = f.node
+  WHERE COALESCE(f.im, 0)
+        + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END > 0
+),
+f302_4 AS (
+  SELECT e.v AS node, sum((r.mass * e.w) // (2 * o.outw)) AS im
+  FROM r302_3 r JOIN tr302 e ON e.u = r.node
+  JOIN ow302 o ON o.u = e.u
+  GROUP BY 1
+),
+r302_4 AS (
+  SELECT COALESCE(f.node, a.node) AS node,
+         COALESCE(f.im, 0)
+         + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END
+           AS mass
+  FROM f302_4 f FULL JOIN an302 a ON a.node = f.node
+  WHERE COALESCE(f.im, 0)
+        + CASE WHEN a.node IS NOT NULL THEN 500000000000 ELSE 0 END > 0
+)
+SELECT node, CAST(mass AS BIGINT) AS mass
+FROM r302_4
+ORDER BY mass DESC, node ASC LIMIT 20
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -177,7 +177,8 @@ def main() -> None:
         "q290_greedy_dispatch", "q291_ewma_alerts", "q292_source_mst",
         "q293_visit_motifs", "q294_rbo_eval", "q295_perm_test",
         "q296_curation_funnel", "q297_km_survival", "q298_eb_rates",
-        "q299_jain_fairness", "q300_cell_hour_mi",
+        "q299_jain_fairness", "q300_cell_hour_mi", "q301_fdr_screen",
+        "q302_ppr_cells",
     ]
     from geotile import cache, textops
 

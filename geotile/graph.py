@@ -23,7 +23,7 @@ graph snaking around the globe).  Runs under the q61/q62 oracle gates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import cache
@@ -763,3 +763,53 @@ def boruvka_mst(edges: DataFrame, src: str = "u", dst: str = "v",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def personalized_pagerank(edges: DataFrame, anchor_col: str = "anchor",
+                          src: str = "u", dst: str = "v", w: str = "w",
+                          rounds: int = 4, k: int = 20) -> DataFrame:
+    """Personalized PageRank (random walk with restart, alpha = 1/2)
+    from a single anchor node over a WEIGHTED directed graph — the
+    "important relative to HERE" ranking global PageRank (q69)
+    cannot give: mass starts at the anchor, each round half of every
+    node's mass flows out along edge weights and half of the total
+    teleports back to the anchor.
+
+    Integer discipline: mass is integer picomass (anchor starts with
+    1e12); each edge flow is ``(r_u * w_uv) DIV (2 * out_u)`` —
+    floored BEFORE the destination sum, so partial-aggregation order
+    cannot move a unit (floor leakage just decays stray mass, the
+    standard trick everywhere in this engine).  ``rounds`` fixed
+    rounds, unrolled identically by the oracle.
+
+    Scale shape per round: one edge join on the current mass frame +
+    one destination aggregate (both keyed on node ids), mass frames
+    localCheckpoint-ed.  ``edges`` must carry an ``anchor_col``
+    boolean marking the restart node.  Returns the top-``k``
+    ``(node, mass)`` by final mass (ties to smaller node)."""
+    out_w = edges.groupBy(src).agg(F.sum(w).alias("outw"))
+    e = (edges.join(out_w, src)
+         .select(F.col(src).alias("eu"), F.col(dst).alias("ev"),
+                 F.col(w).alias("ew"), "outw")
+         .localCheckpoint(eager=True))
+    anchor = (edges.where(F.col(anchor_col))
+              .select(F.col(src).alias("node")).distinct()
+              .localCheckpoint(eager=True))
+    teleport = anchor.select("node",
+                             F.lit(500_000_000_000).alias("tp"))
+    r = anchor.select("node", F.lit(1_000_000_000_000).alias("mass"))
+    for _ in range(int(rounds)):
+        flow = (e.join(r, e["eu"] == r["node"])
+                .select("ev", F.expr("(mass * ew) DIV (2 * outw)")
+                        .alias("f")))
+        inflow = flow.groupBy("ev").agg(F.sum("f").alias("im"))
+        r = (inflow.select(F.col("ev").alias("node"), "im")
+             .join(teleport, "node", "full")
+             .select("node", (F.coalesce(F.col("im"), F.lit(0))
+                              + F.coalesce(F.col("tp"), F.lit(0)))
+                     .cast("long").alias("mass"))
+             .where(F.col("mass") > 0)
+             .localCheckpoint(eager=True))
+    wtop = Window.orderBy(F.desc("mass"), F.asc("node"))
+    return (r.withColumn("rk", F.row_number().over(wtop))
+            .where(F.col("rk") <= int(k)).drop("rk"))

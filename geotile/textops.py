@@ -3793,3 +3793,76 @@ def eb_shrunk_rates(df: DataFrame, group: str = "source",
                     F.expr(f"((x * q + {int(m)} * p) * 1000000) DIV "
                            f"((n + {int(m)}) * q)").cast("long")
                     .alias("shrunk_micro")))
+
+
+def fdr_screen(df: DataFrame, n_perm: int = 199, group: str = "source",
+               value_col: str = "n_chars", id_col: str = "doc_id",
+               alpha_num: int = 1, alpha_den: int = 20) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over per-group permutation
+    tests — the multiple-testing control layer every per-group audit
+    in this engine quietly needs (20 sources tested at alpha = 0.05
+    expect one false "anomalous mean length" by chance; BH is the
+    standard fix).  199 permutations by default: with n_perm = 20 the
+    smallest reachable p-value (1/21) can never clear alpha/m for
+    m = 20 groups, so the screen would be vacuously all-negative —
+    the resolution of a permutation p-value must match the BH bar it
+    feeds.  Each group's one-sided p-value comes from the
+    q295 machinery: ``p = k / (n_perm + 1)`` with ``k = 1 + #{perms
+    whose pseudo-group mean >= the observed group mean}`` — so every
+    p-value is a rational with the SAME denominator, and the whole
+    BH chain (sort ascending, reject ranks up to the largest r with
+    ``p_(r) <= r * alpha / m``) runs as integer cross products:
+    ``k * alpha_den * m <= r * alpha_num * (n_perm + 1)``.  No float
+    anywhere.
+
+    One shared hash per (doc, perm) serves every group: the pseudo-
+    group for group g is ``hash < t_g`` with ``t_g`` g's observed
+    rate, so the perm x group expansion filters to ~docs x perms
+    rows total (the thresholds sum to ~1).
+
+    Scale shape: one doc x perm explode -> threshold semi-join ->
+    (group, perm) aggregate; the BH walk is two windows on the
+    group-sized frame.  Returns ``(group, n, k, rank, rejected)``."""
+    g = (df.groupBy(group)
+         .agg(F.count("*").alias("gn"),
+              F.sum(F.col(value_col)).alias("gs")))
+    tot = df.agg(F.count("*").alias("nn"))
+    th = (g.crossJoin(F.broadcast(tot))
+          .select(F.col(group).alias("gg"), "gn", "gs",
+                  F.expr("(1000 * gn) DIV nn").alias("t")))
+    perms = F.explode(F.array(*[F.lit(2 * i + 1)
+                                for i in range(int(n_perm))])).alias("m")
+    dp = (df.select(F.col(id_col).alias("did"),
+                    F.col(value_col).alias("v"))
+          .select("did", "v", perms)
+          .withColumn("h", F.pmod(F.xxhash64(F.col("did") * F.col("m")),
+                                  F.lit(1000))))
+    pm = (dp.join(F.broadcast(th), dp["h"] < th["t"])
+          .groupBy("gg", "m")
+          .agg(F.count("*").alias("pn"), F.sum("v").alias("ps"),
+               F.max("gn").alias("gn"), F.max("gs").alias("gs")))
+    ks = (pm.withColumn("ge", (F.col("ps") * F.col("gn")
+                               >= F.col("gs") * F.col("pn"))
+                        .cast("long"))
+          .groupBy("gg")
+          .agg((F.lit(1) + F.sum("ge")).cast("long").alias("k"),
+               F.max("gn").cast("long").alias("n")))
+    m_groups = g.agg(F.count("*").alias("mg"))
+    w = Window.orderBy(F.col("k").asc(), F.col("gg").asc())
+    ranked = (ks.crossJoin(F.broadcast(m_groups))
+              .withColumn("rank", F.row_number().over(w).cast("long"))
+              .withColumn("ok", (F.col("k") * F.lit(int(alpha_den))
+                                 * F.col("mg")
+                                 <= F.col("rank")
+                                 * F.lit(int(alpha_num))
+                                 * F.lit(int(n_perm) + 1))
+                          .cast("long")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    rstar = F.max(F.when(F.col("ok") == 1, F.col("rank"))).over(wall)
+    return (ranked.withColumn("rejected",
+                              F.when(F.col("rank")
+                                     <= F.coalesce(rstar, F.lit(0)), 1)
+                              .otherwise(0).cast("long"))
+            .select(F.col("gg").alias(group), "n", "k", "rank",
+                    "rejected"))

@@ -480,3 +480,17 @@ def test_boruvka_mst_hand_graph_and_ties(spark):
     got2 = sorted((r["u"], r["v"], r["w"])
                   for r in graph.boruvka_mst(tri).collect())
     assert got2 == [(1, 2, 5), (1, 3, 5)]
+
+
+def test_personalized_pagerank_hand_graph(spark):
+    """Three-node graph replayed by hand through all four integer
+    rounds, including mass leaking at the sink node C."""
+    from geotile import graph
+
+    edges = spark.createDataFrame(
+        [("A", "B", 2, True), ("A", "C", 2, True), ("B", "A", 1, False)],
+        "u string, v string, w long, anchor boolean")
+    got = {r["node"]: r["mass"]
+           for r in graph.personalized_pagerank(edges).collect()}
+    assert got == {"A": 578_125_000_000, "B": 140_625_000_000,
+                   "C": 140_625_000_000}

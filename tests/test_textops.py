@@ -2006,3 +2006,30 @@ def test_eb_shrunk_rates_hand_groups(spark):
         // (30 * 12)
     assert got["gB"]["shrunk_micro"] == ((2 * 12 + 20 * 7) * 1000000) \
         // (22 * 12)
+
+
+def test_fdr_screen_rejects_extreme_groups(spark):
+    """Two groups with wildly longer docs get k=1 p-values and BH
+    rejects exactly a rank prefix; normal groups survive."""
+    from geotile import textops
+
+    rows = []
+    did = 0
+    for g in ("gA", "gB", "gC", "gD"):
+        big = g in ("gA", "gB")
+        for _ in range(50):
+            did += 1
+            rows.append((did, "t", "en", g, 100000 if big else 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = sorted(textops.fdr_screen(docs).collect(),
+                 key=lambda r: r["rank"])
+    ranks_rejected = [r["rank"] for r in out if r["rejected"] == 1]
+    # rejections are a prefix of the ranks
+    assert ranks_rejected == list(range(1, len(ranks_rejected) + 1))
+    rejected_groups = {r["source"] for r in out if r["rejected"] == 1}
+    assert rejected_groups == {"gA", "gB"}
+    for r in out:
+        if r["source"] in ("gA", "gB"):
+            assert r["k"] == 1   # no pseudo-group beats an extreme mean

@@ -226,6 +226,22 @@ def main() -> None:
     n_mp = mp.count()
     cache.release(mp)
     timings["skew_minhash_pairs"] = round(time.time() - t0, 3)
+    # the round-5 sketch/classifier additions under the SAME Zipf skew:
+    # kmv_intersect's per-pair sketches must stay k-bounded when one
+    # boilerplate block floods every source's vocabulary, and
+    # nb_classify's token-keyed model join must absorb the hot tokens
+    # (they land in every class with near-equal likelihood)
+    skew_g = skew.withColumn(
+        "grp", F.concat(F.lit("g"), F.pmod(F.xxhash64("doc_id"), F.lit(4))))
+    t0 = time.time()
+    ki = textops.kmv_intersect(skew_g, group="grp", k=64)
+    n_ki = ki.count()
+    cache.release(ki)
+    timings["skew_kmv_intersect"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    nbc = textops.nb_classify(skew_g, label_col="grp")
+    n_nbc = nbc.count()
+    timings["skew_nb_classify"] = round(time.time() - t0, 3)
     skew.unpersist()
 
     # graph stress: connected components over the q69-style synthesized

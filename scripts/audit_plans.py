@@ -1532,6 +1532,36 @@ def main() -> None:
         (_entry._q294_rbo_eval,
          "rbo_eval (q294): two ranking window scans per query; depth "
          "expansion on queries x k rows, all-integer terms"),
+        (_entry._q295_perm_test,
+         "perm_test (q295): ALL 42 conditional sums in one map-only "
+         "aggregate row (no explode, no shuffle); the per-perm table "
+         "unpivots from the materialized 1-row frame"),
+        (_entry._q296_curation_funnel,
+         "curation_funnel (q296): one content-keyed dedup window, "
+         "map-side filters, one source-keyed quota rank on the "
+         "thinned survivors; five 1-row stage counts"),
+        (_entry._q297_km_survival,
+         "km_survival (q297): one user-keyed aggregate collapses to "
+         "lifetimes; the reverse-cumulative risk window runs on the "
+         "lifetime-value-sized frame"),
+        (_entry._q298_eb_rates,
+         "eb_rates (q298): one group aggregate + a 1-row global "
+         "broadcast; shrinkage is a single integer DIV expression"),
+        (_entry._q299_jain_fairness,
+         "jain_fairness (q299): occupancy aggregate -> 1-row moments "
+         "-> one DIV; nothing else"),
+        (_entry._q300_cell_hour_mi,
+         "cell_hour_mi (q300): one bounded (cell, hour) contingency "
+         "shuffle; marginals and the nano-nat terms run on it"),
+        (_entry._q301_fdr_screen,
+         "fdr_screen (q301): doc x 199-perm explode filtered by the "
+         "broadcast threshold table (~docs x perms rows total), one "
+         "(group, perm) aggregate, BH as two windows on the "
+         "group-sized frame"),
+        (_entry._q302_ppr_cells,
+         "ppr_cells (q302): transition census on one keyed lag "
+         "window; four mass rounds of edge join + destination "
+         "aggregate on the cell-sized frames, checkpointed"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

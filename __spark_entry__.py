@@ -6081,6 +6081,33 @@ def _q302_ppr_cells(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.desc("mass"), F.asc("node")))
 
 
+def _q303_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking census (textops.cdc_chunks, 8-byte
+    Horner rolling hash, boundary at hash % 64 == 0): the
+    storage-dedup primitive whose boundaries survive insertions —
+    the content-defined upgrade of q163's fixed-width chunks.  The
+    oracle recomputes every rolling hash declaratively (positions x
+    window lateral) and re-slices the same chunks."""
+    from geotile import textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textops.cdc_chunks(docs)
+
+
+def _q304_variogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional empirical variogram (engine.directional_variogram,
+    rings 1-5, 4 sectors): the kriging input — how far and in which
+    direction cell-load similarity persists, beyond what the
+    Moran/Geary autocorrelation scalars say.  The oracle replays the
+    half-plane lag join, the integer sector rule, and the exact
+    squared differences."""
+    from geotile import cache
+
+    out = engine.directional_variogram(_positions_df(spark, sf))
+    return cache.track(out.orderBy("sector", "ring"),
+                       getattr(out, "_geotile_persisted", []))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6416,6 +6443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q300_cell_hour_mi": _q300_cell_hour_mi,
         "q301_fdr_screen": _q301_fdr_screen,
         "q302_ppr_cells": _q302_ppr_cells,
+        "q303_cdc_chunks": _q303_cdc_chunks,
+        "q304_variogram": _q304_variogram,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16725,6 +16754,88 @@ r302_4 AS (
 SELECT node, CAST(mass AS BIGINT) AS mass
 FROM r302_4
 ORDER BY mass DESC, node ASC LIMIT 20
+"""
+
+    # q303: CDC — rolling Horner hash per position (positions x
+    # window lateral), boundary slice replay, chunk census
+    sqls["q303_cdc_chunks"] = f"""
+WITH ch303 AS (
+  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l FROM documents
+),
+bp303 AS (
+  SELECT c.doc_id, i.i AS b
+  FROM ch303 c, LATERAL (SELECT unnest(range(8, c.l + 1)) AS i) i
+  WHERE (list_sum(list_transform(range(0, 8),
+           j -> CAST(ascii(substr(c.text, CAST(i.i - j AS INT), 1))
+                     AS HUGEINT) * ({_POWLIST})[j + 1])) % {_W64})
+        % 64 = 0
+),
+ag303 AS (
+  SELECT c.doc_id, c.text, c.l,
+         list_sort(COALESCE(list(b.b) FILTER (WHERE b.b IS NOT NULL),
+                            [])) AS bs
+  FROM ch303 c LEFT JOIN bp303 b ON b.doc_id = c.doc_id
+  GROUP BY c.doc_id, c.text, c.l
+),
+pt303 AS (
+  SELECT doc_id, text,
+         list_concat(
+           list_concat([CAST(0 AS BIGINT)], bs),
+           CASE WHEN l > 0 AND (len(bs) = 0 OR bs[-1] <> l)
+                THEN [l] ELSE [] END) AS pts
+  FROM ag303 WHERE l > 0
+),
+ck303 AS (
+  SELECT doc_id,
+         substr(text, CAST(pts[k.k] + 1 AS INT),
+                CAST(pts[k.k + 1] - pts[k.k] AS INT)) AS ck
+  FROM pt303, LATERAL (SELECT unnest(range(1, len(pts))) AS k) k
+),
+pc303 AS (
+  SELECT ck, count(*) AS n, count(DISTINCT doc_id) AS dfd,
+         max(len(ck)) AS ln
+  FROM ck303 GROUP BY ck
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(max(dfd) AS BIGINT) AS max_df,
+       CAST(sum(n * ln) AS BIGINT) AS sum_len
+FROM pc303
+"""
+
+    # q304: variogram — occupancy, half-plane lag offsets, integer
+    # sector rule, exact squared differences
+    sqls["q304_variogram"] = f"""
+WITH {_POS_CTE},
+oc304 AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS y,
+         CAST(floor(lon + 180.0) AS BIGINT) AS x,
+         count(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+of304 AS (
+  SELECT u.dy, v.dx
+  FROM LATERAL (SELECT unnest(range(0, 6)) AS dy) u,
+  LATERAL (SELECT unnest(range(-5, 6)) AS dx) v
+  WHERE (u.dy > 0 OR v.dx > 0) AND greatest(abs(u.dy), abs(v.dx)) <= 5
+),
+pr304 AS (
+  SELECT CASE WHEN o.dy = 0 OR abs(o.dx) >= 3 * abs(o.dy) THEN 0
+              WHEN o.dx = 0 OR abs(o.dy) >= 3 * abs(o.dx) THEN 1
+              WHEN o.dx > 0 THEN 2 ELSE 3 END AS sector,
+         greatest(abs(o.dy), abs(o.dx)) AS ring,
+         (a.c - b.c) * (a.c - b.c) AS d2
+  FROM oc304 a CROSS JOIN of304 o
+  JOIN oc304 b ON b.y = a.y + o.dy AND b.x = a.x + o.dx
+)
+SELECT CAST(sector AS BIGINT) AS sector, CAST(ring AS BIGINT) AS ring,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM pr304 GROUP BY 1, 2
+ORDER BY sector, ring
 """
 
     # Every queries() entry above has an exact oracle — including the

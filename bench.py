@@ -178,7 +178,7 @@ def main() -> None:
         "q293_visit_motifs", "q294_rbo_eval", "q295_perm_test",
         "q296_curation_funnel", "q297_km_survival", "q298_eb_rates",
         "q299_jain_fairness", "q300_cell_hour_mi", "q301_fdr_screen",
-        "q302_ppr_cells",
+        "q302_ppr_cells", "q303_cdc_chunks", "q304_variogram",
     ]
     from geotile import cache, textops
 

@@ -3809,3 +3809,63 @@ def greedy_dispatch(df: DataFrame, n_stores: int = 4, n_demands: int = 20,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def directional_variogram(df: DataFrame, max_ring: int = 5,
+                          lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Directional empirical variogram over 1-degree cell loads — the
+    geostatistics primitive kriging starts from, and the one spatial-
+    structure number the autocorrelation family (q105 Moran, q239
+    Geary) does not give: HOW FAR and IN WHICH DIRECTION does spatial
+    similarity persist.  For occupied-cell pairs at lag (dy, dx)
+    within Chebyshev ring ``max_ring``, the semivariance numerator
+    ``sum (c_a - c_b)^2`` and pair count per (sector, ring) — E-W,
+    N-S, and the two diagonals, the standard 4-direction sweep; an
+    anisotropic field (coastline, road corridor) shows one sector's
+    variance growing much slower.
+
+    Only pairs with BOTH cells occupied enter (the observed-support
+    variogram, documented); every emitted quantity is an exact
+    integer.  The half-plane offset set counts each unordered pair
+    exactly once.
+
+    Scale shape: one occupancy aggregate; the lag expansion is an
+    equi-join of the occupied set against itself per generated
+    offset (offsets are a constant ~60-element array, the join key is
+    (y+dy, x+dx)) — grid-bounded, never data-sized.  Returns
+    ``(sector, ring, n_pairs, sum_d2)``."""
+    from . import cache
+
+    oy = F.floor(F.col(lat) + F.lit(90.0)).cast("long")
+    ox = F.floor(F.col(lon) + F.lit(180.0)).cast("long")
+    occ = (df.select(oy.alias("y"), ox.alias("x"))
+           .groupBy("y", "x").agg(F.count("*").alias("c"))
+           .persist())
+    r = int(max_ring)
+    offs = [(dy, dx) for dy in range(0, r + 1) for dx in range(-r, r + 1)
+            if (dy > 0 or dx > 0) and max(abs(dy), abs(dx)) <= r]
+    arr = F.array(*[F.struct(F.lit(dy).cast("long").alias("dy"),
+                             F.lit(dx).cast("long").alias("dx"))
+                    for dy, dx in offs])
+    a = (occ.select("y", "x", "c", F.explode(arr).alias("o"))
+         .select("y", "x", "c", F.col("o.dy").alias("dy"),
+                 F.col("o.dx").alias("dx"),
+                 (F.col("y") + F.col("o.dy")).alias("y2"),
+                 (F.col("x") + F.col("o.dx")).alias("x2")))
+    b = occ.select(F.col("y").alias("y2"), F.col("x").alias("x2"),
+                   F.col("c").alias("c2"))
+    ady = F.abs(F.col("dy"))
+    adx = F.abs(F.col("dx"))
+    sector = (F.when((F.col("dy") == 0) | (adx >= 3 * ady), 0)
+              .when((F.col("dx") == 0) | (ady >= 3 * adx), 1)
+              .when(F.col("dx") > 0, 2).otherwise(3))
+    ring = F.greatest(ady, adx)
+    out = (a.join(b, ["y2", "x2"])
+           .select(sector.cast("long").alias("sector"),
+                   ring.cast("long").alias("ring"),
+                   ((F.col("c") - F.col("c2"))
+                    * (F.col("c") - F.col("c2"))).alias("d2"))
+           .groupBy("sector", "ring")
+           .agg(F.count("*").cast("long").alias("n_pairs"),
+                F.sum("d2").cast("long").alias("sum_d2")))
+    return cache.track(out, [occ])

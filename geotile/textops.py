@@ -3866,3 +3866,82 @@ def fdr_screen(df: DataFrame, n_perm: int = 199, group: str = "source",
                               .otherwise(0).cast("long"))
             .select(F.col("gg").alias(group), "n", "k", "rank",
                     "rejected"))
+
+
+def cdc_chunks(df: DataFrame, window: int = 8, mask_mod: int = 64,
+               id_col: str = "doc_id", text_col: str = "text"
+               ) -> DataFrame:
+    """Content-defined chunking (CDC) census — the storage-layer
+    dedup primitive (rsync/LBFS/backup dedup): a chunk boundary
+    falls wherever the ``window``-byte Horner rolling hash is 0 mod
+    ``mask_mod`` (expected chunk ~mask_mod bytes), so an insertion
+    shifts ONE chunk instead of re-chunking the document — the
+    property fixed-width chunking (q163) fundamentally lacks.
+    Boundaries are a pure per-position function (no minimum-length
+    state), so chunking is embarrassingly parallel and the oracle
+    can recompute every boundary declaratively.
+
+    The hash is the engine's shared FNV-prime Horner base (same
+    power table as the q17/q47 token hashes) over raw byte codes;
+    ASCII corpus assumed (documented — a multibyte char would read
+    differently as bytes vs code points).
+
+    Scale shape: one Arrow pass chunks each doc (the 8 shifted
+    vector products per row are numpy-vectorized); one chunk-keyed
+    census shuffle.  Returns one row ``(n_docs, n_chunks,
+    n_distinct, n_shared, max_df, sum_len)`` — n_shared counts
+    chunk contents appearing in >= 2 distinct docs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    B = 1099511628211
+    pows = np.zeros(window, dtype=np.uint64)
+    p = 1
+    for j in range(window):
+        pows[j] = p
+        p = (p * B) % (1 << 64)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _chunks(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            bs = np.frombuffer(t.encode("utf-8"), dtype=np.uint8) \
+                .astype(np.uint64)
+            n = len(bs)
+            if n == 0:
+                out.append([])
+                continue
+            if n >= window:
+                h = np.zeros(n - window + 1, dtype=np.uint64)
+                # H at end-position i (1-based i = window..n):
+                # sum_j byte[i-j] * B^j  (j = 0..window-1)
+                for j in range(window):
+                    h += pows[j] * bs[window - 1 - j:n - j]
+                ends = (np.nonzero(h % np.uint64(mask_mod) == 0)[0]
+                        + window).tolist()
+            else:
+                ends = []
+            pts = [0] + ends
+            if not ends or ends[-1] != n:
+                pts.append(n)
+            out.append([t[s:e] for s, e in zip(pts, pts[1:])])
+        return pd.Series(out)
+
+    ch = (df.select(F.col(id_col).alias("did"),
+                    F.explode(_chunks(F.col(text_col))).alias("ck")))
+    per = (ch.groupBy("ck")
+           .agg(F.count("*").alias("n"),
+                F.count_distinct("did").alias("dfd"),
+                F.max(F.length("ck")).alias("ln")))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    return (per.agg(F.sum("n").cast("long").alias("n_chunks"),
+                    F.count("*").cast("long").alias("n_distinct"),
+                    F.sum((F.col("dfd") >= 2).cast("long")).cast("long")
+                    .alias("n_shared"),
+                    F.max("dfd").cast("long").alias("max_df"),
+                    F.sum(F.col("n") * F.col("ln")).cast("long")
+                    .alias("sum_len"))
+            .crossJoin(F.broadcast(ndocs))
+            .select(F.col("n_docs").cast("long"), "n_chunks",
+                    "n_distinct", "n_shared", "max_df", "sum_len"))

@@ -2101,3 +2101,20 @@ def test_greedy_dispatch_constrains_later_rounds(spark):
     assert rows[1]["d2"] == 1
     assert rows[2]["store_cell"] == 10 and rows[2]["demand_cell"] == 8
     assert rows[2]["d2"] == 4
+
+
+def test_directional_variogram_hand_row(spark):
+    """Three cells in an E-W row with counts 1/2/4: ring-1 pairs sum
+    (1-2)^2+(2-4)^2=5, the ring-2 pair (1-4)^2=9, all sector 0."""
+    from geotile import cache, engine
+
+    pts = [(0, 0)] * 1 + [(0, 1)] * 2 + [(0, 2)] * 4
+    df = spark.createDataFrame(
+        [(float(y) - 90.0 + 0.5, float(x) - 180.0 + 0.5)
+         for (y, x) in pts], "lat double, lon double")
+    out = engine.directional_variogram(df)
+    rows = {(r["sector"], r["ring"]): r for r in out.collect()}
+    cache.release(out)
+    assert rows[(0, 1)]["n_pairs"] == 2 and rows[(0, 1)]["sum_d2"] == 5
+    assert rows[(0, 2)]["n_pairs"] == 1 and rows[(0, 2)]["sum_d2"] == 9
+    assert set(rows) == {(0, 1), (0, 2)}

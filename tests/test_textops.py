@@ -2033,3 +2033,29 @@ def test_fdr_screen_rejects_extreme_groups(spark):
     for r in out:
         if r["source"] in ("gA", "gB"):
             assert r["k"] == 1   # no pseudo-group beats an extreme mean
+
+
+def test_cdc_chunks_partition_and_shift_robustness(spark):
+    """Chunks partition every doc exactly (sum_len == total chars),
+    and a single-character insertion re-syncs the chunking — most
+    chunk contents are shared between the two versions, which is the
+    whole point of content-defined over fixed-width."""
+    import random
+
+    from geotile import textops
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(600))
+    shifted = "X" + base
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, shifted, "en", "s", len(shifted))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    r = textops.cdc_chunks(docs).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["sum_len"] == len(base) + len(shifted)
+    # the insertion perturbs only the first chunk(s); boundaries
+    # re-sync immediately after, so shared content dominates
+    assert r["n_shared"] >= 3
+    assert r["max_df"] == 2

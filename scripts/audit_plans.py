@@ -1562,6 +1562,15 @@ def main() -> None:
          "ppr_cells (q302): transition census on one keyed lag "
          "window; four mass rounds of edge join + destination "
          "aggregate on the cell-sized frames, checkpointed"),
+        (_entry._q303_cdc_chunks,
+         "cdc_chunks (q303): one Arrow chunking pass (8 shifted "
+         "vector products per row, numpy-vectorized), one "
+         "chunk-keyed census shuffle, 1-row rollup"),
+        (_entry._q304_variogram,
+         "variogram (q304): one occupancy aggregate; the lag "
+         "expansion is an equi-join of the occupied set against "
+         "itself per generated offset — grid-bounded, never "
+         "data-sized"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

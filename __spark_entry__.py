@@ -6108,6 +6108,33 @@ def _q304_variogram(spark: SparkSession, sf: str) -> DataFrame:
                        getattr(out, "_geotile_persisted", []))
 
 
+def _q305_recurrence_det(spark: SparkSession, sf: str) -> DataFrame:
+    """Recurrence determinism (trajectory.recurrence_det, gh4, first
+    40 fixes): recurrent time pairs and the fraction sitting on
+    diagonal lines >= 2 — does the user replay whole sub-routes or
+    just revisit places; the recurrence-plot companion to q287's LZ
+    compression view.  The oracle replays the pair join and both
+    diagonal probes."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return trajectory.recurrence_det(pos).orderBy("user_id")
+
+
+def _q306_consensus_line(spark: SparkSession, sf: str) -> DataFrame:
+    """Exhaustive max-consensus line (trajectory.consensus_line) over
+    the 24-point hour-of-day profile: every point pair proposes a
+    line, inliers counted with cross-multiplied integer tolerance —
+    RANSAC made exact by full enumeration, the robust-fit complement
+    to q241's Theil-Sen median slope.  The oracle replays all 276
+    candidate lines and the argmax tie rule."""
+    from geotile import trajectory
+
+    pos = (_positions_df(spark, sf)
+           .withColumn("ep", F.unix_timestamp("ts")))
+    return trajectory.consensus_line(pos)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6445,6 +6472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q302_ppr_cells": _q302_ppr_cells,
         "q303_cdc_chunks": _q303_cdc_chunks,
         "q304_variogram": _q304_variogram,
+        "q305_recurrence_det": _q305_recurrence_det,
+        "q306_consensus_line": _q306_consensus_line,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16836,6 +16865,82 @@ SELECT CAST(sector AS BIGINT) AS sector, CAST(ring AS BIGINT) AS ring,
        CAST(sum(d2) AS BIGINT) AS sum_d2
 FROM pr304 GROUP BY 1, 2
 ORDER BY sector, ring
+"""
+
+    # q305: recurrence determinism — rank/truncate, cell-equality
+    # pair join, previous/next diagonal probes
+    _wgh305 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q305_recurrence_det"] = f"""
+WITH {_WALK_CTE},
+c305 AS (
+  SELECT user_id, ep, event_id, {_wgh305} AS cell FROM walk
+),
+t305 AS (
+  SELECT user_id AS k, cell, rn FROM (
+    SELECT user_id, cell,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ep, event_id) AS rn
+    FROM c305)
+  WHERE rn <= 40
+),
+rc305 AS (
+  SELECT a.k, a.rn AS i, b.rn AS j
+  FROM t305 a JOIN t305 b
+    ON b.k = a.k AND a.rn < b.rn AND a.cell = b.cell
+),
+dg305 AS (
+  SELECT r.k, r.i, r.j,
+         CASE WHEN (n1.cell IS NOT NULL AND n1.cell = n2.cell)
+                OR (p1.cell IS NOT NULL AND p1.cell = p2.cell)
+              THEN 1 ELSE 0 END AS d
+  FROM rc305 r
+  LEFT JOIN t305 n1 ON n1.k = r.k AND n1.rn = r.i + 1
+  LEFT JOIN t305 n2 ON n2.k = r.k AND n2.rn = r.j + 1
+  LEFT JOIN t305 p1 ON p1.k = r.k AND p1.rn = r.i - 1
+  LEFT JOIN t305 p2 ON p2.k = r.k AND p2.rn = r.j - 1
+),
+ag305 AS (
+  SELECT k, count(*) AS n_rec, sum(d) AS n_det FROM dg305 GROUP BY k
+),
+ct305 AS (SELECT k, count(*) AS n FROM t305 GROUP BY k)
+SELECT c.k AS user_id, CAST(c.n AS BIGINT) AS n,
+       CAST(COALESCE(a.n_rec, 0) AS BIGINT) AS n_rec,
+       CAST(COALESCE(a.n_det, 0) AS BIGINT) AS n_det
+FROM ct305 c LEFT JOIN ag305 a ON a.k = c.k
+ORDER BY user_id
+"""
+
+    # q306: consensus line — 24-point profile, all 276 lines, integer
+    # cross-multiplied tolerance, (inliers desc, x1, x2) argmax
+    sqls["q306_consensus_line"] = f"""
+WITH {_POS_CTE},
+pf306 AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 + 24) % 24
+           AS x,
+         count(*) AS y
+  FROM pos GROUP BY 1
+),
+mx306 AS (SELECT max(y) AS my FROM pf306),
+ln306 AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM pf306 a JOIN pf306 b ON a.x < b.x
+),
+sc306 AS (
+  SELECT l.x1, l.y1, l.x2, l.y2,
+         sum(CASE WHEN abs((p.y - l.y1) * (l.x2 - l.x1)
+                           - (p.x - l.x1) * (l.y2 - l.y1)) * 10
+                  <= m.my * (l.x2 - l.x1) THEN 1 ELSE 0 END)
+           AS n_inliers
+  FROM ln306 l CROSS JOIN pf306 p CROSS JOIN mx306 m
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2,
+       CAST(n_inliers AS BIGINT) AS n_inliers,
+       (SELECT CAST(count(*) AS BIGINT) FROM pf306) AS n_points
+FROM sc306
+ORDER BY n_inliers DESC, x1 ASC, x2 ASC
+LIMIT 1
 """
 
     # Every queries() entry above has an exact oracle — including the

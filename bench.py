@@ -179,6 +179,7 @@ def main() -> None:
         "q296_curation_funnel", "q297_km_survival", "q298_eb_rates",
         "q299_jain_fairness", "q300_cell_hour_mi", "q301_fdr_screen",
         "q302_ppr_cells", "q303_cdc_chunks", "q304_variogram",
+        "q305_recurrence_det", "q306_consensus_line",
     ]
     from geotile import cache, textops
 

@@ -2581,3 +2581,118 @@ def cell_hour_mi(df: DataFrame, lat: str = "lat", lon: str = "lon",
                   .alias("n_cells"),
                   F.count_distinct("hh").cast("long").alias("n_hours"),
                   F.sum(term).cast("long").alias("mi_sum_nano")))
+
+
+def recurrence_det(df: DataFrame, n_max: int = 40, nchars: int = 4,
+                   key: str = "user_id", ts: str = "ep",
+                   order_col: str = "event_id",
+                   cell_col: str = "geohash") -> DataFrame:
+    """Recurrence quantification (determinism) over each key's cell
+    sequence — the nonlinear-dynamics reading of a trajectory: a
+    recurrence is a pair of times visiting the same cell (i < j,
+    c_i = c_j); DETERMINISM counts the recurrences that sit on a
+    diagonal line of length >= 2 (the previous or next step recurs
+    too) — high DET = the key replays whole SUB-ROUTES, not just
+    revisits places, which is exactly what q287's LZ matches measure
+    from the compression side and q154's revisit rate cannot see.
+
+    Same truncation contract as q287 (first ``n_max`` fixes).  All
+    counts; DET = n_det / n_rec is one division away.
+
+    Scale shape: one keyed window ranks + truncates; the recurrence
+    pair join is per-key on the cell (bounded by n_max^2 pairs per
+    key), the diagonal test two more equi-joins on (key, position).
+    Returns ``(key, n, n_rec, n_det)``."""
+    wk = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc())
+    t = (df.withColumn("cell", F.substring(F.col(cell_col), 1, nchars))
+         .withColumn("rn", F.row_number().over(wk))
+         .where(F.col("rn") <= int(n_max))
+         .select(F.col(key).alias("k"), "rn", "cell"))
+    a = t.select("k", F.col("rn").alias("i"), F.col("cell").alias("ci"))
+    b = t.select("k", F.col("rn").alias("j"), F.col("cell").alias("cj"))
+    rec = (a.join(b, (a["k"] == b["k"]) & (F.col("i") < F.col("j"))
+                  & (F.col("ci") == F.col("cj")))
+           .select(a["k"].alias("kk"), "i", "j"))
+    nxt = t.select(F.col("k").alias("k2"), F.col("rn").alias("p"),
+                   F.col("cell").alias("cp"))
+    prv = t.select(F.col("k").alias("k3"), F.col("rn").alias("q"),
+                   F.col("cell").alias("cq"))
+    # does the NEXT step recur too?  (i+1, j+1) both present + equal
+    nn = (rec
+          .join(nxt, (F.col("k2") == F.col("kk"))
+                & (F.col("p") == F.col("i") + 1))
+          .join(prv, (F.col("k3") == F.col("kk"))
+                & (F.col("q") == F.col("j") + 1)
+                & (F.col("cq") == F.col("cp")))
+          .select("kk", "i", "j", F.lit(1).alias("nx")))
+    # does the PREVIOUS step recur?  (i-1, j-1)
+    pp = (rec
+          .join(nxt, (F.col("k2") == F.col("kk"))
+                & (F.col("p") == F.col("i") - 1))
+          .join(prv, (F.col("k3") == F.col("kk"))
+                & (F.col("q") == F.col("j") - 1)
+                & (F.col("cq") == F.col("cp")))
+          .select("kk", "i", "j", F.lit(1).alias("pv")))
+    det = (rec.join(nn, ["kk", "i", "j"], "left")
+           .join(pp, ["kk", "i", "j"], "left")
+           .withColumn("d", (F.coalesce("nx", F.lit(0))
+                             + F.coalesce("pv", F.lit(0)) > 0)
+                       .cast("long")))
+    cnt = t.groupBy(F.col("k").alias("kk")).agg(F.count("*").alias("n"))
+    agg = (det.groupBy("kk")
+           .agg(F.count("*").cast("long").alias("n_rec"),
+                F.sum("d").cast("long").alias("n_det")))
+    return (cnt.join(agg, "kk", "left")
+            .select(F.col("kk").alias(key), F.col("n").cast("long"),
+                    F.coalesce("n_rec", F.lit(0)).cast("long")
+                    .alias("n_rec"),
+                    F.coalesce("n_det", F.lit(0)).cast("long")
+                    .alias("n_det")))
+
+
+def consensus_line(df: DataFrame, ts: str = "ep", tol_div: int = 10
+                   ) -> DataFrame:
+    """Exhaustive max-consensus line fit (RANSAC without the R) over
+    the hour-of-day activity profile: for EVERY pair of the 24
+    (hour, count) points, the line through them, scored by how many
+    points fall within tolerance — the consensus answer to "is the
+    daily curve basically linear plus outliers", robust where least
+    squares is dragged by the rush-hour spikes Theil-Sen (q241)
+    medians away differently.  24 points make full enumeration exact
+    (276 candidate lines x 24 points); no sampling, no randomness.
+
+    All integer: a point (x, y) is an inlier of the line through
+    (x1, y1), (x2, y2) iff ``|(y - y1)*(x2 - x1) - (x - x1)*
+    (y2 - y1)| * tol_div <= max_count * (x2 - x1)`` (tolerance =
+    max_count / tol_div, cross-multiplied — no division); the winner
+    is max (n_inliers, -x1, -x2) (ties to the earliest pair).
+    Returns one row ``(x1, y1, x2, y2, n_inliers, n_points)``."""
+    prof = (df.select(F.pmod(F.expr(f"{ts} DIV 3600"), F.lit(24))
+                      .alias("x"))
+            .groupBy("x").agg(F.count("*").alias("y")))
+    mx = prof.agg(F.max("y").alias("my"))
+    a = prof.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = prof.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    lines = a.join(b, F.col("x1") < F.col("x2"))
+    p = prof.select(F.col("x").alias("px"), F.col("y").alias("py"))
+    j = lines.crossJoin(p).crossJoin(F.broadcast(mx))
+    resid = ((F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+             - (F.col("px") - F.col("x1"))
+             * (F.col("y2") - F.col("y1")))
+    inlier = (F.abs(resid) * F.lit(int(tol_div))
+              <= F.col("my") * (F.col("x2") - F.col("x1"))).cast("long")
+    scored = (j.groupBy("x1", "y1", "x2", "y2")
+              .agg(F.sum(inlier).alias("n_inliers")))
+    npts = prof.agg(F.count("*").alias("n_points"))
+    best = (scored.agg(F.max(F.struct(
+        F.col("n_inliers"), (-F.col("x1")).alias("nx1"),
+        (-F.col("x2")).alias("nx2"), F.col("y1"), F.col("y2")))
+        .alias("m")))
+    return (best.crossJoin(F.broadcast(npts))
+            .select((-F.col("m.nx1")).cast("long").alias("x1"),
+                    F.col("m.y1").cast("long").alias("y1"),
+                    (-F.col("m.nx2")).cast("long").alias("x2"),
+                    F.col("m.y2").cast("long").alias("y2"),
+                    F.col("m.n_inliers").cast("long").alias("n_inliers"),
+                    F.col("n_points").cast("long").alias("n_points")))

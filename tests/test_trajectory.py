@@ -1423,3 +1423,36 @@ def test_cell_hour_mi_independence_and_dependence(spark):
     rows = [(10.0, 10.0, 0)] * 4 + [(40.0, 10.0, 3600)] * 4
     r = trajectory.cell_hour_mi(mk(rows)).collect()[0]
     assert r["mi_sum_nano"] == math.floor(math.log(2.0) * 1e9) * 8
+
+
+def test_recurrence_det_hand_sequences(spark):
+    """a b a b c: both recurrences sit on a length-2 diagonal; a b a:
+    one recurrence, no diagonal."""
+    from geotile import trajectory
+
+    rows = [(1, i, i, c * 4) for i, c in enumerate("ababc")]
+    rows += [(2, i, i, c * 4) for i, c in enumerate("aba")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, geohash string")
+    got = {r["user_id"]: r for r in
+           trajectory.recurrence_det(df).collect()}
+    assert (got[1]["n"], got[1]["n_rec"], got[1]["n_det"]) == (5, 2, 2)
+    assert (got[2]["n"], got[2]["n_rec"], got[2]["n_det"]) == (3, 1, 0)
+
+
+def test_consensus_line_outlier_rejection(spark):
+    """Three collinear hour-points plus a huge outlier: the consensus
+    line is the collinear one (3 inliers), earliest pair wins the
+    tie."""
+    from geotile import trajectory
+
+    rows = []
+    eid = 0
+    for h, n in ((0, 5), (1, 10), (2, 15), (3, 100)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, h * 3600))
+    df = spark.createDataFrame(rows, "event_id long, ep long")
+    r = trajectory.consensus_line(df).collect()[0]
+    assert (r["x1"], r["y1"], r["x2"], r["y2"]) == (0, 5, 1, 10)
+    assert r["n_inliers"] == 3 and r["n_points"] == 4

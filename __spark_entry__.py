@@ -6135,6 +6135,32 @@ def _q306_consensus_line(spark: SparkSession, sf: str) -> DataFrame:
     return trajectory.consensus_line(pos)
 
 
+def _q307_unicity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Trace unicity audit (trajectory.unicity_audit, gh4, p=1..3):
+    how many users their top-p most-visited cells identify uniquely
+    — the de Montjoye re-identification number the k-anonymity/
+    l-diversity/t-closeness protections (q149/q195/q235) exist to
+    push down.  The oracle replays the rank window and the rank-
+    prefixed signature census."""
+    from geotile import trajectory
+
+    pos = engine.with_cell(_walk_df(spark, sf))
+    return trajectory.unicity_audit(pos).orderBy("p")
+
+
+def _q308_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-bucket admission replay (trajectory.token_bucket_audit,
+    cap 5 tokens, 1/event, refill 0.1/s in milli-token integers):
+    what a standard rate limiter would have dropped per user —
+    deploy-before-you-deploy simulation next to q276's burst census.
+    The oracle replays the refill/spend recurrence as a per-key
+    recursive CTE."""
+    from geotile import trajectory
+
+    return (trajectory.token_bucket_audit(_walk_df(spark, sf))
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the correctness driver verifies at most
     # 50 entries per round in iteration order.  Round-5 (final-round)
@@ -6474,6 +6500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q304_variogram": _q304_variogram,
         "q305_recurrence_det": _q305_recurrence_det,
         "q306_consensus_line": _q306_consensus_line,
+        "q307_unicity_audit": _q307_unicity_audit,
+        "q308_token_bucket": _q308_token_bucket,
         # run-to-completion streaming gate last (costliest scaffold)
         "q251_stream_transitions": _q251_stream_transitions,
     }
@@ -16941,6 +16969,101 @@ SELECT CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
 FROM sc306
 ORDER BY n_inliers DESC, x1 ASC, x2 ASC
 LIMIT 1
+"""
+
+    # q307: unicity — visit-count rank window, rank-prefixed
+    # signatures, per-p anonymity-set census
+    _wgh307 = f"substr({_gh_sql('lat', 'lon')}, 1, 4)"
+    sqls["q307_unicity_audit"] = f"""
+WITH {_WALK_CTE},
+c307 AS (
+  SELECT user_id AS k, {_wgh307} AS cell FROM walk
+),
+vc307 AS (
+  SELECT k, cell, count(*) AS n FROM c307 GROUP BY 1, 2
+),
+rk307 AS (
+  SELECT k, cell,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY n DESC, cell ASC) AS r
+  FROM vc307
+),
+sg307_1 AS (
+  SELECT k, string_agg(printf('%02d:%s', r, cell), ',' ORDER BY r)
+           AS sig
+  FROM rk307 WHERE r <= 1 GROUP BY k
+),
+gp307_1 AS (SELECT sig, count(*) AS g FROM sg307_1 GROUP BY sig),
+cn307_1 AS (
+  SELECT CAST(1 AS BIGINT) AS p, CAST(sum(g) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+         CAST(count(*) AS BIGINT) AS n_sigs,
+         CAST(max(g) AS BIGINT) AS max_group
+  FROM gp307_1
+),
+sg307_2 AS (
+  SELECT k, string_agg(printf('%02d:%s', r, cell), ',' ORDER BY r)
+           AS sig
+  FROM rk307 WHERE r <= 2 GROUP BY k
+),
+gp307_2 AS (SELECT sig, count(*) AS g FROM sg307_2 GROUP BY sig),
+cn307_2 AS (
+  SELECT CAST(2 AS BIGINT) AS p, CAST(sum(g) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+         CAST(count(*) AS BIGINT) AS n_sigs,
+         CAST(max(g) AS BIGINT) AS max_group
+  FROM gp307_2
+),
+sg307_3 AS (
+  SELECT k, string_agg(printf('%02d:%s', r, cell), ',' ORDER BY r)
+           AS sig
+  FROM rk307 WHERE r <= 3 GROUP BY k
+),
+gp307_3 AS (SELECT sig, count(*) AS g FROM sg307_3 GROUP BY sig),
+cn307_3 AS (
+  SELECT CAST(3 AS BIGINT) AS p, CAST(sum(g) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+         CAST(count(*) AS BIGINT) AS n_sigs,
+         CAST(max(g) AS BIGINT) AS max_group
+  FROM gp307_3
+)
+SELECT * FROM (SELECT * FROM cn307_1 UNION ALL SELECT * FROM cn307_2 UNION ALL SELECT * FROM cn307_3) ORDER BY p
+"""
+
+    # q308: token bucket — per-key recursive refill/spend replay
+    sqls["q308_token_bucket"] = f"""
+WITH RECURSIVE {_WALK_CTE},
+t308 AS (
+  SELECT user_id AS k, ep AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ep, event_id) AS rn
+  FROM walk
+),
+rb308(k, rn, tok, rej, prevt) AS (
+  SELECT k, CAST(1 AS BIGINT),
+         CASE WHEN 5000 >= 1000 THEN CAST(4000 AS BIGINT)
+              ELSE CAST(5000 AS BIGINT) END,
+         CAST(0 AS BIGINT), t
+  FROM t308 WHERE rn = 1
+  UNION ALL
+  SELECT r.k, n.rn,
+         CASE WHEN least(5000, r.tok + (n.t - r.prevt) * 100) >= 1000
+              THEN least(5000, r.tok + (n.t - r.prevt) * 100) - 1000
+              ELSE least(5000, r.tok + (n.t - r.prevt) * 100) END,
+         r.rej + CASE WHEN least(5000, r.tok + (n.t - r.prevt) * 100)
+                           >= 1000 THEN 0 ELSE 1 END,
+         n.t
+  FROM rb308 r JOIN t308 n ON n.k = r.k AND n.rn = r.rn + 1
+),
+mx308 AS (SELECT k, max(rn) AS mrn FROM t308 GROUP BY k)
+SELECT r.k AS user_id, CAST(m.mrn AS BIGINT) AS n_events,
+       CAST(r.rej AS BIGINT) AS n_rejected,
+       CAST(r.tok AS BIGINT) AS final_milli
+FROM rb308 r JOIN mx308 m ON m.k = r.k AND r.rn = m.mrn
+ORDER BY user_id
 """
 
     # Every queries() entry above has an exact oracle — including the

@@ -180,6 +180,7 @@ def main() -> None:
         "q299_jain_fairness", "q300_cell_hour_mi", "q301_fdr_screen",
         "q302_ppr_cells", "q303_cdc_chunks", "q304_variogram",
         "q305_recurrence_det", "q306_consensus_line",
+        "q307_unicity_audit", "q308_token_bucket",
     ]
     from geotile import cache, textops
 

@@ -2696,3 +2696,106 @@ def consensus_line(df: DataFrame, ts: str = "ep", tol_div: int = 10
                     F.col("m.y2").cast("long").alias("y2"),
                     F.col("m.n_inliers").cast("long").alias("n_inliers"),
                     F.col("n_points").cast("long").alias("n_points")))
+
+
+def unicity_audit(df: DataFrame, max_p: int = 3, nchars: int = 4,
+                  key: str = "user_id", cell_col: str = "geohash"
+                  ) -> DataFrame:
+    """Trace unicity audit (de Montjoye-style re-identification risk):
+    how many keys are UNIQUELY identified by just their top-p most
+    visited cells — the attack-side number the protection ops (q149
+    k-anonymity, q195 l-diversity, q235 t-closeness) defend against;
+    the famous result is that ~4 points identify ~95% of people, and
+    this measures the analogue on the corpus at p = 1..max_p.
+
+    Deterministic signature: the top-p cells by (visit count desc,
+    cell asc), joined in rank order.  Census per p: total keys, keys
+    whose signature is unique, distinct signatures, and the largest
+    anonymity set.  All counts.
+
+    Scale shape: one (key, cell) count shuffle + a rank window per
+    key; each p's census groups the key-sized signature table.
+    Returns ``(p, n_keys, n_unique, n_sigs, max_group)``."""
+    cell = F.substring(F.col(cell_col), 1, nchars)
+    vc = (df.select(F.col(key), cell.alias("cell"))
+          .groupBy(key, "cell").agg(F.count("*").alias("n")))
+    wr = Window.partitionBy(key).orderBy(F.desc("n"), F.asc("cell"))
+    rk = (vc.withColumn("r", F.row_number().over(wr))
+          .where(F.col("r") <= int(max_p)))
+    parts = []
+    for p in range(1, int(max_p) + 1):
+        sig = (rk.where(F.col("r") <= p)
+               .groupBy(key)
+               .agg(F.array_join(F.array_sort(F.collect_list(
+                   F.concat(F.lpad(F.col("r").cast("string"), 2, "0"),
+                            F.lit(":"), F.col("cell")))), ",")
+                    .alias("sig")))
+        grp = sig.groupBy("sig").agg(F.count("*").alias("g"))
+        parts.append(
+            grp.agg(F.sum("g").cast("long").alias("n_keys"),
+                    F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+                    .cast("long").alias("n_unique"),
+                    F.count("*").cast("long").alias("n_sigs"),
+                    F.max("g").cast("long").alias("max_group"))
+            .select(F.lit(p).cast("long").alias("p"), "n_keys",
+                    "n_unique", "n_sigs", "max_group"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def token_bucket_audit(df: DataFrame, cap_milli: int = 5000,
+                       cost_milli: int = 1000, rate_milli: int = 100,
+                       key: str = "user_id", ts: str = "ep",
+                       order_col: str = "event_id") -> DataFrame:
+    """Token-bucket admission replay — the rate-limiter every ingest
+    edge runs, replayed exactly over each key's event stream: the
+    bucket starts full (``cap_milli`` milli-tokens), refills at
+    ``rate_milli`` per second up to the cap, and each event either
+    spends ``cost_milli`` (admitted) or is rejected with the bucket
+    untouched.  The answer to "what would this limiter have dropped"
+    BEFORE deploying it — the simulation complement of q276's
+    debounce (which measures bursts) and q87's anomalies (which
+    flags them).
+
+    Pure integer state: ``tokens = min(cap, tokens + dt * rate)``
+    then the spend test — a linear recurrence the oracle replays as
+    a per-key recursive CTE.  Scale shape: one keyed window orders
+    events; the sequential replay runs per key inside applyInPandas
+    (per-key event counts, the admission-control cost by
+    definition).  Returns ``(key, n_events, n_rejected,
+    final_milli)``."""
+    import numpy as np
+    import pandas as pd
+
+    wk = Window.partitionBy("k").orderBy(F.col("t").asc(),
+                                         F.col("o").asc())
+    t = (df.select(F.col(key).alias("k"), F.col(ts).alias("t"),
+                   F.col(order_col).alias("o"))
+         .withColumn("rn", F.row_number().over(wk)))
+    cap, cost, rate = int(cap_milli), int(cost_milli), int(rate_milli)
+
+    def _replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rn")
+        ts_arr = pdf["t"].to_numpy(np.int64)
+        tok = cap
+        prev = None
+        rej = 0
+        for tv in ts_arr:
+            if prev is not None:
+                tok = min(cap, tok + (int(tv) - prev) * rate)
+            prev = int(tv)
+            if tok >= cost:
+                tok -= cost
+            else:
+                rej += 1
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]],
+                             "n_events": [len(ts_arr)],
+                             "n_rejected": [rej],
+                             "final_milli": [tok]})
+
+    return (t.groupBy("k")
+            .applyInPandas(_replay, "k long, n_events long,"
+                                    " n_rejected long, final_milli long")
+            .withColumnRenamed("k", key))

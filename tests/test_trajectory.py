@@ -1456,3 +1456,36 @@ def test_consensus_line_outlier_rejection(spark):
     r = trajectory.consensus_line(df).collect()[0]
     assert (r["x1"], r["y1"], r["x2"], r["y2"]) == (0, 5, 1, 10)
     assert r["n_inliers"] == 3 and r["n_points"] == 4
+
+
+def test_unicity_audit_hand_signatures(spark):
+    """Users 1 and 2 share a top-1 cell but split at top-2; user 3 is
+    unique from p=1."""
+    from geotile import trajectory
+
+    def fixes(u, cells):
+        return [(u, i, i, c * 4) for i, c in enumerate(cells)]
+
+    rows = (fixes(1, "aab") + fixes(2, "aac") + fixes(3, "ddd"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ep long, event_id long, geohash string")
+    got = {r["p"]: r for r in trajectory.unicity_audit(df).collect()}
+    assert got[1]["n_keys"] == 3 and got[1]["n_unique"] == 1
+    assert got[1]["n_sigs"] == 2 and got[1]["max_group"] == 2
+    assert got[2]["n_unique"] == 3 and got[2]["n_sigs"] == 3
+
+
+def test_token_bucket_hand_replay(spark):
+    """Burst of 7 instant events against a 5-token bucket: 5 admits,
+    2 rejects; a later event after 20 s refills 2 tokens and admits."""
+    from geotile import trajectory
+
+    rows = [(1, i, 0) for i in range(7)]          # 7 events at t=0
+    rows.append((1, 7, 20))                       # refill 20s * 0.1/s
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ep long")
+    r = trajectory.token_bucket_audit(df).collect()[0]
+    # t=0 burst: 5000 -> admits at 4000,3000,2000,1000,0 then 2 rejects
+    # t=20: refill min(5000, 0 + 2000) = 2000 -> admit -> 1000
+    assert (r["n_events"], r["n_rejected"], r["final_milli"]) \
+        == (8, 2, 1000)

@@ -1571,6 +1571,22 @@ def main() -> None:
          "expansion is an equi-join of the occupied set against "
          "itself per generated offset — grid-bounded, never "
          "data-sized"),
+        (_entry._q305_recurrence_det,
+         "recurrence_det (q305): rank/truncate window, cell-equality "
+         "pair join bounded by n_max^2 per key, two position "
+         "equi-joins for the diagonal probes"),
+        (_entry._q306_consensus_line,
+         "consensus_line (q306): one 24-row profile aggregate; all "
+         "276 candidate lines x 24 points evaluated as native "
+         "integer expressions on generated rows"),
+        (_entry._q307_unicity_audit,
+         "unicity_audit (q307): one (key, cell) count shuffle + a "
+         "rank window; each p's census groups the key-sized "
+         "signature table"),
+        (_entry._q308_token_bucket,
+         "token_bucket (q308): one keyed window orders events; the "
+         "sequential refill/spend replay runs per key inside "
+         "applyInPandas"),
     ):
         try:
             sections.append(summarize(_fn(spark, _sf), _desc))

@@ -721,15 +721,20 @@ def boruvka_mst(edges: DataFrame, src: str = "u", dst: str = "v",
     :func:`connected_components` on the picked edges only (a
     forest-sized frame); labels are localCheckpoint-ed per round.
     Returns the MST edge list ``(src, dst, w)``."""
+    # the KMV-pair use sends a groups^2-sized edge list; coalesce the
+    # micro-frames so the per-round jobs don't inherit
+    # spark.sql.shuffle.partitions worth of empty tasks (the q70/q71
+    # local[32] job-tax lesson) — swap for a real partitioning when
+    # edges are data-sized
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
                       F.col(w).alias("w"))
          .where(F.col("u") != F.col("v"))
-         .localCheckpoint(eager=True))
+         .coalesce(1).localCheckpoint(eager=True))
     comp = (e.select(F.col("u").alias("node"))
             .unionByName(e.select(F.col("v").alias("node")))
             .distinct()
             .select("node", F.col("node").alias("c"))
-            .localCheckpoint(eager=True))
+            .coalesce(1).localCheckpoint(eager=True))
     parts = []
     for _ in range(int(max_rounds)):
         cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
@@ -744,7 +749,7 @@ def boruvka_mst(edges: DataFrame, src: str = "u", dst: str = "v",
                .select(F.col("m.u").alias("u"), F.col("m.v").alias("v"),
                        F.col("m.w").alias("w"))
                .distinct()
-               .localCheckpoint(eager=True))
+               .coalesce(1).localCheckpoint(eager=True))
         if sel.isEmpty():
             break
         parts.append(sel)
@@ -756,7 +761,7 @@ def boruvka_mst(edges: DataFrame, src: str = "u", dst: str = "v",
                 .select("node",
                         F.coalesce(F.col("cluster_id"), F.col("c"))
                         .alias("c"))
-                .localCheckpoint(eager=True))
+                .coalesce(1).localCheckpoint(eager=True))
     if not parts:
         return e.where(F.lit(False)).select("u", "v", "w")
     out = parts[0]
